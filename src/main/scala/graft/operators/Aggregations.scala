@@ -1,0 +1,170 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+/** Aggregation operators — SURVEY.md §2.4 (A1–A9), re-expressed over the
+  * driver testdata.
+  *
+  * Scale notes: every query here is a hash aggregate with map-side partial
+  * aggregation; group counts are bounded (flags, segments, event types,
+  * users), so the shuffle carries partial states, not rows. `countDistinct`
+  * (A1) expands to a two-phase aggregate; acceptable because the distinct
+  * key (order ids per customer) is co-partitioned with the group key.
+  */
+object Aggregations {
+
+  /** Exact, order-independent sum: per-row double math is IEEE-deterministic,
+    * the decimal cast fixes a per-row value, and decimal addition is
+    * associative — so Spark and DuckDB agree bit-for-bit regardless of
+    * partitioning. */
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 10)))
+  private def money(c: Column): Column = round(c, 2).cast("double")
+  private def ratio(c: Column): Column = round(c, 4).cast("double")
+
+  /** A1+A2: TPC-H-Q1-shaped pricing summary: multi-aggregate hash group-by
+    * with sums, averages, conditional count, count(*). */
+  val q1PricingSummary: QueryDef = QueryDef.sql(
+    "q_agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_charge,
+      |  CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_qty,
+      |  CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_disc,
+      |  count(*) AS count_order,
+      |  count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS count_returned
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        money(dsum(col("l_quantity"))).as("sum_qty"),
+        money(dsum(col("l_extendedprice"))).as("sum_base_price"),
+        money(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        money(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        ratio(dsum(col("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        ratio(dsum(col("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+        count(when(col("l_returnflag") === "R", 1)).as("count_returned"))
+  }
+
+  /** A1: customer lifetime metrics — mirrors dim_eater's groupBy-agg
+    * (reference gold_pipeline.py:358-369): count, sum, avg, countDistinct.
+    * `countDistinct(o_orderkey)` is exact, matching the reference's choice
+    * of exact distinct (SURVEY §2.4). */
+  val qCustomerLifetime: QueryDef = QueryDef.sql(
+    "q_agg_customer_lifetime",
+    """SELECT o_custkey,
+      |  count(*) AS total_orders,
+      |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_orders,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS lifetime_spend,
+      |  CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_order_value,
+      |  CAST(min(o_orderdate) AS TIMESTAMP) AS first_order_at,
+      |  CAST(max(o_orderdate) AS TIMESTAMP) AS last_order_at
+      |FROM orders
+      |GROUP BY o_custkey""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("total_orders"),
+        countDistinct(col("o_orderkey")).as("distinct_orders"),
+        money(dsum(col("o_totalprice"))).as("lifetime_spend"),
+        ratio(dsum(col("o_totalprice")).cast("double") / count(lit(1))).as("avg_order_value"),
+        min(col("o_orderdate")).as("first_order_at"),
+        max(col("o_orderdate")).as("last_order_at"))
+  }
+
+  /** A2+A3: conditional counts and ratio-of-aggregates (reference courier
+    * on-time-rate, gold_pipeline.py:490-506). */
+  val qConditionalRates: QueryDef = QueryDef.sql(
+    "q_agg_conditional_rates",
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  count(CASE WHEN value > 50 THEN 1 END) AS n_high_value,
+      |  CAST(round(count(CASE WHEN value > 50 THEN 1 END) * 100.0 / count(*), 4) AS DOUBLE) AS high_value_rate,
+      |  CAST(round(sum(CAST(CASE WHEN value > 50 THEN value ELSE 0 END AS DECIMAL(38,10))), 2) AS DOUBLE) AS high_value_total
+      |FROM events
+      |GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("value") > 50, 1)).as("n_high_value"),
+        ratio(count(when(col("value") > 50, 1)) * lit(100.0) / count(lit(1))).as("high_value_rate"),
+        money(dsum(when(col("value") > 50, col("value")).otherwise(lit(0.0)))).as("high_value_total"))
+  }
+
+  /** A6: the event-log pivot — the reference's core trip_fact operator
+    * (gold_pipeline.py:674-704): one row per entity via
+    * `max(CASE WHEN event_type = X THEN ts END)` conditional aggregation.
+    * Single shuffle on the group key; no join, no explode — this shape
+    * scales linearly and is the canonical way to fold an event log at
+    * 100 TB. */
+  val qEventPivot: QueryDef = QueryDef.sql(
+    "q_agg_event_pivot",
+    """SELECT user_id,
+      |  CAST(max(CASE WHEN event_type = 'signup' THEN ts END) AS TIMESTAMP) AS signup_at,
+      |  CAST(max(CASE WHEN event_type = 'view' THEN ts END) AS TIMESTAMP) AS last_view_at,
+      |  CAST(max(CASE WHEN event_type = 'click' THEN ts END) AS TIMESTAMP) AS last_click_at,
+      |  CAST(max(CASE WHEN event_type = 'purchase' THEN ts END) AS TIMESTAMP) AS last_purchase_at,
+      |  CAST(max(CASE WHEN event_type = 'error' THEN ts END) AS TIMESTAMP) AS last_error_at,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+      |  CAST(round(sum(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END AS DECIMAL(38,10))), 2) AS DOUBLE) AS purchase_value,
+      |  CASE WHEN count(CASE WHEN event_type = 'purchase' THEN 1 END) > 0 THEN 'buyer' ELSE 'browser' END AS user_status
+      |FROM events
+      |GROUP BY user_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    def lastAt(t: String, as: String): Column =
+      max(when(col("event_type") === t, col("ts"))).as(as)
+    ev.groupBy(col("user_id"))
+      .agg(
+        lastAt("signup", "signup_at"),
+        lastAt("view", "last_view_at"),
+        lastAt("click", "last_click_at"),
+        lastAt("purchase", "last_purchase_at"),
+        lastAt("error", "last_error_at"),
+        count(when(col("event_type") === "view", 1)).as("n_views"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        money(dsum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))).as("purchase_value"),
+        when(count(when(col("event_type") === "purchase", 1)) > 0, lit("buyer"))
+          .otherwise(lit("browser")).as("user_status"))
+  }
+
+  /** A7: group-wise max — SCD2 max-version lookup shape
+    * (gold_pipeline.py:198-202). */
+  val qGroupwiseMax: QueryDef = QueryDef.sql(
+    "q_agg_groupwise_max",
+    """SELECT l_orderkey, CAST(max(l_linenumber) AS INT) AS max_line,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_orderkey""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_linenumber")).as("max_line"), count(lit(1)).as("n_lines"))
+  }
+
+  /** A9: union'd per-table count report (init_cloud_sql.sql:237-243). */
+  val qCountReport: QueryDef = QueryDef.sql(
+    "q_agg_count_report",
+    """SELECT 'customer' AS table_name, count(*) AS n FROM customer
+      |UNION ALL SELECT 'orders', count(*) FROM orders
+      |UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+      |UNION ALL SELECT 'supplier', count(*) FROM supplier
+      |UNION ALL SELECT 'part', count(*) FROM part""".stripMargin) { (spark, dir) =>
+    Seq("customer", "orders", "lineitem", "supplier", "part")
+      .map(t => Tables.load(spark, dir, t)
+        .agg(count(lit(1)).as("n"))
+        .select(lit(t).as("table_name"), col("n")))
+      .reduce(_ union _)
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q1PricingSummary, qCustomerLifetime, qConditionalRates,
+    qEventPivot, qGroupwiseMax, qCountReport)
+}

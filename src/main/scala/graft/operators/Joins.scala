@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+/** Join operators — SURVEY.md §2.3 (J1–J7 families).
+  *
+  * Scale notes: dimension tables (region 5, nation 25, supplier ~sf·100,
+  * customer ~sf·150k) are broadcast explicitly so the fact side
+  * (lineitem/orders) never shuffles for the join; only the final aggregate
+  * shuffles its partial states. AQE would often do this on its own, but at
+  * 100 TB we don't want to depend on runtime stats for the obviously-small
+  * sides (reference dims are 4–5 rows). The anti/semi joins keep the
+  * filter before the join so the broadcast build side stays minimal.
+  */
+object Joins {
+
+  private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 10)))
+  private def money(c: Column): Column = round(c, 2).cast("double")
+
+  /** J1/J3: fact × broadcast dims chain — revenue by region/nation
+    * (dim-enrichment join shape of gold_pipeline.py:375,438,508). Three
+    * broadcast hash joins, zero extra shuffles before the aggregate. */
+  val qRevenueByNation: QueryDef = QueryDef.sql(
+    "q_join_revenue_by_nation",
+    """SELECT r_name AS region_name, n_name AS nation_name,
+      |  count(*) AS n_lineitems,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey  = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        money(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+  }
+
+  /** J1: left join preserving unmatched left rows (SCD2 change-detection
+    * shape, gold_pipeline.py:165-169): every customer, with order metrics
+    * or zero-defaults via coalesce (P-coalesce semantics). */
+  val qLeftEnrich: QueryDef = QueryDef.sql(
+    "q_join_left_enrich",
+    """SELECT c_custkey, c_mktsegment,
+      |  COALESCE(m.n_orders, 0) AS n_orders,
+      |  CAST(COALESCE(m.spend, 0.0) AS DOUBLE) AS spend
+      |FROM customer c
+      |LEFT JOIN (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |) m ON c.c_custkey = m.o_custkey""".stripMargin) { (spark, dir) =>
+    val metrics = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), money(dsum(col("o_totalprice"))).as("spend"))
+    Tables.customer(spark, dir)
+      .join(metrics, col("c_custkey") === col("o_custkey"), "left")
+      .select(
+        col("c_custkey"), col("c_mktsegment"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+  }
+
+  /** J5: multi-column equi join on non-key attributes (address-match shape,
+    * gold_pipeline.py:650-671): self-join of part on (brand, type). */
+  val qMultiAttrJoin: QueryDef = QueryDef.sql(
+    "q_join_multi_attr",
+    """SELECT a.p_brand, a.p_type, count(*) AS n_pairs
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+      | AND a.p_partkey < b.p_partkey
+      |GROUP BY a.p_brand, a.p_type""".stripMargin) { (spark, dir) =>
+    val p = Tables.part(spark, dir)
+    val a = p.select(col("p_partkey").as("a_key"), col("p_brand"), col("p_type"))
+    val b = p.select(col("p_partkey").as("b_key"),
+      col("p_brand").as("b_brand"), col("p_type").as("b_type"))
+    a.join(b,
+        col("p_brand") === col("b_brand") && col("p_type") === col("b_type") &&
+          col("a_key") < col("b_key"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** J6: left anti join — referential-integrity orphan check
+    * (data_quality_validation.py:193-197): customers with no orders. */
+  val qAntiJoin: QueryDef = QueryDef.sql(
+    "q_join_anti_orphans",
+    """SELECT c_custkey, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  /** Left semi join — EXISTS: segments of customers that ordered in 1995+. */
+  val qSemiJoin: QueryDef = QueryDef.sql(
+    "q_join_semi_active",
+    """SELECT c_mktsegment, count(*) AS n_active_customers FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+      |GROUP BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp"))
+    Tables.customer(spark, dir)
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_active_customers"))
+  }
+
+  /** Full outer join (completes the join-family surface beyond the
+    * reference's left-only usage): supplier vs customer presence per
+    * nation. */
+  val qFullOuter: QueryDef = QueryDef.sql(
+    "q_join_full_outer",
+    """SELECT COALESCE(s.nk, c.nk) AS nationkey,
+      |  COALESCE(s.n_suppliers, 0) AS n_suppliers,
+      |  COALESCE(c.n_customers, 0) AS n_customers
+      |FROM (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      |FULL OUTER JOIN (SELECT c_nationkey AS nk, count(*) AS n_customers FROM customer GROUP BY 1) c
+      |ON s.nk = c.nk""".stripMargin) { (spark, dir) =>
+    val s = Tables.supplier(spark, dir).groupBy(col("s_nationkey").as("s_nk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    val c = Tables.customer(spark, dir).groupBy(col("c_nationkey").as("c_nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    s.join(c, col("s_nk") === col("c_nk"), "full_outer")
+      .select(
+        coalesce(col("s_nk"), col("c_nk")).as("nationkey"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qRevenueByNation, qLeftEnrich, qMultiAttrJoin,
+    qAntiJoin, qSemiJoin, qFullOuter)
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window functions & deduplication — SURVEY.md §2.5 (W1–W4).
+  *
+  * Scale notes: every window here is PARTITIONED (by user/order key) — the
+  * reference's unpartitioned `row_number()` surrogate key
+  * (gold_pipeline.py:323-325) funnels all rows through one partition and is
+  * deliberately NOT reproduced; the same need is served by
+  * `xxhash64`/dense-key assignment (see Scd2 module). Ordering keys always
+  * include a unique tiebreaker so results are deterministic.
+  */
+object Windows {
+
+  /** W1 + W4: ranking family — row_number / rank / dense_rank over a
+    * partitioned, totally-ordered window. */
+  val qRanking: QueryDef = QueryDef.sql(
+    "q_window_ranking",
+    """SELECT o_custkey, o_orderkey,
+      |  row_number() OVER w AS rn,
+      |  rank()       OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rnk"),
+      dense_rank().over(w).as("drnk"))
+  }
+
+  /** W4: lag/lead analytics — inter-event gap per user (sessionization
+    * primitive). Gap computed on exact microsecond longs, not doubles. */
+  val qLagLead: QueryDef = QueryDef.sql(
+    "q_window_lag_lead",
+    """SELECT user_id, event_id,
+      |  CAST(ts AS TIMESTAMP) AS ts,
+      |  CAST(lag(ts)  OVER w AS TIMESTAMP) AS prev_ts,
+      |  CAST(lead(ts) OVER w AS TIMESTAMP) AS next_ts,
+      |  (epoch_us(CAST(ts AS TIMESTAMP)) - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))) // 1000000 AS gap_seconds
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("ts"),
+      lag(col("ts"), 1).over(w).as("prev_ts"),
+      lead(col("ts"), 1).over(w).as("next_ts"),
+      floor((unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        / lit(1000000L)).as("gap_seconds"))
+  }
+
+  /** W4: running aggregate — cumulative revenue per customer over order
+    * history (rowsBetween unboundedPreceding..current). Decimal running sum
+    * so every prefix is exact in both engines. */
+  val qRunningSum: QueryDef = QueryDef.sql(
+    "q_window_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      round(sum(col("o_totalprice").cast(DecimalType(38, 10))).over(w), 2)
+        .cast("double").as("running_spend"))
+  }
+
+  /** W2/W3: deterministic deduplication — keep the first row per key under
+    * an explicit total order (the scalable, reproducible form of
+    * `dropDuplicates`; reference silver_pipeline.py:215,271,321 keeps an
+    * arbitrary row). One shuffle on the dedup key. */
+  val qDedupFirstPerKey: QueryDef = QueryDef.sql(
+    "q_window_dedup_first",
+    """SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events) t WHERE rn = 1""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+  }
+
+  /** SCD2-as-window: reconstruct type-2 validity intervals from an event
+    * log — each (user, event) version is effective until the next event;
+    * the last one is current (lead() + row_number(), the scalable
+    * formulation of the reference's SCD2 semantics,
+    * gold_pipeline.py:112-227). */
+  val qScd2Intervals: QueryDef = QueryDef.sql(
+    "q_window_scd2_intervals",
+    """SELECT user_id, event_id,
+      |  CAST(ts AS TIMESTAMP) AS effective_start,
+      |  CAST(lead(ts) OVER w AS TIMESTAMP) AS effective_end,
+      |  CAST(row_number() OVER w AS INT) AS version_number,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"),
+      col("ts").as("effective_start"),
+      lead(col("ts"), 1).over(w).as("effective_end"),
+      row_number().over(w).as("version_number"),
+      lead(col("ts"), 1).over(w).isNull.as("is_current"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    qRanking, qLagLead, qRunningSum, qDedupFirstPerKey, qScd2Intervals)
+}
