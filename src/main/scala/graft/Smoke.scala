@@ -1,9 +1,9 @@
 package graft
-
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway probe main (not part of the library surface). */
-object Scratch {
+/** Replicates the driver's smoke check: `SparkEntry.entry` must return >0
+  * rows on sf0.001. Exit 0 iff it does. */
+object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -12,9 +12,10 @@ object Scratch {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val ev = Tables.events(spark, "/root/testdata/sf0.001")
-    ev.printSchema()
-    ev.show(3, truncate = false)
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    println(s"SMOKE entry rows=$n cols=${df.columns.mkString(",")}")
     spark.stop()
+    if (n <= 0) sys.exit(1)
   }
 }

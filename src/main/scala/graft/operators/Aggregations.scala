@@ -22,7 +22,13 @@ object Aggregations {
     * partitioning. */
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 10)))
   private def money(c: Column): Column = round(c, 2).cast("double")
-  private def ratio(c: Column): Column = round(c, 4).cast("double")
+
+  /** Quotients are emitted UNROUNDED: both engines cast the identical exact
+    * decimal sum to the identical double and perform the same IEEE division,
+    * so the raw quotient is bit-deterministic — whereas `round(double, n)`
+    * is implemented differently (BigDecimal HALF_UP on shortest-repr vs
+    * binary scaling) and diverges on half-way ties. */
+  private def ratio(c: Column): Column = c.cast("double")
 
   /** A1+A2: TPC-H-Q1-shaped pricing summary: multi-aggregate hash group-by
     * with sums, averages, conditional count, count(*). */
@@ -33,8 +39,8 @@ object Aggregations {
       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_base_price,
       |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_disc_price,
       |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_charge,
-      |  CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_qty,
-      |  CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_disc,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS avg_disc,
       |  count(*) AS count_order,
       |  count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS count_returned
       |FROM lineitem
@@ -64,7 +70,7 @@ object Aggregations {
       |  count(*) AS total_orders,
       |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS distinct_orders,
       |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS lifetime_spend,
-      |  CAST(round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) / count(*), 4) AS DOUBLE) AS avg_order_value,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DOUBLE) / count(*) AS avg_order_value,
       |  CAST(min(o_orderdate) AS TIMESTAMP) AS first_order_at,
       |  CAST(max(o_orderdate) AS TIMESTAMP) AS last_order_at
       |FROM orders
@@ -87,7 +93,7 @@ object Aggregations {
     """SELECT event_type,
       |  count(*) AS n_events,
       |  count(CASE WHEN value > 50 THEN 1 END) AS n_high_value,
-      |  CAST(round(count(CASE WHEN value > 50 THEN 1 END) * 100.0 / count(*), 4) AS DOUBLE) AS high_value_rate,
+      |  CAST(count(CASE WHEN value > 50 THEN 1 END) * 100.0 / count(*) AS DOUBLE) AS high_value_rate,
       |  CAST(round(sum(CAST(CASE WHEN value > 50 THEN value ELSE 0 END AS DECIMAL(38,10))), 2) AS DOUBLE) AS high_value_total
       |FROM events
       |GROUP BY event_type""".stripMargin) { (spark, dir) =>
