@@ -15,7 +15,10 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     operators.Aggregations.all ++
       operators.Joins.all ++
-      operators.Windows.all
+      operators.Windows.all ++
+      operators.Generators.all ++
+      operators.Cleanse.all ++
+      operators.JsonOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by region/nation — scan→broadcast-join chain→aggregate

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Silver-layer cleanse / normalize operators — SURVEY.md §2.2 (P4, P7–P9)
+  * and §2.8 string functions.
+  *
+  * Mirrors the reference's silver entity cleanse
+  * (/root/reference/pipelines/silver_pipeline.py:191-215): trim/lower/upper
+  * normalization, regexp_replace scrubbing, and the email like/rlike
+  * validation flags (/root/reference/pipelines/silver_pipeline.py:179-181),
+  * re-expressed over the driver's `customer`/`orders` tables.
+  *
+  * Scale notes: pure narrow projections/filters — no shuffle at any width;
+  * every function here is codegen'd by Catalyst into the scan stage, and
+  * the filter queries push their predicates into the parquet reader.
+  */
+object Cleanse {
+
+  /** F-str + P9: the cleanse projection — trim/lower/upper,
+    * regexp_replace scrubbing, concat_ws natural key, lpad key padding,
+    * and a rlike email-shape validation flag on a synthesized email. */
+  val qCleanseCustomer: QueryDef = QueryDef.sql(
+    "q_cleanse_customer",
+    """SELECT c_custkey,
+      |  trim(c_name) AS name,
+      |  lower(trim(c_name)) AS name_lower,
+      |  upper(trim(c_mktsegment)) AS segment,
+      |  regexp_replace(c_name, '[^0-9]', '', 'g') AS name_digits,
+      |  lower(replace(c_name, '#', '.')) || '@example.com' AS email,
+      |  regexp_matches(lower(replace(c_name, '#', '.')) || '@example.com',
+      |    '^[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}$') AS email_valid,
+      |  concat_ws('||', c_name, c_mktsegment, CAST(c_nationkey AS VARCHAR)) AS nk,
+      |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS custkey_padded
+      |FROM customer""".stripMargin) { (spark, dir) =>
+    val email = concat(lower(regexp_replace(col("c_name"), "#", ".")), lit("@example.com"))
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      trim(col("c_name")).as("name"),
+      lower(trim(col("c_name"))).as("name_lower"),
+      upper(trim(col("c_mktsegment"))).as("segment"),
+      regexp_replace(col("c_name"), "[^0-9]", "").as("name_digits"),
+      email.as("email"),
+      email.rlike("^[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}$").as("email_valid"),
+      concat_ws("||", col("c_name"), col("c_mktsegment"),
+        col("c_nationkey").cast("string")).as("nk"),
+      lpad(col("c_custkey").cast("string"), 12, "0").as("custkey_padded"))
+  }
+
+  /** P4 + P7 + P8 + P9: predicate family — isin / negated isin / between /
+    * like / startswith, plus a `drop` of a scanned column. Filters reach
+    * the parquet scan as pushed predicates. */
+  val qFilterPredicates: QueryDef = QueryDef.sql(
+    "q_filter_predicates",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders
+      |WHERE o_orderstatus IN ('O', 'F')
+      |  AND o_orderpriority NOT IN ('5-LOW', '4-NOT SPECIFIED')
+      |  AND o_totalprice BETWEEN 1000 AND 150000
+      |  AND (o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%')
+      |  AND o_orderpriority LIKE '_-%'""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .filter(!col("o_orderpriority").isin("5-LOW", "4-NOT SPECIFIED"))
+      .filter(col("o_totalprice").between(1000, 150000))
+      .filter(col("o_orderpriority").startsWith("1-") ||
+        col("o_orderpriority").startsWith("2-"))
+      .filter(col("o_orderpriority").like("_-%"))
+      .drop("o_orderdate")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"), col("o_totalprice").cast("double").as("o_totalprice"))
+  }
+
+  /** P6 + F-cond: null predicates and nullif/coalesce/when/otherwise
+    * defaulting — null-safe derivation over lineitem return flags. */
+  val qNullHandling: QueryDef = QueryDef.sql(
+    "q_cleanse_null_handling",
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_returnflag = 'R' THEN 'returned'
+      |       WHEN l_returnflag = 'A' THEN 'accepted'
+      |       ELSE 'none' END AS return_status,
+      |  coalesce(nullif(l_linestatus, 'O'), 'CLOSED') AS line_state,
+      |  l_shipdate IS NOT NULL AS has_shipdate,
+      |  CAST(CASE WHEN l_discount > 0 THEN l_discount END AS DOUBLE) AS discount_or_null
+      |FROM lineitem""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      when(col("l_returnflag") === "R", "returned")
+        .when(col("l_returnflag") === "A", "accepted")
+        .otherwise("none").as("return_status"),
+      coalesce(nullif(col("l_linestatus"), lit("O")), lit("CLOSED")).as("line_state"),
+      col("l_shipdate").isNotNull.as("has_shipdate"),
+      when(col("l_discount") > 0, col("l_discount")).cast("double")
+        .as("discount_or_null"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qCleanseCustomer, qFilterPredicates, qNullHandling)
+}
