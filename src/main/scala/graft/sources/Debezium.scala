@@ -46,22 +46,42 @@ object Debezium {
 
   /** Two-level parse: raw JSON string column → flattened `after` image
     * (per `afterSchema`) + CDC metadata. Epoch-millis fields in the after
-    * image are the caller's to convert (they are table-specific). */
+    * image are the caller's to convert (they are table-specific).
+    *
+    * Staged as three selects on purpose: `JsonToStructs` is a
+    * codegen-fallback expression, and referencing one `from_json` from
+    * several output columns in a single projection makes Catalyst evaluate
+    * the parse once PER REFERENCING COLUMN (CollapseProject keeps the
+    * multi-referenced alias, but a single wide select would inline it).
+    * Parsing the envelope into one struct column first guarantees each
+    * JSON document is parsed exactly twice (envelope + after image), not
+    * 4–5 times. */
   def parseEnvelope(df: DataFrame, rawJson: Column, afterSchema: StructType): DataFrame = {
-    val env = from_json(rawJson, envelopeSchema)
-    val after = from_json(env.getField("payload").getField("after"), afterSchema)
-    val afterCols = afterSchema.fields.map(f => after.getField(f.name).as(f.name))
-    df.select(afterCols ++ cdcColumns(env): _*)
+    val env = df.select(from_json(rawJson, envelopeSchema).as("env"))
+    val after = env.select(
+      from_json(col("env.payload.after"), afterSchema).as("after"),
+      col("env.payload.op").as("cdc_operation"),
+      timestamp_millis(col("env.payload.ts_ms")).as("cdc_timestamp"),
+      col("env.payload.source.snapshot").as("cdc_snapshot"))
+    val afterCols = afterSchema.fields.map(f => col(s"after.${f.name}").as(f.name))
+    after.select(afterCols ++ Seq(
+      col("cdc_operation"), col("cdc_timestamp"), col("cdc_snapshot")): _*)
   }
 
   /** Wrap a row image (already serialized as a JSON string) into a full
     * Debezium envelope string — the inverse of [[parseEnvelope]], used to
     * build deterministic test/bench fixtures without a Kafka broker.
-    * The inner JSON is escaped exactly as Debezium does (quote → \"). */
-  def wrapEnvelope(innerJson: Column, op: Column, tsMs: Column, table: String): Column =
+    * JSON-string escaping: backslashes FIRST (so the quote escapes we add
+    * next aren't double-escaped), then quotes, then the common control
+    * chars (\n, \r, \t). Other control chars (<0x20) don't occur in
+    * to_json/concat-built fixtures. */
+  def wrapEnvelope(innerJson: Column, op: Column, tsMs: Column, table: String): Column = {
+    val escaped = Seq("\\\\" -> "\\\\\\\\", "\"" -> "\\\\\"", "\n" -> "\\\\n",
+      "\r" -> "\\\\r", "\t" -> "\\\\t")
+      .foldLeft(innerJson) { case (c, (from, to)) => regexp_replace(c, from, to) }
     concat(
       lit("""{"payload":{"before":null,"after":""""),
-      regexp_replace(innerJson, "\"", "\\\\\""),
+      escaped,
       lit("""","source":{"version":"2.5.4","connector":"postgresql","name":"src","ts_ms":"""),
       tsMs.cast("string"),
       lit(s""","snapshot":"false","db":"app","schema":"public","table":"$table","txId":1,"lsn":1},"op":""""),
@@ -69,4 +89,5 @@ object Debezium {
       lit("""","ts_ms":"""),
       tsMs.cast("string"),
       lit("}}"))
+  }
 }
