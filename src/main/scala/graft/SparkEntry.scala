@@ -18,7 +18,11 @@ object SparkEntry {
       operators.Windows.all ++
       operators.Generators.all ++
       operators.Cleanse.all ++
-      operators.JsonOps.all
+      operators.JsonOps.all ++
+      llm.TextAnalysis.all ++
+      llm.Dedup.all ++
+      llm.Similarity.all ++
+      llm.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by region/nation — scan→broadcast-join chain→aggregate

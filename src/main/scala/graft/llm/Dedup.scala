@@ -1,0 +1,215 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` corpus: exact
+  * (hash-groupBy), MinHash+LSH near-dup (shingle → minhash → band →
+  * bucket-join — never all-pairs), SimHash fingerprints with hamming
+  * band keys, and blocked n-gram Jaccard ranking.
+  *
+  * Scale design (the point of each shape):
+  *   - exact dedup: one shuffle on the 60-bit content hash; at 100 TB the
+  *     hash is the shuffle key, not the document body.
+  *   - minhash-LSH: per-doc signature is a narrow projection; the only
+  *     shuffles are the band-bucket equi-join (candidates only — docs
+  *     sharing no band never meet) and the pair-verification join by
+  *     doc_id. Cost is O(candidates), not O(n²).
+  *   - simhash: narrow projection; the 8-bit band keys are the join keys
+  *     a hamming-distance dedup would bucket on.
+  *   - n-gram Jaccard: the honest quadratic verifier — usable only inside
+  *     bounded blocks, demonstrated over a fixed-size audit sample.
+  *
+  * All hashes route through md5 (Portable.h32/h60) so the DuckDB oracle
+  * computes bit-identical values.
+  */
+object Dedup {
+  import Portable._
+
+  /** Fixed multiply-shift minhash parameters (a·h + b mod P); literals are
+    * generated from one formula so the Spark plan and the oracle SQL can
+    * never drift. */
+  private val hashParams: Seq[(Long, Long)] =
+    (0 until 16).map(j => (976369L + 104729L * j, 1234567L + 7919L * j))
+  private val numBands = 4
+  private val rowsPerBand = 4
+
+  /** Exact dedup: canonical id per content-hash group (min doc_id), a
+    * flag for the non-canonical members. One shuffle, no text compare. */
+  val qExact: QueryDef = QueryDef.sql(
+    "q_dedup_exact",
+    s"""SELECT doc_id, content_hash,
+       |  min(doc_id) OVER (PARTITION BY content_hash) AS canonical_doc_id,
+       |  doc_id <> min(doc_id) OVER (PARTITION BY content_hash) AS is_duplicate
+       |FROM (SELECT doc_id, ${h60Sql("text")} AS content_hash FROM documents)""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy("content_hash")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), h60(col("text")).as("content_hash"))
+      .withColumn("canonical_doc_id", min("doc_id").over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_doc_id"))
+  }
+
+  /** Distinct hashed 3-word shingles per document (Spark side). */
+  private def shingleHashes(t: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(t) - 2),
+      i => h32(concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+
+  private def shingleHashesSql: String =
+    s"""list_distinct(list_transform(
+       |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)],
+       |    s -> ${h32Sql("s")}))""".stripMargin
+
+  /** MinHash + banded LSH near-duplicate pairs, verified with exact
+    * Jaccard over the shingle sets. 16 signatures, 4 bands × 4 rows —
+    * the standard S-curve puts the detection knee near J ≈ 0.7. */
+  val qMinhashLsh: QueryDef = {
+    val sigSqls = hashParams.zipWithIndex.map { case ((a, b), j) =>
+      s"list_min(list_transform(shash, h -> ($a*h + $b) % $MinhashPrime)) AS s$j"
+    }.mkString(",\n       |    ")
+    val bandSqls = (0 until numBands).map { bnd =>
+      val cols = (0 until rowsPerBand).map(r => s"CAST(s${rowsPerBand * bnd + r} AS VARCHAR)")
+      s"md5(${cols.mkString(" || ',' || ")}) AS band$bnd"
+    }.mkString(", ")
+    val bandArray = (0 until numBands).map(bnd => s"'$bnd' || band$bnd").mkString("[", ", ", "]")
+    QueryDef.sql(
+      "q_dedup_minhash_lsh",
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${tokensSql("text")} AS t FROM documents
+         |), sh AS (
+         |  SELECT doc_id, $shingleHashesSql AS shash
+         |  FROM toks WHERE len(t) >= 3
+         |), sig AS (
+         |  SELECT doc_id, shash,
+         |    $sigSqls
+         |  FROM sh
+         |), banded AS (
+         |  SELECT doc_id, $bandSqls FROM sig
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM (SELECT doc_id, unnest($bandArray) AS bk FROM banded) a
+         |  JOIN (SELECT doc_id, unnest($bandArray) AS bk FROM banded) b
+         |    ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |), inter AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_filter(sa.shash, x -> list_contains(sb.shash, x))) AS n_inter,
+         |    len(sa.shash) AS n_a, len(sb.shash) AS n_b
+         |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+         |FROM inter
+         |WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.8""".stripMargin) { (spark, dir) =>
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) >= 3)
+      val sh = toks.select(col("doc_id"), shingleHashes(col("t")).as("shash"))
+      val sigCols = hashParams.zipWithIndex.map { case ((a, b), j) =>
+        array_min(transform(col("shash"), h => (h * a + b) % MinhashPrime)).as(s"s$j")
+      }
+      val sig = sh.select(col("doc_id") +: col("shash") +: sigCols: _*)
+      val bandCols = (0 until numBands).map { bnd =>
+        val cols = (0 until rowsPerBand).map(r => col(s"s${rowsPerBand * bnd + r}").cast("string"))
+        md5(concat_ws(",", cols: _*)).as(s"band$bnd")
+      }
+      val banded = sig.select(col("doc_id") +: bandCols: _*)
+      val keyed = banded.select(col("doc_id"), explode(array(
+        (0 until numBands).map(bnd => concat(lit(bnd.toString), col(s"band$bnd"))): _*)).as("bk"))
+      val pairs = keyed.as("a").join(keyed.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val withSets = pairs
+        .join(sh.select(col("doc_id"), col("shash").as("sa")), col("doc_a") === col("doc_id")).drop("doc_id")
+        .join(sh.select(col("doc_id"), col("shash").as("sb")), col("doc_b") === col("doc_id")).drop("doc_id")
+      val inter = withSets.select(
+        col("doc_a"), col("doc_b"),
+        size(filter(col("sa"), x => array_contains(col("sb"), x))).as("n_inter"),
+        size(col("sa")).as("n_a"), size(col("sb")).as("n_b"))
+      inter
+        .select(col("doc_a"), col("doc_b"),
+          (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+        .where(col("jaccard") >= 0.8)
+    }
+  }
+
+  /** 32-bit frequency-weighted SimHash per document plus the four 8-bit
+    * band keys a hamming-≤k dedup would bucket-join on. A token with bit
+    * i set votes +1, else −1; the bit survives when votes ≥ 0, i.e. when
+    * 2·count_set ≥ n. */
+  val qSimhash: QueryDef = {
+    val bitSqls = (0 until 32).map { i =>
+      s"CASE WHEN 2 * len(list_filter(th, h -> (h >> $i) & 1 = 1)) >= len(th) THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    QueryDef.sql(
+      "q_dedup_simhash",
+      s"""SELECT doc_id, simhash,
+         |  (simhash >> 0) & 255 AS band0, (simhash >> 8) & 255 AS band1,
+         |  (simhash >> 16) & 255 AS band2, (simhash >> 24) & 255 AS band3
+         |FROM (
+         |  SELECT doc_id, $bitSqls AS simhash
+         |  FROM (SELECT doc_id, list_transform(${tokensSql("text")}, t -> ${h32Sql("t")}) AS th
+         |        FROM documents))""".stripMargin) { (spark, dir) =>
+      val th = transform(tokens(col("text")), h32(_))
+      val bits = (0 until 32).map { i =>
+        when(size(filter(col("th"), h => shiftright(h, i).bitwiseAND(1) === 1)) * 2 >= size(col("th")),
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), th.as("th"))
+        .select(col("doc_id"), bits.as("simhash"))
+        .select(col("doc_id"), col("simhash"),
+          shiftright(col("simhash"), 0).bitwiseAND(255).as("band0"),
+          shiftright(col("simhash"), 8).bitwiseAND(255).as("band1"),
+          shiftright(col("simhash"), 16).bitwiseAND(255).as("band2"),
+          shiftright(col("simhash"), 24).bitwiseAND(255).as("band3"))
+    }
+  }
+
+  /** Blocked character-4-gram Jaccard: the quadratic verifier, bounded two
+    * ways — a fixed audit sample (doc_id < 200) and length-bucket blocking
+    * — then ranked to the global top-20 most-similar pairs. */
+  val qNgramJaccard: QueryDef = QueryDef.sql(
+    "q_dedup_ngram_jaccard",
+    s"""WITH g AS (
+       |  SELECT doc_id, n_chars // 100 AS sz,
+       |    list_distinct(list_transform(
+       |      [substr(text, i, 4) for i in generate_series(1, length(text)-3)],
+       |      s -> ${h32Sql("s")})) AS gh
+       |  FROM documents WHERE doc_id < 200 AND length(text) >= 4
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_filter(a.gh, x -> list_contains(b.gh, x))) AS n_inter,
+       |    len(a.gh) AS n_a, len(b.gh) AS n_b
+       |  FROM g a JOIN g b ON a.sz = b.sz AND a.doc_id < b.doc_id
+       |), scored AS (
+       |  SELECT doc_a, doc_b, CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+       |  FROM inter
+       |)
+       |SELECT doc_a, doc_b, jaccard,
+       |  row_number() OVER (ORDER BY jaccard DESC, doc_a, doc_b) AS rnk
+       |FROM scored
+       |QUALIFY rnk <= 20""".stripMargin) { (spark, dir) =>
+    val grams = array_distinct(transform(
+      sequence(lit(1), length(col("text")) - 3),
+      i => h32(col("text").substr(i, lit(4)))))
+    val g = Tables.documents(spark, dir)
+      .where(col("doc_id") < 200 && length(col("text")) >= 4)
+      .select(col("doc_id"), expr("n_chars div 100").as("sz"), grams.as("gh"))
+    val joined = g.as("a").join(g.as("b"),
+        col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(filter(col("a.gh"), x => array_contains(col("b.gh"), x))).as("n_inter"),
+        size(col("a.gh")).as("n_a"), size(col("b.gh")).as("n_b"))
+    val scored = joined.select(col("doc_a"), col("doc_b"),
+      (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))))
+      .where(col("rnk") <= 20)
+  }
+
+  val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard)
+}

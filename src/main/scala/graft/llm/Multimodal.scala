@@ -1,0 +1,71 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads ride as opaque `binary`
+  * columns with typed metadata; decode / feature-extract runs as a
+  * JVM function over the bytes; frame sampling is columnar arithmetic
+  * over byte offsets.
+  *
+  * The decode step is a STUB by design (no image/audio codecs in this
+  * environment): [[decodeStub]] derives deterministic fake dimensions
+  * from an md5 of the payload. Everything around it — the binary column,
+  * the struct-typed metadata, the UDF signature over `Array[Byte]`, the
+  * per-row batch shape, and the offset sampling — is the real plumbing a
+  * production decoder (JNI/codec UDF) would drop into.
+  *
+  * Scale notes: payload bytes never shuffle; features are extracted in
+  * the scan stage and the (small) feature columns are what any
+  * downstream groupBy/join moves. That is the core rule for 100 TB
+  * multimodal tables: shuffle metadata, not media.
+  */
+object Multimodal {
+
+  /** Fake image metadata produced by the stub decoder. */
+  case class FakeImageMeta(width: Int, height: Int, format: String)
+
+  /** STUB decoder — stands in for a real image decode. Deterministic:
+    * dimensions derive from the payload's md5, so the DuckDB oracle can
+    * reproduce them exactly. A real implementation would parse the codec
+    * header here; the signature (bytes in, typed struct out) would not
+    * change. */
+  val decodeStub = udf { bytes: Array[Byte] =>
+    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val hex = md.take(4).map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex, 16)
+    FakeImageMeta((64 + h % 1856).toInt, (64 + (h / 256) % 1016).toInt, "rgb8")
+  }
+
+  /** Feature extraction over binary payloads: size, checksum, decoded
+    * dimensions (stub), and frame-offset sampling (one frame per KiB). */
+  val qFeatures: QueryDef = QueryDef.sql(
+    "q_multimodal_features",
+    s"""SELECT doc_id,
+       |  octet_length(encode(text)) AS byte_size,
+       |  md5(text) AS checksum,
+       |  CAST(64 + h % 1856 AS INT) AS width,
+       |  CAST(64 + (h // 256) % 1016 AS INT) AS height,
+       |  'rgb8' AS format,
+       |  CAST(64 + h % 1856 AS DOUBLE) / CAST(64 + (h // 256) % 1016 AS INT) AS aspect_ratio,
+       |  octet_length(encode(text)) // 1000 + 1 AS n_frames,
+       |  [ (i * 1000)::BIGINT for i in generate_series(0, octet_length(encode(text)) // 1000) ] AS frame_offsets
+       |FROM (SELECT doc_id, text, ${Portable.h32Sql("text")} AS h FROM documents)""".stripMargin) { (spark, dir) =>
+    val assets = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val decoded = assets.select(
+      col("doc_id"), col("payload"),
+      length(col("payload")).cast("long").as("byte_size"),
+      md5(col("payload")).as("checksum"),
+      decodeStub(col("payload")).as("meta"))
+    decoded.select(
+      col("doc_id"), col("byte_size"), col("checksum"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.format").as("format"),
+      (col("meta.width").cast("double") / col("meta.height")).as("aspect_ratio"),
+      (expr("byte_size div 1000") + 1).as("n_frames"),
+      transform(sequence(lit(0L), expr("byte_size div 1000")), i => i * 1000).as("frame_offsets"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qFeatures)
+}

@@ -1,0 +1,129 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Two shapes:
+  *   - brute-force cosine top-k: the exact baseline — broadcast the small
+  *     query set against the full corpus scan, rank per query. At 100 TB
+  *     the corpus side stays partition-parallel and nothing shuffles but
+  *     the (tiny) per-query top-k rows.
+  *   - IVF (inverted-file) ANN: a deterministic coarse quantizer (every
+  *     50th vector is a centroid) assigns each vector to its nearest
+  *     cell; a query searches only its probe cell. This is the standard
+  *     scale path: assignment is a broadcast map-side pass, search
+  *     touches 1/cells of the data.
+  *
+  * All dot products are explicit left-folds over index order so Spark and
+  * the DuckDB oracle produce bit-identical IEEE doubles (same operations,
+  * same order), making cosine values — and therefore ranks — exactly
+  * comparable.
+  */
+object Similarity {
+
+  private val dim = 64
+
+  /** Left-fold dot product of two float-array columns in double. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** DuckDB: identical fold, identical order. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$dim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)"
+
+  private def norms(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+
+  private val normsSql =
+    s"SELECT vec_id, embedding, sqrt(${dotSql("embedding", "embedding")}) AS nrm FROM embeddings"
+
+  /** Exact cosine top-5 for the first 10 vectors as queries. */
+  val qCosineTopK: QueryDef = QueryDef.sql(
+    "q_sim_cosine_topk",
+    s"""WITH norms AS ($normsSql
+       |), pairs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    ${dotSql("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cosine
+       |  FROM norms q JOIN norms c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10
+       |)
+       |SELECT query_id, cand_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+       |FROM pairs
+       |QUALIFY rnk <= 5""".stripMargin) { (spark, dir) =>
+    val n = norms(spark, dir)
+    val q = n.where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val pairs = n.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+    pairs
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .where(col("rnk") <= 5)
+  }
+
+  /** IVF-style ANN: deterministic coarse centroids (vec_id % 50 = 0),
+    * nearest-centroid assignment, single-probe search, top-3 per query
+    * (first 5 vectors as queries). */
+  val qIvfAnn: QueryDef = QueryDef.sql(
+    "q_sim_ivf_ann",
+    s"""WITH norms AS ($normsSql
+       |), cents AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm FROM norms WHERE vec_id % 50 = 0
+       |), assign AS (
+       |  SELECT vec_id, cell_id FROM (
+       |    SELECT n.vec_id, c.cell_id,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC, c.cell_id) AS rn
+       |    FROM norms n CROSS JOIN cents c) WHERE rn = 1
+       |), hits AS (
+       |  SELECT q.vec_id AS query_id, qa.cell_id, m.vec_id AS cand_id,
+       |    ${dotSql("q.embedding", "m.embedding")} / (q.nrm * m.nrm) AS cosine
+       |  FROM norms q
+       |  JOIN assign qa ON qa.vec_id = q.vec_id
+       |  JOIN assign ma ON ma.cell_id = qa.cell_id AND ma.vec_id <> q.vec_id
+       |  JOIN norms m ON m.vec_id = ma.vec_id
+       |  WHERE q.vec_id < 5
+       |)
+       |SELECT query_id, cell_id, cand_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+       |FROM hits
+       |QUALIFY rnk <= 3""".stripMargin) { (spark, dir) =>
+    val n = norms(spark, dir)
+    val cents = n.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val assign = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell_id"),
+        (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("c_cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cell_id"))
+    val queries = n.where(col("vec_id") < 5)
+      .join(assign.withColumnRenamed("vec_id", "q_vec"), col("vec_id") === col("q_vec"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell_id"))
+    val members = assign.select(col("vec_id").as("cand_id"), col("cell_id").as("m_cell"))
+      .join(n.select(col("vec_id").as("cand_id"), col("embedding"), col("nrm")), Seq("cand_id"))
+    val hits = members.join(broadcast(queries),
+        col("m_cell") === col("cell_id") && col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cell_id"), col("cand_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+    hits
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .where(col("rnk") <= 3)
+  }
+
+  val all: Seq[QueryDef] = Seq(qCosineTopK, qIvfAnn)
+}

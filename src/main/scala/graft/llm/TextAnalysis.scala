@@ -1,0 +1,165 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, quality scoring, language-ID heuristics and document
+  * fingerprinting over the `documents` table.
+  *
+  * All of these are narrow per-row projections — at 100 TB they pipeline
+  * with the parquet scan (no shuffle, no state), so throughput is
+  * scan-bound; the only wide operation in this family is a final
+  * aggregation if the caller wants corpus-level stats.
+  *
+  * Heuristics follow the shapes used by public corpus-cleaning pipelines
+  * (C4/Gopher-style length+stopword+diversity rules): no external models,
+  * pure column arithmetic.
+  */
+object TextAnalysis {
+  import Portable._
+
+  private val stopwords = Seq("the", "a", "is", "of", "and")
+  private def stopwordsSqlList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Token/char statistics: whitespace tokens, BPE-ish regex tokens,
+    * type-token ratio, average token length, stopword ratio. */
+  val qTextStats: QueryDef = QueryDef.sql(
+    "q_text_stats",
+    s"""SELECT doc_id, lang, n_chars,
+       |  len(toks) AS n_tokens,
+       |  len(list_distinct(toks)) AS n_distinct_tokens,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_subtokens,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+       |  CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(toks) AS avg_token_len,
+       |  CAST(len(list_filter(toks, t -> t IN ($stopwordsSqlList))) AS DOUBLE) / len(toks) AS stopword_ratio
+       |FROM (SELECT doc_id, lang, n_chars, text, ${tokensSql("text")} AS toks FROM documents)""".stripMargin) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("n_subtokens"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("type_token_ratio"),
+        (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double") /
+          size(col("toks"))).as("avg_token_len"),
+        (size(filter(col("toks"), t => t.isInCollection(stopwords))).cast("double") /
+          size(col("toks"))).as("stopword_ratio"))
+  }
+
+  /** Language-ID by marker-word scoring — the classic n-gram/profile
+    * heuristic reduced to deterministic word-marker counts with a fixed
+    * precedence order for ties ('und' when nothing matches). */
+  val qTextLangId: QueryDef = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "a", "is"),
+      "de" -> Seq("der", "die", "und"),
+      "es" -> Seq("el", "los", "y"),
+      "fr" -> Seq("le", "la", "et"),
+      "zh" -> Seq("的", "是"))
+    val scoreSql = markers.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS score_$l"
+    }.mkString(",\n       |  ")
+    QueryDef.sql(
+      "q_text_langid",
+      s"""SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_es, score_fr, score_zh,
+         |  CASE WHEN greatest(score_en, score_de, score_es, score_fr, score_zh) = 0 THEN 'und'
+         |       WHEN score_en = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'en'
+         |       WHEN score_de = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'de'
+         |       WHEN score_es = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'es'
+         |       WHEN score_fr = greatest(score_en, score_de, score_es, score_fr, score_zh) THEN 'fr'
+         |       ELSE 'zh' END AS predicted_lang
+         |FROM (SELECT doc_id, lang,
+         |  $scoreSql
+         |FROM (SELECT doc_id, lang, ${tokensSql("text")} AS toks FROM documents))""".stripMargin) { (spark, dir) =>
+      val toks = tokens(col("text"))
+      val scored = Tables.documents(spark, dir)
+        .withColumn("toks", toks)
+        .select(col("doc_id") +: col("lang").as("labeled_lang") +:
+          markers.map { case (l, ws) =>
+            size(filter(col("toks"), t => t.isInCollection(ws))).as(s"score_$l")
+          }: _*)
+      val best = greatest(markers.map { case (l, _) => col(s"score_$l") }: _*)
+      scored.withColumn("predicted_lang",
+        when(best === 0, "und")
+          .when(col("score_en") === best, "en")
+          .when(col("score_de") === best, "de")
+          .when(col("score_es") === best, "es")
+          .when(col("score_fr") === best, "fr")
+          .otherwise("zh"))
+    }
+  }
+
+  /** Document fingerprints: a polynomial rolling hash over token hashes
+    * (order-sensitive — distinguishes permutations) plus a whole-content
+    * 60-bit hash (order-insensitive dedup key is in Dedup.qExact). */
+  val qTextFingerprint: QueryDef = QueryDef.sql(
+    "q_text_fingerprint",
+    s"""SELECT doc_id,
+       |  ${h60Sql("text")} AS content_hash,
+       |  list_reduce(
+       |    list_prepend(0::BIGINT, list_transform(${tokensSql("text")}, t -> ${h32Sql("t")})),
+       |    (acc, h) -> (acc * 31 + h) % ${FingerprintPrime}) AS rolling_fp,
+       |  len(${tokensSql("text")}) AS fp_tokens
+       |FROM documents""".stripMargin) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      h60(col("text")).as("content_hash"),
+      aggregate(transform(toks, h32(_)), lit(0L),
+        (acc, h) => (acc * 31 + h) % FingerprintPrime).as("rolling_fp"),
+      size(toks).as("fp_tokens"))
+  }
+
+  /** Gopher-style quality gate: length bounds, lexical diversity,
+    * stopword presence, mean token length — each rule surfaces as a flag
+    * plus the final keep decision, so downstream filtering is one
+    * pushed-down predicate. */
+  val qTextQuality: QueryDef = QueryDef.sql(
+    "q_text_quality",
+    s"""SELECT doc_id, n_chars, n_tokens, type_token_ratio, avg_token_len, stopword_ratio,
+       |  n_chars < 100 AS flag_too_short,
+       |  n_chars > 20000 AS flag_too_long,
+       |  type_token_ratio < 0.2 AS flag_low_diversity,
+       |  avg_token_len < 2.0 OR avg_token_len > 12.0 AS flag_bad_token_len,
+       |  stopword_ratio < 0.01 AS flag_no_stopwords,
+       |  NOT (n_chars < 100 OR n_chars > 20000 OR type_token_ratio < 0.2
+       |       OR avg_token_len < 2.0 OR avg_token_len > 12.0 OR stopword_ratio < 0.01) AS keep
+       |FROM (
+       |  SELECT doc_id, n_chars,
+       |    len(toks) AS n_tokens,
+       |    CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS type_token_ratio,
+       |    CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(toks) AS avg_token_len,
+       |    CAST(len(list_filter(toks, t -> t IN ($stopwordsSqlList))) AS DOUBLE) / len(toks) AS stopword_ratio
+       |  FROM (SELECT doc_id, n_chars, ${tokensSql("text")} AS toks FROM documents))""".stripMargin) { (spark, dir) =>
+    val toks = tokens(col("text"))
+    val base = Tables.documents(spark, dir)
+      .withColumn("toks", toks)
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("toks")).as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks"))).as("type_token_ratio"),
+        (aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double") /
+          size(col("toks"))).as("avg_token_len"),
+        (size(filter(col("toks"), t => t.isInCollection(stopwords))).cast("double") /
+          size(col("toks"))).as("stopword_ratio"))
+    val flags = Seq(
+      (col("n_chars") < 100).as("flag_too_short"),
+      (col("n_chars") > 20000).as("flag_too_long"),
+      (col("type_token_ratio") < 0.2).as("flag_low_diversity"),
+      (col("avg_token_len") < 2.0 || col("avg_token_len") > 12.0).as("flag_bad_token_len"),
+      (col("stopword_ratio") < 0.01).as("flag_no_stopwords"))
+    val drop = col("n_chars") < 100 || col("n_chars") > 20000 ||
+      col("type_token_ratio") < 0.2 ||
+      col("avg_token_len") < 2.0 || col("avg_token_len") > 12.0 ||
+      col("stopword_ratio") < 0.01
+    base.select(col("doc_id") +: col("n_chars") +: col("n_tokens") +:
+      col("type_token_ratio") +: col("avg_token_len") +: col("stopword_ratio") +:
+      flags :+ (!drop).as("keep"): _*)
+  }
+
+  val all: Seq[QueryDef] = Seq(qTextStats, qTextLangId, qTextFingerprint, qTextQuality)
+}
