@@ -19,6 +19,11 @@ object SparkEntry {
       operators.Generators.all ++
       operators.Cleanse.all ++
       operators.JsonOps.all ++
+      operators.Scd2.all ++
+      quality.Expectations.all ++
+      quality.Validation.all ++
+      functions.Geo.all ++
+      streaming.Streams.all ++
       llm.TextAnalysis.all ++
       llm.Dedup.all ++
       llm.Similarity.all ++

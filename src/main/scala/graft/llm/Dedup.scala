@@ -102,7 +102,11 @@ object Dedup {
          |  CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
          |FROM inter
          |WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.8""".stripMargin) { (spark, dir) =>
+      // the single-file local fixture scans as 1-2 tasks; the shingle/
+      // signature arithmetic is the expensive stage, so spread it —
+      // a real multi-file corpus arrives pre-partitioned.
       val toks = Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"), tokens(col("text")).as("t"))
         .where(size(col("t")) >= 3)
       val sh = toks.select(col("doc_id"), shingleHashes(col("t")).as("shash"))
@@ -158,6 +162,7 @@ object Dedup {
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
       Tables.documents(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(col("doc_id"), th.as("th"))
         .select(col("doc_id"), bits.as("simhash"))
         .select(col("doc_id"), col("simhash"),
@@ -198,7 +203,10 @@ object Dedup {
     val g = Tables.documents(spark, dir)
       .where(col("doc_id") < 200 && length(col("text")) >= 4)
       .select(col("doc_id"), expr("n_chars div 100").as("sz"), grams.as("gh"))
-    val joined = g.as("a").join(g.as("b"),
+    // the pairwise intersection is the quadratic hot loop: spread the
+    // probe side across all cores before the broadcast join computes it.
+    val joined = g.repartition(spark.sparkContext.defaultParallelism).as("a")
+      .join(broadcast(g.as("b")),
         col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         size(filter(col("a.gh"), x => array_contains(col("b.gh"), x))).as("n_inter"),

@@ -1,0 +1,53 @@
+package graft
+
+import graft.llm.Portable
+import org.apache.spark.sql.functions._
+
+/** Dedup primitives: portable hashing, minhash behavior on identical and
+  * disjoint documents. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("h60/h32 derive from md5 exactly as the oracle does") {
+    val r = Seq("hello").toDF("s")
+      .select(Portable.h60(col("s")), Portable.h32(col("s")), md5(col("s")))
+      .as[(Long, Long, String)].head()
+    // md5("hello") = 5d41402abc4b2a76b9719d911017c592
+    assert(r._3 == "5d41402abc4b2a76b9719d911017c592")
+    assert(r._2 == java.lang.Long.parseLong("5d41402a", 16))
+    assert(r._1 == java.lang.Long.parseLong("5d41402abc4b2a7", 16))
+  }
+
+  test("identical documents collide on every dedup key; disjoint ones on none") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "entirely different words compose this unrelated sentence here now")
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("documents")
+    // exact: same content hash
+    val hashes = docs.select(col("doc_id"), Portable.h60(col("text")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(3L))
+    // near-dup jaccard over 3-token shingles: identical → 1.0, disjoint → 0.0
+    val toks = Portable.tokens(col("text"))
+    val sh = docs.select(col("doc_id"),
+      array_distinct(transform(sequence(lit(1), size(toks) - 2),
+        i => Portable.h32(concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))).as("sh"))
+    val sets = sh.as[(Long, Seq[Long])].collect().toMap
+    def jac(a: Seq[Long], b: Seq[Long]) = {
+      val i = a.toSet.intersect(b.toSet).size.toDouble
+      i / (a.size + b.size - i)
+    }
+    assert(jac(sets(1L), sets(2L)) == 1.0)
+    assert(jac(sets(1L), sets(3L)) == 0.0)
+  }
+
+  test("tokenization drops empty tokens on messy whitespace") {
+    val t = Seq("  a  b\tc ").toDF("s")
+      .select(Portable.tokens(col("s"))).as[Seq[String]].head()
+    assert(t == Seq("a", "b", "c"))
+  }
+}
