@@ -125,5 +125,64 @@ object Similarity {
       .where(col("rnk") <= 3)
   }
 
-  val all: Seq[QueryDef] = Seq(qCosineTopK, qIvfAnn)
+  /** Embedding-cosine near-dup via sign-LSH (random-hyperplane) buckets:
+    * 8 deterministic integer hyperplanes (md5-derived weights, generated
+    * once at plan-build and embedded as literals in BOTH plans), each
+    * vector keyed by its 8-bit sign pattern, candidate pairs only within
+    * a bucket — never all-pairs — then ranked by exact cosine.
+    * Sign-LSH property: P(same bit) = 1 − θ/π, so near-parallel vectors
+    * collide on all 8 bits with high probability. */
+  val qEmbeddingNearDup: QueryDef = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def w(p: Int, i: Int): Long = {
+      val hex = md.digest(s"plane-$p,$i".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+    }
+    val planes = (0 until 8).map(p => (1 to dim).map(i => w(p, i)))
+    def bucketExpr(emb: String, arr: Long => String): String =
+      planes.zipWithIndex.map { case (ws, p) =>
+        val lits = ws.mkString("[", ", ", "]")
+        s"(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$dim), i -> $emb[i]::DOUBLE * (${lits})[i]::DOUBLE)), (x,y) -> x+y) >= 0 THEN ${arr(1L << p)} ELSE 0 END)"
+      }.mkString(" + ")
+    QueryDef.sql(
+      "q_dedup_embedding_lsh",
+      s"""WITH norms AS ($normsSql
+         |), keyed AS (
+         |  SELECT vec_id, embedding, nrm,
+         |    ${bucketExpr("embedding", _.toString)} AS bucket
+         |  FROM norms
+         |), pairs AS (
+         |  SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cosine
+         |  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |SELECT bucket, vec_a, vec_b, cosine,
+         |  row_number() OVER (ORDER BY cosine DESC, vec_a, vec_b) AS rnk
+         |FROM pairs
+         |QUALIFY rnk <= 10""".stripMargin) { (spark, dir) =>
+      val planeCols = planes.map(ws => array(ws.map(lit): _*))
+      val bucket = planes.indices.map { p =>
+        val d = aggregate(
+          zip_with(col("embedding"), planeCols(p), (x, w) => x.cast("double") * w.cast("double")),
+          lit(0.0), (acc, v) => acc + v)
+        when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val keyed = norms(spark, dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding"), col("nrm"), bucket.as("bucket"))
+      val pairs = keyed.as("a").join(keyed.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.bucket").as("bucket"),
+          col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      pairs
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))))
+        .where(col("rnk") <= 10)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qCosineTopK, qIvfAnn, qEmbeddingNearDup)
 }
+

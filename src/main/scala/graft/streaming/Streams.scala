@@ -49,6 +49,39 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** S1: the production Kafka entry point — one topic per source table,
+    * earliest offsets, loss-tolerant, exactly the reference's options
+    * (bronze_pipeline.py:109-131). Returns the raw frame whose `value`
+    * feeds Debezium.parseEnvelope; swap-in replacement for
+    * [[eventsStream]]'s file source with no downstream change. Requires a
+    * broker, so it is exercised in production, not in this offline
+    * environment. */
+  def kafkaDebeziumSource(spark: SparkSession, brokers: String, topic: String): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("failOnDataLoss", "false")
+      .load()
+      .selectExpr("CAST(key AS STRING) AS kafka_key",
+        "CAST(value AS STRING) AS raw_json",
+        "topic AS kafka_topic", "partition AS kafka_partition",
+        "offset AS kafka_offset", "timestamp AS kafka_timestamp")
+
+  /** S4: managed streaming table sink — checkpointed `toTable`, the
+    * engine's stand-in for a DLT materialized streaming table
+    * (bronze_pipeline.py:137-141). Runs to completion under AvailableNow;
+    * under ProcessingTime in production. */
+  def toManagedTable(df: DataFrame, table: String, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .toTable(table)
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink and return the materialized result. Fresh checkpoint per run —
     * results are deterministic, so recovery state is not reused across

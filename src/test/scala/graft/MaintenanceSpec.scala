@@ -41,6 +41,7 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("analyze computes CBO statistics for a catalog table") {
+    dropManagedTable("maint_analyze_t")
     spark.range(100).write.mode("overwrite").saveAsTable("maint_analyze_t")
     Maintenance.analyze(spark, "maint_analyze_t")
     val stats = spark.sql("DESCRIBE TABLE EXTENDED maint_analyze_t")

@@ -21,4 +21,14 @@ object SparkSpec {
 trait SparkSpec extends AnyFunSuite {
   protected val spark: SparkSession = SparkSpec.spark
   def sfDir: String = SparkSpec.sfDir
+
+  /** Drop a managed table AND its warehouse location — a previous test
+    * JVM may have left the directory behind without catalog metadata. */
+  def dropManagedTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$name")
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    ()
+  }
 }

@@ -65,6 +65,16 @@ class StreamsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "alpha", "c"), (2L, "beta", "c")))
   }
 
+  test("toManagedTable materializes a checkpointed streaming table (S4/S9)") {
+    dropManagedTable("stream_managed_t")
+    val checkpoint = Files.createTempDirectory("graft-ckpt-s4-").toString
+    Streams.toManagedTable(
+      Streams.eventsStream(spark, sfDir).select(col("event_id"), col("event_type")),
+      "stream_managed_t", checkpoint)
+    assert(spark.catalog.tableExists("stream_managed_t")) // S9 probe
+    assert(spark.table("stream_managed_t").count() > 0)
+  }
+
   test("checkpointed file-source query does not reprocess consumed input (ST2)") {
     val checkpoint = Files.createTempDirectory("graft-ckpt-st2-").toString
     val sink = Files.createTempDirectory("graft-sink-st2-").toString
