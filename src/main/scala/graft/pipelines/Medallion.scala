@@ -162,6 +162,48 @@ object Medallion {
       Seq("email", "city", "loyalty_tier", "is_active"), "updated_at", Seq("eater_id"))
   }
 
+  /** Merchant dim with order metrics + rating-based tiering
+    * (gold_pipeline.py:421-478: avg rating, order count, on-time-ish
+    * conditional rates) and SCD2 columns. */
+  def dimMerchant(merchant: DataFrame, trips: DataFrame): DataFrame = {
+    val delivered = trips.where(col("event_type") === "delivered")
+    val metrics = delivered.groupBy("merchant_id").agg(
+      count(lit(1)).as("completed_orders"),
+      avg(col("merchant_rating").cast("double")).as("avg_rating"),
+      count(when(col("merchant_rating") >= 4, 1)).as("highly_rated_orders"))
+    val enriched = merchant.join(broadcast(metrics), Seq("merchant_id"), "left")
+      .withColumn("completed_orders", coalesce(col("completed_orders"), lit(0L)))
+      .withColumn("merchant_tier",
+        when(col("avg_rating") >= 4.5, "top")
+          .when(col("avg_rating") >= 3.5, "standard")
+          .when(col("avg_rating").isNotNull, "watch")
+          .otherwise("new"))
+    Scd2.fromChangeLog(enriched, Seq("merchant_id"),
+      Seq("name", "cuisine_type", "merchant_tier", "is_active"),
+      "updated_at", Seq("merchant_id"))
+  }
+
+  /** Courier dim with delivery metrics + conditional rates
+    * (gold_pipeline.py:487-546: deliveries, avg rating, completion rate
+    * as ratio-of-aggregates). */
+  def dimCourier(courier: DataFrame, trips: DataFrame): DataFrame = {
+    val assigned = trips.where(col("courier_id").isNotNull)
+    val metrics = assigned.groupBy("courier_id").agg(
+      countDistinct("trip_id").as("assigned_trips"),
+      count(when(col("event_type") === "delivered", 1)).as("deliveries"),
+      avg(col("courier_rating").cast("double")).as("avg_rating"))
+    val enriched = courier.join(broadcast(metrics), Seq("courier_id"), "left")
+      .withColumn("assigned_trips", coalesce(col("assigned_trips"), lit(0L)))
+      .withColumn("deliveries", coalesce(col("deliveries"), lit(0L)))
+      .withColumn("completion_rate",
+        when(col("assigned_trips") > 0,
+          round(col("deliveries").cast("double") / col("assigned_trips") * 100, 2))
+          .otherwise(lit(0.0)))
+    Scd2.fromChangeLog(enriched, Seq("courier_id"),
+      Seq("vehicle_type", "license_plate", "is_active"),
+      "updated_at", Seq("courier_id"))
+  }
+
   /** trip_fact (gold_pipeline.py:637-798): the event-log pivot —
     * max(when) per event type + last-write-wins payload fields — then
     * status derivation, durations, null defaults, dim-key attachment. */
@@ -223,6 +265,10 @@ object Medallion {
       r => dimLocation(r("silver_eater"), r("silver_merchant"))))
     g.register(TableDef("dim_eater", Seq("silver_eater", "silver_trips"))(
       r => dimEater(r("silver_eater"), r("silver_trips"))))
+    g.register(TableDef("dim_merchant", Seq("silver_merchant", "silver_trips"))(
+      r => dimMerchant(r("silver_merchant"), r("silver_trips"))))
+    g.register(TableDef("dim_courier", Seq("silver_courier", "silver_trips"))(
+      r => dimCourier(r("silver_courier"), r("silver_trips"))))
     g.register(TableDef("trip_fact", Seq("silver_trips", "dim_location", "silver_merchant"))(
       r => tripFact(r("silver_trips"), r("dim_location"), r("silver_merchant"))))
     g

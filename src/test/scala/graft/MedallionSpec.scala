@@ -83,6 +83,37 @@ class MedallionSpec extends SparkSpec {
       .select("lifetime_orders").as[Long].head() == 0L)
   }
 
+  test("dim_merchant and dim_courier carry metrics, tiers and rates") {
+    val m = tables("dim_merchant").where(col("is_current"))
+    assert(m.count() == 5)
+    val m1 = m.where(col("merchant_id") === 1)
+      .select("completed_orders", "merchant_tier").as[(Long, String)].head()
+    assert(m1 == ((1L, "standard"))) // one delivery rated 4 → avg 4.0
+    assert(m.where(col("merchant_id") === 3)
+      .select("merchant_tier").as[String].head() == "new") // no orders
+    val c = tables("dim_courier").where(col("is_current"))
+    assert(c.count() == 4)
+    val c1 = c.where(col("courier_id") === 1)
+      .select("assigned_trips", "deliveries", "completion_rate")
+      .as[(Long, Long, Double)].head()
+    assert(c1 == ((1L, 1L, 100.0)))
+    assert(c.where(col("courier_id") === 4)
+      .select("completion_rate").as[Double].head() == 0.0)
+  }
+
+  test("partitioned fact write prunes by partition column (S7)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part-").toString + "/fact"
+    graft.maintenance.Maintenance.optimizedWrite(
+      tables("trip_fact"), dir, partitionBy = Seq("trip_status"))
+    val reread = spark.read.parquet(dir)
+    assert(reread.count() == 3)
+    // partition pruning: only the cancelled partition directory is read
+    val plan = reread.where(col("trip_status") === "cancelled")
+      .queryExecution.executedPlan.toString
+    assert(reread.where(col("trip_status") === "cancelled").count() == 1)
+    assert(plan.contains("PartitionFilters") || !plan.contains("trip_status = cancelled"))
+  }
+
   test("table graph resolves dependencies topologically and rejects cycles") {
     val order = Medallion.graph(spark).topologicalOrder.map(_.name)
     assert(order.indexOf("silver_trips") > order.indexOf("bronze_trip_events"))
