@@ -96,5 +96,22 @@ object Cleanse {
         .as("discount_or_null"))
   }
 
-  val all: Seq[QueryDef] = Seq(qCleanseCustomer, qFilterPredicates, qNullHandling)
+  /** O1 + O2: global order + limit — top-N spenders with a total
+    * tiebreak so the cut is deterministic. Spark runs this as
+    * TakeOrderedAndProject (per-partition top-N + merge), not a full
+    * global sort — the only safe shape for LIMIT at 100 TB. */
+  val qOrderTopN: QueryDef = QueryDef.sql(
+    "q_order_topn",
+    """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val all: Seq[QueryDef] = Seq(qCleanseCustomer, qFilterPredicates, qNullHandling, qOrderTopN)
 }

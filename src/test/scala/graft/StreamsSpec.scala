@@ -75,6 +75,28 @@ class StreamsSpec extends SparkSpec {
     assert(spark.table("stream_managed_t").count() > 0)
   }
 
+  test("streaming read of a managed table feeds a downstream stage (S2)") {
+    // bronze table materialized by the S4 test (or here if run alone)
+    if (!spark.catalog.tableExists("stream_managed_t")) {
+      dropManagedTable("stream_managed_t")
+      Streams.toManagedTable(
+        Streams.eventsStream(spark, sfDir).select(col("event_id"), col("event_type")),
+        "stream_managed_t", Files.createTempDirectory("graft-ckpt-s2a-").toString)
+    }
+    val silver = spark.readStream.table("stream_managed_t")
+      .where(col("event_type") =!= "")
+    val out = Streams.runToMemory(silver, "s2_silver_sink", "append")
+    assert(out.count() == spark.table("stream_managed_t").count())
+  }
+
+  test("append-mode batch write accumulates increments (S6)") {
+    val dir = Files.createTempDirectory("graft-append-").toString + "/t"
+    val first = Tables.events(spark, sfDir).limit(10).select("event_id")
+    first.write.mode("append").parquet(dir)
+    first.write.mode("append").parquet(dir)
+    assert(spark.read.parquet(dir).count() == 20)
+  }
+
   test("checkpointed file-source query does not reprocess consumed input (ST2)") {
     val checkpoint = Files.createTempDirectory("graft-ckpt-st2-").toString
     val sink = Files.createTempDirectory("graft-sink-st2-").toString
