@@ -62,10 +62,49 @@ object Dedup {
        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)],
        |    s -> ${h32Sql("s")}))""".stripMargin
 
-  /** MinHash + banded LSH near-duplicate pairs, verified with exact
-    * Jaccard over the shingle sets. 16 signatures, 4 bands × 4 rows —
-    * the standard S-curve puts the detection knee near J ≈ 0.7. */
-  val qMinhashLsh: QueryDef = {
+  /** Spark side of the MinHash-LSH near-dup pipeline: verified pairs
+    * with exact Jaccard ≥ 0.8 (doc_a < doc_b). Shared by the pair query
+    * and the corpus-curation query. */
+  def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    // the single-file local fixture scans as 1-2 tasks; the shingle/
+    // signature arithmetic is the expensive stage, so spread it —
+    // a real multi-file corpus arrives pre-partitioned.
+    val toks = Tables.documents(spark, dir)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .where(size(col("t")) >= 3)
+    val sh = toks.select(col("doc_id"), shingleHashes(col("t")).as("shash"))
+    val sigCols = hashParams.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("shash"), h => (h * a + b) % MinhashPrime)).as(s"s$j")
+    }
+    val sig = sh.select(col("doc_id") +: col("shash") +: sigCols: _*)
+    val bandCols = (0 until numBands).map { bnd =>
+      val cols = (0 until rowsPerBand).map(r => col(s"s${rowsPerBand * bnd + r}").cast("string"))
+      md5(concat_ws(",", cols: _*)).as(s"band$bnd")
+    }
+    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val keyed = banded.select(col("doc_id"), explode(array(
+      (0 until numBands).map(bnd => concat(lit(bnd.toString), col(s"band$bnd"))): _*)).as("bk"))
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSets = pairs
+      .join(sh.select(col("doc_id"), col("shash").as("sa")), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sh.select(col("doc_id"), col("shash").as("sb")), col("doc_b") === col("doc_id")).drop("doc_id")
+    val inter = withSets.select(
+      col("doc_a"), col("doc_b"),
+      size(filter(col("sa"), x => array_contains(col("sb"), x))).as("n_inter"),
+      size(col("sa")).as("n_a"), size(col("sb")).as("n_b"))
+    inter
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= 0.8)
+  }
+
+  /** DuckDB CTE chain ending in `neardup(doc_a, doc_b, jaccard)` —
+    * the oracle twin of [[nearDupPairs]]. */
+  private def nearDupPairsSql: String = {
     val sigSqls = hashParams.zipWithIndex.map { case ((a, b), j) =>
       s"list_min(list_transform(shash, h -> ($a*h + $b) % $MinhashPrime)) AS s$j"
     }.mkString(",\n       |    ")
@@ -74,9 +113,7 @@ object Dedup {
       s"md5(${cols.mkString(" || ',' || ")}) AS band$bnd"
     }.mkString(", ")
     val bandArray = (0 until numBands).map(bnd => s"'$bnd' || band$bnd").mkString("[", ", ", "]")
-    QueryDef.sql(
-      "q_dedup_minhash_lsh",
-      s"""WITH toks AS (
+    s"""toks AS (
          |  SELECT doc_id, ${tokensSql("text")} AS t FROM documents
          |), sh AS (
          |  SELECT doc_id, $shingleHashesSql AS shash
@@ -97,46 +134,74 @@ object Dedup {
          |    len(list_filter(sa.shash, x -> list_contains(sb.shash, x))) AS n_inter,
          |    len(sa.shash) AS n_a, len(sb.shash) AS n_b
          |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
-         |)
-         |SELECT doc_a, doc_b,
-         |  CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
-         |FROM inter
-         |WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.8""".stripMargin) { (spark, dir) =>
-      // the single-file local fixture scans as 1-2 tasks; the shingle/
-      // signature arithmetic is the expensive stage, so spread it —
-      // a real multi-file corpus arrives pre-partitioned.
-      val toks = Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .where(size(col("t")) >= 3)
-      val sh = toks.select(col("doc_id"), shingleHashes(col("t")).as("shash"))
-      val sigCols = hashParams.zipWithIndex.map { case ((a, b), j) =>
-        array_min(transform(col("shash"), h => (h * a + b) % MinhashPrime)).as(s"s$j")
-      }
-      val sig = sh.select(col("doc_id") +: col("shash") +: sigCols: _*)
-      val bandCols = (0 until numBands).map { bnd =>
-        val cols = (0 until rowsPerBand).map(r => col(s"s${rowsPerBand * bnd + r}").cast("string"))
-        md5(concat_ws(",", cols: _*)).as(s"band$bnd")
-      }
-      val banded = sig.select(col("doc_id") +: bandCols: _*)
-      val keyed = banded.select(col("doc_id"), explode(array(
-        (0 until numBands).map(bnd => concat(lit(bnd.toString), col(s"band$bnd"))): _*)).as("bk"))
-      val pairs = keyed.as("a").join(keyed.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val withSets = pairs
-        .join(sh.select(col("doc_id"), col("shash").as("sa")), col("doc_a") === col("doc_id")).drop("doc_id")
-        .join(sh.select(col("doc_id"), col("shash").as("sb")), col("doc_b") === col("doc_id")).drop("doc_id")
-      val inter = withSets.select(
-        col("doc_a"), col("doc_b"),
-        size(filter(col("sa"), x => array_contains(col("sb"), x))).as("n_inter"),
-        size(col("sa")).as("n_a"), size(col("sb")).as("n_b"))
-      inter
-        .select(col("doc_a"), col("doc_b"),
-          (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
-        .where(col("jaccard") >= 0.8)
-    }
+         |), neardup AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+         |  FROM inter
+         |  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.8
+         |)""".stripMargin
+  }
+
+  /** MinHash + banded LSH near-duplicate pairs, verified with exact
+    * Jaccard over the shingle sets. 16 signatures, 4 bands × 4 rows —
+    * the standard S-curve puts the detection knee near J ≈ 0.7. */
+  val qMinhashLsh: QueryDef = QueryDef.sql(
+    "q_dedup_minhash_lsh",
+    s"""WITH $nearDupPairsSql
+       |SELECT doc_a, doc_b, jaccard FROM neardup""".stripMargin)(
+    (spark, dir) => nearDupPairs(spark, dir))
+
+  /** End-to-end corpus curation — the composition an LLM training-data
+    * pipeline actually runs: Gopher-style quality gate ∧ exact-dup
+    * canonicalization ∧ near-dup removal (drop the non-canonical side of
+    * every verified MinHash pair). Each stage is the oracle-verified
+    * operator above; this query verifies their composition. */
+  val qCorpusCuration: QueryDef = QueryDef.sql(
+    "q_corpus_curation",
+    s"""WITH $nearDupPairsSql,
+       |qual AS (
+       |  SELECT doc_id, lang, n_chars
+       |  FROM (
+       |    SELECT doc_id, lang, n_chars,
+       |      CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+       |      CAST(list_reduce(list_prepend(0::BIGINT, list_transform(t, x -> length(x)::BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(t) AS atl,
+       |      CAST(len(list_filter(t, x -> x IN ('the', 'a', 'is', 'of', 'and'))) AS DOUBLE) / len(t) AS swr
+       |    FROM (SELECT doc_id, lang, n_chars, ${tokensSql("text")} AS t FROM documents))
+       |  WHERE n_chars BETWEEN 100 AND 20000 AND ttr >= 0.2
+       |    AND atl BETWEEN 2.0 AND 12.0 AND swr >= 0.01
+       |), canon AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, min(doc_id) OVER (PARTITION BY ${Portable.h60Sql("text")}) AS c
+       |    FROM documents) WHERE doc_id = c
+       |)
+       |SELECT q.doc_id, q.lang, q.n_chars
+       |FROM qual q
+       |JOIN canon c ON c.doc_id = q.doc_id
+       |WHERE NOT EXISTS (SELECT 1 FROM neardup n WHERE n.doc_b = q.doc_id)""".stripMargin) {
+    (spark, dir) =>
+      val toks = tokens(col("text"))
+      val stats = Tables.documents(spark, dir)
+        .withColumn("t", toks)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"),
+          (aggregate(col("t"), lit(0L), (acc, x) => acc + length(x).cast("long")).cast("double") /
+            size(col("t"))).as("atl"),
+          (size(filter(col("t"), x => x.isInCollection(Seq("the", "a", "is", "of", "and"))))
+            .cast("double") / size(col("t"))).as("swr"))
+      val qual = stats.where(
+        col("n_chars").between(100, 20000) && col("ttr") >= 0.2 &&
+          col("atl").between(2.0, 12.0) && col("swr") >= 0.01)
+      // canonical ids computed over the FULL corpus (dedup is independent
+      // of the quality gate), exactly as the oracle does
+      val canonIds = Tables.documents(spark, dir)
+        .withColumn("c", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(h60(col("text")))))
+        .where(col("doc_id") === col("c"))
+        .select(col("doc_id"))
+      val dupLosers = nearDupPairs(spark, dir).select(col("doc_b").as("doc_id")).distinct()
+      qual.join(canonIds, Seq("doc_id"))
+        .join(dupLosers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
   }
 
   /** 32-bit frequency-weighted SimHash per document plus the four 8-bit
@@ -219,5 +284,5 @@ object Dedup {
       .where(col("rnk") <= 20)
   }
 
-  val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard)
+  val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard, qCorpusCuration)
 }

@@ -56,6 +56,29 @@ class GeoSpec extends SparkSpec {
     }
   }
 
+  test("native GeohashEncode expression matches column arithmetic and UDF") {
+    graft.functions.GeohashEncode.register(spark)
+    // known vectors through the SQL-registered native expression
+    vectors.foreach { case (lat, lon, p, expected) =>
+      val got = spark.sql(s"SELECT geohash_encode(CAST($lat AS DOUBLE), CAST($lon AS DOUBLE), $p)")
+        .as[String].head()
+      assert(got == expected, s"($lat,$lon)@$p")
+    }
+    // three implementations agree over real data (native runs codegen'd)
+    val df = Tables.customer(spark, sfDir).select(
+      (col("c_custkey") * 37 % 17000 / 100.0 - 85.0).as("lat"),
+      (col("c_custkey") * 91 % 35000 / 100.0 - 175.0).as("lon"))
+    val mismatch = df.select(
+      call_function("geohash_encode", col("lat"), col("lon"), lit(8)).as("native"),
+      Geo.geohash("lat", "lon", 8).as("arith"),
+      Geo.geohashUdf(col("lat"), col("lon"), lit(8)).as("viaUdf"))
+      .where(col("native") =!= col("arith") || col("native") =!= col("viaUdf"))
+    assert(mismatch.count() == 0)
+    // null-safe like every Catalyst expression
+    assert(spark.sql("SELECT geohash_encode(CAST(NULL AS DOUBLE), 1.0, 8)")
+      .as[Option[String]].head().isEmpty)
+  }
+
   test("h3ish token embeds mode and resolution and is hierarchical") {
     val t = Seq((48.8566, 2.3522)).toDF("lat", "lon")
       .select(Geo.h3ish("lat", "lon", 8).cast("long")).as[Long].head()
