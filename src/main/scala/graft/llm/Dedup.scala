@@ -278,10 +278,14 @@ object Dedup {
         size(col("a.gh")).as("n_a"), size(col("b.gh")).as("n_b"))
     val scored = joined.select(col("doc_a"), col("doc_b"),
       (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+    // distributed top-k (TakeOrderedAndProject — per-partition heaps, no
+    // single-partition window over the full pair set); the rank window
+    // then runs over exactly k rows. Total order ⇒ row_number ≡ rank.
     scored
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))))
-      .where(col("rnk") <= 20)
   }
 
   val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard, qCorpusCuration)

@@ -176,10 +176,13 @@ object Similarity {
         .select(col("a.bucket").as("bucket"),
           col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           (dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      // distributed top-k, then rank only the k survivors (see Dedup's
+      // qNgramJaccard note) — no global-window pass over all pairs.
       pairs
+        .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+        .limit(10)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))))
-        .where(col("rnk") <= 10)
     }
   }
 
