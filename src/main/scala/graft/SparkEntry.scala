@@ -24,6 +24,7 @@ object SparkEntry {
       quality.Validation.all ++
       functions.Geo.all ++
       streaming.Streams.all ++
+      streaming.Sessions.all ++
       llm.TextAnalysis.all ++
       llm.Dedup.all ++
       llm.Similarity.all ++

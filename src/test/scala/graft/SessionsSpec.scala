@@ -1,0 +1,59 @@
+package graft
+
+import graft.streaming.Sessions
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import java.nio.file.Files
+
+/** Sessionization state machine: the open session must merge across
+  * micro-batches, close in-batch on a gap, and close via event-time
+  * timeout when the watermark passes end + gap. */
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val gapS = Sessions.GapUs / 1000000L // 24h in seconds
+  private val base = 1700000000L
+
+  test("sessions merge across batches, close on gap, and time out on watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Long)] // (user_id, event_id, epoch seconds)
+    val in = ms.toDF().toDF("user_id", "event_id", "secs")
+      .withColumn("ts", timestamp_seconds(col("secs")))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[Sessions.Ev]
+    val sessions = in.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        Sessions.sessionize)
+    val ckpt = Files.createTempDirectory("graft-sess-spec-").toString
+    val q = sessions.writeStream
+      .queryName("sess_spec_sink").outputMode("append")
+      .format("memory").option("checkpointLocation", ckpt)
+      .start()
+    try {
+      def rows() = spark.table("sess_spec_sink")
+        .select(col("user_id"), col("session_id"), col("n_events"))
+        .as[(Long, Int, Long)].collect().toSet
+
+      // batch 1: user 1 opens a session (2 events), user 2 opens one
+      ms.addData((1L, 1L, base), (1L, 2L, base + 10), (2L, 10L, base))
+      q.processAllAvailable()
+      assert(rows().isEmpty, "no session may close while within gap and watermark")
+
+      // batch 2: user 1 continues the SAME session (state carried across
+      // batches), then an event beyond the gap closes it in-batch with the
+      // merged count of 3. The watermark jump also times out user 2's idle
+      // session.
+      ms.addData((1L, 3L, base + 20), (1L, 4L, base + 20 + gapS + 1))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 1, 3L), (2L, 1, 1L)))
+
+      // flush sentinel (negative user): advances the watermark past user
+      // 1's open session, emits nothing for itself
+      ms.addData((-1L, 99L, base + 4 * gapS))
+      q.processAllAvailable()
+      assert(rows() == Set((1L, 1, 3L), (2L, 1, 1L), (1L, 2, 1L)))
+    } finally q.stop()
+  }
+}
