@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join shapes for hostile data distributions — the two techniques the
+  * engine reaches for when AQE alone is not enough at 100 TB:
+  *
+  *   - '''salting''' for skewed keys: a sort-merge/shuffle join puts every
+  *     row of a hot key into one task; salting splits each key across
+  *     `salts` sub-partitions and replicates the (smaller) build side
+  *     `salts`×, trading bounded duplication for even task sizes. AQE's
+  *     skew-join split handles most cases at runtime; salting is the
+  *     static fallback when a single key exceeds what one task can hold.
+  *
+  *   - '''bucketing''' for repeated co-located joins: tables written with
+  *     `bucketBy(n, key)` + `sortBy(key)` join with NO exchange and no
+  *     sort — the scan's bucket layout already satisfies the join's
+  *     required distribution. The win compounds: every downstream join or
+  *     aggregation on the bucket key reuses the layout, which is how a
+  *     fact table joined daily against the same dimensions should be
+  *     stored. (Spark-native analogue of the reference's Z-order
+  *     clustering, /root/reference/utils/optimize_tables.py:24-32.)
+  */
+object ScaleJoins {
+
+  /** Salted inner equi-join: spread each (possibly hot) key of `skewed`
+    * over `salts` sub-keys; replicate `build` once per salt. Result
+    * equals `skewed.join(build, Seq(key))` exactly. The salt is
+    * per-row-deterministic (hash of partition-local id), not `rand()`,
+    * so retried tasks re-produce their partition.
+    */
+  def saltedJoin(skewed: DataFrame, build: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val salted = skewed.withColumn(
+      "__salt", pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = build.withColumn(
+      "__salt", explode(sequence(lit(0), lit(salts - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write `df` as a bucketed, per-bucket-sorted managed table. Joins and
+    * aggregations on `key` against tables bucketed with the same count
+    * then run exchange-free. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join of two co-bucketed tables. With matching bucket counts on
+    * the join key this plans as a sort-merge join with no
+    * ShuffleExchange on either side (asserted in ScaleJoinsSpec). */
+  def coLocatedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
+    spark.table(left).hint("merge").join(spark.table(right), Seq(key))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regressions: the properties that make the queries scale are
+  * asserted here, so a refactor that silently loses a pushed filter, a
+  * broadcast, or a distributed top-k fails the build — not a 100 TB run. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter predicates reach the parquet scan (PushedFilters)") {
+    val plan = planOf("q_filter_predicates")
+    assert(plan.contains("PushedFilters: ["), plan)
+    assert(!plan.matches("(?s).*PushedFilters: \\[\\].*"),
+      s"scan must push at least one filter:\n$plan")
+  }
+
+  test("dim-enrichment joins broadcast the small sides") {
+    val plan = planOf("q_join_revenue_by_nation")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("global top-n plans as distributed TakeOrderedAndProject") {
+    assert(planOf("q_order_topn").contains("TakeOrderedAndProject"))
+    // pair-ranking queries use the same shape: per-partition heaps, no
+    // single-partition window over the full pair set
+    assert(planOf("q_dedup_ngram_jaccard").contains("TakeOrderedAndProject"))
+    assert(planOf("q_dedup_embedding_lsh").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregation pipeline stays inside whole-stage codegen") {
+    // the codegen explainer can't see inside AdaptiveSparkPlan before
+    // execution, so inspect the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q_agg_pricing_summary")(spark, sfDir)
+        .queryExecution.explainString(ExplainMode.fromString("codegen"))
+      assert(plan.contains("Found 2 WholeStageCodegen subtrees"),
+        s"scan→partial-agg and final-agg must each be one codegen stage:\n${plan.take(800)}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("projection pruning reaches the scan (ReadSchema)") {
+    // the pricing summary touches 7 of lineitem's 16 columns; the scan
+    // must not read the rest
+    val plan = planOf("q_agg_pricing_summary")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty, plan)
+    assert(!readSchema.contains("l_comment"),
+      s"unused columns must be pruned from the scan:\n$readSchema")
+  }
+}

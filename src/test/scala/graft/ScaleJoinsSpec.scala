@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.ScaleJoins
+import org.apache.spark.sql.functions._
+
+/** Salting preserves join semantics; co-bucketed tables join without a
+  * shuffle on either side. */
+class ScaleJoinsSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join, row for row") {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey"))
+    val salted = ScaleJoins.saltedJoin(orders, customer, "o_custkey", 7)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("saltedJoin replicates the build side once per salt") {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    // every order row matches exactly one (customer, salt) replica, so
+    // counts are unchanged — the duplication cancels against the salt
+    // equality predicate
+    val n = ScaleJoins.saltedJoin(orders, customer, "o_custkey", 5).count()
+    assert(n == orders.join(customer, Seq("o_custkey")).count())
+  }
+
+  test("co-bucketed join runs with no ShuffleExchange on either side") {
+    dropManagedTable("b_orders")
+    dropManagedTable("b_lineitem")
+    ScaleJoins.writeBucketed(
+      Tables.orders(spark, sfDir), "b_orders", "o_orderkey", 4)
+    ScaleJoins.writeBucketed(
+      Tables.lineitem(spark, sfDir).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+    val joined = ScaleJoins.coLocatedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    // and it computes the right thing
+    val expected = Tables.orders(spark, sfDir).join(
+      Tables.lineitem(spark, sfDir),
+      col("o_orderkey") === col("l_orderkey")).count()
+    assert(joined.count() == expected)
+    dropManagedTable("b_orders")
+    dropManagedTable("b_lineitem")
+  }
+}
