@@ -25,16 +25,46 @@ object Multimodal {
   /** Fake image metadata produced by the stub decoder. */
   case class FakeImageMeta(width: Int, height: Int, format: String)
 
+  /** The deterministic stand-in decode: dimensions from the payload md5
+    * (shared by the UDF and mapPartitions paths so they agree exactly). */
+  private def fakeDecode(digest: Array[Byte]): FakeImageMeta = {
+    val hex = digest.take(4).map(b => f"$b%02x").mkString
+    val h = java.lang.Long.parseLong(hex, 16)
+    FakeImageMeta((64 + h % 1856).toInt, (64 + (h / 256) % 1016).toInt, "rgb8")
+  }
+
   /** STUB decoder — stands in for a real image decode. Deterministic:
     * dimensions derive from the payload's md5, so the DuckDB oracle can
     * reproduce them exactly. A real implementation would parse the codec
     * header here; the signature (bytes in, typed struct out) would not
     * change. */
   val decodeStub = udf { bytes: Array[Byte] =>
-    val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    val hex = md.take(4).map(b => f"$b%02x").mkString
-    val h = java.lang.Long.parseLong(hex, 16)
-    FakeImageMeta((64 + h % 1856).toInt, (64 + (h / 256) % 1016).toInt, "rgb8")
+    fakeDecode(java.security.MessageDigest.getInstance("MD5").digest(bytes))
+  }
+
+  case class Asset(doc_id: Long, payload: Array[Byte])
+  case class Features(doc_id: Long, byte_size: Long, checksum: String,
+      width: Int, height: Int, format: String)
+
+  /** Batched extraction via mapPartitions — the Scala analogue of a
+    * vectorized (mapInPandas-style) UDF: ONE decoder instance per
+    * partition amortized over its whole batch, iterator-to-iterator so
+    * nothing materializes. This is the shape a real codec (JNI handle,
+    * model session) needs — per-row UDFs would re-init it every call.
+    * Agrees with [[qFeatures]]'s expression path row for row
+    * (MultimodalSpec). */
+  def extractBatched(assets: org.apache.spark.sql.Dataset[Asset]): org.apache.spark.sql.Dataset[Features] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5") // per partition, not per row
+      it.map { a =>
+        md.reset()
+        val digest = md.digest(a.payload)
+        val meta = fakeDecode(digest)
+        Features(a.doc_id, a.payload.length.toLong,
+          digest.map(b => f"$b%02x").mkString, meta.width, meta.height, meta.format)
+      }
+    }
   }
 
   /** Feature extraction over binary payloads: size, checksum, decoded

@@ -195,5 +195,64 @@ object Scd2 {
         .select(selectCols.map(col): _*)
   }
 
-  val all: Seq[QueryDef] = Seq(qScd2Build, qScd2Merge)
+  /** As-of (point-in-time) join: attach to each probe row the state row
+    * with the greatest `ts` ≤ the probe's `ts`, per key. Composed from
+    * union + window (SURVEY §4 stance: compose before custom plans) —
+    * crucially NOT an interval join, which would multiply every probe by
+    * its key's version count before filtering. One shuffle on the key,
+    * one ordered pass; probe rows carry the running last state forward.
+    *
+    * `stateCols` must not collide with probe columns; ties on `ts` rank
+    * states before probes (inclusive as-of) and among states by
+    * `stateOrd` ascending, last one wins.
+    */
+  def asOfJoin(probe: DataFrame, state: DataFrame, keys: Seq[String], ts: String,
+      stateCols: Seq[String], stateOrd: String): DataFrame = {
+    val probeCols = probe.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
+    val pr = probe.select(
+      keys.map(col) ++ Seq(col(ts), lit(1).as("__is_probe")) ++
+        probeCols.map(col) ++ stateCols.map(c => lit(null).cast(state.schema(c).dataType).as(c)): _*)
+    val st = state.select(
+      keys.map(col) ++ Seq(col(ts), lit(0).as("__is_probe")) ++
+        probeCols.map(c => lit(null).cast(probe.schema(c).dataType).as(c)) ++ stateCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col("__is_probe").asc, col(stateOrd).asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = stateCols.foldLeft(pr.unionByName(st)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__is_probe") === 1).drop("__is_probe")
+  }
+
+  /** Point-in-time fact enrichment: each order sees the customer-profile
+    * SCD2 version that was current on its order date — the lakehouse
+    * query a reprocessed fact table runs against every SCD2 dimension
+    * (the reference joins only to is_current rows,
+    * gold_pipeline.py:645-662; as-of is the generalization that stays
+    * correct for backfills). */
+  val qScd2AsOf: QueryDef = QueryDef.sql(
+    "q_scd2_asof",
+    s"""WITH hist AS (
+       |${scd2Sql("SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_orderpriority FROM orders")}
+       |)
+       |SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       |  h.version_number AS asof_version, h.row_hash AS asof_hash
+       |FROM orders o
+       |JOIN hist h ON h.o_custkey = o.o_custkey AND h.effective_start <= o.o_orderdate
+       |QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+       |  ORDER BY h.effective_start DESC, h.version_number DESC) = 1""".stripMargin) {
+    (spark, dir) =>
+      val hist = fromChangeLog(changeLog(spark, dir), keys, attrs, ts, tiebreak)
+        .select(col("o_custkey"), col("effective_start").as("o_orderdate"),
+          col("version_number").as("asof_version"), col("row_hash").as("asof_hash"))
+      val probe = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      asOfJoin(probe, hist, Seq("o_custkey"), "o_orderdate",
+        Seq("asof_version", "asof_hash"), "asof_version")
+        .where(col("asof_version").isNotNull)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("asof_version"), col("asof_hash"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qScd2Build, qScd2Merge, qScd2AsOf)
 }
