@@ -96,9 +96,33 @@ object GeohashEncode {
       builder))
 }
 
+/** Optimizer rule: rewrite calls to the registered `calculate_geohash`
+  * Scala UDF (the reference-parity surface, gold_pipeline.py:101-103)
+  * into the native [[GeohashEncode]] expression. The UDF is an optimizer
+  * black box that breaks whole-stage codegen and blocks pushdown past
+  * it; after this rewrite the plan is indistinguishable from one written
+  * against the native function — existing user code gets the codegen
+  * path for free. Null semantics are identical (both return null on
+  * null lat/lon), so the substitution is observationally exact.
+  */
+object RewriteGeohashUdf
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case u: ScalaUDF if u.udfName.contains("calculate_geohash") && u.children.size == 3 =>
+      GeohashEncode(Cast(u.children(0), DoubleType), Cast(u.children(1), DoubleType),
+        Cast(u.children(2), IntegerType))
+  }
+}
+
 /** Session-extension entry point:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GeohashEncode.inject(ext)
+    ext.injectOptimizerRule(_ => RewriteGeohashUdf)
+  }
 }

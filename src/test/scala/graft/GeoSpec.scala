@@ -79,6 +79,22 @@ class GeoSpec extends SparkSpec {
       .as[Option[String]].head().isEmpty)
   }
 
+  test("optimizer rule rewrites the registered UDF into the native expression") {
+    spark.udf.register("calculate_geohash", Geo.geohashUdf)
+    spark.experimental.extraOptimizations = Seq(graft.functions.RewriteGeohashUdf)
+    try {
+      val df = Tables.customer(spark, sfDir).select(
+        expr("calculate_geohash(CAST(c_custkey % 170 - 85 AS DOUBLE), " +
+          "CAST(c_custkey % 350 - 175 AS DOUBLE), 8)").as("g"),
+        Geo.geohash("CAST(c_custkey % 170 - 85 AS DOUBLE)",
+          "CAST(c_custkey % 350 - 175 AS DOUBLE)", 8).as("arith"))
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("geohash_encode"), s"native expression expected:\n$opt")
+      assert(!opt.contains("calculate_geohash"), s"UDF must be rewritten away:\n$opt")
+      assert(df.where(col("g") =!= col("arith")).count() == 0)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("h3ish token embeds mode and resolution and is hierarchical") {
     val t = Seq((48.8566, 2.3522)).toDF("lat", "lon")
       .select(Geo.h3ish("lat", "lon", 8).cast("long")).as[Long].head()
