@@ -170,7 +170,47 @@ object Aggregations {
       .reduce(_ union _)
   }
 
+  /** Rollup: one pass producing every prefix grouping level
+    * (flag×status, flag, grand total) — subtotal reports without N
+    * separate aggregations. Physically a single Expand + hash aggregate:
+    * the shuffle carries one partial state per (row, level), still
+    * bounded by group cardinality × levels. */
+  val qRollup: QueryDef = QueryDef.sql(
+    "q_agg_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(money(dsum(col("l_extendedprice"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Exact interpolated percentiles (median / p95) per group — both
+    * engines use the same linear-interpolation definition over the same
+    * IEEE doubles, so the results are bit-comparable. At scale `
+    * percentile` holds the group's values; for 100 TB pipelines the
+    * approximate sketch (`percentile_approx`) is the drop-in — exact
+    * here because the oracle must match bit-for-bit. */
+  val qPercentiles: QueryDef = QueryDef.sql(
+    "q_agg_percentiles",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+      |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("median_price"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price"),
+        count(lit(1)).as("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, qCustomerLifetime, qConditionalRates,
-    qEventPivot, qGroupwiseMax, qCountReport)
+    qEventPivot, qGroupwiseMax, qCountReport, qRollup, qPercentiles)
 }
