@@ -210,7 +210,23 @@ object Aggregations {
         count(lit(1)).as("n"))
   }
 
+  /** The 100 TB path for distinct counts: an HLL++ sketch next to the
+    * exact count. Exact countDistinct shuffles every distinct key; the
+    * sketch shuffles one fixed-size buffer per group and merges — the
+    * only option when the distinct set itself doesn't fit. Rows-only
+    * check (the sketch estimate is algorithm-specific, not
+    * SQL-reproducible in the oracle engine); SketchSpec bounds its
+    * relative error against the exact value. */
+  val qApproxDistinct: QueryDef = QueryDef.rowsOnly("q_agg_approx_distinct") { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, qCustomerLifetime, qConditionalRates,
-    qEventPivot, qGroupwiseMax, qCountReport, qRollup, qPercentiles)
+    qEventPivot, qGroupwiseMax, qCountReport, qRollup, qPercentiles,
+    qApproxDistinct)
 }

@@ -46,6 +46,24 @@ object Expectations {
     (df.observe(obs, metrics.head, metrics.tail: _*), obs)
   }
 
+  /** Quarantine split: good rows satisfy every Drop rule; violating rows
+    * are routed aside (the dead-letter pattern) carrying a
+    * `violated_rules` array naming each failed rule — so a quality
+    * incident is debuggable from the quarantine table alone instead of
+    * silently shrinking the clean output. One predicate evaluation per
+    * rule per row; both sides derive from a single scan. */
+  def quarantine(df: DataFrame, rules: Seq[Expectation]): (DataFrame, DataFrame) = {
+    val dropRules = rules.filter(_.action == Drop)
+    val flagged = df.withColumn("violated_rules",
+      filter(
+        array(dropRules.map(r =>
+          when(!coalesce(expr(r.predicate), lit(false)), lit(r.name))): _*),
+        _.isNotNull))
+    val good = flagged.where(size(col("violated_rules")) === 0).drop("violated_rules")
+    val bad = flagged.where(size(col("violated_rules")) > 0)
+    (good, bad)
+  }
+
   /** Assert Fail rules after an action has run: any violation throws. */
   def assertFailRules(obs: Observation, rules: Seq[Expectation]): Unit =
     rules.filter(_.action == Fail).foreach { r =>

@@ -50,4 +50,19 @@ class ExpectationsSpec extends SparkSpec {
     assert(rows.length == Expectations.lineitemRules.size)
     assert(rows.forall(_._4 == rows.head._4)) // same rows_seen everywhere
   }
+
+  test("quarantine routes violating rows aside, naming every failed rule") {
+    val rules = Seq(
+      Expectation("nonneg", "amount >= 0", Drop),
+      Expectation("under_50", "amount <= 50", Drop))
+    val (good, bad) = Expectations.quarantine(df, rules)
+    assert(good.columns.toSeq == df.columns.toSeq)
+    assert(good.as[(Int, Double)].collect().toSet ==
+      Set((1, 10.0), (3, 0.0), (5, 25.0)))
+    val quarantined = bad.select("id", "violated_rules")
+      .as[(Int, Seq[String])].collect().toMap
+    assert(quarantined == Map(2 -> Seq("nonneg"), 4 -> Seq("under_50")))
+    // good ∪ bad partitions the input
+    assert(good.count() + bad.count() == df.count())
+  }
 }
