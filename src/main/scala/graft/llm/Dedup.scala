@@ -73,7 +73,14 @@ object Dedup {
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .where(size(col("t")) >= 3)
+    // materialization point: the shingle arrays are the expensive stage
+    // and are referenced three times (signatures + both verification
+    // sides). The explicit hash-partition exchange makes every later
+    // reference a ReusedExchange of ONE computation — without it each
+    // reference re-scans the corpus and re-shingles (observed: 12 scans
+    // in the corpus-curation plan before this line existed).
     val sh = toks.select(col("doc_id"), shingleHashes(col("t")).as("shash"))
+      .repartition(col("doc_id"))
     val sigCols = hashParams.zipWithIndex.map { case ((a, b), j) =>
       array_min(transform(col("shash"), h => (h * a + b) % MinhashPrime)).as(s"s$j")
     }
@@ -83,8 +90,12 @@ object Dedup {
       md5(concat_ws(",", cols: _*)).as(s"band$bnd")
     }
     val banded = sig.select(col("doc_id") +: bandCols: _*)
+    // second materialization, partitioned on the band key: the LSH
+    // self-join reads the SAME exchange for both sides and — being
+    // pre-clustered on bk — joins without shuffling either side again.
     val keyed = banded.select(col("doc_id"), explode(array(
       (0 until numBands).map(bnd => concat(lit(bnd.toString), col(s"band$bnd"))): _*)).as("bk"))
+      .repartition(col("bk"))
     val pairs = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

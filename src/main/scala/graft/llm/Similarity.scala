@@ -168,9 +168,14 @@ object Similarity {
           lit(0.0), (acc, v) => acc + v)
         when(d >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
+      // bucket assignment (8 hyperplane dot products per vector) is
+      // computed once behind a bucket-partitioned exchange; the self-join
+      // reuses it for both sides and joins co-clustered (see the
+      // materialization notes in Dedup.nearDupPairs)
       val keyed = norms(spark, dir)
         .repartition(spark.sparkContext.defaultParallelism)
         .select(col("vec_id"), col("embedding"), col("nrm"), bucket.as("bucket"))
+        .repartition(col("bucket"))
       val pairs = keyed.as("a").join(keyed.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.bucket").as("bucket"),

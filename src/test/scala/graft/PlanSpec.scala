@@ -43,6 +43,17 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("corpus curation shares the shingle stage via exchange reuse") {
+    // the shingle arrays are referenced by the signature path and both
+    // verification sides; the explicit materialization exchanges in
+    // Dedup.nearDupPairs must be reused, not recomputed (final AQE plan)
+    val df = SparkEntry.queries("q_corpus_curation")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Reused".r.findAllIn(plan).nonEmpty,
+      "expected at least one reused exchange/stage in the final plan")
+  }
+
   test("projection pruning reaches the scan (ReadSchema)") {
     // the pricing summary touches 7 of lineitem's 16 columns; the scan
     // must not read the rest
