@@ -102,6 +102,11 @@ object Similarity {
     val n = norms(spark, dir)
     val cents = n.where(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    // nearest-centroid assignment costs |vectors|×|centroids| dot
+    // products and is referenced twice (query cells + member lists);
+    // the window's own vec_id exchange materializes it, and the second
+    // reference reuses that exchange instead of recomputing (the window
+    // shuffle carries only (vec_id, cell_id, c_cos) — tiny)
     val assign = n.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("cell_id"),
         (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("c_cos"))
