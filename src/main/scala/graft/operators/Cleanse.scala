@@ -113,5 +113,28 @@ object Cleanse {
       .limit(100)
   }
 
-  val all: Seq[QueryDef] = Seq(qCleanseCustomer, qFilterPredicates, qNullHandling, qOrderTopN)
+  /** Set operations (beyond the reference's union-only surface):
+    * INTERSECT and EXCEPT, each a hash-partition shuffle on the full
+    * row — same scale shape as distinct. Labeled and unioned so one
+    * result verifies both. */
+  val qSetOps: QueryDef = QueryDef.sql(
+    "q_set_ops",
+    """WITH high AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000),
+      |     buyers AS (SELECT DISTINCT o_custkey AS custkey FROM orders)
+      |SELECT 'rich_buyer' AS side, custkey FROM (SELECT custkey FROM high INTERSECT SELECT custkey FROM buyers)
+      |UNION ALL
+      |SELECT 'rich_no_orders' AS side, custkey FROM (SELECT custkey FROM high EXCEPT SELECT custkey FROM buyers)""".stripMargin) {
+    (spark, dir) =>
+      val high = Tables.customer(spark, dir)
+        .where(col("c_acctbal") > 7000)
+        .select(col("c_custkey").as("custkey"))
+      val buyers = Tables.orders(spark, dir)
+        .select(col("o_custkey").as("custkey")).distinct()
+      high.intersect(buyers).select(lit("rich_buyer").as("side"), col("custkey"))
+        .unionByName(
+          high.except(buyers).select(lit("rich_no_orders").as("side"), col("custkey")))
+  }
+
+  val all: Seq[QueryDef] = Seq(qCleanseCustomer, qFilterPredicates, qNullHandling,
+    qOrderTopN, qSetOps)
 }

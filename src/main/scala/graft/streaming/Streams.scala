@@ -137,5 +137,40 @@ object Streams {
     runToMemory(deduped, "q_stream_dedup_sink", "append")
   }
 
-  val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark)
+  /** Stream-stream inner join with an event-time range condition — the
+    * click→purchase attribution shape: each purchase joins the same
+    * user's clicks from the preceding hour. Watermarks on BOTH sides
+    * plus the range predicate bound the join state: a buffered click is
+    * evictable once the purchase-side watermark passes click_ts + 1h.
+    * Inner joins emit eagerly, so the AvailableNow run equals the batch
+    * interval join exactly (no flush sentinel needed, unlike
+    * [[Sessions]]). */
+  val qStreamJoin: QueryDef = QueryDef.sql(
+    "q_stream_join",
+    """SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+      |  CAST(a.ts AS TIMESTAMP) AS click_ts, CAST(b.ts AS TIMESTAMP) AS purchase_ts
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+      |WHERE a.event_type = 'click' AND b.event_type = 'purchase'""".stripMargin) {
+    (spark, dir) =>
+      val clicks = eventsStream(spark, dir)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "0 seconds")
+      val purchases = eventsStream(spark, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "0 seconds")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("click_id"), col("purchase_id"),
+          col("click_ts"), col("purchase_ts"))
+      runToMemory(joined, "q_stream_join_sink", "append")
+  }
+
+  val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark, qStreamJoin)
 }
