@@ -292,6 +292,8 @@ object Dedup {
     // distributed top-k (TakeOrderedAndProject — per-partition heaps, no
     // single-partition window over the full pair set); the rank window
     // then runs over exactly k rows. Total order ⇒ row_number ≡ rank.
+    // (the WindowExec single-partition warning this rank emits is
+    // intended: it runs over exactly the k TakeOrdered survivors)
     scored
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)

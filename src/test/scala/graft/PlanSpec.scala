@@ -54,6 +54,25 @@ class PlanSpec extends SparkSpec {
       "expected at least one reused exchange/stage in the final plan")
   }
 
+  test("partition-keyed join prunes fact partitions dynamically (DPP)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp-").toString
+    Tables.orders(spark, sfDir).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    // the dim must be a real source with a surviving selective filter —
+    // a LocalRelation dim gets its filter folded away and DPP skips it
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dpp-dim-").toString
+    Seq(("1-URGENT", "u"), ("5-LOW", "l")).toDF("o_orderpriority", "flag")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.where(org.apache.spark.sql.functions.col("flag") === "u"),
+      Seq("o_orderpriority"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning filter on the fact scan:\n$plan")
+  }
+
   test("projection pruning reaches the scan (ReadSchema)") {
     // the pricing summary touches 7 of lineitem's 16 columns; the scan
     // must not read the rest
