@@ -82,6 +82,26 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming MERGE sink via foreachBatch: every micro-batch upserts
+    * into the parquet target through [[graft.operators.Scd2.mergeUpsert]]
+    * (keyed, recency-guarded) — the continuous CDC→gold handoff the
+    * reference schedules as a daily batch (gold_pipeline.py:789-796),
+    * run incrementally. The checkpoint makes it exactly-once at the
+    * batch level: a replayed micro-batch re-merges idempotently because
+    * the recency guard rejects rows that are not strictly newer. */
+  def foreachBatchUpsert(df: DataFrame, targetPath: String, checkpoint: String,
+      keys: Seq[String], recencyCol: String): Unit = {
+    val mergeOne = (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      graft.operators.Scd2.mergeUpsert(batch.sparkSession, targetPath, batch, keys, recencyCol)
+    val q = df.writeStream
+      .outputMode("append")
+      .foreachBatch(mergeOne)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink and return the materialized result. Fresh checkpoint per run —
     * results are deterministic, so recovery state is not reused across

@@ -119,4 +119,25 @@ class StreamsSpec extends SparkSpec {
     assert(n1 > 0)
     assert(n1 == n2)
   }
+
+  test("foreachBatch streaming MERGE upserts across restarts (S8/ST6)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val target = Files.createTempDirectory("graft-fbu-").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-fbu-ckpt-").toString
+    def run(): Unit = Streams.foreachBatchUpsert(
+      ms.toDF().toDF("id", "payload", "updated_at"), target, ckpt,
+      Seq("id"), "updated_at")
+    // first run: initial load
+    ms.addData((1L, "a", 10L), (2L, "b", 10L))
+    run()
+    assert(spark.read.parquet(target).count() == 2)
+    // second run, same checkpoint: a newer update for 1, a STALE row for
+    // 2 (must be rejected by the recency guard), and a new key 3
+    ms.addData((1L, "a2", 20L), (2L, "stale", 5L), (3L, "c", 20L))
+    run()
+    val state = spark.read.parquet(target)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(state == Seq((1L, "a2", 20L), (2L, "b", 10L), (3L, "c", 20L)))
+  }
 }
