@@ -5,13 +5,7 @@ import org.apache.spark.sql.SparkSession
   * rows on sf0.001. Exit 0 iff it does. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(4)
     val df = SparkEntry.entry(spark)
     val n = df.count()
     println(s"SMOKE entry rows=$n cols=${df.columns.mkString(",")}")
