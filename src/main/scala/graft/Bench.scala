@@ -15,10 +15,18 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.local(cpus)
 
+    // Dev-only subset filter. Each query runs `reps` times and reports the
+    // min — one timed run picks up whatever full-GC debt the previous
+    // query's decimal/HLL buffers left behind (observed 6x inflation on a
+    // single run), and min-of-2 measures the plan, not the neighbor.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val queries = SparkEntry.queries.filter(q => only.forall(_.contains(q._1)))
+
     // JVM/codegen warmup on the smallest SF so per-query times measure the
     // plan, not first-call JIT + codegen compilation.
     val warmupDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -27,14 +35,17 @@ object Bench {
 
     // A query that throws records wall-time -1 and lands in `failed` —
     // a regression must not masquerade as a fast run.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      (name, times.min, !times.contains(-1.0))
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
