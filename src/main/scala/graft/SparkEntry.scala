@@ -23,6 +23,7 @@ object SparkEntry {
       quality.Expectations.all ++
       quality.Validation.all ++
       functions.Geo.all ++
+      maintenance.Maintenance.all ++
       streaming.Streams.all ++
       streaming.Sessions.all ++
       llm.TextAnalysis.all ++

@@ -31,6 +31,33 @@ object Maintenance {
       _.repartitionByRange(numFiles, cols.map(col): _*)
         .sortWithinPartitions(cols.map(col): _*))
 
+  /** M2, true two-dimensional variant: cluster by a Z-order (Morton) key
+    * over two numeric columns, so min/max skipping works on EITHER column
+    * — [[cluster]]'s lexicographic sort only localizes the leading one.
+    * Two linear passes: a min/max stats aggregate (one tiny job) to
+    * normalize each column onto a 65k grid, then the keyed rewrite. At
+    * 100 TB pass `partitionBy`-style scoping upstream (rewrite only hot
+    * partitions); the stats pass is a full scan of just the two columns,
+    * and the rewrite is the same shuffle any OPTIMIZE pays. */
+  def clusterZ(spark: SparkSession, path: String, numFiles: Int,
+      colA: String, colB: String): Unit =
+    rewrite(spark, path, { df =>
+      graft.functions.ZOrderKey.register(df.sparkSession)
+      val r = df.agg(
+        min(col(colA).cast("double")), max(col(colA).cast("double")),
+        min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+      def grid(c: String, lo: Double, hi: Double) =
+        if (hi == lo) lit(0L)
+        else least(floor((col(c).cast("double") - lit(lo)) / (hi - lo) * 65536.0), lit(65535.0))
+          .cast("long")
+      df.withColumn("__zkey", call_function("zorder_key",
+          grid(colA, r.getDouble(0), r.getDouble(1)),
+          grid(colB, r.getDouble(2), r.getDouble(3))))
+        .repartitionByRange(numFiles, col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop("__zkey")
+    })
+
   /** Atomic-enough rewrite: write to a sibling tmp dir, then swap.
     * (Parquet datasets can't be overwritten in place while being read.) */
   private def rewrite(spark: SparkSession, path: String, f: DataFrame => DataFrame): Unit = {
@@ -70,4 +97,24 @@ object Maintenance {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** The Z-order key itself, oracle-verified bit-for-bit: the native
+    * [[graft.functions.ZOrderKey]] expression vs the same interleave
+    * written as bit arithmetic in DuckDB. (The clustering REWRITE is
+    * exercised by MaintenanceSpec — file layout isn't SQL-observable.) */
+  val qZOrderKey: graft.QueryDef = graft.QueryDef.sql(
+    "q_maint_zorder_key",
+    """SELECT o_orderkey,
+      |  CAST(list_sum(list_transform(generate_series(0, 15), i ->
+      |    (((o_custkey % 65536) >> i) & 1) * power(2, 2*i + 1)::BIGINT +
+      |    (((o_orderkey % 65536) >> i) & 1) * power(2, 2*i)::BIGINT)) AS BIGINT) AS zkey
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    graft.functions.ZOrderKey.register(spark)
+    graft.Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      call_function("zorder_key",
+        col("o_custkey") % 65536, col("o_orderkey") % 65536).as("zkey"))
+  }
+
+  val all: Seq[graft.QueryDef] = Seq(qZOrderKey)
 }

@@ -138,7 +138,40 @@ object Joins {
         coalesce(col("n_customers"), lit(0L)).as("n_customers"))
   }
 
+  /** Full star-schema rollup — the gold trip_fact enrichment shape
+    * (gold_pipeline.py:637-671) at TPC-H scale: one fact-fact equi join
+    * (lineitem ⋈ orders, the only shuffle join) plus four broadcast dims
+    * (part, supplier, nation, region). At 100 TB the plan is one
+    * sort-merge/shuffled-hash exchange on orderkey and everything else
+    * pipelines map-side; the aggregate's partial states are the only other
+    * shuffle. */
+  val qStarSchema: QueryDef = QueryDef.sql(
+    "q_join_star_schema",
+    """SELECT r_name AS region_name, p_brand AS brand,
+      |  CAST(year(o_orderdate) AS INT) AS order_year,
+      |  count(*) AS n_lineitems,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN part     ON l_partkey  = p_partkey
+      |JOIN supplier ON l_suppkey  = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("p_brand").as("brand"),
+        year(col("o_orderdate")).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_lineitems"),
+        money(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qRevenueByNation, qLeftEnrich, qMultiAttrJoin,
-    qAntiJoin, qSemiJoin, qFullOuter)
+    qAntiJoin, qSemiJoin, qFullOuter, qStarSchema)
 }

@@ -40,6 +40,38 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("zorder_key interleaves bits exactly, preserving grid locality") {
+    import graft.functions.ZOrderKey.interleave
+    assert(interleave(0L, 0L) == 0L)
+    assert(interleave(1L, 0L) == 2L)   // a's bit 0 → position 1
+    assert(interleave(0L, 1L) == 1L)   // b's bit 0 → position 0
+    assert(interleave(0xFFFFL, 0xFFFFL) == 0xFFFFFFFFL)
+    // locality: adjacent cells differ in few low-order key bits, far
+    // cells differ high — the key of (x, y) lies between its quadrant's
+    // corners
+    val q = interleave(40000L, 20000L)
+    assert(q > interleave(32768L, 0L) && q < interleave(65535L, 32767L))
+  }
+
+  test("clusterZ gives per-file min/max locality on BOTH columns") {
+    val dir = Files.createTempDirectory("graft-zorder-").toString + "/t"
+    // two independent uniform dimensions — lexicographic clustering on
+    // (a, b) would leave b's per-file span at ~full range
+    spark.range(65536).select(
+        (col("id") % 256).as("a"), (col("id") / 256).cast("long").as("b"))
+      .repartition(8).write.parquet(dir)
+    Maintenance.clusterZ(spark, dir, 16, "a", "b")
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max("a") - min("a")).as("sa"), (max("b") - min("b")).as("sb"))
+      .agg(avg("sa"), avg("sb")).as[(Double, Double)].head()
+    // 16 z-ordered files over a 256×256 grid ⇒ each file covers about a
+    // quarter of each dimension; assert well under the full 255 span
+    assert(spans._1 < 160, s"column a span too wide: $spans")
+    assert(spans._2 < 160, s"column b span too wide: $spans")
+    assert(spark.read.parquet(dir).count() == 65536L)
+  }
+
   test("analyze computes CBO statistics for a catalog table") {
     dropManagedTable("maint_analyze_t")
     spark.range(100).write.mode("overwrite").saveAsTable("maint_analyze_t")

@@ -23,6 +23,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("star-schema rollup: exactly one shuffled fact join, four broadcast dims") {
+    // disable size-based auto-broadcast: at 100 TB only the explicit
+    // broadcast() hints apply, and the fact-fact join must shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf("q_join_star_schema")
+      assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size == 4, plan)
+      assert("""\(\d+\) (SortMergeJoin|ShuffledHashJoin)""".r.findAllIn(plan).size == 1, plan)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("global top-n plans as distributed TakeOrderedAndProject") {
     assert(planOf("q_order_topn").contains("TakeOrderedAndProject"))
     // pair-ranking queries use the same shape: per-partition heaps, no
