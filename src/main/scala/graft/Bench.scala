@@ -21,7 +21,11 @@ object Bench {
     // single run), and min-of-2 measures the plan, not the neighbor.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
     val queries = SparkEntry.queries.filter(q => only.forall(_.contains(q._1)))
+    require(queries.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${only.fold("")(_.mkString(","))} matches no registered query " +
+        s"(known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
 
     // JVM/codegen warmup on the smallest SF so per-query times measure the
     // plan, not first-call JIT + codegen compilation.

@@ -48,8 +48,17 @@ object ZOrderKey {
 
   /** Interleave the low 16 bits: bit i of `a` lands at 2i+1, bit i of `b`
     * at 2i — so `a` is the higher-order dimension on ties. Static and
-    * branch-free for the generated code. */
+    * branch-free for the generated code.
+    *
+    * Inputs OUTSIDE [0, 65535] are rejected: a raw column value passed in
+    * place of a pre-normalized grid cell would otherwise alias (key = low
+    * 16 bits only) and silently destroy locality. The guard costs one
+    * branch; normalization lives in `Maintenance.clusterZ`. */
   def interleave(a: Long, b: Long): Long = {
+    if ((a | b) >>> 16 != 0L || a < 0L || b < 0L)
+      throw new IllegalArgumentException(
+        s"zorder_key: inputs must be grid cells in [0, 65535], got ($a, $b); " +
+          "normalize raw column values first (see Maintenance.clusterZ)")
     var z = 0L
     var i = 0
     while (i < 16) {
@@ -61,21 +70,24 @@ object ZOrderKey {
 
   val functionName = "zorder_key"
 
+  private val usage = "zorder_key(a, b) - Interleaves the bits of two grid " +
+    "cells a, b, each REQUIRED to be in [0, 65535] (pre-normalize raw values " +
+    "onto the 65k grid first); raises on out-of-range input."
+
   private def builder(children: Seq[Expression]): Expression = {
     require(children.size == 2, s"$functionName expects (a, b)")
     ZOrderKey(Cast(children(0), LongType), Cast(children(1), LongType))
   }
 
+  private def info = new ExpressionInfo(
+    classOf[ZOrderKey].getName, null, functionName, usage, "")
+
   /** Register on an existing session. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(functionName),
-      new ExpressionInfo(classOf[ZOrderKey].getName, functionName),
-      builder(_))
+      FunctionIdentifier(functionName), info, builder(_))
 
   /** For `spark.sql.extensions`-based deployment. */
   def inject(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((FunctionIdentifier(functionName),
-      new ExpressionInfo(classOf[ZOrderKey].getName, functionName),
-      builder))
+    ext.injectFunction((FunctionIdentifier(functionName), info, builder))
 }

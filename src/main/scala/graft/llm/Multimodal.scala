@@ -79,7 +79,7 @@ object Multimodal {
        |  'rgb8' AS format,
        |  CAST(64 + h % 1856 AS DOUBLE) / CAST(64 + (h // 256) % 1016 AS INT) AS aspect_ratio,
        |  octet_length(encode(text)) // 1000 + 1 AS n_frames,
-       |  [ (i * 1000)::BIGINT for i in generate_series(0, octet_length(encode(text)) // 1000) ] AS frame_offsets
+       |  array_to_string([ (i * 1000)::BIGINT for i in generate_series(0, octet_length(encode(text)) // 1000) ], ',') AS frame_offsets
        |FROM (SELECT doc_id, text, ${Portable.h32Sql("text")} AS h FROM documents)""".stripMargin) { (spark, dir) =>
     val assets = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -94,7 +94,11 @@ object Multimodal {
       col("meta.format").as("format"),
       (col("meta.width").cast("double") / col("meta.height")).as("aspect_ratio"),
       (expr("byte_size div 1000") + 1).as("n_frames"),
-      transform(sequence(lit(0L), expr("byte_size div 1000")), i => i * 1000).as("frame_offsets"))
+      // CSV-joined, not ARRAY: the verification gate canonicalizes rows in
+      // pandas, where an array cell is unhashable/unsortable. The sampling
+      // itself is still columnar arithmetic over byte offsets.
+      array_join(transform(sequence(lit(0L), expr("byte_size div 1000")), i => i * 1000), ",")
+        .as("frame_offsets"))
   }
 
   val all: Seq[QueryDef] = Seq(qFeatures)

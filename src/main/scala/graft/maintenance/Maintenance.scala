@@ -46,6 +46,8 @@ object Maintenance {
       val r = df.agg(
         min(col(colA).cast("double")), max(col(colA).cast("double")),
         min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+      require((0 to 3).forall(!r.isNullAt(_)),
+        s"clusterZ: no non-null values in $colA/$colB (empty dataset or all-null column)")
       def grid(c: String, lo: Double, hi: Double) =
         if (hi == lo) lit(0L)
         else least(floor((col(c).cast("double") - lit(lo)) / (hi - lo) * 65536.0), lit(65535.0))

@@ -213,16 +213,24 @@ object Aggregations {
   /** The 100 TB path for distinct counts: an HLL++ sketch next to the
     * exact count. Exact countDistinct shuffles every distinct key; the
     * sketch shuffles one fixed-size buffer per group and merges — the
-    * only option when the distinct set itself doesn't fit. Rows-only
-    * check (the sketch estimate is algorithm-specific, not
-    * SQL-reproducible in the oracle engine); SketchSpec bounds its
-    * relative error against the exact value. */
-  val qApproxDistinct: QueryDef = QueryDef.rowsOnly("q_agg_approx_distinct") { (spark, dir) =>
+    * only option when the distinct set itself doesn't fit. The sketch
+    * estimate itself is algorithm-specific (not SQL-reproducible in the
+    * oracle engine), so the verifiable output is the exact count plus a
+    * boolean asserting the estimate landed within 5× the configured rsd
+    * — the oracle expects TRUE, making the sketch's accuracy itself
+    * hash-checked; SketchSpec additionally bounds the raw error. */
+  val qApproxDistinct: QueryDef = QueryDef.sql(
+    "q_agg_approx_distinct",
+    """SELECT l_returnflag,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+      |  TRUE AS sketch_within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+        (abs(approx_count_distinct(col("l_orderkey"), 0.02) - countDistinct(col("l_orderkey")))
+          <= countDistinct(col("l_orderkey")) * lit(0.10)).as("sketch_within_bound"))
   }
 
   val all: Seq[QueryDef] = Seq(

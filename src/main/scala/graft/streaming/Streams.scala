@@ -128,14 +128,15 @@ object Streams {
     """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS win_start,
       |  event_type,
       |  count(*) AS n_events,
-      |  sum(CAST(value AS DECIMAL(38,10))) AS sum_value
+      |  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
       |FROM events
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
     val agg = eventsStream(spark, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(38, 10))).as("sum_value"))
+        round(sum(col("value").cast(DecimalType(38, 10))), 2)
+          .cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n_events"), col("sum_value"))
     runToMemory(agg, "q_stream_windowed_agg_sink", "complete")

@@ -26,12 +26,16 @@ class PlanSpec extends SparkSpec {
   test("star-schema rollup: exactly one shuffled fact join, four broadcast dims") {
     // disable size-based auto-broadcast: at 100 TB only the explicit
     // broadcast() hints apply, and the fact-fact join must shuffle
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val plan = planOf("q_join_star_schema")
       assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size == 4, plan)
       assert("""\(\d+\) (SortMergeJoin|ShuffledHashJoin)""".r.findAllIn(plan).size == 1, plan)
-    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("global top-n plans as distributed TakeOrderedAndProject") {
