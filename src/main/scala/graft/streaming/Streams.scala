@@ -105,18 +105,32 @@ object Streams {
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink and return the materialized result. Fresh checkpoint per run —
     * results are deterministic, so recovery state is not reused across
-    * verification runs. */
-  def runToMemory(df: DataFrame, name: String, outputMode: String): DataFrame = {
+    * verification runs.
+    *
+    * `statePartitions` is the stateful-operator sharding: Spark freezes
+    * `shuffle.partitions` into the checkpoint at first start, so unlike
+    * batch (where AQE coalesces) this number must be CHOSEN, sized to
+    * steady-state state volume (≈ state bytes / 128 MiB per store), not
+    * inherited from the batch shuffle default. Every store pays a
+    * per-micro-batch commit, so oversharding a small stream buys pure
+    * overhead — the opposite economics of batch oversizing. */
+  def runToMemory(df: DataFrame, name: String, outputMode: String,
+      statePartitions: Int = 8): DataFrame = {
+    val spark = df.sparkSession
     val checkpoint = Files.createTempDirectory(s"graft-ckpt-$name-").toString
-    val q = df.writeStream
-      .queryName(name)
-      .outputMode(outputMode)
-      .format("memory")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    df.sparkSession.table(name)
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    try {
+      val q = df.writeStream
+        .queryName(name)
+        .outputMode(outputMode)
+        .format("memory")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
+    spark.table(name)
   }
 
   /** ST1+ST5: watermarked event-time windowed aggregation (1-day tumbling
