@@ -171,7 +171,39 @@ object Joins {
         money(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
   }
 
+  /** Range join: facts against interval dims `[lo, hi)` — the price-band
+    * classification shape. Runs through [[ScaleJoins.rangeJoin]], which
+    * rewrites the theta predicate as an equi join on covering buckets +
+    * exact post-filter, so the plan is a hash join at any band-table size
+    * (a raw range predicate plans as BroadcastNestedLoopJoin and degrades
+    * to a cartesian product past the broadcast threshold — asserted away
+    * in ScaleJoinsSpec). */
+  val qRangeBand: QueryDef = {
+    val bands = Seq(
+      ("budget", 0.0, 5000.0), ("value", 5000.0, 20000.0),
+      ("mid", 20000.0, 45000.0), ("premium", 45000.0, 75000.0),
+      ("luxury", 75000.0, 150000.0))
+    val bandsSql = bands.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")
+    QueryDef.sql(
+      "q_join_range_band",
+      s"""SELECT band_name, count(*) AS n_items,
+         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN (VALUES $bandsSql) AS b(band_name, lo, hi)
+         |  ON l_extendedprice >= lo AND l_extendedprice < hi
+         |GROUP BY band_name""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val bandsDf = bands.toDF("band_name", "lo", "hi")
+      ScaleJoins.rangeJoin(
+          Tables.lineitem(spark, dir).select(col("l_extendedprice")),
+          "l_extendedprice", bandsDf, "lo", "hi", bucketWidth = 5000.0)
+        .groupBy(col("band_name"))
+        .agg(count(lit(1)).as("n_items"),
+          money(dsum(col("l_extendedprice"))).as("revenue"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     qRevenueByNation, qLeftEnrich, qMultiAttrJoin,
-    qAntiJoin, qSemiJoin, qFullOuter, qStarSchema)
+    qAntiJoin, qSemiJoin, qFullOuter, qStarSchema, qRangeBand)
 }

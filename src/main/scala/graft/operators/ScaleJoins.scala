@@ -55,4 +55,34 @@ object ScaleJoins {
     * ShuffleExchange on either side (asserted in ScaleJoinsSpec). */
   def coLocatedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).hint("merge").join(spark.table(right), Seq(key))
+
+  /** Banded range join: fact rows against interval dims `[lo, hi)`
+    * expressed as an EQUI join, not a theta join. Each interval explodes
+    * into the fixed-width buckets it covers; each fact row maps to the
+    * one bucket holding its value; the join matches on bucket id and the
+    * exact range predicate runs as a post-filter on the (tiny) matched
+    * set.
+    *
+    * Why: Spark plans a raw `f.value >= d.lo AND f.value < d.hi` join as
+    * BroadcastNestedLoopJoin — every fact row tests EVERY interval, and
+    * when the interval side outgrows the broadcast threshold it degrades
+    * to a cartesian product. The bucketed form stays a hash join at any
+    * dim size: cost is one equi-join keyed by bucket plus `span/width`
+    * replicated rows per interval (choose `bucketWidth` near the median
+    * interval span so replication stays O(1) per interval). Overlapping
+    * intervals are fine — a fact row matches each interval containing it.
+    */
+  def rangeJoin(fact: DataFrame, factCol: String,
+      bands: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val w = lit(bucketWidth)
+    val expanded = bands.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / w), floor(col(hiCol) / w))))
+    fact.withColumn("__bucket", floor(col(factCol) / w))
+      .join(expanded,
+        Seq("__bucket"))
+      .where(col(factCol) >= col(loCol) && col(factCol) < col(hiCol))
+      .drop("__bucket")
+  }
 }

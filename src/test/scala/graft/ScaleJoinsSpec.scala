@@ -49,4 +49,21 @@ class ScaleJoinsSpec extends SparkSpec {
     dropManagedTable("b_orders")
     dropManagedTable("b_lineitem")
   }
+
+  test("rangeJoin equals the naive theta join and plans as a hash join") {
+    import spark.implicits._
+    val bands = Seq(("low", 0.0, 3000.0), ("midlow", 3000.0, 3500.0),
+      ("wide", 1000.0, 90000.0), ("high", 90000.0, 200000.0))
+      .toDF("band_name", "lo", "hi") // overlapping on purpose
+    val fact = Tables.lineitem(spark, sfDir).select(col("l_extendedprice"))
+    val banded = ScaleJoins.rangeJoin(fact, "l_extendedprice", bands, "lo", "hi", 2000.0)
+    val naive = fact.join(bands,
+      col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .select(banded.columns.map(col): _*)
+    assert(banded.exceptAll(naive).count() == 0)
+    assert(naive.exceptAll(banded).count() == 0)
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must stay an equi hash join:\n$plan")
+  }
 }
