@@ -245,8 +245,93 @@ object Aggregations {
           <= count(lit(1)) * lit(0.10)).as("sketch_within_bound"))
   }
 
+  /** Cube: all 2^k grouping combinations in one pass — the ad-hoc-slice
+    * companion to [[qRollup]]'s hierarchy. Same Expand + single hash
+    * aggregate physical shape; output stays bounded by group cardinality
+    * × 2^k levels. */
+  val qCube: QueryDef = QueryDef.sql(
+    "q_agg_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(money(dsum(col("l_extendedprice"))).as("revenue"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Native relational pivot (`groupBy().pivot()`) — same semantics as
+    * [[qEventPivot]]'s hand-written `count(when(...))` fold but through
+    * Spark's pivot operator with an EXPLICIT value list: without one,
+    * pivot runs a driver-side distinct-values job and the output schema
+    * depends on the data — both unacceptable at 100 TB. Missing cells
+    * are count=null in pivot; coalesce to 0 for the relational answer. */
+  val qPivotNative: QueryDef = QueryDef.sql(
+    "q_agg_pivot_counts",
+    """SELECT user_id,
+      |  count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+      |  count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+      |FROM events GROUP BY user_id""".stripMargin) { (spark, dir) =>
+    val types = Seq("view", "click", "purchase", "error")
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("user_id") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
+  /** Quantile sketch — the 100 TB path for percentiles: a fixed-size
+    * mergeable summary instead of [[qPercentiles]]'s full value buffer.
+    * Like [[qApproxDistinct]], the estimate is algorithm-specific, so the
+    * verified output is the exact quantile plus a boolean pinning the
+    * sketch within 5% of it (at accuracy 10000 the rank error is 0.01%,
+    * so the value-space slack is enormous; the oracle expects TRUE). */
+  val qQuantileSketch: QueryDef = QueryDef.sql(
+    "q_agg_quantile_sketch",
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS exact_median,
+      |  TRUE AS sketch_within_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+        expr("percentile_approx(l_extendedprice, 0.5, 10000)").as("approx_median"))
+      .select(col("l_returnflag"), col("exact_median"),
+        (abs(col("approx_median") - col("exact_median"))
+          <= abs(col("exact_median")) * lit(0.05)).as("sketch_within_bound"))
+  }
+
+  /** Custom typed Aggregator: exact order-independent population variance
+    * (see [[graft.functions.ExactVariance]] for why double `var_pop`
+    * can't pass a bit-exact gate). Values quantized to a 1e-6 grid; both
+    * moments summed exactly in unbounded integers; the one double
+    * conversion happens in a fixed operation order mirrored by the
+    * oracle, then rescales from grid units² to value units². */
+  val qExactVariance: QueryDef = QueryDef.sql(
+    "q_func_exact_variance",
+    """SELECT event_type, count(*) AS n,
+      |  (CAST(sum(CAST(v AS HUGEINT) * v) AS DOUBLE) / count(*)
+      |    - (CAST(sum(v) AS DOUBLE) / count(*)) * (CAST(sum(v) AS DOUBLE) / count(*)))
+      |    / 1e12 AS value_var
+      |FROM (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v FROM events)
+      |GROUP BY event_type""".stripMargin) { (spark, dir) =>
+    val varPopQ = udaf(graft.functions.ExactVariance.VarPopQ)
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * lit(1000000L), 0).cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (varPopQ(col("v")) / lit(1e12)).as("value_var"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, qCustomerLifetime, qConditionalRates,
-    qEventPivot, qGroupwiseMax, qCountReport, qRollup, qPercentiles,
-    qApproxDistinct)
+    qEventPivot, qGroupwiseMax, qCountReport, qRollup, qCube, qPercentiles,
+    qApproxDistinct, qQuantileSketch, qPivotNative, qExactVariance)
 }
