@@ -101,5 +101,39 @@ object Multimodal {
         .as("frame_offsets"))
   }
 
-  val all: Seq[QueryDef] = Seq(qFeatures)
+  /** Frame-level extraction: explode each payload into its sampled
+    * frames (1 KiB stride) and compute per-frame features over the
+    * SLICED bytes — binary substring is the real plumbing a video/audio
+    * frame extractor runs on (seek + bounded read), and the explode
+    * multiplies rows, not payload copies: each output row carries only
+    * its 1 KiB slice and small metadata. The empty-payload edge is
+    * guarded (one empty frame, not a descending sequence). */
+  val qFrames: QueryDef = QueryDef.sql(
+    "q_multimodal_frames",
+    """SELECT doc_id, i AS frame_idx, i * 1000 AS frame_offset,
+      |  length(substring(payload_hex, CAST(i * 2000 + 1 AS BIGINT), 2000)) // 2 AS frame_len,
+      |  md5(lower(substring(payload_hex, CAST(i * 2000 + 1 AS BIGINT), 2000))) AS frame_md5
+      |FROM (
+      |  SELECT doc_id, payload_hex,
+      |    unnest(generate_series(0::BIGINT, greatest((length(payload_hex) // 2 - 1) // 1000, 0)::BIGINT)) AS i
+      |  FROM (SELECT doc_id, hex(encode(text)) AS payload_hex FROM documents))""".stripMargin) {
+    (spark, dir) =>
+      // frame identity = md5 of the slice's lowercase hex encoding (the
+      // oracle engine cannot hash raw blobs; hex chars are ASCII so the
+      // digest input is byte-identical across engines)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .withColumn("byte_size", length(col("payload")).cast("long"))
+        .withColumn("frame_idx",
+          explode(sequence(lit(0L), greatest(lit(0L), expr("(byte_size - 1) div 1000")))))
+        .withColumn("frame_bytes",
+          expr("substring(payload, CAST(frame_idx * 1000 + 1 AS INT), 1000)"))
+        .select(
+          col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * 1000).as("frame_offset"),
+          length(col("frame_bytes")).cast("long").as("frame_len"),
+          md5(lower(hex(col("frame_bytes")))).as("frame_md5"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qFeatures, qFrames)
 }
