@@ -1,0 +1,54 @@
+package graft
+
+import graft.maintenance.IncrementalAgg
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Folding the version delta into a materialized aggregate must equal
+  * the full recompute bit-for-bit (decimal sums make both exact). */
+class IncrementalAggSpec extends SparkSpec {
+
+  test("applyDelta equals full re-materialization across a versioned update") {
+    val path = java.nio.file.Files.createTempDirectory("graft-inc-").toString + "/t"
+    val orders = Tables.orders(spark, sfDir)
+
+    // v0: a subset; v1: drop some rows, modify others, add the rest —
+    // the delta therefore contains deletes, updates (delete+insert
+    // pairs), and pure inserts
+    val v0 = orders.where(col("o_orderkey") % 5 =!= 0)
+    val v1 = orders.where(col("o_orderkey") % 3 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+          .otherwise(col("o_totalprice")))
+    VersionedTable.write(spark, v0, path)
+    VersionedTable.write(spark, v1, path)
+
+    val keys = Seq("o_custkey")
+    val sums = Seq("o_totalprice")
+    val base = IncrementalAgg.materialize(VersionedTable.read(spark, path, Some(0)), keys, sums)
+    val delta = VersionedTable.changes(spark, path, 0, 1)
+    val maintained = IncrementalAgg.applyDelta(base, delta, keys, sums)
+    val recomputed = IncrementalAgg.materialize(VersionedTable.read(spark, path, Some(1)), keys, sums)
+
+    assert(maintained.schema == recomputed.schema,
+      s"${maintained.schema} vs ${recomputed.schema}")
+    assert(maintained.exceptAll(recomputed).count() == 0
+      && recomputed.exceptAll(maintained).count() == 0,
+      "maintained aggregate diverged from full recompute")
+    // and it did real work: the delta was non-trivial
+    assert(delta.count() > 0)
+    assert(delta.select(col("_change_type")).distinct().count() == 2)
+  }
+
+  test("groups deleted down to zero rows disappear") {
+    import spark.implicits._
+    val base = Seq(("a", 10.0), ("a", 5.0), ("b", 1.0)).toDF("k", "v")
+    val agg = IncrementalAgg.materialize(base, Seq("k"), Seq("v"))
+    val changes = Seq(("b", 1.0, "delete"), ("c", 7.0, "insert"))
+      .toDF("k", "v", "_change_type")
+    val out = IncrementalAgg.applyDelta(agg, changes, Seq("k"), Seq("v"))
+      .select(col("k"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("a", 2L, 15.0), ("c", 1L, 7.0)))
+  }
+}

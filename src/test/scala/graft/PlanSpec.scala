@@ -88,6 +88,37 @@ class PlanSpec extends SparkSpec {
       s"expected a dynamic partition pruning filter on the fact scan:\n$plan")
   }
 
+  test("selective dim filter injects a runtime bloom filter on the fact side") {
+    // at 100 TB the bloom filter prunes fact rows BEFORE the join's
+    // shuffle — size thresholds are lowered here so the optimizer
+    // considers the test-scale tables
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // force a shuffle join: broadcast joins don't need the filter
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val lineitem = Tables.lineitem(spark, sfDir)
+      val orders = Tables.orders(spark, sfDir)
+        .where(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = lineitem.join(orders,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("bloom_filter") || plan.contains("BloomFilter"),
+        s"expected a runtime bloom filter on the fact side:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("projection pruning reaches the scan (ReadSchema)") {
     // the pricing summary touches 7 of lineitem's 16 columns; the scan
     // must not read the rest

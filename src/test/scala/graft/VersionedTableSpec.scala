@@ -66,6 +66,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(delta == Seq((1, "delete"), (2, "delete"), (4, "insert")))
   }
 
+  test("streaming foreachBatch appends commit one version per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = freshPath()
+    val input = MemoryStream[Int]
+    input.addData(1, 2, 3)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vt-ckpt-").toString
+    val q = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        VersionedTable.write(batch.sparkSession, batch, path, "append"); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(VersionedTable.read(spark, path).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+    // a second run with new data commits a further version, old ones stay readable
+    input.addData(4)
+    val q2 = input.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        VersionedTable.write(batch.sparkSession, batch, path, "append"); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    assert(VersionedTable.read(spark, path).as[Int].collect().sorted.toSeq == Seq(1, 2, 3, 4))
+    assert(VersionedTable.read(spark, path, Some(0)).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("reads push filters and prune columns like any parquet scan") {
     val path = freshPath()
     VersionedTable.write(spark,
