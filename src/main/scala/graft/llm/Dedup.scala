@@ -301,5 +301,36 @@ object Dedup {
         Window.orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))))
   }
 
-  val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard, qCorpusCuration)
+  /** Near-dup CLUSTERS: connected components over the verified MinHash
+    * pairs ([[nearDupPairs]]) via distributed min-label propagation
+    * ([[graft.operators.Graph.connectedComponents]]) — pairwise dedup
+    * drops only `doc_b` of each pair and can leave chains (A~B, B~C with
+    * A≁C) partially deduplicated; component clustering keeps exactly one
+    * canonical doc per transitive cluster. The oracle recomputes the
+    * fixpoint with a recursive CTE, so the converged labels are checked
+    * exactly. */
+  val qClusters: QueryDef = QueryDef.sql(
+    "q_dedup_clusters",
+    s"""WITH RECURSIVE $nearDupPairsSql,
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM neardup
+       |  UNION SELECT doc_b, doc_a FROM neardup
+       |), reach(id, label) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.a, r.label FROM edges e JOIN reach r ON r.id = e.b
+       |)
+       |SELECT id AS doc_id, min(label) AS cluster_id,
+       |  id = min(label) AS is_canonical
+       |FROM reach GROUP BY id""".stripMargin) { (spark, dir) =>
+    val vertices = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    val edges = nearDupPairs(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    graft.operators.Graph.connectedComponents(vertices, edges)
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"),
+        (col("id") === col("component")).as("is_canonical"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard,
+    qCorpusCuration, qClusters)
 }
