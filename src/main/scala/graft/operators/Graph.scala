@@ -29,8 +29,12 @@ object Graph {
     */
   def connectedComponents(vertices: DataFrame, edges: DataFrame,
       maxIters: Int = 50): DataFrame = {
+    // materialize the edge list ONCE: it re-enters the loop every round,
+    // and an expensive upstream (e.g. the LSH pair pipeline) must not be
+    // recomputed per iteration
     val undirected = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
     def labelSum(df: DataFrame): BigDecimal =
       BigDecimal(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
     var labels = vertices.select(col("id"), col("id").as("component"))
