@@ -29,7 +29,8 @@ object SparkEntry {
       llm.TextAnalysis.all ++
       llm.Dedup.all ++
       llm.Similarity.all ++
-      llm.Multimodal.all
+      llm.Multimodal.all ++
+      llm.Sampling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue by region/nation — scan→broadcast-join chain→aggregate

@@ -1,0 +1,69 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Dataset-assembly operators for training pipelines: deterministic
+  * splits and sequence packing.
+  *
+  * Both are pure per-row / single-window computations — no sampling
+  * state, no driver participation — because at 100 TB the split must be
+  * (a) reproducible run-over-run, (b) stable under re-partitioning and
+  * incremental appends (a doc's split never changes when other docs
+  * arrive), and (c) computable independently on every executor. A
+  * `rand()`-based split has none of these properties; a content-hash
+  * split has all three.
+  */
+object Sampling {
+  import Portable._
+
+  /** Deterministic train/val/test split by content-hash bucket
+    * (80/10/10): the split is a pure function of doc identity, so it is
+    * reproducible, append-stable, and needs no coordination. Bucket =
+    * hash mod 100; the md5-derived hash makes the oracle bit-identical. */
+  val qSplit: QueryDef = QueryDef.sql(
+    "q_corpus_split",
+    s"""SELECT doc_id, bucket,
+       |  CASE WHEN bucket < 80 THEN 'train'
+       |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id, ${h60Sql("text")} % 100 AS bucket FROM documents)""".stripMargin) {
+    (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), (h60(col("text")) % 100).as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+  }
+
+  /** Sequence packing: assign docs to fixed token-budget packs by
+    * offset (pack = which budget-sized stripe the doc's token span
+    * starts in, over a canonical doc_id order). One window prefix-sum —
+    * the deterministic, shuffle-light packing used when assembling
+    * fixed-context training batches; greedy first-fit packing would be
+    * sequential and is deliberately not reproduced. The window is
+    * intentionally global (packing defines a total order): at corpus
+    * scale, partition it by shard key first. */
+  val qPacking: QueryDef = {
+    val budget = 2048
+    QueryDef.sql(
+      "q_corpus_packing",
+      s"""SELECT doc_id, n_tokens,
+         |  (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // $budget AS pack_id,
+         |  (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) % $budget AS pack_offset
+         |FROM (SELECT doc_id, len(${tokensSql("text")}) AS n_tokens FROM documents)""".stripMargin) {
+      (spark, dir) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr(s"start_tok div $budget").as("pack_id"),
+            (col("start_tok") % budget).as("pack_offset"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qSplit, qPacking)
+}
