@@ -86,13 +86,18 @@ object VersionedTable {
     v
   }
 
-  /** Read the table at `version` (`VERSION AS OF`), or latest. */
-  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+  /** Read the table at `version` (`VERSION AS OF`), or latest.
+    * `mergeSchema` = schema-evolution reads: appends may add columns;
+    * merged reads surface the union schema with nulls for pre-evolution
+    * rows. Off by default — merging schemas reads every footer, which a
+    * hot path should not pay. */
+  def read(spark: SparkSession, path: String, version: Option[Int] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val v = version.orElse(latestVersion(spark, path))
       .getOrElse(sys.error(s"no committed version at $path"))
     val dirs = readManifest(spark, path, v).dirs
       .map(d => new Path(path, d).toString)
-    spark.read.parquet(dirs: _*)
+    spark.read.option("mergeSchema", mergeSchema.toString).parquet(dirs: _*)
   }
 
   /** `DESCRIBE HISTORY`: (version, action, n_data_dirs), newest first.

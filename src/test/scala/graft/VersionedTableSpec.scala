@@ -97,6 +97,20 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path, Some(0)).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("appends may evolve the schema; merged reads surface the union") {
+    val path = freshPath()
+    VersionedTable.write(spark, Seq(1, 2).toDF("x"), path)
+    VersionedTable.write(spark,
+      Seq((3, "new")).toDF("x", "note"), path, "append")
+    val merged = VersionedTable.read(spark, path, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq == Seq("note", "x"))
+    val rows = merged.select(col("x"), col("note"))
+      .as[(Int, Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1, None), (2, None), (3, Some("new"))))
+    // time travel to before the evolution sees the old schema only
+    assert(VersionedTable.read(spark, path, Some(0)).columns.toSeq == Seq("x"))
+  }
+
   test("reads push filters and prune columns like any parquet scan") {
     val path = freshPath()
     VersionedTable.write(spark,
