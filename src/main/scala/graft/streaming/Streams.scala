@@ -207,5 +207,24 @@ object Streams {
       runToMemory(joined, "q_stream_join_sink", "append")
   }
 
-  val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark, qStreamJoin)
+  /** Stream–static enrichment join: the micro-batch stream against a
+    * broadcast dimension — the reference's silver enrichment shape and
+    * the most common streaming join in production. Stateless: no
+    * watermark, no state store; each micro-batch broadcast-hash-joins
+    * and emits, so throughput is scan-bound. The static side is re-read
+    * per micro-batch, picking up dimension updates between batches. */
+  val qStreamEnrich: QueryDef = QueryDef.sql(
+    "q_stream_enrich",
+    """SELECT event_id, user_id, c_mktsegment AS segment, event_type, value
+      |FROM events JOIN customer ON user_id = c_custkey""".stripMargin) { (spark, dir) =>
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val enriched = eventsStream(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("segment"),
+        col("event_type"), col("value"))
+    runToMemory(enriched, "q_stream_enrich_sink", "append")
+  }
+
+  val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark, qStreamJoin, qStreamEnrich)
 }

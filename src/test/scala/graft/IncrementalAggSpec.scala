@@ -40,6 +40,37 @@ class IncrementalAggSpec extends SparkSpec {
     assert(delta.select(col("_change_type")).distinct().count() == 2)
   }
 
+  test("streaming materialized view: foreachBatch folds each micro-batch into the aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the materialized view lives across micro-batches; appends are
+    // insert-only deltas
+    var view = IncrementalAgg.materialize(
+      Seq.empty[(String, Double)].toDF("k", "v"), Seq("k"), Seq("v"))
+    val input = MemoryStream[(String, Double)]
+    input.addData(("a", 1.0), ("b", 2.0))
+    input.addData(("a", 3.0))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-mv-ckpt-").toString
+    val q = input.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val delta = batch.withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("insert"))
+        view = IncrementalAgg.applyDelta(view, delta, Seq("k"), Seq("v"))
+          .localCheckpoint(true)
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = view.select(col("k"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 4.0), ("b", 1L, 2.0)))
+  }
+
   test("groups deleted down to zero rows disappear") {
     import spark.implicits._
     val base = Seq(("a", 10.0), ("a", 5.0), ("b", 1.0)).toDF("k", "v")
