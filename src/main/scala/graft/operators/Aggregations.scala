@@ -245,10 +245,15 @@ object Aggregations {
           <= count(lit(1)) * lit(0.10)).as("sketch_within_bound"))
   }
 
-  /** Cube: all 2^k grouping combinations in one pass — the ad-hoc-slice
-    * companion to [[qRollup]]'s hierarchy. Same Expand + single hash
-    * aggregate physical shape; output stays bounded by group cardinality
-    * × 2^k levels. */
+  /** Cube: all 2^k grouping combinations — the ad-hoc-slice companion to
+    * [[qRollup]]'s hierarchy. Deliberately NOT `Dataset.cube`: the native
+    * operator Expands every input row ×2^k before aggregating, so the
+    * hash aggregate processes 2^k× the data. Instead aggregate ONCE at
+    * the finest grain and derive every coarser level by re-aggregating
+    * that (tiny) result — decimal partial sums and counts re-aggregate
+    * exactly, so the answer is identical and the base table is scanned
+    * and aggregated once. ([[qRollup]] keeps the native operator form on
+    * purpose — both shapes belong in the surface.) */
   val qCube: QueryDef = QueryDef.sql(
     "q_agg_cube",
     """SELECT l_returnflag, l_linestatus,
@@ -256,10 +261,24 @@ object Aggregations {
       |  count(*) AS n
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
-    Tables.lineitem(spark, dir)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(money(dsum(col("l_extendedprice"))).as("revenue"),
-        count(lit(1)).as("n"))
+    val fine = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_extendedprice")).as("s"), count(lit(1)).as("n"))
+      .localCheckpoint(true) // one scan feeds all four levels
+    val nullFlag = lit(null).cast("string")
+    val both = fine
+    val byFlag = fine.groupBy(col("l_returnflag"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .select(col("l_returnflag"), nullFlag.as("l_linestatus"), col("s"), col("n"))
+    val byStatus = fine.groupBy(col("l_linestatus"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .select(nullFlag.as("l_returnflag"), col("l_linestatus"), col("s"), col("n"))
+    val grand = fine.agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .select(nullFlag.as("l_returnflag"), nullFlag.as("l_linestatus"), col("s"), col("n"))
+    both.select(col("l_returnflag"), col("l_linestatus"), col("s"), col("n"))
+      .unionByName(byFlag).unionByName(byStatus).unionByName(grand)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        money(col("s")).as("revenue"), col("n"))
   }
 
   /** Native relational pivot (`groupBy().pivot()`) — same semantics as
