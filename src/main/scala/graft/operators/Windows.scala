@@ -114,6 +114,30 @@ object Windows {
       lead(col("ts"), 1).over(w).isNull.as("is_current"))
   }
 
+  /** Distribution analytics — ntile quartiles, percent_rank, cume_dist
+    * per market segment. Partitioned windows with a unique tiebreaker
+    * (price, custkey), so ranks are deterministic and the partition sort
+    * distributes across segments. percent_rank/cume_dist are one IEEE
+    * division from exact integer ranks — bit-stable in both engines. */
+  val qDistribution: QueryDef = QueryDef.sql(
+    "q_window_distribution",
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(ntile(4) OVER w AS INT) AS balance_quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)""".stripMargin) {
+    (spark, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(spark, dir).select(
+        col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("balance_quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    qRanking, qLagLead, qRunningSum, qDedupFirstPerKey, qScd2Intervals)
+    qRanking, qLagLead, qRunningSum, qDedupFirstPerKey, qScd2Intervals,
+    qDistribution)
 }
