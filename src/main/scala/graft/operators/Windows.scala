@@ -137,7 +137,27 @@ object Windows {
         cume_dist().over(w).as("cume"))
   }
 
+  /** Per-key top-k through the engine's custom physical operator
+    * ([[graft.plans.TopKPerKey]]): bounded heaps + a partial pass before
+    * the exchange, so the shuffle moves ≤ k rows per key per input
+    * partition — the decomposable replacement for the row_number window
+    * idiom (which sorts and shuffles every row). The oracle states the
+    * same semantics as the window form. */
+  val qTopKPerKey: QueryDef = QueryDef.sql(
+    "q_topk_per_key",
+    """SELECT o_orderkey, o_orderpriority, o_totalprice
+      |FROM orders
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY o_orderpriority
+      |  ORDER BY o_totalprice DESC, o_orderkey) <= 5""".stripMargin) { (spark, dir) =>
+    graft.plans.TopK.perKey(
+      Tables.orders(spark, dir).select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+      Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 5)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qRanking, qLagLead, qRunningSum, qDedupFirstPerKey, qScd2Intervals,
-    qDistribution)
+    qDistribution, qTopKPerKey)
 }
