@@ -149,5 +149,38 @@ object Sessions {
     Streams.runToMemory(sessions, "q_stream_sessionize_sink", "append")
   }
 
-  val all: Seq[QueryDef] = Seq(qSessionize)
+  /** Native `session_window` sessionization (batch form; the same call
+    * works under readStream with a watermark) — the declarative
+    * complement to [[qSessionize]]'s explicit-state formulation. Spark's
+    * convention: a session's end is last-event + gap, and an event at
+    * exactly the end starts a NEW session (merge iff diff < gap) — the
+    * oracle mirrors that strictness. */
+  val qSessionWindow: QueryDef = QueryDef.sql(
+    "q_session_window",
+    """WITH o AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w >= INTERVAL 24 HOUR
+      |      THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT user_id, t,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o
+      |)
+      |SELECT user_id,
+      |  min(t) AS session_start,
+      |  max(t) + INTERVAL 24 HOUR AS session_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sid""".stripMargin) { (spark, dir) =>
+    graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "24 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qSessionize, qSessionWindow)
 }
