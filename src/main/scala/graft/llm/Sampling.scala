@@ -38,28 +38,31 @@ object Sampling {
 
   /** Sequence packing: assign docs to fixed token-budget packs by
     * offset (pack = which budget-sized stripe the doc's token span
-    * starts in, over a canonical doc_id order). One window prefix-sum —
-    * the deterministic, shuffle-light packing used when assembling
-    * fixed-context training batches; greedy first-fit packing would be
-    * sequential and is deliberately not reproduced. The window is
-    * intentionally global (packing defines a total order): at corpus
-    * scale, partition it by shard key first. */
+    * starts in, over a canonical doc_id order). One window prefix-sum
+    * PER LANGUAGE SHARD — packs never mix languages, and the window is
+    * partitioned, so no single-partition global sort exists at any
+    * corpus size (the shard key is whatever already shards the corpus).
+    * Greedy first-fit packing would be inherently sequential and is
+    * deliberately not reproduced. */
   val qPacking: QueryDef = {
     val budget = 2048
     QueryDef.sql(
       "q_corpus_packing",
-      s"""SELECT doc_id, n_tokens,
-         |  (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // $budget AS pack_id,
-         |  (sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) % $budget AS pack_offset
-         |FROM (SELECT doc_id, len(${tokensSql("text")}) AS n_tokens FROM documents)""".stripMargin) {
+      s"""SELECT doc_id, lang, n_tokens,
+         |  (sum(n_tokens) OVER w - n_tokens) // $budget AS pack_id,
+         |  (sum(n_tokens) OVER w - n_tokens) % $budget AS pack_offset
+         |FROM (SELECT doc_id, lang, len(${tokensSql("text")}) AS n_tokens FROM documents)
+         |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin) {
       (spark, dir) =>
         val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang"))
           .orderBy(col("doc_id"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         Tables.documents(spark, dir)
-          .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("lang"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"))
           .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
-          .select(col("doc_id"), col("n_tokens"),
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
             expr(s"start_tok div $budget").as("pack_id"),
             (col("start_tok") % budget).as("pack_offset"))
     }
