@@ -349,8 +349,39 @@ object Aggregations {
         (varPopQ(col("v")) / lit(1e12)).as("value_var"))
   }
 
+  /** Funnel analysis over the event log: per-user first-touch times via
+    * conditional min (ONE pass, one shuffle on user_id — the same fold
+    * shape as [[qEventPivot]]), then ordered-stage counts: a user
+    * advances a stage only if the later event first happens AFTER the
+    * earlier one. No joins, no window — the event log folds once however
+    * large it is. */
+  val qFunnel: QueryDef = QueryDef.sql(
+    "q_agg_funnel",
+    """SELECT
+      |  count(first_view) AS n_viewed,
+      |  count(CASE WHEN first_click > first_view THEN 1 END) AS n_clicked_after_view,
+      |  count(CASE WHEN first_purchase > first_click AND first_click > first_view
+      |             THEN 1 END) AS n_full_funnel
+      |FROM (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+      |    min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      |  FROM events GROUP BY user_id)""".stripMargin) { (spark, dir) =>
+    def firstAt(t: String): Column = min(when(col("event_type") === t, col("ts")))
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(firstAt("view").as("first_view"), firstAt("click").as("first_click"),
+        firstAt("purchase").as("first_purchase"))
+      .agg(
+        count(col("first_view")).as("n_viewed"),
+        count(when(col("first_click") > col("first_view"), 1)).as("n_clicked_after_view"),
+        count(when(col("first_purchase") > col("first_click")
+          && col("first_click") > col("first_view"), 1)).as("n_full_funnel"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, qCustomerLifetime, qConditionalRates,
     qEventPivot, qGroupwiseMax, qCountReport, qRollup, qCube, qPercentiles,
-    qApproxDistinct, qQuantileSketch, qPivotNative, qExactVariance)
+    qApproxDistinct, qQuantileSketch, qPivotNative, qExactVariance, qFunnel)
 }
