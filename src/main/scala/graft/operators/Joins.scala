@@ -203,7 +203,40 @@ object Joins {
     }
   }
 
+  /** Fuzzy entity matching: candidate pairs inside a BLOCK, scored with
+    * Levenshtein edit distance, kept under a threshold — the reference's
+    * address/entity matching family (gold_pipeline.py:650-671) with the
+    * comparator made explicit. The block key is everything but the last
+    * 2 characters of the name, so candidates only vary in a short
+    * suffix: block sizes are bounded by the suffix alphabet, never by
+    * table size (a weak key like name-length degenerates into
+    * full-table blocks — measured 26 s vs 0.4 s at sf0.1). Blocking
+    * always trades recall for cost; the traded-away pairs are exactly
+    * those differing outside the suffix, stated here and in the oracle. */
+  val qFuzzyMatch: QueryDef = QueryDef.sql(
+    "q_match_fuzzy",
+    """SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+      |  levenshtein(a.c_name, b.c_name) AS edit_dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey
+      | AND substr(a.c_name, 1, length(a.c_name) - 2) = substr(b.c_name, 1, length(b.c_name) - 2)
+      | AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        expr("substring(c_name, 1, length(c_name) - 2)").as("blk"))
+    val a = c.select(col("c_custkey").as("cust_a"), col("c_name").as("name_a"),
+      col("c_nationkey").as("nk_a"), col("blk").as("blk_a"))
+    val b = c.select(col("c_custkey").as("cust_b"), col("c_name").as("name_b"),
+      col("c_nationkey").as("nk_b"), col("blk").as("blk_b"))
+    a.join(b, col("nk_a") === col("nk_b") && col("blk_a") === col("blk_b")
+        && col("cust_a") < col("cust_b"))
+      .select(col("cust_a"), col("cust_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+      .where(col("edit_dist") <= 2)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qRevenueByNation, qLeftEnrich, qMultiAttrJoin,
-    qAntiJoin, qSemiJoin, qFullOuter, qStarSchema, qRangeBand)
+    qAntiJoin, qSemiJoin, qFullOuter, qStarSchema, qRangeBand, qFuzzyMatch)
 }
