@@ -124,6 +124,22 @@ object VersionedTable {
     v
   }
 
+  /** `OPTIMIZE`: rewrite the CURRENT contents compacted into
+    * `targetFiles` files and commit it as a new version — readers of any
+    * version are never disturbed (data dirs are immutable), history is
+    * preserved, and the pre-compaction version remains time-travelable
+    * until [[vacuum]] reclaims it. This is the versioned analogue of
+    * [[graft.maintenance.Maintenance.compact]]'s swap-in-place. */
+  def optimize(spark: SparkSession, path: String, targetFiles: Int): Int = {
+    val v = latestVersion(spark, path).getOrElse(sys.error(s"no committed version at $path"))
+    val compacted = read(spark, path, Some(v)).repartition(targetFiles)
+    val newV = v + 1
+    val dataDir = s"d=$newV"
+    compacted.write.mode("errorifexists").parquet(new Path(path, dataDir).toString)
+    writeManifest(spark, path, Commit(newV, "optimize", Seq(dataDir)))
+    newV
+  }
+
   /** `table_changes(from, to)` — the change-data-feed surface: the row
     * delta between two committed versions as inserts + deletes (an update
     * appears as delete+insert, keyless tables supported). Bag semantics

@@ -97,6 +97,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.read(spark, path, Some(0)).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("optimize compacts into a new version without disturbing history") {
+    val path = freshPath()
+    // many small appends -> many data dirs
+    (1 to 5).foreach(i => VersionedTable.write(spark,
+      Seq(i).toDF("x").repartition(3), path, "append"))
+    val before = VersionedTable.read(spark, path).as[Int].collect().sorted.toSeq
+    val v = VersionedTable.optimize(spark, path, targetFiles = 1)
+    assert(VersionedTable.read(spark, path).as[Int].collect().sorted.toSeq == before)
+    val hist = VersionedTable.history(spark, path)
+    assert(hist.head == ((v, "optimize", 1)))
+    // the compacted version reads from ONE dir; the pre-compaction
+    // version is still time-travelable
+    assert(VersionedTable.read(spark, path, Some(v - 1)).as[Int].collect().sorted.toSeq == before)
+    val files = new java.io.File(path, s"d=$v").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+  }
+
   test("appends may evolve the schema; merged reads surface the union") {
     val path = freshPath()
     VersionedTable.write(spark, Seq(1, 2).toDF("x"), path)
