@@ -196,6 +196,60 @@ object Similarity {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qCosineTopK, qIvfAnn, qEmbeddingNearDup)
+  /** Multi-probe IVF: queries search their TWO nearest cells instead of
+    * one — the `nprobe` knob every production IVF index exposes. Cost
+    * doubles (still cells/nprobe× below brute force); recall rises
+    * because near-boundary queries stop missing neighbors quantized
+    * into the adjacent cell (SimilaritySpec measures both probes). */
+  val qIvfMultiProbe: QueryDef = QueryDef.sql(
+    "q_sim_ivf_multiprobe",
+    s"""WITH norms AS ($normsSql
+       |), cents AS (
+       |  SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm FROM norms WHERE vec_id % 50 = 0
+       |), ranked AS (
+       |  SELECT n.vec_id, c.cell_id,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC, c.cell_id) AS rn
+       |  FROM norms n CROSS JOIN cents c
+       |), hits AS (
+       |  SELECT q.vec_id AS query_id, m.vec_id AS cand_id,
+       |    ${dotSql("q.embedding", "m.embedding")} / (q.nrm * m.nrm) AS cosine
+       |  FROM norms q
+       |  JOIN ranked qa ON qa.vec_id = q.vec_id AND qa.rn <= 2
+       |  JOIN ranked ma ON ma.cell_id = qa.cell_id AND ma.rn = 1 AND ma.vec_id <> q.vec_id
+       |  JOIN norms m ON m.vec_id = ma.vec_id
+       |  WHERE q.vec_id < 5
+       |)
+       |SELECT query_id, cand_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+       |FROM hits
+       |QUALIFY rnk <= 3""".stripMargin) { (spark, dir) =>
+    val n = norms(spark, dir)
+    val cents = n.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"), col("nrm").as("c_nrm"))
+    val ranked = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell_id"),
+        (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).as("c_cos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))))
+    val queryCells = ranked.where(col("rn") <= 2)
+      .select(col("vec_id").as("q_vec"), col("cell_id"))
+    val queries = n.where(col("vec_id") < 5)
+      .join(queryCells, col("vec_id") === col("q_vec"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell_id"))
+    val members = ranked.where(col("rn") === 1)
+      .select(col("vec_id").as("cand_id"), col("cell_id").as("m_cell"))
+      .join(n.select(col("vec_id").as("cand_id"), col("embedding"), col("nrm")), Seq("cand_id"))
+    members.join(broadcast(queries),
+        col("m_cell") === col("cell_id") && col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .where(col("rnk") <= 3)
+  }
+
+  val all: Seq[QueryDef] = Seq(qCosineTopK, qIvfAnn, qIvfMultiProbe, qEmbeddingNearDup)
 }
 

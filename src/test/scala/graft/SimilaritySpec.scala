@@ -37,18 +37,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("single-probe IVF recalls a useful fraction of the exact top-3") {
+  private def recallOf(queryName: String): Double = {
     val exact = topkRows.filter { case (q, _, _, rnk) => q < 5 && rnk <= 3 }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val ivf = SparkEntry.queries("q_sim_ivf_ann")(spark, sfDir)
+    val got = SparkEntry.queries(queryName)(spark, sfDir)
       .select(col("query_id"), col("cand_id"))
       .as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     val recalls = exact.map { case (q, truth) =>
-      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
     }
-    val mean = recalls.sum / recalls.size
-    info(f"mean IVF recall@3 = $mean%.2f over ${recalls.size} queries")
+    recalls.sum / recalls.size
+  }
+
+  test("single-probe IVF recalls a useful fraction of the exact top-3") {
+    val mean = recallOf("q_sim_ivf_ann")
+    info(f"mean IVF recall@3 = $mean%.2f")
     assert(mean >= 0.2, f"single-probe recall collapsed: $mean%.2f")
+  }
+
+  test("a second probe does not lose recall (and should gain it)") {
+    val one = recallOf("q_sim_ivf_ann")
+    val two = recallOf("q_sim_ivf_multiprobe")
+    info(f"recall@3: nprobe=1 -> $one%.2f, nprobe=2 -> $two%.2f")
+    assert(two >= one, f"multi-probe recall $two%.2f below single-probe $one%.2f")
   }
 }
