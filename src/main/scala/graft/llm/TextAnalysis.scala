@@ -161,5 +161,73 @@ object TextAnalysis {
       flags :+ (!drop).as("keep"): _*)
   }
 
-  val all: Seq[QueryDef] = Seq(qTextStats, qTextLangId, qTextFingerprint, qTextQuality)
+  /** PII redaction — the scrub pass a training corpus runs before
+    * anything else: emails, phone-shaped digit runs, and IPv4 literals
+    * replaced by typed placeholder tokens. Patterns stay in the regex
+    * subset Java and RE2 interpret identically (explicit classes, no
+    * backrefs/lookarounds), so the oracle applies the same scrub. A
+    * narrow per-row projection: pipelines with the scan, shuffles
+    * nothing, and downstream ops see only redacted text. */
+  val qTextRedact: QueryDef = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+    val phone = "[+]?[0-9][0-9()  -]{6,}[0-9]"
+    QueryDef.sql(
+      "q_text_redact",
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$email')) AS n_emails,
+         |  len(regexp_extract_all(text, '$ip')) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$phone', '<PHONE>', 'g')) AS redacted_md5
+         |FROM documents""".stripMargin) { (spark, dir) =>
+      val redacted = regexp_replace(regexp_replace(regexp_replace(col("text"),
+        email, "<EMAIL>"),
+        ip, "<IP>"),
+        phone, "<PHONE>")
+      Tables.documents(spark, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(ip), lit(0))).as("n_ips"),
+        md5(redacted).as("redacted_md5"))
+    }
+  }
+
+  /** Repetition ratio — the Gopher-family repetition filter the simple
+    * length/diversity gates miss: share of all bigrams taken by the
+    * single most frequent one (templated/spammy text scores high).
+    * Explode+count rather than a per-row histogram map: the shuffle key
+    * is (doc, bigram) so hot documents spread across tasks, and the
+    * ratio is one exact-integer division at the end. */
+  val qTextRepetition: QueryDef = QueryDef.sql(
+    "q_text_repetition",
+    s"""WITH b AS (
+       |  SELECT doc_id, unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t)-1)]) AS g
+       |  FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
+       |  WHERE len(t) >= 2
+       |), c AS (
+       |  SELECT doc_id, g, count(*) AS n FROM b GROUP BY doc_id, g
+       |)
+       |SELECT doc_id,
+       |  CAST(max(n) AS BIGINT) AS max_bigram_count,
+       |  CAST(sum(n) AS BIGINT) AS n_bigrams,
+       |  CAST(max(n) AS DOUBLE) / CAST(sum(n) AS BIGINT) AS repetition_ratio
+       |FROM c GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    val t = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .where(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("t")) - 1),
+        i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("max_bigram_count"),
+        sum(col("n")).as("n_bigrams"),
+        (max(col("n")).cast("double") / sum(col("n"))).as("repetition_ratio"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qTextStats, qTextLangId, qTextFingerprint, qTextQuality,
+    qTextRedact, qTextRepetition)
 }
