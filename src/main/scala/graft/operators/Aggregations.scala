@@ -380,8 +380,26 @@ object Aggregations {
           && col("first_click") > col("first_view"), 1)).as("n_full_funnel"))
   }
 
+  /** grouping_id over a rollup — the bitmask that tells a subtotal row's
+    * NULL apart from a NULL in the data, without which rollup output is
+    * unconsumable on nullable group keys. Same Expand physical shape as
+    * [[qRollup]]; the id is computed per expansion level, not per row. */
+  val qGroupingId: QueryDef = QueryDef.sql(
+    "q_agg_grouping_id",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, qCustomerLifetime, qConditionalRates,
     qEventPivot, qGroupwiseMax, qCountReport, qRollup, qCube, qPercentiles,
-    qApproxDistinct, qQuantileSketch, qPivotNative, qExactVariance, qFunnel)
+    qApproxDistinct, qQuantileSketch, qPivotNative, qExactVariance, qFunnel,
+    qGroupingId)
 }
