@@ -125,5 +125,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     GeohashEncode.inject(ext)
     ZOrderKey.inject(ext)
     ext.injectOptimizerRule(_ => RewriteGeohashUdf)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

@@ -157,7 +157,31 @@ object Windows {
       Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 5)
   }
 
+  /** Frame-based value functions — first/last/nth event value inside an
+    * explicit ROWS frame. last_value over the default frame is the
+    * classic silent bug (frame ends at CURRENT ROW, so "last" = current);
+    * the unbounded frame here is the correct form, stated identically in
+    * both engines. */
+  val qFrameValues: QueryDef = QueryDef.sql(
+    "q_window_frame_values",
+    """SELECT user_id, event_id,
+      |  first_value(value) OVER w AS first_in_user,
+      |  last_value(value) OVER w AS last_in_user,
+      |  nth_value(value, 2) OVER w AS second_in_user
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) {
+    (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(spark, dir).select(
+        col("user_id"), col("event_id"),
+        first(col("value")).over(w).as("first_in_user"),
+        last(col("value")).over(w).as("last_in_user"),
+        nth_value(col("value"), 2).over(w).as("second_in_user"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     qRanking, qLagLead, qRunningSum, qDedupFirstPerKey, qScd2Intervals,
-    qDistribution, qTopKPerKey)
+    qDistribution, qTopKPerKey, qFrameValues)
 }
