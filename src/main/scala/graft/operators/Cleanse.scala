@@ -135,6 +135,38 @@ object Cleanse {
           high.except(buyers).select(lit("rich_no_orders").as("side"), col("custkey")))
   }
 
+  /** O1 proper: full distributed total sort (range-partitioned exchange
+    * with sampled split points) carrying a GLOBAL rank computed the
+    * scalable way: within-partition row_number (partitioned by the
+    * range-sort's own partition id — every window partition is one task)
+    * plus broadcast per-partition offsets. A `row_number() OVER (ORDER
+    * BY …)` would funnel every row through one partition — the exact
+    * single-partition anti-pattern this engine refuses elsewhere (the
+    * oracle states it that way only because the oracle does not
+    * distribute). Total order (unique tiebreak) means range partitioning
+    * cannot split equal keys, so offset+local rank IS the global rank. */
+  val qGlobalSort: QueryDef = QueryDef.sql(
+    "q_order_global_sort",
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+      |  CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS global_rank
+      |FROM customer""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sorted = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal").cast("double").as("acctbal"))
+      .orderBy(col("acctbal").desc, col("c_custkey"))
+      .withColumn("__pid", spark_partition_id())
+    val counts = sorted.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0 -> 0L) { case ((_, acc), (pid, n)) => pid -> (acc + n) }
+      .init.map { case (_, off) => off } // offset of partition i = rows before it
+    val offsetCol = counts.map(_._1).zip(offsets)
+      .foldLeft(lit(0L)) { case (c, (pid, off)) => when(col("__pid") === pid, lit(off)).otherwise(c) }
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("acctbal").desc, col("c_custkey"))
+    sorted
+      .withColumn("global_rank", (offsetCol + row_number().over(wLocal)).cast("long"))
+      .drop("__pid")
+  }
+
   val all: Seq[QueryDef] = Seq(qCleanseCustomer, qFilterPredicates, qNullHandling,
-    qOrderTopN, qSetOps)
+    qOrderTopN, qSetOps, qGlobalSort)
 }
