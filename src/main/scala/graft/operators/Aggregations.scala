@@ -397,9 +397,34 @@ object Aggregations {
       .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"))
   }
 
+  /** Unpivot (melt) — the inverse of [[qPivotNative]]: wide per-type
+    * count columns back to long (user, event_type, n) form. Narrow
+    * row-local expansion (each input row emits k rows, no shuffle);
+    * the explicit column list keeps the output schema data-independent,
+    * same rule as the pivot side. */
+  val qUnpivot: QueryDef = QueryDef.sql(
+    "q_agg_unpivot",
+    """SELECT user_id, metric, n FROM (
+      |  SELECT user_id,
+      |    count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase
+      |  FROM events GROUP BY user_id)
+      |UNPIVOT (n FOR metric IN (n_view, n_click, n_purchase))""".stripMargin) {
+    (spark, dir) =>
+      val wide = Tables.events(spark, dir)
+        .groupBy(col("user_id"))
+        .agg(count(when(col("event_type") === "view", 1)).as("n_view"),
+          count(when(col("event_type") === "click", 1)).as("n_click"),
+          count(when(col("event_type") === "purchase", 1)).as("n_purchase"))
+      wide.unpivot(Array(col("user_id")),
+        Array(col("n_view"), col("n_click"), col("n_purchase")),
+        "metric", "n")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, qCustomerLifetime, qConditionalRates,
     qEventPivot, qGroupwiseMax, qCountReport, qRollup, qCube, qPercentiles,
     qApproxDistinct, qQuantileSketch, qPivotNative, qExactVariance, qFunnel,
-    qGroupingId)
+    qGroupingId, qUnpivot)
 }
