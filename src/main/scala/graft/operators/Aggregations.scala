@@ -422,9 +422,54 @@ object Aggregations {
         "metric", "n")
   }
 
+  /** Deterministic Pearson correlation — `corr()` merges running double
+    * moments in partition order, so its low bits change with the
+    * partitioning and can never pass a bit-exact gate. Here every moment
+    * (Σx, Σy, Σxy, Σx², Σy²) is an exact decimal sum over fixed-point
+    * inputs, and corr is assembled from them in one fixed double
+    * operation order — same technique as [[qExactVariance]], expressed
+    * in pure SQL. Quantity in 1e-2 grid, price in 1e-2 grid. */
+  val qExactCorr: QueryDef = QueryDef.sql(
+    "q_func_exact_corr",
+    """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+      |  (sxy / n - (sx / n) * (sy / n))
+      |    / (sqrt(sxx / n - (sx / n) * (sx / n)) * sqrt(syy / n - (sy / n) * (sy / n)))
+      |    AS qty_price_corr
+      |FROM (
+      |  SELECT l_returnflag,
+      |    CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      |  FROM (SELECT l_returnflag,
+      |      CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |      CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |    FROM lineitem)
+      |  GROUP BY l_returnflag)""".stripMargin) { (spark, dir) =>
+    val d380 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val quant = Tables.lineitem(spark, dir).select(
+      col("l_returnflag"),
+      round(col("l_quantity") * 100, 0).cast("long").as("x"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("y"))
+    val m = quant.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast(d380)).cast("double").as("sx"),
+      sum(col("y").cast(d380)).cast("double").as("sy"),
+      sum((col("x").cast(d380) * col("y")).cast(d380)).cast("double").as("sxy"),
+      sum((col("x").cast(d380) * col("x")).cast(d380)).cast("double").as("sxx"),
+      sum((col("y").cast(d380) * col("y")).cast(d380)).cast("double").as("syy"))
+    m.select(col("l_returnflag"), col("n").cast("long").as("n"),
+      ((col("sxy") / col("n") - (col("sx") / col("n")) * (col("sy") / col("n")))
+        / (sqrt(col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+          * sqrt(col("syy") / col("n") - (col("sy") / col("n")) * (col("sy") / col("n")))))
+        .as("qty_price_corr"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, qCustomerLifetime, qConditionalRates,
     qEventPivot, qGroupwiseMax, qCountReport, qRollup, qCube, qPercentiles,
     qApproxDistinct, qQuantileSketch, qPivotNative, qExactVariance, qFunnel,
-    qGroupingId, qUnpivot)
+    qGroupingId, qUnpivot, qExactCorr)
 }

@@ -181,7 +181,32 @@ object Windows {
         nth_value(col("value"), 2).over(w).as("second_in_user"))
   }
 
+  /** RANGE frame over event time — the trailing-hour running metric
+    * (count + exact decimal sum of the past hour's values per user).
+    * RANGE, not ROWS: the frame is defined by time distance, so ties and
+    * bursts are handled by semantics rather than row position.
+    * Partitioned per user; each partition sorts once and the frame is a
+    * sliding pointer pair over it. */
+  val qTimeRange: QueryDef = QueryDef.sql(
+    "q_window_time_range",
+    """SELECT user_id, event_id,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+      |  CAST(round(sum(CAST(value AS DECIMAL(38,10))) OVER w, 2) AS DOUBLE) AS sum_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin) {
+    (spark, dir) =>
+      Tables.events(spark, dir).createOrReplaceTempView("ev_time_range")
+      spark.sql(
+        """SELECT user_id, event_id,
+          |  count(*) OVER w AS n_last_hour,
+          |  CAST(round(sum(CAST(value AS DECIMAL(38,10))) OVER w, 2) AS DOUBLE) AS sum_last_hour
+          |FROM ev_time_range
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     qRanking, qLagLead, qRunningSum, qDedupFirstPerKey, qScd2Intervals,
-    qDistribution, qTopKPerKey, qFrameValues)
+    qDistribution, qTopKPerKey, qFrameValues, qTimeRange)
 }
