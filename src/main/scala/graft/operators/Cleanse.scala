@@ -167,6 +167,34 @@ object Cleanse {
       .drop("__pid")
   }
 
+  /** The remaining F-str surface in one narrow projection: pad, reverse,
+    * translate, replace, position, repeat, left/right slicing, and
+    * delimiter-field extraction — every one a codegen'd builtin, chosen
+    * for identical semantics in the oracle engine. */
+  val qStringFunctions: QueryDef = QueryDef.sql(
+    "q_string_functions",
+    """SELECT c_custkey,
+      |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_key,
+      |  reverse(c_name) AS reversed,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+      |  replace(c_name, 'Customer', 'C') AS replaced,
+      |  strpos(c_name, '#') AS hash_pos,
+      |  repeat(left(c_mktsegment, 2), 2) AS doubled_prefix,
+      |  right(c_name, 3) AS key_suffix,
+      |  split_part(c_name, '#', 2) AS after_hash
+      |FROM customer""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      lpad(col("c_custkey").cast("string"), 12, "0").as("padded_key"),
+      reverse(col("c_name")).as("reversed"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+      regexp_replace(col("c_name"), "Customer", "C").as("replaced"),
+      instr(col("c_name"), "#").cast("long").as("hash_pos"),
+      repeat(substring(col("c_mktsegment"), 1, 2), 2).as("doubled_prefix"),
+      substring(col("c_name"), -3, 3).as("key_suffix"),
+      element_at(split(col("c_name"), "#"), 2).as("after_hash"))
+  }
+
   val all: Seq[QueryDef] = Seq(qCleanseCustomer, qFilterPredicates, qNullHandling,
-    qOrderTopN, qSetOps, qGlobalSort)
+    qOrderTopN, qSetOps, qGlobalSort, qStringFunctions)
 }
