@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
 /** Generated dimensions — SURVEY.md §2.6 O5 (`sequence` + `explode`).
@@ -96,5 +96,29 @@ object Generators {
         (hour.between(11, 14) || hour.between(18, 21)).as("is_peak_hour"))
   }
 
-  val all: Seq[QueryDef] = Seq(qDimDate, qDimTime)
+  /** The remaining F-dt surface in one projection: week/month/quarter
+    * truncation, month-end, day arithmetic, and month addition with its
+    * end-of-month clamping (Jan 31 + 1 month = Feb 28 in both engines). */
+  val qDateFunctions: QueryDef = QueryDef.sql(
+    "q_date_functions",
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS week_start,
+      |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_start,
+      |  CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS quarter_start,
+      |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+      |  CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_92,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3_months
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    val d = col("o_orderdate").cast("date")
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      date_trunc("week", d).as("week_start"),
+      date_trunc("month", d).as("month_start"),
+      date_trunc("quarter", d).as("quarter_start"),
+      last_day(d).cast("timestamp").as("month_end"),
+      datediff(d, lit("1992-01-01").cast("date")).as("days_since_92"),
+      add_months(d, 3).cast("timestamp").as("plus_3_months"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qDimDate, qDimTime, qDateFunctions)
 }
