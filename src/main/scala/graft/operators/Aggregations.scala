@@ -467,9 +467,32 @@ object Aggregations {
         .as("qty_price_corr"))
   }
 
+  /** argmax (`max_by`) — the row-attribute-at-the-max shape (favorite
+    * merchant, best order) WITHOUT a window or self-join: one hash
+    * aggregate carrying (arg, max-key) state. Ties are resolved by a
+    * fixed-width sortable string key (price then orderkey), because both
+    * engines' argmax picks an arbitrary tied row otherwise — the same
+    * determinism rule as every window tiebreaker here. */
+  val qArgMax: QueryDef = QueryDef.sql(
+    "q_agg_argmax",
+    """SELECT o_custkey,
+      |  arg_max(o_orderkey,
+      |    lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 18, '0')
+      |      || '#' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS best_order,
+      |  max(o_totalprice) AS best_price
+      |FROM orders GROUP BY o_custkey""".stripMargin) { (spark, dir) =>
+    val sortKey = concat(
+      lpad(round(col("o_totalprice") * 100, 0).cast("long").cast("string"), 18, "0"),
+      lit("#"), lpad(col("o_orderkey").cast("string"), 12, "0"))
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max_by(col("o_orderkey"), sortKey).as("best_order"),
+        max(col("o_totalprice")).as("best_price"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q1PricingSummary, qCustomerLifetime, qConditionalRates,
     qEventPivot, qGroupwiseMax, qCountReport, qRollup, qCube, qPercentiles,
     qApproxDistinct, qQuantileSketch, qPivotNative, qExactVariance, qFunnel,
-    qGroupingId, qUnpivot, qExactCorr)
+    qGroupingId, qUnpivot, qExactCorr, qArgMax)
 }
