@@ -254,5 +254,43 @@ object Scd2 {
           col("asof_version"), col("asof_hash"))
   }
 
-  val all: Seq[QueryDef] = Seq(qScd2Build, qScd2Merge, qScd2AsOf)
+  /** As-of with a STALENESS BOUND — the feature-store variant: a probe
+    * row may only use a state version no older than the tolerance at
+    * probe time (a stale feature is worse than no feature). The as-of
+    * pick is unchanged (latest version ≤ ts, carried by the same merged
+    * window); the bound is then one filter on the picked version's start
+    * — correct because no earlier version can be fresher than the
+    * latest one. Probes whose freshest available version is too old
+    * drop out (inner semantics). */
+  val qScd2AsOfTolerance: QueryDef = QueryDef.sql(
+    "q_scd2_asof_tolerance",
+    s"""WITH hist AS (
+       |${scd2Sql("SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus, o_orderpriority FROM orders")}
+       |), picked AS (
+       |  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+       |    h.version_number AS asof_version,
+       |    CAST(h.effective_start AS TIMESTAMP) AS asof_start
+       |  FROM orders o
+       |  JOIN hist h ON h.o_custkey = o.o_custkey AND h.effective_start <= o.o_orderdate
+       |  QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+       |    ORDER BY h.effective_start DESC, h.version_number DESC) = 1
+       |)
+       |SELECT * FROM picked
+       |WHERE asof_start >= o_orderdate - INTERVAL 365 DAY""".stripMargin) {
+    (spark, dir) =>
+      val hist = fromChangeLog(changeLog(spark, dir), keys, attrs, ts, tiebreak)
+        .select(col("o_custkey"), col("effective_start").as("o_orderdate"),
+          col("version_number").as("asof_version"),
+          col("effective_start").as("asof_start"))
+      val probe = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      asOfJoin(probe, hist, Seq("o_custkey"), "o_orderdate",
+        Seq("asof_version", "asof_start"), "asof_version")
+        .where(col("asof_version").isNotNull &&
+          col("asof_start") >= col("o_orderdate") - expr("INTERVAL 365 DAYS"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("asof_version"), col("asof_start"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qScd2Build, qScd2Merge, qScd2AsOf, qScd2AsOfTolerance)
 }
