@@ -47,4 +47,20 @@ object Tables {
     * the same names the DuckDB oracle uses. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
+  /** Spread a narrow input across the cluster ONLY when it actually
+    * arrives narrow (the single-file local fixtures scan as 1-2 tasks,
+    * which would funnel expensive per-row arithmetic into one core). A
+    * real corpus arrives pre-partitioned — at or above `defaultParallelism`
+    * partitions — and passes through untouched, so no full-payload
+    * exchange appears in the 100 TB plan (asserted in PlanSpec).
+    * `spark.graft.spread=never` disables the fixture crutch entirely. */
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("spark.graft.spread").contains("never")) df
+    else {
+      val target = spark.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+  }
 }

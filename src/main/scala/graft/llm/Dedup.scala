@@ -68,9 +68,9 @@ object Dedup {
   def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     // the single-file local fixture scans as 1-2 tasks; the shingle/
     // signature arithmetic is the expensive stage, so spread it —
-    // a real multi-file corpus arrives pre-partitioned.
-    val toks = Tables.documents(spark, dir)
-      .repartition(spark.sparkContext.defaultParallelism)
+    // gated: a real multi-file corpus arrives pre-partitioned and skips
+    // the exchange (Tables.spread).
+    val toks = Tables.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .where(size(col("t")) >= 3)
     // materialization point: the shingle arrays are the expensive stage
@@ -237,8 +237,7 @@ object Dedup {
         when(size(filter(col("th"), h => shiftright(h, i).bitwiseAND(1) === 1)) * 2 >= size(col("th")),
           lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-      Tables.documents(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+      Tables.spread(Tables.documents(spark, dir))
         .select(col("doc_id"), th.as("th"))
         .select(col("doc_id"), bits.as("simhash"))
         .select(col("doc_id"), col("simhash"),
@@ -280,8 +279,9 @@ object Dedup {
       .where(col("doc_id") < 200 && length(col("text")) >= 4)
       .select(col("doc_id"), expr("n_chars div 100").as("sz"), grams.as("gh"))
     // the pairwise intersection is the quadratic hot loop: spread the
-    // probe side across all cores before the broadcast join computes it.
-    val joined = g.repartition(spark.sparkContext.defaultParallelism).as("a")
+    // probe side across all cores (gated — no-op on pre-partitioned
+    // inputs) before the broadcast join computes it.
+    val joined = Tables.spread(g).as("a")
       .join(broadcast(g.as("b")),
         col("a.sz") === col("b.sz") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

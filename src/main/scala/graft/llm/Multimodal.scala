@@ -83,16 +83,25 @@ object Multimodal {
        |FROM (SELECT doc_id, text, ${Portable.h32Sql("text")} AS h FROM documents)""".stripMargin) { (spark, dir) =>
     val assets = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val decoded = assets.select(
-      col("doc_id"), col("payload"),
-      length(col("payload")).cast("long").as("byte_size"),
-      md5(col("payload")).as("checksum"),
-      decodeStub(col("payload")).as("meta"))
+    // The stub decode is pure md5 arithmetic, so the query path computes it
+    // as codegen'd column expressions (md5 evaluated once, shared by
+    // checksum and dimensions) — no ScalaUDF in the projection (asserted by
+    // PlanSpec). [[decodeStub]]/[[extractBatched]] remain the documented
+    // slots where a real codec (which IS opaque bytes-in, struct-out)
+    // plugs in.
+    val decoded = assets
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("byte_size"),
+        md5(col("payload")).as("checksum"))
+      .withColumn("h", conv(substring(col("checksum"), 1, 8), 16, 10).cast("long"))
+      .withColumn("width", (lit(64) + col("h") % 1856).cast("int"))
+      .withColumn("height", (lit(64) + expr("h div 256") % 1016).cast("int"))
     decoded.select(
       col("doc_id"), col("byte_size"), col("checksum"),
-      col("meta.width").as("width"), col("meta.height").as("height"),
-      col("meta.format").as("format"),
-      (col("meta.width").cast("double") / col("meta.height")).as("aspect_ratio"),
+      col("width"), col("height"),
+      lit("rgb8").as("format"),
+      (col("width").cast("double") / col("height")).as("aspect_ratio"),
       (expr("byte_size div 1000") + 1).as("n_frames"),
       // CSV-joined, not ARRAY: the verification gate canonicalizes rows in
       // pandas, where an array cell is unhashable/unsortable. The sampling

@@ -48,9 +48,13 @@ object Sampling {
     val budget = 2048
     QueryDef.sql(
       "q_corpus_packing",
+      // DuckDB's window sum over BIGINT yields HUGEINT (int128); without the
+      // CAST the driver's dtype-sensitive hash sees int128 vs Spark's int64
+      // even though the values agree. Cast back to BIGINT before the
+      // floor-div/mod so both engines emit int64.
       s"""SELECT doc_id, lang, n_tokens,
-         |  (sum(n_tokens) OVER w - n_tokens) // $budget AS pack_id,
-         |  (sum(n_tokens) OVER w - n_tokens) % $budget AS pack_offset
+         |  (CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) // $budget AS pack_id,
+         |  (CAST(sum(n_tokens) OVER w AS BIGINT) - n_tokens) % $budget AS pack_offset
          |FROM (SELECT doc_id, lang, len(${tokensSql("text")}) AS n_tokens FROM documents)
          |WINDOW w AS (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING)""".stripMargin) {
       (spark, dir) =>

@@ -177,8 +177,7 @@ object Similarity {
       // computed once behind a bucket-partitioned exchange; the self-join
       // reuses it for both sides and joins co-clustered (see the
       // materialization notes in Dedup.nearDupPairs)
-      val keyed = norms(spark, dir)
-        .repartition(spark.sparkContext.defaultParallelism)
+      val keyed = graft.Tables.spread(norms(spark, dir))
         .select(col("vec_id"), col("embedding"), col("nrm"), bucket.as("bucket"))
         .repartition(col("bucket"))
       val pairs = keyed.as("a").join(keyed.as("b"),

@@ -90,12 +90,11 @@ object JsonOps {
     val op = when(col("o_orderkey") % 3 === 0, "c")
       .when(col("o_orderkey") % 3 === 1, "u").otherwise("d")
     val tsMs = unix_millis(col("o_orderdate").cast("timestamp")) + 1000L
-    // repartition: a real Kafka topic has N partitions and the parse runs
-    // one task per partition; the single-file parquet fixture would
+    // spread (gated): a real Kafka topic has N partitions and the parse
+    // runs one task per partition; the single-file parquet fixture would
     // otherwise funnel the (codegen-fallback) JSON parse into 1-2 tasks.
-    val withEnvelope = orders.select(
-      Debezium.wrapEnvelope(innerJson, op, tsMs, "orders").as("raw_json"))
-      .repartition(spark.sparkContext.defaultParallelism)
+    val withEnvelope = graft.Tables.spread(orders.select(
+      Debezium.wrapEnvelope(innerJson, op, tsMs, "orders").as("raw_json")))
     Debezium.parseEnvelope(withEnvelope, col("raw_json"), orderAfterSchema)
       .select(
         col("order_id"), col("cust_id"), col("status"), col("total_cents"),

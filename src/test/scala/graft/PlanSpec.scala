@@ -119,6 +119,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("spread is identity on pre-partitioned input (no payload exchange)") {
+    val target = spark.sparkContext.defaultParallelism
+    val wide = Tables.documents(spark, sfDir).repartition(target)
+    // a corpus already at cluster parallelism must pass through untouched:
+    // same object, so no Exchange is ever added to the 100 TB plan
+    assert(Tables.spread(wide) eq wide)
+    val narrow = Tables.documents(spark, sfDir).coalesce(1)
+    assert(Tables.spread(narrow).rdd.getNumPartitions == target)
+    // and the conf kill-switch disables the fixture crutch entirely
+    spark.conf.set("spark.graft.spread", "never")
+    try assert(Tables.spread(narrow) eq narrow)
+    finally spark.conf.unset("spark.graft.spread")
+  }
+
+  test("multimodal feature projection is UDF-free (stays in codegen)") {
+    // the stub decode is md5 column arithmetic; a ScalaUDF here would
+    // break whole-stage codegen in the scan-side projection
+    val plan = SparkEntry.queries("q_multimodal_features")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"q_multimodal_features must not evaluate a ScalaUDF:\n$plan")
+  }
+
   test("projection pruning reaches the scan (ReadSchema)") {
     // the pricing summary touches 7 of lineitem's 16 columns; the scan
     // must not read the rest
