@@ -56,7 +56,14 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    // the stdout tail gets truncated downstream (the 83-query line is long
+    // and sbt appends [success] noise) — persist the whole line to a file
+    // as the canonical artifact, then print it for greppability
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

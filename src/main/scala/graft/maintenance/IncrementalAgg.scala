@@ -38,8 +38,12 @@ object IncrementalAgg {
     * base exactly. */
   def applyDelta(agg: DataFrame, changes: DataFrame, keys: Seq[String],
       sumCols: Seq[String]): DataFrame = {
+    // a malformed feed must fail loudly, not silently null out of the
+    // sums and break the 'maintenance ≡ full recompute' guarantee
     val sign = when(col("_change_type") === "insert", lit(1))
       .when(col("_change_type") === "delete", lit(-1))
+      .otherwise(raise_error(concat(
+        lit("IncrementalAgg: unknown _change_type "), col("_change_type"))))
     val deltaAgg = changes.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("d_n"),
         sumCols.map(c =>

@@ -151,10 +151,17 @@ object Cleanse {
       |  CAST(row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS global_rank
       |FROM customer""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // ONE sort: localCheckpoint (eager) freezes the range-partitioned
+    // result, so the counts job and the rank job both read the same
+    // materialized partitions. Without it they'd be two independent jobs
+    // whose RangePartitioners can sample different split points — the
+    // collected offsets would silently mismatch the second job's __pid
+    // values at scale (fully-sampled tiny partitions hide it locally).
     val sorted = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_acctbal").cast("double").as("acctbal"))
       .orderBy(col("acctbal").desc, col("c_custkey"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = sorted.groupBy(col("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0 -> 0L) { case ((_, acc), (pid, n)) => pid -> (acc + n) }
@@ -192,7 +199,10 @@ object Cleanse {
       instr(col("c_name"), "#").cast("long").as("hash_pos"),
       repeat(substring(col("c_mktsegment"), 1, 2), 2).as("doubled_prefix"),
       substring(col("c_name"), -3, 3).as("key_suffix"),
-      element_at(split(col("c_name"), "#"), 2).as("after_hash"))
+      // null-safe field access: under ANSI mode element_at throws when the
+      // delimiter is absent; get() returns null, coalesced to '' to match
+      // the oracle's split_part semantics on the no-delimiter case
+      coalesce(get(split(col("c_name"), "#"), lit(1)), lit("")).as("after_hash"))
   }
 
   val all: Seq[QueryDef] = Seq(qCleanseCustomer, qFilterPredicates, qNullHandling,

@@ -164,7 +164,10 @@ object VersionedTable {
     val latest = latestVersion(spark, path)
       .getOrElse(sys.error(s"no committed version at $path"))
     val cut = math.max(0, latest - keepVersions + 1)
-    val keptDirs = (cut to latest).flatMap(v => readManifest(spark, path, v).dirs).toSet
+    // a prior vacuum with a smaller retention may have already deleted
+    // manifests inside this kept range — skip the gaps like history() does
+    val keptDirs = (cut to latest).filter(v => f.exists(manifest(path, v)))
+      .flatMap(v => readManifest(spark, path, v).dirs).toSet
     (0 until cut).foreach { v =>
       if (f.exists(manifest(path, v))) {
         readManifest(spark, path, v).dirs

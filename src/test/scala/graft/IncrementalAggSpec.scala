@@ -71,6 +71,19 @@ class IncrementalAggSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 4.0), ("b", 1L, 2.0)))
   }
 
+  test("an unrecognized _change_type fails loudly instead of vanishing") {
+    import spark.implicits._
+    val base = Seq(("a", 1.0)).toDF("k", "v")
+    val agg = IncrementalAgg.materialize(base, Seq("k"), Seq("v"))
+    val bad = Seq(("a", 2.0, "upsert")).toDF("k", "v", "_change_type")
+    val e = intercept[Exception] {
+      IncrementalAgg.applyDelta(agg, bad, Seq("k"), Seq("v")).collect()
+    }
+    assert(e.getMessage.contains("unknown _change_type")
+      || Option(e.getCause).exists(_.getMessage.contains("unknown _change_type")),
+      e.toString)
+  }
+
   test("groups deleted down to zero rows disappear") {
     import spark.implicits._
     val base = Seq(("a", 10.0), ("a", 5.0), ("b", 1.0)).toDF("k", "v")

@@ -57,6 +57,15 @@ class VersionedTableSpec extends SparkSpec {
     assert(new java.io.File(root, "d=2").exists())
   }
 
+  test("re-vacuum with a larger retention tolerates already-deleted manifests") {
+    val path = freshPath()
+    (0 to 4).foreach(i => VersionedTable.write(spark, Seq(i).toDF("x"), path))
+    VersionedTable.vacuum(spark, path, keepVersions = 1) // only v4 survives
+    // the kept range [v1..v4] now has holes — must skip them, not throw
+    VersionedTable.vacuum(spark, path, keepVersions = 4)
+    assert(VersionedTable.read(spark, path).as[Int].collect().toSeq == Seq(4))
+  }
+
   test("changes() yields the insert/delete delta between versions") {
     val path = freshPath()
     VersionedTable.write(spark, Seq(1, 2, 2, 3).toDF("x"), path)
