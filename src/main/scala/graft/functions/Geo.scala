@@ -105,6 +105,20 @@ object Geo {
   def h3ishSql(lat: String, lon: String, res: Int = 8): String =
     h3ishExpr(lat, lon, res, (x, n) => s"($x >> $n)")
 
+  /** TRUE icosahedral aperture-7 cell index ([[IcoHex]]): gnomonic face
+    * projection + hex lattice rounding — the same geometry class as H3,
+    * with documented non-canonical numbering (IcoHex docs explain why
+    * bit-compat H3 is unreachable offline). Native codegen expression, no
+    * UDF. Not used in the oracle query ([[qGeoEnrich]] keeps the
+    * SQL-expressible [[h3ish]] token there) because the 20-face argmax +
+    * trig pipeline has no faithful DuckDB rendering; correctness comes
+    * from IcoHexSpec's geometric property suite instead. */
+  def icohexCell(lat: Column, lon: Column, res: Int): Column =
+    org.apache.spark.sql.GraftSqlShim.column(IcoHexCell(
+      org.apache.spark.sql.GraftSqlShim.expression(lat.cast("double")),
+      org.apache.spark.sql.GraftSqlShim.expression(lon.cast("double")),
+      org.apache.spark.sql.catalyst.expressions.Literal(res)))
+
   /** Timezone from coordinate boxes — the reference's
     * get_timezone_from_coords (gold_pipeline.py:86-98) as a plain
     * when/otherwise chain (it never needed a UDF). */

@@ -123,6 +123,7 @@ object RewriteGeohashUdf
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GeohashEncode.inject(ext)
+    IcoHex.inject(ext)
     ZOrderKey.inject(ext)
     ext.injectOptimizerRule(_ => RewriteGeohashUdf)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)

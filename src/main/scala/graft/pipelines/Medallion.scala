@@ -131,7 +131,9 @@ object Medallion {
     geocoded
       .withColumn("location_key", xxhash64(col("address_line_1"), col("city"), col("postal_code")))
       .withColumn("geohash", Geo.geohash("lat", "lon", 8))
-      .withColumn("h3_cell", Geo.h3ish("lat", "lon", 8))
+      // true icosahedral aperture-7 cell (H3-class geometry, IcoHex docs),
+      // standing in for the reference's h3 UDF (gold_pipeline.py:75-84)
+      .withColumn("h3_cell", Geo.icohexCell(col("lat"), col("lon"), 8))
       .withColumn("timezone", Geo.timezone(col("lat"), col("lon")))
       .withColumn("region_zone",
         when(col("city") === "Paris", "ile-de-france")

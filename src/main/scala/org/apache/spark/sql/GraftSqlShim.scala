@@ -13,4 +13,7 @@ object GraftSqlShim {
 
   def expression(col: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(col)
+
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }
