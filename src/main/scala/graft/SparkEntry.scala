@@ -15,6 +15,7 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     operators.Aggregations.all ++
       operators.Joins.all ++
+      operators.ScaleJoins.all ++
       operators.Windows.all ++
       operators.Generators.all ++
       operators.Cleanse.all ++

@@ -249,6 +249,106 @@ object Similarity {
       .where(col("rnk") <= 3)
   }
 
+  // ------------------------------------------------------ trained quantizer
+
+  /** Nearest-centroid assignment with the centroids as PLAN LITERALS —
+    * cheaper than a broadcast join: no build side, no join at all, just k
+    * codegen'd dot products per row and a `greatest` over (cosine, cell)
+    * structs (struct ordering is lexicographic, so greatest = argmax by
+    * cosine with a deterministic cell tiebreak). Input needs `vec_id` and
+    * `embedding`; output adds `nrm` and `cell`. At 100 TB this is a pure
+    * map-side pass over the corpus — the scale shape IVF assignment must
+    * have. */
+  def assignCells(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    require(cents.length >= 2, "need at least 2 centroids")
+    val scored = cents.zipWithIndex.map { case (cw, ci) =>
+      val cnrm = math.sqrt(cw.map(x => x * x).sum)
+      val d = aggregate(
+        zip_with(col("embedding"), array(cw.map(lit): _*),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      struct((d / (col("nrm") * lit(cnrm))).as("cos"), lit(ci).as("cell"))
+    }
+    emb
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("cell", greatest(scored.toSeq: _*).getField("cell"))
+  }
+
+  /** Seeded Lloyd k-means over the embedding column, as DataFrame ops:
+    * per iteration, one literal-centroid assignment pass plus one
+    * groupBy(cell, dim) mean — only k·dim scalar rows ever reach the
+    * driver, never vectors, so training cost is `iters` corpus scans
+    * regardless of corpus size. Deterministic: init = the k vectors with
+    * the lowest xxhash64(vec_id, seed); empty/degenerate cells keep their
+    * previous centroid. Replaces the every-50th-vector placeholder as the
+    * production quantizer (the oracle queries keep the placeholder only
+    * because DuckDB cannot replay an iterative trainer). */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int,
+      seed: Long = 42L): Array[Array[Double]] = {
+    require(k >= 2 && iters >= 0, s"k=$k iters=$iters")
+    var cents: Array[Array[Double]] = emb
+      .withColumn("__h", xxhash64(col("vec_id"), lit(seed)))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val means = assignCells(emb, cents)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .view.mapValues { rows =>
+          val a = new Array[Double](dim)
+          rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
+          a
+        }.toMap
+      cents = cents.zipWithIndex.map { case (old, ci) =>
+        means.get(ci) match {
+          case Some(m) if math.sqrt(m.map(x => x * x).sum) > 1e-12 => m
+          case _ => old // empty or degenerate cell: keep the old centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** Mean cosine of every vector to its assigned centroid — the spherical
+    * k-means objective (higher is better). */
+  def quantizerObjective(emb: DataFrame, cents: Array[Array[Double]]): Double = {
+    val scored = cents.zipWithIndex.map { case (cw, ci) =>
+      val cnrm = math.sqrt(cw.map(x => x * x).sum)
+      val d = aggregate(
+        zip_with(col("embedding"), array(cw.map(lit): _*),
+          (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      struct((d / (col("nrm") * lit(cnrm))).as("cos"), lit(ci).as("cell"))
+    }
+    emb.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .select(greatest(scored.toSeq: _*).getField("cos").as("c"))
+      .agg(avg(col("c"))).collect()(0).getDouble(0)
+  }
+
+  /** Single-probe IVF search against an arbitrary centroid set: assign
+    * corpus + queries with [[assignCells]], search only the query's cell.
+    * Same plan shape as [[qIvfAnn]] (broadcast queries × partition-local
+    * members), quantizer pluggable. */
+  def ivfSearch(emb: DataFrame, cents: Array[Array[Double]],
+      isQuery: Column, topk: Int): DataFrame = {
+    val assigned = assignCells(emb, cents)
+    val queries = assigned.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+    assigned
+      .join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .where(col("rnk") <= topk)
+  }
+
   val all: Seq[QueryDef] = Seq(qCosineTopK, qIvfAnn, qIvfMultiProbe, qEmbeddingNearDup)
 }
 

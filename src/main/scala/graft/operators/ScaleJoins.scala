@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -55,6 +56,33 @@ object ScaleJoins {
     * ShuffleExchange on either side (asserted in ScaleJoinsSpec). */
   def coLocatedJoin(spark: SparkSession, left: String, right: String, key: String): DataFrame =
     spark.table(left).hint("merge").join(spark.table(right), Seq(key))
+
+  /** The salted join under the oracle: lineitem enriched by a per-flag
+    * dim through `l_returnflag` — a 3-value key, i.e. maximal skew: a
+    * plain shuffle join lands ~1/3 of the fact table in each of three
+    * tasks no matter how many executors exist. The salted form spreads
+    * every flag over `salts` sub-keys (task sizes drop `salts`×,
+    * replicating only the 3-row build side). The oracle is the PLAIN
+    * join — salting must be observationally invisible. Plan shape
+    * (salt expansion, even output partitions) is asserted in
+    * ScaleJoinsSpec. */
+  val qSkewSalted: QueryDef = QueryDef.sql(
+    "q_join_skew_salted",
+    """WITH dim AS (
+      |  SELECT l_returnflag, count(*) AS flag_count FROM lineitem GROUP BY 1
+      |)
+      |SELECT l_orderkey, l_linenumber, l_returnflag, flag_count
+      |FROM lineitem JOIN dim USING (l_returnflag)""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val dim = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("flag_count"))
+    saltedJoin(
+      li.select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
+      dim, "l_returnflag", salts = 8)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("flag_count"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qSkewSalted)
 
   /** Banded range join: fact rows against interval dims `[lo, hi)`
     * expressed as an EQUI join, not a theta join. Each interval explodes

@@ -50,6 +50,35 @@ class ScaleJoinsSpec extends SparkSpec {
     dropManagedTable("b_lineitem")
   }
 
+  test("q_join_skew_salted plans the salt expansion and spreads the hot keys") {
+    // force the shuffle-join regime (at 100 TB the build side of the
+    // oracle query is broadcastable, but the operator exists for builds
+    // that are not) and verify the salt machinery is actually in the plan
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // partition-spread is the thing under test: stop AQE from coalescing
+    // the (tiny at test scale) shuffle back into one partition
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_join_skew_salted")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("explode") && plan.contains("__salt"),
+        s"expected salt replication in the plan:\n$plan")
+      // the join key carries the salt: no single-task hot key remains
+      assert(plan.contains("l_returnflag") && plan.contains("__salt"))
+      // 3-key join output would concentrate in 3 partitions unsalted;
+      // salted it must occupy well more than the 3 key partitions
+      val sizes = df.groupBy(spark_partition_id()).count().collect()
+      assert(sizes.length > 3, s"only ${sizes.length} populated partitions")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+  }
+
   test("rangeJoin equals the naive theta join and plans as a hash join") {
     import spark.implicits._
     val bands = Seq(("low", 0.0, 3000.0), ("midlow", 3000.0, 3500.0),

@@ -62,4 +62,58 @@ class SimilaritySpec extends SparkSpec {
     info(f"recall@3: nprobe=1 -> $one%.2f, nprobe=2 -> $two%.2f")
     assert(two >= one, f"multi-probe recall $two%.2f below single-probe $one%.2f")
   }
+
+  // ------------------------------------------------ trained quantizer
+
+  import graft.llm.Similarity
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  /** Exact brute-force top-3 neighbor sets for queries vec_id < nQ. */
+  private def exactTop3(nQ: Int): Map[Long, Set[Long]] = {
+    val rows = SparkEntry.queries("q_sim_cosine_topk")(spark, sfDir) // q < 10 built in
+    rows.select(col("query_id"), col("cand_id")).where(col("rnk") <= 3)
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      .filter(_._1 < nQ)
+  }
+
+  private def recallOfSearch(df: org.apache.spark.sql.DataFrame,
+      truth: Map[Long, Set[Long]]): Double = {
+    val got = df.select(col("query_id"), col("cand_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    r.sum / r.size
+  }
+
+  test("k-means training is deterministic and improves the quantizer objective") {
+    val a = Similarity.trainCentroids(emb, k = 10, iters = 3)
+    val b = Similarity.trainCentroids(emb, k = 10, iters = 3)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "same seed must reproduce")
+    val init = Similarity.trainCentroids(emb, k = 10, iters = 0)
+    val objInit = Similarity.quantizerObjective(emb, init)
+    val objTrained = Similarity.quantizerObjective(emb, a)
+    info(f"spherical objective: init $objInit%.4f -> trained $objTrained%.4f")
+    assert(objTrained >= objInit - 1e-12,
+      f"training worsened the objective: $objInit%.4f -> $objTrained%.4f")
+  }
+
+  test("trained centroids recall at least the placeholder quantizer's") {
+    val truth = exactTop3(10)
+    // placeholder = the oracle queries' every-50th-vector centroids,
+    // pushed through the SAME search path for an apples comparison
+    val placeholder = emb.where(col("vec_id") % 50 === 0)
+      .orderBy("vec_id").select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val trained = Similarity.trainCentroids(emb, k = placeholder.length, iters = 3)
+    val rPlaceholder = recallOfSearch(
+      Similarity.ivfSearch(emb, placeholder, col("vec_id") < 10, 3), truth)
+    val rTrained = recallOfSearch(
+      Similarity.ivfSearch(emb, trained, col("vec_id") < 10, 3), truth)
+    info(f"recall@3: placeholder $rPlaceholder%.2f, trained $rTrained%.2f")
+    assert(rTrained >= rPlaceholder,
+      f"trained quantizer lost recall: $rTrained%.2f < $rPlaceholder%.2f")
+  }
 }
