@@ -152,4 +152,131 @@ object DeltaLog {
       spark.read.option("basePath", table).parquet(abs: _*)
     }
   }
+
+  // -------------------------------------------------------------- writing
+
+  private def jsonStr(s: String): String = mapper.writeValueAsString(s)
+
+  /** Commit `df` to the table as one public-protocol Delta commit:
+    * parquet data files land under the table root (partition-dir layout
+    * when `partitionBy` is set), then ONE `_delta_log/<v>.json` appears
+    * via atomic rename — a concurrent writer racing to the same version
+    * loses the rename and errors rather than corrupting the log, and a
+    * crash before the rename leaves only unreferenced data files (invisible
+    * to readers, same guarantee real Delta gives). `overwrite` emits
+    * `remove` actions for the previous snapshot's files; `append` only
+    * adds. Returns the committed version. Any protocol-compliant reader
+    * (including [[read]]) sees exactly the committed state. */
+  def write(spark: SparkSession, df: DataFrame, table: String,
+      mode: String = "overwrite", partitionBy: Seq[String] = Seq.empty): Long = {
+    require(mode == "overwrite" || mode == "append", s"mode must be overwrite|append: $mode")
+    val f = fs(spark, table)
+    val root = new Path(table)
+    f.mkdirs(logDir(table))
+    val prior = listVersions(spark, table)
+    val version = prior.lastOption.map(_ + 1).getOrElse(0L)
+
+    // stage the parquet files in a scratch dir, then move them under the
+    // table root with commit-unique names (dataChange only on log commit)
+    val scratch = new Path(root, f".tmp-commit-$version%020d")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(scratch.toString)
+    val staged = f.listFiles(scratch, true)
+    val moved = Seq.newBuilder[(String, Map[String, String])] // relPath -> partitionValues
+    var idx = 0
+    while (staged.hasNext) {
+      val st = staged.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet")) {
+        // partition dirs between scratch root and the file, e.g. lang=en
+        // (URI-relativize: listed paths are scheme-qualified, `scratch`
+        // need not be)
+        val relDir = f.makeQualified(scratch).toUri
+          .relativize(st.getPath.getParent.toUri).getPath.stripSuffix("/")
+        val pv = relDir.split("/").filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val destRel = (if (relDir.isEmpty) "" else relDir + "/") +
+          f"part-$version%05d-$idx%05d.snappy.parquet"
+        idx += 1
+        val dest = new Path(root, destRel)
+        f.mkdirs(dest.getParent)
+        require(f.rename(st.getPath, dest), s"stage move failed: $dest")
+        moved += destRel -> pv
+      }
+    }
+    f.delete(scratch, true)
+
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    if (version == 0L) {
+      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      actions += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonStr(df.schema.json)},""" +
+        s""""partitionColumns":${partitionBy.map(jsonStr).mkString("[", ",", "]")},""" +
+        s""""configuration":{},"createdTime":$now}}"""
+    }
+    if (mode == "overwrite" && version > 0L)
+      snapshot(spark, table).files.foreach { p =>
+        actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
+      }
+    moved.result().foreach { case (rel, pv) =>
+      val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+        .mkString("{", ",", "}")
+      val size = f.getFileStatus(new Path(root, rel)).getLen
+      actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
+        s""""size":$size,"modificationTime":$now,"dataChange":true}}"""
+    }
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(mode.toUpperCase)}}}"""
+
+    // write-then-rename: the commit becomes visible atomically or not at all
+    val tmp = new Path(logDir(table), f".$version%020d.json.tmp")
+    val out = f.create(tmp, false)
+    try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val commitPath = new Path(logDir(table), f"$version%020d.json")
+    if (!f.rename(tmp, commitPath)) {
+      f.delete(tmp, false)
+      sys.error(s"concurrent commit lost the race for version $version at $table")
+    }
+    version
+  }
+
+  /** Write a parquet checkpoint of the current snapshot + the
+    * `_last_checkpoint` pointer, bounding future replays to the JSON
+    * suffix (and allowing old commits to be vacuumed). */
+  def checkpoint(spark: SparkSession, table: String): Long = {
+    import spark.implicits._
+    val snap = snapshot(spark, table)
+    val f = fs(spark, table)
+    val schemaJson = snap.schema.map(_.json)
+    val pcols = snap.partitionColumns
+    val rows = snap.files.map(p => (Option(p), None: Option[(String, Seq[String])])) :+
+      ((None: Option[String], Some((schemaJson.getOrElse(new StructType().json), pcols))))
+    val cpDf = rows.toDF("p", "m")
+      .selectExpr("named_struct('path', p) AS add",
+        "named_struct('schemaString', m._1, 'partitionColumns', m._2) AS metaData")
+    val scratch = new Path(table, ".tmp-checkpoint")
+    cpDf.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+    val part = {
+      val it = f.listFiles(scratch, false)
+      var found: Path = null
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) found = st.getPath
+      }
+      require(found != null, "checkpoint stage produced no parquet"); found
+    }
+    val dest = new Path(logDir(table), f"${snap.version}%020d.checkpoint.parquet")
+    require(f.rename(part, dest), s"checkpoint move failed: $dest")
+    f.delete(scratch, true)
+    val lp = new Path(logDir(table), "_last_checkpoint")
+    val out = f.create(lp, true)
+    try out.write(s"""{"version":${snap.version},"size":${snap.files.size + 1}}""".getBytes("UTF-8"))
+    finally out.close()
+    snap.version
+  }
 }

@@ -120,6 +120,54 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t, Some(2)).as[Long].collect().sorted.toSeq == Seq(3L, 9L))
   }
 
+  test("write: overwrite/append commits round-trip through the protocol reader") {
+    val t = freshTable()
+    assert(DeltaLog.write(spark, Seq(1L, 2L).toDF("x"), t) == 0L)
+    assert(DeltaLog.write(spark, Seq(3L).toDF("x"), t, "append") == 1L)
+    assert(DeltaLog.write(spark, Seq(9L).toDF("x"), t) == 2L) // overwrite
+    assert(DeltaLog.read(spark, t).as[Long].collect().toSeq == Seq(9L))
+    assert(DeltaLog.read(spark, t, Some(1)).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(DeltaLog.read(spark, t, Some(0)).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // overwrite removed, not deleted: old files still exist for time travel
+    assert(DeltaLog.snapshot(spark, t).files.size == 1)
+    // an orphan data file (simulated crash before commit) is invisible
+    Seq(77L).toDF("x").coalesce(1).write.mode("overwrite")
+      .parquet(new File(t, ".tmp-orphan").toString)
+    val orphan = new File(t, ".tmp-orphan").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(orphan.toPath, new File(t, "part-orphan.snappy.parquet").toPath)
+    assert(DeltaLog.read(spark, t).as[Long].collect().toSeq == Seq(9L))
+  }
+
+  test("write: partitioned commit records partitionValues and reads back pruned") {
+    val t = freshTable()
+    val df = Seq((1L, "en"), (2L, "fr"), (3L, "en")).toDF("x", "lang")
+    DeltaLog.write(spark, df, t, partitionBy = Seq("lang"))
+    val back = DeltaLog.read(spark, t)
+    assert(back.columns.toSet == Set("x", "lang"))
+    assert(back.as[(Long, String)].collect().toSet ==
+      Set((1L, "en"), (2L, "fr"), (3L, "en")))
+    // the log's add actions carry the partitionValues map (protocol field)
+    val log = new String(Files.readAllBytes(
+      new File(t, "_delta_log/00000000000000000000.json").toPath), "UTF-8")
+    assert(log.contains(""""partitionValues":{"lang":"en"}"""), log)
+    assert(log.contains(""""partitionValues":{"lang":"fr"}"""), log)
+    assert(DeltaLog.snapshot(spark, t).partitionColumns == Seq("lang"))
+  }
+
+  test("write + checkpoint: JSON prefix becomes vacuumable") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L).toDF("x"), t)
+    DeltaLog.write(spark, Seq(2L).toDF("x"), t, "append")
+    assert(DeltaLog.checkpoint(spark, t) == 1L)
+    DeltaLog.write(spark, Seq(3L).toDF("x"), t, "append") // v2, after the cp
+    // vacuum the checkpointed JSON prefix — replay must not need it
+    (0L to 1L).foreach(v =>
+      Files.delete(new File(t, f"_delta_log/$v%020d.json").toPath))
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(DeltaLog.snapshot(spark, t).version == 2L)
+  }
+
   test("empty table reads as empty frame with the declared schema") {
     val t = freshTable()
     commit(t, 0, Seq(metaAction(xSchema)))
