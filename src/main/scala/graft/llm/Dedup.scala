@@ -162,6 +162,41 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM neardup""".stripMargin)(
     (spark, dir) => nearDupPairs(spark, dir))
 
+  /** Benchmark decontamination: test-split documents that are NEAR-DUPS
+    * (verified shingle-Jaccard ≥ 0.8) of any document outside the test
+    * split — the check every training pipeline must run before an eval
+    * set is trusted (exact-hash contamination is already impossible by
+    * construction here: the split key IS the content hash, so an exact
+    * dup can never straddle splits; near-dups can and do). Reuses the
+    * banded-LSH pair pipeline — at 100 TB the candidate set comes from
+    * the bucket join, never an all-pairs scan — then attaches each side's
+    * split bucket and keeps pairs that cross the test boundary. The pair
+    * set is tiny, so the planner broadcasts it against the narrow
+    * bucket frame. */
+  val qSplitContamination: QueryDef = QueryDef.sql(
+    "q_split_contamination",
+    s"""WITH $nearDupPairsSql,
+       |b AS (SELECT doc_id, ${h60Sql("text")} % 100 AS bucket FROM documents)
+       |SELECT
+       |  CASE WHEN ba.bucket >= 90 THEN n.doc_a ELSE n.doc_b END AS test_doc,
+       |  CASE WHEN ba.bucket >= 90 THEN n.doc_b ELSE n.doc_a END AS seen_doc,
+       |  jaccard
+       |FROM neardup n
+       |JOIN b ba ON ba.doc_id = n.doc_a
+       |JOIN b bb ON bb.doc_id = n.doc_b
+       |WHERE (ba.bucket >= 90) <> (bb.bucket >= 90)""".stripMargin) { (spark, dir) =>
+    val buckets = Tables.documents(spark, dir)
+      .select(col("doc_id"), (h60(col("text")) % 100).as("bucket"))
+    nearDupPairs(spark, dir)
+      .join(buckets.select(col("doc_id").as("doc_a"), col("bucket").as("bucket_a")), "doc_a")
+      .join(buckets.select(col("doc_id").as("doc_b"), col("bucket").as("bucket_b")), "doc_b")
+      .where((col("bucket_a") >= 90) =!= (col("bucket_b") >= 90))
+      .select(
+        when(col("bucket_a") >= 90, col("doc_a")).otherwise(col("doc_b")).as("test_doc"),
+        when(col("bucket_a") >= 90, col("doc_b")).otherwise(col("doc_a")).as("seen_doc"),
+        col("jaccard"))
+  }
+
   /** End-to-end corpus curation — the composition an LLM training-data
     * pipeline actually runs: Gopher-style quality gate ∧ exact-dup
     * canonicalization ∧ near-dup removal (drop the non-canonical side of
@@ -332,5 +367,5 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard,
-    qCorpusCuration, qClusters)
+    qCorpusCuration, qClusters, qSplitContamination)
 }

@@ -72,5 +72,31 @@ object Sampling {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qSplit, qPacking)
+  /** Proportional stratified sample: exactly ⌊n_lang/10⌋ docs per
+    * language shard, chosen by content-hash rank — deterministic and
+    * coordination-free like [[qSplit]], but with an exact per-stratum
+    * count (hash-threshold sampling only hits the rate in expectation).
+    * The rank window is partitioned by the shard key, so no global sort
+    * exists at any corpus size; the count window shares the same
+    * partitioning (one exchange serves both). */
+  val qStratified: QueryDef = QueryDef.sql(
+    "q_corpus_stratified",
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang,
+       |    row_number() OVER (PARTITION BY lang ORDER BY ${h60Sql("text")}, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n_lang
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, rn FROM ranked WHERE rn * 10 <= n_lang""".stripMargin) {
+    (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          row_number().over(w.orderBy(h60(col("text")), col("doc_id"))).as("rn"),
+          count(lit(1)).over(w).as("n_lang"))
+        .where(col("rn") * 10 <= col("n_lang"))
+        .select(col("doc_id"), col("lang"), col("rn"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qSplit, qPacking, qStratified)
 }

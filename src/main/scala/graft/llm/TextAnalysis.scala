@@ -228,6 +228,50 @@ object TextAnalysis {
         (max(col("n")).cast("double") / sum(col("n"))).as("repetition_ratio"))
   }
 
+  /** Characteristic terms per document (TF-IDF family): term frequency ×
+    * corpus-size-over-document-frequency, top 3 per doc for the first 100
+    * docs. The score is `tf·N / df` — the log-free idf variant — chosen
+    * deliberately: integer multiply + one double division are exactly
+    * rounded in IEEE and therefore bit-identical across engines, whereas
+    * `ln()` is correctly-rounded in neither and would make ranks
+    * engine-dependent on near-ties. Plan shape at 100 TB: explode →
+    * map-side-combined tf/df aggregations (df over the FULL corpus, tf
+    * only over the queried docs) → broadcast-joinable df dimension →
+    * per-doc top-k window partitioned by doc. */
+  val qTopTerms: QueryDef = QueryDef.sql(
+    "q_text_top_terms",
+    s"""WITH tokd AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+       |), df AS (
+       |  SELECT term, count(DISTINCT doc_id) AS df FROM tokd GROUP BY 1
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokd
+       |  WHERE doc_id < 100 AND len(term) >= 4 GROUP BY 1, 2
+       |), n AS (SELECT count(*) AS n FROM documents),
+       |scored AS (
+       |  SELECT doc_id, term, tf, df, CAST(tf * n AS DOUBLE) / df AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n
+       |)
+       |SELECT doc_id, term, tf, df, score,
+       |  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+       |FROM scored
+       |QUALIFY rnk <= 3""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val tokd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dfTbl = tokd.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+    val tf = tokd.where(col("doc_id") < 100 && length(col("term")) >= 4)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfTbl, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+    scored
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .where(col("rnk") <= 3)
+  }
+
   val all: Seq[QueryDef] = Seq(qTextStats, qTextLangId, qTextFingerprint, qTextQuality,
-    qTextRedact, qTextRepetition)
+    qTextRedact, qTextRepetition, qTopTerms)
 }
