@@ -111,16 +111,7 @@ object Scd2 {
       return
     }
     val target = spark.read.parquet(targetPath)
-    val srcRenamed = source.select(
-      keys.map(col) ++ source.columns.filterNot(keys.contains)
-        .map(c => col(c).as(s"__src_$c")): _*)
-    val merged = target.join(srcRenamed, keys, "full_outer")
-    val takeSource = col(s"__src_$recencyCol").isNotNull &&
-      (col(recencyCol).isNull || col(s"__src_$recencyCol") > col(recencyCol))
-    val out = merged.select(
-      keys.map(col) ++ target.columns.filterNot(keys.contains).map { c =>
-        when(takeSource, col(s"__src_$c")).otherwise(col(c)).as(c)
-      }: _*)
+    val out = mergedFrame(target, source, keys, recencyCol)
     val tmp = new Path(targetPath + "__merge_tmp")
     val old = new Path(targetPath + "__merge_old")
     out.write.mode("overwrite").parquet(tmp.toString)
@@ -128,6 +119,24 @@ object Scd2 {
     require(fs.rename(tmp, new Path(targetPath)), s"could not swap merged data into $targetPath")
     fs.delete(old, true)
     ()
+  }
+
+  /** The MERGE frame itself (shared by the parquet fallback above and
+    * the Delta-protocol merge, graft.sources.DeltaLog.mergeUpsert):
+    * matched-and-newer rows take the source, unmatched target rows are
+    * kept, unmatched source rows are inserted. */
+  private[graft] def mergedFrame(target: DataFrame, source: DataFrame,
+      keys: Seq[String], recencyCol: String): DataFrame = {
+    val srcRenamed = source.select(
+      keys.map(col) ++ source.columns.filterNot(keys.contains)
+        .map(c => col(c).as(s"__src_$c")): _*)
+    val merged = target.join(srcRenamed, keys, "full_outer")
+    val takeSource = col(s"__src_$recencyCol").isNotNull &&
+      (col(recencyCol).isNull || col(s"__src_$recencyCol") > col(recencyCol))
+    merged.select(
+      keys.map(col) ++ target.columns.filterNot(keys.contains).map { c =>
+        when(takeSource, col(s"__src_$c")).otherwise(col(c)).as(c)
+      }: _*)
   }
 
   // ---------------------------------------------------------------- queries

@@ -245,6 +245,28 @@ object DeltaLog {
     version
   }
 
+  /** MERGE upsert on the Delta protocol — the reference's S8 sink shape
+    * (`DeltaTable.merge` with a recency guard, gold_pipeline.py:789-796)
+    * on an open-format table: read the current snapshot, apply the shared
+    * merge frame (matched-and-newer replaced, unmatched kept/inserted),
+    * commit as one overwrite. Unlike the parquet fallback's directory
+    * swap, the commit is atomic via the log rename AND every pre-merge
+    * version stays time-travelable. Returns the committed version. */
+  def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], recencyCol: String): Long = {
+    val f = fs(spark, table)
+    val hasLog = f.exists(logDir(table)) &&
+      (listVersions(spark, table).nonEmpty || lastCheckpoint(f, table).nonEmpty)
+    if (!hasLog) write(spark, source, table)
+    else {
+      val target = read(spark, table)
+      // safe to evaluate against the files the commit will 'remove':
+      // remove actions only drop log references, data files stay on disk
+      val out = graft.operators.Scd2.mergedFrame(target, source, keys, recencyCol)
+      write(spark, out, table, "overwrite")
+    }
+  }
+
   /** Write a parquet checkpoint of the current snapshot + the
     * `_last_checkpoint` pointer, bounding future replays to the JSON
     * suffix (and allowing old commits to be vacuumed). */

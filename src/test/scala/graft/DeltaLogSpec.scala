@@ -168,6 +168,27 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.snapshot(spark, t).version == 2L)
   }
 
+  test("MERGE upsert on the protocol: recency guard + time travel across merges") {
+    val t = freshTable()
+    val v0 = DeltaLog.mergeUpsert(spark,  t,
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "payload", "updated_at"),
+      Seq("id"), "updated_at")
+    assert(v0 == 0L)
+    // newer update for 1, STALE row for 2 (guard must reject), new key 3
+    val v1 = DeltaLog.mergeUpsert(spark, t,
+      Seq((1L, "a2", 20L), (2L, "stale", 5L), (3L, "c", 20L))
+        .toDF("id", "payload", "updated_at"),
+      Seq("id"), "updated_at")
+    assert(v1 == 1L)
+    val state = DeltaLog.read(spark, t)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(state == Seq((1L, "a2", 20L), (2L, "b", 10L), (3L, "c", 20L)))
+    // the pre-merge version remains readable — MERGE is just a commit
+    val before = DeltaLog.read(spark, t, Some(0))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(before == Seq((1L, "a", 10L), (2L, "b", 10L)))
+  }
+
   test("empty table reads as empty frame with the declared schema") {
     val t = freshTable()
     commit(t, 0, Seq(metaAction(xSchema)))
