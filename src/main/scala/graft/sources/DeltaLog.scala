@@ -173,8 +173,12 @@ object DeltaLog {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
-    val prior = listVersions(spark, table)
-    val version = prior.lastOption.map(_ + 1).getOrElse(0L)
+    // the checkpoint counts toward numbering: after a checkpoint + JSON
+    // vacuum, listVersions is empty but version 0 is long gone — reusing
+    // it would commit BELOW the checkpoint and be silently ignored by
+    // replay
+    val prior = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq
+    val version = if (prior.isEmpty) 0L else prior.max + 1
 
     // stage the parquet files in a scratch dir, then move them under the
     // table root with commit-unique names (dataChange only on log commit)

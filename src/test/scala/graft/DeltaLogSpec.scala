@@ -166,6 +166,13 @@ class DeltaLogSpec extends SparkSpec {
       Files.delete(new File(t, f"_delta_log/$v%020d.json").toPath))
     assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     assert(DeltaLog.snapshot(spark, t).version == 2L)
+    // writes after a FULL vacuum (checkpoint only, no JSON left) must
+    // number PAST the checkpoint, not restart at 0 (which replay ignores);
+    // the vacuum also reclaims v2's now-unreferenced data file
+    Files.delete(new File(t, f"_delta_log/${2L}%020d.json").toPath)
+    Files.delete(new File(t, "part-00002-00000.snappy.parquet").toPath)
+    assert(DeltaLog.write(spark, Seq(9L).toDF("x"), t, "append") == 2L)
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 9L))
   }
 
   test("MERGE upsert on the protocol: recency guard + time travel across merges") {
