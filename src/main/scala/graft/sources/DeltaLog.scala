@@ -149,7 +149,12 @@ object DeltaLog {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else {
       val abs = snap.files.map(p => new Path(table, p).toString)
-      spark.read.option("basePath", table).parquet(abs: _*)
+      val r = spark.read.option("basePath", table)
+      // read with the log's DECLARED schema when present: no footer
+      // merging across (at scale) millions of files, and files written
+      // before a schema evolution surface nulls in the added columns —
+      // exactly the protocol's read semantics
+      snap.schema.fold(r.parquet(abs: _*))(s => r.schema(s).parquet(abs: _*))
     }
   }
 
@@ -214,17 +219,27 @@ object DeltaLog {
     f.delete(scratch, true)
 
     val now = System.currentTimeMillis()
+    val prevSnap = if (version == 0L) None else Some(snapshot(spark, table))
     val actions = Seq.newBuilder[String]
-    if (version == 0L) {
+    if (version == 0L)
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // metaData on the first commit and on any schema change (evolution):
+    // appends widen the declared schema to the union so older files read
+    // with nulls in the new columns, overwrites declare the new schema
+    val declared: StructType = (mode, prevSnap.flatMap(_.schema)) match {
+      case ("append", Some(prev)) =>
+        val extra = df.schema.fields.filterNot(f => prev.fieldNames.contains(f.name))
+        extra.foldLeft(prev)((s, f) => s.add(f))
+      case _ => df.schema
+    }
+    if (version == 0L || !prevSnap.flatMap(_.schema).contains(declared))
       actions += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${jsonStr(df.schema.json)},""" +
+        s""""schemaString":${jsonStr(declared.json)},""" +
         s""""partitionColumns":${partitionBy.map(jsonStr).mkString("[", ",", "]")},""" +
         s""""configuration":{},"createdTime":$now}}"""
-    }
     if (mode == "overwrite" && version > 0L)
-      snapshot(spark, table).files.foreach { p =>
+      prevSnap.get.files.foreach { p =>
         actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
       }
     moved.result().foreach { case (rel, pv) =>

@@ -196,6 +196,21 @@ class DeltaLogSpec extends SparkSpec {
     assert(before == Seq((1L, "a", 10L), (2L, "b", 10L)))
   }
 
+  test("schema evolution: widened append emits new metaData, old files read as null") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L, 2L).toDF("x"), t)
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("x", "tag"), t, "append")
+    val df = DeltaLog.read(spark, t)
+    assert(df.schema.fieldNames.toSeq == Seq("x", "tag"))
+    assert(df.as[(Long, Option[String])].collect().sortBy(_._1).toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some("c"))))
+    // time travel sees the PRE-evolution schema
+    assert(DeltaLog.read(spark, t, Some(0)).schema.fieldNames.toSeq == Seq("x"))
+    // overwrite with a narrower schema re-declares it
+    DeltaLog.write(spark, Seq(9L).toDF("x"), t)
+    assert(DeltaLog.read(spark, t).schema.fieldNames.toSeq == Seq("x"))
+  }
+
   test("empty table reads as empty frame with the declared schema") {
     val t = freshTable()
     commit(t, 0, Seq(metaAction(xSchema)))
