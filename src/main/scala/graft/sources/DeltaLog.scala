@@ -257,7 +257,11 @@ object DeltaLog {
     try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val commitPath = new Path(logDir(table), f"$version%020d.json")
-    if (!f.rename(tmp, commitPath)) {
+    // HDFS/object-store rename fails on an existing destination (true
+    // atomic commit); POSIX rename would silently replace, so check
+    // first — best-effort on local FS, exact on the filesystems a real
+    // deployment uses
+    if (f.exists(commitPath) || !f.rename(tmp, commitPath)) {
       f.delete(tmp, false)
       sys.error(s"concurrent commit lost the race for version $version at $table")
     }
