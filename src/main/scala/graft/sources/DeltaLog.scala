@@ -158,6 +158,40 @@ object DeltaLog {
     }
   }
 
+  /** Incremental change feed for append-only consumption: the rows in
+    * files ADDED in versions `(fromVersion, toVersion]` — how a Delta
+    * table is consumed as a stream source (each micro-batch reads only
+    * the new add actions, never rescanning the table). Commits that
+    * remove files (overwrites/merges) are rejected rather than silently
+    * misread: a batch-with-removes feed needs the full CDF semantics of
+    * [[VersionedTable.changes]], not file-level increments. */
+  def addedSince(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
+    val f = fs(spark, table)
+    val versions = listVersions(spark, table)
+      .filter(v => v > fromVersion && v <= toVersion)
+    val added = Seq.newBuilder[String]
+    versions.foreach { v =>
+      readCommit(f, table, v).foreach { a =>
+        if (a.has("remove"))
+          sys.error(s"version $v removes files; addedSince is append-only — " +
+            "use snapshot diffs for overwrite/merge feeds")
+        if (a.has("add")) added += a.get("add").get("path").asText()
+      }
+    }
+    val files = added.result()
+    val schema = snapshot(spark, table, Some(toVersion)).schema
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(new StructType()))
+    else {
+      val r = spark.read.option("basePath", table)
+      val abs = files.map(p => new Path(table, p).toString)
+      schema.fold(r.parquet(abs: _*))(s => r.schema(s).parquet(abs: _*))
+    }
+  }
+
   // -------------------------------------------------------------- writing
 
   private def jsonStr(s: String): String = mapper.writeValueAsString(s)

@@ -211,6 +211,20 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).schema.fieldNames.toSeq == Seq("x"))
   }
 
+  test("addedSince feeds appended rows incrementally; refuses remove commits") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L).toDF("x"), t) // v0
+    DeltaLog.write(spark, Seq(2L, 3L).toDF("x"), t, "append") // v1
+    DeltaLog.write(spark, Seq(4L).toDF("x"), t, "append") // v2
+    assert(DeltaLog.addedSince(spark, t, 0, 2).as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    assert(DeltaLog.addedSince(spark, t, 1, 2).as[Long].collect().sorted.toSeq == Seq(4L))
+    assert(DeltaLog.addedSince(spark, t, 2, 2).count() == 0)
+    DeltaLog.write(spark, Seq(9L).toDF("x"), t) // v3 overwrite: removes files
+    val e = intercept[RuntimeException](DeltaLog.addedSince(spark, t, 2, 3).count())
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("empty table reads as empty frame with the declared schema") {
     val t = freshTable()
     commit(t, 0, Seq(metaAction(xSchema)))

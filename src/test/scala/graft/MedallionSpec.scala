@@ -114,6 +114,21 @@ class MedallionSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || !plan.contains("trip_status = cancelled"))
   }
 
+  test("gold tables publish as Delta-protocol tables (the reference's format)") {
+    import graft.sources.DeltaLog
+    val t = java.nio.file.Files.createTempDirectory("graft-gold-delta-").toString + "/trip_fact"
+    DeltaLog.write(spark, tables("trip_fact"), t,
+      partitionBy = Seq("trip_status"))
+    val back = DeltaLog.read(spark, t)
+    assert(back.count() == 3)
+    assert(back.columns.sorted.toSeq == tables("trip_fact").columns.sorted.toSeq)
+    // daily re-publish is one atomic commit; yesterday stays queryable
+    DeltaLog.write(spark, tables("trip_fact").where(col("trip_status") === "completed"), t,
+      partitionBy = Seq("trip_status"))
+    assert(DeltaLog.read(spark, t).count() == 2)
+    assert(DeltaLog.read(spark, t, Some(0)).count() == 3)
+  }
+
   test("table graph resolves dependencies topologically and rejects cycles") {
     val order = Medallion.graph(spark).topologicalOrder.map(_.name)
     assert(order.indexOf("silver_trips") > order.indexOf("bronze_trip_events"))
