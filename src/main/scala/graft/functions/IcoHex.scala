@@ -224,6 +224,20 @@ object IcoHex {
   def maxCellRadiusRad(res: Int): Double =
     1.6 * math.atan(faceR) / math.pow(sqrt7, res)
 
+  /** The six adjacent cells in the same face lattice — the probe set for
+    * cell+ring spatial joins ("candidates within ~one cell radius" =
+    * join on cell ∈ {self} ∪ neighbors, then exact-distance filter).
+    * Seam caveat, documented: across an icosahedron edge the adjacent
+    * area belongs to the OTHER face's lattice, so ring probes have
+    * face-boundary misses (~perimeter/area of a face, shrinking √7× per
+    * resolution) — the standard trade of any face-projected index
+    * without cross-face unfolding tables. */
+  def neighbors(cell: Long): Seq[Long] = {
+    val res = resolution(cell); val f = face(cell); val (i, j) = ij(cell)
+    Seq((i + 1, j), (i - 1, j), (i, j + 1), (i, j - 1), (i + 1, j - 1), (i - 1, j + 1))
+      .map { case (ni, nj) => pack(res, f, ni, nj) }
+  }
+
   val functionName = "icohex_cell"
 
   import org.apache.spark.sql.catalyst.FunctionIdentifier

@@ -82,7 +82,35 @@ object ScaleJoins {
         col("l_returnflag"), col("flag_count"))
   }
 
-  val all: Seq[QueryDef] = Seq(qSkewSalted)
+  /** The diagnostic that DECIDES when salting/AQE-skew-split is needed:
+    * per-key frequency of the join key, its share of the table, and the
+    * ratio to a perfectly uniform spread over the configured shuffle
+    * partition count. A key whose `hot_ratio` exceeds ~2-3 overflows its
+    * task at any cluster size; run this before every new large join.
+    * Distributed shape: one map-side-combined groupBy + a TakeOrdered
+    * top-k — never a global sort. */
+  val qSkewReport: QueryDef = QueryDef.sql(
+    "q_skew_report",
+    """WITH freq AS (
+      |  SELECT l_returnflag AS key, count(*) AS n FROM lineitem GROUP BY 1
+      |), tot AS (SELECT count(*) AS total FROM lineitem)
+      |SELECT key, n, CAST(n AS DOUBLE) / total AS share,
+      |  CAST(n * 32 AS DOUBLE) / total AS hot_ratio
+      |FROM freq CROSS JOIN tot
+      |ORDER BY n DESC, key
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val freq = li.groupBy(col("l_returnflag").as("key")).agg(count(lit(1)).as("n"))
+    val tot = li.agg(count(lit(1)).as("total"))
+    freq.crossJoin(broadcast(tot))
+      .select(col("key"), col("n"),
+        (col("n").cast("double") / col("total")).as("share"),
+        ((col("n") * 32).cast("double") / col("total")).as("hot_ratio"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(10)
+  }
+
+  val all: Seq[QueryDef] = Seq(qSkewSalted, qSkewReport)
 
   /** Banded range join: fact rows against interval dims `[lo, hi)`
     * expressed as an EQUI join, not a theta join. Each interval explodes

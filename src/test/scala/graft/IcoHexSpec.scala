@@ -90,6 +90,27 @@ class IcoHexSpec extends SparkSpec {
     }
   }
 
+  test("neighbors: ring probe finds all nearby points away from face seams") {
+    val res = 6
+    pts.take(300).foreach { case (lat, lon) =>
+      val cell = IcoHex.latLngToCell(lat, lon, res)
+      val probe = (cell +: IcoHex.neighbors(cell)).toSet
+      assert(probe.size == 7) // distinct, same res/face
+      probe.foreach(c => assert(IcoHex.resolution(c) == res))
+      // any point within ~40% of a cell radius of the ORIGINAL point must
+      // land in the probe set, unless the pair straddles a face seam
+      val (clat, clon) = IcoHex.cellCenter(cell)
+      val eps = math.toDegrees(IcoHex.maxCellRadiusRad(res)) * 0.4
+      if (math.abs(clat) < 80) {
+        val hits = Seq((lat + eps, lon), (lat - eps, lon), (lat, lon + eps), (lat, lon - eps))
+          .map { case (a, b) => IcoHex.latLngToCell(a, b, res) }
+        val sameFace = hits.filter(IcoHex.face(_) == IcoHex.face(cell))
+        sameFace.foreach(h => assert(probe.contains(h),
+          s"same-face near point escaped the 7-cell probe at ($lat,$lon)"))
+      }
+    }
+  }
+
   test("SQL surface: icohex_cell() runs registered, codegen'd, null-safe") {
     IcoHex.register(spark)
     import spark.implicits._
