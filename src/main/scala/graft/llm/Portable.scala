@@ -13,14 +13,23 @@ import org.apache.spark.sql.functions._
   */
 object Portable {
 
+  private def md5Prefix(c: Column, nibbles: Int): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(graft.functions.Md5PrefixLong(
+      GraftSqlShim.expression(c), nibbles))
+  }
+
   /** 60-bit string hash: first 15 hex chars of md5, as a non-negative
-    * long. DuckDB equivalent: `('0x' || substr(md5(x),1,15))::BIGINT`. */
-  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * long — computed by the native [[graft.functions.Md5PrefixLong]]
+    * expression (digest bytes → long, no hex string / substring / radix
+    * parse per row; PortableSpec asserts bit-equality with the composed
+    * form). DuckDB equivalent: `('0x' || substr(md5(x),1,15))::BIGINT`. */
+  def h60(c: Column): Column = md5Prefix(c, 15)
 
   /** 32-bit string hash (fits multiply-mod arithmetic without overflow —
     * a*h+b stays under 2^63 for a,b < 2^30).
     * DuckDB: `('0x' || substr(md5(x),1,8))::BIGINT`. */
-  def h32(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def h32(c: Column): Column = md5Prefix(c, 8)
 
   /** DuckDB SQL fragments for the same hashes. */
   def h60Sql(e: String): String = s"('0x' || substr(md5($e),1,15))::BIGINT"

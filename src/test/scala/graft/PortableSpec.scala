@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.Md5PrefixLong
+import graft.llm.Portable
+import org.apache.spark.sql.functions._
+
+/** The native md5-prefix expression must be bit-identical to the composed
+  * `conv(substring(md5(x),1,n),16,10)` form it replaced — the DuckDB
+  * oracles still use the composed rendering, so any divergence here would
+  * fail every hash-keyed query. */
+class PortableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def composed(c: org.apache.spark.sql.Column, n: Int) =
+    conv(substring(md5(c), 1, n), 16, 10).cast("long")
+
+  test("native h60/h32 equal the composed md5-prefix form on the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val diff = docs.select(
+      Portable.h60(col("text")).as("n60"), composed(col("text"), 15).as("c60"),
+      Portable.h32(col("text")).as("n32"), composed(col("text"), 8).as("c32"))
+      .where(col("n60") =!= col("c60") || col("n32") =!= col("c32"))
+    assert(diff.count() == 0)
+  }
+
+  test("edge inputs: empty string, unicode, binary, all nibble widths") {
+    val rows = Seq("", "a", "héllo wörld 世界", "x" * 10000)
+    rows.foreach { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      (1 to 15).foreach { n =>
+        val expected = java.lang.Long.parseLong(hex.take(n), 16)
+        assert(Md5PrefixLong.compute(s.getBytes("UTF-8"), n) == expected,
+          s"input '$s' nibbles $n")
+      }
+    }
+  }
+
+  test("the hash path stays inside whole-stage codegen (no fallback eval)") {
+    val df = Tables.documents(spark, sfDir).select(Portable.h60(col("text")).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    // null propagates through the unary null-safe path
+    val n = spark.sql("SELECT 1").select(
+      Portable.h32(lit(null).cast("string")).as("h")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+}
