@@ -126,6 +126,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     IcoHex.inject(ext)
     ZOrderKey.inject(ext)
     ext.injectOptimizerRule(_ => RewriteGeohashUdf)
+    ext.injectOptimizerRule(_ => RewriteMd5Prefix)
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

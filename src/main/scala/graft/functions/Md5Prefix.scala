@@ -55,6 +55,32 @@ case class Md5PrefixLong(child: Expression, nibbles: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** Optimizer rule: rewrite the composed spelling
+  * `conv(substring(md5(x), 1, n), 16, 10)` (optionally under a cast to
+  * long) into the native [[Md5PrefixLong]] — the pattern every
+  * hand-written hash-bucket/split expression uses. Same philosophy as
+  * [[RewriteGeohashUdf]]: user code written against builtins gets the
+  * allocation-free codegen path without being touched. Bit-exact by
+  * PortableSpec; applies only for n ≤ 15 (larger prefixes overflow a
+  * long, and the composed form's conv would too — left untouched). */
+object RewriteMd5Prefix
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Literal, Md5, Substring}
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // only the long-cast spelling rewrites: a bare conv() is STRING-typed,
+    // and Md5PrefixLong is LONG — replacing it would change the type
+    case Cast(Conv(Substring(Md5(input), Literal(pos, _), Literal(len, _)),
+        Literal(16, _), Literal(10, _), _),
+        org.apache.spark.sql.types.LongType, _, _)
+        if pos == 1 && len.isInstanceOf[Int] &&
+          len.asInstanceOf[Int] >= 1 && len.asInstanceOf[Int] <= 15 =>
+      Md5PrefixLong(input, len.asInstanceOf[Int])
+  }
+}
+
 object Md5PrefixLong {
   private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))

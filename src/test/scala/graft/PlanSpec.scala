@@ -133,6 +133,15 @@ class PlanSpec extends SparkSpec {
     finally spark.conf.unset("spark.graft.spread")
   }
 
+  test("stratified sample: both lang windows run on ONE exchange") {
+    // rank and count windows share the partitioning; a second exchange
+    // would double the (full-corpus) shuffle for nothing
+    val plan = SparkEntry.queries("q_corpus_stratified")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one hash exchange:\n$plan")
+  }
+
   test("multimodal feature projection is UDF-free (stays in codegen)") {
     // the stub decode is md5 column arithmetic; a ScalaUDF here would
     // break whole-stage codegen in the scan-side projection

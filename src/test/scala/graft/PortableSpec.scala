@@ -36,6 +36,22 @@ class PortableSpec extends SparkSpec {
     }
   }
 
+  test("RewriteMd5Prefix turns the composed user spelling into the native expr") {
+    import graft.functions.RewriteMd5Prefix
+    val composedDf = Tables.documents(spark, sfDir)
+      .select(composed(col("text"), 15).as("h"))
+    val before = composedDf.queryExecution.optimizedPlan
+    val after = RewriteMd5Prefix(before)
+    assert(before.toString.contains("conv"), before.toString)
+    assert(after.toString.contains("md5_prefix_long"), after.toString)
+    // and it is value-preserving (rule output executed via a new frame)
+    val rewritten = org.apache.spark.sql.GraftSqlShim
+      .ofRows(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], after)
+    val a = rewritten.as[Long].collect().sorted
+    val b = composedDf.as[Long].collect().sorted
+    assert(a.sameElements(b))
+  }
+
   test("the hash path stays inside whole-stage codegen (no fallback eval)") {
     val df = Tables.documents(spark, sfDir).select(Portable.h60(col("text")).as("h"))
     val plan = df.queryExecution.executedPlan.toString
