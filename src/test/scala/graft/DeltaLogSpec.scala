@@ -225,6 +225,24 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("append-only"))
   }
 
+  test("incremental view maintenance over the Delta change feed equals full recompute") {
+    import graft.maintenance.IncrementalAgg
+    import org.apache.spark.sql.functions.lit
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v"), t) // v0
+    var view = IncrementalAgg.materialize(DeltaLog.read(spark, t), Seq("k"), Seq("v"))
+    DeltaLog.write(spark, Seq(("a", 3.0)).toDF("k", "v"), t, "append") // v1
+    DeltaLog.write(spark, Seq(("c", 5.0), ("b", 1.0)).toDF("k", "v"), t, "append") // v2
+    // the view advances by reading ONLY the files added in (0, 2] — the
+    // full lakehouse incremental loop: log feed -> fold into aggregate
+    val feed = DeltaLog.addedSince(spark, t, 0, 2)
+      .withColumn("_change_type", lit("insert"))
+    view = IncrementalAgg.applyDelta(view, feed, Seq("k"), Seq("v"))
+    val full = IncrementalAgg.materialize(DeltaLog.read(spark, t), Seq("k"), Seq("v"))
+    assert(view.exceptAll(full).isEmpty && full.exceptAll(view).isEmpty,
+      s"view=${view.collect().toSeq} full=${full.collect().toSeq}")
+  }
+
   test("empty table reads as empty frame with the declared schema") {
     val t = freshTable()
     commit(t, 0, Seq(metaAction(xSchema)))
