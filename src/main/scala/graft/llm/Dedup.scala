@@ -51,11 +51,14 @@ object Dedup {
       .withColumn("is_duplicate", col("doc_id") =!= col("canonical_doc_id"))
   }
 
-  /** Distinct hashed 3-word shingles per document (Spark side). */
-  private def shingleHashes(t: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), size(t) - 2),
-      i => h32(concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+  /** Distinct hashed 3-word shingles per document (Spark side): the
+    * native one-pass [[graft.functions.ShingleHash32]] — bit-identical
+    * to the composed array_distinct/transform/h32 form the oracle
+    * mirrors (PortableSpec asserts equality on the corpus). */
+  private def shingleHashes(t: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(graft.functions.ShingleHash32(GraftSqlShim.expression(t)))
+  }
 
   private def shingleHashesSql: String =
     s"""list_distinct(list_transform(

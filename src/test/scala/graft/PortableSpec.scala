@@ -52,6 +52,27 @@ class PortableSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("native shingle hashing equals the composed form, order included") {
+    import org.apache.spark.sql.GraftSqlShim
+    val toks = Portable.tokens(col("text"))
+    val composedShingles = array_distinct(transform(
+      sequence(lit(1), size(toks) - 2),
+      i => Portable.h32(concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+    val native = GraftSqlShim.column(graft.functions.ShingleHash32(
+      GraftSqlShim.expression(toks)))
+    val diff = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), composedShingles.as("c"), native.as("n"))
+      .where(not(col("c") <=> col("n"))) // null-safe, ORDER-sensitive array equality
+    assert(diff.count() == 0)
+    // short token arrays produce empty shingle sets, not errors
+    val edge = spark.sql("SELECT 1")
+      .select(GraftSqlShim.column(graft.functions.ShingleHash32(
+        GraftSqlShim.expression(array(lit("a"), lit("b"))))).as("s"))
+      .selectExpr("size(s) AS n").collect()(0).getInt(0)
+    assert(edge == 0)
+  }
+
   test("the hash path stays inside whole-stage codegen (no fallback eval)") {
     val df = Tables.documents(spark, sfDir).select(Portable.h60(col("text")).as("h"))
     val plan = df.queryExecution.executedPlan.toString
