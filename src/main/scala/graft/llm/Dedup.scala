@@ -369,6 +369,62 @@ object Dedup {
         (col("id") === col("component")).as("is_canonical"))
   }
 
+  /** Exact-substring duplication profile (the "dedup repeated spans"
+    * family popularized for LLM corpora): sample fixed-length character
+    * spans on a stride, hash each span, and flag spans whose hash occurs
+    * in MORE THAN ONE document. Per doc: span count, cross-doc-duplicated
+    * span count, and the duplicated fraction — the signal a span-level
+    * deduplicator would cut on.
+    *
+    * Scale design: the span rows carry only (doc_id, 60-bit hash) — the
+    * text stays in the scan stage and is never shuffled. Both consumers
+    * (the duplicate-hash aggregate and the span↔duplicate join) shuffle
+    * the SAME narrow projection by `h`, so the exchange is computed once
+    * and reused. Cross-doc occurrence is min(doc_id)<max(doc_id) — no
+    * count(distinct) state. Cost is O(spans), never O(docs²). */
+  val qSubstringDedup: QueryDef = {
+    val k = 40     // span length (chars)
+    val stride = 10
+    QueryDef.sql(
+      "q_dedup_substring",
+      s"""WITH spans AS (
+         |  SELECT doc_id,
+         |    unnest([${h60Sql(s"substr(text, i, $k)")}
+         |            for i in generate_series(1, n_chars - ${k - 1}, $stride)]) AS h
+         |  FROM documents WHERE n_chars >= $k
+         |), dup AS (
+         |  SELECT h FROM spans GROUP BY h HAVING min(doc_id) < max(doc_id)
+         |)
+         |SELECT s.doc_id, count(*) AS n_spans, count(d.h) AS n_dup_spans,
+         |  CAST(count(d.h) AS DOUBLE) / count(*) AS dup_ratio
+         |FROM spans s LEFT JOIN dup d ON s.h = d.h
+         |GROUP BY s.doc_id""".stripMargin) { (spark, dir) =>
+      // materialized on h: the duplicate-hash aggregate AND the span↔dup
+      // join both consume this exact partitioning, so the hashing stage
+      // runs once and every later reference is a ReusedExchange
+      // (PlanSpec asserts it). This exchange carries (doc_id, long) —
+      // it IS the aggregation shuffle, not an extra one.
+      val spans = Tables.documents(spark, dir)
+        .where(col("n_chars") >= k)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), col("n_chars").cast("int") - lit(k - 1), lit(stride))).as("pos"))
+        .select(col("doc_id"), h60(expr(s"substring(text, pos, $k)")).as("h"))
+        // h is non-null by construction, but the optimizer can't prove it
+        // and infers isnotnull(h) on the join's inner side only — stating
+        // it on both keeps the two exchange subplans identical (reusable)
+        .where(col("h").isNotNull)
+        .repartition(col("h"))
+      val dup = spans.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        .where(col("mn") < col("mx"))
+        .select(col("h"), lit(1).as("is_dup"))
+      spans.join(dup, Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), count(col("is_dup")).as("n_dup_spans"))
+        .withColumn("dup_ratio", col("n_dup_spans").cast("double") / col("n_spans"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard,
-    qCorpusCuration, qClusters, qSplitContamination)
+    qCorpusCuration, qClusters, qSplitContamination, qSubstringDedup)
 }

@@ -98,5 +98,38 @@ object Sampling {
         .select(col("doc_id"), col("lang"), col("rn"))
   }
 
-  val all: Seq[QueryDef] = Seq(qSplit, qPacking, qStratified)
+  /** Temperature resampling weights (the multilingual-corpus rebalance
+    * recipe: sample language l proportionally to p_l^α instead of p_l,
+    * α=0.5, so low-resource languages are up-weighted). Emits per
+    * language the doc count, the natural share p_l, the tempered weight
+    * p_l^α, and the per-doc sampling boost p_l^(α-1) that a downstream
+    * sampler multiplies into each doc's base rate.
+    *
+    * α is fixed at 1/2 so the tempering is `sqrt` — correctly rounded in
+    * IEEE-754, hence bit-identical across engines, unlike pow/exp/ln.
+    * The normalization constant Σ p^α is deliberately NOT applied: it is
+    * a float sum whose value depends on accumulation order across
+    * shards; downstream applies it once on the (tiny) per-language
+    * output instead. Scale: one count per language + a 1-row broadcast
+    * total — nothing here grows with corpus size except the count scan. */
+  val qTemperature: QueryDef = QueryDef.sql(
+    "q_corpus_temperature",
+    """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM c)
+      |SELECT lang, n_docs,
+      |  CAST(n_docs AS DOUBLE) / total AS share,
+      |  sqrt(CAST(n_docs AS DOUBLE) / total) AS temp_weight,
+      |  sqrt(CAST(n_docs AS DOUBLE) / total) / (CAST(n_docs AS DOUBLE) / total) AS sample_boost
+      |FROM c CROSS JOIN t""".stripMargin) { (spark, dir) =>
+    val c = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val t = c.agg(sum(col("n_docs")).as("total"))
+    c.crossJoin(broadcast(t))
+      .withColumn("share", col("n_docs").cast("double") / col("total"))
+      .withColumn("temp_weight", sqrt(col("share")))
+      .withColumn("sample_boost", col("temp_weight") / col("share"))
+      .select(col("lang"), col("n_docs"), col("share"), col("temp_weight"), col("sample_boost"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qSplit, qPacking, qStratified, qTemperature)
 }

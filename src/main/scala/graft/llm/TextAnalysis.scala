@@ -272,6 +272,58 @@ object TextAnalysis {
       .where(col("rnk") <= 3)
   }
 
+  /** Character-bigram coverage: the fraction of a document's bigrams
+    * that fall in the corpus-wide top-K bigram vocabulary — a language-
+    * model-flavored quality proxy (natural prose is dominated by common
+    * bigrams; binary junk, mojibake, and boilerplate tables are not)
+    * that needs no model weights and no transcendental math, so the
+    * score is bit-identical across engines (integer counts + one
+    * correctly-rounded division).
+    *
+    * Scale design: two aggregations over a narrow (doc_id, 2-char)
+    * projection. The vocabulary aggregate's key space is tiny (bigrams,
+    * not documents), so the top-K is a TakeOrdered on the agg output —
+    * no global sort — and joins back as a broadcast; the per-doc
+    * aggregate shuffles by doc_id only. Ties in the top-K cut are broken
+    * by the bigram itself, so the vocabulary is deterministic.
+    *
+    * K=50 is sized to the synthetic fixture (114 distinct bigrams —
+    * K=50 spreads scores 0.42–0.76 where K=200 saturates at 1.0); a real
+    * corpus has a much larger bigram space and a correspondingly larger
+    * K, but the plan shape is K-independent. */
+  val qBigramCoverage: QueryDef = {
+    val topK = 50
+    QueryDef.sql(
+      "q_text_bigram_coverage",
+      s"""WITH grams AS (
+         |  SELECT doc_id,
+         |    unnest([substr(text, i, 2) for i in generate_series(1, n_chars - 1)]) AS g
+         |  FROM documents WHERE n_chars >= 2
+         |), top AS (
+         |  SELECT g FROM grams GROUP BY g ORDER BY count(*) DESC, g LIMIT $topK
+         |)
+         |SELECT gr.doc_id, count(*) AS n_bigrams, count(t.g) AS n_top,
+         |  CAST(count(t.g) AS DOUBLE) / count(*) AS top_coverage
+         |FROM grams gr LEFT JOIN top t ON gr.g = t.g
+         |GROUP BY gr.doc_id""".stripMargin) { (spark, dir) =>
+      // single-file local fixture scans as one task; the explode fans
+      // every doc out ~n_chars× and the per-gram work happens below it,
+      // so spread the scan (gated: a pre-partitioned corpus skips this)
+      val grams = Tables.spread(Tables.documents(spark, dir))
+        .where(col("n_chars") >= 2)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), col("n_chars").cast("int") - 1)).as("pos"))
+        .select(col("doc_id"), expr("substring(text, pos, 2)").as("g"))
+      val top = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g")).limit(topK)
+        .select(col("g"), lit(1).as("is_top"))
+      grams.join(broadcast(top), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), count(col("is_top")).as("n_top"))
+        .withColumn("top_coverage", col("n_top").cast("double") / col("n_bigrams"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(qTextStats, qTextLangId, qTextFingerprint, qTextQuality,
-    qTextRedact, qTextRepetition, qTopTerms)
+    qTextRedact, qTextRepetition, qTopTerms, qBigramCoverage)
 }

@@ -142,6 +142,17 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one hash exchange:\n$plan")
   }
 
+  test("substring dedup hashes each span once (exchange reused by agg and join)") {
+    // the (doc_id, h) projection is materialized on h; the duplicate-hash
+    // aggregate and the span↔duplicate join must both read that one
+    // exchange rather than re-scanning and re-hashing the corpus
+    val df = SparkEntry.queries("q_dedup_substring")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Reused".r.findAllIn(plan).nonEmpty,
+      s"expected a reused exchange/stage in the final plan:\n$plan")
+  }
+
   test("multimodal feature projection is UDF-free (stays in codegen)") {
     // the stub decode is md5 column arithmetic; a ScalaUDF here would
     // break whole-stage codegen in the scan-side projection
