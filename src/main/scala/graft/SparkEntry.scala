@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Scd2.all ++
       quality.Expectations.all ++
       quality.Validation.all ++
+      quality.Profiling.all ++
       functions.Geo.all ++
       maintenance.Maintenance.all ++
       streaming.Streams.all ++

@@ -50,4 +50,25 @@ class DedupSpec extends SparkSpec {
       .select(Portable.tokens(col("s"))).as[Seq[String]].head()
     assert(t == Seq("a", "b", "c"))
   }
+
+  test("substring dedup flags planted cross-doc spans and nothing else") {
+    // two docs share their first 40 chars exactly (stride-aligned at
+    // pos 1); the third doc shares no 40-char span with anyone
+    val common = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // 40 chars
+    assert(common.length == 40)
+    val docs = Seq(
+      (1L, common + " first document's own distinctive tail text"),
+      (2L, common + " second document ends in a different way!!"),
+      (3L, "no shared forty character run lives anywhere inside this third text")
+    ).map { case (id, t) => (id, t, "en", "fixture", t.length.toLong) }
+    val dir = java.nio.file.Files.createTempDirectory("substr_fixture").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = llm.Dedup.qSubstringDedup.build(spark, dir)
+      .select(col("doc_id"), col("n_dup_spans"))
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) >= 1, "doc 1 shares its leading span with doc 2")
+    assert(out(2L) >= 1, "doc 2 shares its leading span with doc 1")
+    assert(out(3L) == 0, "doc 3 has no cross-doc span")
+  }
 }
