@@ -115,5 +115,50 @@ object Profiling {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qProfile, qHistogram)
+  /** Per-group z-score outlier flags for `l_extendedprice` by return
+    * flag. The group moments come from EXACT integer sums (values
+    * quantized to cents, squares summed as DECIMAL(38,0) — the
+    * [[graft.functions.ExactVariance]] recipe as plain column
+    * arithmetic), because float `avg`/`stddev` are partition-order-
+    * dependent and would make the flag nondeterministic run-over-run.
+    * Only the final finish arithmetic is double, in a fixed operation
+    * order both engines evaluate identically: mean = s1/n,
+    * var = s2/n − mean², z = (v − mean)/sqrt(var).
+    *
+    * Scale: one groupBy carrying three counters per group, broadcast of
+    * the (tiny) stats table back over the scan — the fact rows are
+    * never shuffled. The 1.5σ threshold suits the fixture's uniform
+    * prices (max |z| ≈ 1.74); normal-ish production data uses 3σ. */
+  val qOutliers: QueryDef = QueryDef.sql(
+    "q_profile_outliers",
+    """WITH q AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      |  FROM lineitem
+      |), s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(v AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+      |    CAST(sum(CAST(v * v AS DECIMAL(38,0))) AS DOUBLE) AS s2
+      |  FROM q GROUP BY 1
+      |)
+      |SELECT l_orderkey, l_linenumber, q.l_returnflag, l_extendedprice,
+      |  (v - s1/n) / sqrt(s2/n - (s1/n)*(s1/n)) AS z,
+      |  abs((v - s1/n) / sqrt(s2/n - (s1/n)*(s1/n))) > 1.5 AS is_outlier
+      |FROM q JOIN s USING (l_returnflag)""".stripMargin) { (spark, dir) =>
+    val q = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+    val s = q.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(38,0)")).cast("double").as("s1"),
+      sum((col("v") * col("v")).cast("decimal(38,0)")).cast("double").as("s2"))
+    val mean = col("s1") / col("n")
+    val z = (col("v") - mean) / sqrt(col("s2") / col("n") - mean * mean)
+    q.join(broadcast(s), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"), z.as("z"), (abs(z) > 1.5).as("is_outlier"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qProfile, qHistogram, qOutliers)
 }
