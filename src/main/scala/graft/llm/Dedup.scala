@@ -65,10 +65,12 @@ object Dedup {
        |    [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in generate_series(1, len(t)-2)],
        |    s -> ${h32Sql("s")}))""".stripMargin
 
-  /** Spark side of the MinHash-LSH near-dup pipeline: verified pairs
-    * with exact Jaccard ≥ 0.8 (doc_a < doc_b). Shared by the pair query
-    * and the corpus-curation query. */
-  def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** Spark side of the banded-LSH candidate pipeline up to the exact
+    * overlap counts: (doc_a, doc_b, n_inter, n_a, n_b) for every
+    * candidate pair (doc_a < doc_b) that shared at least one band
+    * bucket. [[nearDupPairs]] filters this by symmetric Jaccard;
+    * [[qContainment]] by asymmetric containment. */
+  private def candidateOverlap(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     // the single-file local fixture scans as 1-2 tasks; the shingle/
     // signature arithmetic is the expensive stage, so spread it —
     // gated: a real multi-file corpus arrives pre-partitioned and skips
@@ -106,19 +108,24 @@ object Dedup {
     val withSets = pairs
       .join(sh.select(col("doc_id"), col("shash").as("sa")), col("doc_a") === col("doc_id")).drop("doc_id")
       .join(sh.select(col("doc_id"), col("shash").as("sb")), col("doc_b") === col("doc_id")).drop("doc_id")
-    val inter = withSets.select(
+    withSets.select(
       col("doc_a"), col("doc_b"),
       size(filter(col("sa"), x => array_contains(col("sb"), x))).as("n_inter"),
       size(col("sa")).as("n_a"), size(col("sb")).as("n_b"))
-    inter
+  }
+
+  /** MinHash-LSH near-dup pairs verified with exact Jaccard ≥ 0.8
+    * (doc_a < doc_b). Shared by the pair query, decontamination, the
+    * curation composition, and clustering. */
+  def nearDupPairs(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    candidateOverlap(spark, dir)
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .where(col("jaccard") >= 0.8)
-  }
 
-  /** DuckDB CTE chain ending in `neardup(doc_a, doc_b, jaccard)` —
-    * the oracle twin of [[nearDupPairs]]. */
-  private def nearDupPairsSql: String = {
+  /** DuckDB CTE chain ending in `inter(doc_a, doc_b, n_inter, n_a, n_b)`
+    * — the oracle twin of [[candidateOverlap]]. */
+  private def candidateOverlapSql: String = {
     val sigSqls = hashParams.zipWithIndex.map { case ((a, b), j) =>
       s"list_min(list_transform(shash, h -> ($a*h + $b) % $MinhashPrime)) AS s$j"
     }.mkString(",\n       |    ")
@@ -148,13 +155,18 @@ object Dedup {
          |    len(list_filter(sa.shash, x -> list_contains(sb.shash, x))) AS n_inter,
          |    len(sa.shash) AS n_a, len(sb.shash) AS n_b
          |  FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
-         |), neardup AS (
-         |  SELECT doc_a, doc_b,
-         |    CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
-         |  FROM inter
-         |  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.8
          |)""".stripMargin
   }
+
+  /** DuckDB CTE chain ending in `neardup(doc_a, doc_b, jaccard)` —
+    * the oracle twin of [[nearDupPairs]]. */
+  private def nearDupPairsSql: String =
+    s"""$candidateOverlapSql, neardup AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+       |  FROM inter
+       |  WHERE CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) >= 0.8
+       |)""".stripMargin
 
   /** MinHash + banded LSH near-duplicate pairs, verified with exact
     * Jaccard over the shingle sets. 16 signatures, 4 bands × 4 rows —
@@ -425,6 +437,33 @@ object Dedup {
     }
   }
 
+  /** Containment near-dup pairs: asymmetric overlap |A∩B|/|A| over the
+    * shingle sets, from the SAME banded-LSH candidate stage as the
+    * Jaccard pipeline. Containment catches what symmetric Jaccard
+    * structurally cannot: a short document embedded in a much longer one
+    * (boilerplate inclusion, quotation, page-wrapping) has high
+    * containment of the short side but low Jaccard, because the union is
+    * dominated by the long side. Emits both directions; a pair qualifies
+    * when either side is ≥ 0.9 contained. Same scale shape as
+    * [[nearDupPairs]]: O(candidates), never all-pairs. */
+  val qContainment: QueryDef = QueryDef.sql(
+    "q_dedup_containment",
+    s"""WITH $candidateOverlapSql
+       |SELECT doc_a, doc_b,
+       |  CAST(n_inter AS DOUBLE) / n_a AS containment_a,
+       |  CAST(n_inter AS DOUBLE) / n_b AS containment_b
+       |FROM inter
+       |WHERE greatest(CAST(n_inter AS DOUBLE) / n_a,
+       |               CAST(n_inter AS DOUBLE) / n_b) >= 0.9""".stripMargin) {
+    (spark, dir) =>
+      val ca = col("n_inter").cast("double") / col("n_a")
+      val cb = col("n_inter").cast("double") / col("n_b")
+      candidateOverlap(spark, dir)
+        .select(col("doc_a"), col("doc_b"),
+          ca.as("containment_a"), cb.as("containment_b"))
+        .where(greatest(col("containment_a"), col("containment_b")) >= 0.9)
+  }
+
   val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard,
-    qCorpusCuration, qClusters, qSplitContamination, qSubstringDedup)
+    qCorpusCuration, qClusters, qSplitContamination, qSubstringDedup, qContainment)
 }
