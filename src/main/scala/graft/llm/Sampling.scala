@@ -131,5 +131,56 @@ object Sampling {
       .select(col("lang"), col("n_docs"), col("share"), col("temp_weight"), col("sample_boost"))
   }
 
-  val all: Seq[QueryDef] = Seq(qSplit, qPacking, qStratified, qTemperature)
+  /** Context-window chunking: split each document into fixed token
+    * windows with overlap (window=128, stride=96 → 32-token overlap),
+    * the standard prep step that turns variable-length documents into
+    * model-sized training sequences. Emits per chunk its token span and
+    * a content hash of the exact token slice, so downstream dedup can
+    * run at chunk granularity.
+    *
+    * Scale design: a narrow per-row explode — chunk starts are a
+    * `sequence(0, n-1, stride)` generator, so a document fans out into
+    * exactly its own chunks with no shuffle, no state, and no driver
+    * participation; output size is input size × (1 + overlap/stride).
+    * The slice is taken once per chunk from the already-tokenized
+    * array (tokenization is not repeated per chunk). */
+  val qChunking: QueryDef = {
+    val window = 128
+    val stride = 96
+    QueryDef.sql(
+      "q_text_chunking",
+      s"""WITH tokd AS (
+         |  SELECT doc_id, t, len(t) AS n_tokens
+         |  FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
+         |  WHERE len(t) > 0
+         |)
+         |SELECT doc_id, n_tokens,
+         |  s // $stride AS chunk_idx,
+         |  s + 1 AS tok_start,
+         |  least(s + $window, n_tokens) AS tok_end,
+         |  least(s + $window, n_tokens) - s AS n_chunk_tokens,
+         |  ${h60Sql(s"array_to_string(t[s + 1 : least(s + $window, n_tokens)], ' ')")} AS chunk_hash
+         |FROM (SELECT doc_id, t, n_tokens,
+         |        unnest(generate_series(0, n_tokens - 1, $stride)) AS s
+         |      FROM tokd)""".stripMargin) { (spark, dir) =>
+      val toks = tokens(col("text"))
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), toks.as("t"))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .where(col("n_tokens") > 0)
+        .select(col("doc_id"), col("t"), col("n_tokens"),
+          explode(sequence(lit(0L), col("n_tokens") - 1, lit(stride.toLong))).as("s"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          (col("s") / stride).cast("long").as("chunk_idx"),
+          (col("s") + 1).as("tok_start"),
+          least(col("s") + window, col("n_tokens")).as("tok_end"),
+          (least(col("s") + window, col("n_tokens")) - col("s")).as("n_chunk_tokens"),
+          h60(array_join(slice(col("t"), (col("s") + 1).cast("int"),
+            (least(col("s") + window, col("n_tokens")) - col("s")).cast("int")), " "))
+            .as("chunk_hash"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qSplit, qPacking, qStratified, qTemperature, qChunking)
 }

@@ -36,7 +36,8 @@ object DeltaLog {
       version: Long,
       files: Seq[String],          // paths relative to the table root
       schema: Option[StructType],  // from the latest metaData action
-      partitionColumns: Seq[String])
+      partitionColumns: Seq[String],
+      txns: Map[String, Long] = Map.empty) // appId -> last committed txn version
 
   private val mapper = new ObjectMapper()
 
@@ -98,14 +99,22 @@ object DeltaLog {
     val live = mutable.LinkedHashMap.empty[String, Unit]
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
+    val txns = mutable.Map.empty[String, Long]
 
     // checkpoint base state (only when it does not overshoot the target)
     val cpVersion = lastCheckpoint(f, table).filter(_ <= target)
     cpVersion.foreach { cv =>
       val cpFile = new Path(logDir(table), f"$cv%020d.checkpoint.parquet").toString
-      val rows = spark.read.parquet(cpFile)
-        .selectExpr("add.path AS add_path", "metaData.schemaString AS ms",
-          "metaData.partitionColumns AS pc")
+      val cp = spark.read.parquet(cpFile)
+      // txn column exists only in checkpoints written after streaming-sink
+      // support landed; older checkpoints replay without txn state
+      val hasTxn = cp.columns.contains("txn")
+      val rows = (if (hasTxn)
+        cp.selectExpr("add.path AS add_path", "metaData.schemaString AS ms",
+          "metaData.partitionColumns AS pc", "txn.appId AS txn_app", "txn.version AS txn_v")
+      else
+        cp.selectExpr("add.path AS add_path", "metaData.schemaString AS ms",
+          "metaData.partitionColumns AS pc", "NULL AS txn_app", "CAST(NULL AS BIGINT) AS txn_v"))
         .collect()
       rows.foreach { r =>
         if (!r.isNullAt(0)) live.put(r.getString(0), ())
@@ -113,6 +122,7 @@ object DeltaLog {
           schema = Some(DataType.fromJson(r.getString(1)).asInstanceOf[StructType])
           partCols = r.getSeq[String](2)
         }
+        if (!r.isNullAt(3)) txns.put(r.getString(3), r.getLong(4))
       }
     }
 
@@ -132,9 +142,23 @@ object DeltaLog {
             b.result()
           } else Seq.empty
         }
+        else if (action.has("txn")) {
+          val t = action.get("txn")
+          txns.put(t.get("appId").asText(), t.get("version").asLong())
+        }
       }
     }
-    Snapshot(target, live.keys.toSeq, schema, partCols)
+    Snapshot(target, live.keys.toSeq, schema, partCols, txns.toMap)
+  }
+
+  /** Last transaction version committed for `appId` (the protocol's
+    * SetTransaction state) — how a streaming writer discovers which
+    * micro-batches already landed. */
+  def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] = {
+    val f = fs(spark, table)
+    val hasLog = f.exists(logDir(table)) &&
+      (listVersions(spark, table).nonEmpty || lastCheckpoint(f, table).nonEmpty)
+    if (!hasLog) None else snapshot(spark, table).txns.get(appId)
   }
 
   /** Batch-read the table (optionally `VERSION AS OF`). Partition columns
@@ -207,7 +231,8 @@ object DeltaLog {
     * adds. Returns the committed version. Any protocol-compliant reader
     * (including [[read]]) sees exactly the committed state. */
   def write(spark: SparkSession, df: DataFrame, table: String,
-      mode: String = "overwrite", partitionBy: Seq[String] = Seq.empty): Long = {
+      mode: String = "overwrite", partitionBy: Seq[String] = Seq.empty,
+      txn: Option[(String, Long)] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"mode must be overwrite|append: $mode")
     val f = fs(spark, table)
     val root = new Path(table)
@@ -283,6 +308,9 @@ object DeltaLog {
       actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
         s""""size":$size,"modificationTime":$now,"dataChange":true}}"""
     }
+    txn.foreach { case (appId, v) =>
+      actions += s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":$now}}"""
+    }
     actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(mode.toUpperCase)}}}"""
 
     // write-then-rename: the commit becomes visible atomically or not at all
@@ -333,11 +361,17 @@ object DeltaLog {
     val f = fs(spark, table)
     val schemaJson = snap.schema.map(_.json)
     val pcols = snap.partitionColumns
-    val rows = snap.files.map(p => (Option(p), None: Option[(String, Seq[String])])) :+
-      ((None: Option[String], Some((schemaJson.getOrElse(new StructType().json), pcols))))
-    val cpDf = rows.toDF("p", "m")
+    val noMeta: Option[(String, Seq[String])] = None
+    val noTxn: Option[(String, Long)] = None
+    val rows: Seq[(Option[String], Option[(String, Seq[String])], Option[(String, Long)])] =
+      snap.files.map(p => (Option(p), noMeta, noTxn)) ++
+        Seq((Option.empty[String],
+          Some((schemaJson.getOrElse(new StructType().json), pcols)), noTxn)) ++
+        snap.txns.toSeq.sortBy(_._1).map(t => (Option.empty[String], noMeta, Some(t)))
+    val cpDf = rows.toDF("p", "m", "t")
       .selectExpr("named_struct('path', p) AS add",
-        "named_struct('schemaString', m._1, 'partitionColumns', m._2) AS metaData")
+        "named_struct('schemaString', m._1, 'partitionColumns', m._2) AS metaData",
+        "named_struct('appId', t._1, 'version', t._2) AS txn")
     val scratch = new Path(table, ".tmp-checkpoint")
     cpDf.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
     val part = {

@@ -102,6 +102,40 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming append into an open-format Delta table with PROTOCOL-level
+    * exactly-once: each micro-batch commits through
+    * [[graft.sources.DeltaLog.write]] carrying a `txn` (SetTransaction)
+    * action `(appId, batchId)`, and a batch whose id is ≤ the table's
+    * last recorded txn version for this appId is skipped — so a replayed
+    * micro-batch (checkpoint recovery re-running the last batch, or a
+    * lost driver racing its successor) cannot double-append. This is the
+    * same idempotence mechanism real streaming Delta sinks use, and it
+    * makes exactly-once hold even though foreachBatch itself is
+    * at-least-once.
+    *
+    * Scale: each commit appends only the batch's files to the log (KBs);
+    * the txn probe replays log metadata, bounded by the latest
+    * checkpoint ([[graft.sources.DeltaLog.checkpoint]] persists txn
+    * state, so vacuumed JSON prefixes don't lose it). */
+  def foreachBatchDeltaAppend(df: DataFrame, table: String, checkpoint: String,
+      appId: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        val spark = batch.sparkSession
+        val applied = graft.sources.DeltaLog.lastTxn(spark, table, appId)
+        if (!applied.exists(_ >= batchId))
+          graft.sources.DeltaLog.write(spark, batch, table, "append",
+            txn = Some(appId -> batchId))
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink and return the materialized result. Fresh checkpoint per run —
     * results are deterministic, so recovery state is not reused across

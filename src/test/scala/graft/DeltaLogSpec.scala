@@ -243,6 +243,25 @@ class DeltaLogSpec extends SparkSpec {
       s"view=${view.collect().toSeq} full=${full.collect().toSeq}")
   }
 
+  test("txn (SetTransaction) state survives checkpoint + JSON vacuum") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L).toDF("x"), t, txn = Some("job-a" -> 0L))
+    DeltaLog.write(spark, Seq(2L).toDF("x"), t, "append", txn = Some("job-a" -> 1L))
+    DeltaLog.write(spark, Seq(3L).toDF("x"), t, "append", txn = Some("job-b" -> 7L))
+    assert(DeltaLog.lastTxn(spark, t, "job-a").contains(1L))
+    assert(DeltaLog.lastTxn(spark, t, "job-b").contains(7L))
+    assert(DeltaLog.lastTxn(spark, t, "job-c").isEmpty)
+    // checkpoint, then vacuum every JSON commit: txn state must come back
+    // from the checkpoint parquet alone (real Delta stores setTransactions
+    // in checkpoints for exactly this reason)
+    DeltaLog.checkpoint(spark, t)
+    new File(t, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(_.delete())
+    assert(DeltaLog.lastTxn(spark, t, "job-a").contains(1L))
+    assert(DeltaLog.lastTxn(spark, t, "job-b").contains(7L))
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("empty table reads as empty frame with the declared schema") {
     val t = freshTable()
     commit(t, 0, Seq(metaAction(xSchema)))

@@ -153,6 +153,30 @@ class StreamsSpec extends SparkSpec {
     assert(out == (0L until 6L).toSeq, s"got $out")
   }
 
+  test("streaming Delta append: replayed micro-batch skipped via txn guard") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.sources.DeltaLog
+    val ms = MemoryStream[Long]
+    val table = Files.createTempDirectory("graft-sda-").toString + "/t"
+    val ckpt1 = Files.createTempDirectory("graft-sda-ckpt1-").toString
+    def run(ckpt: String): Unit = Streams.foreachBatchDeltaAppend(
+      ms.toDF().toDF("x"), table, ckpt, appId = "stream-x")
+    ms.addData(1L, 2L)
+    run(ckpt1)
+    assert(DeltaLog.read(spark, table).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // a FRESH checkpoint replays the same data as batch 0 again — the
+    // at-least-once failure mode the txn action exists to absorb: the
+    // guard sees txn(stream-x) >= 0 and skips, so no duplicate rows
+    val ckpt2 = Files.createTempDirectory("graft-sda-ckpt2-").toString
+    run(ckpt2)
+    assert(DeltaLog.read(spark, table).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // resuming the ORIGINAL checkpoint with new data appends batch 1
+    ms.addData(3L)
+    run(ckpt1)
+    assert(DeltaLog.read(spark, table).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(DeltaLog.snapshot(spark, table).txns == Map("stream-x" -> 1L))
+  }
+
   test("foreachBatch streaming MERGE upserts across restarts (S8/ST6)") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, String, Long)]
