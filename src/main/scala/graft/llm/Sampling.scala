@@ -182,5 +182,56 @@ object Sampling {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qSplit, qPacking, qStratified, qTemperature, qChunking)
+  /** Corpus-mix report: per-source composition — doc/token volume,
+    * exact-dup rate (docs minus distinct content hashes), language
+    * spread, and corpus share. The one-page answer to "what is this
+    * corpus made of", grouped by the provenance column a crawl pipeline
+    * carries anyway.
+    *
+    * Scale: one hash-aggregate keyed by source (tiny key space, so the
+    * exchange moves partial aggregates, not rows) plus a 1-row broadcast
+    * total; the distinct-hash count shuffles (source, hash) pairs —
+    * 8 bytes of hash per doc, never the text. Shares are single IEEE
+    * divisions of exact integers, so they compare bit-identically. */
+  val qCorpusMix: QueryDef = QueryDef.sql(
+    "q_corpus_mix",
+    s"""WITH per AS (
+       |  SELECT source,
+       |    count(*) AS n_docs,
+       |    count(DISTINCT ${h60Sql("text")}) AS n_unique,
+       |    CAST(sum(len(${tokensSql("text")})) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    count(DISTINCT lang) AS n_langs
+       |  FROM documents GROUP BY source
+       |), t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS corpus_docs,
+       |                CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens FROM per)
+       |SELECT source, n_docs, n_unique,
+       |  n_docs - n_unique AS n_exact_dups,
+       |  CAST(n_docs - n_unique AS DOUBLE) / n_docs AS dup_ratio,
+       |  n_tokens, total_chars, n_langs,
+       |  CAST(n_docs AS DOUBLE) / corpus_docs AS doc_share,
+       |  CAST(n_tokens AS DOUBLE) / corpus_tokens AS token_share
+       |FROM per CROSS JOIN t""".stripMargin) { (spark, dir) =>
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        h60(col("text")).as("h"), size(tokens(col("text"))).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_unique"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+    val t = per.agg(sum(col("n_docs")).as("corpus_docs"),
+      sum(col("n_tokens")).as("corpus_tokens"))
+    per.crossJoin(broadcast(t))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_exact_dups"),
+        ((col("n_docs") - col("n_unique")).cast("double") / col("n_docs")).as("dup_ratio"),
+        col("n_tokens"), col("total_chars"), col("n_langs"),
+        (col("n_docs").cast("double") / col("corpus_docs")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("corpus_tokens")).as("token_share"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(qSplit, qPacking, qStratified, qTemperature, qChunking, qCorpusMix)
 }
