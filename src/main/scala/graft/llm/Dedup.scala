@@ -464,6 +464,59 @@ object Dedup {
         .where(greatest(col("containment_a"), col("containment_b")) >= 0.9)
   }
 
+  /** Cross-document boilerplate detection: chunk every document into
+    * non-overlapping 16-token windows, hash each chunk, and call a chunk
+    * boilerplate when its hash appears in ≥2 DISTINCT documents (headers,
+    * footers, nav templates, license blocks). Emits the per-document
+    * boilerplate ratio — the C4-style signal for stripping or
+    * down-weighting template-heavy pages.
+    *
+    * Scale: chunking is a narrow explode; both aggregations key on the
+    * 8-byte chunk hash / doc_id, never the text — so at 100 TB the
+    * shuffles move hashes. The hash→n_docs side is a broadcast-sized
+    * frequency table only if boilerplate is rare; the general-case plan
+    * joins on chunk_hash, which AQE handles skew for (a hash shared by
+    * millions of docs is itself the skew case salting handles). */
+  val qChunkBoilerplate: QueryDef = {
+    val window = 16
+    QueryDef.sql(
+      "q_dedup_boilerplate",
+      s"""WITH chunks AS (
+         |  SELECT doc_id,
+         |    ${h60Sql(s"array_to_string(t[s + 1 : least(s + $window, len(t))], ' ')")} AS chunk_hash
+         |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, $window)) AS s
+         |        FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
+         |        WHERE len(t) > 0)
+         |), freq AS (
+         |  SELECT chunk_hash, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY 1
+         |)
+         |SELECT c.doc_id,
+         |  count(*) AS n_chunks,
+         |  count(CASE WHEN f.n_docs >= 2 THEN 1 END) AS n_boilerplate,
+         |  CAST(count(CASE WHEN f.n_docs >= 2 THEN 1 END) AS DOUBLE) / count(*) AS boilerplate_ratio
+         |FROM chunks c JOIN freq f USING (chunk_hash)
+         |GROUP BY c.doc_id""".stripMargin) { (spark, dir) =>
+      val chunks = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) > 0)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(window))).as("s"))
+        .select(col("doc_id"),
+          h60(array_join(slice(col("t"), col("s") + 1,
+            least(col("s") + window, size(col("t"))) - col("s")), " "))
+            .as("chunk_hash"))
+      val freq = chunks.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      chunks.join(freq, Seq("chunk_hash"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("n_docs") >= 2, 1)).as("n_boilerplate"))
+        .withColumn("boilerplate_ratio",
+          col("n_boilerplate").cast("double") / col("n_chunks"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard,
-    qCorpusCuration, qClusters, qSplitContamination, qSubstringDedup, qContainment)
+    qCorpusCuration, qClusters, qSplitContamination, qSubstringDedup, qContainment,
+    qChunkBoilerplate)
 }
