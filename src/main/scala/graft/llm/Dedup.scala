@@ -70,37 +70,44 @@ object Dedup {
     * candidate pair (doc_a < doc_b) that shared at least one band
     * bucket. [[nearDupPairs]] filters this by symmetric Jaccard;
     * [[qContainment]] by asymmetric containment. */
-  private def candidateOverlap(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    // the single-file local fixture scans as 1-2 tasks; the shingle/
-    // signature arithmetic is the expensive stage, so spread it —
-    // gated: a real multi-file corpus arrives pre-partitioned and skips
-    // the exchange (Tables.spread).
-    val toks = Tables.spread(Tables.documents(spark, dir))
-      .select(col("doc_id"), tokens(col("text")).as("t"))
+  /** (doc_id, shash) — distinct hashed 3-shingles per doc; docs under 3
+    * tokens have no shingle and are excluded. Pure function of any
+    * documents-shaped frame, shared by the one-shot queries and the
+    * incremental index ([[IncrementalDedup]]). */
+  private[graft] def shingleFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
       .where(size(col("t")) >= 3)
+      .select(col("doc_id"), shingleHashes(col("t")).as("shash"))
+
+  /** (doc_id, bk) — the banded LSH bucket keys from a shingle frame:
+    * minhash signatures → `numBands` md5 band keys, exploded one row per
+    * band. Two docs are candidates iff they share a `bk`. */
+  private[graft] def bandKeys(sh: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sigCols = hashParams.zipWithIndex.map { case ((a, b), j) =>
+      array_min(transform(col("shash"), h => (h * a + b) % MinhashPrime)).as(s"s$j")
+    }
+    val sig = sh.select(col("doc_id") +: sigCols: _*)
+    val bandCols = (0 until numBands).map { bnd =>
+      val cols = (0 until rowsPerBand).map(r => col(s"s${rowsPerBand * bnd + r}").cast("string"))
+      md5(concat_ws(",", cols: _*)).as(s"band$bnd")
+    }
+    sig.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array(
+        (0 until numBands).map(bnd => concat(lit(bnd.toString), col(s"band$bnd"))): _*)).as("bk"))
+  }
+
+  private[graft] def candidateOverlapOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // materialization point: the shingle arrays are the expensive stage
     // and are referenced three times (signatures + both verification
     // sides). The explicit hash-partition exchange makes every later
     // reference a ReusedExchange of ONE computation — without it each
     // reference re-scans the corpus and re-shingles (observed: 12 scans
     // in the corpus-curation plan before this line existed).
-    val sh = toks.select(col("doc_id"), shingleHashes(col("t")).as("shash"))
-      .repartition(col("doc_id"))
-    val sigCols = hashParams.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(col("shash"), h => (h * a + b) % MinhashPrime)).as(s"s$j")
-    }
-    val sig = sh.select(col("doc_id") +: col("shash") +: sigCols: _*)
-    val bandCols = (0 until numBands).map { bnd =>
-      val cols = (0 until rowsPerBand).map(r => col(s"s${rowsPerBand * bnd + r}").cast("string"))
-      md5(concat_ws(",", cols: _*)).as(s"band$bnd")
-    }
-    val banded = sig.select(col("doc_id") +: bandCols: _*)
+    val sh = shingleFrame(docs).repartition(col("doc_id"))
     // second materialization, partitioned on the band key: the LSH
     // self-join reads the SAME exchange for both sides and — being
     // pre-clustered on bk — joins without shuffling either side again.
-    val keyed = banded.select(col("doc_id"), explode(array(
-      (0 until numBands).map(bnd => concat(lit(bnd.toString), col(s"band$bnd"))): _*)).as("bk"))
-      .repartition(col("bk"))
+    val keyed = bandKeys(sh).repartition(col("bk"))
     val pairs = keyed.as("a").join(keyed.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -113,6 +120,20 @@ object Dedup {
       size(filter(col("sa"), x => array_contains(col("sb"), x))).as("n_inter"),
       size(col("sa")).as("n_a"), size(col("sb")).as("n_b"))
   }
+
+  private def candidateOverlap(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    // the single-file local fixture scans as 1-2 tasks; the shingle/
+    // signature arithmetic is the expensive stage, so spread it —
+    // gated: a real multi-file corpus arrives pre-partitioned and skips
+    // the exchange (Tables.spread).
+    candidateOverlapOf(Tables.spread(Tables.documents(spark, dir)))
+
+  /** Exact-Jaccard verification of the candidate pairs (≥ 0.8). */
+  def verifiedPairsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    candidateOverlapOf(docs)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
+      .where(col("jaccard") >= 0.8)
 
   /** MinHash-LSH near-dup pairs verified with exact Jaccard ≥ 0.8
     * (doc_a < doc_b). Shared by the pair query, decontamination, the
