@@ -28,7 +28,7 @@ object Similarity {
   private val dim = 64
 
   /** Left-fold dot product of two float-array columns in double. */
-  private def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),
