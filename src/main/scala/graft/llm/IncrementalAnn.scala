@@ -34,13 +34,20 @@ object IncrementalAnn {
     scala.util.Try(DeltaLog.snapshot(spark, postings(root))).isSuccess
 
   /** Assign `newVecs` (vec_id, embedding) to cells and append to the
-    * postings table. Returns the committed Delta version. */
+    * postings table. Returns the committed Delta version. `batchId`
+    * makes the append idempotent via a SetTransaction action (a
+    * replayed ingest batch is skipped); -1 is returned for a skip. */
   def extend(spark: SparkSession, root: String, newVecs: DataFrame,
-      cents: Array[Array[Double]]): Long = {
-    val assigned = Similarity.assignCells(newVecs, cents)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-    val mode = if (hasIndex(spark, root)) "append" else "overwrite"
-    DeltaLog.write(spark, assigned, postings(root), mode, partitionBy = Seq("cell"))
+      cents: Array[Array[Double]], batchId: Option[Long] = None): Long = {
+    if (batchId.exists(b =>
+        DeltaLog.lastTxn(spark, postings(root), root).exists(_ >= b))) -1L
+    else {
+      val assigned = Similarity.assignCells(newVecs, cents)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+      val mode = if (hasIndex(spark, root)) "append" else "overwrite"
+      DeltaLog.write(spark, assigned, postings(root), mode,
+        partitionBy = Seq("cell"), txn = batchId.map(root -> _))
+    }
   }
 
   /** Top-k cosine search over the postings table, probing the `nprobe`

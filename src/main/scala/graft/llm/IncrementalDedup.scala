@@ -34,29 +34,54 @@ object IncrementalDedup {
   private def bandsTable(root: String) = s"$root/bands"
   private def shinglesTable(root: String) = s"$root/shingles"
 
+  private def isTable(spark: SparkSession, path: String): Boolean =
+    scala.util.Try(DeltaLog.snapshot(spark, path)).isSuccess
+
   private def hasIndex(spark: SparkSession, root: String): Boolean =
-    scala.util.Try(DeltaLog.snapshot(spark, bandsTable(root))).isSuccess
+    isTable(spark, bandsTable(root))
 
   /** Near-dup pairs (doc_a, doc_b, jaccard) between `newDocs` and
     * everything indexed so far (plus within-batch pairs), then extend
     * the index with the batch's artifacts. Returns the verified pairs
     * — doc_a < doc_b, Jaccard ≥ 0.8, same thresholds as the one-shot
     * pipeline. `newDocs` must be documents-shaped (`doc_id`, `text`)
-    * with doc_ids not already indexed. */
-  def probeAndExtend(spark: SparkSession, root: String, newDocs: DataFrame): DataFrame = {
+    * with doc_ids not already indexed.
+    *
+    * `batchId` (with the index root as the txn appId) makes the extend
+    * IDEMPOTENT per table: each table's commit carries a SetTransaction
+    * action, and a replayed batch — after a crash between the two
+    * commits, or a re-run ingest job — re-appends only to the table
+    * that missed it. The probe's result frame stays correct on replay
+    * because already-indexed batch rows are excluded from the "indexed"
+    * side before the union (the batch artifacts are recomputed, not
+    * double-counted). */
+  def probeAndExtend(spark: SparkSession, root: String, newDocs: DataFrame,
+      batchId: Option[Long] = None): DataFrame = {
     // batch artifacts: computed once, reused by probe + verify + append
     // (localCheckpoint: the batch is small relative to the corpus, and
     // three consumers would otherwise recompute the shingling)
     val newSh = Dedup.shingleFrame(newDocs).localCheckpoint(true)
     val newBands = Dedup.bandKeys(newSh).localCheckpoint(true)
+    val batchIds = newSh.select("doc_id").distinct()
 
-    val existing = hasIndex(spark, root)
-    val allBands =
-      if (existing) DeltaLog.read(spark, bandsTable(root)).unionByName(newBands)
-      else newBands
-    val allSh =
-      if (existing) DeltaLog.read(spark, shinglesTable(root)).unionByName(newSh)
-      else newSh
+    // on replay, a table that already took this batch must not feed the
+    // batch's own rows into the "indexed so far" side (they'd duplicate
+    // the recomputed artifacts and double-join the verification)
+    def indexed(table: String, applied: Boolean): Option[DataFrame] =
+      if (!isTable(spark, table)) None
+      else {
+        val t = DeltaLog.read(spark, table)
+        Some(if (applied) t.join(batchIds, Seq("doc_id"), "left_anti") else t)
+      }
+    def alreadyApplied(table: String): Boolean = batchId.exists(b =>
+      DeltaLog.lastTxn(spark, table, root).exists(_ >= b))
+
+    val bandsApplied = alreadyApplied(bandsTable(root))
+    val shApplied = alreadyApplied(shinglesTable(root))
+    val allBands = indexed(bandsTable(root), bandsApplied)
+      .fold(newBands)(_.unionByName(newBands))
+    val allSh = indexed(shinglesTable(root), shApplied)
+      .fold(newSh)(_.unionByName(newSh))
 
     // probe: candidates must touch the batch — new side left, full index
     // right; a < b normalization after the join so within-batch pairs
@@ -81,9 +106,13 @@ object IncrementalDedup {
       .where(col("jaccard") >= 0.8)
       .localCheckpoint(true) // materialize BEFORE the appends move the tables forward
 
-    val mode = if (existing) "append" else "overwrite"
-    DeltaLog.write(spark, newBands, bandsTable(root), mode)
-    DeltaLog.write(spark, newSh, shinglesTable(root), mode)
+    val txn = batchId.map(root -> _)
+    if (!shApplied)
+      DeltaLog.write(spark, newSh, shinglesTable(root),
+        if (isTable(spark, shinglesTable(root))) "append" else "overwrite", txn = txn)
+    if (!bandsApplied)
+      DeltaLog.write(spark, newBands, bandsTable(root),
+        if (isTable(spark, bandsTable(root))) "append" else "overwrite", txn = txn)
     verified
   }
 

@@ -54,4 +54,14 @@ class IncrementalAnnSpec extends SparkSpec {
       .agg(sum(col("n_vectors"))).collect()(0).getLong(0)
     assert(hist == emb.count())
   }
+
+  test("replayed ingest batch is skipped by the txn guard") {
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, k = 4, iters = 1)
+    val root = Files.createTempDirectory("graft-ivfidx2-").toString
+    assert(IncrementalAnn.extend(spark, root, emb, cents, Some(0L)) >= 0L)
+    val n = graft.sources.DeltaLog.read(spark, s"$root/postings").count()
+    assert(IncrementalAnn.extend(spark, root, emb, cents, Some(0L)) == -1L)
+    assert(graft.sources.DeltaLog.read(spark, s"$root/postings").count() == n)
+  }
 }

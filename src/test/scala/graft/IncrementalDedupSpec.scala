@@ -56,4 +56,37 @@ class IncrementalDedupSpec extends SparkSpec {
     val bandsV1 = graft.sources.DeltaLog.read(spark, s"$root/bands", Some(1L)).count()
     assert(bandsNow > bandsV1)
   }
+
+  test("replayed batch is idempotent; a crash between the two commits heals") {
+    import graft.sources.DeltaLog
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val b0 = docs.where(col("doc_id") < 30L)
+    val b1 = docs.where(col("doc_id") >= 30L)
+    val root = Files.createTempDirectory("graft-lshidx2-").toString
+
+    val p0 = pairs(IncrementalDedup.probeAndExtend(spark, root, b0, Some(0L)))
+    val sh0 = DeltaLog.read(spark, s"$root/shingles").count()
+
+    // full replay of batch 0 (the at-least-once ingest case): same
+    // pairs back, no rows double-appended to either table
+    val p0r = pairs(IncrementalDedup.probeAndExtend(spark, root, b0, Some(0L)))
+    assert(p0r == p0)
+    assert(DeltaLog.read(spark, s"$root/shingles").count() == sh0)
+
+    // simulated crash in batch 1: shingles committed (it goes first),
+    // bands not — the replay must append ONLY the missing bands table
+    // and still report batch-1 pairs exactly once
+    val newSh1 = Dedup.shingleFrame(b1)
+    DeltaLog.write(spark, newSh1, s"$root/shingles", "append", txn = Some(root -> 1L))
+    val bandsBefore = DeltaLog.read(spark, s"$root/bands").count()
+    val p1 = pairs(IncrementalDedup.probeAndExtend(spark, root, b1, Some(1L)))
+    val expect1 = pairs(Dedup.verifiedPairsOf(docs))
+      .filter { case (a, b) => a >= 30L || b >= 30L }
+    assert(p1 == expect1)
+    // shingles not duplicated, bands appended exactly once
+    assert(DeltaLog.read(spark, s"$root/shingles").count() == sh0 + newSh1.count())
+    assert(DeltaLog.read(spark, s"$root/bands").count() > bandsBefore)
+    assert(IncrementalDedup.indexedDocs(spark, root) ==
+      Dedup.shingleFrame(docs).count())
+  }
 }
