@@ -162,6 +162,26 @@ class PlanSpec extends SparkSpec {
       s"q_multimodal_features must not evaluate a ScalaUDF:\n$plan")
   }
 
+  test("chunking is a pure narrow pipeline (zero exchanges)") {
+    // tokenize → explode starts → slice+hash: everything pipelines with
+    // the scan; any Exchange here would shuffle full document text
+    val plan = SparkEntry.queries("q_text_chunking")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
+  test("boilerplate detection shuffles hashes, not text") {
+    // after the per-doc chunk hashing, every exchange key/payload is
+    // (doc_id, chunk_hash [, counts]) — the text column must not survive
+    // past the scan-side projection into any exchange
+    val df = SparkEntry.queries("q_dedup_boilerplate")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchangeLines = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchangeLines.nonEmpty)
+    exchangeLines.foreach(l =>
+      assert(!l.contains("text"), s"exchange must not carry text: $l"))
+  }
+
   test("projection pruning reaches the scan (ReadSchema)") {
     // the pricing summary touches 7 of lineitem's 16 columns; the scan
     // must not read the rest
