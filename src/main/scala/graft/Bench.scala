@@ -37,26 +37,51 @@ object Bench {
       }
     }
 
+    // Per-query shuffle accounting: a task-end listener totals shuffle
+    // write bytes while a query runs — the number the scale claims are
+    // about ("shuffles hashes, not text"). Collected on the LAST rep so
+    // the figure is one clean run, not reps×.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+
     // A query that throws records wall-time -1 and lands in `failed` —
     // a regression must not masquerade as a fast run.
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      var shuffled = 0L
+      val times = (1 to reps).map { rep =>
+        if (rep == reps) {
+          // drain queued listener events from the previous rep, then zero
+          org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext, 30000)
+          shuffleBytes.set(0L)
+        }
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (rep == reps) {
+          org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext, 30000)
+          shuffled = shuffleBytes.get()
+        }
+        if (ok) dt else -1.0
       }
-      (name, times.min, !times.contains(-1.0))
+      (name, times.min, !times.contains(-1.0), shuffled)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val sh = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"failed":$failed,"sf":"$sfDir"}"""
     // the stdout tail gets truncated downstream (the 83-query line is long
     // and sbt appends [success] noise) — persist the whole line to a file
     // as the canonical artifact, then print it for greppability
