@@ -352,6 +352,51 @@ object DeltaLog {
     }
   }
 
+  /** OPTIMIZE: rewrite the current snapshot into `targetFiles` files per
+    * partition as one protocol commit (remove all current adds, add the
+    * compacted files) — the small-file compaction every streaming-append
+    * table needs. Readers of any version, before or after, see identical
+    * rows; pre-optimize versions stay time-travelable until [[vacuum]].
+    * (Real Delta marks these actions dataChange=false; this writer emits
+    * them as a plain overwrite — a difference in change-feed semantics
+    * only, not in table contents.) */
+  def optimize(spark: SparkSession, table: String, targetFiles: Int = 1): Long = {
+    val snap = snapshot(spark, table)
+    val df = read(spark, table)
+    val compacted =
+      if (snap.partitionColumns.nonEmpty)
+        df.repartition(targetFiles, snap.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
+      else df.coalesce(targetFiles)
+    write(spark, compacted, table, "overwrite", partitionBy = snap.partitionColumns)
+  }
+
+  /** VACUUM: delete data files referenced by NONE of the last
+    * `keepVersions` snapshots. Time travel to older versions stops
+    * working for their vacuumed files — the same contract as Delta's
+    * VACUUM with a retention window, expressed in versions (the unit this
+    * log reasons in) rather than hours. Returns the deleted file count. */
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    val f = fs(spark, table)
+    val versions = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq
+    val kept = versions.distinct.sorted.takeRight(keepVersions)
+    val live = kept.flatMap(v => snapshot(spark, table, Some(v)).files).toSet
+    // every data file under the root (not the log dir), relative paths
+    val root = f.makeQualified(new Path(table))
+    val it = f.listFiles(root, true)
+    var deleted = 0
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = root.toUri.relativize(st.getPath.toUri).getPath
+      if (st.isFile && rel.endsWith(".parquet") && !rel.startsWith("_delta_log") &&
+          !rel.contains("/.") && !rel.startsWith(".") && !live.contains(rel)) {
+        f.delete(st.getPath, false)
+        deleted += 1
+      }
+    }
+    deleted
+  }
+
   /** Write a parquet checkpoint of the current snapshot + the
     * `_last_checkpoint` pointer, bounding future replays to the JSON
     * suffix (and allowing old commits to be vacuumed). */

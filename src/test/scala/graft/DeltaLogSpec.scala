@@ -262,6 +262,41 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("optimize compacts to one file; vacuum deletes only unreferenced files") {
+    val t = freshTable()
+    // 4 append commits → 4 small files
+    DeltaLog.write(spark, Seq(1L).toDF("x"), t)
+    DeltaLog.write(spark, Seq(2L).toDF("x"), t, "append")
+    DeltaLog.write(spark, Seq(3L).toDF("x"), t, "append")
+    DeltaLog.write(spark, Seq(4L).toDF("x"), t, "append")
+    assert(DeltaLog.snapshot(spark, t).files.size == 4)
+    val v = DeltaLog.optimize(spark, t)
+    assert(DeltaLog.snapshot(spark, t).files.size == 1)
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // pre-optimize version still time-travelable (files not yet deleted)
+    assert(DeltaLog.read(spark, t, Some(v - 1)).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // vacuum keeping only the current snapshot: the 4 small files go,
+    // the compacted file stays, current reads are untouched
+    val deleted = DeltaLog.vacuum(spark, t, keepVersions = 1)
+    assert(deleted == 4, s"deleted $deleted")
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    // vacuum again: nothing left to delete (idempotent)
+    assert(DeltaLog.vacuum(spark, t, keepVersions = 1) == 0)
+  }
+
+  test("vacuum keepVersions=2 preserves the previous snapshot's files") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L, 2L).toDF("x").coalesce(1), t) // v0
+    DeltaLog.write(spark, Seq(9L).toDF("x"), t)            // v1 overwrite
+    DeltaLog.write(spark, Seq(10L).toDF("x"), t, "append") // v2
+    // keep v1+v2: v0's file (not referenced by either) is deleted, but
+    // v1's file (shared by v2's snapshot) survives
+    assert(DeltaLog.vacuum(spark, t, keepVersions = 2) == 1)
+    assert(DeltaLog.read(spark, t, Some(1)).as[Long].collect().toSeq == Seq(9L))
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(9L, 10L))
+  }
+
   test("empty table reads as empty frame with the declared schema") {
     val t = freshTable()
     commit(t, 0, Seq(metaAction(xSchema)))
