@@ -232,6 +232,57 @@ object Sampling {
         (col("n_tokens").cast("double") / col("corpus_tokens")).as("token_share"))
   }
 
+  /** Token-budget data selection: per language shard, admit documents in
+    * quality order (here: lexical-diversity proxy, ties broken by
+    * doc_id) until a fixed token budget fills — the selection step of
+    * data-mixing recipes ("best N tokens per language"), made
+    * deterministic and coordination-free. A doc is admitted iff the
+    * running token total THROUGH it stays within budget; the first
+    * over-budget doc is dropped but later smaller docs may still fit
+    * (the standard greedy-by-rank semantics, expressible as a pure
+    * window — an exact knapsack would be sequential and is deliberately
+    * not reproduced, same reasoning as [[qPacking]]).
+    *
+    * Scale: one window per language shard (no global sort at any corpus
+    * size)… but note the admit test needs a SECOND pass over the
+    * running sum (sum of admitted-so-far, which depends on prior admit
+    * decisions). The greedy-by-rank approximation here uses the
+    * running sum over ALL ranked docs — admit iff cumsum ≤ budget —
+    * which is the prefix form with a single window and matches the
+    * common "truncate the ranked stream at the budget" recipe. */
+  val qBudget: QueryDef = {
+    val budget = 4096
+    QueryDef.sql(
+      "q_corpus_budget",
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, len(t) AS n_tokens,
+         |    CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS quality
+         |  FROM (SELECT doc_id, lang, ${tokensSql("text")} AS t FROM documents)
+         |  WHERE len(t) > 0
+         |), ranked AS (
+         |  SELECT doc_id, lang, n_tokens, quality,
+         |    CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens
+         |  FROM scored
+         |  WINDOW w AS (PARTITION BY lang ORDER BY quality DESC, doc_id
+         |               ROWS UNBOUNDED PRECEDING)
+         |)
+         |SELECT doc_id, lang, n_tokens, quality, cum_tokens
+         |FROM ranked WHERE cum_tokens <= $budget""".stripMargin) { (spark, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("t"))
+        .where(size(col("t")) > 0)
+        .select(col("doc_id"), col("lang"),
+          size(col("t")).cast("long").as("n_tokens"),
+          (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("quality"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .where(col("cum_tokens") <= budget)
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qSplit, qPacking, qStratified, qTemperature, qChunking, qCorpusMix)
+    Seq(qSplit, qPacking, qStratified, qTemperature, qChunking, qCorpusMix, qBudget)
 }
