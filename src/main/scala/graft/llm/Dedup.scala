@@ -537,7 +537,64 @@ object Dedup {
     }
   }
 
+  /** Boilerplate STRIPPING — the actionable counterpart of
+    * [[qChunkBoilerplate]]: rebuild each document from only its
+    * non-shared chunks (order preserved), emitting the kept token count
+    * and the md5 of the cleaned text. Whitespace is normalized to
+    * single spaces by the chunk join — acceptable for model-training
+    * text, and what makes the rebuild a pure function both engines
+    * compute identically.
+    *
+    * Scale: same two hash-keyed aggregations as detection plus one
+    * per-doc ordered rebuild — the collect_list is per-document (bounded
+    * by doc length), never cross-document. */
+  val qBoilerplateStrip: QueryDef = {
+    val window = 16
+    QueryDef.sql(
+      "q_dedup_boilerplate_strip",
+      s"""WITH chunks AS (
+         |  SELECT doc_id, s,
+         |    array_to_string(t[s + 1 : least(s + $window, len(t))], ' ') AS ctext
+         |  FROM (SELECT doc_id, t, unnest(generate_series(0, len(t) - 1, $window)) AS s
+         |        FROM (SELECT doc_id, ${tokensSql("text")} AS t FROM documents)
+         |        WHERE len(t) > 0)
+         |), freq AS (
+         |  SELECT ${h60Sql("ctext")} AS chunk_hash, count(DISTINCT doc_id) AS n_docs
+         |  FROM chunks GROUP BY 1
+         |)
+         |SELECT doc_id,
+         |  count(*) FILTER (WHERE n_docs = 1) AS n_kept_chunks,
+         |  CAST(coalesce(sum(len(${tokensSql("ctext")})) FILTER (WHERE n_docs = 1), 0)
+         |       AS BIGINT) AS n_kept_tokens,
+         |  md5(coalesce(string_agg(ctext, ' ' ORDER BY s) FILTER (WHERE n_docs = 1), ''))
+         |    AS clean_md5
+         |FROM chunks JOIN freq ON ${h60Sql("ctext")} = chunk_hash
+         |GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+      val chunks = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .where(size(col("t")) > 0)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), size(col("t")) - 1, lit(window))).as("s"))
+        .select(col("doc_id"), col("s"),
+          array_join(slice(col("t"), col("s") + 1,
+            least(col("s") + window, size(col("t"))) - col("s")), " ").as("ctext"))
+        .withColumn("chunk_hash", h60(col("ctext")))
+      val freq = chunks.groupBy(col("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      chunks.join(freq, Seq("chunk_hash"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(when(col("n_docs") === 1, 1)).as("n_kept_chunks"),
+          coalesce(sum(when(col("n_docs") === 1, size(tokens(col("ctext"))))), lit(0))
+            .cast("long").as("n_kept_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(when(col("n_docs") === 1,
+              struct(col("s"), col("ctext"))))),
+            p => p.getField("ctext")), " ")).as("clean_md5"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard,
     qCorpusCuration, qClusters, qSplitContamination, qSubstringDedup, qContainment,
-    qChunkBoilerplate)
+    qChunkBoilerplate, qBoilerplateStrip)
 }
