@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.maintenance.IncrementalAgg
+import graft.sources.DeltaLog
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** End-to-end lakehouse loop on the open Delta protocol: a stream
+  * appends into bronze exactly-once (txn-guarded foreachBatch), gold is
+  * a materialized aggregate maintained INCREMENTALLY from the log's
+  * per-version add feed — never rescanning bronze — and after every
+  * batch the maintained gold equals a full recompute bit-for-bit.
+  * This is the shape the reference schedules as nightly full rebuilds,
+  * run continuously in O(delta) instead.
+  */
+class LakehouseLoopSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stream -> Delta bronze -> incremental gold equals full recompute per batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Double)]
+    val bronze = Files.createTempDirectory("graft-loop-").toString + "/bronze"
+    val ckpt = Files.createTempDirectory("graft-loop-ckpt-").toString
+
+    val keys = Seq("k")
+    val sums = Seq("v")
+    var gold: org.apache.spark.sql.DataFrame = null
+    var consumedVersion = -1L
+
+    def step(data: (String, Double)*): Unit = {
+      ms.addData(data: _*)
+      Streams.foreachBatchDeltaAppend(ms.toDF().toDF("k", "v"), bronze, ckpt, "loop")
+      // consume ONLY the versions this batch committed (append-only feed)
+      val latest = DeltaLog.snapshot(spark, bronze).version
+      val delta = DeltaLog.addedSince(spark, bronze, consumedVersion, latest)
+        .withColumn("_change_type", lit("insert"))
+      gold =
+        if (gold == null) IncrementalAgg.materialize(
+          delta.drop("_change_type"), keys, sums)
+        else IncrementalAgg.applyDelta(gold, delta, keys, sums)
+      gold = gold.localCheckpoint(true)
+      consumedVersion = latest
+      // invariant: maintained gold == full recompute over bronze
+      val full = IncrementalAgg.materialize(DeltaLog.read(spark, bronze), keys, sums)
+      assert(gold.exceptAll(full).count() == 0 && full.exceptAll(gold).count() == 0,
+        s"divergence after version $latest")
+    }
+
+    step("a" -> 1.0, "b" -> 2.0)
+    step("a" -> 3.5)
+    step("c" -> 0.25, "b" -> 1.75, "a" -> 1.0)
+
+    // end state sanity: 3 keys, exact decimal sums
+    val state = gold.select(col("k"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(state == Seq(("a", 3L, 5.5), ("b", 2L, 3.75), ("c", 1L, 0.25)))
+
+    // the loop never rescanned bronze for gold: the last delta read only
+    // the final batch's files (addedSince is per-version), and bronze
+    // itself holds every appended row exactly once
+    assert(DeltaLog.read(spark, bronze).count() == 6)
+  }
+}
