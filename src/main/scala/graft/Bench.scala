@@ -50,15 +50,23 @@ object Bench {
     spark.sparkContext.addSparkListener(listener)
 
     // A query that throws records wall-time -1 and lands in `failed` —
-    // a regression must not masquerade as a fast run.
+    // a regression must not masquerade as a fast run. A drain timeout (a
+    // backed-up listener bus) degrades only that query's shuffle figure
+    // to -1 instead of aborting the run.
+    def drain(): Boolean = scala.util.Try(
+      org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext, 30000)).isSuccess
     val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var shuffled = 0L
+      // absorb the previous query's GC debt before timing starts: one
+      // timed run otherwise pays the neighbor's full-GC (observed 6x
+      // inflation on dedup queries following decimal/HLL-heavy plans).
+      // The gc sits OUTSIDE the timed window, so reported totals measure
+      // plans, not the neighbor's collections.
+      System.gc()
+      Thread.sleep(100)
+      var shuffled = -1L
       val times = (1 to reps).map { rep =>
-        if (rep == reps) {
-          // drain queued listener events from the previous rep, then zero
-          org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext, 30000)
-          shuffleBytes.set(0L)
-        }
+        // drain queued listener events from the previous rep, then zero
+        val preDrained = rep == reps && { val d = drain(); shuffleBytes.set(0L); d }
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -66,29 +74,39 @@ object Bench {
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
           }
         val dt = (System.nanoTime() - t0) / 1e9
-        if (rep == reps) {
-          org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext, 30000)
-          shuffled = shuffleBytes.get()
-        }
+        // shuffle figure only when the rep succeeded AND both drains did
+        // — a failed query's partial work must not masquerade as its
+        // shuffle footprint (-1 = not measured)
+        if (rep == reps && ok && preDrained && drain()) shuffled = shuffleBytes.get()
         if (ok) dt else -1.0
       }
       (name, times.min, !times.contains(-1.0), shuffled)
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    spark.sparkContext.removeSparkListener(listener)
+    def r4(v: Double): Double = math.rint(v * 10000) / 10000 // 0.1 ms grain
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _) => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_bytes":$sh,"failed":$failed,"sf":"$sfDir"}"""
-    // the stdout tail gets truncated downstream (the 83-query line is long
-    // and sbt appends [success] noise) — persist the whole line to a file
-    // as the canonical artifact, then print it for greppability
+    val total = r4(results.collect { case (_, v, true, _) => v }.sum)
+    val head = s""""metric":"total","value":$total,"unit":"sec""""
+    val tail = s""""failed":$failed,"sf":"$sfDir""""
+    // The downstream tail capture is bounded and sbt appends [success]
+    // noise, so the 100-query single line used to truncate (BENCH_r05
+    // parsed: null). Emission order for a bounded tail: the (droppable)
+    // shuffle map FIRST, then the contract line LAST and SHORT (rounded
+    // times, no shuffle map) so the capture always ends with one complete
+    // parseable JSON line. The full canonical line goes to the file
+    // artifact untruncated.
+    val full = s"""{$head,"queries":$qs,"shuffle_bytes":$sh,$tail}"""
+    val contract = s"""{$head,"queries":$qs,$tail}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-    println(line)
+    java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    println(s"""{"metric":"shuffle_bytes_by_query","unit":"bytes","shuffle_bytes":$sh}""")
+    println(contract)
     spark.stop()
   }
 }

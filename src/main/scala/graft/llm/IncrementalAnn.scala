@@ -30,8 +30,11 @@ object IncrementalAnn {
 
   private def postings(root: String) = s"$root/postings"
 
+  // explicit log-existence probe, NOT Try(snapshot).isSuccess: an
+  // unreadable index (transient IO, corrupt log) must fail the batch,
+  // not flip the writer to overwrite and silently truncate the postings
   private def hasIndex(spark: SparkSession, root: String): Boolean =
-    scala.util.Try(DeltaLog.snapshot(spark, postings(root))).isSuccess
+    DeltaLog.isDeltaTable(spark, postings(root))
 
   /** Assign `newVecs` (vec_id, embedding) to cells and append to the
     * postings table. Returns the committed Delta version. `batchId`

@@ -34,8 +34,11 @@ object IncrementalDedup {
   private def bandsTable(root: String) = s"$root/bands"
   private def shinglesTable(root: String) = s"$root/shingles"
 
+  // explicit log-existence probe, NOT Try(snapshot).isSuccess: an
+  // unreadable index (transient IO, corrupt log) must fail the batch,
+  // not flip the writer to overwrite and silently truncate the index
   private def isTable(spark: SparkSession, path: String): Boolean =
-    scala.util.Try(DeltaLog.snapshot(spark, path)).isSuccess
+    DeltaLog.isDeltaTable(spark, path)
 
   private def hasIndex(spark: SparkSession, root: String): Boolean =
     isTable(spark, bandsTable(root))

@@ -151,15 +151,24 @@ object DeltaLog {
     Snapshot(target, live.keys.toSeq, schema, partCols, txns.toMap)
   }
 
+  /** Whether `table` has a Delta log with at least one commit or
+    * checkpoint — the explicit "does the table exist" probe. This is
+    * deliberately NOT `Try(snapshot).isSuccess`: a table whose log
+    * exists but is unreadable (transient IO error, corrupt commit) must
+    * surface as an exception from [[snapshot]], never as `false` — a
+    * caller deciding create-vs-append would otherwise treat "unreadable"
+    * as "absent" and silently overwrite the table. */
+  def isDeltaTable(spark: SparkSession, table: String): Boolean = {
+    val f = fs(spark, table)
+    f.exists(logDir(table)) &&
+      (listVersions(spark, table).nonEmpty || lastCheckpoint(f, table).nonEmpty)
+  }
+
   /** Last transaction version committed for `appId` (the protocol's
     * SetTransaction state) — how a streaming writer discovers which
     * micro-batches already landed. */
-  def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] = {
-    val f = fs(spark, table)
-    val hasLog = f.exists(logDir(table)) &&
-      (listVersions(spark, table).nonEmpty || lastCheckpoint(f, table).nonEmpty)
-    if (!hasLog) None else snapshot(spark, table).txns.get(appId)
-  }
+  def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] =
+    if (!isDeltaTable(spark, table)) None else snapshot(spark, table).txns.get(appId)
 
   /** Batch-read the table (optionally `VERSION AS OF`). Partition columns
     * surface via directory discovery under `basePath` — the layout every
@@ -339,10 +348,7 @@ object DeltaLog {
     * version stays time-travelable. Returns the committed version. */
   def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], recencyCol: String): Long = {
-    val f = fs(spark, table)
-    val hasLog = f.exists(logDir(table)) &&
-      (listVersions(spark, table).nonEmpty || lastCheckpoint(f, table).nonEmpty)
-    if (!hasLog) write(spark, source, table)
+    if (!isDeltaTable(spark, table)) write(spark, source, table)
     else {
       val target = read(spark, table)
       // safe to evaluate against the files the commit will 'remove':
@@ -352,21 +358,32 @@ object DeltaLog {
     }
   }
 
-  /** OPTIMIZE: rewrite the current snapshot into `targetFiles` files per
-    * partition as one protocol commit (remove all current adds, add the
-    * compacted files) — the small-file compaction every streaming-append
-    * table needs. Readers of any version, before or after, see identical
-    * rows; pre-optimize versions stay time-travelable until [[vacuum]].
+  /** OPTIMIZE: rewrite the current snapshot into (up to) `targetFiles`
+    * files per partition value as one protocol commit (remove all
+    * current adds, add the compacted files) — the small-file compaction
+    * every streaming-append table needs. Readers of any version, before
+    * or after, see identical rows; pre-optimize versions stay
+    * time-travelable until [[vacuum]].
     * (Real Delta marks these actions dataChange=false; this writer emits
     * them as a plain overwrite — a difference in change-feed semantics
     * only, not in table contents.) */
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1): Long = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val snap = snapshot(spark, table)
     val df = read(spark, table)
     val compacted =
-      if (snap.partitionColumns.nonEmpty)
-        df.repartition(targetFiles, snap.partitionColumns.map(org.apache.spark.sql.functions.col): _*)
-      else df.coalesce(targetFiles)
+      if (snap.partitionColumns.isEmpty) df.coalesce(targetFiles)
+      else {
+        // hash-clustering on the partition columns alone would land each
+        // partition value in ONE task — one file per value no matter what
+        // targetFiles says; a row-hash bucket splits each value across up
+        // to targetFiles writing tasks (fewer when bucket hashes collide
+        // into the same shuffle partition)
+        val dataCols = df.columns.filterNot(snap.partitionColumns.contains)
+        val bucketSrc = if (dataCols.nonEmpty) dataCols else df.columns
+        val bucket = pmod(hash(bucketSrc.map(col).toSeq: _*), lit(targetFiles))
+        df.repartition(snap.partitionColumns.map(col) :+ bucket: _*)
+      }
     write(spark, compacted, table, "overwrite", partitionBy = snap.partitionColumns)
   }
 

@@ -116,7 +116,17 @@ object Streams {
     * Scale: each commit appends only the batch's files to the log (KBs);
     * the txn probe replays log metadata, bounded by the latest
     * checkpoint ([[graft.sources.DeltaLog.checkpoint]] persists txn
-    * state, so vacuumed JSON prefixes don't lose it). */
+    * state, so vacuumed JSON prefixes don't lose it).
+    *
+    * CAVEAT — `appId` identifies ONE checkpoint lineage. The guard keys
+    * on (appId, batchId) and batch ids restart at 0 whenever the
+    * checkpoint directory is replaced, so re-pointing an already-used
+    * appId at a fresh checkpoint makes genuinely new low-numbered
+    * batches look already-applied and silently drops them. Derive the
+    * appId from the checkpoint path, or retire appId and checkpoint
+    * together — never reuse an appId whose txn state outlives its
+    * checkpoint. (The same documented caveat as production Delta
+    * streaming sinks' idempotent-writes contract.) */
   def foreachBatchDeltaAppend(df: DataFrame, table: String, checkpoint: String,
       appId: String): Unit = {
     val q = df.writeStream

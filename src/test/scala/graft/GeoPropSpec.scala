@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.{IcoHex, ZOrderKey}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.rng.Seed
 
 /** Property checks on GENERATED coordinates for the geo/clustering
   * primitives — random inputs hit cells, faces, and bit patterns no
@@ -17,8 +18,15 @@ class GeoPropSpec extends SparkSpec {
   private val genLat = Gen.choose(-90.0, 90.0)
   private val genLon = Gen.choose(-180.0, 180.0)
 
+  // fixed seed everywhere: the icohex round-trip check is a statistical
+  // bound and the sampled point sets feed exact assertions — both must be
+  // reproducible across runs, not a fresh draw per CI invocation
   private def params(n: Int) =
     SCTest.Parameters.default.withMinSuccessfulTests(n)
+      .withInitialSeed(Seed(0x6EA9_5EEDL))
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
 
   // interleave's documented domain is the 65k grid ([0, 65535] per axis)
   private val genCell = Gen.chooseNum(0L, 65535L)
@@ -75,7 +83,7 @@ class GeoPropSpec extends SparkSpec {
       }
       sb.toString
     }
-    val pts = Gen.listOfN(64, Gen.zip(genLat, genLon)).sample.get
+    val pts = sample(Gen.listOfN(64, Gen.zip(genLat, genLon)), 64L)
     val got = pts.toDF("lat", "lon")
       .select(functions.Geo.geohash("lat", "lon", 8).as("g"))
       .as[String].collect()
@@ -90,7 +98,7 @@ class GeoPropSpec extends SparkSpec {
     // seams (the argmax face can flip there — inherent to any
     // face-projected index), so that part is a statistical bound, same
     // as IcoHexSpec's fixed-grid version.
-    val pts = Gen.listOfN(400, Gen.zip(genLat, genLon)).sample.get
+    val pts = sample(Gen.listOfN(400, Gen.zip(genLat, genLon)), 400L)
     val cells = pts.map { case (lat, lon) =>
       val cell = IcoHex.latLngToCell(lat, lon, 6)
       assert(IcoHex.isValid(cell) && IcoHex.resolution(cell) == 6, s"($lat, $lon)")
