@@ -170,6 +170,23 @@ object DeltaLog {
   def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] =
     if (!isDeltaTable(spark, table)) None else snapshot(spark, table).txns.get(appId)
 
+  /** Multi-file parquet read of `files` (relative paths) with the log's
+    * DECLARED schema when present: no footer merging across (at scale)
+    * millions of files, files written before a schema evolution surface
+    * nulls in the added columns, and partition columns come from
+    * directory discovery under `basePath` — exactly the protocol's read
+    * semantics. Empty file set → empty frame with the declared schema. */
+  private def readFiles(spark: SparkSession, table: String, files: Seq[String],
+      schema: Option[StructType]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema.getOrElse(new StructType()))
+    else {
+      val abs = files.map(p => new Path(table, p).toString)
+      val r = spark.read.option("basePath", table)
+      schema.fold(r.parquet(abs: _*))(s => r.schema(s).parquet(abs: _*))
+    }
+
   /** Batch-read the table (optionally `VERSION AS OF`). Partition columns
     * surface via directory discovery under `basePath` — the layout every
     * Spark/Databricks Delta writer produces. An empty table reads as an
@@ -177,18 +194,7 @@ object DeltaLog {
   def read(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, versionAsOf)
-    if (snap.files.isEmpty) {
-      val s = snap.schema.getOrElse(new StructType())
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    } else {
-      val abs = snap.files.map(p => new Path(table, p).toString)
-      val r = spark.read.option("basePath", table)
-      // read with the log's DECLARED schema when present: no footer
-      // merging across (at scale) millions of files, and files written
-      // before a schema evolution surface nulls in the added columns —
-      // exactly the protocol's read semantics
-      snap.schema.fold(r.parquet(abs: _*))(s => r.schema(s).parquet(abs: _*))
-    }
+    readFiles(spark, table, snap.files, snap.schema)
   }
 
   /** Incremental change feed for append-only consumption: the rows in
@@ -213,16 +219,61 @@ object DeltaLog {
         if (a.has("add")) added += a.get("add").get("path").asText()
       }
     }
-    val files = added.result()
-    val schema = snapshot(spark, table, Some(toVersion)).schema
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.getOrElse(new StructType()))
-    else {
-      val r = spark.read.option("basePath", table)
-      val abs = files.map(p => new Path(table, p).toString)
-      schema.fold(r.parquet(abs: _*))(s => r.schema(s).parquet(abs: _*))
+    readFiles(spark, table, added.result(),
+      snapshot(spark, table, Some(toVersion)).schema)
+  }
+
+  /** Row-level change feed for the commits in `(fromVersion, toVersion]`:
+    * every row in a file REMOVED by a window commit surfaces as
+    * `_change_type='delete'` and every row in a file ADDED as `'insert'`
+    * — the file-granular CDC a Delta reader computes for MERGE/overwrite
+    * commits when no explicit change files exist. EXACT for any linear
+    * fold (e.g. [[graft.maintenance.IncrementalAgg.applyDelta]]): a row
+    * rewritten unchanged contributes a cancelling delete+insert pair, an
+    * update contributes delete(old)+insert(new).
+    *
+    * Files both added and removed inside the window cancel and are never
+    * read; add/remove actions with `dataChange=false` ([[optimize]]
+    * rewrites) are invisible, so compaction does not pollute the feed.
+    * With the copy-on-write [[mergeUpsert]] the feed reads O(files
+    * touched by the window's commits), never O(table) — what turns the
+    * reference's nightly gold rebuild into O(delta) maintenance even
+    * under updates. Deletes read with the window-end declared schema
+    * (pre-evolution files surface nulls in added columns), matching how
+    * the consumer's aggregate saw those rows inserted. */
+  def changesBetween(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
+    val f = fs(spark, table)
+    val versions = listVersions(spark, table)
+      .filter(v => v > fromVersion && v <= toVersion)
+    // every window commit must still exist as JSON: a checkpointed-away
+    // (vacuumed) prefix would silently drop its changes from the feed
+    require(versions == ((fromVersion + 1) to toVersion),
+      s"log truncated in ($fromVersion, $toVersion] of $table " +
+        s"(present: ${versions.mkString(",")}) — rebuild the consumer from a snapshot")
+    def isDataChange(n: JsonNode): Boolean =
+      !n.has("dataChange") || n.get("dataChange").asBoolean(true)
+    val added = mutable.LinkedHashSet.empty[String]
+    val removed = mutable.LinkedHashSet.empty[String]
+    versions.foreach { v =>
+      readCommit(f, table, v).foreach { a =>
+        if (a.has("add") && isDataChange(a.get("add")))
+          added += a.get("add").get("path").asText()
+        else if (a.has("remove") && isDataChange(a.get("remove"))) {
+          val p = a.get("remove").get("path").asText()
+          if (added.contains(p)) added -= p else removed += p
+        }
+      }
     }
+    val schema =
+      if (versions.isEmpty) snapshot(spark, table).schema
+      else snapshot(spark, table, Some(toVersion)).schema
+    readFiles(spark, table, removed.toSeq, schema)
+      .withColumn("_change_type", lit("delete"))
+      .unionByName(readFiles(spark, table, added.toSeq, schema)
+        .withColumn("_change_type", lit("insert")))
   }
 
   // -------------------------------------------------------------- writing
@@ -243,6 +294,25 @@ object DeltaLog {
       mode: String = "overwrite", partitionBy: Seq[String] = Seq.empty,
       txn: Option[(String, Long)] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"mode must be overwrite|append: $mode")
+    commitWrite(spark, df, table, partitionBy, txn,
+      removePaths = s => if (mode == "overwrite") s.files else Seq.empty,
+      widenSchema = mode == "append", dataChange = true,
+      operation = mode.toUpperCase)
+  }
+
+  /** Core committer behind every write shape (overwrite, append,
+    * copy-on-write MERGE, OPTIMIZE): stage `df`'s parquet files under
+    * the table root, then append ONE atomic log commit that removes
+    * `removePaths(previousSnapshot)` and adds the staged files.
+    * `widenSchema` declares the union of the previous and new schema
+    * (append-style evolution) instead of `df`'s schema. `dataChange`
+    * stamps the commit's add/remove actions; `false` marks a pure
+    * rewrite — same rows before and after — which [[changesBetween]]
+    * skips, exactly the protocol's OPTIMIZE semantics. */
+  private def commitWrite(spark: SparkSession, df: DataFrame, table: String,
+      partitionBy: Seq[String], txn: Option[(String, Long)],
+      removePaths: Snapshot => Seq[String], widenSchema: Boolean,
+      dataChange: Boolean, operation: String): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -292,10 +362,10 @@ object DeltaLog {
     if (version == 0L)
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     // metaData on the first commit and on any schema change (evolution):
-    // appends widen the declared schema to the union so older files read
-    // with nulls in the new columns, overwrites declare the new schema
-    val declared: StructType = (mode, prevSnap.flatMap(_.schema)) match {
-      case ("append", Some(prev)) =>
+    // widening declares the union so older files read with nulls in the
+    // new columns; otherwise the new schema replaces the declaration
+    val declared: StructType = (widenSchema, prevSnap.flatMap(_.schema)) match {
+      case (true, Some(prev)) =>
         val extra = df.schema.fields.filterNot(f => prev.fieldNames.contains(f.name))
         extra.foldLeft(prev)((s, f) => s.add(f))
       case _ => df.schema
@@ -306,21 +376,20 @@ object DeltaLog {
         s""""schemaString":${jsonStr(declared.json)},""" +
         s""""partitionColumns":${partitionBy.map(jsonStr).mkString("[", ",", "]")},""" +
         s""""configuration":{},"createdTime":$now}}"""
-    if (mode == "overwrite" && version > 0L)
-      prevSnap.get.files.foreach { p =>
-        actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true}}"""
-      }
+    prevSnap.toSeq.flatMap(removePaths).foreach { p =>
+      actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":$dataChange}}"""
+    }
     moved.result().foreach { case (rel, pv) =>
       val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
         .mkString("{", ",", "}")
       val size = f.getFileStatus(new Path(root, rel)).getLen
       actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
-        s""""size":$size,"modificationTime":$now,"dataChange":true}}"""
+        s""""size":$size,"modificationTime":$now,"dataChange":$dataChange}}"""
     }
     txn.foreach { case (appId, v) =>
       actions += s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":$now}}"""
     }
-    actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(mode.toUpperCase)}}}"""
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(operation)}}}"""
 
     // write-then-rename: the commit becomes visible atomically or not at all
     val tmp = new Path(logDir(table), f".$version%020d.json.tmp")
@@ -341,20 +410,52 @@ object DeltaLog {
 
   /** MERGE upsert on the Delta protocol — the reference's S8 sink shape
     * (`DeltaTable.merge` with a recency guard, gold_pipeline.py:789-796)
-    * on an open-format table: read the current snapshot, apply the shared
-    * merge frame (matched-and-newer replaced, unmatched kept/inserted),
-    * commit as one overwrite. Unlike the parquet fallback's directory
-    * swap, the commit is atomic via the log rename AND every pre-merge
-    * version stays time-travelable. Returns the committed version. */
+    * on an open-format table, COPY-ON-WRITE at file granularity: a
+    * provenance semi-join finds the data files that contain a matched
+    * key, only those files are rewritten through the shared merge frame
+    * (matched-and-newer replaced, unmatched kept, new keys inserted),
+    * and the commit removes just the touched files. Untouched files stay
+    * live, so a MERGE that touches a sliver of a 100 TB fact table
+    * rewrites a sliver — and [[changesBetween]] sees O(touched) rows,
+    * not O(table). The commit is atomic via the log rename and every
+    * pre-merge version stays time-travelable. Returns the committed
+    * version.
+    *
+    * Scale: the probe scans the target once with only keys + file
+    * provenance projected (source keys are the small broadcast side);
+    * only file NAMES reach the driver, bounded by the snapshot's file
+    * count. Provenance is keyed by file basename — a foreign layout with
+    * colliding basenames (this writer never produces one) falls back to
+    * the correct-but-O(table) full rewrite. */
   def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], recencyCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
     if (!isDeltaTable(spark, table)) write(spark, source, table)
     else {
-      val target = read(spark, table)
-      // safe to evaluate against the files the commit will 'remove':
-      // remove actions only drop log references, data files stay on disk
-      val out = graft.operators.Scd2.mergedFrame(target, source, keys, recencyCol)
-      write(spark, out, table, "overwrite")
+      val snap = snapshot(spark, table)
+      val byName = snap.files.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
+      if (byName.size != snap.files.size) {
+        val out = graft.operators.Scd2.mergedFrame(
+          read(spark, table), source, keys, recencyCol)
+        commitWrite(spark, out, table, snap.partitionColumns, None,
+          removePaths = _.files, widenSchema = false, dataChange = true,
+          operation = "MERGE")
+      } else {
+        val fname = element_at(split(col("_metadata.file_path"), "/"), -1)
+        val touchedNames = readFiles(spark, table, snap.files, snap.schema)
+          .withColumn("__fname", fname)
+          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select("__fname").distinct().collect().map(_.getString(0)).toSet
+        val touched = snap.files.filter(p =>
+          touchedNames.contains(p.substring(p.lastIndexOf('/') + 1)))
+        // safe to evaluate against the files the commit will 'remove':
+        // remove actions only drop log references, data files stay on disk
+        val out = graft.operators.Scd2.mergedFrame(
+          readFiles(spark, table, touched, snap.schema), source, keys, recencyCol)
+        commitWrite(spark, out, table, snap.partitionColumns, None,
+          removePaths = _ => touched, widenSchema = true, dataChange = true,
+          operation = "MERGE")
+      }
     }
   }
 
@@ -363,10 +464,9 @@ object DeltaLog {
     * current adds, add the compacted files) — the small-file compaction
     * every streaming-append table needs. Readers of any version, before
     * or after, see identical rows; pre-optimize versions stay
-    * time-travelable until [[vacuum]].
-    * (Real Delta marks these actions dataChange=false; this writer emits
-    * them as a plain overwrite — a difference in change-feed semantics
-    * only, not in table contents.) */
+    * time-travelable until [[vacuum]]. The commit's actions carry
+    * `dataChange=false` — the protocol's marker for a pure rewrite — so
+    * [[changesBetween]] consumers see compaction as a no-op. */
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1): Long = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val snap = snapshot(spark, table)
@@ -384,7 +484,9 @@ object DeltaLog {
         val bucket = pmod(hash(bucketSrc.map(col).toSeq: _*), lit(targetFiles))
         df.repartition(snap.partitionColumns.map(col) :+ bucket: _*)
       }
-    write(spark, compacted, table, "overwrite", partitionBy = snap.partitionColumns)
+    commitWrite(spark, compacted, table, snap.partitionColumns, None,
+      removePaths = _.files, widenSchema = false, dataChange = false,
+      operation = "OPTIMIZE")
   }
 
   /** VACUUM: delete data files referenced by NONE of the last

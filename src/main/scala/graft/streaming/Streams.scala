@@ -146,6 +146,32 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming MERGE into an open-format Delta table: each micro-batch
+    * upserts through the copy-on-write
+    * [[graft.sources.DeltaLog.mergeUpsert]] — only files containing
+    * matched keys are rewritten, each batch is one atomic protocol
+    * commit, and replay is idempotent at the ROW level via the recency
+    * guard (a re-merged batch rewrites rows to values they already
+    * hold; a [[graft.sources.DeltaLog.changesBetween]] consumer sees
+    * cancelling delete+insert pairs, so incremental gold maintenance
+    * stays exact across restarts). This is the reference's streaming
+    * upsert sink (S8) expressed against the open protocol. */
+  def foreachBatchDeltaMerge(df: DataFrame, table: String, checkpoint: String,
+      keys: Seq[String], recencyCol: String): Unit = {
+    val q = df.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        graft.sources.DeltaLog.mergeUpsert(batch.sparkSession, table, batch,
+          keys, recencyCol)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink and return the materialized result. Fresh checkpoint per run —
     * results are deterministic, so recovery state is not reused across

@@ -297,6 +297,104 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(9L, 10L))
   }
 
+  test("MERGE is copy-on-write: untouched files stay live, removes are O(touched)") {
+    val t = freshTable()
+    // two single-file commits: file A holds keys 1,2; file B holds key 3
+    DeltaLog.write(spark,
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "payload", "updated_at").coalesce(1), t)
+    DeltaLog.write(spark,
+      Seq((3L, "c", 10L)).toDF("id", "payload", "updated_at").coalesce(1), t, "append")
+    val before = DeltaLog.snapshot(spark, t).files.toSet
+    val fileB = (before -- DeltaLog.snapshot(spark, t, Some(0)).files.toSet).head
+    // merge touches key 1 only → file A rewritten, file B untouched
+    DeltaLog.mergeUpsert(spark, t,
+      Seq((1L, "a2", 20L), (4L, "d", 20L)).toDF("id", "payload", "updated_at"),
+      Seq("id"), "updated_at")
+    val after = DeltaLog.snapshot(spark, t).files.toSet
+    assert(after.contains(fileB), s"untouched file $fileB was rewritten: $after")
+    assert(!after.exists(DeltaLog.snapshot(spark, t, Some(0)).files.contains),
+      "touched file A should have been removed")
+    val state = DeltaLog.read(spark, t)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(state == Seq((1L, "a2", 20L), (2L, "b", 10L), (3L, "c", 10L), (4L, "d", 20L)))
+  }
+
+  test("changesBetween: delete+insert row feed; OPTIMIZE invisible; in-window adds cancel") {
+    val t = freshTable()
+    DeltaLog.write(spark,
+      Seq((1L, "a", 10L), (2L, "b", 10L)).toDF("id", "payload", "updated_at").coalesce(1), t)
+    DeltaLog.write(spark,
+      Seq((3L, "c", 10L)).toDF("id", "payload", "updated_at").coalesce(1), t, "append")
+    // append-only window: inserts only
+    val c01 = DeltaLog.changesBetween(spark, t, 0, 1)
+    assert(c01.select("_change_type", "id").as[(String, Long)].collect().toSet ==
+      Set(("insert", 3L)))
+    // MERGE updating key 2 (stale, rejected) + key 1 (newer) + new key 4:
+    // file A (keys 1,2) rewritten → delete(1,a)(2,b), insert(1,a2)(2,b)(4,d)
+    val v2 = DeltaLog.mergeUpsert(spark, t,
+      Seq((1L, "a2", 20L), (2L, "stale", 5L), (4L, "d", 20L))
+        .toDF("id", "payload", "updated_at"), Seq("id"), "updated_at")
+    val c12 = DeltaLog.changesBetween(spark, t, 1, v2)
+      .select("_change_type", "id", "payload").as[(String, Long, String)].collect().toSet
+    assert(c12 == Set(
+      ("delete", 1L, "a"), ("delete", 2L, "b"),
+      ("insert", 1L, "a2"), ("insert", 2L, "b"), ("insert", 4L, "d")), c12.toString)
+    // OPTIMIZE rewrites everything but is dataChange=false → feed empty
+    val v3 = DeltaLog.optimize(spark, t)
+    assert(DeltaLog.changesBetween(spark, t, v2, v3).count() == 0)
+    assert(DeltaLog.snapshot(spark, t).files.size == 1)
+    // a file added then removed INSIDE one window cancels: merge twice on
+    // the same key — the first merge's output file never surfaces
+    val v4 = DeltaLog.mergeUpsert(spark, t,
+      Seq((1L, "a3", 30L)).toDF("id", "payload", "updated_at"), Seq("id"), "updated_at")
+    val v5 = DeltaLog.mergeUpsert(spark, t,
+      Seq((1L, "a4", 40L)).toDF("id", "payload", "updated_at"), Seq("id"), "updated_at")
+    val c35 = DeltaLog.changesBetween(spark, t, v3, v5)
+      .select("_change_type", "id", "payload").as[(String, Long, String)].collect().toSeq
+    assert(!c35.exists(_._3 == "a3"), s"intermediate merge output leaked: $c35")
+    // the fold across the window still nets to the final state exactly
+    assert(c35.count(r => r._1 == "insert" && r._3 == "a4") == 1)
+  }
+
+  test("incremental gold under MERGE updates: changesBetween fold equals full recompute") {
+    import graft.maintenance.IncrementalAgg
+    import org.apache.spark.sql.functions.col
+    def assertSame(a: DataFrame, b: DataFrame): Unit =
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"view=${a.collect().toSeq} full=${b.collect().toSeq}")
+    val t = freshTable()
+    val keys = Seq("g"); val sums = Seq("v")
+    // v0: initial load, two groups
+    var consumed = DeltaLog.mergeUpsert(spark, t,
+      Seq((1L, "x", 1.0, 10L), (2L, "x", 2.0, 10L), (3L, "y", 4.0, 10L))
+        .toDF("id", "g", "v", "ts"), Seq("id"), "ts")
+    var gold = IncrementalAgg.materialize(DeltaLog.read(spark, t), keys, sums)
+      .localCheckpoint(true)
+    def step(rows: Seq[(Long, String, Double, Long)]): Unit = {
+      val v = DeltaLog.mergeUpsert(spark, t, rows.toDF("id", "g", "v", "ts"),
+        Seq("id"), "ts")
+      gold = IncrementalAgg.applyDelta(gold,
+        DeltaLog.changesBetween(spark, t, consumed, v), keys, sums)
+        .localCheckpoint(true)
+      consumed = v
+      assertSame(gold, IncrementalAgg.materialize(DeltaLog.read(spark, t), keys, sums))
+    }
+    // update that MOVES a row across groups + a stale update (rejected,
+    // rewritten unchanged → cancelling delete+insert) + a fresh insert
+    step(Seq((2L, "y", 2.5, 20L), (3L, "y", 9.9, 5L), (4L, "z", 1.25, 20L)))
+    // update every remaining x-row: group x must drop out of gold
+    step(Seq((1L, "y", 0.5, 30L)))
+    // compaction between consumptions must not disturb the fold
+    val ov = DeltaLog.optimize(spark, t)
+    gold = IncrementalAgg.applyDelta(gold,
+      DeltaLog.changesBetween(spark, t, consumed, ov), keys, sums).localCheckpoint(true)
+    consumed = ov
+    step(Seq((5L, "x", 7.0, 40L)))
+    val state = gold.select(col("g"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(state == Seq(("x", 1L, 7.0), ("y", 3L, 7.0), ("z", 1L, 1.25)), state.toString)
+  }
+
   test("empty table reads as empty frame with the declared schema") {
     val t = freshTable()
     commit(t, 0, Seq(metaAction(xSchema)))

@@ -63,4 +63,57 @@ class LakehouseLoopSpec extends SparkSpec {
     // itself holds every appended row exactly once
     assert(DeltaLog.read(spark, bronze).count() == 6)
   }
+
+  test("MERGE-updating stream -> silver -> incremental gold survives updates") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // (id, group, value, ts): updates arrive keyed by id, gold aggregates
+    // by group — the reference's nightly trip_fact MERGE + gold metrics
+    // shape (gold_pipeline.py:789-796), run continuously in O(delta)
+    val ms = MemoryStream[(Long, String, Double, Long)]
+    val silver = Files.createTempDirectory("graft-loop-m-").toString + "/silver"
+    val ckpt = Files.createTempDirectory("graft-loop-m-ckpt-").toString
+    val keys = Seq("g")
+    val sums = Seq("v")
+    var gold: org.apache.spark.sql.DataFrame = null
+    var consumed = -1L
+
+    def step(data: (Long, String, Double, Long)*): Unit = {
+      ms.addData(data: _*)
+      Streams.foreachBatchDeltaMerge(ms.toDF().toDF("id", "g", "v", "ts"),
+        silver, ckpt, Seq("id"), "ts")
+      val latest = DeltaLog.snapshot(spark, silver).version
+      // row-level CDC from the MERGE commits: deletes for rewritten
+      // files' old rows, inserts for the new — never a silver rescan
+      val delta = DeltaLog.changesBetween(spark, silver, consumed, latest)
+      gold =
+        if (gold == null)
+          IncrementalAgg.materialize(delta.where(col("_change_type") === "insert"), keys, sums)
+        else IncrementalAgg.applyDelta(gold, delta, keys, sums)
+      gold = gold.localCheckpoint(true)
+      consumed = latest
+      val full = IncrementalAgg.materialize(DeltaLog.read(spark, silver), keys, sums)
+      assert(gold.exceptAll(full).count() == 0 && full.exceptAll(gold).count() == 0,
+        s"divergence after version $latest: gold=${gold.collect().toSeq} " +
+          s"full=${full.collect().toSeq}")
+    }
+
+    step((1L, "x", 1.0, 10L), (2L, "x", 2.0, 10L), (3L, "y", 4.0, 10L))
+    // an update that MOVES id 2 across groups, a STALE update for id 3
+    // (guard rejects it; the rewritten-unchanged row must net to zero in
+    // gold), and a fresh insert
+    step((2L, "y", 2.5, 20L), (3L, "y", 9.9, 5L), (4L, "z", 1.25, 20L))
+    // drain group x entirely: it must drop out of gold
+    step((1L, "y", 0.5, 30L))
+    // compaction between consumptions is invisible to the feed
+    val ov = DeltaLog.optimize(spark, silver)
+    gold = IncrementalAgg.applyDelta(gold,
+      DeltaLog.changesBetween(spark, silver, consumed, ov), keys, sums)
+      .localCheckpoint(true)
+    consumed = ov
+    step((5L, "x", 7.0, 40L))
+
+    val state = gold.select(col("g"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(state == Seq(("x", 1L, 7.0), ("y", 3L, 7.0), ("z", 1L, 1.25)), state.toString)
+  }
 }
