@@ -545,9 +545,16 @@ object Dedup {
     * text, and what makes the rebuild a pure function both engines
     * compute identically.
     *
-    * Scale: same two hash-keyed aggregations as detection plus one
-    * per-doc ordered rebuild — the collect_list is per-document (bounded
-    * by doc length), never cross-document. */
+    * Scale: chunk text crosses the wire in EXACTLY ONE exchange (the
+    * per-doc rebuild aggregation; plan-asserted in PlanSpec). The
+    * keep/strip decision is made entirely on the narrow
+    * (doc_id, s, chunk_hash) frame — freq join and flag aggregation
+    * shuffle 8-byte hashes — and the per-doc flag array then joins the
+    * per-doc text array on doc_id, where both sides are already
+    * hash-partitioned by doc_id from their aggregations, so the join
+    * adds no exchange. The zip of the two s-sorted arrays is
+    * partition-local; the collect_lists are per-document (bounded by
+    * doc length), never cross-document. */
   val qBoilerplateStrip: QueryDef = {
     val window = 16
     QueryDef.sql(
@@ -578,19 +585,31 @@ object Dedup {
         .select(col("doc_id"), col("s"),
           array_join(slice(col("t"), col("s") + 1,
             least(col("s") + window, size(col("t"))) - col("s")), " ").as("ctext"))
-        .withColumn("chunk_hash", h60(col("ctext")))
-      val freq = chunks.groupBy(col("chunk_hash"))
+      // keep/strip decided on the NARROW frame: only (doc_id, s, hash)
+      // ever shuffles here
+      val narrow = chunks.select(col("doc_id"), col("s"), h60(col("ctext")).as("chunk_hash"))
+      val freq = narrow.groupBy(col("chunk_hash"))
         .agg(countDistinct(col("doc_id")).as("n_docs"))
-      chunks.join(freq, Seq("chunk_hash"))
+      val flags = narrow.join(freq, Seq("chunk_hash"))
         .groupBy(col("doc_id"))
-        .agg(
-          count(when(col("n_docs") === 1, 1)).as("n_kept_chunks"),
-          coalesce(sum(when(col("n_docs") === 1, size(tokens(col("ctext"))))), lit(0))
-            .cast("long").as("n_kept_tokens"),
-          md5(array_join(transform(
-            array_sort(collect_list(when(col("n_docs") === 1,
-              struct(col("s"), col("ctext"))))),
-            p => p.getField("ctext")), " ")).as("clean_md5"))
+        .agg(array_sort(collect_list(
+          struct(col("s"), (col("n_docs") === 1).as("keep")))).as("fl"))
+      // the ONLY exchange carrying ctext: the per-doc rebuild aggregation
+      val texts = chunks.groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("s"), col("ctext")))).as("parts"))
+      // both sides leave their aggregations hash-partitioned by doc_id →
+      // the join adds no exchange; arrays are s-sorted so zip aligns
+      texts.join(flags, Seq("doc_id"))
+        .select(col("doc_id"),
+          filter(zip_with(col("parts"), col("fl"), (p, f) =>
+            struct(p.getField("ctext").as("ctext"), f.getField("keep").as("keep"))),
+            x => x.getField("keep")).as("kept"))
+        .select(col("doc_id"),
+          size(col("kept")).cast("long").as("n_kept_chunks"),
+          aggregate(col("kept"), lit(0L),
+            (acc, x) => acc + size(tokens(x.getField("ctext")))).as("n_kept_tokens"),
+          md5(array_join(transform(col("kept"), x => x.getField("ctext")), " "))
+            .as("clean_md5"))
     }
   }
 

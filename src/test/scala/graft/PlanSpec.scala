@@ -182,6 +182,52 @@ class PlanSpec extends SparkSpec {
       assert(!l.contains("text"), s"exchange must not carry text: $l"))
   }
 
+  test("boilerplate strip moves chunk text through exactly one exchange") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the strip decision runs on the narrow hash frame; document text
+    // must cross the wire only in the per-doc rebuild aggregation — a
+    // second text-bearing exchange (the r5 plan's freq join or a
+    // re-shuffle before the flag join) is the 100 TB regression
+    val df = SparkEntry.queries("q_dedup_boilerplate_strip")(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case s: ShuffleExchangeExec => s +: s.children.flatMap(shuffles)
+      case other =>
+        other.children.flatMap(shuffles) ++
+          other.subqueries.flatMap(shuffles)
+    }
+    // the fixture's round-robin spread exchanges are excluded: spread is
+    // identity on production pre-partitioned input (own test above)
+    val all = shuffles(df.queryExecution.executedPlan).distinct
+      .filterNot(_.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.RoundRobinPartitioning])
+    assert(all.nonEmpty, "expected at least one hash exchange")
+    // chunk text crosses a shuffle only inside the rebuild aggregation's
+    // partial collect_list buffer — so exactly one exchange may sit on a
+    // node whose own expressions mention ctext (the r5 plan had two:
+    // freq join + rebuild both shuffled the text-bearing frame)
+    val textBearing = all.filter(_.child.simpleString(Int.MaxValue).contains("ctext"))
+    assert(textBearing.size == 1,
+      s"exactly one exchange may carry chunk text, found ${textBearing.size}:\n" +
+        textBearing.map(_.child.simpleString(Int.MaxValue)).mkString("\n"))
+    // and no hash exchange moves a raw string column (hashes are longs;
+    // text travels only as the aggregation buffer above)
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
+    def hasString(dt: DataType): Boolean = dt match {
+      case _: StringType => true
+      case s: StructType => s.fields.exists(f => hasString(f.dataType))
+      case a: ArrayType => hasString(a.elementType)
+      case m: MapType => hasString(m.keyType) || hasString(m.valueType)
+      case _ => false
+    }
+    assert(all.forall(s => !s.child.output.exists(a => hasString(a.dataType))),
+      "no hash exchange may carry a raw string column")
+  }
+
   test("projection pruning reaches the scan (ReadSchema)") {
     // the pricing summary touches 7 of lineitem's 16 columns; the scan
     // must not read the rest
