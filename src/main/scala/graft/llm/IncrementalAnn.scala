@@ -61,18 +61,23 @@ object IncrementalAnn {
   def search(spark: SparkSession, root: String, queries: DataFrame,
       cents: Array[Array[Double]], topk: Int, nprobe: Int): DataFrame = {
     require(nprobe >= 1 && nprobe <= cents.length, s"nprobe=$nprobe")
-    // per-query probe list: rank all cells by cosine(query, centroid)
-    val scored: Seq[Column] = cents.zipWithIndex.map { case (cw, ci) =>
-      val cnrm = math.sqrt(cw.map(x => x * x).sum)
-      struct(
-        (Similarity.dot(col("embedding"), array(cw.map(lit): _*)) /
-          (col("q_nrm") * lit(cnrm))).as("cos"),
-        lit(ci).as("cell"))
-    }
+    // per-query probe list: rank all cells by cosine(query, centroid) —
+    // unrolled expressions for small k, one array literal above the
+    // threshold (same plan-size switch as Similarity.assignCells)
+    def scoredArr: Column =
+      if (cents.length <= Similarity.literalAssignMaxK)
+        array(cents.zipWithIndex.map { case (cw, ci) =>
+          val cnrm = math.sqrt(cw.map(x => x * x).sum)
+          struct(
+            (Similarity.dot(col("embedding"), array(cw.map(lit): _*)) /
+              (col("q_nrm") * lit(cnrm))).as("cos"),
+            lit(ci).as("cell"))
+        }.toSeq: _*)
+      else Similarity.centScoresArr(col("embedding"), col("q_nrm"), cents)
     val q = queries
       .withColumn("q_nrm", sqrt(Similarity.dot(col("embedding"), col("embedding"))))
       .withColumn("probes",
-        slice(reverse(array_sort(array(scored: _*))), 1, nprobe))
+        slice(reverse(array_sort(scoredArr)), 1, nprobe))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("q_nrm"), transform(col("probes"), p => p.getField("cell")).as("probe_cells"))
     val probed = q.select(explode(col("probe_cells")).as("probe_cell")).distinct()

@@ -251,16 +251,51 @@ object Similarity {
 
   // ------------------------------------------------------ trained quantizer
 
-  /** Nearest-centroid assignment with the centroids as PLAN LITERALS —
-    * cheaper than a broadcast join: no build side, no join at all, just k
-    * codegen'd dot products per row and a `greatest` over (cosine, cell)
-    * structs (struct ordering is lexicographic, so greatest = argmax by
-    * cosine with a deterministic cell tiebreak). Input needs `vec_id` and
-    * `embedding`; output adds `nrm` and `cell`. At 100 TB this is a pure
-    * map-side pass over the corpus — the scale shape IVF assignment must
-    * have. */
+  /** Above this centroid count, [[assignCells]] (and the probe scoring in
+    * [[IncrementalAnn.search]]) switch from k unrolled codegen
+    * expressions to the single-array-literal form: unrolling is fastest
+    * for small k but generated-code/plan size grows linearly with k and
+    * becomes the bottleneck at production IVF scale (k = 4096). */
+  private[graft] val literalAssignMaxK = 128
+
+  /** `array<struct<cos, cell>>` of the cosine from `emb` to EVERY
+    * centroid, computed against ONE array literal (k·dim doubles of
+    * DATA in a single `Literal`, not k expression trees). The literal
+    * ships with the task binary — which Spark broadcasts per stage — so
+    * this is a broadcast-style assignment without join machinery: still
+    * a pure map-side pass, no build relation, no shuffle, and the plan
+    * stays O(1) expressions regardless of k. Fold order inside each dot
+    * product matches [[dot]], so scores are bit-identical to the
+    * unrolled form. */
+  private[graft] def centScoresArr(emb: Column, nrm: Column,
+      cents: Array[Array[Double]]): Column = {
+    val data: Seq[(Seq[Double], Double, Int)] = cents.zipWithIndex.map {
+      case (w, ci) => (w.toSeq, math.sqrt(w.map(x => x * x).sum), ci)
+    }.toSeq
+    transform(typedLit(data), c =>
+      struct(
+        (aggregate(zip_with(emb, c.getField("_1"), (x, w) => x.cast("double") * w),
+          lit(0.0), (acc, v) => acc + v) / (nrm * c.getField("_2"))).as("cos"),
+        c.getField("_3").as("cell")))
+  }
+
+  /** Nearest-centroid assignment. Input needs `vec_id` and `embedding`;
+    * output adds `nrm` and `cell`. At 100 TB this is a pure map-side
+    * pass over the corpus — the scale shape IVF assignment must have.
+    * Two equivalent forms, switched on [[literalAssignMaxK]]:
+    * k ≤ threshold unrolls one codegen'd dot product per centroid with a
+    * `greatest` argmax (no loop overhead); k > threshold scores against
+    * the single array literal and takes `array_max` (same lexicographic
+    * (cos, cell) tiebreak — ties pick the larger cell id in both forms;
+    * equivalence on the corpus asserted in SimilaritySpec). */
   def assignCells(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     require(cents.length >= 2, "need at least 2 centroids")
+    if (cents.length <= literalAssignMaxK) assignCellsUnrolled(emb, cents)
+    else assignCellsBulk(emb, cents)
+  }
+
+  private[graft] def assignCellsUnrolled(emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame = {
     val scored = cents.zipWithIndex.map { case (cw, ci) =>
       val cnrm = math.sqrt(cw.map(x => x * x).sum)
       val d = aggregate(
@@ -273,6 +308,14 @@ object Similarity {
       .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
       .withColumn("cell", greatest(scored.toSeq: _*).getField("cell"))
   }
+
+  private[graft] def assignCellsBulk(emb: DataFrame,
+      cents: Array[Array[Double]]): DataFrame =
+    emb
+      .withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
+      .withColumn("cell",
+        array_max(centScoresArr(col("embedding"), col("nrm"), cents))
+          .getField("cell"))
 
   /** Seeded Lloyd k-means over the embedding column, as DataFrame ops:
     * per iteration, one literal-centroid assignment pass plus one
@@ -316,17 +359,83 @@ object Similarity {
   /** Mean cosine of every vector to its assigned centroid — the spherical
     * k-means objective (higher is better). */
   def quantizerObjective(emb: DataFrame, cents: Array[Array[Double]]): Double = {
-    val scored = cents.zipWithIndex.map { case (cw, ci) =>
-      val cnrm = math.sqrt(cw.map(x => x * x).sum)
-      val d = aggregate(
-        zip_with(col("embedding"), array(cw.map(lit): _*),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      struct((d / (col("nrm") * lit(cnrm))).as("cos"), lit(ci).as("cell"))
-    }
+    val best =
+      if (cents.length <= literalAssignMaxK) {
+        val scored = cents.zipWithIndex.map { case (cw, ci) =>
+          val cnrm = math.sqrt(cw.map(x => x * x).sum)
+          val d = aggregate(
+            zip_with(col("embedding"), array(cw.map(lit): _*),
+              (x, w) => x.cast("double") * w),
+            lit(0.0), (acc, v) => acc + v)
+          struct((d / (col("nrm") * lit(cnrm))).as("cos"), lit(ci).as("cell"))
+        }
+        greatest(scored.toSeq: _*).getField("cos")
+      } else array_max(centScoresArr(col("embedding"), col("nrm"), cents)).getField("cos")
     emb.withColumn("nrm", sqrt(dot(col("embedding"), col("embedding"))))
-      .select(greatest(scored.toSeq: _*).getField("cos").as("c"))
+      .select(best.as("c"))
       .agg(avg(col("c"))).collect()(0).getDouble(0)
+  }
+
+  // ------------------------------------------------ trained-quantizer oracle
+
+  /** Fixture the production quantizer is trained on (offline-trained,
+    * then frozen — the standard IVF deployment shape; the correctness
+    * gate always runs at sf0.01). */
+  private val trainDir =
+    sys.env.getOrElse("SPARK_GRAFT_TRAIN_DIR", "/root/testdata/sf0.01")
+
+  private lazy val trainedCentsFixture: Array[Array[Double]] =
+    trainCentroids(
+      graft.Tables.embeddings(org.apache.spark.sql.SparkSession.active, trainDir)
+        .select(col("vec_id"), col("embedding")),
+      k = 8, iters = 2)
+
+  /** IVF search with TRAINED centroids under the oracle. The seeded
+    * Lloyd trainer is deterministic, so training once at plan-build and
+    * embedding the resulting k·dim doubles as literals in BOTH engines
+    * makes the trained-quantizer search path oracle-checkable even
+    * though DuckDB cannot replay the iterations. Centroid doubles print
+    * via `Double.toString` (shortest round-trip form), which DuckDB
+    * parses back to the bit-identical double; tiebreaks mirror
+    * [[assignCells]] exactly (argmax = max cosine, ties to the LARGER
+    * cell id — note the `c.cell DESC`, unlike the placeholder queries'
+    * ascending row_number). Lazy: construction trains on the fixture
+    * via `SparkSession.active`, so the registry must first be touched
+    * with a live session (every main/spec creates one first). */
+  lazy val qIvfTrained: QueryDef = {
+    val cents = trainedCentsFixture
+    val values = cents.zipWithIndex.map { case (w, ci) =>
+      val cnrm = math.sqrt(w.map(x => x * x).sum)
+      s"($ci, [${w.mkString(", ")}]::DOUBLE[], $cnrm)"
+    }.mkString(",\n         |  ")
+    QueryDef.sql(
+      "q_sim_ivf_trained",
+      s"""WITH norms AS ($normsSql
+         |), cents(cell, c_emb, c_nrm) AS (VALUES
+         |  $values
+         |), assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC, c.cell DESC) AS rn
+         |    FROM norms n CROSS JOIN cents c) WHERE rn = 1
+         |), hits AS (
+         |  SELECT q.vec_id AS query_id, m.vec_id AS cand_id,
+         |    ${dotSql("q.embedding", "m.embedding")} / (q.nrm * m.nrm) AS cosine
+         |  FROM norms q
+         |  JOIN assign qa ON qa.vec_id = q.vec_id
+         |  JOIN assign ma ON ma.cell = qa.cell AND ma.vec_id <> q.vec_id
+         |  JOIN norms m ON m.vec_id = ma.vec_id
+         |  WHERE q.vec_id < 5
+         |)
+         |SELECT query_id, cand_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |FROM hits
+         |QUALIFY rnk <= 3""".stripMargin) { (spark, dir) =>
+      ivfSearch(
+        graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        cents, col("vec_id") < 5, topk = 3)
+    }
   }
 
   /** Single-probe IVF search against an arbitrary centroid set: assign
@@ -349,6 +458,8 @@ object Similarity {
       .where(col("rnk") <= topk)
   }
 
-  val all: Seq[QueryDef] = Seq(qCosineTopK, qIvfAnn, qIvfMultiProbe, qEmbeddingNearDup)
+  // lazy because qIvfTrained trains on first access (needs a session)
+  lazy val all: Seq[QueryDef] =
+    Seq(qCosineTopK, qIvfAnn, qIvfMultiProbe, qEmbeddingNearDup, qIvfTrained)
 }
 

@@ -20,8 +20,12 @@ import scala.collection.mutable
   *
   * Scope: READ interop — enough for this engine to batch-read real
   * lakehouse tables (current or `VERSION AS OF`), including partitioned
-  * layouts. Writing stays with [[VersionedTable]]; a full implementation
-  * would add protocol/feature gating and deletion vectors.
+  * layouts and multi-part checkpoints. Protocol gating is honest: reader
+  * features that change read semantics (deletion vectors, column
+  * mapping, v2 checkpoints) REFUSE loudly instead of silently misreading
+  * (ignoring a deletion vector would resurrect deleted rows); unknown
+  * informational fields (`stats`, `tags`) are tolerated per the
+  * protocol's forward-compatibility rules.
   *
   * Scale notes: replay touches only log metadata (KBs per commit), never
   * data; with a checkpoint the driver reads one parquet + the JSON suffix,
@@ -68,16 +72,63 @@ object DeltaLog {
     } finally in.close()
   }
 
-  /** `_last_checkpoint` pointer, if the table has one. */
-  private def lastCheckpoint(f: FileSystem, table: String): Option[Long] = {
+  /** `_last_checkpoint` pointer: version + part count (multi-part
+    * checkpoints split the state over `parts` files — the layout large
+    * production tables actually have). */
+  private case class CpMeta(version: Long, parts: Option[Int])
+
+  private def lastCheckpointMeta(f: FileSystem, table: String): Option[CpMeta] = {
     val p = new Path(logDir(table), "_last_checkpoint")
     if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try Some(mapper.readTree(in).get("version").asLong())
-      finally in.close()
+      try {
+        val n = mapper.readTree(in)
+        Some(CpMeta(n.get("version").asLong(),
+          if (n.has("parts")) Some(n.get("parts").asInt()) else None))
+      } finally in.close()
     }
   }
+
+  private def lastCheckpoint(f: FileSystem, table: String): Option[Long] =
+    lastCheckpointMeta(f, table).map(_.version)
+
+  // ---------------------------------------------------- protocol gating
+
+  /** Reader features this implementation actually honors. Anything else
+    * (deletionVectors, v2Checkpoint, ...) changes READ semantics, so an
+    * unknown feature must refuse loudly rather than silently misread —
+    * e.g. ignoring a deletion vector would resurrect deleted rows. */
+  private val supportedReaderFeatures =
+    Set("timestampNtz", "columnMapping", "vacuumProtocolCheck")
+
+  private def gateProtocol(p: JsonNode): Unit = {
+    val mrv = if (p.has("minReaderVersion")) p.get("minReaderVersion").asInt() else 1
+    require(mrv <= 3, s"unsupported Delta minReaderVersion $mrv (max supported: 3)")
+    if (p.has("readerFeatures")) {
+      val it = p.get("readerFeatures").elements()
+      val feats = Seq.newBuilder[String]
+      while (it.hasNext) feats += it.next().asText()
+      val unsupported = feats.result().toSet -- supportedReaderFeatures
+      require(unsupported.isEmpty,
+        s"unsupported Delta reader features: ${unsupported.toSeq.sorted.mkString(", ")} " +
+          "— refusing to read rather than silently misread")
+    }
+  }
+
+  private def gateMetaData(m: JsonNode): Unit =
+    if (m.has("configuration")) {
+      val mode = Option(m.get("configuration").get("delta.columnMapping.mode"))
+        .map(_.asText()).getOrElse("none")
+      require(mode == "none",
+        s"Delta column mapping mode '$mode' not supported (physical column " +
+          "names would not match the declared schema) — refusing to read")
+    }
+
+  private def gateNoDeletionVector(fileAction: JsonNode): Unit =
+    require(!fileAction.has("deletionVector") || fileAction.get("deletionVector").isNull,
+      "file action carries a deletion vector; reading the file whole would " +
+        "resurrect deleted rows — refusing to read")
 
   /** Replay the log to the live state at `versionAsOf` (default: latest).
     * Uses the newest parquet checkpoint ≤ target when one exists; falls
@@ -102,10 +153,32 @@ object DeltaLog {
     val txns = mutable.Map.empty[String, Long]
 
     // checkpoint base state (only when it does not overshoot the target)
-    val cpVersion = lastCheckpoint(f, table).filter(_ <= target)
-    cpVersion.foreach { cv =>
-      val cpFile = new Path(logDir(table), f"$cv%020d.checkpoint.parquet").toString
-      val cp = spark.read.parquet(cpFile)
+    val cpMeta = lastCheckpointMeta(f, table).filter(_.version <= target)
+    val cpVersion = cpMeta.map(_.version)
+    cpMeta.foreach { meta =>
+      val cv = meta.version
+      // multi-part checkpoints list every part in the _last_checkpoint
+      // pointer; the parts are one dataset split across files
+      val cpFiles: Seq[String] = meta.parts match {
+        case None =>
+          Seq(new Path(logDir(table), f"$cv%020d.checkpoint.parquet").toString)
+        case Some(n) =>
+          (1 to n).map(i => new Path(logDir(table),
+            f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
+      }
+      val cp = spark.read.parquet(cpFiles: _*)
+      // gate checkpoint-carried protocol/metaData/DV state the same way
+      // the JSON replay does (a vacuumed table has them ONLY here)
+      if (cp.columns.contains("protocol")) {
+        val pRows = cp.select("protocol").where("protocol IS NOT NULL")
+          .toJSON.collect()
+        pRows.foreach(j => gateProtocol(mapper.readTree(j).get("protocol")))
+      }
+      val addFields = cp.schema("add").dataType
+        .asInstanceOf[StructType].fieldNames
+      if (addFields.contains("deletionVector"))
+        require(cp.where("add.deletionVector IS NOT NULL").isEmpty,
+          "checkpoint references deletion vectors — refusing to read")
       // txn column exists only in checkpoints written after streaming-sink
       // support landed; older checkpoints replay without txn state
       val hasTxn = cp.columns.contains("txn")
@@ -129,10 +202,15 @@ object DeltaLog {
     val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
     versions.filter(v => v >= replayFrom && v <= target).foreach { v =>
       readCommit(f, table, v).foreach { action =>
-        if (action.has("add")) live.put(action.get("add").get("path").asText(), ())
+        if (action.has("add")) {
+          gateNoDeletionVector(action.get("add"))
+          live.put(action.get("add").get("path").asText(), ())
+        }
         else if (action.has("remove")) live.remove(action.get("remove").get("path").asText())
+        else if (action.has("protocol")) gateProtocol(action.get("protocol"))
         else if (action.has("metaData")) {
           val m = action.get("metaData")
+          gateMetaData(m)
           schema = Some(DataType.fromJson(m.get("schemaString").asText())
             .asInstanceOf[StructType])
           partCols = if (m.has("partitionColumns")) {

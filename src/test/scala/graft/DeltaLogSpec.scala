@@ -395,6 +395,85 @@ class DeltaLogSpec extends SparkSpec {
     assert(state == Seq(("x", 1L, 7.0), ("y", 3L, 7.0), ("z", 1L, 1.25)), state.toString)
   }
 
+  test("foreign writer: stats/tags on add, remove without dataChange — tolerated") {
+    val t = freshTable()
+    writeDataFile(Seq(1L, 2L).toDF("x"), t, "part-a.snappy.parquet")
+    writeDataFile(Seq(3L).toDF("x"), t, "part-b.snappy.parquet")
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(xSchema),
+      // stats string + tags: informational fields a Spark/Databricks
+      // writer emits; the protocol requires readers to tolerate them
+      """{"add":{"path":"part-a.snappy.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\"numRecords\":2,\"minValues\":{\"x\":1},\"maxValues\":{\"x\":2}}","tags":{"INSERTION_TIME":"1"}}}"""))
+    commit(t, 1, Seq(
+      addAction("part-b.snappy.parquet"),
+      // remove WITHOUT dataChange field: defaults to true per protocol
+      """{"remove":{"path":"part-a.snappy.parquet","deletionTimestamp":2}}"""))
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(3L))
+    // changesBetween applies the same default: the remove IS a data change
+    val c = DeltaLog.changesBetween(spark, t, 0, 1)
+      .select("_change_type", "x").as[(String, Long)].collect().toSet
+    assert(c == Set(("delete", 1L), ("delete", 2L), ("insert", 3L)))
+  }
+
+  test("foreign writer: multi-part checkpoint reads as one state") {
+    val t = freshTable()
+    writeDataFile(Seq(1L).toDF("x"), t, "part-a.snappy.parquet")
+    writeDataFile(Seq(2L).toDF("x"), t, "part-b.snappy.parquet")
+    writeDataFile(Seq(5L).toDF("x"), t, "part-c.snappy.parquet")
+    val logDir = new File(t, "_delta_log"); logDir.mkdirs()
+    // state at v1 = {a, b} + schema, split across TWO checkpoint parts
+    def cpPart(rows: Seq[(Option[String], Option[(String, Seq[String])])], idx: Int): Unit = {
+      val df = rows.toDF("p", "m")
+        .selectExpr("named_struct('path', p) AS add",
+          "named_struct('schemaString', m._1, 'partitionColumns', m._2) AS metaData")
+      val tmp = Files.createTempDirectory("graft-delta-cpp-").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath,
+        new File(logDir, f"${1L}%020d.checkpoint.$idx%010d.${2}%010d.parquet").toPath)
+    }
+    cpPart(Seq((Some("part-a.snappy.parquet"), None)), 1)
+    cpPart(Seq((Some("part-b.snappy.parquet"), None),
+      (None, Some((xSchema.json, Seq.empty[String])))), 2)
+    Files.write(new File(logDir, "_last_checkpoint").toPath,
+      """{"version":1,"size":3,"parts":2}""".getBytes("UTF-8"))
+    commit(t, 2, Seq(addAction("part-c.snappy.parquet")))
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 5L))
+    assert(DeltaLog.snapshot(spark, t).schema.contains(xSchema))
+  }
+
+  test("foreign writer: deletion vectors, column mapping, unknown features refuse loudly") {
+    // deletion vector on an add action
+    val t1 = freshTable()
+    writeDataFile(Seq(1L).toDF("x"), t1, "part-a.snappy.parquet")
+    commit(t1, 0, Seq(metaAction(xSchema),
+      """{"add":{"path":"part-a.snappy.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":40,"cardinality":1}}}"""))
+    val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark, t1))
+    assert(e1.getMessage.contains("deletion vector"), e1.getMessage)
+    // column mapping by physical name
+    val t2 = freshTable()
+    val esc = xSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    commit(t2, 0, Seq(
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""))
+    val e2 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, t2))
+    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+    // reader feature this implementation does not honor
+    val t3 = freshTable()
+    commit(t3, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaAction(xSchema)))
+    val e3 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, t3))
+    assert(e3.getMessage.contains("deletionVectors"), e3.getMessage)
+    // benign feature set still reads
+    val t4 = freshTable()
+    writeDataFile(Seq(7L).toDF("x"), t4, "part-a.snappy.parquet")
+    commit(t4, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
+      metaAction(xSchema), addAction("part-a.snappy.parquet")))
+    assert(DeltaLog.read(spark, t4).as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("empty table reads as empty frame with the declared schema") {
     val t = freshTable()
     commit(t, 0, Seq(metaAction(xSchema)))

@@ -55,6 +55,26 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(hist == emb.count())
   }
 
+  test("k=256 index takes the bulk-assignment path and matches one-shot search") {
+    // 256 centroids is past literalAssignMaxK, so extend/search assign
+    // and score against the single array literal instead of 256 unrolled
+    // expressions — the production-IVF plan-size regime
+    assert(256 > Similarity.literalAssignMaxK)
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val cents = Similarity.trainCentroids(emb, k = 256, iters = 0)
+    val root = Files.createTempDirectory("graft-ivfidx256-").toString
+    IncrementalAnn.extend(spark, root, emb.where(col("vec_id") < 250), cents)
+    IncrementalAnn.extend(spark, root, emb.where(col("vec_id") >= 250), cents)
+    val queries = emb.where(col("vec_id") < 5)
+    val fromTable = IncrementalAnn.search(spark, root, queries, cents, topk = 3, nprobe = 1)
+    val oneShot = Similarity.ivfSearch(emb, cents, col("vec_id") < 5, topk = 3)
+    assert(results(fromTable) == results(oneShot))
+    assert(results(fromTable).nonEmpty)
+    // pruning still holds with the literal-array probe list
+    val plan = fromTable.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"), plan.take(2000))
+  }
+
   test("replayed ingest batch is skipped by the txn guard") {
     val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
     val cents = Similarity.trainCentroids(emb, k = 4, iters = 1)

@@ -88,6 +88,23 @@ class SimilaritySpec extends SparkSpec {
     r.sum / r.size
   }
 
+  test("unrolled and bulk cell assignment agree vector-for-vector") {
+    // the two plan forms (k codegen'd expressions vs one array literal)
+    // must be semantically identical — same fold order inside each dot
+    // product, same (cos, cell) tiebreak — or the k-threshold switch in
+    // assignCells would change index contents at k = literalAssignMaxK+1
+    val e = emb.select("vec_id", "embedding")
+    for (k <- Seq(4, 16)) {
+      val cents = Similarity.trainCentroids(e, k = k, iters = 1)
+      val a = Similarity.assignCellsUnrolled(e, cents)
+        .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+      val b = Similarity.assignCellsBulk(e, cents)
+        .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+      assert(a == b, s"k=$k: assignment paths diverge")
+      assert(a.values.toSet.size > 1, s"k=$k: degenerate assignment")
+    }
+  }
+
   test("k-means training is deterministic and improves the quantizer objective") {
     val a = Similarity.trainCentroids(emb, k = 10, iters = 3)
     val b = Similarity.trainCentroids(emb, k = 10, iters = 3)
