@@ -138,4 +138,38 @@ object Fixtures {
     "merchant" -> envelope(merchantRaw(spark), "merchant"),
     "courier" -> envelope(courierRaw(spark), "courier"),
     "trip_events" -> envelope(tripEventsRaw(spark), "trip_events"))
+
+  /** Id stride between fixture replicas — far above any golden id, low
+    * enough that int ids stay ints up to ~200k copies. */
+  private val Stride = 10000L
+
+  /** The golden fixture replicated `copies`× with disjoint id spaces:
+    * every `*_id` integer column shifts by `copy · Stride` and every
+    * string key (uuids, trip/order ids) gets a `-<copy>` suffix, so
+    * referential integrity holds WITHIN each replica and nothing joins
+    * ACROSS replicas — the same dataflow as one golden copy at N× the
+    * volume. This is the volume knob for the gold-batch benchmark: the
+    * per-row work (two-level CDC parse, cleanse, dedup, dims, fact) is
+    * identical to production's, only the row count scales. */
+  def topicsScaled(spark: SparkSession, copies: Int): Map[String, DataFrame] = {
+    require(copies >= 1 && copies <= 200000, s"copies=$copies")
+    def scale(df: DataFrame): DataFrame = {
+      val c = df.crossJoin(spark.range(copies).select(col("id").as("__c")))
+      val stringKeys = Set("eater_uuid", "merchant_uuid", "courier_uuid",
+        "trip_id", "order_id")
+      val out = df.columns.map {
+        case n if n.endsWith("_id") && df.schema(n).dataType.typeName == "integer" =>
+          (col(n) + col("__c") * Stride).cast("int").as(n)
+        case n if stringKeys.contains(n) =>
+          concat(col(n), lit("-"), col("__c")).as(n)
+        case n => col(n)
+      }
+      c.select(out.toSeq: _*)
+    }
+    Map(
+      "eater" -> envelope(scale(eaterRaw(spark)), "eater"),
+      "merchant" -> envelope(scale(merchantRaw(spark)), "merchant"),
+      "courier" -> envelope(scale(courierRaw(spark)), "courier"),
+      "trip_events" -> envelope(scale(tripEventsRaw(spark)), "trip_events"))
+  }
 }

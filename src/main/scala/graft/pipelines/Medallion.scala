@@ -250,8 +250,12 @@ object Medallion {
   // ---------------------------------------------------------- pipeline
 
   /** The full DLT-style dependency graph (ST7), ready to run. */
-  def graph(spark: SparkSession): TableGraph = {
-    val topics = Fixtures.topics(spark)
+  def graph(spark: SparkSession): TableGraph = graph(spark, Fixtures.topics(spark))
+
+  /** Same graph over caller-supplied topic feeds (e.g.
+    * [[Fixtures.topicsScaled]] for the gold-batch benchmark, or real
+    * Kafka-sourced frames in production). */
+  def graph(spark: SparkSession, topics: Map[String, DataFrame]): TableGraph = {
     val g = new TableGraph
     for (t <- Seq("eater", "merchant", "courier", "trip_events"))
       g.register(TableDef(s"bronze_$t", Nil)(_ => bronze(topics(t), t)))
@@ -274,5 +278,33 @@ object Medallion {
     g.register(TableDef("trip_fact", Seq("silver_trips", "dim_location", "silver_merchant"))(
       r => tripFact(r("silver_trips"), r("dim_location"), r("silver_merchant"))))
     g
+  }
+
+  /** Post-build gold validation — the reference's gold job ends with
+    * count + referential-integrity checks before publishing
+    * (gold_pipeline.py validation step): non-empty gold tables, and no
+    * fact row referencing a missing dim. Anti-join RI probes keep the
+    * dims broadcast (they are small by construction), so validation
+    * adds no shuffle to the batch. */
+  def validate(t: Map[String, DataFrame]): DataFrame = {
+    val spark = t("trip_fact").sparkSession
+    import spark.implicits._
+    def orphans(fact: DataFrame, dim: DataFrame, key: String): Long =
+      fact.where(col(key).isNotNull)
+        .join(broadcast(dim.select(col(key)).distinct()), Seq(key), "left_anti")
+        .count()
+    val fact = t("trip_fact")
+    val checks: Seq[(String, Long, Boolean)] = Seq(
+      ("fact_nonempty", fact.count(), true),
+      ("dim_eater_nonempty", t("dim_eater").count(), true),
+      ("dim_merchant_nonempty", t("dim_merchant").count(), true),
+      ("dim_courier_nonempty", t("dim_courier").count(), true),
+      ("dim_location_nonempty", t("dim_location").count(), true))
+      .map { case (n, c, _) => (n, c, c > 0) } ++ Seq(
+      ("ri_fact_eater", orphans(fact, t("dim_eater"), "eater_id"), false),
+      ("ri_fact_merchant", orphans(fact, t("dim_merchant"), "merchant_id"), false),
+      ("ri_fact_courier", orphans(fact, t("dim_courier"), "courier_id"), false))
+      .map { case (n, c, _) => (n, c, c == 0L) }
+    checks.toDF("check_name", "observed", "passed")
   }
 }

@@ -129,6 +129,24 @@ class MedallionSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t, Some(0)).count() == 3)
   }
 
+  test("scaled fixture: N replicas keep per-replica semantics, RI, and golden totals") {
+    // the gold-batch benchmark's volume knob must not change semantics:
+    // each replica is the golden copy in a disjoint id space
+    val n = 7
+    val t = Medallion.graph(spark, Fixtures.topicsScaled(spark, n)).runMaterialized()
+    assert(t("trip_fact").count() == 3L * n)
+    // 18 raw events per replica include one at-least-once redelivery →
+    // 17 distinct after the silver dedup, per replica
+    assert(t("silver_trips").count() == 17L * n, "per-replica event dedup must hold")
+    val completedRevenue = t("trip_fact").where(col("trip_status") === "completed")
+      .agg(sum(col("total_amount").cast("decimal(38,10)"))).as[BigDecimal].head()
+    assert(completedRevenue == BigDecimal(99.00) * n, completedRevenue.toString)
+    val v = Medallion.validate(t).collect()
+    assert(v.forall(_.getBoolean(2)),
+      v.map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", "))
+    t.values.foreach(_.unpersist())
+  }
+
   test("table graph resolves dependencies topologically and rejects cycles") {
     val order = Medallion.graph(spark).topologicalOrder.map(_.name)
     assert(order.indexOf("silver_trips") > order.indexOf("bronze_trip_events"))
