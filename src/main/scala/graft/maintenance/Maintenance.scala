@@ -41,24 +41,29 @@ object Maintenance {
     * and the rewrite is the same shuffle any OPTIMIZE pays. */
   def clusterZ(spark: SparkSession, path: String, numFiles: Int,
       colA: String, colB: String): Unit =
-    rewrite(spark, path, { df =>
-      graft.functions.ZOrderKey.register(df.sparkSession)
-      val r = df.agg(
-        min(col(colA).cast("double")), max(col(colA).cast("double")),
-        min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
-      require((0 to 3).forall(!r.isNullAt(_)),
-        s"clusterZ: no non-null values in $colA/$colB (empty dataset or all-null column)")
-      def grid(c: String, lo: Double, hi: Double) =
-        if (hi == lo) lit(0L)
-        else least(floor((col(c).cast("double") - lit(lo)) / (hi - lo) * 65536.0), lit(65535.0))
-          .cast("long")
-      df.withColumn("__zkey", call_function("zorder_key",
-          grid(colA, r.getDouble(0), r.getDouble(1)),
-          grid(colB, r.getDouble(2), r.getDouble(3))))
-        .repartitionByRange(numFiles, col("__zkey"))
-        .sortWithinPartitions(col("__zkey"))
-        .drop("__zkey")
-    })
+    rewrite(spark, path, zOrderFrame(_, numFiles, colA, colB))
+
+  /** The Z-order clustering transform itself, frame-level — shared by
+    * the parquet-path [[clusterZ]] and the Delta-protocol
+    * `DeltaLog.optimize(..., zorderBy)`. */
+  def zOrderFrame(df: DataFrame, numFiles: Int, colA: String, colB: String): DataFrame = {
+    graft.functions.ZOrderKey.register(df.sparkSession)
+    val r = df.agg(
+      min(col(colA).cast("double")), max(col(colA).cast("double")),
+      min(col(colB).cast("double")), max(col(colB).cast("double"))).head()
+    require((0 to 3).forall(!r.isNullAt(_)),
+      s"clusterZ: no non-null values in $colA/$colB (empty dataset or all-null column)")
+    def grid(c: String, lo: Double, hi: Double) =
+      if (hi == lo) lit(0L)
+      else least(floor((col(c).cast("double") - lit(lo)) / (hi - lo) * 65536.0), lit(65535.0))
+        .cast("long")
+    df.withColumn("__zkey", call_function("zorder_key",
+        grid(colA, r.getDouble(0), r.getDouble(1)),
+        grid(colB, r.getDouble(2), r.getDouble(3))))
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+  }
 
   /** Atomic-enough rewrite: write to a sibling tmp dir, then swap.
     * (Parquet datasets can't be overwritten in place while being read.) */

@@ -35,13 +35,18 @@ import scala.collection.mutable
   */
 object DeltaLog {
 
-  /** Live state of the table at one version. */
+  /** Live state of the table at one version. `fileStats` carries each
+    * live file's protocol `stats` JSON (numRecords/minValues/maxValues/
+    * nullCount) and `filePartValues` its partitionValues — the zone-map
+    * inputs for [[pruneFiles]]-based data skipping. */
   case class Snapshot(
       version: Long,
       files: Seq[String],          // paths relative to the table root
       schema: Option[StructType],  // from the latest metaData action
       partitionColumns: Seq[String],
-      txns: Map[String, Long] = Map.empty) // appId -> last committed txn version
+      txns: Map[String, Long] = Map.empty, // appId -> last committed txn version
+      fileStats: Map[String, String] = Map.empty,
+      filePartValues: Map[String, Map[String, String]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -147,7 +152,8 @@ object DeltaLog {
         s"version $v not present in $table/_delta_log (have ${versions.mkString(",")})")
     }
 
-    val live = mutable.LinkedHashMap.empty[String, Unit]
+    // path -> (partitionValues, stats JSON)
+    val live = mutable.LinkedHashMap.empty[String, (Map[String, String], Option[String])]
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     val txns = mutable.Map.empty[String, Long]
@@ -179,23 +185,34 @@ object DeltaLog {
       if (addFields.contains("deletionVector"))
         require(cp.where("add.deletionVector IS NOT NULL").isEmpty,
           "checkpoint references deletion vectors — refusing to read")
-      // txn column exists only in checkpoints written after streaming-sink
-      // support landed; older checkpoints replay without txn state
-      val hasTxn = cp.columns.contains("txn")
-      val rows = (if (hasTxn)
-        cp.selectExpr("add.path AS add_path", "metaData.schemaString AS ms",
-          "metaData.partitionColumns AS pc", "txn.appId AS txn_app", "txn.version AS txn_v")
-      else
-        cp.selectExpr("add.path AS add_path", "metaData.schemaString AS ms",
-          "metaData.partitionColumns AS pc", "NULL AS txn_app", "CAST(NULL AS BIGINT) AS txn_v"))
+      // txn/partitionValues/stats columns exist only in checkpoints that
+      // recorded them; older/foreign checkpoints replay without
+      val txnExprs =
+        if (cp.columns.contains("txn"))
+          Seq("txn.appId AS txn_app", "txn.version AS txn_v")
+        else Seq("NULL AS txn_app", "CAST(NULL AS BIGINT) AS txn_v")
+      val pvExpr =
+        if (addFields.contains("partitionValues")) "add.partitionValues AS add_pv"
+        else "CAST(NULL AS MAP<STRING,STRING>) AS add_pv"
+      val stExpr =
+        if (addFields.contains("stats")) "add.stats AS add_stats"
+        else "CAST(NULL AS STRING) AS add_stats"
+      val rows = cp.selectExpr(Seq("add.path AS add_path",
+          "metaData.schemaString AS ms", "metaData.partitionColumns AS pc",
+          pvExpr, stExpr) ++ txnExprs: _*)
         .collect()
       rows.foreach { r =>
-        if (!r.isNullAt(0)) live.put(r.getString(0), ())
+        if (!r.isNullAt(0)) {
+          val pv = if (r.isNullAt(3)) Map.empty[String, String]
+            else r.getMap[String, String](3).toMap
+          val st = if (r.isNullAt(4)) None else Some(r.getString(4))
+          live.put(r.getString(0), (pv, st))
+        }
         if (!r.isNullAt(1)) {
           schema = Some(DataType.fromJson(r.getString(1)).asInstanceOf[StructType])
           partCols = r.getSeq[String](2)
         }
-        if (!r.isNullAt(3)) txns.put(r.getString(3), r.getLong(4))
+        if (!r.isNullAt(5)) txns.put(r.getString(5), r.getLong(6))
       }
     }
 
@@ -203,8 +220,22 @@ object DeltaLog {
     versions.filter(v => v >= replayFrom && v <= target).foreach { v =>
       readCommit(f, table, v).foreach { action =>
         if (action.has("add")) {
-          gateNoDeletionVector(action.get("add"))
-          live.put(action.get("add").get("path").asText(), ())
+          val a = action.get("add")
+          gateNoDeletionVector(a)
+          val pv: Map[String, String] =
+            if (a.has("partitionValues") && !a.get("partitionValues").isNull) {
+              val it = a.get("partitionValues").fields()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) {
+                val e = it.next()
+                if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText()
+              }
+              b.result()
+            } else Map.empty
+          val st =
+            if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText())
+            else None
+          live.put(a.get("path").asText(), (pv, st))
         }
         else if (action.has("remove")) live.remove(action.get("remove").get("path").asText())
         else if (action.has("protocol")) gateProtocol(action.get("protocol"))
@@ -226,7 +257,9 @@ object DeltaLog {
         }
       }
     }
-    Snapshot(target, live.keys.toSeq, schema, partCols, txns.toMap)
+    Snapshot(target, live.keys.toSeq, schema, partCols, txns.toMap,
+      live.collect { case (p, (_, Some(s))) => p -> s }.toMap,
+      live.map { case (p, (pv, _)) => p -> pv }.toMap)
   }
 
   /** Whether `table` has a Delta log with at least one commit or
@@ -354,6 +387,237 @@ object DeltaLog {
         .withColumn("_change_type", lit("insert")))
   }
 
+  // ------------------------------------------------------- data skipping
+
+  /** Column types zone maps support. */
+  private def isStatType(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case org.apache.spark.sql.types.StringType => true
+    case org.apache.spark.sql.types.DateType => true
+    case org.apache.spark.sql.types.TimestampType => true
+    case org.apache.spark.sql.types.BooleanType => true
+    case _ => false
+  }
+
+  /** Delta's dataSkippingNumIndexedCols default: stats on the first 32
+    * eligible columns only (stats strings must stay log-metadata-sized). */
+  private val statsMaxCols = 32
+
+  private def putStat(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      k: String, v: Any): Unit = v match {
+    case null => ()
+    case i: java.lang.Integer => node.put(k, i.intValue())
+    case l: java.lang.Long => node.put(k, l.longValue())
+    case s: java.lang.Short => node.put(k, s.intValue())
+    case b: java.lang.Byte => node.put(k, b.intValue())
+    case d: java.lang.Double => node.put(k, d.doubleValue())
+    case fl: java.lang.Float => node.put(k, fl.floatValue())
+    case bd: java.math.BigDecimal => node.put(k, bd)
+    case sc: scala.math.BigDecimal => node.put(k, sc.bigDecimal)
+    case s: String => node.put(k, s)
+    case b: java.lang.Boolean => node.put(k, b.booleanValue())
+    case d: java.sql.Date => node.put(k, d.toString)            // ISO yyyy-MM-dd
+    case t: java.sql.Timestamp => node.put(k, t.toInstant.toString)
+    case other => node.put(k, other.toString)
+  }
+
+  private def collectFileStats(spark: SparkSession, table: String,
+      rels: Seq[String], dataSchema: StructType,
+      partitionBy: Seq[String]): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val fields = dataSchema.fields.toSeq
+      .filterNot(f => partitionBy.contains(f.name))
+      .filter(f => isStatType(f.dataType))
+      .take(statsMaxCols)
+    val byName = rels.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
+    if (byName.size != rels.size) return Map.empty // colliding basenames
+    val abs = rels.map(p => new Path(table, p).toString)
+    val df = spark.read.option("basePath", table).parquet(abs: _*)
+    val fname = element_at(split(col("_metadata.file_path"), "/"), -1)
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("__n")) ++ fields.zipWithIndex.flatMap { case (fld, i) =>
+        Seq(min(col(fld.name)).as(s"__mn_$i"), max(col(fld.name)).as(s"__mx_$i"),
+          sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"__nc_$i"))
+      }
+    val rows = df.groupBy(fname.as("__f")).agg(aggs.head, aggs.tail: _*).collect()
+    rows.flatMap { r =>
+      byName.get(r.getString(0)).map { rel =>
+        val rootN = mapper.createObjectNode()
+        rootN.put("numRecords", r.getLong(1))
+        val mins = rootN.putObject("minValues")
+        val maxs = rootN.putObject("maxValues")
+        val ncs = rootN.putObject("nullCount")
+        fields.zipWithIndex.foreach { case (fld, i) =>
+          putStat(mins, fld.name, r.get(2 + 3 * i))
+          putStat(maxs, fld.name, r.get(3 + 3 * i))
+          ncs.put(fld.name, r.getLong(4 + 3 * i))
+        }
+        rel -> mapper.writeValueAsString(rootN)
+      }
+    }.toMap
+  }
+
+  /** One prunable conjunct of a predicate. */
+  private sealed trait Bound
+  private final case class Cmp(col: String, op: String, value: Any) extends Bound
+  private final case class NullCheck(col: String, isNull: Boolean) extends Bound
+
+  /** Literal runtime value → comparable Scala value: numerics to
+    * BigDecimal, strings as-is, dates to ISO strings (lexicographically
+    * ordered). Unsupported types (timestamps, binaries) prune nothing. */
+  private def litValue(v: Any,
+      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => None
+      case (x: java.lang.Number, _: ByteType | _: ShortType | _: IntegerType |
+          _: LongType) => Some(BigDecimal(x.longValue()))
+      case (x: java.lang.Number, _: FloatType | _: DoubleType) =>
+        Some(BigDecimal(x.doubleValue()))
+      case (x: org.apache.spark.sql.types.Decimal, _) => Some(BigDecimal(x.toJavaBigDecimal))
+      case (x, StringType) => Some(x.toString)
+      case (days: java.lang.Integer, DateType) =>
+        Some(java.time.LocalDate.ofEpochDay(days.longValue()).toString)
+      case _ => None
+    }
+  }
+
+  private def boundsOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Bound] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    object C { // post-analysis column reference
+      def unapply(x: Expression): Option[String] = x match {
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+    }
+    object L { // literal, unwrapping the analyzer's coercion Cast
+      def unapply(x: Expression): Option[(Any, DataType)] = x match {
+        case Literal(v, dt) => Some((v, dt))
+        case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+          Some((c.eval(null), c.dataType))
+        case _ => None
+      }
+    }
+    def cmp(n: String, op: String, v: Any, dt: DataType) =
+      litValue(v, dt).map(Cmp(n, op, _)).toSeq
+    e match {
+      case And(l, r) => boundsOf(l) ++ boundsOf(r)
+      case EqualTo(C(n), L(v, dt)) => cmp(n, "=", v, dt)
+      case EqualTo(L(v, dt), C(n)) => cmp(n, "=", v, dt)
+      case LessThan(C(n), L(v, dt)) => cmp(n, "<", v, dt)
+      case LessThan(L(v, dt), C(n)) => cmp(n, ">", v, dt)
+      case LessThanOrEqual(C(n), L(v, dt)) => cmp(n, "<=", v, dt)
+      case LessThanOrEqual(L(v, dt), C(n)) => cmp(n, ">=", v, dt)
+      case GreaterThan(C(n), L(v, dt)) => cmp(n, ">", v, dt)
+      case GreaterThan(L(v, dt), C(n)) => cmp(n, "<", v, dt)
+      case GreaterThanOrEqual(C(n), L(v, dt)) => cmp(n, ">=", v, dt)
+      case GreaterThanOrEqual(L(v, dt), C(n)) => cmp(n, "<=", v, dt)
+      case IsNull(C(n)) => Seq(NullCheck(n, isNull = true))
+      case IsNotNull(C(n)) => Seq(NullCheck(n, isNull = false))
+      case _ => Seq.empty // unsupported shape: prunes nothing, still exact
+    }
+  }
+
+  /** -1 / 0 / 1 for comparable (literal, stat) pairs; None when the two
+    * sides are not comparable (type mismatch → no pruning). */
+  private def cmpValues(lit: Any, stat: JsonNode): Option[Int] = lit match {
+    case b: BigDecimal if stat.isNumber => Some(b.compare(BigDecimal(stat.decimalValue())))
+    case s: String if stat.isTextual => Some(s.compareTo(stat.asText()))
+    case _ => None
+  }
+
+  /** Zone-map + partition-value file skipping: the files of `snap` that
+    * might contain a row matching `predicate`. Sound, never complete:
+    * only top-level AND-ed comparisons against literals prune; files
+    * without usable stats always survive; the caller re-applies the
+    * predicate exactly. At 100 TB this is the difference between
+    * scanning a table and scanning the handful of files whose min/max
+    * ranges overlap the query — the same skipping a Delta/iceberg
+    * runtime does from its log stats, and the read-side payoff of
+    * Z-order clustering ([[optimize]]'s `zorderBy`). */
+  private[graft] def pruneFiles(spark: SparkSession, snap: Snapshot,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    // resolve the predicate against the declared schema (an empty frame
+    // through the analyzer) so bounds see coerced catalyst expressions —
+    // EqualTo(attr, Literal) with types already unified
+    val schema = snap.schema.getOrElse(return snap.files)
+    val analyzed = spark
+      .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .where(predicate).queryExecution.analyzed
+    val bounds = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => boundsOf(f.condition)
+    }.flatten
+    if (bounds.isEmpty) return snap.files
+    val partCols = snap.partitionColumns.toSet
+    snap.files.filter { path =>
+      val stats = snap.fileStats.get(path).map(mapper.readTree)
+      val pv = snap.filePartValues.getOrElse(path, Map.empty)
+      def skipByBound(b: Bound): Boolean = b match {
+        case Cmp(c, op, v) if partCols.contains(c) =>
+          // partition value: min = max = the directory value
+          pv.get(c).exists { pvs =>
+            val cmp = v match {
+              case bd: BigDecimal =>
+                scala.util.Try(BigDecimal(pvs)).toOption.map(bd.compare)
+              case s: String => Some(s.compareTo(pvs))
+              case _ => None
+            }
+            cmp.exists(c0 => op match {
+              case "=" => c0 != 0
+              case "<" => c0 <= 0   // need pv < lit, i.e. lit > pv
+              case "<=" => c0 < 0
+              case ">" => c0 >= 0
+              case ">=" => c0 > 0
+            })
+          }
+        case Cmp(c, op, v) =>
+          stats.exists { st =>
+            val mn = Option(st.get("minValues")).flatMap(m => Option(m.get(c)))
+            val mx = Option(st.get("maxValues")).flatMap(m => Option(m.get(c)))
+            val nc = Option(st.get("nullCount")).flatMap(m => Option(m.get(c)))
+              .map(_.asLong())
+            val n = Option(st.get("numRecords")).map(_.asLong())
+            (mn, mx) match {
+              case (Some(lo), Some(hi)) =>
+                val vsLo = cmpValues(v, lo) // sign of (lit - min)
+                val vsHi = cmpValues(v, hi) // sign of (lit - max)
+                op match {
+                  case "=" => vsLo.exists(_ < 0) || vsHi.exists(_ > 0)
+                  case "<" => vsLo.exists(_ <= 0)  // min >= lit → nothing < lit
+                  case "<=" => vsLo.exists(_ < 0)
+                  case ">" => vsHi.exists(_ >= 0)  // max <= lit → nothing > lit
+                  case ">=" => vsHi.exists(_ > 0)
+                }
+              case _ =>
+                // no min/max recorded: skip only when provably all-null
+                (nc, n) match { case (Some(a), Some(b)) => a == b && b > 0; case _ => false }
+            }
+          }
+        case NullCheck(c, wantNull) =>
+          stats.exists { st =>
+            val nc = Option(st.get("nullCount")).flatMap(m => Option(m.get(c)))
+              .map(_.asLong())
+            val n = Option(st.get("numRecords")).map(_.asLong())
+            if (wantNull) nc.contains(0L)
+            else (nc, n) match { case (Some(a), Some(b)) => a == b && b > 0; case _ => false }
+          }
+      }
+      !bounds.exists(skipByBound)
+    }
+  }
+
+  /** Batch read with stats-based file skipping: files whose zone maps
+    * prove no row can match `predicate` are never listed in the scan;
+    * the predicate is then applied exactly, so the result equals
+    * `read(...).where(predicate)` row for row. */
+  def readPruned(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, versionAsOf)
+    readFiles(spark, table, pruneFiles(spark, snap, predicate), snap.schema)
+      .where(predicate)
+  }
+
   // -------------------------------------------------------------- writing
 
   private def jsonStr(s: String): String = mapper.writeValueAsString(s)
@@ -433,6 +697,15 @@ object DeltaLog {
       }
     }
     f.delete(scratch, true)
+    val movedFiles = moved.result()
+
+    // per-file protocol stats (numRecords/minValues/maxValues/nullCount):
+    // one read-back aggregation over the just-staged files — the scan
+    // cost every stats-collecting Delta writer pays at write time; the
+    // stats feed zone-map data skipping ([[pruneFiles]])
+    val statsByFile: Map[String, String] =
+      if (movedFiles.isEmpty) Map.empty
+      else collectFileStats(spark, table, movedFiles.map(_._1), df.schema, partitionBy)
 
     val now = System.currentTimeMillis()
     val prevSnap = if (version == 0L) None else Some(snapshot(spark, table))
@@ -457,12 +730,14 @@ object DeltaLog {
     prevSnap.toSeq.flatMap(removePaths).foreach { p =>
       actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":$dataChange}}"""
     }
-    moved.result().foreach { case (rel, pv) =>
+    movedFiles.foreach { case (rel, pv) =>
       val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
         .mkString("{", ",", "}")
       val size = f.getFileStatus(new Path(root, rel)).getLen
+      val statsField =
+        statsByFile.get(rel).fold("")(s => s""","stats":${jsonStr(s)}""")
       actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
-        s""""size":$size,"modificationTime":$now,"dataChange":$dataChange}}"""
+        s""""size":$size,"modificationTime":$now,"dataChange":$dataChange$statsField}}"""
     }
     txn.foreach { case (appId, v) =>
       actions += s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":$now}}"""
@@ -544,14 +819,24 @@ object DeltaLog {
     * or after, see identical rows; pre-optimize versions stay
     * time-travelable until [[vacuum]]. The commit's actions carry
     * `dataChange=false` — the protocol's marker for a pure rewrite — so
-    * [[changesBetween]] consumers see compaction as a no-op. */
-  def optimize(spark: SparkSession, table: String, targetFiles: Int = 1): Long = {
+    * [[changesBetween]] consumers see compaction as a no-op.
+    *
+    * `zorderBy`: OPTIMIZE ZORDER — one column range-clusters (tight
+    * min/max per file on that column), two columns cluster on the true
+    * Morton key so zone maps are tight on EITHER dimension. Because the
+    * rewrite recollects stats, clustering immediately pays off in
+    * [[readPruned]]/[[pruneFiles]] file skipping. */
+  def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
+      zorderBy: Seq[String] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val snap = snapshot(spark, table)
     val df = read(spark, table)
-    val compacted =
-      if (snap.partitionColumns.isEmpty) df.coalesce(targetFiles)
-      else {
+    val compacted = zorderBy match {
+      case Seq(a, b) => graft.maintenance.Maintenance.zOrderFrame(df, targetFiles, a, b)
+      case Seq(a) =>
+        df.repartitionByRange(targetFiles, col(a)).sortWithinPartitions(col(a))
+      case Seq() if snap.partitionColumns.isEmpty => df.coalesce(targetFiles)
+      case Seq() =>
         // hash-clustering on the partition columns alone would land each
         // partition value in ONE task — one file per value no matter what
         // targetFiles says; a row-hash bucket splits each value across up
@@ -561,7 +846,8 @@ object DeltaLog {
         val bucketSrc = if (dataCols.nonEmpty) dataCols else df.columns
         val bucket = pmod(hash(bucketSrc.map(col).toSeq: _*), lit(targetFiles))
         df.repartition(snap.partitionColumns.map(col) :+ bucket: _*)
-      }
+      case other => sys.error(s"zorderBy supports 1 or 2 columns, got ${other.mkString(",")}")
+    }
     commitWrite(spark, compacted, table, snap.partitionColumns, None,
       removePaths = _.files, widenSchema = false, dataChange = false,
       operation = "OPTIMIZE")
@@ -605,13 +891,17 @@ object DeltaLog {
     val pcols = snap.partitionColumns
     val noMeta: Option[(String, Seq[String])] = None
     val noTxn: Option[(String, Long)] = None
-    val rows: Seq[(Option[String], Option[(String, Seq[String])], Option[(String, Long)])] =
-      snap.files.map(p => (Option(p), noMeta, noTxn)) ++
-        Seq((Option.empty[String],
+    val noPv = Map.empty[String, String]
+    val rows: Seq[(Option[String], Map[String, String], Option[String],
+        Option[(String, Seq[String])], Option[(String, Long)])] =
+      snap.files.map(p => (Option(p), snap.filePartValues.getOrElse(p, noPv),
+        snap.fileStats.get(p), noMeta, noTxn)) ++
+        Seq((Option.empty[String], noPv, Option.empty[String],
           Some((schemaJson.getOrElse(new StructType().json), pcols)), noTxn)) ++
-        snap.txns.toSeq.sortBy(_._1).map(t => (Option.empty[String], noMeta, Some(t)))
-    val cpDf = rows.toDF("p", "m", "t")
-      .selectExpr("named_struct('path', p) AS add",
+        snap.txns.toSeq.sortBy(_._1).map(t =>
+          (Option.empty[String], noPv, Option.empty[String], noMeta, Some(t)))
+    val cpDf = rows.toDF("p", "pv", "st", "m", "t")
+      .selectExpr("named_struct('path', p, 'partitionValues', pv, 'stats', st) AS add",
         "named_struct('schemaString', m._1, 'partitionColumns', m._2) AS metaData",
         "named_struct('appId', t._1, 'version', t._2) AS txn")
     val scratch = new Path(table, ".tmp-checkpoint")

@@ -1,0 +1,117 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.sources.DeltaLog
+import org.apache.spark.sql.functions._
+
+/** Stats-based data skipping on the Delta log: every commit records
+  * per-file zone maps (numRecords/minValues/maxValues/nullCount, the
+  * protocol's `stats` shape), and `readPruned` drops files whose zone
+  * maps prove no row can match — the read-side payoff of Z-order
+  * clustering, and the difference between scanning a 100 TB table and
+  * scanning the handful of files a selective query actually needs.
+  * Skipping must be SOUND (pruned read ≡ full read + filter, row for
+  * row); completeness is best-effort by design. */
+class DataSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft-skip-").toString + "/t"
+
+  private def rangeDf(lo: Long, n: Long) =
+    spark.range(lo, lo + n).select(col("id").as("x"),
+      format_string("s%05d", col("id")).as("s"))
+
+  test("write collects protocol stats; zone maps skip files; results stay exact") {
+    val t = freshTable()
+    DeltaLog.write(spark, rangeDf(0, 100).coalesce(1), t)
+    for (i <- 1 to 3)
+      DeltaLog.write(spark, rangeDf(i * 100L, 100).coalesce(1), t, "append")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.size == 4 && snap.fileStats.size == 4)
+    val st = snap.fileStats.values.head
+    assert(st.contains("numRecords") && st.contains("minValues") &&
+      st.contains("maxValues") && st.contains("nullCount"), st)
+
+    def kept(p: org.apache.spark.sql.Column) = DeltaLog.pruneFiles(spark, snap, p).size
+    assert(kept(col("x") === 250L) == 1)
+    assert(kept(col("x") >= 350L) == 1)
+    assert(kept(col("x") < 150L) == 2)
+    assert(kept(col("x") === 250L && col("s") === "s00250") == 1)
+    assert(kept(col("s") === "s00050") == 1) // string zone maps
+    assert(kept(col("x") === -5L) == 0)      // provably empty
+    assert(kept(abs(col("x")) === 5L) == 4)  // unsupported shape: no pruning
+
+    // soundness: pruned read == unpruned read + filter, row for row
+    val pred = col("x") >= 120L && col("x") < 310L
+    val a = DeltaLog.readPruned(spark, t, pred).collect().toSet
+    val b = DeltaLog.read(spark, t).where(pred).collect().toSet
+    assert(a == b && a.size == 190)
+  }
+
+  test("null-count pruning: IS NULL / IS NOT NULL / all-null files") {
+    val t = freshTable()
+    DeltaLog.write(spark,
+      Seq((1L, Option("a")), (2L, Option("b"))).toDF("x", "s").coalesce(1), t)
+    DeltaLog.write(spark,
+      Seq((3L, Option.empty[String]), (4L, None)).toDF("x", "s").coalesce(1),
+      t, "append")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(DeltaLog.pruneFiles(spark, snap, col("s").isNull).size == 1)
+    assert(DeltaLog.pruneFiles(spark, snap, col("s").isNotNull).size == 1)
+    // a comparison can also skip the all-null file (no min/max recorded)
+    assert(DeltaLog.pruneFiles(spark, snap, col("s") === "a").size == 1)
+    assert(DeltaLog.readPruned(spark, t, col("s").isNull)
+      .select("x").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+  }
+
+  test("partition values prune without data stats") {
+    val t = freshTable()
+    val df = Seq((1L, "en"), (2L, "fr"), (3L, "en"), (4L, "de")).toDF("x", "lang")
+    DeltaLog.write(spark, df, t, partitionBy = Seq("lang"))
+    val snap = DeltaLog.snapshot(spark, t)
+    val kept = DeltaLog.pruneFiles(spark, snap, col("lang") === "en")
+    assert(kept.nonEmpty && kept.size < snap.files.size, kept.toString)
+    assert(kept.forall(_.contains("lang=en")), kept.toString)
+    assert(DeltaLog.readPruned(spark, t, col("lang") === "en")
+      .select("x").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("stats survive checkpoint + JSON vacuum") {
+    val t = freshTable()
+    DeltaLog.write(spark, rangeDf(0, 100).coalesce(1), t)
+    DeltaLog.write(spark, rangeDf(100, 100).coalesce(1), t, "append")
+    DeltaLog.checkpoint(spark, t)
+    new File(t, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(_.delete())
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.fileStats.size == 2)
+    assert(DeltaLog.pruneFiles(spark, snap, col("x") === 150L).size == 1)
+    assert(DeltaLog.readPruned(spark, t, col("x") === 150L).count() == 1)
+  }
+
+  test("OPTIMIZE ZORDER tightens zone maps so either dimension prunes") {
+    val t = freshTable()
+    // scatter (a, b) so every pre-optimize file spans both full ranges
+    val n = 4096L
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % n).as("a"),
+      (col("id") * 40503L % n).as("b"))
+    DeltaLog.write(spark, df.repartition(4), t)
+    val before = DeltaLog.snapshot(spark, t)
+    val predA = col("a") < 100L
+    val predB = col("b") < 100L
+    assert(DeltaLog.pruneFiles(spark, before, predA).size == 4, "scattered: nothing prunes")
+    DeltaLog.optimize(spark, t, targetFiles = 8, zorderBy = Seq("a", "b"))
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.files.size == 8, after.files.toString)
+    assert(DeltaLog.pruneFiles(spark, after, predA).size < 8)
+    assert(DeltaLog.pruneFiles(spark, after, predB).size < 8)
+    // identical rows; pruned read exact; compaction invisible to CDC
+    assert(DeltaLog.readPruned(spark, t, predA).collect().toSet ==
+      DeltaLog.read(spark, t).where(predA).collect().toSet)
+    assert(DeltaLog.changesBetween(spark, t, before.version, after.version).count() == 0)
+  }
+}
