@@ -460,6 +460,8 @@ object DeltaLog {
   /** One prunable conjunct of a predicate. */
   private sealed trait Bound
   private final case class Cmp(col: String, op: String, value: Any) extends Bound
+  private final case class InList(col: String, values: Seq[Any]) extends Bound
+  private final case class Prefix(col: String, prefix: String) extends Bound
   private final case class NullCheck(col: String, isNull: Boolean) extends Bound
 
   /** Literal runtime value → comparable Scala value: numerics to
@@ -514,6 +516,11 @@ object DeltaLog {
       case GreaterThanOrEqual(L(v, dt), C(n)) => cmp(n, "<=", v, dt)
       case IsNull(C(n)) => Seq(NullCheck(n, isNull = true))
       case IsNotNull(C(n)) => Seq(NullCheck(n, isNull = false))
+      case In(C(n), list) =>
+        val vs = list.map { case L(v, dt) => litValue(v, dt); case _ => None }
+        if (vs.nonEmpty && vs.forall(_.isDefined)) Seq(InList(n, vs.flatten))
+        else Seq.empty
+      case StartsWith(C(n), L(v, _)) if v != null => Seq(Prefix(n, v.toString))
       case _ => Seq.empty // unsupported shape: prunes nothing, still exact
     }
   }
@@ -591,6 +598,26 @@ object DeltaLog {
               case _ =>
                 // no min/max recorded: skip only when provably all-null
                 (nc, n) match { case (Some(a), Some(b)) => a == b && b > 0; case _ => false }
+            }
+          }
+        case InList(c, vs) =>
+          // IN prunes when EVERY listed value misses the zone map
+          vs.forall(v => skipByBound(Cmp(c, "=", v)))
+        case Prefix(c, p) if partCols.contains(c) =>
+          pv.get(c).exists(v => !v.startsWith(p))
+        case Prefix(c, p) =>
+          // col LIKE 'p%': rows live in [p, p+"￿..."]; skip when the
+          // file's string range cannot intersect that prefix interval
+          stats.exists { st =>
+            val mn = Option(st.get("minValues")).flatMap(m => Option(m.get(c)))
+            val mx = Option(st.get("maxValues")).flatMap(m => Option(m.get(c)))
+            (mn, mx) match {
+              case (Some(lo), Some(hi)) if lo.isTextual && hi.isTextual =>
+                // max < prefix, or min already past every string with it:
+                // a min > prefix that does not START with it is past the
+                // prefix interval (strings sort lexicographically)
+                hi.asText() < p || (lo.asText() > p && !lo.asText().startsWith(p))
+              case _ => false
             }
           }
         case NullCheck(c, wantNull) =>

@@ -43,6 +43,10 @@ class DataSkippingSpec extends SparkSpec {
     assert(kept(col("s") === "s00050") == 1) // string zone maps
     assert(kept(col("x") === -5L) == 0)      // provably empty
     assert(kept(abs(col("x")) === 5L) == 4)  // unsupported shape: no pruning
+    assert(kept(col("x").isin(50L, 250L)) == 2)   // IN: union of point probes
+    assert(kept(col("x").isin(-1L, 999L)) == 0)
+    assert(kept(col("s").startsWith("s001")) == 1) // prefix interval
+    assert(kept(col("s").startsWith("t")) == 0)
 
     // soundness: pruned read == unpruned read + filter, row for row
     val pred = col("x") >= 120L && col("x") < 310L
