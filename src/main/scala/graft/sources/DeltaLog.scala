@@ -387,6 +387,42 @@ object DeltaLog {
         .withColumn("_change_type", lit("insert")))
   }
 
+  /** CDF-shaped change feed: [[changesBetween]] with the file-level
+    * rewrites resolved into row-level change events by joining the
+    * window's deletes and inserts on `keys` (which must be unique per
+    * side — the MERGE invariant):
+    *   - key on both sides, rows identical → NO event (the copy-on-write
+    *     rewrite of an untouched neighbor row);
+    *   - key on both sides, rows differ → `update_preimage` (old row) +
+    *     `update_postimage` (new row);
+    *   - delete-only → `delete`; insert-only → `insert`.
+    * This is Delta CDF's output contract for MERGE commits, derived
+    * purely from the remove/add file diff — no change files needed.
+    * Scale: one join keyed on `keys` over the O(touched) window delta,
+    * never the table. */
+  def changesWithUpdates(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val c = changesBetween(spark, table, fromVersion, toVersion)
+    val cols = c.columns.filterNot(n => keys.contains(n) || n == "_change_type").toSeq
+    def side(t: String, as: String) =
+      c.where(col("_change_type") === t)
+        .select(keys.map(col) :+ struct(cols.map(col): _*).as(as): _*)
+    val j = side("delete", "__old").join(side("insert", "__new"), keys, "full_outer")
+    def ev(row: org.apache.spark.sql.Column, t: String) =
+      struct(row.as("row"), lit(t).as("t"))
+    val none = slice(array(ev(col("__new"), "")), 1, 0) // typed empty array
+    val events = j.select(keys.map(col) :+ explode(
+      when(col("__old").isNull, array(ev(col("__new"), "insert")))
+        .when(col("__new").isNull, array(ev(col("__old"), "delete")))
+        .when(col("__old") <=> col("__new"), none)
+        .otherwise(array(ev(col("__old"), "update_preimage"),
+          ev(col("__new"), "update_postimage")))).as("__e"): _*)
+    events.select(keys.map(col) ++
+      cols.map(n => col(s"__e.row.$n").as(n)) :+
+      col("__e.t").as("_change_type"): _*)
+  }
+
   // ------------------------------------------------------- data skipping
 
   /** Column types zone maps support. */

@@ -356,6 +356,31 @@ class DeltaLogSpec extends SparkSpec {
     assert(c35.count(r => r._1 == "insert" && r._3 == "a4") == 1)
   }
 
+  test("changesWithUpdates: CDF update pre/post-image pairs from the file diff") {
+    val t = freshTable()
+    DeltaLog.write(spark,
+      Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
+        .toDF("id", "payload", "updated_at").coalesce(1), t)
+    // MERGE: update key 1, stale key 2 (rewritten unchanged), insert key 4
+    val v1 = DeltaLog.mergeUpsert(spark, t,
+      Seq((1L, "a2", 20L), (2L, "stale", 5L), (4L, "d", 20L))
+        .toDF("id", "payload", "updated_at"), Seq("id"), "updated_at")
+    val cdf = DeltaLog.changesWithUpdates(spark, t, 0, v1, Seq("id"))
+      .select("_change_type", "id", "payload").as[(String, Long, String)]
+      .collect().toSet
+    // keys 2 and 3 were rewritten byte-identical → no events at all
+    assert(cdf == Set(
+      ("update_preimage", 1L, "a"), ("update_postimage", 1L, "a2"),
+      ("insert", 4L, "d")), cdf.toString)
+    // an overwrite that drops a key surfaces it as a plain delete
+    val v2 = DeltaLog.write(spark,
+      Seq((1L, "a2", 20L), (2L, "b", 10L), (4L, "d", 20L))
+        .toDF("id", "payload", "updated_at").coalesce(1), t)
+    val cdf2 = DeltaLog.changesWithUpdates(spark, t, v1, v2, Seq("id"))
+      .select("_change_type", "id").as[(String, Long)].collect().toSet
+    assert(cdf2 == Set(("delete", 3L)), cdf2.toString)
+  }
+
   test("incremental gold under MERGE updates: changesBetween fold equals full recompute") {
     import graft.maintenance.IncrementalAgg
     import org.apache.spark.sql.functions.col

@@ -116,4 +116,36 @@ class LakehouseLoopSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
     assert(state == Seq(("x", 1L, 7.0), ("y", 3L, 7.0), ("z", 1L, 1.25)), state.toString)
   }
+
+  test("streamed MERGEs + MaterializedView.refresh: the packaged IVM loop") {
+    // same loop as above, but gold lives as a Delta table and the fold +
+    // consumer offset are MaterializedView's one atomic commit — the
+    // whole continuous-lakehouse story through public engine APIs only
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, String, Double, Long)]
+    val dir = Files.createTempDirectory("graft-loop-mv-").toString
+    val silver = s"$dir/silver"
+    val gold = s"$dir/gold"
+    val ckpt = s"$dir/ckpt"
+
+    def step(data: (Long, String, Double, Long)*): Unit = {
+      ms.addData(data: _*)
+      graft.streaming.Streams.foreachBatchDeltaMerge(
+        ms.toDF().toDF("id", "g", "v", "ts"), silver, ckpt, Seq("id"), "ts")
+      graft.maintenance.MaterializedView.refresh(
+        spark, silver, gold, Seq("g"), Seq("v"))
+      val got = DeltaLog.read(spark, gold)
+      val want = IncrementalAgg.materialize(DeltaLog.read(spark, silver),
+        Seq("g"), Seq("v"))
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+    }
+
+    step((1L, "x", 1.0, 10L), (2L, "y", 2.0, 10L))
+    step((1L, "y", 3.0, 20L), (3L, "z", 0.5, 20L)) // group-moving update
+    step((2L, "y", 9.0, 5L)) // stale: rewritten unchanged, gold unmoved
+    val state = DeltaLog.read(spark, gold)
+      .select(col("g"), col("n"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(state == Seq(("y", 2L, 5.0), ("z", 1L, 0.5)), state.toString)
+  }
 }
