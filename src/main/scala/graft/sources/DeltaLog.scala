@@ -308,6 +308,33 @@ object DeltaLog {
     readFiles(spark, table, snap.files, snap.schema)
   }
 
+  /** `TIMESTAMP AS OF`: the newest version whose commit timestamp
+    * (commitInfo, falling back to the commit file's mtime for foreign
+    * logs without one) is ≤ `tsMillis` — the protocol's timestamp
+    * time-travel resolution rule. Errors when the table's first commit
+    * is already later than the asked-for time. */
+  def versionAtTimestamp(spark: SparkSession, table: String, tsMillis: Long): Long = {
+    val f = fs(spark, table)
+    val versions = listVersions(spark, table)
+    require(versions.nonEmpty,
+      s"timestamp travel needs JSON commits (checkpoint-only log): $table")
+    def commitTs(v: Long): Long =
+      readCommit(f, table, v).collectFirst {
+        case a if a.has("commitInfo") && a.get("commitInfo").has("timestamp") =>
+          a.get("commitInfo").get("timestamp").asLong()
+      }.getOrElse(f.getFileStatus(new Path(logDir(table), f"$v%020d.json"))
+        .getModificationTime)
+    val eligible = versions.filter(commitTs(_) <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no version of $table committed at or before $tsMillis " +
+        s"(earliest commit: ${commitTs(versions.head)})")
+    eligible.max
+  }
+
+  /** Batch-read the table as of a wall-clock time. */
+  def readAsOfTimestamp(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    read(spark, table, Some(versionAtTimestamp(spark, table, tsMillis)))
+
   /** Incremental change feed for append-only consumption: the rows in
     * files ADDED in versions `(fromVersion, toVersion]` — how a Delta
     * table is consumed as a stream source (each micro-batch reads only
@@ -728,9 +755,35 @@ object DeltaLog {
     val prior = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq
     val version = if (prior.isEmpty) 0L else prior.max + 1
 
+    // validate + declare the schema BEFORE staging any data: a refused
+    // commit (schema enforcement) must leave zero trace on disk
+    val prevSnap = if (version == 0L) None else Some(snapshot(spark, table))
+    val declared: StructType = (widenSchema, prevSnap.flatMap(_.schema)) match {
+      case (true, Some(prev)) =>
+        // schema ENFORCEMENT before evolution: a same-name column with a
+        // different type must refuse loudly — silently keeping the old
+        // declaration would make the new files unreadable (parquet type
+        // mismatch at scan), and silently replacing it would null out
+        // every old file's column
+        df.schema.fields.foreach { fld =>
+          prev.fields.find(_.name == fld.name).foreach { p =>
+            require(p.dataType == fld.dataType,
+              s"schema enforcement: column '${fld.name}' is ${p.dataType.simpleString} " +
+                s"in the table but ${fld.dataType.simpleString} in the append — " +
+                "overwrite with the new schema to change a column's type")
+          }
+        }
+        val extra = df.schema.fields.filterNot(f => prev.fieldNames.contains(f.name))
+        extra.foldLeft(prev)((s, f) => s.add(f))
+      case _ => df.schema
+    }
+
     // stage the parquet files in a scratch dir, then move them under the
-    // table root with commit-unique names (dataChange only on log commit)
-    val scratch = new Path(root, f".tmp-commit-$version%020d")
+    // table root with nonce-unique names (dataChange only on log commit):
+    // the nonce keeps a crashed or lost-race commit's orphans from ever
+    // colliding with a later attempt at the same version
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val scratch = new Path(root, f".tmp-commit-$version%020d-$nonce")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(scratch.toString)
@@ -751,7 +804,7 @@ object DeltaLog {
           k -> java.net.URLDecoder.decode(v, "UTF-8")
         }.toMap
         val destRel = (if (relDir.isEmpty) "" else relDir + "/") +
-          f"part-$version%05d-$idx%05d.snappy.parquet"
+          f"part-$version%05d-$idx%05d-$nonce.snappy.parquet"
         idx += 1
         val dest = new Path(root, destRel)
         f.mkdirs(dest.getParent)
@@ -771,19 +824,13 @@ object DeltaLog {
       else collectFileStats(spark, table, movedFiles.map(_._1), df.schema, partitionBy)
 
     val now = System.currentTimeMillis()
-    val prevSnap = if (version == 0L) None else Some(snapshot(spark, table))
     val actions = Seq.newBuilder[String]
     if (version == 0L)
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     // metaData on the first commit and on any schema change (evolution):
     // widening declares the union so older files read with nulls in the
     // new columns; otherwise the new schema replaces the declaration
-    val declared: StructType = (widenSchema, prevSnap.flatMap(_.schema)) match {
-      case (true, Some(prev)) =>
-        val extra = df.schema.fields.filterNot(f => prev.fieldNames.contains(f.name))
-        extra.foldLeft(prev)((s, f) => s.add(f))
-      case _ => df.schema
-    }
+    // (`declared` validated above, before any data was staged)
     if (version == 0L || !prevSnap.flatMap(_.schema).contains(declared))
       actions += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
         s""""format":{"provider":"parquet","options":{}},""" +

@@ -170,7 +170,8 @@ class DeltaLogSpec extends SparkSpec {
     // number PAST the checkpoint, not restart at 0 (which replay ignores);
     // the vacuum also reclaims v2's now-unreferenced data file
     Files.delete(new File(t, f"_delta_log/${2L}%020d.json").toPath)
-    Files.delete(new File(t, "part-00002-00000.snappy.parquet").toPath)
+    new File(t).listFiles().filter(_.getName.startsWith("part-00002-"))
+      .foreach(f => Files.delete(f.toPath))
     assert(DeltaLog.write(spark, Seq(9L).toDF("x"), t, "append") == 2L)
     assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 9L))
   }
@@ -497,6 +498,38 @@ class DeltaLogSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["timestampNtz"],"writerFeatures":["timestampNtz"]}}""",
       metaAction(xSchema), addAction("part-a.snappy.parquet")))
     assert(DeltaLog.read(spark, t4).as[Long].collect().toSeq == Seq(7L))
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest commit at or before the asked time") {
+    val t = freshTable()
+    writeDataFile(Seq(1L).toDF("x"), t, "part-a.snappy.parquet")
+    writeDataFile(Seq(2L).toDF("x"), t, "part-b.snappy.parquet")
+    // explicit commitInfo timestamps (the protocol's resolution input)
+    commit(t, 0, Seq(metaAction(xSchema), addAction("part-a.snappy.parquet"),
+      """{"commitInfo":{"timestamp":1000,"operation":"WRITE"}}"""))
+    commit(t, 1, Seq(addAction("part-b.snappy.parquet"),
+      """{"commitInfo":{"timestamp":2000,"operation":"WRITE"}}"""))
+    assert(DeltaLog.versionAtTimestamp(spark, t, 1500L) == 0L)
+    assert(DeltaLog.versionAtTimestamp(spark, t, 2000L) == 1L)
+    assert(DeltaLog.readAsOfTimestamp(spark, t, 1500L)
+      .as[Long].collect().toSeq == Seq(1L))
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.versionAtTimestamp(spark, t, 999L))
+    assert(e.getMessage.contains("at or before"), e.getMessage)
+  }
+
+  test("schema enforcement: append with a retyped column refuses loudly") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("x", "tag"), t)
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.write(spark, Seq((2L, 7)).toDF("x", "tag"), t, "append"))
+    assert(e.getMessage.contains("schema enforcement"), e.getMessage)
+    // the refused append left no trace: same version, same rows
+    assert(DeltaLog.snapshot(spark, t).version == 0L)
+    assert(DeltaLog.read(spark, t).count() == 1)
+    // widening with a NEW column still evolves
+    DeltaLog.write(spark, Seq((2L, "b", 5.0)).toDF("x", "tag", "score"), t, "append")
+    assert(DeltaLog.read(spark, t).schema.fieldNames.toSeq == Seq("x", "tag", "score"))
   }
 
   test("empty table reads as empty frame with the declared schema") {
