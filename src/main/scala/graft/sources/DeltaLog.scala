@@ -712,6 +712,10 @@ object DeltaLog {
 
   private def jsonStr(s: String): String = mapper.writeValueAsString(s)
 
+  /** Per-table commit gates for same-JVM writers (see commitWrite). */
+  private val commitGates =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Commit `df` to the table as one public-protocol Delta commit:
     * parquet data files land under the table root (partition-dir layout
     * when `partitionBy` is set), then ONE `_delta_log/<v>.json` appears
@@ -726,10 +730,14 @@ object DeltaLog {
       mode: String = "overwrite", partitionBy: Seq[String] = Seq.empty,
       txn: Option[(String, Long)] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"mode must be overwrite|append: $mode")
+    // appends retry a lost version race (no conflict is possible: the
+    // commit removes nothing and its file names are nonce-unique);
+    // overwrites/merges must instead surface the conflict to the caller,
+    // whose read-modify-write is stale after a concurrent commit
     commitWrite(spark, df, table, partitionBy, txn,
       removePaths = s => if (mode == "overwrite") s.files else Seq.empty,
       widenSchema = mode == "append", dataChange = true,
-      operation = mode.toUpperCase)
+      operation = mode.toUpperCase, retryOnRace = mode == "append")
   }
 
   /** Core committer behind every write shape (overwrite, append,
@@ -744,7 +752,8 @@ object DeltaLog {
   private def commitWrite(spark: SparkSession, df: DataFrame, table: String,
       partitionBy: Seq[String], txn: Option[(String, Long)],
       removePaths: Snapshot => Seq[String], widenSchema: Boolean,
-      dataChange: Boolean, operation: String): Long = {
+      dataChange: Boolean, operation: String,
+      retryOnRace: Boolean = false): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -752,38 +761,47 @@ object DeltaLog {
     // vacuum, listVersions is empty but version 0 is long gone — reusing
     // it would commit BELOW the checkpoint and be silently ignored by
     // replay
-    val prior = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq
-    val version = if (prior.isEmpty) 0L else prior.max + 1
+    def nextVersion(): Long = {
+      val prior = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq
+      if (prior.isEmpty) 0L else prior.max + 1
+    }
 
     // validate + declare the schema BEFORE staging any data: a refused
-    // commit (schema enforcement) must leave zero trace on disk
-    val prevSnap = if (version == 0L) None else Some(snapshot(spark, table))
-    val declared: StructType = (widenSchema, prevSnap.flatMap(_.schema)) match {
-      case (true, Some(prev)) =>
-        // schema ENFORCEMENT before evolution: a same-name column with a
-        // different type must refuse loudly — silently keeping the old
-        // declaration would make the new files unreadable (parquet type
-        // mismatch at scan), and silently replacing it would null out
-        // every old file's column
-        df.schema.fields.foreach { fld =>
-          prev.fields.find(_.name == fld.name).foreach { p =>
-            require(p.dataType == fld.dataType,
-              s"schema enforcement: column '${fld.name}' is ${p.dataType.simpleString} " +
-                s"in the table but ${fld.dataType.simpleString} in the append — " +
-                "overwrite with the new schema to change a column's type")
+    // commit (schema enforcement) must leave zero trace on disk. Re-run
+    // per commit attempt — a concurrent append may have evolved the
+    // schema between retries.
+    def declaredSchema(prevSnap: Option[Snapshot]): StructType =
+      (widenSchema, prevSnap.flatMap(_.schema)) match {
+        case (true, Some(prev)) =>
+          // schema ENFORCEMENT before evolution: a same-name column with a
+          // different type must refuse loudly — silently keeping the old
+          // declaration would make the new files unreadable (parquet type
+          // mismatch at scan), and silently replacing it would null out
+          // every old file's column
+          df.schema.fields.foreach { fld =>
+            prev.fields.find(_.name == fld.name).foreach { p =>
+              require(p.dataType == fld.dataType,
+                s"schema enforcement: column '${fld.name}' is ${p.dataType.simpleString} " +
+                  s"in the table but ${fld.dataType.simpleString} in the append — " +
+                  "overwrite with the new schema to change a column's type")
+            }
           }
-        }
-        val extra = df.schema.fields.filterNot(f => prev.fieldNames.contains(f.name))
-        extra.foldLeft(prev)((s, f) => s.add(f))
-      case _ => df.schema
-    }
+          val extra = df.schema.fields.filterNot(f => prev.fieldNames.contains(f.name))
+          extra.foldLeft(prev)((s, f) => s.add(f))
+        case _ => df.schema
+      }
+    declaredSchema(
+      if (nextVersion() == 0L) None else Some(snapshot(spark, table)))
 
     // stage the parquet files in a scratch dir, then move them under the
     // table root with nonce-unique names (dataChange only on log commit):
     // the nonce keeps a crashed or lost-race commit's orphans from ever
-    // colliding with a later attempt at the same version
+    // colliding with a later attempt, and lets a retried append commit
+    // the SAME staged files at a later version (the version prefix in
+    // the file name is cosmetic)
+    val nameVersion = nextVersion()
     val nonce = java.util.UUID.randomUUID().toString.take(8)
-    val scratch = new Path(root, f".tmp-commit-$version%020d-$nonce")
+    val scratch = new Path(root, f".tmp-commit-$nameVersion%020d-$nonce")
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(scratch.toString)
@@ -804,7 +822,7 @@ object DeltaLog {
           k -> java.net.URLDecoder.decode(v, "UTF-8")
         }.toMap
         val destRel = (if (relDir.isEmpty) "" else relDir + "/") +
-          f"part-$version%05d-$idx%05d-$nonce.snappy.parquet"
+          f"part-$nameVersion%05d-$idx%05d-$nonce.snappy.parquet"
         idx += 1
         val dest = new Path(root, destRel)
         f.mkdirs(dest.getParent)
@@ -823,52 +841,70 @@ object DeltaLog {
       if (movedFiles.isEmpty) Map.empty
       else collectFileStats(spark, table, movedFiles.map(_._1), df.schema, partitionBy)
 
-    val now = System.currentTimeMillis()
-    val actions = Seq.newBuilder[String]
-    if (version == 0L)
-      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-    // metaData on the first commit and on any schema change (evolution):
-    // widening declares the union so older files read with nulls in the
-    // new columns; otherwise the new schema replaces the declaration
-    // (`declared` validated above, before any data was staged)
-    if (version == 0L || !prevSnap.flatMap(_.schema).contains(declared))
-      actions += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
-        s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":${jsonStr(declared.json)},""" +
-        s""""partitionColumns":${partitionBy.map(jsonStr).mkString("[", ",", "]")},""" +
-        s""""configuration":{},"createdTime":$now}}"""
-    prevSnap.toSeq.flatMap(removePaths).foreach { p =>
-      actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":$dataChange}}"""
-    }
-    movedFiles.foreach { case (rel, pv) =>
-      val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
-        .mkString("{", ",", "}")
-      val size = f.getFileStatus(new Path(root, rel)).getLen
-      val statsField =
-        statsByFile.get(rel).fold("")(s => s""","stats":${jsonStr(s)}""")
-      actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
-        s""""size":$size,"modificationTime":$now,"dataChange":$dataChange$statsField}}"""
-    }
-    txn.foreach { case (appId, v) =>
-      actions += s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":$now}}"""
-    }
-    actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(operation)}}}"""
+    // Optimistic-concurrency commit loop: build the version-dependent
+    // actions, write-then-rename; a lost race re-reads the log and (for
+    // conflict-free commits, retryOnRace) retries at the next version.
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val version = nextVersion()
+      val prevSnap = if (version == 0L) None else Some(snapshot(spark, table))
+      val declared = declaredSchema(prevSnap)
+      val now = System.currentTimeMillis()
+      val actions = Seq.newBuilder[String]
+      if (version == 0L)
+        actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      // metaData on the first commit and on any schema change (evolution):
+      // widening declares the union so older files read with nulls in the
+      // new columns; otherwise the new schema replaces the declaration
+      if (version == 0L || !prevSnap.flatMap(_.schema).contains(declared))
+        actions += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
+          s""""format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":${jsonStr(declared.json)},""" +
+          s""""partitionColumns":${partitionBy.map(jsonStr).mkString("[", ",", "]")},""" +
+          s""""configuration":{},"createdTime":$now}}"""
+      prevSnap.toSeq.flatMap(removePaths).foreach { p =>
+        actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":$dataChange}}"""
+      }
+      movedFiles.foreach { case (rel, pv) =>
+        val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+          .mkString("{", ",", "}")
+        val size = f.getFileStatus(new Path(root, rel)).getLen
+        val statsField =
+          statsByFile.get(rel).fold("")(s => s""","stats":${jsonStr(s)}""")
+        actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
+          s""""size":$size,"modificationTime":$now,"dataChange":$dataChange$statsField}}"""
+      }
+      txn.foreach { case (appId, v) =>
+        actions += s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":$now}}"""
+      }
+      actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(operation)}}}"""
 
-    // write-then-rename: the commit becomes visible atomically or not at all
-    val tmp = new Path(logDir(table), f".$version%020d.json.tmp")
-    val out = f.create(tmp, false)
-    try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-    val commitPath = new Path(logDir(table), f"$version%020d.json")
-    // HDFS/object-store rename fails on an existing destination (true
-    // atomic commit); POSIX rename would silently replace, so check
-    // first — best-effort on local FS, exact on the filesystems a real
-    // deployment uses
-    if (f.exists(commitPath) || !f.rename(tmp, commitPath)) {
-      f.delete(tmp, false)
-      sys.error(s"concurrent commit lost the race for version $version at $table")
+      // write-then-rename: the commit becomes visible atomically or not at all
+      val tmp = new Path(logDir(table), f".$version%020d-$nonce.json.tmp")
+      val out = f.create(tmp, false)
+      try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val commitPath = new Path(logDir(table), f"$version%020d.json")
+      // HDFS/object-store rename fails on an existing destination (true
+      // atomic commit). POSIX rename would silently REPLACE, so the
+      // exists-check + rename run under a per-table JVM gate: exact for
+      // same-process writers (the local[N] reality), while cross-process
+      // writers on a real deployment get atomicity from the store's
+      // rename semantics.
+      val gate = commitGates.computeIfAbsent(table, _ => new Object)
+      val won = gate.synchronized {
+        !f.exists(commitPath) && f.rename(tmp, commitPath)
+      }
+      if (won) committed = version
+      else {
+        f.delete(tmp, false)
+        if (!retryOnRace || attempt >= 9)
+          sys.error(s"concurrent commit lost the race for version $version at $table")
+        attempt += 1
+      }
     }
-    version
+    committed
   }
 
   /** MERGE upsert on the Delta protocol — the reference's S8 sink shape

@@ -532,6 +532,28 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).schema.fieldNames.toSeq == Seq("x", "tag", "score"))
   }
 
+  test("concurrent appenders all succeed via optimistic retry") {
+    // appends are conflict-free (nothing removed, nonce-unique files),
+    // so a lost version race retries at the next version instead of
+    // failing; overwrites/merges still surface the conflict loudly
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(0L).toDF("x"), t) // v0
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val workers = (1 to 2).map { w =>
+      Future {
+        (1 to 5).foreach(i =>
+          DeltaLog.write(spark, Seq(w * 100L + i).toDF("x"), t, "append"))
+      }
+    }
+    Await.result(Future.sequence(workers), 180.seconds)
+    // every append landed in its own contiguous version; no rows lost
+    assert(DeltaLog.listVersions(spark, t) == (0L to 10L))
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq ==
+      (Seq(0L) ++ (1 to 5).flatMap(i => Seq(100L + i, 200L + i))).sorted)
+  }
+
   test("empty table reads as empty frame with the declared schema") {
     val t = freshTable()
     commit(t, 0, Seq(metaAction(xSchema)))
