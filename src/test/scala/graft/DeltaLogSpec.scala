@@ -382,6 +382,51 @@ class DeltaLogSpec extends SparkSpec {
     assert(cdf2 == Set(("delete", 3L)), cdf2.toString)
   }
 
+  test("random MERGE workloads: CDF events reconstruct every snapshot (seeded)") {
+    // defense-in-depth for the CDC surface: six seeded-random merge
+    // batches; after each, the CDF event stream applied to the previous
+    // state model must land exactly on the new table state
+    val rnd = new scala.util.Random(42)
+    val t = freshTable()
+    var model = Map.empty[Long, (String, Long)] // id -> (payload, ts)
+    var consumed = -1L
+    for (step <- 1 to 6) {
+      val ids = rnd.shuffle((1L to 12L).toList).take(1 + rnd.nextInt(8))
+      val batch = ids.map(id =>
+        (id, s"p$step-$id-${rnd.nextInt(100)}", rnd.nextInt(100).toLong))
+      val v = DeltaLog.mergeUpsert(spark, t,
+        batch.toDF("id", "payload", "ts"), Seq("id"), "ts")
+      val evs = DeltaLog.changesWithUpdates(spark, t, consumed, v, Seq("id"))
+        .select("id", "payload", "ts", "_change_type")
+        .as[(Long, String, Long, String)].collect().toSeq
+      var next = model
+      evs.filter(_._4 == "update_preimage").foreach(e =>
+        assert(next.get(e._1).contains((e._2, e._3)), s"pre-image mismatch: $e"))
+      evs.filter(_._4 == "delete").foreach { e =>
+        assert(next.get(e._1).contains((e._2, e._3)), s"deleting absent row: $e")
+        next -= e._1
+      }
+      evs.filter(_._4 == "insert").foreach { e =>
+        assert(!next.contains(e._1), s"inserting present key: $e")
+        next += e._1 -> ((e._2, e._3))
+      }
+      evs.filter(_._4 == "update_postimage").foreach(e =>
+        next += e._1 -> ((e._2, e._3)))
+      // the merge semantics model: strictly-newer source rows win
+      batch.foreach { case (id, p, ts) =>
+        model.get(id) match {
+          case Some((_, cur)) if ts <= cur => ()
+          case _ => model += id -> ((p, ts))
+        }
+      }
+      assert(next == model, s"step $step: events diverge from merge model")
+      val actual = DeltaLog.read(spark, t).as[(Long, String, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(actual == model, s"step $step: table diverges from model")
+      consumed = v
+    }
+  }
+
   test("incremental gold under MERGE updates: changesBetween fold equals full recompute") {
     import graft.maintenance.IncrementalAgg
     import org.apache.spark.sql.functions.col
