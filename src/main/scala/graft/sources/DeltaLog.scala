@@ -1028,8 +1028,11 @@ object DeltaLog {
 
   /** Write a parquet checkpoint of the current snapshot + the
     * `_last_checkpoint` pointer, bounding future replays to the JSON
-    * suffix (and allowing old commits to be vacuumed). */
-  def checkpoint(spark: SparkSession, table: String): Long = {
+    * suffix (and allowing old commits to be vacuumed). `parts > 1`
+    * writes the multi-part layout (`<v>.checkpoint.<i>.<n>.parquet`)
+    * that production-sized tables use when one state file gets
+    * unwieldy; [[snapshot]] reads either layout. */
+  def checkpoint(spark: SparkSession, table: String, parts: Int = 1): Long = {
     import spark.implicits._
     val snap = snapshot(spark, table)
     val f = fs(spark, table)
@@ -1050,23 +1053,38 @@ object DeltaLog {
       .selectExpr("named_struct('path', p, 'partitionValues', pv, 'stats', st) AS add",
         "named_struct('schemaString', m._1, 'partitionColumns', m._2) AS metaData",
         "named_struct('appId', t._1, 'version', t._2) AS txn")
+    require(parts >= 1, s"parts must be >= 1: $parts")
     val scratch = new Path(table, ".tmp-checkpoint")
-    cpDf.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
-    val part = {
+    cpDf.repartition(parts).write.mode("overwrite").parquet(scratch.toString)
+    val staged = {
       val it = f.listFiles(scratch, false)
-      var found: Path = null
+      val b = Seq.newBuilder[Path]
       while (it.hasNext) {
         val st = it.next()
-        if (st.getPath.getName.endsWith(".parquet")) found = st.getPath
+        if (st.getPath.getName.endsWith(".parquet")) b += st.getPath
       }
-      require(found != null, "checkpoint stage produced no parquet"); found
+      val s = b.result().sortBy(_.getName)
+      require(s.nonEmpty, "checkpoint stage produced no parquet")
+      s
     }
-    val dest = new Path(logDir(table), f"${snap.version}%020d.checkpoint.parquet")
-    require(f.rename(part, dest), s"checkpoint move failed: $dest")
+    // empty shuffle partitions write no file, so the actual part count
+    // can undershoot the ask — name by what exists
+    val n = staged.size
+    staged.zipWithIndex.foreach { case (part, i) =>
+      val dest =
+        if (n == 1)
+          new Path(logDir(table), f"${snap.version}%020d.checkpoint.parquet")
+        else new Path(logDir(table),
+          f"${snap.version}%020d.checkpoint.${i + 1}%010d.$n%010d.parquet")
+      require(f.rename(part, dest), s"checkpoint move failed: $dest")
+    }
     f.delete(scratch, true)
     val lp = new Path(logDir(table), "_last_checkpoint")
+    val partsField = if (n == 1) "" else s""","parts":$n"""
     val out = f.create(lp, true)
-    try out.write(s"""{"version":${snap.version},"size":${snap.files.size + 1}}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"version":${snap.version},"size":${snap.files.size + 1}$partsField}"""
+        .getBytes("UTF-8"))
     finally out.close()
     snap.version
   }

@@ -577,6 +577,23 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).schema.fieldNames.toSeq == Seq("x", "tag", "score"))
   }
 
+  test("multi-part checkpoint WRITE round-trips through the reader after JSON vacuum") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L, 2L).toDF("x"), t, txn = Some("job" -> 3L))
+    DeltaLog.write(spark, Seq(3L).toDF("x"), t, "append")
+    assert(DeltaLog.checkpoint(spark, t, parts = 2) == 1L)
+    val names = new File(t, "_delta_log").listFiles().map(_.getName).sorted
+    assert(names.exists(_.matches("""\d{20}\.checkpoint\.0000000001\.\d{10}\.parquet""")),
+      names.mkString(","))
+    // replay must come from the parts alone
+    new File(t, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(_.delete())
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(DeltaLog.lastTxn(spark, t, "job").contains(3L))
+    // stats survive the multi-part layout too
+    assert(DeltaLog.snapshot(spark, t).fileStats.nonEmpty)
+  }
+
   test("concurrent appenders all succeed via optimistic retry") {
     // appends are conflict-free (nothing removed, nonce-unique files),
     // so a lost version race retries at the next version instead of

@@ -56,4 +56,19 @@ class SqlSurfaceSpec extends SparkSpec {
         |ORDER BY bal_rank LIMIT 10""".stripMargin).collect()
     assert(out.length == 10 && out.head.getInt(3) == 1)
   }
+
+  test("SQL over Delta-protocol tables, including time travel") {
+    import graft.sources.DeltaLog
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-sqldelta-").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("id", "tag", "ts"), t)
+    DeltaLog.mergeUpsert(spark, t,
+      Seq((2L, "b2", 1L), (3L, "c", 1L)).toDF("id", "tag", "ts"), Seq("id"), "ts")
+    DeltaLog.read(spark, t).createOrReplaceTempView("dl_now")
+    DeltaLog.read(spark, t, Some(0L)).createOrReplaceTempView("dl_v0")
+    assert(spark.sql("SELECT count(*) FROM dl_now").head().getLong(0) == 3L)
+    assert(spark.sql("SELECT count(*) FROM dl_v0").head().getLong(0) == 2L)
+    assert(spark.sql(
+      "SELECT tag FROM dl_now WHERE id = 2").head().getString(0) == "b2")
+  }
 }
