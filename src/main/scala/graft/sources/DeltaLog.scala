@@ -197,14 +197,23 @@ object DeltaLog {
       val stExpr =
         if (addFields.contains("stats")) "add.stats AS add_stats"
         else "CAST(NULL AS STRING) AS add_stats"
+      // gate checkpoint-carried metaData too (column mapping must refuse
+      // even when the JSON prefix holding it was vacuumed)
+      if (cp.columns.contains("metaData"))
+        cp.select("metaData")
+          .where("metaData IS NOT NULL AND metaData.schemaString IS NOT NULL")
+          .toJSON.collect()
+          .foreach(j => gateMetaData(mapper.readTree(j).get("metaData")))
       val rows = cp.selectExpr(Seq("add.path AS add_path",
           "metaData.schemaString AS ms", "metaData.partitionColumns AS pc",
           pvExpr, stExpr) ++ txnExprs: _*)
         .collect()
       rows.foreach { r =>
         if (!r.isNullAt(0)) {
+          // drop null-valued entries, matching the JSON replay (a null
+          // partition value must not reach the pruning comparators)
           val pv = if (r.isNullAt(3)) Map.empty[String, String]
-            else r.getMap[String, String](3).toMap
+            else r.getMap[String, String](3).toMap.filter(_._2 != null)
           val st = if (r.isNullAt(4)) None else Some(r.getString(4))
           live.put(r.getString(0), (pv, st))
         }
@@ -348,13 +357,19 @@ object DeltaLog {
     val f = fs(spark, table)
     val versions = listVersions(spark, table)
       .filter(v => v > fromVersion && v <= toVersion)
+    // dataChange=false actions (OPTIMIZE rewrites) are pure reorganizations
+    // and are invisible to the feed — compaction must not break append-only
+    // consumption; a file compacted away was already consumed when added
+    def isDataChange(n: JsonNode): Boolean =
+      !n.has("dataChange") || n.get("dataChange").asBoolean(true)
     val added = Seq.newBuilder[String]
     versions.foreach { v =>
       readCommit(f, table, v).foreach { a =>
-        if (a.has("remove"))
+        if (a.has("remove") && isDataChange(a.get("remove")))
           sys.error(s"version $v removes files; addedSince is append-only — " +
-            "use snapshot diffs for overwrite/merge feeds")
-        if (a.has("add")) added += a.get("add").get("path").asText()
+            "use changesBetween for overwrite/merge feeds")
+        if (a.has("add") && isDataChange(a.get("add")))
+          added += a.get("add").get("path").asText()
       }
     }
     readFiles(spark, table, added.result(),
@@ -474,7 +489,11 @@ object DeltaLog {
     case s: java.lang.Short => node.put(k, s.intValue())
     case b: java.lang.Byte => node.put(k, b.intValue())
     case d: java.lang.Double => node.put(k, d.doubleValue())
-    case fl: java.lang.Float => node.put(k, fl.floatValue())
+    // floats serialize through their double value: the shortest FLOAT
+    // repr ("0.1") would re-parse as a different double than the widened
+    // float literal the pruner compares against (0.10000000149...),
+    // making float zone maps drop matching files
+    case fl: java.lang.Float => node.put(k, fl.doubleValue())
     case bd: java.math.BigDecimal => node.put(k, bd)
     case sc: scala.math.BigDecimal => node.put(k, sc.bigDecimal)
     case s: String => node.put(k, s)
@@ -482,6 +501,22 @@ object DeltaLog {
     case d: java.sql.Date => node.put(k, d.toString)            // ISO yyyy-MM-dd
     case t: java.sql.Timestamp => node.put(k, t.toInstant.toString)
     case other => node.put(k, other.toString)
+  }
+
+  private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** basename -> relative path, or None when basenames collide (a
+    * foreign layout this writer never produces; callers fall back to
+    * provenance-free behavior). */
+  private def basenameIndex(rels: Seq[String]): Option[Map[String, String]] = {
+    val m = rels.map(p => basename(p) -> p).toMap
+    if (m.size == rels.size) Some(m) else None
+  }
+
+  /** The basename of the file each row was read from. */
+  private def fileNameCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    element_at(split(col("_metadata.file_path"), "/"), -1)
   }
 
   private def collectFileStats(spark: SparkSession, table: String,
@@ -492,11 +527,10 @@ object DeltaLog {
       .filterNot(f => partitionBy.contains(f.name))
       .filter(f => isStatType(f.dataType))
       .take(statsMaxCols)
-    val byName = rels.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
-    if (byName.size != rels.size) return Map.empty // colliding basenames
+    val byName = basenameIndex(rels).getOrElse(return Map.empty)
     val abs = rels.map(p => new Path(table, p).toString)
     val df = spark.read.option("basePath", table).parquet(abs: _*)
-    val fname = element_at(split(col("_metadata.file_path"), "/"), -1)
+    val fname = fileNameCol
     val aggs: Seq[org.apache.spark.sql.Column] =
       Seq(count(lit(1)).as("__n")) ++ fields.zipWithIndex.flatMap { case (fld, i) =>
         Seq(min(col(fld.name)).as(s"__mn_$i"), max(col(fld.name)).as(s"__mx_$i"),
@@ -538,7 +572,10 @@ object DeltaLog {
       case (x: java.lang.Number, _: ByteType | _: ShortType | _: IntegerType |
           _: LongType) => Some(BigDecimal(x.longValue()))
       case (x: java.lang.Number, _: FloatType | _: DoubleType) =>
-        Some(BigDecimal(x.doubleValue()))
+        // NaN/Infinity have no zone-map semantics (and BigDecimal rejects
+        // them) — fall back to no pruning
+        val d = x.doubleValue()
+        if (java.lang.Double.isFinite(d)) Some(BigDecimal(d)) else None
       case (x: org.apache.spark.sql.types.Decimal, _) => Some(BigDecimal(x.toJavaBigDecimal))
       case (x, StringType) => Some(x.toString)
       case (days: java.lang.Integer, DateType) =>
@@ -588,11 +625,28 @@ object DeltaLog {
     }
   }
 
+  /** Unsigned UTF-8 byte order — the order Spark's UTF8String uses for
+    * string comparison and min/max. Java's String.compareTo (UTF-16 code
+    * units) disagrees above the BMP, which would make string zone maps
+    * unsound for supplementary characters. */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** -1 / 0 / 1 for comparable (literal, stat) pairs; None when the two
     * sides are not comparable (type mismatch → no pruning). */
   private def cmpValues(lit: Any, stat: JsonNode): Option[Int] = lit match {
     case b: BigDecimal if stat.isNumber => Some(b.compare(BigDecimal(stat.decimalValue())))
-    case s: String if stat.isTextual => Some(s.compareTo(stat.asText()))
+    case s: String if stat.isTextual => Some(Integer.signum(utf8Compare(s, stat.asText())))
     case _ => None
   }
 
@@ -625,11 +679,11 @@ object DeltaLog {
       def skipByBound(b: Bound): Boolean = b match {
         case Cmp(c, op, v) if partCols.contains(c) =>
           // partition value: min = max = the directory value
-          pv.get(c).exists { pvs =>
+          pv.get(c).filter(_ != null).exists { pvs =>
             val cmp = v match {
               case bd: BigDecimal =>
                 scala.util.Try(BigDecimal(pvs)).toOption.map(bd.compare)
-              case s: String => Some(s.compareTo(pvs))
+              case s: String => Some(Integer.signum(utf8Compare(s, pvs)))
               case _ => None
             }
             cmp.exists(c0 => op match {
@@ -678,8 +732,9 @@ object DeltaLog {
               case (Some(lo), Some(hi)) if lo.isTextual && hi.isTextual =>
                 // max < prefix, or min already past every string with it:
                 // a min > prefix that does not START with it is past the
-                // prefix interval (strings sort lexicographically)
-                hi.asText() < p || (lo.asText() > p && !lo.asText().startsWith(p))
+                // prefix interval (UTF-8 byte order, matching Spark)
+                utf8Compare(hi.asText(), p) < 0 ||
+                  (utf8Compare(lo.asText(), p) > 0 && !lo.asText().startsWith(p))
               case _ => false
             }
           }
@@ -753,7 +808,7 @@ object DeltaLog {
       partitionBy: Seq[String], txn: Option[(String, Long)],
       removePaths: Snapshot => Seq[String], widenSchema: Boolean,
       dataChange: Boolean, operation: String,
-      retryOnRace: Boolean = false): Long = {
+      retryOnRace: Boolean = false, baseVersion: Option[Long] = None): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -790,8 +845,11 @@ object DeltaLog {
           extra.foldLeft(prev)((s, f) => s.add(f))
         case _ => df.schema
       }
-    declaredSchema(
-      if (nextVersion() == 0L) None else Some(snapshot(spark, table)))
+    // computed once here (validation before staging) and reused by the
+    // first commit attempt — one log replay per commit, not two
+    val firstVersion = nextVersion()
+    val firstPrev = if (firstVersion == 0L) None else Some(snapshot(spark, table))
+    declaredSchema(firstPrev)
 
     // stage the parquet files in a scratch dir, then move them under the
     // table root with nonce-unique names (dataChange only on log commit):
@@ -799,7 +857,7 @@ object DeltaLog {
     // colliding with a later attempt, and lets a retried append commit
     // the SAME staged files at a later version (the version prefix in
     // the file name is cosmetic)
-    val nameVersion = nextVersion()
+    val nameVersion = firstVersion
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val scratch = new Path(root, f".tmp-commit-$nameVersion%020d-$nonce")
     val w = df.write.mode("overwrite")
@@ -846,9 +904,23 @@ object DeltaLog {
     // conflict-free commits, retryOnRace) retries at the next version.
     var attempt = 0
     var committed = -1L
+    var cached: Option[(Long, Option[Snapshot])] = Some((firstVersion, firstPrev))
     while (committed < 0) {
-      val version = nextVersion()
-      val prevSnap = if (version == 0L) None else Some(snapshot(spark, table))
+      val (version, prevSnap) = cached.getOrElse {
+        val v = nextVersion()
+        (v, if (v == 0L) None else Some(snapshot(spark, table)))
+      }
+      cached = None
+      // a commit whose inputs (merge frame, compaction set, removePaths)
+      // were derived from snapshot `baseVersion` is valid ONLY as the
+      // very next version: if another writer slipped in, this
+      // read-modify-write is stale — committing it would lose the
+      // concurrent changes and duplicate rewritten rows. Rename-level
+      // races alone cannot catch this (the rename at version+1 would
+      // succeed cleanly).
+      baseVersion.foreach(b => require(version == b + 1,
+        s"concurrent commit: $table advanced from version $b to ${version - 1} " +
+          s"while this $operation was computed — re-read and retry"))
       val declared = declaredSchema(prevSnap)
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[String]
@@ -928,32 +1000,33 @@ object DeltaLog {
     * the correct-but-O(table) full rewrite. */
   def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], recencyCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, element_at, split}
+    import org.apache.spark.sql.functions.col
     if (!isDeltaTable(spark, table)) write(spark, source, table)
     else {
+      // everything below derives from THIS snapshot; the commit pins it
+      // as baseVersion so a concurrent writer invalidates the merge
+      // loudly instead of being silently overwritten
       val snap = snapshot(spark, table)
-      val byName = snap.files.map(p => p.substring(p.lastIndexOf('/') + 1) -> p).toMap
-      if (byName.size != snap.files.size) {
-        val out = graft.operators.Scd2.mergedFrame(
-          read(spark, table), source, keys, recencyCol)
-        commitWrite(spark, out, table, snap.partitionColumns, None,
-          removePaths = _.files, widenSchema = false, dataChange = true,
-          operation = "MERGE")
-      } else {
-        val fname = element_at(split(col("_metadata.file_path"), "/"), -1)
-        val touchedNames = readFiles(spark, table, snap.files, snap.schema)
-          .withColumn("__fname", fname)
-          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
-          .select("__fname").distinct().collect().map(_.getString(0)).toSet
-        val touched = snap.files.filter(p =>
-          touchedNames.contains(p.substring(p.lastIndexOf('/') + 1)))
-        // safe to evaluate against the files the commit will 'remove':
-        // remove actions only drop log references, data files stay on disk
-        val out = graft.operators.Scd2.mergedFrame(
-          readFiles(spark, table, touched, snap.schema), source, keys, recencyCol)
-        commitWrite(spark, out, table, snap.partitionColumns, None,
-          removePaths = _ => touched, widenSchema = true, dataChange = true,
-          operation = "MERGE")
+      basenameIndex(snap.files) match {
+        case None =>
+          val out = graft.operators.Scd2.mergedFrame(
+            readFiles(spark, table, snap.files, snap.schema), source, keys, recencyCol)
+          commitWrite(spark, out, table, snap.partitionColumns, None,
+            removePaths = _.files, widenSchema = false, dataChange = true,
+            operation = "MERGE", baseVersion = Some(snap.version))
+        case Some(byName) =>
+          val touchedNames = readFiles(spark, table, snap.files, snap.schema)
+            .withColumn("__fname", fileNameCol)
+            .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            .select("__fname").distinct().collect().map(_.getString(0)).toSet
+          val touched = snap.files.filter(p => touchedNames.contains(basename(p)))
+          // safe to evaluate against the files the commit will 'remove':
+          // remove actions only drop log references, data files stay on disk
+          val out = graft.operators.Scd2.mergedFrame(
+            readFiles(spark, table, touched, snap.schema), source, keys, recencyCol)
+          commitWrite(spark, out, table, snap.partitionColumns, None,
+            removePaths = _ => touched, widenSchema = true, dataChange = true,
+            operation = "MERGE", baseVersion = Some(snap.version))
       }
     }
   }
@@ -976,7 +1049,10 @@ object DeltaLog {
       zorderBy: Seq[String] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val snap = snapshot(spark, table)
-    val df = read(spark, table)
+    // the compaction input is THIS snapshot's file set; pin it as
+    // baseVersion so a concurrent append between read and commit fails
+    // the OPTIMIZE instead of losing the appended file
+    val df = readFiles(spark, table, snap.files, snap.schema)
     val compacted = zorderBy match {
       case Seq(a, b) => graft.maintenance.Maintenance.zOrderFrame(df, targetFiles, a, b)
       case Seq(a) =>
@@ -995,8 +1071,8 @@ object DeltaLog {
       case other => sys.error(s"zorderBy supports 1 or 2 columns, got ${other.mkString(",")}")
     }
     commitWrite(spark, compacted, table, snap.partitionColumns, None,
-      removePaths = _.files, widenSchema = false, dataChange = false,
-      operation = "OPTIMIZE")
+      removePaths = _ => snap.files, widenSchema = false, dataChange = false,
+      operation = "OPTIMIZE", baseVersion = Some(snap.version))
   }
 
   /** VACUUM: delete data files referenced by NONE of the last

@@ -605,15 +605,48 @@ class DeltaLogSpec extends SparkSpec {
     import scala.concurrent.duration._
     val workers = (1 to 2).map { w =>
       Future {
-        (1 to 5).foreach(i =>
+        (1 to 3).foreach(i =>
           DeltaLog.write(spark, Seq(w * 100L + i).toDF("x"), t, "append"))
       }
     }
     Await.result(Future.sequence(workers), 180.seconds)
     // every append landed in its own contiguous version; no rows lost
-    assert(DeltaLog.listVersions(spark, t) == (0L to 10L))
+    assert(DeltaLog.listVersions(spark, t) == (0L to 6L))
     assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq ==
-      (Seq(0L) ++ (1 to 5).flatMap(i => Seq(100L + i, 200L + i))).sorted)
+      (Seq(0L) ++ (1 to 3).flatMap(i => Seq(100L + i, 200L + i))).sorted)
+  }
+
+  test("racing merges never lose or duplicate rows (stale merges refuse, caller retries)") {
+    // a MERGE computed against snapshot v commits only as v+1: if a
+    // concurrent writer slipped in, the read-modify-write is stale and
+    // refuses loudly (committing it would drop the concurrent change and
+    // duplicate rewritten rows). The application-level retry then re-reads
+    // — under any interleaving the final state is exact.
+    val t = freshTable()
+    DeltaLog.write(spark,
+      (1L to 8L).map(i => (i, "init", 0L)).toDF("id", "payload", "ts").coalesce(2), t)
+    def upsertRetry(rows: Seq[(Long, String, Long)], tries: Int = 30): Unit =
+      try { DeltaLog.mergeUpsert(spark, t, rows.toDF("id", "payload", "ts"),
+        Seq("id"), "ts"); () }
+      catch {
+        case e: Exception
+            if e.getMessage != null && e.getMessage.contains("concurrent commit")
+              && tries > 0 =>
+          upsertRetry(rows, tries - 1)
+      }
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val workers = Seq(1L -> "a", 5L -> "b").map { case (id, tag) =>
+      Future { (1 to 3).foreach(i => upsertRetry(Seq((id, s"$tag$i", i.toLong)))) }
+    }
+    Await.result(Future.sequence(workers), 300.seconds)
+    val state = DeltaLog.read(spark, t)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(state.size == 8, s"rows lost or duplicated: $state")
+    assert(state.find(_._1 == 1L).get == ((1L, "a3", 3L)), state.toString)
+    assert(state.find(_._1 == 5L).get == ((5L, "b3", 3L)), state.toString)
+    assert(state.count(_._2 == "init") == 6, state.toString)
   }
 
   test("empty table reads as empty frame with the declared schema") {
