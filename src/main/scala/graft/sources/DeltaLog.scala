@@ -344,6 +344,24 @@ object DeltaLog {
   def readAsOfTimestamp(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
     read(spark, table, Some(versionAtTimestamp(spark, table, tsMillis)))
 
+  /** DESCRIBE HISTORY: one row per JSON commit — (version, timestamp,
+    * operation) from the commitInfo actions, the audit surface every
+    * lakehouse exposes. Foreign commits without commitInfo get a null
+    * operation and the commit file's mtime. Touches log metadata only. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    listVersions(spark, table).map { v =>
+      val ci = readCommit(f, table, v).find(_.has("commitInfo"))
+        .map(_.get("commitInfo"))
+      val ts = ci.filter(_.has("timestamp")).map(_.get("timestamp").asLong())
+        .getOrElse(f.getFileStatus(
+          new Path(logDir(table), f"$v%020d.json")).getModificationTime)
+      val op = ci.filter(_.has("operation")).map(_.get("operation").asText())
+      (v, ts, op)
+    }.toDF("version", "timestamp", "operation")
+  }
+
   /** Incremental change feed for append-only consumption: the rows in
     * files ADDED in versions `(fromVersion, toVersion]` — how a Delta
     * table is consumed as a stream source (each micro-batch reads only

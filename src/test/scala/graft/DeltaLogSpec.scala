@@ -545,6 +545,19 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t4).as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("history lists every commit with its operation") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq((1L, "a", 0L)).toDF("id", "p", "ts"), t)
+    DeltaLog.write(spark, Seq((2L, "b", 0L)).toDF("id", "p", "ts"), t, "append")
+    DeltaLog.mergeUpsert(spark, t,
+      Seq((1L, "a2", 1L)).toDF("id", "p", "ts"), Seq("id"), "ts")
+    DeltaLog.optimize(spark, t)
+    val h = DeltaLog.history(spark, t)
+      .select("version", "operation").as[(Long, Option[String])]
+      .collect().sortBy(_._1).toSeq
+    assert(h.map(_._2.get) == Seq("OVERWRITE", "APPEND", "MERGE", "OPTIMIZE"), h.toString)
+  }
+
   test("TIMESTAMP AS OF resolves to the newest commit at or before the asked time") {
     val t = freshTable()
     writeDataFile(Seq(1L).toDF("x"), t, "part-a.snappy.parquet")
