@@ -33,29 +33,47 @@ object IncrementalAgg {
       .agg(count(lit(1)).as("n"),
         sumCols.map(c => sum(col(c).cast(DecimalType(38, 10))).as(s"sum_$c")): _*)
 
-  /** Fold a change feed (rows + `_change_type` ∈ insert|delete) into a
-    * materialized aggregate. Result equals re-materializing the changed
-    * base exactly. */
-  def applyDelta(agg: DataFrame, changes: DataFrame, keys: Seq[String],
+  /** The change feed reduced to per-group count/sum deltas. A malformed
+    * feed must fail loudly, not silently null out of the sums and break
+    * the 'maintenance ≡ full recompute' guarantee. */
+  private def deltaAgg(changes: DataFrame, keys: Seq[String],
       sumCols: Seq[String]): DataFrame = {
-    // a malformed feed must fail loudly, not silently null out of the
-    // sums and break the 'maintenance ≡ full recompute' guarantee
     val sign = when(col("_change_type") === "insert", lit(1))
       .when(col("_change_type") === "delete", lit(-1))
       .otherwise(raise_error(concat(
         lit("IncrementalAgg: unknown _change_type "), col("_change_type"))))
-    val deltaAgg = changes.groupBy(keys.map(col): _*)
+    changes.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("d_n"),
         sumCols.map(c =>
           sum(col(c).cast(DecimalType(38, 10)) * sign).as(s"d_sum_$c")): _*)
-    val zero = lit(BigDecimal(0)).cast(DecimalType(38, 10))
-    agg.join(deltaAgg, keys, "full_outer")
-      .select(
-        keys.map(col) ++
-          Seq((coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")) ++
-          sumCols.map(c =>
-            (coalesce(col(s"sum_$c"), zero) + coalesce(col(s"d_sum_$c"), zero))
-              .cast(DecimalType(38, 10)).as(s"sum_$c")): _*)
-      .where(col("n") > 0)
   }
+
+  private val zero = lit(BigDecimal(0)).cast(DecimalType(38, 10))
+
+  private def folded(keys: Seq[String], sumCols: Seq[String]) =
+    keys.map(col) ++
+      Seq((coalesce(col("n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n")) ++
+      sumCols.map(c =>
+        (coalesce(col(s"sum_$c"), zero) + coalesce(col(s"d_sum_$c"), zero))
+          .cast(DecimalType(38, 10)).as(s"sum_$c"))
+
+  /** Fold a change feed (rows + `_change_type` ∈ insert|delete) into a
+    * materialized aggregate. Result equals re-materializing the changed
+    * base exactly. */
+  def applyDelta(agg: DataFrame, changes: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    agg.join(deltaAgg(changes, keys, sumCols), keys, "full_outer")
+      .select(folded(keys, sumCols): _*)
+      .where(col("n") > 0)
+
+  /** Same fold restricted to the CHANGED groups only — the O(delta)
+    * write side of [[graft.maintenance.MaterializedView]]: one row per
+    * group the feed touched, with `__delete = true` for groups whose
+    * count reached zero (so a group-keyed MERGE can drop them). Groups
+    * the feed never mentions are absent, not rewritten. */
+  def changedGroups(agg: DataFrame, changes: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame =
+    deltaAgg(changes, keys, sumCols).join(agg, keys, "left")
+      .select(folded(keys, sumCols): _*)
+      .withColumn("__delete", col("n") <= 0)
 }

@@ -1,52 +1,107 @@
 package graft.sources
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import scala.collection.mutable
 
-/** Minimal reader for the open Delta Lake table format — the format the
+/** Reader/writer for the open Delta Lake table format — the format the
   * reference's tables actually use (`USING DELTA`,
   * /root/reference/databricks_DW/02_create_tables.sql:3-184). Implemented
   * from the public Delta transaction-log protocol: a table is a directory
   * whose `_delta_log/` holds ordered commits `<version%020d>.json`, each a
   * set of newline-delimited JSON actions (`add`, `remove`, `metaData`,
-  * `protocol`, `commitInfo`); the live file set at version V is the replay
-  * of all commits ≤ V (last action per path wins). Periodic parquet
+  * `protocol`, `txn`, `commitInfo`); the live file set at version V is the
+  * replay of all commits ≤ V (last action per path wins). Periodic parquet
   * checkpoints (`<v>.checkpoint.parquet` + `_last_checkpoint`) compact the
-  * replay so the driver never reads an unbounded JSON tail.
+  * replay so nobody reads an unbounded JSON tail.
   *
-  * Scope: READ interop — enough for this engine to batch-read real
-  * lakehouse tables (current or `VERSION AS OF`), including partitioned
-  * layouts and multi-part checkpoints. Protocol gating is honest: reader
-  * features that change read semantics (deletion vectors, column
-  * mapping, v2 checkpoints) REFUSE loudly instead of silently misreading
-  * (ignoring a deletion vector would resurrect deleted rows); unknown
-  * informational fields (`stats`, `tags`) are tolerated per the
-  * protocol's forward-compatibility rules.
+  * Scale architecture — file-level state NEVER lives on the driver:
+  * [[Snapshot.allFiles]] is a DataFrame (the checkpoint parquet read
+  * as-is, unioned with the JSON commit tail parsed under an explicit
+  * schema, add/remove resolved by a per-path window — the same
+  * distributed state reconstruction a production Delta runtime runs).
+  * Zone-map pruning ([[pruneFiles]]) is a DataFrame filter over the
+  * parsed per-file stats, so only the SURVIVING file list is ever
+  * collected; checkpoints are written straight from the state DataFrame.
+  * At ~10⁶ files / 100 TB the driver holds file PATHS only where a scan
+  * plan needs them (the same footprint as Spark's own file index), never
+  * the stats/partition-value payload. The JSON tail stays bounded by
+  * auto-checkpointing every N commits ([[commitWrite]]).
   *
-  * Scale notes: replay touches only log metadata (KBs per commit), never
-  * data; with a checkpoint the driver reads one parquet + the JSON suffix,
-  * which is exactly how the reference's runtime bounds log replay. The
-  * data read itself is a plain multi-file parquet scan — pushdown,
-  * pruning, and partition discovery (via `basePath`) all apply.
+  * Interop scope: reads tables written by current Delta writers —
+  * partitioned layouts, single- and multi-part checkpoints, deletion
+  * vectors (row-level deletes, decoded by [[DeletionVectors]] and applied
+  * as a `_metadata.row_index` anti-filter), and name-mode column mapping
+  * (physical→logical rename on read). Protocol gating stays honest:
+  * reader features that would change read semantics and are NOT
+  * implemented (id-mode mapping, v2 checkpoints) refuse loudly instead of
+  * silently misreading; unknown informational fields (`stats`, `tags`)
+  * are tolerated per the protocol's forward-compatibility rules. Writes
+  * into column-mapped tables are refused (read-only interop — this
+  * engine's writers use logical names).
   */
 object DeltaLog {
 
-  /** Live state of the table at one version. `fileStats` carries each
-    * live file's protocol `stats` JSON (numRecords/minValues/maxValues/
-    * nullCount) and `filePartValues` its partitionValues — the zone-map
-    * inputs for [[pruneFiles]]-based data skipping. */
+  /** One live data file: its path and, when present, the deletion-vector
+    * descriptor whose row indexes must be filtered out on read. */
+  case class FileEntry(path: String, dv: Option[DeletionVectors.Descriptor] = None)
+
+  /** Live state of the table at one version. File-level state
+    * (path, partitionValues, size, modificationTime, stats JSON,
+    * deletionVector) stays DISTRIBUTED in [[allFiles]]; the driver-side
+    * fields are the small metadata: schema, partition columns,
+    * SetTransaction watermarks, column-mapping mode, and the raw
+    * metaData/protocol JSON (persisted verbatim into checkpoints). */
   case class Snapshot(
       version: Long,
-      files: Seq[String],          // paths relative to the table root
-      schema: Option[StructType],  // from the latest metaData action
+      schema: Option[StructType],
       partitionColumns: Seq[String],
-      txns: Map[String, Long] = Map.empty, // appId -> last committed txn version
-      fileStats: Map[String, String] = Map.empty,
-      filePartValues: Map[String, Map[String, String]] = Map.empty)
+      txns: Map[String, Long],
+      columnMappingMode: String,
+      metaDataJson: Option[String],
+      protocolJson: Option[String],
+      allFiles: DataFrame) {
+
+    /** Path + deletion vector of every live file, collected ONCE and
+      * cached — the driver needs paths to build any multi-file scan (the
+      * same footprint Spark's InMemoryFileIndex pays); stats and
+      * partition values stay distributed. */
+    lazy val fileEntries: Seq[FileEntry] = allFiles
+      .select("path", "deletionVector").collect().toSeq.map { r =>
+        val dv =
+          if (r.isNullAt(1)) None
+          else {
+            val s = r.getStruct(1)
+            Some(DeletionVectors.Descriptor(
+              s.getString(0), s.getString(1),
+              if (s.isNullAt(2)) None else Some(s.getInt(2)),
+              if (s.isNullAt(3)) 0 else s.getInt(3),
+              if (s.isNullAt(4)) 0L else s.getLong(4)))
+          }
+        FileEntry(r.getString(0), dv)
+      }.sortBy(_.path)
+
+    /** Live file paths (relative to the table root), sorted. */
+    def files: Seq[String] = fileEntries.map(_.path)
+
+    /** logical → physical column name for name-mode column mapping
+      * (top level; empty when mapping is off). */
+    lazy val columnMapping: Map[String, String] =
+      if (columnMappingMode != "name") Map.empty
+      else schema.map(_.fields.map(f => f.name -> physicalName(f)).toMap)
+        .getOrElse(Map.empty)
+
+    private[sources] def entriesFor(paths: Seq[String]): Seq[FileEntry] = {
+      val byPath = fileEntries.map(e => e.path -> e).toMap
+      paths.map(p => byPath.getOrElse(p, FileEntry(p)))
+    }
+  }
 
   private val mapper = new ObjectMapper()
 
@@ -56,7 +111,6 @@ object DeltaLog {
   private def logDir(table: String) = new Path(table, "_delta_log")
 
   private val commitRe = """(\d{20})\.json""".r
-  private val checkpointRe = """(\d{20})\.checkpoint\.parquet""".r
 
   /** Committed versions present as JSON commits (ascending). */
   def listVersions(spark: SparkSession, table: String): Seq[Long] = {
@@ -68,9 +122,11 @@ object DeltaLog {
     }.sorted
   }
 
+  private def commitPath(table: String, v: Long) =
+    new Path(logDir(table), f"$v%020d.json")
+
   private def readCommit(f: FileSystem, table: String, v: Long): Seq[JsonNode] = {
-    val p = new Path(logDir(table), f"$v%020d.json")
-    val in = f.open(p)
+    val in = f.open(commitPath(table, v))
     try {
       val src = scala.io.Source.fromInputStream(in, "UTF-8")
       src.getLines().filter(_.nonEmpty).map(mapper.readTree).toList
@@ -98,19 +154,27 @@ object DeltaLog {
   private def lastCheckpoint(f: FileSystem, table: String): Option[Long] =
     lastCheckpointMeta(f, table).map(_.version)
 
+  private def checkpointFiles(table: String, meta: CpMeta): Seq[String] =
+    meta.parts match {
+      case None =>
+        Seq(new Path(logDir(table), f"${meta.version}%020d.checkpoint.parquet").toString)
+      case Some(n) =>
+        (1 to n).map(i => new Path(logDir(table),
+          f"${meta.version}%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
+    }
+
   // ---------------------------------------------------- protocol gating
 
   /** Reader features this implementation actually honors. Anything else
-    * (deletionVectors, v2Checkpoint, ...) changes READ semantics, so an
-    * unknown feature must refuse loudly rather than silently misread —
-    * e.g. ignoring a deletion vector would resurrect deleted rows. */
+    * (v2Checkpoint, ...) changes READ semantics, so an unknown feature
+    * must refuse loudly rather than silently misread. */
   private val supportedReaderFeatures =
-    Set("timestampNtz", "columnMapping", "vacuumProtocolCheck")
+    Set("timestampNtz", "columnMapping", "vacuumProtocolCheck", "deletionVectors")
 
   private def gateProtocol(p: JsonNode): Unit = {
     val mrv = if (p.has("minReaderVersion")) p.get("minReaderVersion").asInt() else 1
     require(mrv <= 3, s"unsupported Delta minReaderVersion $mrv (max supported: 3)")
-    if (p.has("readerFeatures")) {
+    if (p.has("readerFeatures") && !p.get("readerFeatures").isNull) {
       val it = p.get("readerFeatures").elements()
       val feats = Seq.newBuilder[String]
       while (it.hasNext) feats += it.next().asText()
@@ -121,24 +185,114 @@ object DeltaLog {
     }
   }
 
-  private def gateMetaData(m: JsonNode): Unit =
-    if (m.has("configuration")) {
-      val mode = Option(m.get("configuration").get("delta.columnMapping.mode"))
-        .map(_.asText()).getOrElse("none")
-      require(mode == "none",
-        s"Delta column mapping mode '$mode' not supported (physical column " +
-          "names would not match the declared schema) — refusing to read")
-    }
+  private def mappingModeOf(m: JsonNode): String =
+    if (!m.has("configuration") || m.get("configuration").isNull) "none"
+    else Option(m.get("configuration").get("delta.columnMapping.mode"))
+      .filterNot(_.isNull).map(_.asText()).getOrElse("none")
 
-  private def gateNoDeletionVector(fileAction: JsonNode): Unit =
-    require(!fileAction.has("deletionVector") || fileAction.get("deletionVector").isNull,
-      "file action carries a deletion vector; reading the file whole would " +
-        "resurrect deleted rows — refusing to read")
+  private def gateMetaData(m: JsonNode): Unit = {
+    val mode = mappingModeOf(m)
+    require(mode == "none" || mode == "name",
+      s"Delta column mapping mode '$mode' not supported (only 'none' and " +
+        "'name'; id-mode needs parquet field-id resolution) — refusing to read")
+  }
+
+  // ------------------------------------------------- column mapping (name)
+
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+
+  private def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
+
+  /** Recursively rename a logical schema to its physical (parquet) field
+    * names — name-mode column mapping's read-side translation. */
+  private def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType =>
+      StructType(s.fields.map(f =>
+        f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
+    case m: MapType =>
+      m.copy(keyType = physicalType(m.keyType), valueType = physicalType(m.valueType))
+    case x => x
+  }
+
+  // -------------------------------------------------- action shape (JSON)
+
+  private val dvDdl =
+    "STRUCT<storageType: STRING, pathOrInlineDv: STRING, offset: INT, " +
+      "sizeInBytes: INT, cardinality: BIGINT>"
+  private val dvSchema = StructType.fromDDL(
+    "storageType STRING, pathOrInlineDv STRING, offset INT, " +
+      "sizeInBytes INT, cardinality BIGINT")
+  private val addSchema = new StructType()
+    .add("path", StringType).add("partitionValues", MapType(StringType, StringType))
+    .add("size", LongType).add("modificationTime", LongType)
+    .add("dataChange", BooleanType).add("stats", StringType)
+    .add("deletionVector", dvSchema)
+  private val removeSchema = new StructType()
+    .add("path", StringType).add("deletionTimestamp", LongType)
+    .add("dataChange", BooleanType).add("deletionVector", dvSchema)
+  private val metaDataSchema = new StructType()
+    .add("id", StringType).add("name", StringType).add("description", StringType)
+    .add("format", new StructType().add("provider", StringType)
+      .add("options", MapType(StringType, StringType)))
+    .add("schemaString", StringType).add("partitionColumns", ArrayType(StringType))
+    .add("configuration", MapType(StringType, StringType)).add("createdTime", LongType)
+  private val protocolSchema = new StructType()
+    .add("minReaderVersion", IntegerType).add("minWriterVersion", IntegerType)
+    .add("readerFeatures", ArrayType(StringType))
+    .add("writerFeatures", ArrayType(StringType))
+  private val txnSchema = new StructType()
+    .add("appId", StringType).add("version", LongType).add("lastUpdated", LongType)
+
+  /** The action schema used to parse the JSON commit tail distributed
+    * AND to lay out checkpoint parquet rows — one shape, both directions. */
+  private val actionSchema = new StructType()
+    .add("add", addSchema).add("remove", removeSchema)
+    .add("metaData", metaDataSchema).add("protocol", protocolSchema)
+    .add("txn", txnSchema)
+
+  // ------------------------------------------------------------- snapshot
+
+  /** Checkpoint `add` rows → the normalized file-state columns, tolerant
+    * of foreign checkpoints that carry fewer/more fields. */
+  private def cpFileState(cp: DataFrame, cpVersion: Long): DataFrame = {
+    val addType = cp.schema("add").dataType.asInstanceOf[StructType]
+    def has(n: String) = addType.fieldNames.contains(n)
+    def sel(n: String, tpe: String) =
+      if (has(n)) s"add.$n AS $n" else s"CAST(NULL AS $tpe) AS $n"
+    val dvExpr =
+      if (!has("deletionVector")) s"CAST(NULL AS $dvDdl) AS deletionVector"
+      else {
+        val dvType = addType("deletionVector").dataType.asInstanceOf[StructType]
+        def f(n: String, tpe: String) =
+          if (dvType.fieldNames.contains(n)) s"add.deletionVector.$n"
+          else s"CAST(NULL AS $tpe)"
+        "CASE WHEN add.deletionVector IS NULL THEN " +
+          s"CAST(NULL AS $dvDdl) ELSE named_struct(" +
+          s"'storageType', ${f("storageType", "STRING")}, " +
+          s"'pathOrInlineDv', ${f("pathOrInlineDv", "STRING")}, " +
+          s"'offset', ${f("offset", "INT")}, " +
+          s"'sizeInBytes', ${f("sizeInBytes", "INT")}, " +
+          s"'cardinality', ${f("cardinality", "BIGINT")}) END AS deletionVector"
+      }
+    cp.where("add IS NOT NULL AND add.path IS NOT NULL")
+      .selectExpr("add.path AS path", sel("partitionValues", "MAP<STRING,STRING>"),
+        sel("size", "BIGINT"), sel("modificationTime", "BIGINT"),
+        sel("stats", "STRING"), dvExpr)
+      .withColumn("__v", lit(cpVersion)).withColumn("__kind", lit("add"))
+  }
 
   /** Replay the log to the live state at `versionAsOf` (default: latest).
     * Uses the newest parquet checkpoint ≤ target when one exists; falls
     * back to full JSON replay (time travel to before the checkpoint
-    * requires the JSON commits to still exist — same rule as Delta). */
+    * requires the JSON commits to still exist — same rule as Delta).
+    *
+    * Driver work is O(metadata): the checkpoint contributes only its
+    * protocol/metaData/txn rows (collected — a handful), and the JSON
+    * tail is STREAMED line-by-line with a cheap substring prefilter so
+    * only metadata lines are parsed; add/remove lines — the O(files)
+    * part — are parsed distributed into [[Snapshot.allFiles]]. */
   def snapshot(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): Snapshot = {
     val f = fs(spark, table)
@@ -152,123 +306,128 @@ object DeltaLog {
         s"version $v not present in $table/_delta_log (have ${versions.mkString(",")})")
     }
 
-    // path -> (partitionValues, stats JSON)
-    val live = mutable.LinkedHashMap.empty[String, (Map[String, String], Option[String])]
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
+    var mappingMode = "none"
+    var metaRaw: Option[String] = None
+    var protoRaw: Option[String] = None
     val txns = mutable.Map.empty[String, Long]
+    def applyMetaData(m: JsonNode, raw: String): Unit = {
+      gateMetaData(m)
+      schema = Some(DataType.fromJson(m.get("schemaString").asText())
+        .asInstanceOf[StructType])
+      partCols =
+        if (!m.has("partitionColumns") || m.get("partitionColumns").isNull) Seq.empty
+        else {
+          val it = m.get("partitionColumns").elements()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }
+      mappingMode = mappingModeOf(m)
+      metaRaw = Some(raw)
+    }
 
-    // checkpoint base state (only when it does not overshoot the target)
     val cpMeta = lastCheckpointMeta(f, table).filter(_.version <= target)
-    val cpVersion = cpMeta.map(_.version)
-    cpMeta.foreach { meta =>
-      val cv = meta.version
-      // multi-part checkpoints list every part in the _last_checkpoint
-      // pointer; the parts are one dataset split across files
-      val cpFiles: Seq[String] = meta.parts match {
-        case None =>
-          Seq(new Path(logDir(table), f"$cv%020d.checkpoint.parquet").toString)
-        case Some(n) =>
-          (1 to n).map(i => new Path(logDir(table),
-            f"$cv%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
-      }
-      val cp = spark.read.parquet(cpFiles: _*)
-      // gate checkpoint-carried protocol/metaData/DV state the same way
-      // the JSON replay does (a vacuumed table has them ONLY here)
-      if (cp.columns.contains("protocol")) {
-        val pRows = cp.select("protocol").where("protocol IS NOT NULL")
-          .toJSON.collect()
-        pRows.foreach(j => gateProtocol(mapper.readTree(j).get("protocol")))
-      }
-      val addFields = cp.schema("add").dataType
-        .asInstanceOf[StructType].fieldNames
-      if (addFields.contains("deletionVector"))
-        require(cp.where("add.deletionVector IS NOT NULL").isEmpty,
-          "checkpoint references deletion vectors — refusing to read")
-      // txn/partitionValues/stats columns exist only in checkpoints that
-      // recorded them; older/foreign checkpoints replay without
-      val txnExprs =
-        if (cp.columns.contains("txn"))
-          Seq("txn.appId AS txn_app", "txn.version AS txn_v")
-        else Seq("NULL AS txn_app", "CAST(NULL AS BIGINT) AS txn_v")
-      val pvExpr =
-        if (addFields.contains("partitionValues")) "add.partitionValues AS add_pv"
-        else "CAST(NULL AS MAP<STRING,STRING>) AS add_pv"
-      val stExpr =
-        if (addFields.contains("stats")) "add.stats AS add_stats"
-        else "CAST(NULL AS STRING) AS add_stats"
-      // gate checkpoint-carried metaData too (column mapping must refuse
-      // even when the JSON prefix holding it was vacuumed)
+    val cpPaths = cpMeta.map(checkpointFiles(table, _))
+    val cpFrame = cpPaths.map(ps => spark.read.parquet(ps: _*))
+    cpFrame.foreach { cp =>
+      // checkpoint-carried protocol/metaData/txn: a vacuumed table has
+      // them ONLY here; gate exactly as the JSON replay does
+      if (cp.columns.contains("protocol"))
+        cp.where("protocol IS NOT NULL AND protocol.minReaderVersion IS NOT NULL")
+          .select(to_json(col("protocol"))).collect().foreach { r =>
+            gateProtocol(mapper.readTree(r.getString(0)))
+            protoRaw = Some(r.getString(0))
+          }
       if (cp.columns.contains("metaData"))
-        cp.select("metaData")
-          .where("metaData IS NOT NULL AND metaData.schemaString IS NOT NULL")
-          .toJSON.collect()
-          .foreach(j => gateMetaData(mapper.readTree(j).get("metaData")))
-      val rows = cp.selectExpr(Seq("add.path AS add_path",
-          "metaData.schemaString AS ms", "metaData.partitionColumns AS pc",
-          pvExpr, stExpr) ++ txnExprs: _*)
-        .collect()
-      rows.foreach { r =>
-        if (!r.isNullAt(0)) {
-          // drop null-valued entries, matching the JSON replay (a null
-          // partition value must not reach the pruning comparators)
-          val pv = if (r.isNullAt(3)) Map.empty[String, String]
-            else r.getMap[String, String](3).toMap.filter(_._2 != null)
-          val st = if (r.isNullAt(4)) None else Some(r.getString(4))
-          live.put(r.getString(0), (pv, st))
-        }
-        if (!r.isNullAt(1)) {
-          schema = Some(DataType.fromJson(r.getString(1)).asInstanceOf[StructType])
-          partCols = r.getSeq[String](2)
-        }
-        if (!r.isNullAt(5)) txns.put(r.getString(5), r.getLong(6))
-      }
+        cp.where("metaData IS NOT NULL AND metaData.schemaString IS NOT NULL")
+          .select(to_json(col("metaData"))).collect().foreach { r =>
+            applyMetaData(mapper.readTree(r.getString(0)), r.getString(0))
+          }
+      if (cp.columns.contains("txn"))
+        cp.where("txn IS NOT NULL AND txn.appId IS NOT NULL")
+          .select("txn.appId", "txn.version").collect()
+          .foreach(r => txns.put(r.getString(0), r.getLong(1)))
     }
 
-    val replayFrom = cpVersion.map(_ + 1).getOrElse(0L)
-    versions.filter(v => v >= replayFrom && v <= target).foreach { v =>
-      readCommit(f, table, v).foreach { action =>
-        if (action.has("add")) {
-          val a = action.get("add")
-          gateNoDeletionVector(a)
-          val pv: Map[String, String] =
-            if (a.has("partitionValues") && !a.get("partitionValues").isNull) {
-              val it = a.get("partitionValues").fields()
-              val b = Map.newBuilder[String, String]
-              while (it.hasNext) {
-                val e = it.next()
-                if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText()
-              }
-              b.result()
-            } else Map.empty
-          val st =
-            if (a.has("stats") && !a.get("stats").isNull) Some(a.get("stats").asText())
-            else None
-          live.put(a.get("path").asText(), (pv, st))
+    val replayFrom = cpMeta.map(_.version + 1).getOrElse(0L)
+    val tailVersions = versions.filter(v => v >= replayFrom && v <= target)
+    tailVersions.foreach { v =>
+      val in = f.open(commitPath(table, v))
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
+          // substring prefilter: add/remove lines (the O(files) bulk) are
+          // never JSON-parsed on the driver; false positives (e.g. a
+          // stats payload mentioning "txn") parse and fall through
+          if (line.contains("\"metaData\"") || line.contains("\"protocol\"") ||
+              line.contains("\"txn\"")) {
+            val action = mapper.readTree(line)
+            if (action.has("protocol")) {
+              gateProtocol(action.get("protocol"))
+              protoRaw = Some(mapper.writeValueAsString(action.get("protocol")))
+            } else if (action.has("metaData")) {
+              val m = action.get("metaData")
+              applyMetaData(m, mapper.writeValueAsString(m))
+            } else if (action.has("txn")) {
+              val t = action.get("txn")
+              txns.put(t.get("appId").asText(), t.get("version").asLong())
+            }
+          }
         }
-        else if (action.has("remove")) live.remove(action.get("remove").get("path").asText())
-        else if (action.has("protocol")) gateProtocol(action.get("protocol"))
-        else if (action.has("metaData")) {
-          val m = action.get("metaData")
-          gateMetaData(m)
-          schema = Some(DataType.fromJson(m.get("schemaString").asText())
-            .asInstanceOf[StructType])
-          partCols = if (m.has("partitionColumns")) {
-            val it = m.get("partitionColumns").elements()
-            val b = Seq.newBuilder[String]
-            while (it.hasNext) b += it.next().asText()
-            b.result()
-          } else Seq.empty
-        }
-        else if (action.has("txn")) {
-          val t = action.get("txn")
-          txns.put(t.get("appId").asText(), t.get("version").asLong())
-        }
-      }
+      } finally in.close()
     }
-    Snapshot(target, live.keys.toSeq, schema, partCols, txns.toMap,
-      live.collect { case (p, (_, Some(s))) => p -> s }.toMap,
-      live.map { case (p, (pv, _)) => p -> pv }.toMap)
+
+    // file-level state, fully distributed: checkpoint rows ∪ JSON tail,
+    // last action per path wins, survivors are the adds
+    val tailFrame: Option[DataFrame] =
+      if (tailVersions.isEmpty) None
+      else Some {
+        val paths = tailVersions.map(v => commitPath(table, v).toString)
+        val raw = spark.read.schema(actionSchema).json(paths: _*)
+          .withColumn("__v", regexp_extract(col("_metadata.file_path"),
+            """(\d{20})\.json""", 1).cast("long"))
+        val adds = raw.where("add IS NOT NULL AND add.path IS NOT NULL")
+          .select(col("add.path").as("path"),
+            col("add.partitionValues").as("partitionValues"),
+            col("add.size").as("size"),
+            col("add.modificationTime").as("modificationTime"),
+            col("add.stats").as("stats"),
+            col("add.deletionVector").as("deletionVector"),
+            col("__v"), lit("add").as("__kind"))
+        val removes = raw.where("remove IS NOT NULL AND remove.path IS NOT NULL")
+          .select(col("remove.path").as("path"),
+            lit(null).cast("MAP<STRING,STRING>").as("partitionValues"),
+            lit(null).cast("BIGINT").as("size"),
+            lit(null).cast("BIGINT").as("modificationTime"),
+            lit(null).cast("STRING").as("stats"),
+            lit(null).cast(dvDdl).as("deletionVector"),
+            col("__v"), lit("remove").as("__kind"))
+        adds.unionByName(removes)
+      }
+    val events = (cpFrame.map(cp => cpFileState(cp, cpMeta.get.version)).toSeq ++
+      tailFrame.toSeq)
+    val allFiles = events match {
+      case Seq() =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], new StructType()
+          .add("path", StringType)
+          .add("partitionValues", MapType(StringType, StringType))
+          .add("size", LongType).add("modificationTime", LongType)
+          .add("stats", StringType).add("deletionVector", dvSchema))
+      case dfs =>
+        val w = Window.partitionBy("path").orderBy(col("__v").desc)
+        dfs.reduce(_.unionByName(_))
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") === 1 && col("__kind") === "add")
+          // drop null-valued partition entries (a null partition value
+          // must never reach the pruning comparators)
+          .withColumn("partitionValues",
+            map_filter(col("partitionValues"), (_, v) => v.isNotNull))
+          .select("path", "partitionValues", "size", "modificationTime",
+            "stats", "deletionVector")
+    }
+    Snapshot(target, schema, partCols, txns.toMap, mappingMode,
+      metaRaw, protoRaw, allFiles)
   }
 
   /** Whether `table` has a Delta log with at least one commit or
@@ -290,31 +449,69 @@ object DeltaLog {
   def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] =
     if (!isDeltaTable(spark, table)) None else snapshot(spark, table).txns.get(appId)
 
-  /** Multi-file parquet read of `files` (relative paths) with the log's
-    * DECLARED schema when present: no footer merging across (at scale)
-    * millions of files, files written before a schema evolution surface
-    * nulls in the added columns, and partition columns come from
-    * directory discovery under `basePath` — exactly the protocol's read
-    * semantics. Empty file set → empty frame with the declared schema. */
-  private def readFiles(spark: SparkSession, table: String, files: Seq[String],
-      schema: Option[StructType]): DataFrame =
-    if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema.getOrElse(new StructType()))
-    else {
-      val abs = files.map(p => new Path(table, p).toString)
-      val r = spark.read.option("basePath", table)
-      schema.fold(r.parquet(abs: _*))(s => r.schema(s).parquet(abs: _*))
-    }
+  // ------------------------------------------------------------- reading
 
-  /** Batch-read the table (optionally `VERSION AS OF`). Partition columns
-    * surface via directory discovery under `basePath` — the layout every
-    * Spark/Databricks Delta writer produces. An empty table reads as an
-    * empty frame with the log's declared schema. */
+  /** Multi-file parquet read of `entries` with the log's DECLARED schema
+    * when present: no footer merging across (at scale) millions of
+    * files, files written before a schema evolution surface nulls in
+    * the added columns, and partition columns come from directory
+    * discovery under `basePath` — exactly the protocol's read semantics.
+    *
+    * Deletion vectors: each DV'd entry's bitmap is decoded ONCE on the
+    * driver (bounded by the DV's on-disk size — roaring-compressed KBs
+    * for millions of deletes), broadcast, and applied distributed as a
+    * `_metadata.row_index` anti-filter after the scan.
+    *
+    * Name-mode column mapping: the scan runs under the PHYSICAL schema
+    * (parquet + partition-directory names), then renames to logical.
+    * Empty entry set → empty frame with the declared logical schema. */
+  private def readEntries(spark: SparkSession, table: String,
+      entries: Seq[FileEntry], schema: Option[StructType],
+      mappingMode: String): DataFrame = {
+    val mapped = mappingMode == "name" && schema.isDefined
+    if (entries.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        schema.getOrElse(new StructType()))
+    val readSchema =
+      if (mapped) schema.map(s => physicalType(s).asInstanceOf[StructType])
+      else schema
+    val abs = entries.map(e => new Path(table, e.path).toString)
+    val r = spark.read.option("basePath", table)
+    val df0 = readSchema.fold(r.parquet(abs: _*))(s => r.schema(s).parquet(abs: _*))
+    val dvEntries = entries.filter(_.dv.isDefined)
+    val df1 =
+      if (dvEntries.isEmpty) df0
+      else {
+        val fsys = fs(spark, table)
+        val byBase: Map[String, Seq[(String, Array[Long])]] = dvEntries
+          .map(e => basename(e.path) ->
+            (e.path -> DeletionVectors.deletedRows(fsys, table, e.dv.get)))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+        val bc = spark.sparkContext.broadcast(byBase)
+        val keep = udf((fp: String, idx: Long) =>
+          bc.value.get(fp.substring(fp.lastIndexOf('/') + 1))
+            .forall(_.forall { case (rel, deleted) =>
+              !(fp.endsWith("/" + rel) &&
+                java.util.Arrays.binarySearch(deleted, idx) >= 0)
+            }))
+        df0.where(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+      }
+    if (!mapped) df1
+    else df1.select(schema.get.fields.toSeq.map { fld =>
+      val phys = physicalName(fld)
+      val c = col(s"`$phys`")
+      // positional struct cast renames nested physical fields back
+      val renamed =
+        if (physicalType(fld.dataType) == fld.dataType) c else c.cast(fld.dataType)
+      renamed.as(fld.name)
+    }: _*)
+  }
+
+  /** Batch-read the table (optionally `VERSION AS OF`). */
   def read(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, versionAsOf)
-    readFiles(spark, table, snap.files, snap.schema)
+    readEntries(spark, table, snap.fileEntries, snap.schema, snap.columnMappingMode)
   }
 
   /** `TIMESTAMP AS OF`: the newest version whose commit timestamp
@@ -331,8 +528,7 @@ object DeltaLog {
       readCommit(f, table, v).collectFirst {
         case a if a.has("commitInfo") && a.get("commitInfo").has("timestamp") =>
           a.get("commitInfo").get("timestamp").asLong()
-      }.getOrElse(f.getFileStatus(new Path(logDir(table), f"$v%020d.json"))
-        .getModificationTime)
+      }.getOrElse(f.getFileStatus(commitPath(table, v)).getModificationTime)
     val eligible = versions.filter(commitTs(_) <= tsMillis)
     require(eligible.nonEmpty,
       s"no version of $table committed at or before $tsMillis " +
@@ -355,12 +551,27 @@ object DeltaLog {
       val ci = readCommit(f, table, v).find(_.has("commitInfo"))
         .map(_.get("commitInfo"))
       val ts = ci.filter(_.has("timestamp")).map(_.get("timestamp").asLong())
-        .getOrElse(f.getFileStatus(
-          new Path(logDir(table), f"$v%020d.json")).getModificationTime)
+        .getOrElse(f.getFileStatus(commitPath(table, v)).getModificationTime)
       val op = ci.filter(_.has("operation")).map(_.get("operation").asText())
       (v, ts, op)
     }.toDF("version", "timestamp", "operation")
   }
+
+  // ---------------------------------------------------------- change feeds
+
+  private def isDataChange(n: JsonNode): Boolean =
+    !n.has("dataChange") || n.get("dataChange").asBoolean(true)
+
+  private def dvOf(action: JsonNode): Option[DeletionVectors.Descriptor] =
+    if (!action.has("deletionVector") || action.get("deletionVector").isNull) None
+    else {
+      val d = action.get("deletionVector")
+      Some(DeletionVectors.Descriptor(
+        d.get("storageType").asText(), d.get("pathOrInlineDv").asText(),
+        if (d.has("offset") && !d.get("offset").isNull) Some(d.get("offset").asInt())
+        else None,
+        d.get("sizeInBytes").asInt(), d.get("cardinality").asLong()))
+    }
 
   /** Incremental change feed for append-only consumption: the rows in
     * files ADDED in versions `(fromVersion, toVersion]` — how a Delta
@@ -368,7 +579,8 @@ object DeltaLog {
     * the new add actions, never rescanning the table). Commits that
     * remove files (overwrites/merges) are rejected rather than silently
     * misread: a batch-with-removes feed needs the full CDF semantics of
-    * [[VersionedTable.changes]], not file-level increments. */
+    * [[changesBetween]]. An added file carrying a deletion vector reads
+    * with the DV applied — still pure-insert semantics. */
   def addedSince(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
@@ -378,43 +590,45 @@ object DeltaLog {
     // dataChange=false actions (OPTIMIZE rewrites) are pure reorganizations
     // and are invisible to the feed — compaction must not break append-only
     // consumption; a file compacted away was already consumed when added
-    def isDataChange(n: JsonNode): Boolean =
-      !n.has("dataChange") || n.get("dataChange").asBoolean(true)
-    val added = Seq.newBuilder[String]
+    val added = Seq.newBuilder[FileEntry]
     versions.foreach { v =>
       readCommit(f, table, v).foreach { a =>
         if (a.has("remove") && isDataChange(a.get("remove")))
           sys.error(s"version $v removes files; addedSince is append-only — " +
             "use changesBetween for overwrite/merge feeds")
         if (a.has("add") && isDataChange(a.get("add")))
-          added += a.get("add").get("path").asText()
+          added += FileEntry(a.get("add").get("path").asText(), dvOf(a.get("add")))
       }
     }
-    readFiles(spark, table, added.result(),
-      snapshot(spark, table, Some(toVersion)).schema)
+    val snap = snapshot(spark, table, Some(toVersion))
+    readEntries(spark, table, added.result(), snap.schema, snap.columnMappingMode)
   }
 
   /** Row-level change feed for the commits in `(fromVersion, toVersion]`:
-    * every row in a file REMOVED by a window commit surfaces as
-    * `_change_type='delete'` and every row in a file ADDED as `'insert'`
-    * — the file-granular CDC a Delta reader computes for MERGE/overwrite
-    * commits when no explicit change files exist. EXACT for any linear
-    * fold (e.g. [[graft.maintenance.IncrementalAgg.applyDelta]]): a row
-    * rewritten unchanged contributes a cancelling delete+insert pair, an
-    * update contributes delete(old)+insert(new).
+    * every row VISIBLE in a file removed by a window commit surfaces as
+    * `_change_type='delete'` and every row visible in an added file as
+    * `'insert'` — the file-granular CDC a Delta reader computes for
+    * MERGE/overwrite commits when no explicit change files exist. EXACT
+    * for any linear fold (e.g.
+    * [[graft.maintenance.IncrementalAgg.applyDelta]]): a row rewritten
+    * unchanged contributes a cancelling delete+insert pair, an update
+    * contributes delete(old)+insert(new).
     *
-    * Files both added and removed inside the window cancel and are never
-    * read; add/remove actions with `dataChange=false` ([[optimize]]
-    * rewrites) are invisible, so compaction does not pollute the feed.
+    * Deletion vectors participate exactly: each side reads under ITS
+    * action's descriptor, so a DV update (remove(path, dvOld) +
+    * add(path, dvNew)) nets to deletes of the newly-masked rows after
+    * the fold. A file re-added with the SAME descriptor inside the
+    * window cancels and is never read; add/remove actions with
+    * `dataChange=false` ([[optimize]] rewrites) are invisible, so
+    * compaction does not pollute the feed.
+    *
     * With the copy-on-write [[mergeUpsert]] the feed reads O(files
-    * touched by the window's commits), never O(table) — what turns the
-    * reference's nightly gold rebuild into O(delta) maintenance even
-    * under updates. Deletes read with the window-end declared schema
-    * (pre-evolution files surface nulls in added columns), matching how
-    * the consumer's aggregate saw those rows inserted. */
+    * touched by the window's commits), never O(table). Deletes read with
+    * the window-end declared schema (pre-evolution files surface nulls
+    * in added columns), matching how the consumer's aggregate saw those
+    * rows inserted. */
   def changesBetween(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
     val f = fs(spark, table)
     val versions = listVersions(spark, table)
@@ -424,33 +638,39 @@ object DeltaLog {
     require(versions == ((fromVersion + 1) to toVersion),
       s"log truncated in ($fromVersion, $toVersion] of $table " +
         s"(present: ${versions.mkString(",")}) — rebuild the consumer from a snapshot")
-    def isDataChange(n: JsonNode): Boolean =
-      !n.has("dataChange") || n.get("dataChange").asBoolean(true)
-    val added = mutable.LinkedHashSet.empty[String]
-    val removed = mutable.LinkedHashSet.empty[String]
+    val added = mutable.LinkedHashMap.empty[String, Option[DeletionVectors.Descriptor]]
+    val removed = mutable.LinkedHashMap.empty[String, Option[DeletionVectors.Descriptor]]
     versions.foreach { v =>
       readCommit(f, table, v).foreach { a =>
-        if (a.has("add") && isDataChange(a.get("add")))
-          added += a.get("add").get("path").asText()
-        else if (a.has("remove") && isDataChange(a.get("remove"))) {
-          val p = a.get("remove").get("path").asText()
-          if (added.contains(p)) added -= p else removed += p
+        if (a.has("add") && isDataChange(a.get("add"))) {
+          val add = a.get("add")
+          added.put(add.get("path").asText(), dvOf(add))
+        } else if (a.has("remove") && isDataChange(a.get("remove"))) {
+          val rm = a.get("remove")
+          val p = rm.get("path").asText()
+          val dv = dvOf(rm)
+          // cancellation is CONTENT-level: an in-window add only cancels
+          // when the remove carries the same descriptor (a DV update of
+          // an in-window file must still surface its net deletes)
+          if (added.get(p).contains(dv)) added.remove(p) else removed.put(p, dv)
         }
       }
     }
-    val schema =
-      if (versions.isEmpty) snapshot(spark, table).schema
-      else snapshot(spark, table, Some(toVersion)).schema
-    readFiles(spark, table, removed.toSeq, schema)
-      .withColumn("_change_type", lit("delete"))
-      .unionByName(readFiles(spark, table, added.toSeq, schema)
-        .withColumn("_change_type", lit("insert")))
+    val snap = snapshot(spark, table, Some(toVersion))
+    def side(m: mutable.LinkedHashMap[String, Option[DeletionVectors.Descriptor]],
+        tag: String) =
+      readEntries(spark, table, m.toSeq.map { case (p, dv) => FileEntry(p, dv) },
+        snap.schema, snap.columnMappingMode)
+        .withColumn("_change_type", lit(tag))
+    side(removed, "delete").unionByName(side(added, "insert"))
   }
 
   /** CDF-shaped change feed: [[changesBetween]] with the file-level
     * rewrites resolved into row-level change events by joining the
     * window's deletes and inserts on `keys` (which must be unique per
-    * side — the MERGE invariant):
+    * side — the MERGE invariant, ASSERTED here: a duplicate-keyed window
+    * fails loudly naming the offending keys instead of silently
+    * exploding the join into fabricated update pairs):
     *   - key on both sides, rows identical → NO event (the copy-on-write
     *     rewrite of an untouched neighbor row);
     *   - key on both sides, rows differ → `update_preimage` (old row) +
@@ -459,18 +679,23 @@ object DeltaLog {
     * This is Delta CDF's output contract for MERGE commits, derived
     * purely from the remove/add file diff — no change files needed.
     * Scale: one join keyed on `keys` over the O(touched) window delta,
-    * never the table. */
+    * never the table; the uniqueness guard is one extra aggregation of
+    * the same O(touched) delta. */
   def changesWithUpdates(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long, keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions._
     val c = changesBetween(spark, table, fromVersion, toVersion)
+    val dupes = c.groupBy(col("_change_type") +: keys.map(col): _*)
+      .count().where(col("count") > 1).limit(5).collect()
+    require(dupes.isEmpty,
+      s"changesWithUpdates requires keys (${keys.mkString(",")}) unique per " +
+        s"change side in ($fromVersion, $toVersion] of $table — the MERGE " +
+        s"invariant; offending: ${dupes.mkString("; ")}")
     val cols = c.columns.filterNot(n => keys.contains(n) || n == "_change_type").toSeq
     def side(t: String, as: String) =
       c.where(col("_change_type") === t)
         .select(keys.map(col) :+ struct(cols.map(col): _*).as(as): _*)
     val j = side("delete", "__old").join(side("insert", "__new"), keys, "full_outer")
-    def ev(row: org.apache.spark.sql.Column, t: String) =
-      struct(row.as("row"), lit(t).as("t"))
+    def ev(row: Column, t: String) = struct(row.as("row"), lit(t).as("t"))
     val none = slice(array(ev(col("__new"), "")), 1, 0) // typed empty array
     val events = j.select(keys.map(col) :+ explode(
       when(col("__old").isNull, array(ev(col("__new"), "insert")))
@@ -485,13 +710,20 @@ object DeltaLog {
 
   // ------------------------------------------------------- data skipping
 
-  /** Column types zone maps support. */
+  /** Column types zone maps support (stats are WRITTEN for these). */
   private def isStatType(dt: DataType): Boolean = dt match {
-    case _: org.apache.spark.sql.types.NumericType => true
-    case org.apache.spark.sql.types.StringType => true
-    case org.apache.spark.sql.types.DateType => true
-    case org.apache.spark.sql.types.TimestampType => true
-    case org.apache.spark.sql.types.BooleanType => true
+    case _: NumericType => true
+    case StringType | DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+
+  /** Column types the PRUNER compares (timestamps/booleans are statted
+    * but not range-pruned — their literal forms don't round-trip the
+    * JSON stats reliably; their files survive, which is always sound). */
+  private def isPruneType(dt: DataType): Boolean = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => true
+    case _: FloatType | _: DoubleType | _: DecimalType => true
+    case StringType | DateType => true
     case _ => false
   }
 
@@ -499,27 +731,195 @@ object DeltaLog {
     * eligible columns only (stats strings must stay log-metadata-sized). */
   private val statsMaxCols = 32
 
-  private def putStat(node: com.fasterxml.jackson.databind.node.ObjectNode,
-      k: String, v: Any): Unit = v match {
-    case null => ()
-    case i: java.lang.Integer => node.put(k, i.intValue())
-    case l: java.lang.Long => node.put(k, l.longValue())
-    case s: java.lang.Short => node.put(k, s.intValue())
-    case b: java.lang.Byte => node.put(k, b.intValue())
-    case d: java.lang.Double => node.put(k, d.doubleValue())
-    // floats serialize through their double value: the shortest FLOAT
-    // repr ("0.1") would re-parse as a different double than the widened
-    // float literal the pruner compares against (0.10000000149...),
-    // making float zone maps drop matching files
-    case fl: java.lang.Float => node.put(k, fl.doubleValue())
-    case bd: java.math.BigDecimal => node.put(k, bd)
-    case sc: scala.math.BigDecimal => node.put(k, sc.bigDecimal)
-    case s: String => node.put(k, s)
-    case b: java.lang.Boolean => node.put(k, b.booleanValue())
-    case d: java.sql.Date => node.put(k, d.toString)            // ISO yyyy-MM-dd
-    case t: java.sql.Timestamp => node.put(k, t.toInstant.toString)
-    case other => node.put(k, other.toString)
+  /** One prunable conjunct of a predicate. */
+  private sealed trait Bound { def colName: String }
+  private final case class Cmp(colName: String, op: String, value: Column) extends Bound
+  private final case class InList(colName: String, values: Seq[Column]) extends Bound
+  private final case class Prefix(colName: String, prefix: String) extends Bound
+  private final case class NullCheck(colName: String, isNull: Boolean) extends Bound
+
+  /** Catalyst literal (internal value + type) → a comparison Column.
+    * Floats widen through their exact double value, matching the
+    * FloatType-then-widen parse of the stats side — the pair that keeps
+    * float zone maps sound against foreign writers' shortest-repr stats.
+    * Unsupported types (timestamps, binaries) prune nothing. */
+  private def litColumn(v: Any, dt: DataType): Option[Column] = (v, dt) match {
+    case (null, _) => None
+    case (x: java.lang.Number, _: ByteType | _: ShortType | _: IntegerType |
+        _: LongType) => Some(lit(x.longValue()))
+    case (x: java.lang.Number, _: FloatType | _: DoubleType) =>
+      // NaN/Infinity have no zone-map semantics — fall back to no pruning
+      val d = x.doubleValue()
+      if (java.lang.Double.isFinite(d)) Some(lit(d)) else None
+    case (x: Decimal, _) => Some(lit(x.toJavaBigDecimal))
+    case (x, StringType) => Some(lit(x.toString))
+    case (days: java.lang.Integer, DateType) =>
+      Some(lit(java.time.LocalDate.ofEpochDay(days.longValue())))
+    case _ => None
   }
+
+  private def boundsOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Bound] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    object C { // post-analysis column reference
+      def unapply(x: Expression): Option[String] = x match {
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+    }
+    object L { // literal, unwrapping the analyzer's coercion Cast
+      def unapply(x: Expression): Option[(Any, DataType)] = x match {
+        case Literal(v, dt) => Some((v, dt))
+        case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+          Some((c.eval(null), c.dataType))
+        case _ => None
+      }
+    }
+    def cmp(n: String, op: String, v: Any, dt: DataType) =
+      litColumn(v, dt).map(Cmp(n, op, _)).toSeq
+    e match {
+      case And(l, r) => boundsOf(l) ++ boundsOf(r)
+      case EqualTo(C(n), L(v, dt)) => cmp(n, "=", v, dt)
+      case EqualTo(L(v, dt), C(n)) => cmp(n, "=", v, dt)
+      case LessThan(C(n), L(v, dt)) => cmp(n, "<", v, dt)
+      case LessThan(L(v, dt), C(n)) => cmp(n, ">", v, dt)
+      case LessThanOrEqual(C(n), L(v, dt)) => cmp(n, "<=", v, dt)
+      case LessThanOrEqual(L(v, dt), C(n)) => cmp(n, ">=", v, dt)
+      case GreaterThan(C(n), L(v, dt)) => cmp(n, ">", v, dt)
+      case GreaterThan(L(v, dt), C(n)) => cmp(n, "<", v, dt)
+      case GreaterThanOrEqual(C(n), L(v, dt)) => cmp(n, ">=", v, dt)
+      case GreaterThanOrEqual(L(v, dt), C(n)) => cmp(n, "<=", v, dt)
+      case IsNull(C(n)) => Seq(NullCheck(n, isNull = true))
+      case IsNotNull(C(n)) => Seq(NullCheck(n, isNull = false))
+      case In(C(n), list) =>
+        val vs = list.map { case L(v, dt) => litColumn(v, dt); case _ => None }
+        if (vs.nonEmpty && vs.forall(_.isDefined)) Seq(InList(n, vs.flatten))
+        else Seq.empty
+      case StartsWith(C(n), L(v, _)) if v != null => Seq(Prefix(n, v.toString))
+      case _ => Seq.empty // unsupported shape: prunes nothing, still exact
+    }
+  }
+
+  /** Zone-map + partition-value file skipping, evaluated DISTRIBUTED: a
+    * filter over [[Snapshot.allFiles]] with the stats JSON parsed by
+    * `from_json` under the declared column types (floats parse as floats
+    * and widen exactly — sound against shortest-repr foreign stats), so
+    * only the surviving entries are ever collected. Sound, never
+    * complete: only top-level AND-ed comparisons against literals prune;
+    * files without usable stats always survive; the caller re-applies
+    * the predicate exactly. At 100 TB this is the difference between
+    * scanning a table and scanning the handful of files whose min/max
+    * ranges overlap the query — and the driver never materializes the
+    * pruned-away file metadata at all. */
+  private def pruneEntries(spark: SparkSession, snap: Snapshot,
+      predicate: Column): Seq[FileEntry] = {
+    // resolve the predicate against the declared schema (an empty frame
+    // through the analyzer) so bounds see coerced catalyst expressions —
+    // EqualTo(attr, Literal) with types already unified
+    val schema = snap.schema.getOrElse(return snap.fileEntries)
+    val analyzed = spark
+      .createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .where(predicate).queryExecution.analyzed
+    val bounds = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => boundsOf(f.condition)
+    }.flatten
+    if (bounds.isEmpty) return snap.fileEntries
+    val partCols = snap.partitionColumns.toSet
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val phys: String => String = n => snap.columnMapping.getOrElse(n, n)
+
+    // stats sub-schema for the referenced data columns: min/max under
+    // the column's DECLARED type, nullCount as long — physical names
+    // (what a mapped writer keys the stats JSON with)
+    val refCols = bounds.map(_.colName).distinct
+      .filterNot(partCols).filter(byName.contains)
+    val mmFields = refCols.filter(c => isPruneType(byName(c).dataType))
+      .map(c => StructField(phys(c), byName(c).dataType))
+    val ncFields = refCols.map(c => StructField(phys(c), LongType))
+    val statsSchema = new StructType()
+      .add("numRecords", LongType)
+      .add("minValues", StructType(mmFields))
+      .add("maxValues", StructType(mmFields))
+      .add("nullCount", StructType(ncFields))
+    val st = from_json(col("stats"), statsSchema)
+    def mn(c: String) = st.getField("minValues").getField(phys(c))
+    def mx(c: String) = st.getField("maxValues").getField(phys(c))
+    def nc(c: String) = st.getField("nullCount").getField(phys(c))
+    val n = st.getField("numRecords")
+    val allNull = (nc(_: String)).andThen(x => x === n && n > lit(0L))
+
+    def skipCmp(c: String, op: String, v: Column): Column =
+      if (partCols.contains(c)) {
+        // partition value: min = max = the directory value (try_* forms:
+        // a malformed foreign value must survive, not throw under ANSI)
+        val pvv = try_element_at(col("partitionValues"), lit(phys(c)))
+          .try_cast(byName(c).dataType)
+        op match {
+          case "=" => pvv =!= v
+          case "<" => pvv >= v
+          case "<=" => pvv > v
+          case ">" => pvv <= v
+          case ">=" => pvv < v
+        }
+      } else if (!isPruneType(byName(c).dataType)) lit(false)
+      else {
+        val range = op match {
+          case "=" => v < mn(c) || v > mx(c)
+          case "<" => v <= mn(c)  // min >= lit → nothing < lit
+          case "<=" => v < mn(c)
+          case ">" => v >= mx(c)  // max <= lit → nothing > lit
+          case ">=" => v > mx(c)
+        }
+        // no min/max recorded: skip only when provably all-null
+        coalesce(range, lit(false)) || coalesce(allNull(c), lit(false))
+      }
+
+    def skipBound(b: Bound): Column = b match {
+      case _ if !byName.contains(b.colName) => lit(false)
+      case Cmp(c, op, v) => skipCmp(c, op, v)
+      case InList(c, vs) =>
+        // IN prunes when EVERY listed value misses the zone map
+        vs.map(v => coalesce(skipCmp(c, "=", v), lit(false))).reduce(_ && _)
+      case Prefix(c, p) if partCols.contains(c) =>
+        val pvv = try_element_at(col("partitionValues"), lit(phys(c)))
+        pvv.isNotNull && !startswith(pvv, lit(p))
+      case Prefix(c, p) if byName(c).dataType == StringType =>
+        // col LIKE 'p%': rows live in [p, p+"￿..."]; skip when the
+        // file's string range cannot intersect that prefix interval
+        // (UTF-8 binary order — Spark's native string comparison)
+        mx(c) < lit(p) || (mn(c) > lit(p) && !startswith(mn(c), lit(p)))
+      case Prefix(_, _) => lit(false)
+      case NullCheck(c, wantNull) =>
+        if (wantNull) nc(c) === lit(0L) else allNull(c)
+    }
+    val skip = bounds.map(b => coalesce(skipBound(b), lit(false))).reduce(_ || _)
+    val surviving = snap.allFiles.where(!skip)
+      .select("path", "deletionVector")
+    val byPath = Snapshot(snap.version, snap.schema, snap.partitionColumns,
+      snap.txns, snap.columnMappingMode, snap.metaDataJson, snap.protocolJson,
+      surviving).fileEntries
+    byPath
+  }
+
+  /** Surviving file paths under `predicate` — see [[pruneEntries]]. */
+  private[graft] def pruneFiles(spark: SparkSession, snap: Snapshot,
+      predicate: Column): Seq[String] =
+    pruneEntries(spark, snap, predicate).map(_.path)
+
+  /** Batch read with stats-based file skipping: files whose zone maps
+    * prove no row can match `predicate` are never listed in the scan;
+    * the predicate is then applied exactly, so the result equals
+    * `read(...).where(predicate)` row for row. */
+  def readPruned(spark: SparkSession, table: String,
+      predicate: Column, versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, versionAsOf)
+    readEntries(spark, table, pruneEntries(spark, snap, predicate),
+      snap.schema, snap.columnMappingMode)
+      .where(predicate)
+  }
+
+  // -------------------------------------------------------------- writing
+
+  private def jsonStr(s: String): String = mapper.writeValueAsString(s)
 
   private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
@@ -532,15 +932,34 @@ object DeltaLog {
   }
 
   /** The basename of the file each row was read from. */
-  private def fileNameCol: org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{col, element_at, split}
+  private def fileNameCol: Column =
     element_at(split(col("_metadata.file_path"), "/"), -1)
+
+  private def putStat(node: ObjectNode, k: String, v: Any): Unit = v match {
+    case null => ()
+    case i: java.lang.Integer => node.put(k, i.intValue())
+    case l: java.lang.Long => node.put(k, l.longValue())
+    case s: java.lang.Short => node.put(k, s.intValue())
+    case b: java.lang.Byte => node.put(k, b.intValue())
+    case d: java.lang.Double => node.put(k, d.doubleValue())
+    // floats serialize through their double value: the shortest FLOAT
+    // repr ("0.1") would re-parse as a different double than the widened
+    // float literal the pruner compares against (0.10000000149...);
+    // the read side ALSO parses float stats as floats first, so both
+    // own-written and foreign shortest-repr stats compare exactly
+    case fl: java.lang.Float => node.put(k, fl.doubleValue())
+    case bd: java.math.BigDecimal => node.put(k, bd)
+    case sc: scala.math.BigDecimal => node.put(k, sc.bigDecimal)
+    case s: String => node.put(k, s)
+    case b: java.lang.Boolean => node.put(k, b.booleanValue())
+    case d: java.sql.Date => node.put(k, d.toString)            // ISO yyyy-MM-dd
+    case t: java.sql.Timestamp => node.put(k, t.toInstant.toString)
+    case other => node.put(k, other.toString)
   }
 
   private def collectFileStats(spark: SparkSession, table: String,
       rels: Seq[String], dataSchema: StructType,
       partitionBy: Seq[String]): Map[String, String] = {
-    import org.apache.spark.sql.functions._
     val fields = dataSchema.fields.toSeq
       .filterNot(f => partitionBy.contains(f.name))
       .filter(f => isStatType(f.dataType))
@@ -549,7 +968,7 @@ object DeltaLog {
     val abs = rels.map(p => new Path(table, p).toString)
     val df = spark.read.option("basePath", table).parquet(abs: _*)
     val fname = fileNameCol
-    val aggs: Seq[org.apache.spark.sql.Column] =
+    val aggs: Seq[Column] =
       Seq(count(lit(1)).as("__n")) ++ fields.zipWithIndex.flatMap { case (fld, i) =>
         Seq(min(col(fld.name)).as(s"__mn_$i"), max(col(fld.name)).as(s"__mx_$i"),
           sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"__nc_$i"))
@@ -572,219 +991,6 @@ object DeltaLog {
     }.toMap
   }
 
-  /** One prunable conjunct of a predicate. */
-  private sealed trait Bound
-  private final case class Cmp(col: String, op: String, value: Any) extends Bound
-  private final case class InList(col: String, values: Seq[Any]) extends Bound
-  private final case class Prefix(col: String, prefix: String) extends Bound
-  private final case class NullCheck(col: String, isNull: Boolean) extends Bound
-
-  /** Literal runtime value → comparable Scala value: numerics to
-    * BigDecimal, strings as-is, dates to ISO strings (lexicographically
-    * ordered). Unsupported types (timestamps, binaries) prune nothing. */
-  private def litValue(v: Any,
-      dt: org.apache.spark.sql.types.DataType): Option[Any] = {
-    import org.apache.spark.sql.types._
-    (v, dt) match {
-      case (null, _) => None
-      case (x: java.lang.Number, _: ByteType | _: ShortType | _: IntegerType |
-          _: LongType) => Some(BigDecimal(x.longValue()))
-      case (x: java.lang.Number, _: FloatType | _: DoubleType) =>
-        // NaN/Infinity have no zone-map semantics (and BigDecimal rejects
-        // them) — fall back to no pruning
-        val d = x.doubleValue()
-        if (java.lang.Double.isFinite(d)) Some(BigDecimal(d)) else None
-      case (x: org.apache.spark.sql.types.Decimal, _) => Some(BigDecimal(x.toJavaBigDecimal))
-      case (x, StringType) => Some(x.toString)
-      case (days: java.lang.Integer, DateType) =>
-        Some(java.time.LocalDate.ofEpochDay(days.longValue()).toString)
-      case _ => None
-    }
-  }
-
-  private def boundsOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[Bound] = {
-    import org.apache.spark.sql.catalyst.expressions._
-    object C { // post-analysis column reference
-      def unapply(x: Expression): Option[String] = x match {
-        case a: AttributeReference => Some(a.name)
-        case _ => None
-      }
-    }
-    object L { // literal, unwrapping the analyzer's coercion Cast
-      def unapply(x: Expression): Option[(Any, DataType)] = x match {
-        case Literal(v, dt) => Some((v, dt))
-        case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
-          Some((c.eval(null), c.dataType))
-        case _ => None
-      }
-    }
-    def cmp(n: String, op: String, v: Any, dt: DataType) =
-      litValue(v, dt).map(Cmp(n, op, _)).toSeq
-    e match {
-      case And(l, r) => boundsOf(l) ++ boundsOf(r)
-      case EqualTo(C(n), L(v, dt)) => cmp(n, "=", v, dt)
-      case EqualTo(L(v, dt), C(n)) => cmp(n, "=", v, dt)
-      case LessThan(C(n), L(v, dt)) => cmp(n, "<", v, dt)
-      case LessThan(L(v, dt), C(n)) => cmp(n, ">", v, dt)
-      case LessThanOrEqual(C(n), L(v, dt)) => cmp(n, "<=", v, dt)
-      case LessThanOrEqual(L(v, dt), C(n)) => cmp(n, ">=", v, dt)
-      case GreaterThan(C(n), L(v, dt)) => cmp(n, ">", v, dt)
-      case GreaterThan(L(v, dt), C(n)) => cmp(n, "<", v, dt)
-      case GreaterThanOrEqual(C(n), L(v, dt)) => cmp(n, ">=", v, dt)
-      case GreaterThanOrEqual(L(v, dt), C(n)) => cmp(n, "<=", v, dt)
-      case IsNull(C(n)) => Seq(NullCheck(n, isNull = true))
-      case IsNotNull(C(n)) => Seq(NullCheck(n, isNull = false))
-      case In(C(n), list) =>
-        val vs = list.map { case L(v, dt) => litValue(v, dt); case _ => None }
-        if (vs.nonEmpty && vs.forall(_.isDefined)) Seq(InList(n, vs.flatten))
-        else Seq.empty
-      case StartsWith(C(n), L(v, _)) if v != null => Seq(Prefix(n, v.toString))
-      case _ => Seq.empty // unsupported shape: prunes nothing, still exact
-    }
-  }
-
-  /** Unsigned UTF-8 byte order — the order Spark's UTF8String uses for
-    * string comparison and min/max. Java's String.compareTo (UTF-16 code
-    * units) disagrees above the BMP, which would make string zone maps
-    * unsound for supplementary characters. */
-  private def utf8Compare(a: String, b: String): Int = {
-    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c
-      i += 1
-    }
-    x.length - y.length
-  }
-
-  /** -1 / 0 / 1 for comparable (literal, stat) pairs; None when the two
-    * sides are not comparable (type mismatch → no pruning). */
-  private def cmpValues(lit: Any, stat: JsonNode): Option[Int] = lit match {
-    case b: BigDecimal if stat.isNumber => Some(b.compare(BigDecimal(stat.decimalValue())))
-    case s: String if stat.isTextual => Some(Integer.signum(utf8Compare(s, stat.asText())))
-    case _ => None
-  }
-
-  /** Zone-map + partition-value file skipping: the files of `snap` that
-    * might contain a row matching `predicate`. Sound, never complete:
-    * only top-level AND-ed comparisons against literals prune; files
-    * without usable stats always survive; the caller re-applies the
-    * predicate exactly. At 100 TB this is the difference between
-    * scanning a table and scanning the handful of files whose min/max
-    * ranges overlap the query — the same skipping a Delta/iceberg
-    * runtime does from its log stats, and the read-side payoff of
-    * Z-order clustering ([[optimize]]'s `zorderBy`). */
-  private[graft] def pruneFiles(spark: SparkSession, snap: Snapshot,
-      predicate: org.apache.spark.sql.Column): Seq[String] = {
-    // resolve the predicate against the declared schema (an empty frame
-    // through the analyzer) so bounds see coerced catalyst expressions —
-    // EqualTo(attr, Literal) with types already unified
-    val schema = snap.schema.getOrElse(return snap.files)
-    val analyzed = spark
-      .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .where(predicate).queryExecution.analyzed
-    val bounds = analyzed.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => boundsOf(f.condition)
-    }.flatten
-    if (bounds.isEmpty) return snap.files
-    val partCols = snap.partitionColumns.toSet
-    snap.files.filter { path =>
-      val stats = snap.fileStats.get(path).map(mapper.readTree)
-      val pv = snap.filePartValues.getOrElse(path, Map.empty)
-      def skipByBound(b: Bound): Boolean = b match {
-        case Cmp(c, op, v) if partCols.contains(c) =>
-          // partition value: min = max = the directory value
-          pv.get(c).filter(_ != null).exists { pvs =>
-            val cmp = v match {
-              case bd: BigDecimal =>
-                scala.util.Try(BigDecimal(pvs)).toOption.map(bd.compare)
-              case s: String => Some(Integer.signum(utf8Compare(s, pvs)))
-              case _ => None
-            }
-            cmp.exists(c0 => op match {
-              case "=" => c0 != 0
-              case "<" => c0 <= 0   // need pv < lit, i.e. lit > pv
-              case "<=" => c0 < 0
-              case ">" => c0 >= 0
-              case ">=" => c0 > 0
-            })
-          }
-        case Cmp(c, op, v) =>
-          stats.exists { st =>
-            val mn = Option(st.get("minValues")).flatMap(m => Option(m.get(c)))
-            val mx = Option(st.get("maxValues")).flatMap(m => Option(m.get(c)))
-            val nc = Option(st.get("nullCount")).flatMap(m => Option(m.get(c)))
-              .map(_.asLong())
-            val n = Option(st.get("numRecords")).map(_.asLong())
-            (mn, mx) match {
-              case (Some(lo), Some(hi)) =>
-                val vsLo = cmpValues(v, lo) // sign of (lit - min)
-                val vsHi = cmpValues(v, hi) // sign of (lit - max)
-                op match {
-                  case "=" => vsLo.exists(_ < 0) || vsHi.exists(_ > 0)
-                  case "<" => vsLo.exists(_ <= 0)  // min >= lit → nothing < lit
-                  case "<=" => vsLo.exists(_ < 0)
-                  case ">" => vsHi.exists(_ >= 0)  // max <= lit → nothing > lit
-                  case ">=" => vsHi.exists(_ > 0)
-                }
-              case _ =>
-                // no min/max recorded: skip only when provably all-null
-                (nc, n) match { case (Some(a), Some(b)) => a == b && b > 0; case _ => false }
-            }
-          }
-        case InList(c, vs) =>
-          // IN prunes when EVERY listed value misses the zone map
-          vs.forall(v => skipByBound(Cmp(c, "=", v)))
-        case Prefix(c, p) if partCols.contains(c) =>
-          pv.get(c).exists(v => !v.startsWith(p))
-        case Prefix(c, p) =>
-          // col LIKE 'p%': rows live in [p, p+"￿..."]; skip when the
-          // file's string range cannot intersect that prefix interval
-          stats.exists { st =>
-            val mn = Option(st.get("minValues")).flatMap(m => Option(m.get(c)))
-            val mx = Option(st.get("maxValues")).flatMap(m => Option(m.get(c)))
-            (mn, mx) match {
-              case (Some(lo), Some(hi)) if lo.isTextual && hi.isTextual =>
-                // max < prefix, or min already past every string with it:
-                // a min > prefix that does not START with it is past the
-                // prefix interval (UTF-8 byte order, matching Spark)
-                utf8Compare(hi.asText(), p) < 0 ||
-                  (utf8Compare(lo.asText(), p) > 0 && !lo.asText().startsWith(p))
-              case _ => false
-            }
-          }
-        case NullCheck(c, wantNull) =>
-          stats.exists { st =>
-            val nc = Option(st.get("nullCount")).flatMap(m => Option(m.get(c)))
-              .map(_.asLong())
-            val n = Option(st.get("numRecords")).map(_.asLong())
-            if (wantNull) nc.contains(0L)
-            else (nc, n) match { case (Some(a), Some(b)) => a == b && b > 0; case _ => false }
-          }
-      }
-      !bounds.exists(skipByBound)
-    }
-  }
-
-  /** Batch read with stats-based file skipping: files whose zone maps
-    * prove no row can match `predicate` are never listed in the scan;
-    * the predicate is then applied exactly, so the result equals
-    * `read(...).where(predicate)` row for row. */
-  def readPruned(spark: SparkSession, table: String,
-      predicate: org.apache.spark.sql.Column,
-      versionAsOf: Option[Long] = None): DataFrame = {
-    val snap = snapshot(spark, table, versionAsOf)
-    readFiles(spark, table, pruneFiles(spark, snap, predicate), snap.schema)
-      .where(predicate)
-  }
-
-  // -------------------------------------------------------------- writing
-
-  private def jsonStr(s: String): String = mapper.writeValueAsString(s)
-
   /** Per-table commit gates for same-JVM writers (see commitWrite). */
   private val commitGates =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
@@ -797,11 +1003,15 @@ object DeltaLog {
     * crash before the rename leaves only unreferenced data files (invisible
     * to readers, same guarantee real Delta gives). `overwrite` emits
     * `remove` actions for the previous snapshot's files; `append` only
-    * adds. Returns the committed version. Any protocol-compliant reader
-    * (including [[read]]) sees exactly the committed state. */
+    * adds. `baseVersion` pins a read-modify-write: the commit refuses
+    * unless it lands at exactly `baseVersion + 1` (and a pinned append
+    * does NOT silently retry past its base). Returns the committed
+    * version. Any protocol-compliant reader (including [[read]]) sees
+    * exactly the committed state. */
   def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "overwrite", partitionBy: Seq[String] = Seq.empty,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      baseVersion: Option[Long] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"mode must be overwrite|append: $mode")
     // appends retry a lost version race (no conflict is possible: the
     // commit removes nothing and its file names are nonce-unique);
@@ -810,7 +1020,9 @@ object DeltaLog {
     commitWrite(spark, df, table, partitionBy, txn,
       removePaths = s => if (mode == "overwrite") s.files else Seq.empty,
       widenSchema = mode == "append", dataChange = true,
-      operation = mode.toUpperCase, retryOnRace = mode == "append")
+      operation = mode.toUpperCase,
+      retryOnRace = mode == "append" && baseVersion.isEmpty,
+      baseVersion = baseVersion)
   }
 
   /** Core committer behind every write shape (overwrite, append,
@@ -821,7 +1033,13 @@ object DeltaLog {
     * (append-style evolution) instead of `df`'s schema. `dataChange`
     * stamps the commit's add/remove actions; `false` marks a pure
     * rewrite — same rows before and after — which [[changesBetween]]
-    * skips, exactly the protocol's OPTIMIZE semantics. */
+    * skips, exactly the protocol's OPTIMIZE semantics.
+    *
+    * Auto-checkpointing: after every `spark.graft.delta.checkpointInterval`-th
+    * commit (default 10, Delta's own default; 0 disables) a parquet
+    * checkpoint is written, so JSON replay cost stays bounded no matter
+    * how long the table lives — the failure of the checkpoint itself
+    * never fails the (already durable) commit. */
   private def commitWrite(spark: SparkSession, df: DataFrame, table: String,
       partitionBy: Seq[String], txn: Option[(String, Long)],
       removePaths: Snapshot => Seq[String], widenSchema: Boolean,
@@ -838,6 +1056,11 @@ object DeltaLog {
       val prior = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq
       if (prior.isEmpty) 0L else prior.max + 1
     }
+
+    def gateWritable(prevSnap: Option[Snapshot]): Unit =
+      prevSnap.foreach(p => require(p.columnMappingMode == "none",
+        s"writing to a column-mapped Delta table is not supported " +
+          s"(read-only interop; this engine's writers use logical names): $table"))
 
     // validate + declare the schema BEFORE staging any data: a refused
     // commit (schema enforcement) must leave zero trace on disk. Re-run
@@ -867,6 +1090,7 @@ object DeltaLog {
     // first commit attempt — one log replay per commit, not two
     val firstVersion = nextVersion()
     val firstPrev = if (firstVersion == 0L) None else Some(snapshot(spark, table))
+    gateWritable(firstPrev)
     declaredSchema(firstPrev)
 
     // stage the parquet files in a scratch dir, then move them under the
@@ -929,6 +1153,7 @@ object DeltaLog {
         (v, if (v == 0L) None else Some(snapshot(spark, table)))
       }
       cached = None
+      gateWritable(prevSnap)
       // a commit whose inputs (merge frame, compaction set, removePaths)
       // were derived from snapshot `baseVersion` is valid ONLY as the
       // very next version: if another writer slipped in, this
@@ -975,7 +1200,7 @@ object DeltaLog {
       val out = f.create(tmp, false)
       try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
-      val commitPath = new Path(logDir(table), f"$version%020d.json")
+      val commitDest = commitPath(table, version)
       // HDFS/object-store rename fails on an existing destination (true
       // atomic commit). POSIX rename would silently REPLACE, so the
       // exists-check + rename run under a per-table JVM gate: exact for
@@ -984,7 +1209,7 @@ object DeltaLog {
       // rename semantics.
       val gate = commitGates.computeIfAbsent(table, _ => new Object)
       val won = gate.synchronized {
-        !f.exists(commitPath) && f.rename(tmp, commitPath)
+        !f.exists(commitDest) && f.rename(tmp, commitDest)
       }
       if (won) committed = version
       else {
@@ -994,21 +1219,27 @@ object DeltaLog {
         attempt += 1
       }
     }
+    // auto-checkpoint: bounded JSON replay for long-lived tables. Best
+    // effort — the commit above is already durable, and a racing writer
+    // may legitimately checkpoint the same version first.
+    val interval = spark.conf.get("spark.graft.delta.checkpointInterval", "10").toInt
+    if (interval > 0 && committed > 0 && committed % interval == 0)
+      try { checkpoint(spark, table); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[delta] auto-checkpoint of $table at $committed failed: ${e.getMessage}")
+      }
     committed
   }
 
-  /** MERGE upsert on the Delta protocol — the reference's S8 sink shape
-    * (`DeltaTable.merge` with a recency guard, gold_pipeline.py:789-796)
-    * on an open-format table, COPY-ON-WRITE at file granularity: a
-    * provenance semi-join finds the data files that contain a matched
-    * key, only those files are rewritten through the shared merge frame
-    * (matched-and-newer replaced, unmatched kept, new keys inserted),
-    * and the commit removes just the touched files. Untouched files stay
-    * live, so a MERGE that touches a sliver of a 100 TB fact table
-    * rewrites a sliver — and [[changesBetween]] sees O(touched) rows,
-    * not O(table). The commit is atomic via the log rename and every
-    * pre-merge version stays time-travelable. Returns the committed
-    * version.
+  /** Shared copy-on-write MERGE machinery: a provenance semi-join finds
+    * the data files containing a source key, only those are rewritten
+    * through `frame(touchedRows, source)`, and the commit removes just
+    * the touched files, pinned at `snap.version` so a concurrent writer
+    * invalidates the read-modify-write loudly. Untouched files stay
+    * live — a MERGE touching a sliver of a 100 TB table rewrites a
+    * sliver, and [[changesBetween]] sees O(touched) rows.
     *
     * Scale: the probe scans the target once with only keys + file
     * provenance projected (source keys are the small broadcast side);
@@ -1016,38 +1247,61 @@ object DeltaLog {
     * count. Provenance is keyed by file basename — a foreign layout with
     * colliding basenames (this writer never produces one) falls back to
     * the correct-but-O(table) full rewrite. */
-  def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], recencyCol: String): Long = {
-    import org.apache.spark.sql.functions.col
-    if (!isDeltaTable(spark, table)) write(spark, source, table)
-    else {
-      // everything below derives from THIS snapshot; the commit pins it
-      // as baseVersion so a concurrent writer invalidates the merge
-      // loudly instead of being silently overwritten
-      val snap = snapshot(spark, table)
-      basenameIndex(snap.files) match {
-        case None =>
-          val out = graft.operators.Scd2.mergedFrame(
-            readFiles(spark, table, snap.files, snap.schema), source, keys, recencyCol)
-          commitWrite(spark, out, table, snap.partitionColumns, None,
-            removePaths = _.files, widenSchema = false, dataChange = true,
-            operation = "MERGE", baseVersion = Some(snap.version))
-        case Some(byName) =>
-          val touchedNames = readFiles(spark, table, snap.files, snap.schema)
-            .withColumn("__fname", fileNameCol)
-            .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
-            .select("__fname").distinct().collect().map(_.getString(0)).toSet
-          val touched = snap.files.filter(p => touchedNames.contains(basename(p)))
-          // safe to evaluate against the files the commit will 'remove':
-          // remove actions only drop log references, data files stay on disk
-          val out = graft.operators.Scd2.mergedFrame(
-            readFiles(spark, table, touched, snap.schema), source, keys, recencyCol)
-          commitWrite(spark, out, table, snap.partitionColumns, None,
-            removePaths = _ => touched, widenSchema = true, dataChange = true,
-            operation = "MERGE", baseVersion = Some(snap.version))
-      }
+  private def mergeCore(spark: SparkSession, table: String, snap: Snapshot,
+      source: DataFrame, keys: Seq[String],
+      frame: (DataFrame, DataFrame) => DataFrame,
+      txn: Option[(String, Long)], operation: String): Long = {
+    require(snap.columnMappingMode == "none",
+      s"MERGE into a column-mapped Delta table is not supported (read-only interop): $table")
+    def commit(touched: Seq[FileEntry]): Long = {
+      val out = frame(readEntries(spark, table, touched, snap.schema,
+        snap.columnMappingMode), source)
+      commitWrite(spark, out, table, snap.partitionColumns, txn,
+        removePaths = _ => touched.map(_.path), widenSchema = true,
+        dataChange = true, operation = operation,
+        baseVersion = Some(snap.version))
+    }
+    basenameIndex(snap.files) match {
+      case None => commit(snap.fileEntries)
+      case Some(_) =>
+        val touchedNames = readEntries(spark, table, snap.fileEntries, snap.schema,
+          snap.columnMappingMode)
+          .withColumn("__fname", fileNameCol)
+          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select("__fname").distinct().collect().map(_.getString(0)).toSet
+        commit(snap.fileEntries.filter(e => touchedNames.contains(basename(e.path))))
     }
   }
+
+  /** MERGE upsert on the Delta protocol — the reference's S8 sink shape
+    * (`DeltaTable.merge` with a recency guard, gold_pipeline.py:789-796)
+    * on an open-format table, copy-on-write at file granularity
+    * ([[mergeCore]]): matched-and-newer rows replaced, unmatched kept,
+    * new keys inserted. The commit is atomic via the log rename and
+    * every pre-merge version stays time-travelable. Returns the
+    * committed version. */
+  def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], recencyCol: String): Long =
+    if (!isDeltaTable(spark, table)) write(spark, source, table)
+    else mergeCore(spark, table, snapshot(spark, table), source, keys,
+      (target, src) => graft.operators.Scd2.mergedFrame(target, src, keys, recencyCol),
+      txn = None, operation = "MERGE")
+
+  /** Group-replacement MERGE for maintained aggregates
+    * ([[graft.maintenance.MaterializedView]]): every key in `groups`
+    * REPLACES its target row — or deletes it when `deleteCol` is true —
+    * and the SetTransaction offset advances in the SAME atomic commit.
+    * Pinned at the caller-supplied `snap` (the snapshot the fold was
+    * computed from), so two overlapping refreshes cannot both land: the
+    * second fails loudly instead of double-folding the delta. */
+  private[graft] def mergeGroups(spark: SparkSession, table: String,
+      groups: DataFrame, keys: Seq[String], deleteCol: String,
+      txn: Option[(String, Long)], snap: Snapshot): Long =
+    mergeCore(spark, table, snap, groups, keys,
+      (target, src) => target
+        .join(src.select(keys.map(col): _*), keys, "left_anti")
+        .unionByName(src.where(!col(deleteCol)).drop(deleteCol)),
+      txn = txn, operation = "MERGE")
 
   /** OPTIMIZE: rewrite the current snapshot into (up to) `targetFiles`
     * files per partition value as one protocol commit (remove all
@@ -1056,7 +1310,9 @@ object DeltaLog {
     * or after, see identical rows; pre-optimize versions stay
     * time-travelable until [[vacuum]]. The commit's actions carry
     * `dataChange=false` — the protocol's marker for a pure rewrite — so
-    * [[changesBetween]] consumers see compaction as a no-op.
+    * [[changesBetween]] consumers see compaction as a no-op. Reading
+    * through any deletion vectors and rewriting clean files, OPTIMIZE
+    * also serves as the DV-purge operation.
     *
     * `zorderBy`: OPTIMIZE ZORDER — one column range-clusters (tight
     * min/max per file on that column), two columns cluster on the true
@@ -1065,12 +1321,14 @@ object DeltaLog {
     * [[readPruned]]/[[pruneFiles]] file skipping. */
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
       zorderBy: Seq[String] = Seq.empty): Long = {
-    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val snap = snapshot(spark, table)
+    require(snap.columnMappingMode == "none",
+      s"OPTIMIZE of a column-mapped Delta table is not supported (read-only interop): $table")
     // the compaction input is THIS snapshot's file set; pin it as
     // baseVersion so a concurrent append between read and commit fails
     // the OPTIMIZE instead of losing the appended file
-    val df = readFiles(spark, table, snap.files, snap.schema)
+    val df = readEntries(spark, table, snap.fileEntries, snap.schema,
+      snap.columnMappingMode)
     val compacted = zorderBy match {
       case Seq(a, b) => graft.maintenance.Maintenance.zOrderFrame(df, targetFiles, a, b)
       case Seq(a) =>
@@ -1093,17 +1351,31 @@ object DeltaLog {
       operation = "OPTIMIZE", baseVersion = Some(snap.version))
   }
 
+  /** Default VACUUM retention: 7 days, matching Delta's
+    * `deletedFileRetentionDuration` default. */
+  val defaultVacuumRetentionMillis: Long = 7L * 24 * 60 * 60 * 1000
+
   /** VACUUM: delete data files referenced by NONE of the last
-    * `keepVersions` snapshots. Time travel to older versions stops
-    * working for their vacuumed files — the same contract as Delta's
-    * VACUUM with a retention window, expressed in versions (the unit this
-    * log reasons in) rather than hours. Returns the deleted file count. */
-  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1): Int = {
+    * `keepVersions` snapshots AND older than `retainMillis` (by
+    * modification time). Time travel to older versions stops working for
+    * their vacuumed files — the same contract as Delta's VACUUM, with
+    * the retention window expressed in both versions (the unit this log
+    * reasons in) and wall-clock age. The age guard is what makes vacuum
+    * safe next to CONCURRENT writers: a racing commit's files are
+    * already staged under their final names before its log rename, and
+    * a commit landing after the live-set was computed is younger than
+    * any sane retention window — both are skipped, never deleted.
+    * Passing `retainMillis = 0` (tests, exclusive maintenance windows)
+    * restores immediate reclamation. Returns the deleted file count. */
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1,
+      retainMillis: Long = defaultVacuumRetentionMillis): Int = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    require(retainMillis >= 0, s"retainMillis must be >= 0: $retainMillis")
     val f = fs(spark, table)
     val versions = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq
     val kept = versions.distinct.sorted.takeRight(keepVersions)
     val live = kept.flatMap(v => snapshot(spark, table, Some(v)).files).toSet
+    val cutoff = System.currentTimeMillis() - retainMillis
     // every data file under the root (not the log dir), relative paths
     val root = f.makeQualified(new Path(table))
     val it = f.listFiles(root, true)
@@ -1112,7 +1384,8 @@ object DeltaLog {
       val st = it.next()
       val rel = root.toUri.relativize(st.getPath.toUri).getPath
       if (st.isFile && rel.endsWith(".parquet") && !rel.startsWith("_delta_log") &&
-          !rel.contains("/.") && !rel.startsWith(".") && !live.contains(rel)) {
+          !rel.contains("/.") && !rel.startsWith(".") && !live.contains(rel) &&
+          st.getModificationTime <= cutoff) {
         f.delete(st.getPath, false)
         deleted += 1
       }
@@ -1122,32 +1395,60 @@ object DeltaLog {
 
   /** Write a parquet checkpoint of the current snapshot + the
     * `_last_checkpoint` pointer, bounding future replays to the JSON
-    * suffix (and allowing old commits to be vacuumed). `parts > 1`
-    * writes the multi-part layout (`<v>.checkpoint.<i>.<n>.parquet`)
-    * that production-sized tables use when one state file gets
-    * unwieldy; [[snapshot]] reads either layout. */
+    * suffix (and allowing old commits to be vacuumed). Built straight
+    * from the DISTRIBUTED file state — a 10⁶-file checkpoint never
+    * routes through the driver. Carries the spec-required singleton
+    * actions: one complete `metaData` (the table's raw declaration,
+    * defaults filled) and one `protocol`, plus every SetTransaction —
+    * so a foreign reader can replay a graft-written checkpoint after
+    * the JSON prefix is vacuumed. `parts > 1` writes the multi-part
+    * layout (`<v>.checkpoint.<i>.<n>.parquet`); [[snapshot]] reads
+    * either layout. */
   def checkpoint(spark: SparkSession, table: String, parts: Int = 1): Long = {
     import spark.implicits._
+    require(parts >= 1, s"parts must be >= 1: $parts")
     val snap = snapshot(spark, table)
     val f = fs(spark, table)
-    val schemaJson = snap.schema.map(_.json)
-    val pcols = snap.partitionColumns
-    val noMeta: Option[(String, Seq[String])] = None
-    val noTxn: Option[(String, Long)] = None
-    val noPv = Map.empty[String, String]
-    val rows: Seq[(Option[String], Map[String, String], Option[String],
-        Option[(String, Seq[String])], Option[(String, Long)])] =
-      snap.files.map(p => (Option(p), snap.filePartValues.getOrElse(p, noPv),
-        snap.fileStats.get(p), noMeta, noTxn)) ++
-        Seq((Option.empty[String], noPv, Option.empty[String],
-          Some((schemaJson.getOrElse(new StructType().json), pcols)), noTxn)) ++
-        snap.txns.toSeq.sortBy(_._1).map(t =>
-          (Option.empty[String], noPv, Option.empty[String], noMeta, Some(t)))
-    val cpDf = rows.toDF("p", "pv", "st", "m", "t")
-      .selectExpr("named_struct('path', p, 'partitionValues', pv, 'stats', st) AS add",
-        "named_struct('schemaString', m._1, 'partitionColumns', m._2) AS metaData",
-        "named_struct('appId', t._1, 'version', t._2) AS txn")
-    require(parts >= 1, s"parts must be >= 1: $parts")
+    val now = System.currentTimeMillis()
+    val addRows = snap.allFiles.select(
+      struct(col("path"),
+        coalesce(col("partitionValues"),
+          expr("CAST(map() AS MAP<STRING,STRING>)")).as("partitionValues"),
+        col("size"), col("modificationTime"), lit(true).as("dataChange"),
+        col("stats"), col("deletionVector").cast(dvSchema).as("deletionVector"))
+        .cast(addSchema).as("add"),
+      lit(null).cast(removeSchema).as("remove"),
+      lit(null).cast(metaDataSchema).as("metaData"),
+      lit(null).cast(protocolSchema).as("protocol"),
+      lit(null).cast(txnSchema).as("txn"))
+    // the singleton metaData must be COMPLETE per the checkpoint spec:
+    // fill protocol-required fields a terse foreign log never declared
+    val metaNode = snap.metaDataJson
+      .map(mapper.readTree(_).asInstanceOf[ObjectNode].deepCopy())
+      .getOrElse(mapper.createObjectNode())
+    if (!metaNode.has("id")) metaNode.put("id", java.util.UUID.randomUUID().toString)
+    if (!metaNode.has("format")) {
+      val fmt = metaNode.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+    }
+    if (!metaNode.has("schemaString"))
+      metaNode.put("schemaString", snap.schema.getOrElse(new StructType()).json)
+    if (!metaNode.has("partitionColumns")) {
+      val arr = metaNode.putArray("partitionColumns")
+      snap.partitionColumns.foreach(arr.add)
+    }
+    if (!metaNode.has("configuration")) metaNode.putObject("configuration")
+    if (!metaNode.has("createdTime")) metaNode.put("createdTime", now)
+    val protoJson = snap.protocolJson
+      .getOrElse("""{"minReaderVersion":1,"minWriterVersion":2}""")
+    val metaLines = Seq(
+      s"""{"metaData":${mapper.writeValueAsString(metaNode)}}""",
+      s"""{"protocol":$protoJson}""") ++
+      snap.txns.toSeq.sortBy(_._1).map { case (a, v) =>
+        s"""{"txn":{"appId":${jsonStr(a)},"version":$v,"lastUpdated":$now}}"""
+      }
+    val metaRows = spark.read.schema(actionSchema).json(metaLines.toDS())
+    val cpDf = addRows.unionByName(metaRows)
     val scratch = new Path(table, ".tmp-checkpoint")
     cpDf.repartition(parts).write.mode("overwrite").parquet(scratch.toString)
     val staged = {
@@ -1170,15 +1471,19 @@ object DeltaLog {
           new Path(logDir(table), f"${snap.version}%020d.checkpoint.parquet")
         else new Path(logDir(table),
           f"${snap.version}%020d.checkpoint.${i + 1}%010d.$n%010d.parquet")
-      require(f.rename(part, dest), s"checkpoint move failed: $dest")
+      if (!f.rename(part, dest)) {
+        // a concurrent writer already checkpointed this version — theirs
+        // is equivalent (same snapshot); keep it and stop staging ours
+        require(f.exists(dest), s"checkpoint move failed: $dest")
+      }
     }
     f.delete(scratch, true)
     val lp = new Path(logDir(table), "_last_checkpoint")
     val partsField = if (n == 1) "" else s""","parts":$n"""
+    val size = snap.files.size + 2 + snap.txns.size
     val out = f.create(lp, true)
     try out.write(
-      s"""{"version":${snap.version},"size":${snap.files.size + 1}$partsField}"""
-        .getBytes("UTF-8"))
+      s"""{"version":${snap.version},"size":$size$partsField}""".getBytes("UTF-8"))
     finally out.close()
     snap.version
   }

@@ -30,8 +30,10 @@ class DataSkippingSpec extends SparkSpec {
     for (i <- 1 to 3)
       DeltaLog.write(spark, rangeDf(i * 100L, 100).coalesce(1), t, "append")
     val snap = DeltaLog.snapshot(spark, t)
-    assert(snap.files.size == 4 && snap.fileStats.size == 4)
-    val st = snap.fileStats.values.head
+    // stats live in the DISTRIBUTED file state, not on the driver
+    val stats = snap.allFiles.select("stats").collect().map(_.getString(0))
+    assert(snap.files.size == 4 && stats.length == 4 && stats.forall(_ != null))
+    val st = stats.head
     assert(st.contains("numRecords") && st.contains("minValues") &&
       st.contains("maxValues") && st.contains("nullCount"), st)
 
@@ -91,7 +93,7 @@ class DataSkippingSpec extends SparkSpec {
     new File(t, "_delta_log").listFiles()
       .filter(_.getName.endsWith(".json")).foreach(_.delete())
     val snap = DeltaLog.snapshot(spark, t)
-    assert(snap.fileStats.size == 2)
+    assert(snap.allFiles.where("stats IS NOT NULL").count() == 2)
     assert(DeltaLog.pruneFiles(spark, snap, col("x") === 150L).size == 1)
     assert(DeltaLog.readPruned(spark, t, col("x") === 150L).count() == 1)
   }

@@ -279,11 +279,14 @@ class DeltaLogSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L))
     // vacuum keeping only the current snapshot: the 4 small files go,
     // the compacted file stays, current reads are untouched
-    val deleted = DeltaLog.vacuum(spark, t, keepVersions = 1)
+    // the DEFAULT retention window refuses to reclaim young files — the
+    // guard that makes vacuum safe next to concurrent writers
+    assert(DeltaLog.vacuum(spark, t, keepVersions = 1) == 0)
+    val deleted = DeltaLog.vacuum(spark, t, keepVersions = 1, retainMillis = 0L)
     assert(deleted == 4, s"deleted $deleted")
     assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
     // vacuum again: nothing left to delete (idempotent)
-    assert(DeltaLog.vacuum(spark, t, keepVersions = 1) == 0)
+    assert(DeltaLog.vacuum(spark, t, keepVersions = 1, retainMillis = 0L) == 0)
   }
 
   test("vacuum keepVersions=2 preserves the previous snapshot's files") {
@@ -293,7 +296,7 @@ class DeltaLogSpec extends SparkSpec {
     DeltaLog.write(spark, Seq(10L).toDF("x"), t, "append") // v2
     // keep v1+v2: v0's file (not referenced by either) is deleted, but
     // v1's file (shared by v2's snapshot) survives
-    assert(DeltaLog.vacuum(spark, t, keepVersions = 2) == 1)
+    assert(DeltaLog.vacuum(spark, t, keepVersions = 2, retainMillis = 0L) == 1)
     assert(DeltaLog.read(spark, t, Some(1)).as[Long].collect().toSeq == Seq(9L))
     assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(9L, 10L))
   }
@@ -514,28 +517,98 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.snapshot(spark, t).schema.contains(xSchema))
   }
 
-  test("foreign writer: deletion vectors, column mapping, unknown features refuse loudly") {
-    // deletion vector on an add action
-    val t1 = freshTable()
-    writeDataFile(Seq(1L).toDF("x"), t1, "part-a.snappy.parquet")
-    commit(t1, 0, Seq(metaAction(xSchema),
-      """{"add":{"path":"part-a.snappy.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":40,"cardinality":1}}}"""))
-    val e1 = intercept[IllegalArgumentException](DeltaLog.read(spark, t1))
-    assert(e1.getMessage.contains("deletion vector"), e1.getMessage)
-    // column mapping by physical name
+  private val dvProtocol =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}"""
+
+  private def dvAdd(path: String, d: graft.sources.DeletionVectors.Descriptor) =
+    s"""{"add":{"path":"$path","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,""" +
+      s""""deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}"""" +
+      d.offset.fold("")(o => s""","offset":$o""") +
+      s""","sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}}}"""
+
+  test("foreign writer: inline deletion vector masks deleted rows on read") {
+    import graft.sources.DeletionVectors
+    val t = freshTable()
+    writeDataFile(Seq(10L, 20L, 30L, 40L).toDF("x"), t, "part-a.snappy.parquet")
+    // mask row indexes 1 and 3 → surviving rows 10, 30 (odd byte count
+    // exercises the Base85 group padding too)
+    val bytes = DeletionVectors.serialize(Array(1L, 3L))
+    val d = DeletionVectors.Descriptor("i", DeletionVectors.z85Encode(bytes),
+      None, bytes.length, 2L)
+    commit(t, 0, Seq(dvProtocol, metaAction(xSchema), dvAdd("part-a.snappy.parquet", d)))
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(10L, 30L))
+    // round-trip sanity of the codec itself, including >4096-card bitmaps
+    val big = (0L until 5000L).filter(_ % 3 == 0).toArray
+    assert(DeletionVectors.deserialize(DeletionVectors.serialize(big)).toSeq == big.toSeq)
+    assert(DeletionVectors.deserialize(DeletionVectors.z85Decode(
+      DeletionVectors.z85Encode(DeletionVectors.serialize(Array(7L))))
+      .take(DeletionVectors.serialize(Array(7L)).length)).toSeq == Seq(7L))
+  }
+
+  test("foreign writer: on-disk DV sidecar reads; CDF nets a DV update to its deletes") {
+    import graft.sources.DeletionVectors
+    val t = freshTable()
+    writeDataFile(Seq(10L, 20L, 30L, 40L).toDF("x"), t, "part-a.snappy.parquet")
+    commit(t, 0, Seq(dvProtocol, metaAction(xSchema), addAction("part-a.snappy.parquet")))
+    // a foreign DELETE: same file re-added with a u-type sidecar masking
+    // row index 1 (x=20)
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = DeletionVectors.writeDvFile(fsys, t, Array(1L))
+    commit(t, 1, Seq(removeAction("part-a.snappy.parquet"), dvAdd("part-a.snappy.parquet", d)))
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(10L, 30L, 40L))
+    // time travel BEFORE the delete still sees every row
+    assert(DeltaLog.read(spark, t, Some(0)).as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L, 40L))
+    // the row-level feed reads each side under ITS descriptor: the only
+    // net event in (0, 1] is the delete of x=20
+    val cdf = DeltaLog.changesWithUpdates(spark, t, 0, 1, Seq("x"))
+      .select("_change_type", "x").as[(String, Long)].collect().toSet
+    assert(cdf == Set(("delete", 20L)), cdf.toString)
+    // OPTIMIZE purges the DV: rows identical, no live descriptor left
+    DeltaLog.optimize(spark, t)
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(10L, 30L, 40L))
+    assert(DeltaLog.snapshot(spark, t).fileEntries.forall(_.dv.isEmpty))
+  }
+
+  test("foreign writer: name-mode column mapping reads under logical names") {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StructField}
+    val t = freshTable()
+    val mapped = StructType(Seq(StructField("x", LongType, nullable = true,
+      new MetadataBuilder().putLong("delta.columnMapping.id", 1L)
+        .putString("delta.columnMapping.physicalName", "col-9f2a").build())))
+    // the parquet file carries the PHYSICAL column name
+    writeDataFile(Seq(1L, 2L).toDF("col-9f2a"), t, "part-a.snappy.parquet")
+    val esc = mapped.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    commit(t, 0, Seq(
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"1"},"createdTime":1}}""",
+      """{"add":{"path":"part-a.snappy.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\"numRecords\":2,\"minValues\":{\"col-9f2a\":1},\"maxValues\":{\"col-9f2a\":2},\"nullCount\":{\"col-9f2a\":0}}"}}"""))
+    val df = DeltaLog.read(spark, t)
+    assert(df.columns.toSeq == Seq("x"))
+    assert(df.as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // zone-map pruning translates logical → physical stat keys
+    assert(DeltaLog.pruneFiles(spark, DeltaLog.snapshot(spark, t), $"x" === 5L).isEmpty)
+    assert(DeltaLog.readPruned(spark, t, $"x" === 2L).as[Long].collect().toSeq == Seq(2L))
+    // read-only interop: writes into a mapped table refuse loudly
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.write(spark, Seq(9L).toDF("x"), t, "append"))
+    assert(e.getMessage.contains("column-mapped"), e.getMessage)
+  }
+
+  test("foreign writer: id-mode mapping and unknown reader features refuse loudly") {
     val t2 = freshTable()
     val esc = xSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
     commit(t2, 0, Seq(
-      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":1}}"""))
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}"""))
     val e2 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, t2))
     assert(e2.getMessage.contains("column mapping"), e2.getMessage)
     // reader feature this implementation does not honor
     val t3 = freshTable()
     commit(t3, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
       metaAction(xSchema)))
     val e3 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, t3))
-    assert(e3.getMessage.contains("deletionVectors"), e3.getMessage)
+    assert(e3.getMessage.contains("v2Checkpoint"), e3.getMessage)
     // benign feature set still reads
     val t4 = freshTable()
     writeDataFile(Seq(7L).toDF("x"), t4, "part-a.snappy.parquet")
@@ -604,7 +677,7 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
     assert(DeltaLog.lastTxn(spark, t, "job").contains(3L))
     // stats survive the multi-part layout too
-    assert(DeltaLog.snapshot(spark, t).fileStats.nonEmpty)
+    assert(DeltaLog.snapshot(spark, t).allFiles.where("stats IS NOT NULL").count() > 0)
   }
 
   test("concurrent appenders all succeed via optimistic retry") {
