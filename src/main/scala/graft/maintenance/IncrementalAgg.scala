@@ -68,12 +68,25 @@ object IncrementalAgg {
 
   /** Same fold restricted to the CHANGED groups only — the O(delta)
     * write side of [[graft.maintenance.MaterializedView]]: one row per
-    * group the feed touched, with `__delete = true` for groups whose
-    * count reached zero (so a group-keyed MERGE can drop them). Groups
-    * the feed never mentions are absent, not rewritten. */
+    * group the feed actually changed, with `__delete = true` for groups
+    * whose count reached zero (so a group-keyed MERGE can drop them).
+    * Groups the feed never mentions are absent, and groups whose delta
+    * NETS TO ZERO are filtered too (exact: decimal sums, so folding a
+    * zero delta is a no-op by construction) — a copy-on-write MERGE
+    * upstream emits cancelling delete+insert pairs for every
+    * rewritten-but-unchanged row, and without the filter those would
+    * drag whole source files' worth of untouched groups into the gold
+    * rewrite. */
   def changedGroups(agg: DataFrame, changes: DataFrame, keys: Seq[String],
-      sumCols: Seq[String]): DataFrame =
-    deltaAgg(changes, keys, sumCols).join(agg, keys, "left")
+      sumCols: Seq[String]): DataFrame = {
+    // d_n is never null (>=1 row per emitted group); a null d_sum means
+    // every contributing value was null — no net change from that column
+    val nonZero = (col("d_n") =!= 0L) +:
+      sumCols.map(c => col(s"d_sum_$c") =!= zero)
+    deltaAgg(changes, keys, sumCols)
+      .where(nonZero.reduce(_ || _))
+      .join(agg, keys, "left")
       .select(folded(keys, sumCols): _*)
       .withColumn("__delete", col("n") <= 0)
+  }
 }

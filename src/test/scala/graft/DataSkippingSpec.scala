@@ -98,6 +98,54 @@ class DataSkippingSpec extends SparkSpec {
     assert(DeltaLog.readPruned(spark, t, col("x") === 150L).count() == 1)
   }
 
+  test("10k-file log: snapshot and pruning run distributed, driver collects survivors only") {
+    // A synthetic foreign log with 10,000 add actions — the file count
+    // where a driver-side file map stops being free. Snapshot file state
+    // must stay scan-backed (a FileScan, never a driver-built
+    // LocalRelation) and pruning must collect ONLY the surviving paths.
+    val t = freshTable()
+    val n = 10000
+    val schema = new org.apache.spark.sql.types.StructType().add("x", "long")
+    val esc = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    def stats(lo: Long, hi: Long) =
+      ("{\"numRecords\":10,\"minValues\":{\"x\":" + lo + "},\"maxValues\":{\"x\":" +
+        hi + "},\"nullCount\":{\"x\":0}}").replace("\"", "\\\"")
+    val actions =
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"manyfiles","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""") ++
+      (0 until n).map { i =>
+        val lo = i * 10L
+        f"""{"add":{"path":"part-$i%05d.parquet","partitionValues":{},"size":1000,"modificationTime":1700000000000,"dataChange":true,"stats":"${stats(lo, lo + 9)}%s"}}"""
+      }
+    val logDir = new File(t, "_delta_log"); logDir.mkdirs()
+    Files.write(new File(logDir, f"${0L}%020d.json").toPath,
+      (actions.mkString("\n") + "\n").getBytes("UTF-8"))
+
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.allFiles.count() == n)
+    val plan0 = snap.allFiles.queryExecution.executedPlan.toString
+    assert(plan0.contains("FileScan json"), plan0)
+    // point probe: exactly one of 10,000 files survives, and ONLY that
+    // row crosses to the driver (pruneFiles collects the filtered frame)
+    assert(DeltaLog.pruneFiles(spark, snap, col("x") === 54321L) ==
+      Seq("part-05432.parquet"))
+    assert(DeltaLog.pruneFiles(spark, snap,
+      col("x").isin(5L, 54321L, 99995L)).size == 3)
+    assert(DeltaLog.pruneFiles(spark, snap, col("x") >= n * 10L - 25).size == 3)
+    assert(DeltaLog.pruneFiles(spark, snap, col("x") === -1L).isEmpty)
+
+    // checkpoint written FROM the distributed state; after a JSON vacuum
+    // the state is a parquet scan and pruning still resolves exactly
+    DeltaLog.checkpoint(spark, t)
+    logDir.listFiles().filter(_.getName.endsWith(".json")).foreach(_.delete())
+    val snap2 = DeltaLog.snapshot(spark, t)
+    assert(snap2.allFiles.count() == n)
+    val plan2 = snap2.allFiles.queryExecution.executedPlan.toString
+    assert(plan2.contains("FileScan parquet"), plan2)
+    assert(DeltaLog.pruneFiles(spark, snap2, col("x") === 54321L) ==
+      Seq("part-05432.parquet"))
+  }
+
   test("OPTIMIZE ZORDER tightens zone maps so either dimension prunes") {
     val t = freshTable()
     // scatter (a, b) so every pre-optimize file spans both full ranges

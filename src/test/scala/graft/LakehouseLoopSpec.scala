@@ -148,4 +148,32 @@ class LakehouseLoopSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
     assert(state == Seq(("y", 2L, 5.0), ("z", 1L, 0.5)), state.toString)
   }
+
+  test("auto-checkpoint bounds JSON replay across a 50-commit append stream") {
+    // A long-lived append table must not accumulate unbounded JSON
+    // replay: commitWrite checkpoints every 10th commit (Delta's own
+    // default) without any caller opting in.
+    val t = Files.createTempDirectory("graft-loop-ac-").toString + "/t"
+    for (i <- 0 until 50)
+      DeltaLog.write(spark, Seq(i.toLong).toDF("x"), t,
+        if (i == 0) "overwrite" else "append")
+    val logDir = new java.io.File(t, "_delta_log")
+    val cps = logDir.listFiles().map(_.getName)
+      .filter(_.endsWith(".checkpoint.parquet")).sorted
+    assert(cps.nonEmpty && cps.last.startsWith(f"${40L}%020d"), cps.mkString(","))
+    // history + time travel stay correct across auto-checkpoints
+    assert(DeltaLog.history(spark, t).count() == 50)
+    assert(DeltaLog.read(spark, t, Some(45)).count() == 46)
+    // replay cost is BOUNDED: everything at or before the newest
+    // checkpoint is droppable, the reader needs checkpoint + <=interval
+    // JSON tail only
+    logDir.listFiles().filter { fl =>
+      fl.getName.endsWith(".json") &&
+        fl.getName.takeWhile(_ != '.').toLong <= 40
+    }.foreach(_.delete())
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.version == 49)
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq ==
+      (0L until 50L))
+  }
 }

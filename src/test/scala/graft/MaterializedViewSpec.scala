@@ -78,4 +78,52 @@ class MaterializedViewSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
     assert(state == Seq(("w", 1L, 8.0), ("y", 3L, 7.0), ("z", 1L, 1.25)), state.toString)
   }
+
+  test("high-cardinality gold: refresh rewrites only files containing changed groups") {
+    // 10,000 groups: the regime where an O(gold) overwrite per refresh
+    // defeats the O(delta) fold. The refresh commit must remove only the
+    // gold files whose groups the delta net-changed — a copy-on-write
+    // MERGE upstream rewrites whole source files, and the cancelling
+    // delete+insert pairs for untouched rows must NOT drag their groups
+    // into the gold write.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false") // keep gold multi-file at test scale
+    try {
+      val dir = Files.createTempDirectory("graft-mv-hc-").toString
+      val source = s"$dir/source"
+      val gold = s"$dir/gold"
+      val n = 10000L
+      DeltaLog.mergeUpsert(spark, source,
+        spark.range(n).select(col("id"), col("id").as("g"),
+          (col("id") % 7).cast("double").as("v"), lit(10L).as("ts")),
+        Seq("id"), "ts")
+      MaterializedView.refresh(spark, source, gold, Seq("g"), sums)
+      val before = DeltaLog.snapshot(spark, gold)
+      assert(before.files.size > 4, s"need multi-file gold, got ${before.files.size}")
+
+      // MERGE: two group-value updates + one brand-new group. The source
+      // rewrite drags ~n/8 rows through the change feed; only these 3
+      // groups net-change.
+      DeltaLog.mergeUpsert(spark, source,
+        Seq((5L, 5L, 100.0, 20L), (7L, 7L, 200.0, 20L), (n, n, 1.0, 20L))
+          .toDF("id", "g", "v", "ts"), Seq("id"), "ts")
+      MaterializedView.refresh(spark, source, gold, Seq("g"), sums)
+
+      val got = DeltaLog.read(spark, gold)
+      val want = IncrementalAgg.materialize(
+        DeltaLog.read(spark, source), Seq("g"), sums)
+      assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+      assert(got.count() == n + 1)
+
+      // the refresh commit touched only files holding the 3 changed groups
+      val lastV = DeltaLog.listVersions(spark, gold).max
+      val lines = Files.readAllLines(
+        new File(gold, f"_delta_log/$lastV%020d.json").toPath)
+      import scala.jdk.CollectionConverters._
+      val removes = lines.asScala.count(_.contains("\"remove\""))
+      assert(removes >= 1 && removes <= 3 && removes < before.files.size,
+        s"removes=$removes of ${before.files.size} gold files")
+    } finally spark.conf.set(coalesceKey, prevCoalesce)
+  }
 }
