@@ -123,5 +123,25 @@ object Maintenance {
         col("o_custkey") % 65536, col("o_orderkey") % 65536).as("zkey"))
   }
 
-  val all: Seq[graft.QueryDef] = Seq(qZOrderKey)
+  /** Row-level DELETE via deletion vectors, oracle-verified end-to-end:
+    * a protocol table is built from `customer`, a deterministic slice is
+    * deleted with [[graft.sources.DeltaLog.deleteWhere]] (DV sidecar,
+    * no data-file rewrite), and the read-back must equal DuckDB's
+    * anti-filter row for row — proving the mask is applied exactly. */
+  val qDeleteDv: graft.QueryDef = graft.QueryDef.sql(
+    "q_delete_dv",
+    """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+      |WHERE NOT (c_mktsegment = 'BUILDING' AND c_custkey % 10 = 0)""".stripMargin) {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-delete-dv-").toString + "/t"
+      graft.sources.DeltaLog.write(spark,
+        graft.Tables.customer(spark, dir)
+          .select("c_custkey", "c_mktsegment", "c_nationkey").repartition(4), t)
+      graft.sources.DeltaLog.deleteWhere(spark, t,
+        col("c_mktsegment") === "BUILDING" && col("c_custkey") % 10 === 0)
+      graft.sources.DeltaLog.read(spark, t)
+  }
+
+  val all: Seq[graft.QueryDef] = Seq(qZOrderKey, qDeleteDv)
 }

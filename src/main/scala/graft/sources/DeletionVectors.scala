@@ -256,23 +256,39 @@ object DeletionVectors {
     rows
   }
 
-  /** Write `values` as a protocol-shaped sidecar under `table` and
-    * return its `u`-type descriptor — the writer half of the format
-    * (used by the interop fixtures; a DELETE operator would emit these). */
-  def writeDvFile(fsys: FileSystem, table: String, values: Array[Long]): Descriptor = {
-    val data = serialize(values)
+  /** Write several already-serialized bitmaps as consecutive frames of
+    * ONE `u`-type sidecar under `table` — the writer half of the format,
+    * powering [[graft.sources.DeltaLog.deleteWhere]]: a DELETE touching
+    * N files emits one sidecar with N frames, not N files. Returns one
+    * descriptor per payload (same `pathOrInlineDv`, distinct offsets;
+    * each offset points at the frame's size prefix, matching
+    * [[deletedRows]]'s read). `payloads` are (bitmap bytes, cardinality). */
+  def writeDvFrames(fsys: FileSystem, table: String,
+      payloads: Seq[(Array[Byte], Long)]): Seq[Descriptor] = {
+    require(payloads.nonEmpty, "writeDvFrames needs at least one payload")
     val uuid = java.util.UUID.randomUUID()
     val uuidBytes = ByteBuffer.allocate(16)
       .putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits).array()
     val z85 = z85Encode(uuidBytes)
     val out = fsys.create(sidecarPath(table, z85), false)
+    val descs = Seq.newBuilder[Descriptor]
     try {
       out.write(1) // format version byte; first frame lands at offset 1
-      out.write(ByteBuffer.allocate(4).putInt(data.length).array()) // BE size
-      out.write(data)
-      val crc = new CRC32(); crc.update(data)
-      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()) // BE crc
+      var pos = 1
+      payloads.foreach { case (data, card) =>
+        descs += Descriptor("u", z85, Some(pos), data.length, card)
+        out.write(ByteBuffer.allocate(4).putInt(data.length).array()) // BE size
+        out.write(data)
+        val crc = new CRC32(); crc.update(data)
+        out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()) // BE crc
+        pos += 4 + data.length + 4
+      }
     } finally out.close()
-    Descriptor("u", z85, Some(1), data.length, values.distinct.length.toLong)
+    descs.result()
   }
+
+  /** Single-DV convenience over [[writeDvFrames]] (spec fixtures). */
+  def writeDvFile(fsys: FileSystem, table: String, values: Array[Long]): Descriptor =
+    writeDvFrames(fsys, table,
+      Seq((serialize(values), values.distinct.length.toLong))).head
 }

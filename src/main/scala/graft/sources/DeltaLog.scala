@@ -615,9 +615,13 @@ object DeltaLog {
     * contributes delete(old)+insert(new).
     *
     * Deletion vectors participate exactly: each side reads under ITS
-    * action's descriptor, so a DV update (remove(path, dvOld) +
-    * add(path, dvNew)) nets to deletes of the newly-masked rows after
-    * the fold. A file re-added with the SAME descriptor inside the
+    * action's descriptor. A DV update (remove(path, dvOld) + add(path,
+    * dvNew) — what [[deleteWhere]] commits) takes a fast path when the
+    * descriptor only GREW: the feed reads just the newly-masked rows
+    * once and emits them as deletes, instead of the whole file on both
+    * sides — CDC of a 10-row DELETE in a 1M-row file reads 10 rows. A
+    * non-monotone descriptor change falls back to the exact two-sided
+    * emission. A file re-added with the SAME descriptor inside the
     * window cancels and is never read; add/remove actions with
     * `dataChange=false` ([[optimize]] rewrites) are invisible, so
     * compaction does not pollute the feed.
@@ -657,12 +661,47 @@ object DeltaLog {
       }
     }
     val snap = snapshot(spark, table, Some(toVersion))
+    // DV-update fast path: a path on BOTH sides whose descriptor only
+    // grew nets to deletes of the newly-masked row indexes — read those
+    // rows once instead of the whole file twice. (Skipped under column
+    // mapping: the mapped projection drops `_metadata`.)
+    val dvDiffs = mutable.ArrayBuffer.empty[(String, Array[Long])]
+    if (snap.columnMappingMode == "none")
+      removed.keys.toSeq.filter(added.contains).foreach { p =>
+        val oldRows = removed(p)
+          .map(DeletionVectors.deletedRows(f, table, _)).getOrElse(Array.empty[Long])
+        val newRows = added(p)
+          .map(DeletionVectors.deletedRows(f, table, _)).getOrElse(Array.empty[Long])
+        val newSet = newRows.toSet
+        if (oldRows.forall(newSet.contains)) {
+          val oldSet = oldRows.toSet
+          dvDiffs += ((p, newRows.filterNot(oldSet))) // sorted: newRows is
+          removed.remove(p); added.remove(p)
+        }
+      }
     def side(m: mutable.LinkedHashMap[String, Option[DeletionVectors.Descriptor]],
         tag: String) =
       readEntries(spark, table, m.toSeq.map { case (p, dv) => FileEntry(p, dv) },
         snap.schema, snap.columnMappingMode)
         .withColumn("_change_type", lit(tag))
-    side(removed, "delete").unionByName(side(added, "insert"))
+    val base = side(removed, "delete").unionByName(side(added, "insert"))
+    if (dvDiffs.isEmpty) base
+    else {
+      val byBase = dvDiffs.toSeq.map { case (p, d) => basename(p) -> (p, d) }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val bc = spark.sparkContext.broadcast(byBase)
+      val hit = udf((fp: String, idx: Long) =>
+        bc.value.get(fp.substring(fp.lastIndexOf('/') + 1))
+          .exists(_.exists { case (rel, diff) =>
+            fp.endsWith("/" + rel) &&
+              java.util.Arrays.binarySearch(diff, idx) >= 0
+          }))
+      val diffRows = readEntries(spark, table,
+        dvDiffs.toSeq.map { case (p, _) => FileEntry(p) }, snap.schema, "none")
+        .where(hit(col("_metadata.file_path"), col("_metadata.row_index")))
+        .withColumn("_change_type", lit("delete"))
+      base.unionByName(diffRows)
+    }
   }
 
   /** CDF-shaped change feed: [[changesBetween]] with the file-level
@@ -1219,9 +1258,16 @@ object DeltaLog {
         attempt += 1
       }
     }
-    // auto-checkpoint: bounded JSON replay for long-lived tables. Best
-    // effort — the commit above is already durable, and a racing writer
-    // may legitimately checkpoint the same version first.
+    maybeAutoCheckpoint(spark, table, committed)
+    committed
+  }
+
+  /** Auto-checkpoint: bounded JSON replay for long-lived tables, run
+    * after every `spark.graft.delta.checkpointInterval`-th commit. Best
+    * effort — the commit is already durable, and a racing writer may
+    * legitimately checkpoint the same version first. */
+  private def maybeAutoCheckpoint(spark: SparkSession, table: String,
+      committed: Long): Unit = {
     val interval = spark.conf.get("spark.graft.delta.checkpointInterval", "10").toInt
     if (interval > 0 && committed > 0 && committed % interval == 0)
       try { checkpoint(spark, table); () }
@@ -1230,7 +1276,6 @@ object DeltaLog {
           System.err.println(
             s"[delta] auto-checkpoint of $table at $committed failed: ${e.getMessage}")
       }
-    committed
   }
 
   /** Shared copy-on-write MERGE machinery: a provenance semi-join finds
@@ -1303,6 +1348,189 @@ object DeltaLog {
         .unionByName(src.where(!col(deleteCol)).drop(deleteCol)),
       txn = txn, operation = "MERGE")
 
+  /** The protocol line a DV-writing commit must carry: when the current
+    * protocol does not already declare the `deletionVectors` feature,
+    * upgrade to table features (reader 3 / writer 7), PRESERVING every
+    * previously-declared feature and adding the legacy writer features
+    * the old minWriterVersion implied — exactly the spec's upgrade rule.
+    * None when the table already declares the feature. */
+  private def dvProtocolUpgrade(existing: Option[String]): Option[String] = {
+    val node = existing
+      .map(mapper.readTree(_).asInstanceOf[ObjectNode])
+      .getOrElse(mapper.readTree("""{"minReaderVersion":1,"minWriterVersion":2}""")
+        .asInstanceOf[ObjectNode])
+    def feats(field: String): Seq[String] =
+      if (!node.has(field) || node.get(field).isNull) Seq.empty
+      else {
+        val it = node.get(field).elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      }
+    val rf = feats("readerFeatures")
+    if (rf.contains("deletionVectors")) return None
+    val mwv = if (node.has("minWriterVersion")) node.get("minWriterVersion").asInt() else 2
+    val legacyWriter = Seq(
+      2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
+      4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
+      6 -> "identityColumns").collect { case (v, f) if mwv >= v && mwv < 7 => f }
+    val wf = (feats("writerFeatures") ++ legacyWriter :+ "deletionVectors").distinct
+    val out = mapper.createObjectNode()
+    out.put("minReaderVersion", 3)
+    out.put("minWriterVersion", 7)
+    val rfArr = out.putArray("readerFeatures")
+    (rf :+ "deletionVectors").distinct.foreach(rfArr.add)
+    val wfArr = out.putArray("writerFeatures")
+    wf.foreach(wfArr.add)
+    Some(s"""{"protocol":${mapper.writeValueAsString(out)}}""")
+  }
+
+  /** Protocol-shaped `deletionVector` field (shared by add and remove
+    * actions — a remove carries the descriptor its file had). */
+  private def dvJson(d: DeletionVectors.Descriptor): String =
+    s""""deletionVector":{"storageType":${jsonStr(d.storageType)},""" +
+      s""""pathOrInlineDv":${jsonStr(d.pathOrInlineDv)},""" +
+      d.offset.fold("")(o => s""""offset":$o,""") +
+      s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+
+  /** Write `actions` as commit `version` atomically (write-then-rename
+    * under the per-table gate). The caller's read-modify-write is pinned:
+    * a lost race fails loudly — by construction the inputs are stale. */
+  private def commitRaw(spark: SparkSession, table: String, version: Long,
+      actions: Seq[String]): Unit = {
+    val f = fs(spark, table)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(logDir(table), f".$version%020d-$nonce.json.tmp")
+    val out = f.create(tmp, false)
+    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = commitPath(table, version)
+    val gate = commitGates.computeIfAbsent(table, _ => new Object)
+    val won = gate.synchronized(!f.exists(dest) && f.rename(tmp, dest))
+    if (!won) {
+      f.delete(tmp, false)
+      sys.error(s"concurrent commit: $table advanced past version ${version - 1} " +
+        "while this DELETE was computed — re-read and retry")
+    }
+  }
+
+  /** Row-level DELETE via deletion vectors: files whose zone maps prove
+    * no row can match are never touched; every other file gets a roaring
+    * bitmap of its deleted row indexes, all written as frames of ONE
+    * sidecar, and the commit re-adds the SAME path under the merged
+    * descriptor — no data rewrite. A file whose every remaining live row
+    * matches is simply removed. Deleting a sliver of a 100 TB table
+    * therefore writes O(deleted rows) compressed bitmap bytes where a
+    * copy-on-write rewrite pays O(touched files) parquet.
+    *
+    * The per-file bitmap is built DISTRIBUTED (matching live row indexes
+    * grouped and serialized executor-side; only roaring-compressed bytes
+    * reach the driver) and unioned with the file's existing DV. The
+    * commit upgrades the protocol to the `deletionVectors` table feature
+    * when needed, pins the snapshot version (a concurrent writer fails
+    * this DELETE loudly), and stamps `dataChange=true` — so
+    * [[changesBetween]] nets the DV update to exactly the deleted rows.
+    * [[optimize]] remains the DV purge. Returns the committed version,
+    * or the current one when nothing matched (no empty commits). */
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
+    import spark.implicits._
+    val snap = snapshot(spark, table)
+    require(snap.columnMappingMode == "none",
+      s"DELETE on a column-mapped Delta table is not supported (read-only interop): $table")
+    val candidates = pruneEntries(spark, snap, predicate)
+    if (candidates.isEmpty) return snap.version
+
+    // matching LIVE rows only (the read already applies existing DVs);
+    // row indexes grouped per physical file and serialized on executors
+    val hits: Array[(String, Array[Byte], Long)] =
+      readEntries(spark, table, candidates, snap.schema, snap.columnMappingMode)
+        .where(predicate)
+        .select(col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy("fp").agg(sort_array(collect_list(col("ri"))).as("rows"))
+        .as[(String, Array[Long])]
+        .map { case (fp, rows) =>
+          (fp, DeletionVectors.serialize(rows), rows.length.toLong) }
+        .collect()
+    if (hits.isEmpty) return snap.version
+
+    val fsys = fs(spark, table)
+    val entryByBase = candidates.groupBy(e => basename(e.path))
+    def entryOf(fp: String): FileEntry = {
+      val b = basename(fp)
+      entryByBase.getOrElse(b, Seq.empty).find(e => fp.endsWith("/" + e.path))
+        .getOrElse(sys.error(s"DELETE: scanned file $fp not in the snapshot"))
+    }
+    // merge with the file's existing DV (driver-side, bounded by the
+    // file's deleted-row cardinality — the same cost reading it pays)
+    val merged: Seq[(FileEntry, Array[Byte], Long)] = hits.toSeq.map {
+      case (fp, bytes, card) =>
+        val e = entryOf(fp)
+        e.dv match {
+          case None => (e, bytes, card)
+          case Some(old) =>
+            val all = (DeletionVectors.deletedRows(fsys, table, old) ++
+              DeletionVectors.deserialize(bytes)).distinct.sorted
+            (e, DeletionVectors.serialize(all), all.length.toLong)
+        }
+    }
+
+    // original add metadata for the touched paths only (stats stay valid:
+    // min/max bound the surviving rows, numRecords stays physical)
+    val touched = merged.map(_._1.path)
+    val metaByPath: Map[String, Row] = snap.allFiles
+      .join(broadcast(touched.toDF("path")), Seq("path"))
+      .select("path", "partitionValues", "size", "modificationTime", "stats")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def numRecordsOf(path: String): Option[Long] =
+      Option(metaByPath(path).getString(4)).flatMap { s =>
+        val n = mapper.readTree(s)
+        if (n.has("numRecords")) Some(n.get("numRecords").asLong()) else None
+      }
+    // every physical row deleted → the file is dead: remove, no re-add
+    val (dead, dvd) = merged.partition { case (e, _, card) =>
+      numRecordsOf(e.path).contains(card)
+    }
+    val descs =
+      if (dvd.isEmpty) Seq.empty
+      else DeletionVectors.writeDvFrames(fsys, table,
+        dvd.map { case (_, bytes, card) => (bytes, card) })
+
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    dvProtocolUpgrade(snap.protocolJson).foreach(actions += _)
+    // the remove carries the file's OLD descriptor (protocol semantics:
+    // the removed content is what consumers could see) — without it a
+    // change-feed fold would double-delete the already-masked rows
+    merged.foreach { case (e, _, _) =>
+      val dvField = e.dv.fold("")(d => "," + dvJson(d))
+      actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":true$dvField}}"""
+    }
+    dvd.zip(descs).foreach { case ((e, _, _), d) =>
+      val m = metaByPath(e.path)
+      val pv = Option(m.getMap[String, String](1)).getOrElse(Map.empty[String, String])
+      val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+        .mkString("{", ",", "}")
+      val statsField =
+        Option(m.getString(4)).fold("")(s => s""","stats":${jsonStr(s)}""")
+      actions += s"""{"add":{"path":${jsonStr(e.path)},"partitionValues":$pvJson,""" +
+        s""""size":${m.getLong(2)},"modificationTime":${m.getLong(3)},"dataChange":true,""" +
+        dvJson(d) + s"$statsField}}"
+    }
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE"}}"""
+
+    // pinned at the snapshot: only valid as the very next version
+    val f = fs(spark, table)
+    val current = (listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq).max
+    require(current == snap.version,
+      s"concurrent commit: $table advanced from version ${snap.version} to $current " +
+        "while this DELETE was computed — re-read and retry")
+    val version = snap.version + 1
+    commitRaw(spark, table, version, actions.result())
+    maybeAutoCheckpoint(spark, table, version)
+    version
+  }
+
   /** OPTIMIZE: rewrite the current snapshot into (up to) `targetFiles`
     * files per partition value as one protocol commit (remove all
     * current adds, add the compacted files) — the small-file compaction
@@ -1374,7 +1602,17 @@ object DeltaLog {
     val f = fs(spark, table)
     val versions = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq
     val kept = versions.distinct.sorted.takeRight(keepVersions)
-    val live = kept.flatMap(v => snapshot(spark, table, Some(v)).files).toSet
+    val keptSnaps = kept.map(v => snapshot(spark, table, Some(v)))
+    val live = keptSnaps.flatMap(_.files).toSet
+    // DV sidecars referenced by any kept snapshot stay; the rest are
+    // reclaimable like data files (OPTIMIZE purges DVs but cannot
+    // delete the sidecar while older versions still reference it)
+    val liveSidecars = keptSnaps.flatMap(_.fileEntries.flatMap(_.dv))
+      .filter(_.storageType == "u")
+      .map(d => DeletionVectors.sidecarPath(table, d.pathOrInlineDv))
+      .map(p => f.makeQualified(new Path(table)).toUri
+        .relativize(f.makeQualified(p).toUri).getPath)
+      .toSet
     val cutoff = System.currentTimeMillis() - retainMillis
     // every data file under the root (not the log dir), relative paths
     val root = f.makeQualified(new Path(table))
@@ -1383,8 +1621,11 @@ object DeltaLog {
     while (it.hasNext) {
       val st = it.next()
       val rel = root.toUri.relativize(st.getPath.toUri).getPath
-      if (st.isFile && rel.endsWith(".parquet") && !rel.startsWith("_delta_log") &&
-          !rel.contains("/.") && !rel.startsWith(".") && !live.contains(rel) &&
+      val isData = rel.endsWith(".parquet") && !live.contains(rel)
+      val isDeadSidecar = basename(rel).startsWith("deletion_vector_") &&
+        rel.endsWith(".bin") && !liveSidecars.contains(rel)
+      if (st.isFile && (isData || isDeadSidecar) && !rel.startsWith("_delta_log") &&
+          !rel.contains("/.") && !rel.startsWith(".") &&
           st.getModificationTime <= cutoff) {
         f.delete(st.getPath, false)
         deleted += 1

@@ -741,4 +741,83 @@ class DeltaLogSpec extends SparkSpec {
     val df = DeltaLog.read(spark, t)
     assert(df.schema == xSchema && df.count() == 0)
   }
+
+  test("DELETE writes deletion vectors: no rewrite, exact CDC, union, full-file removal") {
+    val t = freshTable()
+    // 3 files x 100 rows; x in [0,300)
+    for (i <- 0 until 3)
+      DeltaLog.write(spark, spark.range(i * 100L, i * 100L + 100).toDF("x").coalesce(1),
+        t, if (i == 0) "overwrite" else "append")
+    val v0 = DeltaLog.snapshot(spark, t)
+    assert(v0.files.size == 3)
+
+    // sparse DELETE: zone maps confine it to one file; that file is
+    // RE-ADDED (same path) under a DV — no parquet rewrite
+    val v1 = DeltaLog.deleteWhere(spark, t, $"x" >= 120L && $"x" < 130L)
+    val s1 = DeltaLog.snapshot(spark, t)
+    assert(s1.version == v1)
+    assert(s1.files.toSet == v0.files.toSet, "DELETE must not rewrite data files")
+    assert(s1.fileEntries.count(_.dv.isDefined) == 1)
+    assert(s1.fileEntries.find(_.dv.isDefined).get.dv.get.cardinality == 10L)
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq ==
+      ((0L until 120L) ++ (130L until 300L)))
+    // time travel BEFORE the delete still sees every row
+    assert(DeltaLog.read(spark, t, Some(v0.version)).count() == 300)
+    // CDC nets the DV update to exactly the deleted rows
+    val cdf = DeltaLog.changesBetween(spark, t, v0.version, v1)
+      .select("_change_type", "x").as[(String, Long)].collect().toSet
+    assert(cdf == (120L until 130L).map(("delete", _)).toSet, cdf.toString)
+    // the upgraded protocol declares the feature (spec upgrade rule)
+    assert(s1.protocolJson.get.contains("deletionVectors"), s1.protocolJson.get)
+
+    // second DELETE on the SAME file unions into the existing DV
+    val v2 = DeltaLog.deleteWhere(spark, t, $"x" === 150L)
+    val s2 = DeltaLog.snapshot(spark, t)
+    assert(s2.fileEntries.find(_.dv.isDefined).get.dv.get.cardinality == 11L)
+    assert(DeltaLog.read(spark, t).count() == 289)
+    assert(DeltaLog.changesBetween(spark, t, v1, v2)
+      .select("x").as[Long].collect().toSeq == Seq(150L))
+
+    // delete every remaining live row of that file: the file is REMOVED,
+    // not re-added with a full DV
+    val v3 = DeltaLog.deleteWhere(spark, t, $"x" >= 100L && $"x" < 200L)
+    val s3 = DeltaLog.snapshot(spark, t)
+    assert(s3.files.size == 2 && s3.fileEntries.forall(_.dv.isEmpty), s3.files.toString)
+    assert(DeltaLog.read(spark, t).count() == 200)
+    assert(DeltaLog.changesBetween(spark, t, v2, v3).count() == 89)
+
+    // no-match DELETE is a no-op: no empty commit
+    assert(DeltaLog.deleteWhere(spark, t, $"x" === 999L) == v3)
+    assert(DeltaLog.listVersions(spark, t).max == v3)
+
+    // OPTIMIZE purges DVs; vacuum then reclaims the dead sidecars too
+    DeltaLog.optimize(spark, t)
+    assert(DeltaLog.snapshot(spark, t).fileEntries.forall(_.dv.isEmpty))
+    assert(DeltaLog.read(spark, t).count() == 200)
+    val reclaimed = DeltaLog.vacuum(spark, t, keepVersions = 1, retainMillis = 0L)
+    val sidecars = new File(t).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_"))
+    assert(sidecars.isEmpty, s"dead sidecars survived vacuum: ${sidecars.mkString(",")}")
+    assert(reclaimed >= 3, s"reclaimed=$reclaimed") // 3 data files + sidecars
+    assert(DeltaLog.read(spark, t).count() == 200)
+  }
+
+  test("DELETE on a partitioned table prunes by partition value and stays exact") {
+    val t = freshTable()
+    DeltaLog.write(spark,
+      Seq((1L, "en"), (2L, "en"), (3L, "fr"), (4L, "de")).toDF("x", "lang")
+        .coalesce(1), // one file per partition value
+      t, partitionBy = Seq("lang"))
+    val v = DeltaLog.deleteWhere(spark, t, $"lang" === "en" && $"x" === 1L)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.version == v)
+    // only the en partition's file carries a DV
+    val dvd = snap.fileEntries.filter(_.dv.isDefined)
+    assert(dvd.size == 1 && dvd.head.path.contains("lang=en"), dvd.toString)
+    assert(DeltaLog.read(spark, t).select("x").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    // partition values survive the re-add: partition pruning still works
+    assert(DeltaLog.read(spark, t).where($"lang" === "en")
+      .select("x").as[Long].collect().toSeq == Seq(2L))
+  }
 }
