@@ -143,5 +143,26 @@ object Maintenance {
       graft.sources.DeltaLog.read(spark, t)
   }
 
-  val all: Seq[graft.QueryDef] = Seq(qZOrderKey, qDeleteDv)
+  /** Copy-on-write UPDATE, oracle-verified: a deterministic slice gets
+    * a SET applied via [[graft.sources.DeltaLog.updateWhere]] (only
+    * files containing matches are rewritten) and the read-back must
+    * equal DuckDB's CASE projection row for row. */
+  val qUpdateCow: graft.QueryDef = graft.QueryDef.sql(
+    "q_update_cow",
+    """SELECT c_custkey, c_mktsegment,
+      |  CASE WHEN c_mktsegment = 'MACHINERY' AND c_custkey % 7 = 0
+      |       THEN c_nationkey + 100 ELSE c_nationkey END AS c_nationkey
+      |FROM customer""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-update-cow-").toString + "/t"
+    graft.sources.DeltaLog.write(spark,
+      graft.Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment", "c_nationkey").repartition(4), t)
+    graft.sources.DeltaLog.updateWhere(spark, t,
+      col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 7 === 0,
+      Map("c_nationkey" -> (col("c_nationkey") + 100)))
+    graft.sources.DeltaLog.read(spark, t)
+  }
+
+  val all: Seq[graft.QueryDef] = Seq(qZOrderKey, qDeleteDv, qUpdateCow)
 }

@@ -90,10 +90,11 @@ object DeltaLog {
     /** Live file paths (relative to the table root), sorted. */
     def files: Seq[String] = fileEntries.map(_.path)
 
-    /** logical → physical column name for name-mode column mapping
-      * (top level; empty when mapping is off). */
+    /** logical → physical column name under column mapping (top level;
+      * empty when mapping is off). Stats and partition values are keyed
+      * by physicalName in BOTH name and id mode. */
     lazy val columnMapping: Map[String, String] =
-      if (columnMappingMode != "name") Map.empty
+      if (columnMappingMode != "name" && columnMappingMode != "id") Map.empty
       else schema.map(_.fields.map(f => f.name -> physicalName(f)).toMap)
         .getOrElse(Map.empty)
 
@@ -192,27 +193,41 @@ object DeltaLog {
 
   private def gateMetaData(m: JsonNode): Unit = {
     val mode = mappingModeOf(m)
-    require(mode == "none" || mode == "name",
-      s"Delta column mapping mode '$mode' not supported (only 'none' and " +
-        "'name'; id-mode needs parquet field-id resolution) — refusing to read")
+    require(mode == "none" || mode == "name" || mode == "id",
+      s"Delta column mapping mode '$mode' not supported — refusing to read")
   }
 
-  // ------------------------------------------------- column mapping (name)
+  // --------------------------------------------- column mapping (name/id)
 
   private val PhysNameKey = "delta.columnMapping.physicalName"
+  private val FieldIdKey = "delta.columnMapping.id"
+  /** Spark's parquet reader resolves columns by this metadata key when
+    * `spark.sql.parquet.fieldId.read.enabled` is set. */
+  private val ParquetFieldIdKey = "parquet.field.id"
 
   private def physicalName(f: StructField): String =
     if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey) else f.name
 
   /** Recursively rename a logical schema to its physical (parquet) field
-    * names — name-mode column mapping's read-side translation. */
-  private def physicalType(dt: DataType): DataType = dt match {
+    * names — column mapping's read-side translation. With `fieldIds`
+    * (id-mode), each field additionally carries its
+    * `delta.columnMapping.id` as `parquet.field.id`, so the scan matches
+    * parquet columns by FIELD ID — the parquet file's own column names
+    * (which id-mode lets drift from `physicalName`) stop mattering. */
+  private def physicalType(dt: DataType, fieldIds: Boolean = false): DataType = dt match {
     case s: StructType =>
-      StructType(s.fields.map(f =>
-        f.copy(name = physicalName(f), dataType = physicalType(f.dataType))))
-    case a: ArrayType => a.copy(elementType = physicalType(a.elementType))
+      StructType(s.fields.map { f =>
+        val nf = f.copy(name = physicalName(f),
+          dataType = physicalType(f.dataType, fieldIds))
+        if (fieldIds && f.metadata.contains(FieldIdKey))
+          nf.copy(metadata = new MetadataBuilder().withMetadata(nf.metadata)
+            .putLong(ParquetFieldIdKey, f.metadata.getLong(FieldIdKey)).build())
+        else nf
+      })
+    case a: ArrayType => a.copy(elementType = physicalType(a.elementType, fieldIds))
     case m: MapType =>
-      m.copy(keyType = physicalType(m.keyType), valueType = physicalType(m.valueType))
+      m.copy(keyType = physicalType(m.keyType, fieldIds),
+        valueType = physicalType(m.valueType, fieldIds))
     case x => x
   }
 
@@ -468,12 +483,18 @@ object DeltaLog {
   private def readEntries(spark: SparkSession, table: String,
       entries: Seq[FileEntry], schema: Option[StructType],
       mappingMode: String): DataFrame = {
-    val mapped = mappingMode == "name" && schema.isDefined
+    val mapped = (mappingMode == "name" || mappingMode == "id") && schema.isDefined
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         schema.getOrElse(new StructType()))
+    // id-mode: the scan must match parquet columns by field id, not name
+    // (harmless to leave enabled — schemas without field-id metadata are
+    // matched by name exactly as before)
+    if (mappingMode == "id")
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val readSchema =
-      if (mapped) schema.map(s => physicalType(s).asInstanceOf[StructType])
+      if (mapped)
+        schema.map(s => physicalType(s, mappingMode == "id").asInstanceOf[StructType])
       else schema
     val abs = entries.map(e => new Path(table, e.path).toString)
     val r = spark.read.option("basePath", table)
@@ -1217,8 +1238,14 @@ object DeltaLog {
           s""""schemaString":${jsonStr(declared.json)},""" +
           s""""partitionColumns":${partitionBy.map(jsonStr).mkString("[", ",", "]")},""" +
           s""""configuration":{},"createdTime":$now}}"""
-      prevSnap.toSeq.flatMap(removePaths).foreach { p =>
-        actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":$dataChange}}"""
+      // removes carry the file's descriptor (protocol semantics: the
+      // removed content is what consumers could see) — a change-feed
+      // fold over a DV'd file would otherwise double-delete masked rows
+      prevSnap.toSeq.foreach { ps =>
+        ps.entriesFor(removePaths(ps)).foreach { e =>
+          val dvField = e.dv.fold("")(d => "," + dvJson(d))
+          actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":$dataChange$dvField}}"""
+        }
       }
       movedFiles.foreach { case (rel, pv) =>
         val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
@@ -1529,6 +1556,55 @@ object DeltaLog {
     commitRaw(spark, table, version, actions.result())
     maybeAutoCheckpoint(spark, table, version)
     version
+  }
+
+  /** Row-level UPDATE, copy-on-write at file granularity — the third
+    * DML verb next to [[mergeUpsert]] and [[deleteWhere]]: zone maps
+    * prune the candidate files, a probe finds the files that actually
+    * contain a matching row, and ONLY those are rewritten with `set`
+    * applied to matching rows (non-matching neighbor rows are carried
+    * unchanged — copy-on-write). Untouched files stay live, so an
+    * UPDATE touching a sliver of a 100 TB table rewrites a sliver, and
+    * [[changesWithUpdates]] resolves the commit into exact
+    * update_preimage/postimage pairs. Deletion vectors on touched files
+    * are purged by the rewrite (only live rows are carried). The commit
+    * pins the snapshot version — a concurrent writer fails this UPDATE
+    * loudly. Returns the committed version (current one when nothing
+    * matched: no empty commits). */
+  def updateWhere(spark: SparkSession, table: String, predicate: Column,
+      set: Map[String, Column]): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.columnMappingMode == "none",
+      s"UPDATE of a column-mapped Delta table is not supported (read-only interop): $table")
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    snap.schema.foreach { s =>
+      val missing = set.keySet -- s.fieldNames
+      require(missing.isEmpty,
+        s"UPDATE SET references columns not in the table: ${missing.mkString(",")}")
+    }
+    val candidates = pruneEntries(spark, snap, predicate)
+    if (candidates.isEmpty) return snap.version
+    // probe: which candidate files hold >= 1 matching LIVE row (same
+    // provenance pattern as mergeCore — only file NAMES reach the driver)
+    val touched = basenameIndex(candidates.map(_.path)) match {
+      case None => candidates // colliding basenames: rewrite all candidates
+      case Some(_) =>
+        val names = readEntries(spark, table, candidates, snap.schema,
+          snap.columnMappingMode)
+          .where(predicate)
+          .select(fileNameCol.as("__fname")).distinct()
+          .collect().map(_.getString(0)).toSet
+        candidates.filter(e => names.contains(basename(e.path)))
+    }
+    if (touched.isEmpty) return snap.version
+    val target = readEntries(spark, table, touched, snap.schema,
+      snap.columnMappingMode)
+    val out = target.select(target.columns.toSeq.map { c =>
+      set.get(c).fold(col(c))(e => when(predicate, e).otherwise(col(c)).as(c))
+    }: _*)
+    commitWrite(spark, out, table, snap.partitionColumns, None,
+      removePaths = _ => touched.map(_.path), widenSchema = true,
+      dataChange = true, operation = "UPDATE", baseVersion = Some(snap.version))
   }
 
   /** OPTIMIZE: rewrite the current snapshot into (up to) `targetFiles`

@@ -5,6 +5,7 @@ import java.nio.file.Files
 
 import graft.sources.DeltaLog
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.types.StructType
 
 /** Read interop with the open Delta transaction-log protocol, against
@@ -595,13 +596,43 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("column-mapped"), e.getMessage)
   }
 
-  test("foreign writer: id-mode mapping and unknown reader features refuse loudly") {
-    val t2 = freshTable()
-    val esc = xSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
-    commit(t2, 0, Seq(
-      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"},"createdTime":1}}"""))
-    val e2 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, t2))
-    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+  test("foreign writer: id-mode column mapping resolves by parquet field id") {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField}
+    val t = freshTable()
+    // the parquet file's column NAMES (u, v) match neither the logical
+    // (x, s) nor the declared physical (p-1, p-2) names — only the field
+    // ids (1, 2) identify them, which is exactly what id-mode permits
+    def fid(id: Long) = new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val fileSchema = StructType(Seq(
+      StructField("u", LongType, nullable = true, fid(1L)),
+      StructField("v", StringType, nullable = true, fid(2L))))
+    val data = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(1L, "a"),
+        org.apache.spark.sql.Row(2L, "b")), fileSchema)
+    writeDataFile(data, t, "part-a.snappy.parquet")
+    def lf(name: String, tpe: org.apache.spark.sql.types.DataType, id: Long, phys: String) =
+      StructField(name, tpe, nullable = true,
+        new MetadataBuilder().putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build())
+    val logical = StructType(Seq(lf("x", LongType, 1L, "p-1"), lf("s", StringType, 2L, "p-2")))
+    val esc2 = logical.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    commit(t, 0, Seq(
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},"schemaString":"$esc2","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"},"createdTime":1}}""",
+      """{"add":{"path":"part-a.snappy.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":"{\"numRecords\":2,\"minValues\":{\"p-1\":1},\"maxValues\":{\"p-1\":2},\"nullCount\":{\"p-1\":0}}"}}"""))
+    val df = DeltaLog.read(spark, t)
+    assert(df.columns.toSeq == Seq("x", "s"))
+    assert(df.as[(Long, String)].collect().sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+    // zone-map pruning translates logical → physical stat keys in id mode
+    assert(DeltaLog.pruneFiles(spark, DeltaLog.snapshot(spark, t), $"x" === 5L).isEmpty)
+    assert(DeltaLog.readPruned(spark, t, $"x" === 2L)
+      .select("s").as[String].collect().toSeq == Seq("b"))
+    // read-only interop: writes into an id-mapped table refuse loudly
+    val eW = intercept[IllegalArgumentException](
+      DeltaLog.write(spark, Seq((9L, "z")).toDF("x", "s"), t, "append"))
+    assert(eW.getMessage.contains("column-mapped"), eW.getMessage)
+  }
+
+  test("foreign writer: unknown reader features refuse loudly") {
     // reader feature this implementation does not honor
     val t3 = freshTable()
     commit(t3, 0, Seq(
@@ -800,6 +831,54 @@ class DeltaLogSpec extends SparkSpec {
     assert(sidecars.isEmpty, s"dead sidecars survived vacuum: ${sidecars.mkString(",")}")
     assert(reclaimed >= 3, s"reclaimed=$reclaimed") // 3 data files + sidecars
     assert(DeltaLog.read(spark, t).count() == 200)
+  }
+
+  test("UPDATE is copy-on-write: untouched files live, CDF update pairs, DV purge") {
+    val t = freshTable()
+    for (i <- 0 until 3)
+      DeltaLog.write(spark, spark.range(i * 100L, i * 100L + 100)
+        .selectExpr("id AS x", "CAST(id AS STRING) AS s").coalesce(1),
+        t, if (i == 0) "overwrite" else "append")
+    val v0 = DeltaLog.snapshot(spark, t)
+    assert(v0.files.size == 3)
+
+    // zone maps confine the UPDATE to one file; only it is rewritten
+    val v1 = DeltaLog.updateWhere(spark, t,
+      $"x" >= 120L && $"x" < 125L, Map("s" -> lit("hit")))
+    val s1 = DeltaLog.snapshot(spark, t)
+    assert(s1.version == v1)
+    assert((v0.files.toSet -- s1.files.toSet).size == 1,
+      "UPDATE must rewrite exactly the touched file")
+    assert(v0.files.toSet.intersect(s1.files.toSet).size == 2, "untouched files stay live")
+    assert(DeltaLog.read(spark, t).where($"s" === "hit")
+      .select("x").as[Long].collect().sorted.toSeq == (120L until 125L))
+    assert(DeltaLog.read(spark, t).count() == 300)
+    // non-matching neighbor rows carried unchanged
+    assert(DeltaLog.read(spark, t).where($"x" === 150L)
+      .select("s").as[String].head() == "150")
+    // CDF resolves the rewrite into exact update pre/post pairs
+    val cdf = DeltaLog.changesWithUpdates(spark, t, v0.version, v1, Seq("x"))
+      .select("_change_type", "x", "s").as[(String, Long, String)].collect().toSet
+    assert(cdf == (120L until 125L).flatMap(x => Seq(
+      ("update_preimage", x, x.toString), ("update_postimage", x, "hit"))).toSet, cdf.toString)
+
+    // UPDATE over a DV'd file: only live rows carried, DV purged, and the
+    // change feed over BOTH commits stays exact (remove carries the DV)
+    val v2 = DeltaLog.deleteWhere(spark, t, $"x" === 110L)
+    val v3 = DeltaLog.updateWhere(spark, t,
+      $"x" === 111L, Map("s" -> lit("upd")))
+    val s3 = DeltaLog.snapshot(spark, t)
+    assert(s3.fileEntries.forall(_.dv.isEmpty), "rewrite must purge the DV")
+    assert(DeltaLog.read(spark, t).count() == 299)
+    val cdf2 = DeltaLog.changesWithUpdates(spark, t, v2, v3, Seq("x"))
+      .select("_change_type", "x").as[(String, Long)].collect().toSet
+    assert(cdf2 == Set(("update_preimage", 111L), ("update_postimage", 111L)), cdf2.toString)
+
+    // no-match UPDATE: no commit; unknown SET column refuses
+    assert(DeltaLog.updateWhere(spark, t, $"x" === -1L, Map("s" -> lit("z"))) == v3)
+    intercept[IllegalArgumentException] {
+      DeltaLog.updateWhere(spark, t, $"x" === 1L, Map("nope" -> lit(1)))
+    }
   }
 
   test("DELETE on a partitioned table prunes by partition value and stays exact") {
