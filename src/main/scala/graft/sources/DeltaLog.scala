@@ -164,13 +164,67 @@ object DeltaLog {
           f"${meta.version}%020d.checkpoint.$i%010d.$n%010d.parquet").toString)
     }
 
+  /** Checkpoint layouts this reader understands: classic single/multi-
+    * part parquet, and V2 (one manifest — parquet or JSON — whose
+    * `sidecarFile` actions point into `_delta_log/_sidecars/`). */
+  private sealed trait CpShape
+  private case class CpClassic(paths: Seq[String]) extends CpShape
+  private case class CpV2(manifest: String, isJson: Boolean) extends CpShape
+
+  private def checkpointShape(f: FileSystem, table: String, meta: CpMeta): CpShape =
+    meta.parts match {
+      case Some(_) => CpClassic(checkpointFiles(table, meta))
+      case None =>
+        val classic =
+          new Path(logDir(table), f"${meta.version}%020d.checkpoint.parquet")
+        if (f.exists(classic)) CpClassic(Seq(classic.toString))
+        else {
+          // V2 naming: <version>.checkpoint.<uniqueStr>.{parquet|json}
+          val prefix = f"${meta.version}%020d.checkpoint."
+          val cands = f.listStatus(logDir(table)).map(_.getPath.getName)
+            .filter(n => n.startsWith(prefix) &&
+              (n.endsWith(".parquet") || n.endsWith(".json")))
+          require(cands.nonEmpty,
+            s"_last_checkpoint names version ${meta.version} but no checkpoint " +
+              s"file exists in $table/_delta_log")
+          val name = cands.sorted.head
+          CpV2(new Path(logDir(table), name).toString, name.endsWith(".json"))
+        }
+    }
+
+  private val sidecarFileSchema = new StructType()
+    .add("path", StringType).add("sizeInBytes", LongType)
+    .add("modificationTime", LongType)
+
+  /** Resolve a V2 manifest's file-level state: the manifest's own `add`
+    * rows (if any) plus every referenced sidecar parquet under
+    * `_delta_log/_sidecars/` — each normalized through [[cpFileState]].
+    * Only sidecar NAMES reach the driver; the add rows stay distributed. */
+  private def v2FileState(spark: SparkSession, table: String,
+      man: DataFrame, cpVersion: Long): Option[DataFrame] = {
+    val sidecarNames: Seq[String] =
+      if (!man.columns.contains("sidecarFile")) Seq.empty
+      else man.where("sidecarFile IS NOT NULL AND sidecarFile.path IS NOT NULL")
+        .select("sidecarFile.path").collect().map(_.getString(0)).toSeq
+    val sidecarPaths = sidecarNames
+      .map(p => new Path(new Path(logDir(table), "_sidecars"), p).toString)
+    val manAdds =
+      if (!man.columns.contains("add")) Seq.empty
+      else Seq(cpFileState(man, cpVersion))
+    val sidecarAdds =
+      if (sidecarPaths.isEmpty) Seq.empty
+      else Seq(cpFileState(spark.read.parquet(sidecarPaths: _*), cpVersion))
+    (manAdds ++ sidecarAdds).reduceOption(_.unionByName(_))
+  }
+
   // ---------------------------------------------------- protocol gating
 
   /** Reader features this implementation actually honors. Anything else
-    * (v2Checkpoint, ...) changes READ semantics, so an unknown feature
-    * must refuse loudly rather than silently misread. */
+    * changes READ semantics, so an unknown feature must refuse loudly
+    * rather than silently misread. */
   private val supportedReaderFeatures =
-    Set("timestampNtz", "columnMapping", "vacuumProtocolCheck", "deletionVectors")
+    Set("timestampNtz", "columnMapping", "vacuumProtocolCheck",
+      "deletionVectors", "v2Checkpoint")
 
   private def gateProtocol(p: JsonNode): Unit = {
     val mrv = if (p.has("minReaderVersion")) p.get("minReaderVersion").asInt() else 1
@@ -267,6 +321,12 @@ object DeltaLog {
     .add("metaData", metaDataSchema).add("protocol", protocolSchema)
     .add("txn", txnSchema)
 
+  /** V2 checkpoint manifests add sidecar pointers (and a
+    * checkpointMetadata marker) to the action vocabulary. */
+  private val v2ManifestSchema = actionSchema
+    .add("sidecarFile", sidecarFileSchema)
+    .add("checkpointMetadata", new StructType().add("version", LongType))
+
   // ------------------------------------------------------------- snapshot
 
   /** Checkpoint `add` rows → the normalized file-state columns, tolerant
@@ -344,9 +404,20 @@ object DeltaLog {
     }
 
     val cpMeta = lastCheckpointMeta(f, table).filter(_.version <= target)
-    val cpPaths = cpMeta.map(checkpointFiles(table, _))
-    val cpFrame = cpPaths.map(ps => spark.read.parquet(ps: _*))
-    cpFrame.foreach { cp =>
+    // metadata-bearing frame + normalized file-state frame, by layout
+    val cpFrames: Option[(DataFrame, Option[DataFrame])] = cpMeta.map { m =>
+      checkpointShape(f, table, m) match {
+        case CpClassic(paths) =>
+          val cp = spark.read.parquet(paths: _*)
+          (cp, Some(cpFileState(cp, m.version)))
+        case CpV2(manifest, isJson) =>
+          val man =
+            if (isJson) spark.read.schema(v2ManifestSchema).json(manifest)
+            else spark.read.parquet(manifest)
+          (man, v2FileState(spark, table, man, m.version))
+      }
+    }
+    cpFrames.map(_._1).foreach { cp =>
       // checkpoint-carried protocol/metaData/txn: a vacuumed table has
       // them ONLY here; gate exactly as the JSON replay does
       if (cp.columns.contains("protocol"))
@@ -420,8 +491,7 @@ object DeltaLog {
             col("__v"), lit("remove").as("__kind"))
         adds.unionByName(removes)
       }
-    val events = (cpFrame.map(cp => cpFileState(cp, cpMeta.get.version)).toSeq ++
-      tailFrame.toSeq)
+    val events = (cpFrames.flatMap(_._2).toSeq ++ tailFrame.toSeq)
     val allFiles = events match {
       case Seq() =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], new StructType()
@@ -1424,7 +1494,7 @@ object DeltaLog {
     * under the per-table gate). The caller's read-modify-write is pinned:
     * a lost race fails loudly — by construction the inputs are stale. */
   private def commitRaw(spark: SparkSession, table: String, version: Long,
-      actions: Seq[String]): Unit = {
+      actions: Seq[String], operation: String): Unit = {
     val f = fs(spark, table)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(logDir(table), f".$version%020d-$nonce.json.tmp")
@@ -1437,8 +1507,74 @@ object DeltaLog {
     if (!won) {
       f.delete(tmp, false)
       sys.error(s"concurrent commit: $table advanced past version ${version - 1} " +
-        "while this DELETE was computed — re-read and retry")
+        s"while this $operation was computed — re-read and retry")
     }
+  }
+
+  /** RESTORE TABLE … TO VERSION AS OF `version`: make the current state
+    * equal the state at `version` via ONE new commit — remove the files
+    * the target lacks, re-add the files the target had (original
+    * partitionValues/stats/DV descriptors, and the target's metaData
+    * when the declaration changed since). History is PRESERVED: the
+    * restore is itself a commit, every intermediate version stays
+    * time-travelable, and a change-feed consumer folding the restore
+    * commit lands exactly on the restored state. Refuses when a needed
+    * file was already vacuumed. O(diff) driver work, metadata-only
+    * (no data file is read or written). */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    import spark.implicits._
+    val cur = snapshot(spark, table)
+    if (version == cur.version) return cur.version
+    val tgt = snapshot(spark, table, Some(version))
+    // diff at (path, descriptor) granularity: same path under a different
+    // DV must be re-added under the target's descriptor
+    val curBy = cur.fileEntries.map(e => e.path -> e.dv).toMap
+    val tgtBy = tgt.fileEntries.map(e => e.path -> e.dv).toMap
+    val removes = cur.fileEntries.filterNot(e => tgtBy.get(e.path).contains(e.dv))
+    val readds = tgt.fileEntries.filterNot(e => curBy.get(e.path).contains(e.dv))
+    val metaChanged = tgt.metaDataJson != cur.metaDataJson
+    if (removes.isEmpty && readds.isEmpty && !metaChanged) return cur.version
+    val f = fs(spark, table)
+    readds.foreach { e =>
+      require(f.exists(new Path(table, e.path)),
+        s"RESTORE of $table to version $version impossible: data file " +
+          s"${e.path} was vacuumed")
+    }
+    val metaByPath: Map[String, Row] =
+      if (readds.isEmpty) Map.empty
+      else tgt.allFiles
+        .join(broadcast(readds.map(_.path).toDF("path")), Seq("path"))
+        .select("path", "partitionValues", "size", "modificationTime", "stats")
+        .collect().map(r => r.getString(0) -> r).toMap
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    if (metaChanged) tgt.metaDataJson.foreach(m => actions += s"""{"metaData":$m}""")
+    removes.foreach { e =>
+      val dvField = e.dv.fold("")(d => "," + dvJson(d))
+      actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":true$dvField}}"""
+    }
+    readds.foreach { e =>
+      val m = metaByPath(e.path)
+      val pv = Option(m.getMap[String, String](1)).getOrElse(Map.empty[String, String])
+      val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+        .mkString("{", ",", "}")
+      val statsField =
+        Option(m.getString(4)).fold("")(s => s""","stats":${jsonStr(s)}""")
+      val dvField = e.dv.fold("")(d => "," + dvJson(d))
+      actions += s"""{"add":{"path":${jsonStr(e.path)},"partitionValues":$pvJson,""" +
+        s""""size":${if (m.isNullAt(2)) 0L else m.getLong(2)},""" +
+        s""""modificationTime":${if (m.isNullAt(3)) now else m.getLong(3)},""" +
+        s""""dataChange":true$dvField$statsField}}"""
+    }
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE"}}"""
+    val current = (listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq).max
+    require(current == cur.version,
+      s"concurrent commit: $table advanced from version ${cur.version} to $current " +
+        "while this RESTORE was computed — re-read and retry")
+    val v = cur.version + 1
+    commitRaw(spark, table, v, actions.result(), "RESTORE")
+    maybeAutoCheckpoint(spark, table, v)
+    v
   }
 
   /** Row-level DELETE via deletion vectors: files whose zone maps prove
@@ -1553,7 +1689,7 @@ object DeltaLog {
       s"concurrent commit: $table advanced from version ${snap.version} to $current " +
         "while this DELETE was computed — re-read and retry")
     val version = snap.version + 1
-    commitRaw(spark, table, version, actions.result())
+    commitRaw(spark, table, version, actions.result(), "DELETE")
     maybeAutoCheckpoint(spark, table, version)
     version
   }

@@ -632,14 +632,65 @@ class DeltaLogSpec extends SparkSpec {
     assert(eW.getMessage.contains("column-mapped"), eW.getMessage)
   }
 
+  test("foreign writer: V2 checkpoint (manifest + sidecars) reads as one state") {
+    val t = freshTable()
+    writeDataFile(Seq(1L).toDF("x"), t, "part-a.snappy.parquet")
+    writeDataFile(Seq(2L).toDF("x"), t, "part-b.snappy.parquet")
+    writeDataFile(Seq(3L).toDF("x"), t, "part-c.snappy.parquet")
+    val logDir = new File(t, "_delta_log"); logDir.mkdirs()
+    val sidecarDir = new File(logDir, "_sidecars"); sidecarDir.mkdirs()
+    // two sidecar parquets carry the add actions (one add each); the
+    // third file's add lives directly in the manifest
+    def sidecar(name: String, paths: Seq[String]): Unit = {
+      val rows = paths.map(p => (Some(p), Option.empty[String])).toDF("p", "r")
+        .selectExpr("named_struct('path', p, 'partitionValues', map(), " +
+          "'size', CAST(1 AS BIGINT), 'modificationTime', CAST(1 AS BIGINT), " +
+          "'dataChange', true) AS add")
+      val tmp = Files.createTempDirectory("graft-v2-sc-").toString
+      rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new File(sidecarDir, name).toPath)
+    }
+    sidecar("sc-1.parquet", Seq("part-a.snappy.parquet"))
+    sidecar("sc-2.parquet", Seq("part-b.snappy.parquet"))
+    val esc = xSchema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    // JSON manifest: checkpointMetadata + protocol + metaData + sidecar
+    // pointers + one direct add
+    Files.write(new File(logDir,
+      f"${2L}%020d.checkpoint.80a083e8-7026.json").toPath,
+      (Seq(
+        """{"checkpointMetadata":{"version":2}}""",
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+        s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{},"createdTime":1}}""",
+        """{"sidecarFile":{"path":"sc-1.parquet","sizeInBytes":100,"modificationTime":1}}""",
+        """{"sidecarFile":{"path":"sc-2.parquet","sizeInBytes":100,"modificationTime":1}}""",
+        """{"add":{"path":"part-c.snappy.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+        """{"txn":{"appId":"v2-app","version":7}}""").mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    Files.write(new File(logDir, "_last_checkpoint").toPath,
+      """{"version":2}""".getBytes("UTF-8"))
+    // one JSON commit after the checkpoint: remove the manifest's add
+    commit(t, 3, Seq(removeAction("part-c.snappy.parquet")))
+
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.version == 3)
+    assert(snap.files.toSet ==
+      Set("part-a.snappy.parquet", "part-b.snappy.parquet"))
+    assert(snap.txns.get("v2-app").contains(7L))
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // state AT the checkpoint version (no JSON before it exists)
+    assert(DeltaLog.read(spark, t, Some(2)).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("foreign writer: unknown reader features refuse loudly") {
     // reader feature this implementation does not honor
     val t3 = freshTable()
     commit(t3, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors","someFutureFeature"],"writerFeatures":["someFutureFeature"]}}""",
       metaAction(xSchema)))
     val e3 = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, t3))
-    assert(e3.getMessage.contains("v2Checkpoint"), e3.getMessage)
+    assert(e3.getMessage.contains("someFutureFeature"), e3.getMessage)
     // benign feature set still reads
     val t4 = freshTable()
     writeDataFile(Seq(7L).toDF("x"), t4, "part-a.snappy.parquet")
@@ -879,6 +930,45 @@ class DeltaLogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DeltaLog.updateWhere(spark, t, $"x" === 1L, Map("nope" -> lit(1)))
     }
+  }
+
+  test("RESTORE rolls the state back as one commit; history preserved; vacuum refuses") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L, 2L).toDF("x").coalesce(1), t)            // v0
+    DeltaLog.write(spark, Seq(3L).toDF("x").coalesce(1), t, "append")      // v1
+    DeltaLog.deleteWhere(spark, t, $"x" === 2L)                            // v2 (DV)
+    DeltaLog.write(spark, Seq(9L).toDF("x").coalesce(1), t)                // v3 overwrite
+    assert(DeltaLog.read(spark, t).as[Long].collect().toSeq == Seq(9L))
+
+    // restore to v1: pre-delete, pre-overwrite
+    val rv = DeltaLog.restore(spark, t, 1L)
+    assert(rv == 4L)
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // history preserved: every intermediate version still travels
+    assert(DeltaLog.read(spark, t, Some(2)).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 3L))
+    assert(DeltaLog.read(spark, t, Some(3)).as[Long].collect().toSeq == Seq(9L))
+    assert(DeltaLog.history(spark, t).where($"operation" === "RESTORE").count() == 1)
+    // restoring the DV'd version re-adds the file UNDER its descriptor
+    val rv2 = DeltaLog.restore(spark, t, 2L)
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(DeltaLog.snapshot(spark, t).fileEntries.exists(_.dv.isDefined))
+    // change-feed fold across the restore lands on the restored state
+    val feed = DeltaLog.changesBetween(spark, t, 4L, rv2)
+    val folded = graft.maintenance.IncrementalAgg.applyDelta(
+      graft.maintenance.IncrementalAgg.materialize(
+        DeltaLog.read(spark, t, Some(4L)), Seq("x"), Nil),
+      feed, Seq("x"), Nil)
+    val want = graft.maintenance.IncrementalAgg.materialize(
+      DeltaLog.read(spark, t), Seq("x"), Nil)
+    assert(folded.exceptAll(want).isEmpty && want.exceptAll(folded).isEmpty)
+    // restore to the current version: no-op, no commit
+    assert(DeltaLog.restore(spark, t, rv2) == rv2)
+    assert(DeltaLog.listVersions(spark, t).max == rv2)
+    // vacuum away v3's file, then a restore needing it refuses loudly
+    DeltaLog.vacuum(spark, t, keepVersions = 1, retainMillis = 0L)
+    val e = intercept[IllegalArgumentException](DeltaLog.restore(spark, t, 3L))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
   }
 
   test("DELETE on a partitioned table prunes by partition value and stays exact") {

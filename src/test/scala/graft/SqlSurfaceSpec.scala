@@ -71,4 +71,50 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT tag FROM dl_now WHERE id = 2").head().getString(0) == "b2")
   }
+
+  test("statement surface: SELECT/DELETE/UPDATE/RESTORE/OPTIMIZE/VACUUM/HISTORY") {
+    import graft.sources.{DeltaLog, GraftSql}
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-sqlstmt-").toString + "/t"
+    DeltaLog.write(spark,
+      spark.range(100).selectExpr("id AS x", "CAST(id % 5 AS STRING) AS g")
+        .repartition(2), t)
+
+    // SELECT with a delta.`path` reference, plain and time-traveled
+    def q(sql: String) = GraftSql.exec(spark, sql)
+    assert(q(s"SELECT count(*) AS n FROM delta.`$t`").head().getLong(0) == 100L)
+
+    // DELETE via deletion vectors
+    assert(q(s"DELETE FROM delta.`$t` WHERE x % 10 = 3").head().getLong(0) == 1L)
+    assert(q(s"SELECT count(*) AS n FROM delta.`$t`").head().getLong(0) == 90L)
+    assert(DeltaLog.snapshot(spark, t).fileEntries.exists(_.dv.isDefined))
+
+    // UPDATE, multi-assignment with a function call containing commas
+    q(s"UPDATE delta.`$t` SET g = concat(g, '!'), x = x + 1000 WHERE x = 50")
+    val r = q(s"SELECT g, x FROM delta.`$t` WHERE x = 1050").head()
+    assert(r.getString(0) == "0!" && r.getLong(1) == 1050L)
+
+    // time travel sees the pre-DELETE state
+    assert(q(s"SELECT count(*) AS n FROM delta.`$t` VERSION AS OF 0")
+      .head().getLong(0) == 100L)
+
+    // OPTIMIZE purges the DVs; HISTORY lists every operation
+    q(s"OPTIMIZE delta.`$t`")
+    assert(DeltaLog.snapshot(spark, t).fileEntries.forall(_.dv.isEmpty))
+    val ops = q(s"DESCRIBE HISTORY delta.`$t`")
+      .select("operation").as[String].collect().toSet
+    assert(Set("OVERWRITE", "DELETE", "UPDATE", "OPTIMIZE").subsetOf(ops), ops.toString)
+
+    // RESTORE to the pre-UPDATE version (x=50 back, DELETE still applied)
+    q(s"RESTORE TABLE delta.`$t` TO VERSION AS OF 1")
+    assert(q(s"SELECT count(*) AS n FROM delta.`$t` WHERE x = 50")
+      .head().getLong(0) == 1L)
+    assert(q(s"SELECT count(*) AS n FROM delta.`$t`").head().getLong(0) == 90L)
+
+    // VACUUM with an explicit retention window reclaims nothing young…
+    assert(q(s"VACUUM delta.`$t` RETAIN 168 HOURS").head().getLong(0) == 0L)
+    // …and RETAIN 0 HOURS reclaims the unreferenced files
+    assert(q(s"VACUUM delta.`$t` RETAIN 0 HOURS").head().getLong(0) > 0L)
+    assert(q(s"SELECT count(*) AS n FROM delta.`$t`").head().getLong(0) == 90L)
+  }
 }
