@@ -327,22 +327,38 @@ object Similarity {
     * production quantizer (the oracle queries keep the placeholder only
     * because DuckDB cannot replay an iterative trainer). */
   def trainCentroids(emb: DataFrame, k: Int, iters: Int,
-      seed: Long = 42L): Array[Array[Double]] = {
+      seed: Long = 42L, l2: Boolean = false): Array[Array[Double]] = {
     require(k >= 2 && iters >= 0, s"k=$k iters=$iters")
+    // l2: assign by Euclidean argmin (= argmax x·c − ‖c‖²/2) instead of
+    // cosine — the objective PQ ENCODING uses, so codebooks trained for
+    // reconstruction cluster the same way they will be applied
+    def l2Assigned(cents: Array[Array[Double]]): DataFrame = {
+      val scored = cents.zipWithIndex.map { case (c, k2) =>
+        val half = c.map(x => x * x).sum / 2.0
+        struct(
+          (aggregate(zip_with(col("embedding"), array(c.map(lit): _*),
+            (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
+            - lit(half)).as("s"),
+          lit(k2).as("cell"))
+      }
+      emb.withColumn("cell", greatest(scored.toSeq: _*).getField("cell"))
+    }
     var cents: Array[Array[Double]] = emb
       .withColumn("__h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy(col("__h"), col("vec_id")).limit(k)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 1 to iters) {
-      val means = assignCells(emb, cents)
+      val means = (if (l2) l2Assigned(cents) else assignCells(emb, cents))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(avg(col("v").cast("double")).as("m"))
         .collect()
         .groupBy(_.getInt(0))
         .view.mapValues { rows =>
-          val a = new Array[Double](dim)
+          // sized from the centroids, not the global dim — the trainer
+          // also runs on PQ subvectors
+          val a = new Array[Double](cents.head.length)
           rows.foreach(r => a(r.getInt(1)) = r.getDouble(2))
           a
         }.toMap
@@ -438,6 +454,151 @@ object Similarity {
     }
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Train per-subspace PQ codebooks (`subspaces` × `codes` × dim/M):
+    * the embedding splits into M contiguous subvectors, each trained
+    * with its own seeded Lloyd run — the memory-scale path for ANN at
+    * 100 TB, where 64 float dims compress to M byte codes (32× smaller
+    * candidate storage; the exact vectors are only read for queries). */
+  def trainPqCodebooks(emb: DataFrame, subspaces: Int, codes: Int,
+      iters: Int, seed: Long = 42L): Array[Array[Array[Double]]] = {
+    require(dim % subspaces == 0, s"dim $dim not divisible into $subspaces subspaces")
+    val len = dim / subspaces
+    (0 until subspaces).toArray.map { m =>
+      trainCentroids(
+        emb.select(col("vec_id"),
+          slice(col("embedding"), m * len + 1, len).as("embedding")),
+        codes, iters, seed + m, l2 = true)
+    }
+  }
+
+  /** PQ encode: `codes(m)` = the subspace-m codebook row of least L2
+    * distance to the subvector. ||x−c||² = ||x||² − 2x·c + ||c||², so
+    * argmin = argmax (x·c − ||c||²/2); ties go to the LARGER code
+    * (`greatest` on (score, code) structs — mirrored by the oracle's
+    * `code DESC`). A pure map-side pass: nothing shuffles, the codebook
+    * rides in the task binary as literals. */
+  def pqEncode(emb: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
+    val m = books.length
+    val len = dim / m
+    val codeCols = (0 until m).map { mi =>
+      val sub = slice(col("embedding"), mi * len + 1, len)
+      val scored = books(mi).zipWithIndex.map { case (c, k) =>
+        val half = c.map(x => x * x).sum / 2.0
+        struct(
+          (aggregate(zip_with(sub, array(c.map(lit): _*),
+            (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
+            - lit(half)).as("s"),
+          lit(k).as("k"))
+      }
+      greatest(scored.toSeq: _*).getField("k")
+    }
+    emb.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** ADC (asymmetric distance computation) search: queries stay exact,
+    * every candidate is scored from its CODES alone — each code selects
+    * its codebook row with `element_at`, the M rows concatenate into the
+    * candidate's RECONSTRUCTION, and the score is one 64-element dot of
+    * query × reconstruction (the same single left fold as [[dot]], so
+    * scores are bit-identical to the oracle). Expression-only, no UDF.
+    * At 100 TB the candidate scan reads M bytes per vector instead of
+    * the embedding, and the only shuffle is the per-query top-k. */
+  def pqAdcSearch(emb: DataFrame, books: Array[Array[Array[Double]]],
+      isQuery: Column, topk: Int): DataFrame = {
+    val m = books.length
+    val encoded = pqEncode(emb, books).select(col("vec_id"), col("codes"))
+    val queries = emb.where(isQuery)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("q_nrm"))
+    val recon = concat((0 until m).map { mi =>
+      element_at(typedLit(books(mi).map(_.toSeq).toSeq),
+        element_at(col("codes"), mi + 1) + 1)
+    }: _*)
+    // approximate COSINE: normalize by the reconstruction's norm so the
+    // ranking objective matches the exact baseline's (raw MIPS dot would
+    // rank large-norm reconstructions first)
+    encoded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot(col("q_emb"), recon) /
+          (col("q_nrm") * sqrt(dot(recon, recon)))).as("adc_score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_score").desc, col("cand_id"))))
+      .where(col("rnk") <= topk)
+  }
+
+  private lazy val pqBooksFixture: Array[Array[Array[Double]]] =
+    trainPqCodebooks(
+      graft.Tables.embeddings(org.apache.spark.sql.SparkSession.active, trainDir)
+        .select(col("vec_id"), col("embedding")),
+      subspaces = 8, codes = 16, iters = 2)
+
+  /** PQ-ADC search under the oracle: the seeded per-subspace trainer is
+    * deterministic, so the trained codebooks embed as literals in BOTH
+    * engines (the [[qIvfTrained]] technique). Encode tiebreaks and the
+    * fixed left-to-right term summation make scores bit-identical. */
+  lazy val qPqAdc: QueryDef = {
+    val books = pqBooksFixture
+    val m = books.length
+    val len = dim / m
+    // force DIRECT double parsing: a bare decimal literal parses as
+    // DECIMAL first and its cast to DOUBLE can land one ulp off; an
+    // exponent suffix makes DuckDB parse the shortest-round-trip form
+    // straight to the bit-identical IEEE double (these literals reach
+    // the OUTPUT score here, unlike qIvfTrained's rank-only centroids)
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('e') || s.contains('E')) s else s + "e0"
+    }
+    val values = (for {
+      mi <- 0 until m
+      (c, k) <- books(mi).zipWithIndex
+    } yield {
+      val half = c.map(x => x * x).sum / 2.0
+      s"($mi, $k, [${c.map(dlit).mkString(", ")}]::DOUBLE[], ${dlit(half)})"
+    }).mkString(",\n         |  ")
+    def subDot(vec: String, mExpr: String, cb: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$len), " +
+        s"i -> $vec[$mExpr*$len + i]::DOUBLE * $cb[i]::DOUBLE)), (x,y) -> x+y)"
+    QueryDef.sql(
+      "q_sim_pq_adc",
+      s"""WITH norms AS ($normsSql
+         |), cb(m, k, c_emb, c_half) AS (VALUES
+         |  $values
+         |), enc AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT e.vec_id, cb.m, cb.k,
+         |      row_number() OVER (PARTITION BY e.vec_id, cb.m
+         |        ORDER BY ${subDot("e.embedding", "cb.m", "cb.c_emb")} - cb.c_half DESC, cb.k DESC) AS rn
+         |    FROM embeddings e CROSS JOIN cb) WHERE rn = 1
+         |), codes AS (
+         |  SELECT vec_id,
+         |    ${(0 until m).map(mi =>
+              s"max(CASE WHEN m=$mi THEN code END) AS k$mi").mkString(",\n         |    ")}
+         |  FROM enc GROUP BY vec_id
+         |), recon AS (
+         |  SELECT c.vec_id, ${(0 until m).map(mi => s"b$mi.c_emb").mkString(" || ")} AS r_emb
+         |  FROM codes c
+         |  ${(0 until m).map(mi =>
+              s"JOIN cb b$mi ON b$mi.m = $mi AND b$mi.k = c.k$mi").mkString("\n         |  ")}
+         |), scores AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS cand_id,
+         |    ${dotSql("q.embedding", "r.r_emb")} /
+         |      (q.nrm * sqrt(${dotSql("r.r_emb", "r.r_emb")})) AS adc_score
+         |  FROM norms q, recon r
+         |  WHERE q.vec_id < 5 AND r.vec_id <> q.vec_id
+         |)
+         |SELECT query_id, cand_id, adc_score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, cand_id) AS rnk
+         |FROM scores
+         |QUALIFY rnk <= 3""".stripMargin) { (spark, dir) =>
+      pqAdcSearch(
+        graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        books, col("vec_id") < 5, topk = 3)
+    }
+  }
+
   /** Single-probe IVF search against an arbitrary centroid set: assign
     * corpus + queries with [[assignCells]], search only the query's cell.
     * Same plan shape as [[qIvfAnn]] (broadcast queries × partition-local
@@ -458,8 +619,9 @@ object Similarity {
       .where(col("rnk") <= topk)
   }
 
-  // lazy because qIvfTrained trains on first access (needs a session)
+  // lazy because qIvfTrained/qPqAdc train on first access (needs a session)
   lazy val all: Seq[QueryDef] =
-    Seq(qCosineTopK, qIvfAnn, qIvfMultiProbe, qEmbeddingNearDup, qIvfTrained)
+    Seq(qCosineTopK, qIvfAnn, qIvfMultiProbe, qEmbeddingNearDup, qIvfTrained,
+      qPqAdc)
 }
 

@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
-  private def topkRows =
-    SparkEntry.queries("q_sim_cosine_topk")(spark, sfDir)
+  private def topkRowsAt(dir: String) =
+    SparkEntry.queries("q_sim_cosine_topk")(spark, dir)
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rnk"))
       .as[(Long, Long, Double, Int)].collect()
+
+  private def topkRows = topkRowsAt(sfDir)
 
   test("cosines are in [-1, 1] and ranks ordered by descending cosine") {
     val rows = topkRows
@@ -37,10 +39,10 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  private def recallOf(queryName: String): Double = {
-    val exact = topkRows.filter { case (q, _, _, rnk) => q < 5 && rnk <= 3 }
+  private def recallOf(queryName: String, dir: String = sfDir): Double = {
+    val exact = topkRowsAt(dir).filter { case (q, _, _, rnk) => q < 5 && rnk <= 3 }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val got = SparkEntry.queries(queryName)(spark, sfDir)
+    val got = SparkEntry.queries(queryName)(spark, dir)
       .select(col("query_id"), col("cand_id"))
       .as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -54,6 +56,26 @@ class SimilaritySpec extends SparkSpec {
     val mean = recallOf("q_sim_ivf_ann")
     info(f"mean IVF recall@3 = $mean%.2f")
     assert(mean >= 0.2, f"single-probe recall collapsed: $mean%.2f")
+  }
+
+  test("PQ codes are bounded and ADC recalls a useful fraction of the exact top-3") {
+    import graft.llm.Similarity
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val books = Similarity.trainPqCodebooks(emb, subspaces = 4, codes = 16, iters = 2)
+    assert(books.length == 4 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 16)))
+    val codes = Similarity.pqEncode(emb, books)
+      .select(col("codes")).as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(k => k >= 0 && k < 16)))
+    // Recall measured at the SF the fixture codebooks train on (sf0.01,
+    // the correctness gate's SF). The synthetic corpus is near-random
+    // unit vectors (exact top-3 cosines ≈ 0.35), so the 8-byte sketch
+    // holding a 0.1+ recall means it carries ~17x the signal of random
+    // top-3 picks (3/499 ≈ 0.006); computational exactness is gated by
+    // the q_sim_pq_adc oracle row, not this floor.
+    val mean = recallOf("q_sim_pq_adc", "/root/testdata/sf0.01")
+    info(f"mean PQ-ADC recall@3 = $mean%.2f")
+    assert(mean >= 0.1, f"PQ-ADC recall collapsed: $mean%.2f")
   }
 
   test("a second probe does not lose recall (and should gain it)") {
