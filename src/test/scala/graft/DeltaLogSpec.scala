@@ -932,6 +932,62 @@ class DeltaLogSpec extends SparkSpec {
     }
   }
 
+  test("changesWithUpdates refuses a duplicate-key window, naming the keys") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq((1L, "a")).toDF("id", "tag"), t)          // v0
+    // a non-MERGE commit violating the per-side key-uniqueness invariant
+    DeltaLog.write(spark,
+      Seq((2L, "x"), (2L, "y")).toDF("id", "tag"), t, "append")         // v1
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.changesWithUpdates(spark, t, 0L, 1L, Seq("id")).collect())
+    assert(e.getMessage.contains("unique per") && e.getMessage.contains("2"),
+      e.getMessage)
+    // the raw file-level feed still works on the same window
+    assert(DeltaLog.changesBetween(spark, t, 0L, 1L).count() == 2)
+  }
+
+  test("table properties: configuration survives evolution; appendOnly + CHECK enforced") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq((1L, 5L)).toDF("x", "v"), t,
+      properties = Map("delta.constraints.vpos" -> "v > 0"))
+    // CHECK violation refuses loudly, naming the constraint, before staging
+    val e = intercept[IllegalArgumentException](
+      DeltaLog.write(spark, Seq((2L, -1L)).toDF("x", "v"), t, "append"))
+    assert(e.getMessage.contains("vpos"), e.getMessage)
+    DeltaLog.write(spark, Seq((2L, 7L)).toDF("x", "v"), t, "append")
+    // schema-widening append must NOT wipe the table's configuration
+    DeltaLog.write(spark, Seq((3L, 8L, "z")).toDF("x", "v", "tag"), t, "append")
+    val cfg = DeltaLog.snapshot(spark, t).configuration
+    assert(cfg.get("delta.constraints.vpos").contains("v > 0"), cfg.toString)
+    intercept[IllegalArgumentException](
+      DeltaLog.write(spark, Seq((9L, -2L, "w")).toDF("x", "v", "tag"), t, "append"))
+    // an UPDATE whose rewritten frame violates the constraint refuses too
+    intercept[IllegalArgumentException](
+      DeltaLog.updateWhere(spark, t, $"x" === 1L, Map("v" -> lit(-5L))))
+    assert(DeltaLog.read(spark, t).count() == 3)
+
+    // append-only table: appends fine; every remove-bearing verb refuses;
+    // OPTIMIZE (dataChange=false, pure rewrite) stays allowed
+    val t2 = freshTable()
+    DeltaLog.write(spark, Seq(1L, 2L).toDF("x").coalesce(1), t2,
+      properties = Map("delta.appendOnly" -> "true"))
+    DeltaLog.write(spark, Seq(3L).toDF("x"), t2, "append")
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.write(spark, Seq(9L).toDF("x"), t2))
+      .getMessage.contains("append-only"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.deleteWhere(spark, t2, $"x" === 1L))
+      .getMessage.contains("append-only"))
+    assert(intercept[IllegalArgumentException](
+      DeltaLog.updateWhere(spark, t2, $"x" === 1L, Map("x" -> lit(9L))))
+      .getMessage.contains("append-only"))
+    DeltaLog.optimize(spark, t2)
+    assert(DeltaLog.read(spark, t2).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    assert(DeltaLog.snapshot(spark, t2).configuration
+      .get("delta.appendOnly").contains("true"))
+  }
+
   test("RESTORE rolls the state back as one commit; history preserved; vacuum refuses") {
     val t = freshTable()
     DeltaLog.write(spark, Seq(1L, 2L).toDF("x").coalesce(1), t)            // v0
