@@ -343,11 +343,12 @@ object Similarity {
       }
       emb.withColumn("cell", greatest(scored.toSeq: _*).getField("cell"))
     }
+    // embedding may be float (raw corpus) or double (PQ residuals)
     var cents: Array[Array[Double]] = emb
       .withColumn("__h", xxhash64(col("vec_id"), lit(seed)))
       .orderBy(col("__h"), col("vec_id")).limit(k)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
     for (_ <- 1 to iters) {
       val means = (if (l2) l2Assigned(cents) else assignCells(emb, cents))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -597,6 +598,61 @@ object Similarity {
         graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
         books, col("vec_id") < 5, topk = 3)
     }
+  }
+
+  /** IVF-PQ: the production ANN shape at 100 TB — a coarse IVF cell per
+    * vector plus PQ codes of the RESIDUAL (x − centroid), so the index
+    * stores one small int + M bytes per vector while search touches only
+    * the probe cell's codes. Returns (centroids, residual codebooks);
+    * both trainers are the seeded deterministic ones above. */
+  def trainIvfPq(emb: DataFrame, cells: Int, subspaces: Int, codes: Int,
+      iters: Int, seed: Long = 42L): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    val cents = trainCentroids(emb, cells, iters, seed)
+    val books = trainPqCodebooks(residualFrame(emb, cents), subspaces, codes,
+      iters, seed + 1000)
+    (cents, books)
+  }
+
+  /** `embedding` replaced by the residual to the assigned centroid
+    * (keeps `vec_id`, adds `cell`). Map-side: the centroid rides as one
+    * array literal, selected by `element_at`. */
+  private def residualFrame(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val centSel = element_at(typedLit(cents.map(_.toSeq).toSeq), col("cell") + 1)
+    assignCells(emb, cents)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("embedding"), centSel,
+          (x, c) => x.cast("double") - c).as("embedding"))
+  }
+
+  /** IVF-PQ search: candidates come from the query's probe cell only and
+    * are scored from cell + codes alone — the candidate's embedding is
+    * never read. Reconstruction = centroid + residual-codebook rows;
+    * score = q · rec / (‖q‖·‖rec‖), the same approximate cosine as
+    * [[pqAdcSearch]]. The cell equi-join is the inverted-list seek;
+    * everything else is expression-level. */
+  def ivfPqSearch(emb: DataFrame, cents: Array[Array[Double]],
+      books: Array[Array[Array[Double]]], isQuery: Column, topk: Int): DataFrame = {
+    val m = books.length
+    val res = residualFrame(emb, cents)
+    val encoded = pqEncode(res, books).select(col("vec_id"), col("cell"), col("codes"))
+    val queries = assignCells(emb.where(isQuery), cents)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("cell").as("q_cell"))
+    val centSel = element_at(typedLit(cents.map(_.toSeq).toSeq), col("cell") + 1)
+    val reconRes = concat((0 until m).map { mi =>
+      element_at(typedLit(books(mi).map(_.toSeq).toSeq),
+        element_at(col("codes"), mi + 1) + 1)
+    }: _*)
+    val rec = zip_with(centSel, reconRes, (c, r) => c + r)
+    encoded
+      .join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot(col("q_emb"), rec) / (col("q_nrm") * sqrt(dot(rec, rec))))
+          .as("adc_score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_score").desc, col("cand_id"))))
+      .where(col("rnk") <= topk)
   }
 
   /** Single-probe IVF search against an arbitrary centroid set: assign

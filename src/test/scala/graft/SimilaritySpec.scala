@@ -78,6 +78,37 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.1, f"PQ-ADC recall collapsed: $mean%.2f")
   }
 
+  test("IVF-PQ: probe-cell containment, determinism, agreement with exact in-cell ranks") {
+    import graft.llm.Similarity
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val (cents, books) =
+      Similarity.trainIvfPq(emb, cells = 8, subspaces = 8, codes = 16, iters = 2)
+    def run() = Similarity.ivfPqSearch(emb, cents, books, col("vec_id") < 5, topk = 3)
+      .select(col("query_id"), col("cand_id"), col("rnk"))
+      .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val hits = run()
+    assert(hits.nonEmpty && hits.map(_._1).distinct.length == 5)
+    // every candidate shares its query's coarse cell (inverted-list seek)
+    val cellOf = Similarity.assignCells(emb, cents)
+      .select(col("vec_id"), col("cell")).as[(Long, Int)].collect().toMap
+    hits.foreach { case (q, c, _) => assert(cellOf(c) == cellOf(q), s"$q/$c") }
+    // deterministic end to end (seeded trainers, tie-broken ranks)
+    assert(run().toSeq == hits.toSeq)
+    // the PQ ranking must agree with EXACT scoring of the same probe-cell
+    // candidates on a useful fraction (this isolates quantization loss
+    // from coarse-cell loss, which the IVF tests already measure)
+    val exactInCell = Similarity.ivfSearch(emb, cents, col("vec_id") < 5, topk = 3)
+      .select(col("query_id"), col("cand_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = hits.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val agree = exactInCell.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    val mean = agree.sum / agree.size
+    info(f"IVF-PQ vs exact-in-cell agreement@3 = $mean%.2f")
+    assert(mean >= 0.2, f"IVF-PQ agreement collapsed: $mean%.2f")
+  }
+
   test("a second probe does not lose recall (and should gain it)") {
     val one = recallOf("q_sim_ivf_ann")
     val two = recallOf("q_sim_ivf_multiprobe")
