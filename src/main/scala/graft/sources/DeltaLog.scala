@@ -90,6 +90,22 @@ object DeltaLog {
     /** Live file paths (relative to the table root), sorted. */
     def files: Seq[String] = fileEntries.map(_.path)
 
+    /** Table properties from the metaData `configuration` map —
+      * delta.appendOnly, delta.constraints.*, … (empty when absent). */
+    lazy val configuration: Map[String, String] = metaDataJson.map { raw =>
+      val n = mapper.readTree(raw)
+      if (!n.has("configuration") || n.get("configuration").isNull) Map.empty[String, String]
+      else {
+        val it = n.get("configuration").fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) {
+          val e = it.next()
+          if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText()
+        }
+        b.result()
+      }
+    }.getOrElse(Map.empty)
+
     /** logical → physical column name under column mapping (top level;
       * empty when mapping is off). Stats and partition values are keyed
       * by physicalName in BOTH name and id mode. */
@@ -1141,7 +1157,8 @@ object DeltaLog {
   def write(spark: SparkSession, df: DataFrame, table: String,
       mode: String = "overwrite", partitionBy: Seq[String] = Seq.empty,
       txn: Option[(String, Long)] = None,
-      baseVersion: Option[Long] = None): Long = {
+      baseVersion: Option[Long] = None,
+      properties: Map[String, String] = Map.empty): Long = {
     require(mode == "overwrite" || mode == "append", s"mode must be overwrite|append: $mode")
     // appends retry a lost version race (no conflict is possible: the
     // commit removes nothing and its file names are nonce-unique);
@@ -1152,7 +1169,7 @@ object DeltaLog {
       widenSchema = mode == "append", dataChange = true,
       operation = mode.toUpperCase,
       retryOnRace = mode == "append" && baseVersion.isEmpty,
-      baseVersion = baseVersion)
+      baseVersion = baseVersion, properties = properties)
   }
 
   /** Core committer behind every write shape (overwrite, append,
@@ -1174,7 +1191,8 @@ object DeltaLog {
       partitionBy: Seq[String], txn: Option[(String, Long)],
       removePaths: Snapshot => Seq[String], widenSchema: Boolean,
       dataChange: Boolean, operation: String,
-      retryOnRace: Boolean = false, baseVersion: Option[Long] = None): Long = {
+      retryOnRace: Boolean = false, baseVersion: Option[Long] = None,
+      properties: Map[String, String] = Map.empty): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -1222,6 +1240,26 @@ object DeltaLog {
     val firstPrev = if (firstVersion == 0L) None else Some(snapshot(spark, table))
     gateWritable(firstPrev)
     declaredSchema(firstPrev)
+    // table-property enforcement (writer-side protocol compliance),
+    // BEFORE staging so a refused commit leaves zero trace:
+    // - delta.appendOnly: a dataChange commit must not remove files
+    // - delta.constraints.<name>: every row written must satisfy the
+    //   CHECK expression (violated = evaluates to FALSE; null passes)
+    val effConfig = firstPrev.map(_.configuration).getOrElse(Map.empty) ++ properties
+    if (dataChange) {
+      require(!(effConfig.get("delta.appendOnly").contains("true") &&
+          firstPrev.exists(p => removePaths(p).nonEmpty)),
+        s"table $table is append-only (delta.appendOnly=true): " +
+          s"$operation would remove files — refused")
+      effConfig.foreach { case (k, v) =>
+        if (k.startsWith("delta.constraints.")) {
+          val name = k.stripPrefix("delta.constraints.")
+          val bad = df.where(!coalesce(expr(v), lit(true))).limit(1).count()
+          require(bad == 0L,
+            s"CHECK constraint '$name' ($v) violated by rows written to $table — refused")
+        }
+      }
+    }
 
     // stage the parquet files in a scratch dir, then move them under the
     // table root with nonce-unique names (dataChange only on log commit):
@@ -1299,15 +1337,42 @@ object DeltaLog {
       val actions = Seq.newBuilder[String]
       if (version == 0L)
         actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      // metaData on the first commit and on any schema change (evolution):
-      // widening declares the union so older files read with nulls in the
-      // new columns; otherwise the new schema replaces the declaration
-      if (version == 0L || !prevSnap.flatMap(_.schema).contains(declared))
-        actions += s"""{"metaData":{"id":${jsonStr(java.util.UUID.randomUUID().toString)},""" +
-          s""""format":{"provider":"parquet","options":{}},""" +
-          s""""schemaString":${jsonStr(declared.json)},""" +
-          s""""partitionColumns":${partitionBy.map(jsonStr).mkString("[", ",", "]")},""" +
-          s""""configuration":{},"createdTime":$now}}"""
+      // metaData on the first commit, any schema change (evolution — the
+      // widened union declares so older files read with nulls in the new
+      // columns), or a property change. The PREVIOUS declaration's
+      // id/format/configuration/createdTime are carried forward — a
+      // schema-evolving append into a foreign table must not wipe its
+      // table properties (constraints, appendOnly, CDF flags, …).
+      if (version == 0L || !prevSnap.flatMap(_.schema).contains(declared) ||
+          properties.nonEmpty) {
+        val meta = prevSnap.flatMap(_.metaDataJson)
+          .map(mapper.readTree(_).asInstanceOf[ObjectNode].deepCopy())
+          .getOrElse(mapper.createObjectNode())
+        if (!meta.has("id"))
+          meta.put("id", java.util.UUID.randomUUID().toString)
+        if (!meta.has("format")) {
+          val fmt = meta.putObject("format")
+          fmt.put("provider", "parquet"); fmt.putObject("options")
+        }
+        meta.put("schemaString", declared.json)
+        // append-style commits (no removes) into a partitioned table
+        // inherit its partitioning; overwrites declare their own
+        val pc =
+          if (partitionBy.nonEmpty) partitionBy
+          else prevSnap match {
+            case Some(p) if removePaths(p).isEmpty => p.partitionColumns
+            case _ => partitionBy
+          }
+        val pcArr = meta.putArray("partitionColumns")
+        pc.foreach(pcArr.add)
+        if (properties.nonEmpty || !meta.has("configuration")) {
+          val prevCfg = prevSnap.map(_.configuration).getOrElse(Map.empty)
+          val cfg = meta.putObject("configuration")
+          (prevCfg ++ properties).foreach { case (k, v) => cfg.put(k, v) }
+        }
+        if (!meta.has("createdTime")) meta.put("createdTime", now)
+        actions += s"""{"metaData":${mapper.writeValueAsString(meta)}}"""
+      }
       // removes carry the file's descriptor (protocol semantics: the
       // removed content is what consumers could see) — a change-feed
       // fold over a DV'd file would otherwise double-delete masked rows
@@ -1534,6 +1599,10 @@ object DeltaLog {
     val readds = tgt.fileEntries.filterNot(e => curBy.get(e.path).contains(e.dv))
     val metaChanged = tgt.metaDataJson != cur.metaDataJson
     if (removes.isEmpty && readds.isEmpty && !metaChanged) return cur.version
+    require(removes.isEmpty ||
+        !cur.configuration.get("delta.appendOnly").contains("true"),
+      s"table $table is append-only (delta.appendOnly=true): RESTORE would " +
+        "remove files — refused")
     val f = fs(spark, table)
     readds.foreach { e =>
       require(f.exists(new Path(table, e.path)),
@@ -1600,6 +1669,8 @@ object DeltaLog {
     val snap = snapshot(spark, table)
     require(snap.columnMappingMode == "none",
       s"DELETE on a column-mapped Delta table is not supported (read-only interop): $table")
+    require(!snap.configuration.get("delta.appendOnly").contains("true"),
+      s"table $table is append-only (delta.appendOnly=true): DELETE refused")
     val candidates = pruneEntries(spark, snap, predicate)
     if (candidates.isEmpty) return snap.version
 
