@@ -655,6 +655,99 @@ object Similarity {
       .where(col("rnk") <= topk)
   }
 
+  private lazy val ivfPqFixture: (Array[Array[Double]], Array[Array[Array[Double]]]) =
+    trainIvfPq(
+      graft.Tables.embeddings(org.apache.spark.sql.SparkSession.active, trainDir)
+        .select(col("vec_id"), col("embedding")),
+      cells = 8, subspaces = 8, codes = 16, iters = 2)
+
+  /** IVF-PQ under the oracle: trained centroids AND residual codebooks
+    * embed as exact-double literals in both engines; the assignment,
+    * residual, encode, reconstruction, and score arithmetic mirror
+    * [[ivfPqSearch]] operation for operation (left folds, fixed
+    * tiebreaks), so every adc_score is bit-identical. */
+  lazy val qIvfPq: QueryDef = {
+    val (cents, books) = ivfPqFixture
+    val m = books.length
+    val len = dim / m
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('e') || s.contains('E')) s else s + "e0"
+    }
+    val centValues = cents.zipWithIndex.map { case (w, ci) =>
+      val cnrm = math.sqrt(w.map(x => x * x).sum)
+      s"($ci, [${w.map(dlit).mkString(", ")}]::DOUBLE[], ${dlit(cnrm)})"
+    }.mkString(",\n         |  ")
+    val bookValues = (for {
+      mi <- 0 until m
+      (c, k) <- books(mi).zipWithIndex
+    } yield {
+      val half = c.map(x => x * x).sum / 2.0
+      s"($mi, $k, [${c.map(dlit).mkString(", ")}]::DOUBLE[], ${dlit(half)})"
+    }).mkString(",\n         |  ")
+    def subDot(vec: String, mExpr: String, cb: String) =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$len), " +
+        s"i -> $vec[$mExpr*$len + i] * $cb[i]::DOUBLE)), (x,y) -> x+y)"
+    val reconCat = (0 until m).map(mi => s"b$mi.b_emb").mkString(" || ")
+    QueryDef.sql(
+      "q_sim_ivf_pq",
+      s"""WITH norms AS ($normsSql
+         |), cents(cell, c_emb, c_nrm) AS (VALUES
+         |  $centValues
+         |), books(m, k, b_emb, b_half) AS (VALUES
+         |  $bookValues
+         |), assign AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT n.vec_id, c.cell,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC, c.cell DESC) AS rn
+         |    FROM norms n CROSS JOIN cents c) WHERE rn = 1
+         |), resid AS (
+         |  SELECT n.vec_id, a.cell,
+         |    list_transform(generate_series(1,$dim),
+         |      i -> n.embedding[i]::DOUBLE - c.c_emb[i]) AS r
+         |  FROM norms n
+         |  JOIN assign a ON a.vec_id = n.vec_id
+         |  JOIN cents c ON c.cell = a.cell
+         |), enc AS (
+         |  SELECT vec_id, m, k AS code FROM (
+         |    SELECT r.vec_id, b.m, b.k,
+         |      row_number() OVER (PARTITION BY r.vec_id, b.m
+         |        ORDER BY ${subDot("r.r", "b.m", "b.b_emb")} - b.b_half DESC, b.k DESC) AS rn
+         |    FROM resid r CROSS JOIN books b) WHERE rn = 1
+         |), codes AS (
+         |  SELECT vec_id,
+         |    ${(0 until m).map(mi =>
+              s"max(CASE WHEN m=$mi THEN code END) AS k$mi").mkString(",\n         |    ")}
+         |  FROM enc GROUP BY vec_id
+         |), recon AS (
+         |  SELECT c.vec_id, a.cell,
+         |    list_transform(generate_series(1,$dim),
+         |      i -> ct.c_emb[i] + ($reconCat)[i]) AS rec
+         |  FROM codes c
+         |  JOIN assign a ON a.vec_id = c.vec_id
+         |  JOIN cents ct ON ct.cell = a.cell
+         |  ${(0 until m).map(mi =>
+              s"JOIN books b$mi ON b$mi.m = $mi AND b$mi.k = c.k$mi").mkString("\n         |  ")}
+         |), scores AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS cand_id,
+         |    ${dotSql("q.embedding", "r.rec")} /
+         |      (q.nrm * sqrt(${dotSql("r.rec", "r.rec")})) AS adc_score
+         |  FROM norms q
+         |  JOIN assign qa ON qa.vec_id = q.vec_id
+         |  JOIN recon r ON r.cell = qa.cell AND r.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5
+         |)
+         |SELECT query_id, cand_id, adc_score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, cand_id) AS rnk
+         |FROM scores
+         |QUALIFY rnk <= 3""".stripMargin) { (spark, dir) =>
+      ivfPqSearch(
+        graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        cents, books, col("vec_id") < 5, topk = 3)
+    }
+  }
+
   /** Single-probe IVF search against an arbitrary centroid set: assign
     * corpus + queries with [[assignCells]], search only the query's cell.
     * Same plan shape as [[qIvfAnn]] (broadcast queries × partition-local
@@ -675,9 +768,9 @@ object Similarity {
       .where(col("rnk") <= topk)
   }
 
-  // lazy because qIvfTrained/qPqAdc train on first access (needs a session)
+  // lazy because the trained queries train on first access (needs a session)
   lazy val all: Seq[QueryDef] =
     Seq(qCosineTopK, qIvfAnn, qIvfMultiProbe, qEmbeddingNearDup, qIvfTrained,
-      qPqAdc)
+      qPqAdc, qIvfPq)
 }
 
