@@ -7,22 +7,27 @@ import org.apache.spark.sql.Column
 
 /** Join operators — SURVEY.md §2.3 (J1–J7 families).
   *
-  * Scale notes: dimension tables (region 5, nation 25, supplier ~sf·100,
-  * customer ~sf·150k) are broadcast explicitly so the fact side
-  * (lineitem/orders) never shuffles for the join; only the final aggregate
-  * shuffles its partial states. AQE would often do this on its own, but at
-  * 100 TB we don't want to depend on runtime stats for the obviously-small
-  * sides (reference dims are 4–5 rows). The anti/semi joins keep the
-  * filter before the join so the broadcast build side stays minimal.
+  * Scale notes: only BOUNDED-cardinality dims (region 5, nation 25,
+  * generated date/time dims) carry an explicit `broadcast()` hint — their
+  * size is a constant of the schema, so the hint is safe at any SF and
+  * saves AQE a stats round-trip. Sides that scale with data volume
+  * (customer ~sf·150k, part ~sf·200k, supplier ~sf·10k — 20 B part rows
+  * at 100 TB) are deliberately NOT hinted: a forced broadcast there
+  * overrides AQE's size check and OOMs the executors at scale, while
+  * without the hint AQE still broadcasts them when runtime stats say they
+  * fit (as they do at test SF) and falls back to a shuffle join when they
+  * don't. The anti/semi joins keep the filter before the join so the
+  * build side stays minimal.
   */
 object Joins {
 
   private def dsum(c: Column): Column = sum(c.cast(DecimalType(38, 10)))
   private def money(c: Column): Column = round(c, 2).cast("double")
 
-  /** J1/J3: fact × broadcast dims chain — revenue by region/nation
-    * (dim-enrichment join shape of gold_pipeline.py:375,438,508). Three
-    * broadcast hash joins, zero extra shuffles before the aggregate. */
+  /** J1/J3: fact × dims chain — revenue by region/nation (dim-enrichment
+    * join shape of gold_pipeline.py:375,438,508). nation/region are
+    * hinted broadcast (bounded); customer scales with SF, so its join
+    * side is left to AQE — broadcast at test scale, shuffle at 100 TB. */
   val qRevenueByNation: QueryDef = QueryDef.sql(
     "q_join_revenue_by_nation",
     """SELECT r_name AS region_name, n_name AS nation_name,
@@ -36,7 +41,7 @@ object Joins {
       |GROUP BY r_name, n_name""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
@@ -139,12 +144,13 @@ object Joins {
   }
 
   /** Full star-schema rollup — the gold trip_fact enrichment shape
-    * (gold_pipeline.py:637-671) at TPC-H scale: one fact-fact equi join
-    * (lineitem ⋈ orders, the only shuffle join) plus four broadcast dims
-    * (part, supplier, nation, region). At 100 TB the plan is one
-    * sort-merge/shuffled-hash exchange on orderkey and everything else
-    * pipelines map-side; the aggregate's partial states are the only other
-    * shuffle. */
+    * (gold_pipeline.py:637-671) at TPC-H scale: the fact-fact equi join
+    * (lineitem ⋈ orders) shuffles on orderkey; part and supplier scale
+    * with SF (20 B part rows at 100 TB) so their join sides are left to
+    * AQE — broadcast while runtime stats say they fit, shuffle join past
+    * that; only the bounded dims (nation 25, region 5) carry an explicit
+    * broadcast hint. PlanSpec locks this shape with auto-broadcast
+    * disabled: 2 broadcast joins, 3 shuffle joins. */
   val qStarSchema: QueryDef = QueryDef.sql(
     "q_join_star_schema",
     """SELECT r_name AS region_name, p_brand AS brand,
@@ -160,8 +166,8 @@ object Joins {
       |GROUP BY 1, 2, 3""".stripMargin) { (spark, dir) =>
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("p_brand").as("brand"),

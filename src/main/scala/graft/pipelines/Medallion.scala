@@ -151,7 +151,9 @@ object Medallion {
       sum(col("total_amount").cast("decimal(12,2)")).as("lifetime_spend"),
       min("merchant_id").as("favorite_merchant_id"),
       countDistinct("merchant_id").as("distinct_merchants"))
-    val enriched = eater.join(broadcast(metrics), Seq("eater_id"), "left")
+    // metrics cardinality = eater count (scales with the user base): no
+    // broadcast hint — AQE broadcasts while it fits, shuffles at 100 TB
+    val enriched = eater.join(metrics, Seq("eater_id"), "left")
       .withColumn("lifetime_orders", coalesce(col("lifetime_orders"), lit(0L)))
       .withColumn("lifetime_spend",
         coalesce(col("lifetime_spend"), lit(0).cast("decimal(12,2)")))
@@ -173,7 +175,8 @@ object Medallion {
       count(lit(1)).as("completed_orders"),
       avg(col("merchant_rating").cast("double")).as("avg_rating"),
       count(when(col("merchant_rating") >= 4, 1)).as("highly_rated_orders"))
-    val enriched = merchant.join(broadcast(metrics), Seq("merchant_id"), "left")
+    // per-merchant aggregate scales with merchant count: side left to AQE
+    val enriched = merchant.join(metrics, Seq("merchant_id"), "left")
       .withColumn("completed_orders", coalesce(col("completed_orders"), lit(0L)))
       .withColumn("merchant_tier",
         when(col("avg_rating") >= 4.5, "top")
@@ -194,7 +197,8 @@ object Medallion {
       countDistinct("trip_id").as("assigned_trips"),
       count(when(col("event_type") === "delivered", 1)).as("deliveries"),
       avg(col("courier_rating").cast("double")).as("avg_rating"))
-    val enriched = courier.join(broadcast(metrics), Seq("courier_id"), "left")
+    // per-courier aggregate scales with courier count: side left to AQE
+    val enriched = courier.join(metrics, Seq("courier_id"), "left")
       .withColumn("assigned_trips", coalesce(col("assigned_trips"), lit(0L)))
       .withColumn("deliveries", coalesce(col("deliveries"), lit(0L)))
       .withColumn("completion_rate",
@@ -239,9 +243,11 @@ object Medallion {
       col("address_line_1").as("m_addr"), col("city").as("m_city"))
     val locKeys = dimLoc.select(col("location_key"),
       col("address_line_1").as("l_addr"), col("city").as("l_city"))
+    // mAddr/locKeys scale with merchant/address counts — no hint; AQE
+    // broadcasts them while small and falls back to shuffle joins at scale
     withStatus
-      .join(broadcast(mAddr), Seq("merchant_id"), "left")
-      .join(broadcast(locKeys),
+      .join(mAddr, Seq("merchant_id"), "left")
+      .join(locKeys,
         col("m_addr") === col("l_addr") && col("m_city") === col("l_city"), "left")
       .drop("m_addr", "m_city", "l_addr", "l_city")
       .withColumnRenamed("location_key", "pickup_location_key")
@@ -283,15 +289,17 @@ object Medallion {
   /** Post-build gold validation — the reference's gold job ends with
     * count + referential-integrity checks before publishing
     * (gold_pipeline.py validation step): non-empty gold tables, and no
-    * fact row referencing a missing dim. Anti-join RI probes keep the
-    * dims broadcast (they are small by construction), so validation
-    * adds no shuffle to the batch. */
+    * fact row referencing a missing dim. The anti-join RI probes project
+    * the dim down to its distinct key column before joining; the join
+    * side is left to AQE (entity dims scale with the user base, so a
+    * forced broadcast would OOM at 100 TB — the key-only projection
+    * keeps the build side minimal whichever strategy AQE picks). */
   def validate(t: Map[String, DataFrame]): DataFrame = {
     val spark = t("trip_fact").sparkSession
     import spark.implicits._
     def orphans(fact: DataFrame, dim: DataFrame, key: String): Long =
       fact.where(col(key).isNotNull)
-        .join(broadcast(dim.select(col(key)).distinct()), Seq(key), "left_anti")
+        .join(dim.select(col(key)).distinct(), Seq(key), "left_anti")
         .count()
     val fact = t("trip_fact")
     val checks: Seq[(String, Long, Boolean)] = Seq(

@@ -278,11 +278,14 @@ object Streams {
   }
 
   /** Stream–static enrichment join: the micro-batch stream against a
-    * broadcast dimension — the reference's silver enrichment shape and
+    * static dimension — the reference's silver enrichment shape and
     * the most common streaming join in production. Stateless: no
-    * watermark, no state store; each micro-batch broadcast-hash-joins
-    * and emits, so throughput is scan-bound. The static side is re-read
-    * per micro-batch, picking up dimension updates between batches. */
+    * watermark, no state store; each micro-batch joins and emits, so
+    * throughput is scan-bound. The static side is re-read per
+    * micro-batch, picking up dimension updates between batches. The
+    * join side carries no broadcast hint: customer scales with SF, so
+    * the planner's size stats pick broadcast while the dim fits and a
+    * per-batch shuffle join once it doesn't. */
   val qStreamEnrich: QueryDef = QueryDef.sql(
     "q_stream_enrich",
     """SELECT event_id, user_id, c_mktsegment AS segment, event_type, value
@@ -290,7 +293,7 @@ object Streams {
     val dim = graft.Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment").as("segment"))
     val enriched = eventsStream(spark, dir)
-      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .join(dim, col("user_id") === col("c_custkey"))
       .select(col("event_id"), col("user_id"), col("segment"),
         col("event_type"), col("value"))
     runToMemory(enriched, "q_stream_enrich_sink", "append")

@@ -23,16 +23,51 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
-  test("star-schema rollup: exactly one shuffled fact join, four broadcast dims") {
-    // disable size-based auto-broadcast: at 100 TB only the explicit
-    // broadcast() hints apply, and the fact-fact join must shuffle
+  test("star-schema rollup: bounded dims broadcast, SF-scaling sides shuffle") {
+    // disable size-based auto-broadcast: what remains is the 100 TB plan.
+    // Only the bounded dims (nation 25, region 5) carry an explicit
+    // broadcast() hint; the fact-fact join AND the part/supplier joins
+    // (20 B part rows at 100 TB) must plan as shuffle joins — a forced
+    // broadcast there would OOM a real cluster no matter what AQE says.
+    withAutoBroadcastOff {
+      val plan = planOf("q_join_star_schema")
+      assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size == 2, plan)
+      assert("""\(\d+\) (SortMergeJoin|ShuffledHashJoin)""".r.findAllIn(plan).size == 3, plan)
+    }
+  }
+
+  test("revenue-by-nation: customer join shuffles once hints are gone") {
+    // same discipline for the J1/J3 chain: nation+region broadcast
+    // (hinted, bounded cardinality); lineitem⋈orders and ⋈customer
+    // (both SF-scaling) shuffle
+    withAutoBroadcastOff {
+      val plan = planOf("q_join_revenue_by_nation")
+      assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size == 2, plan)
+      assert("""\(\d+\) (SortMergeJoin|ShuffledHashJoin)""".r.findAllIn(plan).size == 2, plan)
+    }
+  }
+
+  test("medallion dim enrichment carries no forced broadcast") {
+    // per-entity metric frames scale with the user base: with
+    // auto-broadcast off and no hint, the enrichment joins must shuffle
+    withAutoBroadcastOff {
+      val topics = pipelines.Fixtures.topics(spark)
+      val silver = pipelines.Medallion.silverEater(
+        pipelines.Medallion.bronze(topics("eater"), "eater"))
+      val trips = pipelines.Medallion.silverTrips(
+        pipelines.Medallion.bronze(topics("trip_events"), "trip_events"))
+      val plan = pipelines.Medallion.dimEater(silver, trips)
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"dim enrichment must not force a broadcast:\n$plan")
+    }
+  }
+
+  private def withAutoBroadcastOff(body: => Unit): Unit = {
     val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val plan = planOf("q_join_star_schema")
-      assert("""\(\d+\) BroadcastHashJoin""".r.findAllIn(plan).size == 4, plan)
-      assert("""\(\d+\) (SortMergeJoin|ShuffledHashJoin)""".r.findAllIn(plan).size == 1, plan)
-    } finally saved match {
+    try body
+    finally saved match {
       case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
       case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
