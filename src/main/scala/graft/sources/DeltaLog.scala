@@ -455,6 +455,16 @@ object DeltaLog {
 
     val replayFrom = cpMeta.map(_.version + 1).getOrElse(0L)
     val tailVersions = versions.filter(v => v >= replayFrom && v <= target)
+    // the replayed tail must be gap-free from replayFrom to target: on a
+    // foreign table whose old commits were metadata-cleaned
+    // (delta.logRetentionDuration), a version below the retained window
+    // passes the membership check above yet would replay only the
+    // surviving suffix — a silently partial (wrong) file set. Delta
+    // errors on non-contiguous replay; so do we.
+    require(tailVersions == (replayFrom to target),
+      s"non-contiguous _delta_log for $table: need versions $replayFrom..$target " +
+        s"beyond the checkpoint, found [${tailVersions.mkString(",")}] — " +
+        "older commits were vacuumed/log-cleaned; time travel to this version is gone")
     tailVersions.foreach { v =>
       val in = f.open(commitPath(table, v))
       try {
@@ -520,10 +530,11 @@ object DeltaLog {
         dfs.reduce(_.unionByName(_))
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1 && col("__kind") === "add")
-          // drop null-valued partition entries (a null partition value
-          // must never reach the pruning comparators)
-          .withColumn("partitionValues",
-            map_filter(col("partitionValues"), (_, v) => v.isNotNull))
+          // null-valued partition entries are KEPT: `key present, value
+          // null` is the protocol's encoding of a null partition value,
+          // and the pruning comparators use it to prove a file all-null
+          // (an ABSENT key proves nothing — a foreign writer may simply
+          // have omitted it)
           .select("path", "partitionValues", "size", "modificationTime",
             "stats", "deletionVector")
     }
@@ -573,17 +584,26 @@ object DeltaLog {
     if (entries.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         schema.getOrElse(new StructType()))
-    // id-mode: the scan must match parquet columns by field id, not name
-    // (harmless to leave enabled — schemas without field-id metadata are
-    // matched by name exactly as before)
-    if (mappingMode == "id")
-      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    // id-mode: the scan must match parquet columns by field id, not name.
+    // Spark only honors this through the session conf, and the returned
+    // frame is lazy — a save/restore around read() would un-set it before
+    // execution. So the flag is flipped on a CHILD session (shared
+    // SparkContext, own SQLConf): the HadoopFsRelation captures that
+    // session and builds its per-scan hadoopConf from it at execution
+    // time, so the flip never leaks into how later scans on the caller's
+    // session resolve columns carrying parquet.field.id metadata.
+    val readSession =
+      if (mappingMode == "id") {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s
+      } else spark
     val readSchema =
       if (mapped)
         schema.map(s => physicalType(s, mappingMode == "id").asInstanceOf[StructType])
       else schema
     val abs = entries.map(e => new Path(table, e.path).toString)
-    val r = spark.read.option("basePath", table)
+    val r = readSession.read.option("basePath", table)
     val df0 = readSchema.fold(r.parquet(abs: _*))(s => r.schema(s).parquet(abs: _*))
     val dvEntries = entries.filter(_.dv.isDefined)
     val df1 =
@@ -694,6 +714,11 @@ object DeltaLog {
     val f = fs(spark, table)
     val versions = listVersions(spark, table)
       .filter(v => v > fromVersion && v <= toVersion)
+    // same contiguity rule as changesBetween: a log-cleaned commit inside
+    // the window would silently drop its add actions from the feed
+    require(versions == ((fromVersion + 1) to toVersion),
+      s"log truncated in ($fromVersion, $toVersion] of $table " +
+        s"(present: ${versions.mkString(",")}) — rebuild the consumer from a snapshot")
     // dataChange=false actions (OPTIMIZE rewrites) are pure reorganizations
     // and are invisible to the feed — compaction must not break append-only
     // consumption; a file compacted away was already consumed when added
@@ -996,16 +1021,21 @@ object DeltaLog {
     def skipCmp(c: String, op: String, v: Column): Column =
       if (partCols.contains(c)) {
         // partition value: min = max = the directory value (try_* forms:
-        // a malformed foreign value must survive, not throw under ANSI)
-        val pvv = try_element_at(col("partitionValues"), lit(phys(c)))
-          .try_cast(byName(c).dataType)
-        op match {
+        // a malformed foreign value must survive, not throw under ANSI).
+        // A present-but-null entry is the protocol's null partition
+        // value: no comparison can match it, so the file skips; an
+        // ABSENT key proves nothing and never skips.
+        val raw = try_element_at(col("partitionValues"), lit(phys(c)))
+        val pvv = raw.try_cast(byName(c).dataType)
+        val miss = op match {
           case "=" => pvv =!= v
           case "<" => pvv >= v
           case "<=" => pvv > v
           case ">" => pvv <= v
           case ">=" => pvv < v
         }
+        map_contains_key(col("partitionValues"), lit(phys(c))) &&
+          (raw.isNull || miss)
       } else if (!isPruneType(byName(c).dataType)) lit(false)
       else {
         val range = op match {
@@ -1027,13 +1057,28 @@ object DeltaLog {
         vs.map(v => coalesce(skipCmp(c, "=", v), lit(false))).reduce(_ && _)
       case Prefix(c, p) if partCols.contains(c) =>
         val pvv = try_element_at(col("partitionValues"), lit(phys(c)))
-        pvv.isNotNull && !startswith(pvv, lit(p))
+        // null partition value matches no prefix; absent key never skips
+        map_contains_key(col("partitionValues"), lit(phys(c))) &&
+          (pvv.isNull || !startswith(pvv, lit(p)))
       case Prefix(c, p) if byName(c).dataType == StringType =>
         // col LIKE 'p%': rows live in [p, p+"￿..."]; skip when the
         // file's string range cannot intersect that prefix interval
         // (UTF-8 binary order — Spark's native string comparison)
         mx(c) < lit(p) || (mn(c) > lit(p) && !startswith(mn(c), lit(p)))
       case Prefix(_, _) => lit(false)
+      case NullCheck(c, wantNull) if partCols.contains(c) =>
+        // partition column: its null-ness is the directory value, not a
+        // stats field (refCols excludes partCols, so nc(c)/allNull(c)
+        // would reference a field the stats struct doesn't carry and
+        // fail at analysis). A present non-null value proves every row
+        // non-null (skip under IS NULL); a present NULL value proves
+        // every row null (skip under IS NOT NULL); an absent key proves
+        // nothing (a foreign writer may have omitted the column).
+        if (wantNull)
+          try_element_at(col("partitionValues"), lit(phys(c))).isNotNull
+        else
+          map_contains_key(col("partitionValues"), lit(phys(c))) &&
+            try_element_at(col("partitionValues"), lit(phys(c))).isNull
       case NullCheck(c, wantNull) =>
         if (wantNull) nc(c) === lit(0L) else allNull(c)
     }
@@ -1066,6 +1111,12 @@ object DeltaLog {
   // -------------------------------------------------------------- writing
 
   private def jsonStr(s: String): String = mapper.writeValueAsString(s)
+
+  /** partitionValues as protocol JSON — a null value (null partition
+    * value) serializes as JSON null, never a sentinel string. */
+  private def pvJsonOf(pv: scala.collection.Map[String, String]): String =
+    pv.map { case (k, v) => s"${jsonStr(k)}:${if (v == null) "null" else jsonStr(v)}" }
+      .mkString("{", ",", "}")
 
   private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
 
@@ -1287,7 +1338,12 @@ object DeltaLog {
           .relativize(st.getPath.getParent.toUri).getPath.stripSuffix("/")
         val pv = relDir.split("/").filter(_.contains("=")).map { seg =>
           val Array(k, v) = seg.split("=", 2)
-          k -> java.net.URLDecoder.decode(v, "UTF-8")
+          // a null partition value materializes as the Hive sentinel
+          // directory; the protocol records it as JSON null — recording
+          // the sentinel STRING instead would make a null-partition file
+          // look non-null to the pruner and IS NULL would skip it
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                else java.net.URLDecoder.decode(v, "UTF-8"))
         }.toMap
         val destRel = (if (relDir.isEmpty) "" else relDir + "/") +
           f"part-$nameVersion%05d-$idx%05d-$nonce.snappy.parquet"
@@ -1383,8 +1439,7 @@ object DeltaLog {
         }
       }
       movedFiles.foreach { case (rel, pv) =>
-        val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
-          .mkString("{", ",", "}")
+        val pvJson = pvJsonOf(pv)
         val size = f.getFileStatus(new Path(root, rel)).getLen
         val statsField =
           statsByFile.get(rel).fold("")(s => s""","stats":${jsonStr(s)}""")
@@ -1608,6 +1663,20 @@ object DeltaLog {
       require(f.exists(new Path(table, e.path)),
         s"RESTORE of $table to version $version impossible: data file " +
           s"${e.path} was vacuumed")
+      // a re-added file's DV sidecar must also still exist: committing a
+      // descriptor whose deletion_vector_*.bin was vacuumed would make
+      // every later read of the restored version fail (or over-include
+      // the supposedly-deleted rows if swallowed)
+      e.dv.foreach { d =>
+        val p = d.storageType match {
+          case "u" => Some(DeletionVectors.sidecarPath(table, d.pathOrInlineDv))
+          case "p" => Some(new Path(d.pathOrInlineDv))
+          case _ => None // "i": inline, nothing on disk
+        }
+        p.foreach(sp => require(f.exists(sp),
+          s"RESTORE of $table to version $version impossible: deletion-vector " +
+            s"sidecar $sp for ${e.path} was vacuumed"))
+      }
     }
     val metaByPath: Map[String, Row] =
       if (readds.isEmpty) Map.empty
@@ -1625,8 +1694,7 @@ object DeltaLog {
     readds.foreach { e =>
       val m = metaByPath(e.path)
       val pv = Option(m.getMap[String, String](1)).getOrElse(Map.empty[String, String])
-      val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
-        .mkString("{", ",", "}")
+      val pvJson = pvJsonOf(pv)
       val statsField =
         Option(m.getString(4)).fold("")(s => s""","stats":${jsonStr(s)}""")
       val dvField = e.dv.fold("")(d => "," + dvJson(d))
@@ -1743,8 +1811,7 @@ object DeltaLog {
     dvd.zip(descs).foreach { case ((e, _, _), d) =>
       val m = metaByPath(e.path)
       val pv = Option(m.getMap[String, String](1)).getOrElse(Map.empty[String, String])
-      val pvJson = pv.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
-        .mkString("{", ",", "}")
+      val pvJson = pvJsonOf(pv)
       val statsField =
         Option(m.getString(4)).fold("")(s => s""","stats":${jsonStr(s)}""")
       actions += s"""{"add":{"path":${jsonStr(e.path)},"partitionValues":$pvJson,""" +

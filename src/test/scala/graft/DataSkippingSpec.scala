@@ -85,6 +85,33 @@ class DataSkippingSpec extends SparkSpec {
       .select("x").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("null predicates on a partition column prune soundly (never throw)") {
+    // regression: NullCheck used to resolve nullCount fields for partition
+    // columns, which the stats struct doesn't carry — AnalysisException at
+    // analysis time instead of pruning. And the writer used to record the
+    // Hive sentinel STRING for a null partition value, which would make
+    // the null-partition file look non-null and IS NULL would skip it.
+    val t = freshTable()
+    val df = Seq((1L, Option("en")), (2L, Option("fr")), (3L, Option.empty[String]))
+      .toDF("x", "lang")
+    DeltaLog.write(spark, df, t, partitionBy = Seq("lang"))
+    val snap = DeltaLog.snapshot(spark, t)
+    // IS NULL: files with a present (non-null) directory value are skipped
+    val keptNull = DeltaLog.pruneFiles(spark, snap, col("lang").isNull)
+    assert(keptNull.size == 1 && !keptNull.exists(_.contains("lang=en")), keptNull.toString)
+    // IS NOT NULL: the null-partition file is provably all-null — skipped
+    val keptNotNull = DeltaLog.pruneFiles(spark, snap, col("lang").isNotNull)
+    assert(keptNotNull.size == 2 && !keptNotNull.exists(_.contains("HIVE_DEFAULT")),
+      keptNotNull.toString)
+    // soundness both ways: pruned read ≡ read + filter
+    assert(DeltaLog.readPruned(spark, t, col("lang").isNull)
+      .select("x").as[Long].collect().toSeq == Seq(3L))
+    assert(DeltaLog.readPruned(spark, t, col("lang").isNotNull)
+      .select("x").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // equality on the partition column still prunes to one directory
+    assert(DeltaLog.pruneFiles(spark, snap, col("lang") === "en").size == 1)
+  }
+
   test("stats survive checkpoint + JSON vacuum") {
     val t = freshTable()
     DeltaLog.write(spark, rangeDf(0, 100).coalesce(1), t)

@@ -622,6 +622,10 @@ class DeltaLogSpec extends SparkSpec {
     val df = DeltaLog.read(spark, t)
     assert(df.columns.toSeq == Seq("x", "s"))
     assert(df.as[(Long, String)].collect().sorted.toSeq == Seq((1L, "a"), (2L, "b")))
+    // the field-id flag is session-scoped state: an id-mode read must not
+    // flip it on the CALLER's session (it rides a child session instead)
+    assert(!spark.conf.getOption("spark.sql.parquet.fieldId.read.enabled").contains("true"),
+      "id-mode read leaked spark.sql.parquet.fieldId.read.enabled into the caller session")
     // zone-map pruning translates logical → physical stat keys in id mode
     assert(DeltaLog.pruneFiles(spark, DeltaLog.snapshot(spark, t), $"x" === 5L).isEmpty)
     assert(DeltaLog.readPruned(spark, t, $"x" === 2L)
@@ -1025,6 +1029,61 @@ class DeltaLogSpec extends SparkSpec {
     DeltaLog.vacuum(spark, t, keepVersions = 1, retainMillis = 0L)
     val e = intercept[IllegalArgumentException](DeltaLog.restore(spark, t, 3L))
     assert(e.getMessage.contains("vacuumed"), e.getMessage)
+  }
+
+  test("snapshot refuses a log-cleaned prefix instead of replaying a partial state") {
+    // a foreign table whose old commits were metadata-cleaned: versions
+    // 2..3 survive, 0..1 gone, NO checkpoint covering the prefix. The
+    // version-membership check alone would replay only the suffix and
+    // silently return a partial file set — must refuse like Delta does.
+    val t = freshTable()
+    writeDataFile(Seq(1L).toDF("x"), t, "part-0002-a.snappy.parquet")
+    commit(t, 2, Seq(metaAction(xSchema), addAction("part-0002-a.snappy.parquet")))
+    commit(t, 3, Seq(addAction("part-0002-a.snappy.parquet")))
+    val e = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, t))
+    assert(e.getMessage.contains("non-contiguous"), e.getMessage)
+  }
+
+  test("time travel below the checkpoint refuses when the JSON prefix is gone") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L).toDF("x").coalesce(1), t)            // v0
+    DeltaLog.write(spark, Seq(2L).toDF("x").coalesce(1), t, "append")  // v1
+    DeltaLog.write(spark, Seq(3L).toDF("x").coalesce(1), t, "append")  // v2
+    DeltaLog.checkpoint(spark, t)
+    // metadata-clean ONLY v0 (delta.logRetentionDuration): v1's own JSON
+    // survives, so the version-membership check PASSES for v1 — the
+    // dangerous case, where replay would silently use just the suffix
+    new File(t, "_delta_log/" + f"${0L}%020d.json").delete()
+    // latest still reads (checkpoint covers the prefix)
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // v1 is below the checkpoint: no checkpoint covers ≤1, and the tail
+    // 0..1 has a hole at 0 — partial replay must refuse, not misread
+    val e = intercept[IllegalArgumentException](DeltaLog.snapshot(spark, t, Some(1L)))
+    assert(e.getMessage.contains("non-contiguous"), e.getMessage)
+  }
+
+  test("addedSince refuses a log-cleaned commit inside the window") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L).toDF("x").coalesce(1), t)            // v0
+    for (i <- 2 to 4)
+      DeltaLog.write(spark, Seq(i.toLong).toDF("x").coalesce(1), t, "append")
+    new File(t, "_delta_log/" + f"${2L}%020d.json").delete()           // clean v2
+    val e = intercept[RuntimeException](DeltaLog.addedSince(spark, t, 0L, 3L))
+    assert(e.getMessage.contains("log truncated"), e.getMessage)
+  }
+
+  test("RESTORE refuses when a re-added file's DV sidecar was vacuumed") {
+    val t = freshTable()
+    DeltaLog.write(spark, (1L to 10L).toDF("x").coalesce(1), t)        // v0
+    DeltaLog.deleteWhere(spark, t, $"x" === 2L)                        // v1: u-type DV
+    DeltaLog.write(spark, Seq(99L).toDF("x").coalesce(1), t)           // v2 overwrite
+    // simulate vacuum reclaiming the dead sidecar
+    val bins = new File(t).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_"))
+    assert(bins.nonEmpty, "expected an on-disk DV sidecar")
+    bins.foreach(_.delete())
+    val e = intercept[IllegalArgumentException](DeltaLog.restore(spark, t, 1L))
+    assert(e.getMessage.contains("deletion-vector"), e.getMessage)
   }
 
   test("DELETE on a partitioned table prunes by partition value and stays exact") {
