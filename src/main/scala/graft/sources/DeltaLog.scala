@@ -37,14 +37,15 @@ import scala.collection.mutable
   * Interop scope: reads tables written by current Delta writers —
   * partitioned layouts, single- and multi-part checkpoints, deletion
   * vectors (row-level deletes, decoded by [[DeletionVectors]] and applied
-  * as a `_metadata.row_index` anti-filter), and name-mode column mapping
-  * (physical→logical rename on read). Protocol gating stays honest:
-  * reader features that would change read semantics and are NOT
-  * implemented (id-mode mapping, v2 checkpoints) refuse loudly instead of
-  * silently misreading; unknown informational fields (`stats`, `tags`)
-  * are tolerated per the protocol's forward-compatibility rules. Writes
-  * into column-mapped tables are refused (read-only interop — this
-  * engine's writers use logical names).
+  * as a `_metadata.row_index` anti-filter), and name-/id-mode column
+  * mapping (physical→logical rename on read; logical→physical staging
+  * translation on write, so MERGE/DELETE/UPDATE/OPTIMIZE work on mapped
+  * tables too — only ADDING a column to a mapped table refuses, since
+  * that needs a minted physicalName/columnId). Protocol gating stays
+  * honest: reader features that would change read semantics and are NOT
+  * implemented refuse loudly instead of silently misreading; unknown
+  * informational fields (`stats`, `tags`) are tolerated per the
+  * protocol's forward-compatibility rules.
   */
 object DeltaLog {
 
@@ -1256,10 +1257,21 @@ object DeltaLog {
       if (prior.isEmpty) 0L else prior.max + 1
     }
 
+    // Column-mapped tables ARE writable: the staged frame is translated
+    // logical→physical below, stats and partitionValues key by
+    // physicalName, and the existing metaData (carrying the mapping) is
+    // preserved because the logical schema is unchanged. What a mapped
+    // write may NOT do is introduce a new column — that would require
+    // minting a fresh physicalName/columnId and bumping
+    // delta.columnMapping.maxColumnId, which this writer does not do.
     def gateWritable(prevSnap: Option[Snapshot]): Unit =
-      prevSnap.foreach(p => require(p.columnMappingMode == "none",
-        s"writing to a column-mapped Delta table is not supported " +
-          s"(read-only interop; this engine's writers use logical names): $table"))
+      prevSnap.filter(_.columnMappingMode != "none").foreach { p =>
+        val prevNames = p.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+        df.schema.fieldNames.foreach(n => require(prevNames.contains(n),
+          s"cannot add column '$n' to a column-mapped Delta table $table — " +
+            "schema evolution under column mapping needs a minted " +
+            "physicalName/columnId (unsupported); write existing columns only"))
+      }
 
     // validate + declare the schema BEFORE staging any data: a refused
     // commit (schema enforcement) must leave zero trace on disk. Re-run
@@ -1267,6 +1279,20 @@ object DeltaLog {
     // schema between retries.
     def declaredSchema(prevSnap: Option[Snapshot]): StructType =
       (widenSchema, prevSnap.flatMap(_.schema)) match {
+        case (_, Some(prev)) if prevSnap.exists(_.columnMappingMode != "none") =>
+          // column-mapped: evolution is gated off (gateWritable), so the
+          // declaration — whose field metadata IS the mapping — survives
+          // verbatim; emitting df.schema here would strip physicalName/
+          // columnId metadata and corrupt the table
+          df.schema.fields.foreach { fld =>
+            prev.fields.find(_.name == fld.name).foreach { p =>
+              require(DataType.equalsStructurally(fld.dataType, p.dataType,
+                  ignoreNullability = true),
+                s"schema enforcement: column '${fld.name}' is ${p.dataType.simpleString} " +
+                  s"in the table but ${fld.dataType.simpleString} in the write")
+            }
+          }
+          prev
         case (true, Some(prev)) =>
           // schema ENFORCEMENT before evolution: a same-name column with a
           // different type must refuse loudly — silently keeping the old
@@ -1321,8 +1347,28 @@ object DeltaLog {
     val nameVersion = firstVersion
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val scratch = new Path(root, f".tmp-commit-$nameVersion%020d-$nonce")
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    // column mapping: stage under PHYSICAL names (parquet columns,
+    // partition directories, and therefore stats keys + partitionValues
+    // all speak physicalName); id-mode additionally stamps each field's
+    // parquet.field.id so the written files resolve by field id. The
+    // caller's frame and partitionBy stay logical.
+    val mappingMode = firstPrev.map(_.columnMappingMode).getOrElse("none")
+    val stagedDf =
+      if (mappingMode == "none") df
+      else {
+        val byName = firstPrev.flatMap(_.schema).get.fields.map(f => f.name -> f).toMap
+        val mapped = StructType(df.schema.fields.map(fld => byName(fld.name)))
+        val phys = physicalType(mapped, fieldIds = mappingMode == "id")
+          .asInstanceOf[StructType]
+        df.select(df.schema.fields.zip(phys.fields).map { case (src, dst) =>
+          col(src.name).cast(dst.dataType).as(dst.name, dst.metadata)
+        }.toIndexedSeq: _*)
+      }
+    val physPartitionBy =
+      if (mappingMode == "none") partitionBy
+      else partitionBy.map(n => firstPrev.get.columnMapping.getOrElse(n, n))
+    val w = stagedDf.write.mode("overwrite")
+    (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
       .parquet(scratch.toString)
     val staged = f.listFiles(scratch, true)
     val moved = Seq.newBuilder[(String, Map[String, String])] // relPath -> partitionValues
@@ -1363,7 +1409,8 @@ object DeltaLog {
     // stats feed zone-map data skipping ([[pruneFiles]])
     val statsByFile: Map[String, String] =
       if (movedFiles.isEmpty) Map.empty
-      else collectFileStats(spark, table, movedFiles.map(_._1), df.schema, partitionBy)
+      else collectFileStats(spark, table, movedFiles.map(_._1), stagedDf.schema,
+        physPartitionBy)
 
     // Optimistic-concurrency commit loop: build the version-dependent
     // actions, write-then-rename; a lost race re-reads the log and (for
@@ -1513,8 +1560,9 @@ object DeltaLog {
       source: DataFrame, keys: Seq[String],
       frame: (DataFrame, DataFrame) => DataFrame,
       txn: Option[(String, Long)], operation: String): Long = {
-    require(snap.columnMappingMode == "none",
-      s"MERGE into a column-mapped Delta table is not supported (read-only interop): $table")
+    // column-mapped targets are fine: the rewrite frame is logical and
+    // commitWrite stages it under physical names (stats/partitionValues
+    // keyed by physicalName); gateWritable refuses only NEW columns
     def commit(touched: Seq[FileEntry]): Long = {
       val out = frame(readEntries(spark, table, touched, snap.schema,
         snap.columnMappingMode), source)
@@ -1735,8 +1783,9 @@ object DeltaLog {
   def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
     import spark.implicits._
     val snap = snapshot(spark, table)
-    require(snap.columnMappingMode == "none",
-      s"DELETE on a column-mapped Delta table is not supported (read-only interop): $table")
+    // column-mapped targets are fine: DELETE is name-agnostic — the
+    // probe reads logically, pruning translates via phys(), and the
+    // re-add copies the file's existing (physical-keyed) stats/pv
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
       s"table $table is append-only (delta.appendOnly=true): DELETE refused")
     val candidates = pruneEntries(spark, snap, predicate)
@@ -1848,8 +1897,8 @@ object DeltaLog {
   def updateWhere(spark: SparkSession, table: String, predicate: Column,
       set: Map[String, Column]): Long = {
     val snap = snapshot(spark, table)
-    require(snap.columnMappingMode == "none",
-      s"UPDATE of a column-mapped Delta table is not supported (read-only interop): $table")
+    // column-mapped targets are fine: the rewrite goes through
+    // commitWrite's logical→physical staging translation
     require(set.nonEmpty, "UPDATE needs at least one SET column")
     snap.schema.foreach { s =>
       val missing = set.keySet -- s.fieldNames
@@ -1900,8 +1949,8 @@ object DeltaLog {
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
       zorderBy: Seq[String] = Seq.empty): Long = {
     val snap = snapshot(spark, table)
-    require(snap.columnMappingMode == "none",
-      s"OPTIMIZE of a column-mapped Delta table is not supported (read-only interop): $table")
+    // column-mapped targets are fine: the compacted frame is logical and
+    // commitWrite stages it under physical names
     // the compaction input is THIS snapshot's file set; pin it as
     // baseVersion so a concurrent append between read and commit fails
     // the OPTIMIZE instead of losing the appended file

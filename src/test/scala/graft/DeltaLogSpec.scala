@@ -590,10 +590,74 @@ class DeltaLogSpec extends SparkSpec {
     // zone-map pruning translates logical → physical stat keys
     assert(DeltaLog.pruneFiles(spark, DeltaLog.snapshot(spark, t), $"x" === 5L).isEmpty)
     assert(DeltaLog.readPruned(spark, t, $"x" === 2L).as[Long].collect().toSeq == Seq(2L))
-    // read-only interop: writes into a mapped table refuse loudly
+    // writes translate logical→physical: append then read back logically
+    DeltaLog.write(spark, Seq(9L).toDF("x"), t, "append")
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 9L))
+    // the appended file's parquet columns + stats speak physicalName
+    val snap2 = DeltaLog.snapshot(spark, t)
+    val newStats = snap2.allFiles.where("path NOT LIKE 'part-a%'")
+      .select("stats").collect().map(_.getString(0))
+    assert(newStats.nonEmpty && newStats.forall(_.contains("col-9f2a")), newStats.mkString)
+    assert(DeltaLog.readPruned(spark, t, $"x" === 9L).as[Long].collect().toSeq == Seq(9L))
+    // what DOES refuse: introducing a new column (needs a minted mapping)
     val e = intercept[IllegalArgumentException](
-      DeltaLog.write(spark, Seq(9L).toDF("x"), t, "append"))
+      DeltaLog.write(spark, Seq((10L, "new")).toDF("x", "extra"), t, "append"))
     assert(e.getMessage.contains("column-mapped"), e.getMessage)
+  }
+
+  test("name-mode column mapping: MERGE + DELETE + UPDATE round-trip") {
+    import org.apache.spark.sql.types.{LongType, StringType, MetadataBuilder, StructField}
+    val t = freshTable()
+    def mf(name: String, tpe: org.apache.spark.sql.types.DataType, id: Long, phys: String) =
+      StructField(name, tpe, nullable = true,
+        new MetadataBuilder().putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", phys).build())
+    val mapped = StructType(Seq(
+      mf("k", LongType, 1L, "col-k9"), mf("v", StringType, 2L, "col-v7"),
+      mf("ts", LongType, 3L, "col-t3")))
+    writeDataFile(
+      Seq((1L, "a", 10L), (2L, "b", 10L), (3L, "c", 10L))
+        .toDF("col-k9", "col-v7", "col-t3"),
+      t, "part-a.snappy.parquet")
+    val esc = mapped.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    commit(t, 0, Seq(
+      s"""{"metaData":{"id":"fixture","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"},"createdTime":1}}""",
+      addAction("part-a.snappy.parquet")))
+
+    // MERGE: update k=2 (newer ts), insert k=4; k=1,3 untouched
+    val src = Seq((2L, "B", 20L), (4L, "d", 20L)).toDF("k", "v", "ts")
+    DeltaLog.mergeUpsert(spark, t, src, Seq("k"), "ts")
+    assert(DeltaLog.read(spark, t).select("k", "v").as[(Long, String)]
+      .collect().sorted.toSeq == Seq((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+
+    // DELETE via deletion vectors
+    DeltaLog.deleteWhere(spark, t, $"k" === 3L)
+    assert(DeltaLog.read(spark, t).select("k").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+
+    // UPDATE copy-on-write
+    DeltaLog.updateWhere(spark, t, $"k" === 1L,
+      Map("v" -> org.apache.spark.sql.functions.lit("A")))
+    assert(DeltaLog.read(spark, t).select("k", "v").as[(Long, String)]
+      .collect().sorted.toSeq == Seq((1L, "A"), (2L, "B"), (4L, "d")))
+
+    // a FRESH snapshot still reads under logical names, the mapping
+    // metaData survived every commit, and stats key by physicalName
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.columnMappingMode == "name")
+    assert(snap.schema.get.fieldNames.toSeq == Seq("k", "v", "ts"))
+    val stats = snap.allFiles.where("stats IS NOT NULL")
+      .select("stats").collect().map(_.getString(0))
+    assert(stats.nonEmpty && stats.forall(s => s.contains("col-k9") && !s.contains("\"k\"")),
+      stats.mkString("\n"))
+    // and zone-map pruning still works post-DML
+    assert(DeltaLog.readPruned(spark, t, $"k" === 4L)
+      .select("v").as[String].collect().toSeq == Seq("d"))
+    // OPTIMIZE compacts the mapped table without corrupting the mapping
+    DeltaLog.optimize(spark, t)
+    assert(DeltaLog.read(spark, t).select("k", "v").as[(Long, String)]
+      .collect().sorted.toSeq == Seq((1L, "A"), (2L, "B"), (4L, "d")))
+    assert(DeltaLog.snapshot(spark, t).columnMappingMode == "name")
   }
 
   test("foreign writer: id-mode column mapping resolves by parquet field id") {
@@ -630,9 +694,16 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.pruneFiles(spark, DeltaLog.snapshot(spark, t), $"x" === 5L).isEmpty)
     assert(DeltaLog.readPruned(spark, t, $"x" === 2L)
       .select("s").as[String].collect().toSeq == Seq("b"))
-    // read-only interop: writes into an id-mapped table refuse loudly
+    // id-mode writes stage under physical names WITH parquet field ids:
+    // the appended file resolves by id like any foreign id-mode file
+    DeltaLog.write(spark, Seq((9L, "z")).toDF("x", "s"), t, "append")
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (9L, "z")))
+    assert(DeltaLog.readPruned(spark, t, $"x" === 9L)
+      .select("s").as[String].collect().toSeq == Seq("z"))
+    // new columns still refuse (no minted mapping)
     val eW = intercept[IllegalArgumentException](
-      DeltaLog.write(spark, Seq((9L, "z")).toDF("x", "s"), t, "append"))
+      DeltaLog.write(spark, Seq((9L, "z", 1L)).toDF("x", "s", "extra"), t, "append"))
     assert(eW.getMessage.contains("column-mapped"), eW.getMessage)
   }
 
