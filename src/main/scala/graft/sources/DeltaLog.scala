@@ -53,6 +53,21 @@ object DeltaLog {
     * descriptor whose row indexes must be filtered out on read. */
   case class FileEntry(path: String, dv: Option[DeletionVectors.Descriptor] = None)
 
+  /** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper
+    * ships one to executors (broadcast) via its own write/readFields —
+    * how task-side filesystem access gets its conf on a real cluster. */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Live state of the table at one version. File-level state
     * (path, partitionValues, size, modificationTime, stats JSON,
     * deletionVector) stays DISTRIBUTED in [[allFiles]]; the driver-side
@@ -1764,22 +1779,26 @@ object DeltaLog {
 
   /** Row-level DELETE via deletion vectors: files whose zone maps prove
     * no row can match are never touched; every other file gets a roaring
-    * bitmap of its deleted row indexes, all written as frames of ONE
-    * sidecar, and the commit re-adds the SAME path under the merged
-    * descriptor — no data rewrite. A file whose every remaining live row
-    * matches is simply removed. Deleting a sliver of a 100 TB table
-    * therefore writes O(deleted rows) compressed bitmap bytes where a
+    * bitmap of its deleted row indexes written as a sidecar frame, and
+    * the commit re-adds the SAME path under the merged descriptor — no
+    * data rewrite. A file whose every remaining live row matches is
+    * simply removed. Deleting a sliver of a 100 TB table therefore
+    * writes O(deleted rows) compressed bitmap bytes where a
     * copy-on-write rewrite pays O(touched files) parquet.
     *
-    * The per-file bitmap is built DISTRIBUTED (matching live row indexes
-    * grouped and serialized executor-side; only roaring-compressed bytes
-    * reach the driver) and unioned with the file's existing DV. The
-    * commit upgrades the protocol to the `deletionVectors` table feature
-    * when needed, pins the snapshot version (a concurrent writer fails
-    * this DELETE loudly), and stamps `dataChange=true` — so
-    * [[changesBetween]] nets the DV update to exactly the deleted rows.
-    * [[optimize]] remains the DV purge. Returns the committed version,
-    * or the current one when nothing matched (no empty commits). */
+    * Fully executor-side: each task groups its files' matching live row
+    * indexes, merges with any existing DV, and writes ONE sidecar for
+    * its partition — bitmap bytes never touch the driver, which
+    * collects only (path, offset, size, cardinality) descriptors,
+    * O(touched files). A GDPR-wide DELETE of 1% of a 100 TB table puts
+    * GBs of bitmaps on executors and KBs of descriptors on the driver.
+    * The commit upgrades the protocol to the `deletionVectors` table
+    * feature when needed, pins the snapshot version (a concurrent
+    * writer fails this DELETE loudly), and stamps `dataChange=true` —
+    * so [[changesBetween]] nets the DV update to exactly the deleted
+    * rows. [[optimize]] remains the DV purge. Returns the committed
+    * version, or the current one when nothing matched (no empty
+    * commits). */
   def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
     import spark.implicits._
     val snap = snapshot(spark, table)
@@ -1791,46 +1810,11 @@ object DeltaLog {
     val candidates = pruneEntries(spark, snap, predicate)
     if (candidates.isEmpty) return snap.version
 
-    // matching LIVE rows only (the read already applies existing DVs);
-    // row indexes grouped per physical file and serialized on executors
-    val hits: Array[(String, Array[Byte], Long)] =
-      readEntries(spark, table, candidates, snap.schema, snap.columnMappingMode)
-        .where(predicate)
-        .select(col("_metadata.file_path").as("fp"),
-          col("_metadata.row_index").as("ri"))
-        .groupBy("fp").agg(sort_array(collect_list(col("ri"))).as("rows"))
-        .as[(String, Array[Long])]
-        .map { case (fp, rows) =>
-          (fp, DeletionVectors.serialize(rows), rows.length.toLong) }
-        .collect()
-    if (hits.isEmpty) return snap.version
-
-    val fsys = fs(spark, table)
-    val entryByBase = candidates.groupBy(e => basename(e.path))
-    def entryOf(fp: String): FileEntry = {
-      val b = basename(fp)
-      entryByBase.getOrElse(b, Seq.empty).find(e => fp.endsWith("/" + e.path))
-        .getOrElse(sys.error(s"DELETE: scanned file $fp not in the snapshot"))
-    }
-    // merge with the file's existing DV (driver-side, bounded by the
-    // file's deleted-row cardinality — the same cost reading it pays)
-    val merged: Seq[(FileEntry, Array[Byte], Long)] = hits.toSeq.map {
-      case (fp, bytes, card) =>
-        val e = entryOf(fp)
-        e.dv match {
-          case None => (e, bytes, card)
-          case Some(old) =>
-            val all = (DeletionVectors.deletedRows(fsys, table, old) ++
-              DeletionVectors.deserialize(bytes)).distinct.sorted
-            (e, DeletionVectors.serialize(all), all.length.toLong)
-        }
-    }
-
-    // original add metadata for the touched paths only (stats stay valid:
-    // min/max bound the surviving rows, numRecords stays physical)
-    val touched = merged.map(_._1.path)
+    // original add metadata for the CANDIDATE paths (O(candidate files)
+    // on the driver — stats stay valid after a DV: min/max bound the
+    // surviving rows, numRecords stays physical)
     val metaByPath: Map[String, Row] = snap.allFiles
-      .join(broadcast(touched.toDF("path")), Seq("path"))
+      .join(broadcast(candidates.map(_.path).toDF("path")), Seq("path"))
       .select("path", "partitionValues", "size", "modificationTime", "stats")
       .collect().map(r => r.getString(0) -> r).toMap
     def numRecordsOf(path: String): Option[Long] =
@@ -1838,14 +1822,71 @@ object DeltaLog {
         val n = mapper.readTree(s)
         if (n.has("numRecords")) Some(n.get("numRecords").asLong()) else None
       }
-    // every physical row deleted → the file is dead: remove, no re-add
-    val (dead, dvd) = merged.partition { case (e, _, card) =>
-      numRecordsOf(e.path).contains(card)
+    // per-candidate lookup shipped to executors: basename →
+    // (relPath, old descriptor, physical numRecords) — all metadata,
+    // O(candidate files), never row data
+    val infoByBase: Map[String, Seq[(String, Option[DeletionVectors.Descriptor], Option[Long])]] =
+      candidates.map(e => (e.path, e.dv, numRecordsOf(e.path)))
+        .groupBy(t => basename(t._1))
+    val bcInfo = spark.sparkContext.broadcast(infoByBase)
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val tbl = table
+
+    // matching LIVE rows only (the read already applies existing DVs),
+    // grouped per physical file; each task merges its files' bitmaps
+    // with any existing DV and writes ONE sidecar for its partition —
+    // bitmap bytes never leave the executors. The driver collects only
+    // descriptors (path, offset, size, cardinality): O(touched files)
+    // even for a GDPR-wide DELETE whose bitmaps total GBs.
+    val results: Array[(String, Long, Option[(String, Int, Int)])] =
+      readEntries(spark, table, candidates, snap.schema, snap.columnMappingMode)
+        .where(predicate)
+        .select(col("_metadata.file_path").as("fp"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy("fp").agg(sort_array(collect_list(col("ri"))).as("rows"))
+        .as[(String, Array[Long])]
+        .mapPartitions { it =>
+          val buf = it.toArray
+          if (buf.isEmpty) Iterator.empty
+          else {
+            val fsys = new Path(tbl).getFileSystem(bcConf.value.value)
+            val resolved = buf.map { case (fp, rows) =>
+              val base = fp.substring(fp.lastIndexOf('/') + 1)
+              val (rel, oldDv, numRec) = bcInfo.value.getOrElse(base, Seq.empty)
+                .find(c => fp.endsWith("/" + c._1))
+                .getOrElse(sys.error(s"DELETE: scanned file $fp not in the snapshot"))
+              val all = oldDv match {
+                case None => rows
+                case Some(old) =>
+                  (DeletionVectors.deletedRows(fsys, tbl, old) ++ rows).distinct.sorted
+              }
+              (rel, all, numRec)
+            }
+            // every physical row deleted → dead file: no frame written
+            val (deadP, liveP) = resolved.partition { case (_, all, nr) =>
+              nr.contains(all.length.toLong)
+            }
+            val descs =
+              if (liveP.isEmpty) Seq.empty
+              else DeletionVectors.writeDvFrames(fsys, tbl,
+                liveP.toSeq.map(p => (DeletionVectors.serialize(p._2), p._2.length.toLong)))
+            deadP.iterator.map { case (rel, all, _) =>
+              (rel, all.length.toLong, None: Option[(String, Int, Int)])
+            } ++ liveP.iterator.zip(descs.iterator).map { case ((rel, all, _), d) =>
+              (rel, all.length.toLong, Some((d.pathOrInlineDv, d.offset.get, d.sizeInBytes)))
+            }
+          }
+        }.collect()
+    if (results.isEmpty) return snap.version
+
+    val entryByPath = candidates.map(e => e.path -> e).toMap
+    val merged: Seq[(FileEntry, Long)] =
+      results.toSeq.map { case (rel, card, _) => (entryByPath(rel), card) }
+    val dvd: Seq[(FileEntry, DeletionVectors.Descriptor)] = results.toSeq.collect {
+      case (rel, card, Some((z85, off, size))) =>
+        (entryByPath(rel), DeletionVectors.Descriptor("u", z85, Some(off), size, card))
     }
-    val descs =
-      if (dvd.isEmpty) Seq.empty
-      else DeletionVectors.writeDvFrames(fsys, table,
-        dvd.map { case (_, bytes, card) => (bytes, card) })
 
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]
@@ -1853,11 +1894,11 @@ object DeltaLog {
     // the remove carries the file's OLD descriptor (protocol semantics:
     // the removed content is what consumers could see) — without it a
     // change-feed fold would double-delete the already-masked rows
-    merged.foreach { case (e, _, _) =>
+    merged.foreach { case (e, _) =>
       val dvField = e.dv.fold("")(d => "," + dvJson(d))
       actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":true$dvField}}"""
     }
-    dvd.zip(descs).foreach { case ((e, _, _), d) =>
+    dvd.foreach { case (e, d) =>
       val m = metaByPath(e.path)
       val pv = Option(m.getMap[String, String](1)).getOrElse(Map.empty[String, String])
       val pvJson = pvJsonOf(pv)

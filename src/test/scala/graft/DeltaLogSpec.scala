@@ -1157,6 +1157,49 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion-vector"), e.getMessage)
   }
 
+  test("wide DELETE: 200k rows over 120 files, bitmaps stay on executors") {
+    // the GDPR-purge shape: a sparse predicate touching EVERY file. The
+    // per-file bitmaps (~3 KB roaring each, ~400 KB total here; GBs at
+    // 100 TB) must be written from the executors — the driver collects
+    // only (path, offset, size, cardinality) descriptors, so no task
+    // ships bitmap bytes back as its result.
+    val t = freshTable()
+    DeltaLog.write(spark,
+      spark.range(600000L).select($"id".as("x")).repartition(120), t)
+    assert(DeltaLog.snapshot(spark, t).files.size == 120)
+
+    val resultSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          resultSizes.synchronized { resultSizes += e.taskMetrics.resultSize }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      DeltaLog.deleteWhere(spark, t, $"x" % 3 === 0)
+      Thread.sleep(3000) // let the listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // correctness of the wide delete
+    assert(DeltaLog.read(spark, t).count() == 400000L)
+    assert(DeltaLog.read(spark, t).where($"x" % 3 === 0).count() == 0L)
+    val snap = DeltaLog.snapshot(spark, t)
+    val dvd = snap.fileEntries.filter(_.dv.isDefined)
+    assert(dvd.size == 120)
+    assert(dvd.map(_.dv.get.cardinality).sum == 200000L)
+    // one sidecar per WRITING TASK PARTITION, not per file — and far
+    // fewer than the 120 files
+    val sidecars = new File(t).listFiles()
+      .filter(_.getName.startsWith("deletion_vector_"))
+    assert(sidecars.nonEmpty && sidecars.length <= 8, s"${sidecars.length} sidecars")
+    // instrumentation: no task returned bitmap-sized results to the
+    // driver. Driver-funneled bitmaps would be ~50 KB per task here
+    // (15 files x ~3.3 KB); descriptors + task overhead stay far below.
+    val maxResult = resultSizes.synchronized(resultSizes.max)
+    assert(maxResult < 20 * 1024,
+      s"a task shipped $maxResult bytes to the driver — bitmaps must stay executor-side")
+  }
+
   test("DELETE on a partitioned table prunes by partition value and stays exact") {
     val t = freshTable()
     DeltaLog.write(spark,
