@@ -19,6 +19,17 @@ object Bench {
     // min — one timed run picks up whatever full-GC debt the previous
     // query's decimal/HLL buffers left behind (observed 6x inflation on a
     // single run), and min-of-2 measures the plan, not the neighbor.
+    // Machine-contention guard (two of the last four artifacts were
+    // polluted by concurrent load): record the host load average around
+    // the run so a reader can judge the numbers' provenance without a
+    // forensic rerun.
+    def loadAvg(): String = scala.util.Try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split(" ").take(3).mkString("[", ",", "]")
+    }.getOrElse("[]")
+    val loadBefore = loadAvg()
+
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     require(reps >= 1, s"SPARK_GRAFT_REPS must be >= 1, got $reps")
@@ -102,6 +113,7 @@ object Bench {
     val goldSkip = goldCurve.isEmpty || goldCurve.exists(_ <= 0) ||
       (only.nonEmpty && sys.env.get("SPARK_GRAFT_GOLD_CURVE").isEmpty)
     val goldJson = if (goldSkip) "" else {
+      var prevPerK = Option.empty[Double]
       val points = goldCurve.map { copies =>
         val dir = java.nio.file.Files.createTempDirectory("graft_gold_fixture")
         try {
@@ -112,17 +124,34 @@ object Bench {
               df.write.mode("overwrite").parquet(p)
               topic -> spark.read.parquet(p)
           }
-          System.gc(); Thread.sleep(100)
-          val t0 = System.nanoTime()
-          val tables = graft.pipelines.Medallion.graph(spark, landed).runMaterialized()
-          tables.values.foreach(_.write.format("noop").mode("overwrite").save())
-          val checks = graft.pipelines.Medallion.validate(tables).collect()
-          val dt = r4((System.nanoTime() - t0) / 1e9)
-          val factRows = tables("trip_fact").count()
-          val allPass = checks.forall(_.getBoolean(2))
-          tables.values.foreach(_.unpersist())
+          def timedBuild(): (Double, Long, Boolean) = {
+            System.gc(); Thread.sleep(100)
+            val t0 = System.nanoTime()
+            val tables = graft.pipelines.Medallion.graph(spark, landed).runMaterialized()
+            tables.values.foreach(_.write.format("noop").mode("overwrite").save())
+            val checks = graft.pipelines.Medallion.validate(tables).collect()
+            val dt = r4((System.nanoTime() - t0) / 1e9)
+            val factRows = tables("trip_fact").count()
+            val allPass = checks.forall(_.getBoolean(2))
+            graft.pipelines.TableGraph.release(tables)
+            (dt, factRows, allPass)
+          }
+          var (dt, factRows, allPass) = timedBuild()
+          // contention guard: the pipeline is sublinear-to-flat per copy,
+          // so a point whose sec/kcopy rate JUMPS >2x over the previous
+          // point is almost certainly machine noise (the r7 artifact's
+          // 50k point was 22x inflated by concurrent load). Re-measure
+          // once on the already-landed fixture and keep the better run,
+          // labeling the point so the artifact shows it happened.
+          val rerun = prevPerK.exists(p => dt * 1000.0 / copies > 2 * p)
+          if (rerun) {
+            val (dt2, f2, p2) = timedBuild()
+            if (dt2 < dt) { dt = dt2; factRows = f2; allPass = p2 }
+          }
           val perK = r4(dt * 1000.0 / copies)
-          s"""{"copies":$copies,"sec":$dt,"sec_per_kcopy":$perK,"fact_rows":$factRows,"validation_passed":$allPass}"""
+          prevPerK = Some(perK)
+          s"""{"copies":$copies,"sec":$dt,"sec_per_kcopy":$perK,""" +
+            s""""fact_rows":$factRows,"validation_passed":$allPass,"rerun":$rerun}"""
         } finally {
           import scala.jdk.CollectionConverters._
           java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -139,7 +168,9 @@ object Bench {
       .mkString("[", ",", "]")
     val total = r4(results.collect { case (_, v, true, _) => v }.sum)
     val head = s""""metric":"total","value":$total,"unit":"sec""""
-    val tail = s""""failed":$failed,"sf":"$sfDir"$goldJson"""
+    val loadJson = s""""load":{"before":$loadBefore,"after":${loadAvg()},""" +
+      s""""procs":${Runtime.getRuntime.availableProcessors()}}"""
+    val tail = s""""failed":$failed,"sf":"$sfDir",$loadJson$goldJson"""
     // The downstream tail capture is bounded and sbt appends [success]
     // noise, so a single line carrying the 101-query map truncates
     // (BENCH_r04..r06 parsed: null). Emission order for a bounded tail:

@@ -10,8 +10,14 @@ import org.apache.spark.sql.DataFrame
   * task DAG (/root/reference/jobs/batch_job.json:14-75).
   *
   * Materialization is the caller's choice: `run` returns the resolved
-  * frames (lazy plans); `runMaterialized` caches each table so diamond
-  * dependencies don't recompute shared upstreams.
+  * frames (lazy plans); `runMaterialized` caches exactly the tables
+  * with more than one registered consumer, so diamond dependencies
+  * don't recompute shared upstreams while single-consumer and sink
+  * tables — whose plans inline into their one reader — never occupy
+  * executor memory. At 100 TB caching every bronze/silver intermediate
+  * would evict or spill; the graph's edges say which frames are
+  * genuinely shared. Callers release with [[TableGraph.release]] (or
+  * `unpersist()` — a no-op on the uncached frames) once done.
   */
 final case class TableDef(name: String, deps: Seq[String])(
     val build: Map[String, DataFrame] => DataFrame)
@@ -50,8 +56,25 @@ final class TableGraph {
       acc + (t.name -> t.build(acc))
     }
 
-  def runMaterialized(): Map[String, DataFrame] =
+  /** Tables consumed by 2+ downstream builders — the only frames whose
+    * caching pays for its memory. */
+  def multiConsumerTables: Set[String] = {
+    val counts = defs.flatMap(_.deps).groupBy(identity).view.mapValues(_.size)
+    counts.filter(_._2 >= 2).keys.toSet
+  }
+
+  def runMaterialized(): Map[String, DataFrame] = {
+    val shared = multiConsumerTables
     topologicalOrder.foldLeft(Map.empty[String, DataFrame]) { (acc, t) =>
-      acc + (t.name -> t.build(acc).cache())
+      val df = t.build(acc)
+      acc + (t.name -> (if (shared(t.name)) df.cache() else df))
     }
+  }
+}
+
+object TableGraph {
+  /** Unpersist whatever [[TableGraph.runMaterialized]] cached (no-op on
+    * uncached frames). */
+  def release(tables: Map[String, DataFrame]): Unit =
+    tables.values.foreach(_.unpersist())
 }

@@ -156,4 +156,21 @@ class MedallionSpec extends SparkSpec {
     g.register(graft.pipelines.TableDef("b", Seq("a"))(_ => null))
     intercept[IllegalArgumentException] { g.topologicalOrder }
   }
+
+  test("runMaterialized caches only multi-consumer tables") {
+    import org.apache.spark.storage.StorageLevel
+    val g = Medallion.graph(spark)
+    // the medallion graph's genuinely shared frames, by edge count
+    assert(g.multiConsumerTables ==
+      Set("silver_eater", "silver_merchant", "silver_trips"))
+    val t = g.runMaterialized()
+    val cached = t.filter(_._2.storageLevel != StorageLevel.NONE).keySet
+    assert(cached == g.multiConsumerTables, cached.toString)
+    // single-consumer and sink tables never occupy executor memory
+    assert(t("bronze_eater").storageLevel == StorageLevel.NONE)
+    assert(t("dim_location").storageLevel == StorageLevel.NONE)
+    assert(t("trip_fact").storageLevel == StorageLevel.NONE)
+    graft.pipelines.TableGraph.release(t)
+    assert(t.values.forall(_.storageLevel == StorageLevel.NONE))
+  }
 }
