@@ -155,6 +155,13 @@ object DeltaLog {
     }.sorted
   }
 
+  /** Newest committed version (JSON commits ∪ checkpoint) — what a
+    * streaming tail polls; cheap (one directory listing, no replay). */
+  def latestVersion(spark: SparkSession, table: String): Option[Long] = {
+    val vs = listVersions(spark, table) ++ lastCheckpoint(fs(spark, table), table).toSeq
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
   private def commitPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.json")
 
@@ -722,10 +729,14 @@ object DeltaLog {
     * the new add actions, never rescanning the table). Commits that
     * remove files (overwrites/merges) are rejected rather than silently
     * misread: a batch-with-removes feed needs the full CDF semantics of
-    * [[changesBetween]]. An added file carrying a deletion vector reads
-    * with the DV applied — still pure-insert semantics. */
+    * [[changesBetween]]. With `skipChangeCommits` (Delta's streaming
+    * option of the same name) such commits are instead skipped WHOLE —
+    * their adds too, since those re-add rewritten old rows, not new
+    * data. An added file carrying a deletion vector reads with the DV
+    * applied — still pure-insert semantics. */
   def addedSince(spark: SparkSession, table: String,
-      fromVersion: Long, toVersion: Long): DataFrame = {
+      fromVersion: Long, toVersion: Long,
+      skipChangeCommits: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
     val f = fs(spark, table)
     val versions = listVersions(spark, table)
@@ -740,10 +751,14 @@ object DeltaLog {
     // consumption; a file compacted away was already consumed when added
     val added = Seq.newBuilder[FileEntry]
     versions.foreach { v =>
-      readCommit(f, table, v).foreach { a =>
-        if (a.has("remove") && isDataChange(a.get("remove")))
-          sys.error(s"version $v removes files; addedSince is append-only — " +
-            "use changesBetween for overwrite/merge feeds")
+      val actions = readCommit(f, table, v)
+      val hasRemoves = actions.exists(a =>
+        a.has("remove") && isDataChange(a.get("remove")))
+      if (hasRemoves && !skipChangeCommits)
+        sys.error(s"version $v removes files; addedSince is append-only — " +
+          "use changesBetween for overwrite/merge feeds, or skipChangeCommits " +
+          "to ignore them")
+      if (!hasRemoves) actions.foreach { a =>
         if (a.has("add") && isDataChange(a.get("add")))
           added += FileEntry(a.get("add").get("path").asText(), dvOf(a.get("add")))
       }

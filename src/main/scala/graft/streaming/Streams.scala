@@ -299,5 +299,29 @@ object Streams {
     runToMemory(enriched, "q_stream_enrich_sink", "append")
   }
 
-  val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark, qStreamJoin, qStreamEnrich)
+  /** S2: stream FROM a managed protocol table — the reference's
+    * `dlt.read_stream` (silver_pipeline.py:107). The events feed is
+    * landed in a Delta table, then [[graft.streaming.DeltaStreamProvider]]
+    * tails its LOG: offsets are log versions, each micro-batch reads
+    * only newly-added files, deletion vectors apply, and checkpointed
+    * offsets give crash-resume (StreamingMedallionSpec). Here the whole
+    * table arrives as the initial-snapshot batch and the streamed
+    * aggregate must equal the batch answer. */
+  val qDeltaTail: QueryDef = QueryDef.sql(
+    "q_stream_delta_tail",
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(round(sum(CAST(value AS DECIMAL(38,10))), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val tbl = Files.createTempDirectory("graft-delta-tail-").toString + "/events"
+    graft.sources.DeltaLog.write(spark, graft.Tables.events(spark, dir), tbl)
+    val agg = spark.readStream.format("graft-delta").load(tbl)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast(DecimalType(38, 10))), 2)
+          .cast("double").as("sum_value"))
+    runToMemory(agg, "q_stream_delta_tail_sink", "complete")
+  }
+
+  val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark, qStreamJoin,
+    qStreamEnrich, qDeltaTail)
 }

@@ -16,4 +16,21 @@ object GraftSqlShim {
 
   def column(e: catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
+
+  /** Re-mark a batch plan's leaf relations as streaming — what a DSv1
+    * streaming source's `getBatch` must return (MicroBatchExecution
+    * asserts `isStreaming`; Delta's own streaming source performs the
+    * same marking from inside the sql package tree). */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    val plan = cdf.queryExecution.analyzed.transformUp {
+      case lr: execution.datasources.LogicalRelation if !lr.isStreaming =>
+        lr.copy(isStreaming = true)
+      case lr: catalyst.plans.logical.LocalRelation if !lr.isStreaming =>
+        lr.copy(isStreaming = true)
+      case rdd: execution.LogicalRDD if !rdd.isStreaming =>
+        rdd.copy(isStreaming = true)(cdf.sparkSession, None, None)
+    }
+    classic.Dataset.ofRows(cdf.sparkSession, plan)
+  }
 }

@@ -60,4 +60,110 @@ class StreamingMedallionSpec extends SparkSpec {
     // the stream committed versioned silver: history exists and is replayable
     assert(VersionedTable.history(spark, silverPath).nonEmpty)
   }
+
+  test("silver streams from a bronze PROTOCOL table (S2) and equals the batch result") {
+    // the reference's dlt.read_stream shape: the bronze CDC feed lives in
+    // a managed Delta table; silver tails its LOG (graft-delta source),
+    // not a directory listing
+    val base = java.nio.file.Files.createTempDirectory("graft-smed2-").toString
+    val bronzeTbl = s"$base/bronze_trip_events"
+    graft.sources.DeltaLog.write(spark,
+      Fixtures.topics(spark)("trip_events"), bronzeTbl)
+
+    val stream = spark.readStream.format("graft-delta").load(bronzeTbl)
+    assert(stream.isStreaming)
+    val bronzeStream = Medallion.bronze(stream, "trip_events")
+    val silverPath = s"$base/silver_trips"
+    val q = bronzeStream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        VersionedTable.write(batch.sparkSession,
+          Medallion.silverTrips(batch), silverPath, "append")
+        ()
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val batchSilver = Medallion.silverTrips(
+      Medallion.bronze(Fixtures.topics(spark)("trip_events"), "trip_events"))
+    val a = VersionedTable.read(spark, silverPath).localCheckpoint(true)
+    val b = batchSilver.localCheckpoint(true)
+    assert(a.count() == 17)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "silver streamed from the bronze table diverged from the batch pipeline")
+  }
+
+  test("graft-delta source: offsets are versions — restart resumes, exactly once") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dstream-").toString
+    val src = s"$base/src"
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    graft.sources.DeltaLog.write(spark, spark.range(0L, 5L).toDF("x"), src)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          VersionedTable.write(batch.sparkSession, batch, sink, "append"); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(VersionedTable.read(spark, sink).as[Long].collect().sorted.toSeq ==
+      (0L to 4L))
+    // two more commits land between runs; the restarted query reads ONLY
+    // them (offset checkpoint = last committed version, no reprocessing)
+    graft.sources.DeltaLog.write(spark, spark.range(5L, 8L).toDF("x"), src, "append")
+    graft.sources.DeltaLog.write(spark, spark.range(8L, 10L).toDF("x"), src, "append")
+    runOnce()
+    assert(VersionedTable.read(spark, sink).as[Long].collect().sorted.toSeq ==
+      (0L to 9L), "restart must resume from the committed version, no dupes, no gaps")
+    // idle restart: nothing new, nothing re-emitted
+    runOnce()
+    assert(VersionedTable.read(spark, sink).count() == 10L)
+  }
+
+  test("graft-delta source: DV-aware snapshot; change commits refuse or skip") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dstream2-").toString
+    val src = s"$base/src"
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    graft.sources.DeltaLog.write(spark, spark.range(0L, 10L).toDF("x"), src)
+    graft.sources.DeltaLog.deleteWhere(spark, src, $"x".isin(3L, 4L)) // v1: DV
+
+    def runOnce(opts: Map[String, String] = Map.empty): Unit = {
+      val r = spark.readStream.format("graft-delta").options(opts).load(src)
+      val q = r.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          VersionedTable.write(batch.sparkSession, batch, sink, "append"); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // initial snapshot applies the deletion vector: masked rows never stream
+    runOnce()
+    assert(VersionedTable.read(spark, sink).as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L, 2L, 5L, 6L, 7L, 8L, 9L))
+    // a change commit (DELETE) inside the window refuses loudly...
+    graft.sources.DeltaLog.deleteWhere(spark, src, $"x" === 0L)     // v2: remove+readd
+    graft.sources.DeltaLog.write(spark, Seq(15L).toDF("x"), src, "append") // v3
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    assert(e.getMessage.contains("removes files") ||
+      Option(e.getCause).exists(_.getMessage.contains("removes files")), e.getMessage)
+    // ...and skipChangeCommits skips it whole, still delivering the append
+    runOnce(Map("skipChangeCommits" -> "true"))
+    val got = VersionedTable.read(spark, sink).as[Long].collect().sorted.toSeq
+    assert(got == Seq(0L, 1L, 2L, 5L, 6L, 7L, 8L, 9L, 15L),
+      s"skipChangeCommits must skip the DELETE commit, keep the append: $got")
+  }
 }
