@@ -2143,11 +2143,7 @@ object DeltaLog {
       snap.txns.toSeq.sortBy(_._1).map { case (a, v) =>
         s"""{"txn":{"appId":${jsonStr(a)},"version":$v,"lastUpdated":$now}}"""
       }
-    val metaRows = spark.read.schema(actionSchema).json(metaLines.toDS())
-    val cpDf = addRows.unionByName(metaRows)
-    val scratch = new Path(table, ".tmp-checkpoint")
-    cpDf.repartition(parts).write.mode("overwrite").parquet(scratch.toString)
-    val staged = {
+    def stagedParquet(scratch: Path): Seq[Path] = {
       val it = f.listFiles(scratch, false)
       val b = Seq.newBuilder[Path]
       while (it.hasNext) {
@@ -2158,6 +2154,69 @@ object DeltaLog {
       require(s.nonEmpty, "checkpoint stage produced no parquet")
       s
     }
+    def writeLastCheckpoint(partsField: String): Unit = {
+      val lp = new Path(logDir(table), "_last_checkpoint")
+      val size = snap.files.size + 2 + snap.txns.size
+      val out = f.create(lp, true)
+      try out.write(
+        s"""{"version":${snap.version},"size":$size$partsField}""".getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    // a table whose READER features include v2Checkpoint gets the V2
+    // layout (manifest + _sidecars/) — its readers expect it, and
+    // checkpoint symmetry means a graft-maintained foreign table keeps
+    // the shape its other writers produce
+    val isV2 = snap.protocolJson.exists { pj =>
+      val p = mapper.readTree(pj)
+      p.has("readerFeatures") && {
+        val it = p.get("readerFeatures").elements()
+        var found = false
+        while (it.hasNext && !found) found = it.next().asText() == "v2Checkpoint"
+        found
+      }
+    }
+
+    if (isV2) {
+      // sidecars: the file-level add rows, one parquet per part, under
+      // _delta_log/_sidecars/<uuid>.parquet
+      val scratch = new Path(table, ".tmp-checkpoint")
+      addRows.repartition(parts).write.mode("overwrite").parquet(scratch.toString)
+      val sidecarDir = new Path(logDir(table), "_sidecars")
+      f.mkdirs(sidecarDir)
+      val entries = stagedParquet(scratch).map { part =>
+        val name = java.util.UUID.randomUUID().toString + ".parquet"
+        val dest = new Path(sidecarDir, name)
+        require(f.rename(part, dest), s"sidecar move failed: $dest")
+        val st = f.getFileStatus(dest)
+        (name, st.getLen, st.getModificationTime)
+      }
+      f.delete(scratch, true)
+      // manifest: singletons + checkpointMetadata + sidecar pointers,
+      // named <v>.checkpoint.<uniqueStr>.parquet per the V2 spec
+      val manLines = metaLines ++
+        Seq(s"""{"checkpointMetadata":{"version":${snap.version}}}""") ++
+        entries.map { case (nm, sz, mt) =>
+          s"""{"sidecarFile":{"path":${jsonStr(nm)},"sizeInBytes":$sz,"modificationTime":$mt}}"""
+        }
+      val manScratch = new Path(table, ".tmp-checkpoint-manifest")
+      spark.read.schema(v2ManifestSchema).json(manLines.toDS()).coalesce(1)
+        .write.mode("overwrite").parquet(manScratch.toString)
+      val unique = java.util.UUID.randomUUID().toString.take(8)
+      val dest = new Path(logDir(table),
+        f"${snap.version}%020d.checkpoint.$unique.parquet")
+      require(f.rename(stagedParquet(manScratch).head, dest),
+        s"checkpoint manifest move failed: $dest")
+      f.delete(manScratch, true)
+      writeLastCheckpoint("")
+      return snap.version
+    }
+
+    val metaRows = spark.read.schema(actionSchema).json(metaLines.toDS())
+    val cpDf = addRows.unionByName(metaRows)
+    val scratch = new Path(table, ".tmp-checkpoint")
+    cpDf.repartition(parts).write.mode("overwrite").parquet(scratch.toString)
+    val staged = stagedParquet(scratch)
     // empty shuffle partitions write no file, so the actual part count
     // can undershoot the ask — name by what exists
     val n = staged.size
@@ -2174,13 +2233,7 @@ object DeltaLog {
       }
     }
     f.delete(scratch, true)
-    val lp = new Path(logDir(table), "_last_checkpoint")
-    val partsField = if (n == 1) "" else s""","parts":$n"""
-    val size = snap.files.size + 2 + snap.txns.size
-    val out = f.create(lp, true)
-    try out.write(
-      s"""{"version":${snap.version},"size":$size$partsField}""".getBytes("UTF-8"))
-    finally out.close()
+    writeLastCheckpoint(if (n == 1) "" else s""","parts":$n""")
     snap.version
   }
 }

@@ -758,6 +758,51 @@ class DeltaLogSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("V2 checkpoint WRITE: manifest + _sidecars round-trip after JSON vacuum") {
+    // checkpoint symmetry: on a table whose reader features include
+    // v2Checkpoint, OUR checkpoint writes the V2 layout its other
+    // readers expect — manifest (checkpointMetadata + singletons +
+    // sidecar pointers) and add rows in _delta_log/_sidecars/
+    val t = freshTable()
+    writeDataFile(Seq(1L, 2L).toDF("x"), t, "part-a.snappy.parquet")
+    commit(t, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"],"writerFeatures":["v2Checkpoint"]}}""",
+      metaAction(xSchema), addAction("part-a.snappy.parquet")))
+    DeltaLog.write(spark, Seq(3L).toDF("x").coalesce(1), t, "append")   // v1
+    DeltaLog.write(spark, Seq(4L).toDF("x").coalesce(1), t, "append")   // v2
+
+    val cpv = DeltaLog.checkpoint(spark, t)
+    assert(cpv == 2L)
+    val logFiles = new File(t, "_delta_log").listFiles().map(_.getName)
+    val manifest = logFiles.filter(n =>
+      n.startsWith(f"${2L}%020d.checkpoint.") && n.endsWith(".parquet"))
+    assert(manifest.length == 1, logFiles.mkString(","))
+    // V2 naming (<v>.checkpoint.<uniqueStr>.parquet), never classic
+    assert(manifest.head != f"${2L}%020d.checkpoint.parquet")
+    val sidecars = new File(t, "_delta_log/_sidecars").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(sidecars.nonEmpty)
+    // the manifest carries the spec-required checkpointMetadata and the
+    // sidecar pointers; the add rows live in the sidecars
+    val man = spark.read.parquet(s"$t/_delta_log/${manifest.head}")
+    assert(man.columns.contains("checkpointMetadata"))
+    assert(man.where("checkpointMetadata.version = 2").count() == 1)
+    assert(man.where("sidecarFile IS NOT NULL").count() == sidecars.length.toLong)
+
+    // metadata-clean every JSON commit: the V2 checkpoint alone must
+    // reconstruct the state
+    new File(t, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(_.delete())
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    // zone-map pruning still feeds from the sidecar-carried stats
+    assert(DeltaLog.readPruned(spark, t, $"x" === 4L).as[Long].collect().toSeq == Seq(4L))
+    // and the log keeps working on top: append, then read through
+    DeltaLog.write(spark, Seq(9L).toDF("x").coalesce(1), t, "append")   // v3
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 9L))
+  }
+
   test("foreign writer: unknown reader features refuse loudly") {
     // reader feature this implementation does not honor
     val t3 = freshTable()
