@@ -1289,20 +1289,59 @@ object DeltaLog {
 
     // Column-mapped tables ARE writable: the staged frame is translated
     // logical→physical below, stats and partitionValues key by
-    // physicalName, and the existing metaData (carrying the mapping) is
-    // preserved because the logical schema is unchanged. What a mapped
-    // write may NOT do is introduce a new column — that would require
-    // minting a fresh physicalName/columnId and bumping
-    // delta.columnMapping.maxColumnId, which this writer does not do.
+    // physicalName, and the table's metaData keeps its mapping metadata
+    // verbatim. Widening evolution mints a fresh physicalName/columnId
+    // per new TOP-LEVEL column and bumps delta.columnMapping.maxColumnId
+    // (mappedMinted below); a new column carrying nested structs refuses
+    // — every nested field would need its own minted id, which this
+    // writer does not do.
+    def containsStruct(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case a: ArrayType => containsStruct(a.elementType)
+      case m: MapType => containsStruct(m.keyType) || containsStruct(m.valueType)
+      case _ => false
+    }
     def gateWritable(prevSnap: Option[Snapshot]): Unit =
       prevSnap.filter(_.columnMappingMode != "none").foreach { p =>
         val prevNames = p.schema.map(_.fieldNames.toSet).getOrElse(Set.empty)
-        df.schema.fieldNames.foreach(n => require(prevNames.contains(n),
-          s"cannot add column '$n' to a column-mapped Delta table $table — " +
-            "schema evolution under column mapping needs a minted " +
-            "physicalName/columnId (unsupported); write existing columns only"))
+        df.schema.fields.filterNot(f => prevNames.contains(f.name)).foreach { f =>
+          require(widenSchema,
+            s"cannot add column '${f.name}' to column-mapped Delta table $table " +
+              "in an overwrite — append (widening evolution) mints the mapping")
+          require(!containsStruct(f.dataType),
+            s"cannot add nested-struct column '${f.name}' to a column-mapped " +
+              s"Delta table $table — every nested field needs a minted columnId " +
+              "(unsupported); add primitive/array/map-of-primitive columns only")
+        }
       }
 
+    // computed once here (validation before staging) and reused by the
+    // first commit attempt — one log replay per commit, not two
+    val firstVersion = nextVersion()
+    val firstPrev = if (firstVersion == 0L) None else Some(snapshot(spark, table))
+    // widening evolution on a mapped table: new top-level columns get a
+    // minted physicalName (col-<uuid>) and the next columnIds. Minted
+    // ONCE per commitWrite call — the staged parquet carries these
+    // physical names, so a commit retry must re-declare the SAME ones.
+    val mappedMinted: Seq[StructField] = firstPrev match {
+      case Some(p) if p.columnMappingMode != "none" && widenSchema =>
+        val prev = p.schema.getOrElse(new StructType())
+        val extra = df.schema.fields.filterNot(f => prev.fieldNames.contains(f.name))
+        if (extra.isEmpty) Seq.empty
+        else {
+          val usedIds = prev.fields.collect {
+            case f if f.metadata.contains(FieldIdKey) => f.metadata.getLong(FieldIdKey)
+          } ++ p.configuration.get("delta.columnMapping.maxColumnId").map(_.toLong)
+          val base = if (usedIds.isEmpty) 0L else usedIds.max
+          extra.toSeq.zipWithIndex.map { case (f, i) =>
+            f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong(FieldIdKey, base + i + 1)
+              .putString(PhysNameKey, s"col-${java.util.UUID.randomUUID()}")
+              .build())
+          }
+        }
+      case _ => Seq.empty
+    }
     // validate + declare the schema BEFORE staging any data: a refused
     // commit (schema enforcement) must leave zero trace on disk. Re-run
     // per commit attempt — a concurrent append may have evolved the
@@ -1310,10 +1349,10 @@ object DeltaLog {
     def declaredSchema(prevSnap: Option[Snapshot]): StructType =
       (widenSchema, prevSnap.flatMap(_.schema)) match {
         case (_, Some(prev)) if prevSnap.exists(_.columnMappingMode != "none") =>
-          // column-mapped: evolution is gated off (gateWritable), so the
-          // declaration — whose field metadata IS the mapping — survives
-          // verbatim; emitting df.schema here would strip physicalName/
-          // columnId metadata and corrupt the table
+          // column-mapped: the declaration's field metadata IS the
+          // mapping, so it survives verbatim; emitting df.schema here
+          // would strip physicalName/columnId metadata and corrupt the
+          // table. New columns append with their minted mapping.
           df.schema.fields.foreach { fld =>
             prev.fields.find(_.name == fld.name).foreach { p =>
               require(DataType.equalsStructurally(fld.dataType, p.dataType,
@@ -1322,7 +1361,13 @@ object DeltaLog {
                   s"in the table but ${fld.dataType.simpleString} in the write")
             }
           }
-          prev
+          // staged parquet already carries OUR minted physical names: a
+          // racing writer minting the same logical column would make the
+          // declaration disagree with the staged bytes — refuse loudly
+          mappedMinted.foreach(f => require(!prev.fieldNames.contains(f.name),
+            s"concurrent schema evolution: column '${f.name}' appeared in $table " +
+              s"while this $operation was staged — re-read and retry"))
+          mappedMinted.foldLeft(prev)((s, f) => s.add(f))
         case (true, Some(prev)) =>
           // schema ENFORCEMENT before evolution: a same-name column with a
           // different type must refuse loudly — silently keeping the old
@@ -1341,10 +1386,6 @@ object DeltaLog {
           extra.foldLeft(prev)((s, f) => s.add(f))
         case _ => df.schema
       }
-    // computed once here (validation before staging) and reused by the
-    // first commit attempt — one log replay per commit, not two
-    val firstVersion = nextVersion()
-    val firstPrev = if (firstVersion == 0L) None else Some(snapshot(spark, table))
     gateWritable(firstPrev)
     declaredSchema(firstPrev)
     // table-property enforcement (writer-side protocol compliance),
@@ -1386,7 +1427,8 @@ object DeltaLog {
     val stagedDf =
       if (mappingMode == "none") df
       else {
-        val byName = firstPrev.flatMap(_.schema).get.fields.map(f => f.name -> f).toMap
+        val byName = (firstPrev.flatMap(_.schema).get.fields ++ mappedMinted)
+          .map(f => f.name -> f).toMap
         val mapped = StructType(df.schema.fields.map(fld => byName(fld.name)))
         val phys = physicalType(mapped, fieldIds = mappingMode == "id")
           .asInstanceOf[StructType]
@@ -1502,6 +1544,16 @@ object DeltaLog {
           val prevCfg = prevSnap.map(_.configuration).getOrElse(Map.empty)
           val cfg = meta.putObject("configuration")
           (prevCfg ++ properties).foreach { case (k, v) => cfg.put(k, v) }
+        }
+        // minted mapping ids claim their range: later writers must mint
+        // ABOVE them (the protocol's duplicate-id protection)
+        if (mappedMinted.nonEmpty) {
+          val cfg =
+            if (meta.has("configuration") && meta.get("configuration").isObject)
+              meta.get("configuration").asInstanceOf[ObjectNode]
+            else meta.putObject("configuration")
+          cfg.put("delta.columnMapping.maxColumnId",
+            mappedMinted.map(_.metadata.getLong(FieldIdKey)).max.toString)
         }
         if (!meta.has("createdTime")) meta.put("createdTime", now)
         actions += s"""{"metaData":${mapper.writeValueAsString(meta)}}"""

@@ -599,10 +599,28 @@ class DeltaLogSpec extends SparkSpec {
       .select("stats").collect().map(_.getString(0))
     assert(newStats.nonEmpty && newStats.forall(_.contains("col-9f2a")), newStats.mkString)
     assert(DeltaLog.readPruned(spark, t, $"x" === 9L).as[Long].collect().toSeq == Seq(9L))
-    // what DOES refuse: introducing a new column (needs a minted mapping)
+    // widening evolution MINTS the mapping: new column gets a fresh
+    // physicalName + the next columnId, maxColumnId bumps
+    DeltaLog.write(spark, Seq((10L, "w")).toDF("x", "extra"), t, "append")
+    val snap3 = DeltaLog.snapshot(spark, t)
+    val extraF = snap3.schema.get.fields.find(_.name == "extra").get
+    assert(extraF.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    assert(extraF.metadata.getLong("delta.columnMapping.id") == 2L)
+    assert(snap3.configuration("delta.columnMapping.maxColumnId") == "2")
+    // old files surface null in the new column; new row reads back whole
+    val rows = DeltaLog.read(spark, t).select("x", "extra")
+      .as[(Long, Option[String])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, None), (2L, None), (9L, None), (10L, Some("w"))))
+    // a nested-struct column still refuses (needs per-nested-field ids)
     val e = intercept[IllegalArgumentException](
-      DeltaLog.write(spark, Seq((10L, "new")).toDF("x", "extra"), t, "append"))
-    assert(e.getMessage.contains("column-mapped"), e.getMessage)
+      DeltaLog.write(spark,
+        Seq((11L, (1L, "a"))).toDF("x", "nested"), t, "append"))
+    assert(e.getMessage.contains("nested"), e.getMessage)
+    // and an OVERWRITE may not introduce columns (append-only evolution)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLog.write(spark, Seq((12L, "o")).toDF("x", "other"), t))
+    assert(e2.getMessage.contains("overwrite"), e2.getMessage)
   }
 
   test("name-mode column mapping: MERGE + DELETE + UPDATE round-trip") {
@@ -701,10 +719,14 @@ class DeltaLogSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b"), (9L, "z")))
     assert(DeltaLog.readPruned(spark, t, $"x" === 9L)
       .select("s").as[String].collect().toSeq == Seq("z"))
-    // new columns still refuse (no minted mapping)
-    val eW = intercept[IllegalArgumentException](
-      DeltaLog.write(spark, Seq((9L, "z", 1L)).toDF("x", "s", "extra"), t, "append"))
-    assert(eW.getMessage.contains("column-mapped"), eW.getMessage)
+    // id-mode evolution mints id=3 past the declared maxColumnId of 2
+    DeltaLog.write(spark, Seq((10L, "w", 5L)).toDF("x", "s", "extra"), t, "append")
+    val snapE = DeltaLog.snapshot(spark, t)
+    assert(snapE.schema.get.fields.find(_.name == "extra").get
+      .metadata.getLong("delta.columnMapping.id") == 3L)
+    assert(snapE.configuration("delta.columnMapping.maxColumnId") == "3")
+    assert(DeltaLog.read(spark, t).where($"extra".isNotNull)
+      .select("x").as[Long].collect().toSeq == Seq(10L))
   }
 
   test("foreign writer: V2 checkpoint (manifest + sidecars) reads as one state") {
