@@ -737,6 +737,18 @@ object DeltaLog {
   def addedSince(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long,
       skipChangeCommits: Boolean = false): DataFrame = {
+    val added = addedFileEntries(spark, table, fromVersion, toVersion, skipChangeCommits)
+    val snap = snapshot(spark, table, Some(toVersion))
+    readEntries(spark, table, added, snap.schema, snap.columnMappingMode)
+  }
+
+  /** The file entries behind [[addedSince]] — metadata only, no read.
+    * Deterministically ordered (commit order, then action order), so a
+    * rate-limited streaming consumer can slice the same feed across
+    * restarts. */
+  private[graft] def addedFileEntries(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long,
+      skipChangeCommits: Boolean): Seq[FileEntry] = {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
     val f = fs(spark, table)
     val versions = listVersions(spark, table)
@@ -763,8 +775,15 @@ object DeltaLog {
           added += FileEntry(a.get("add").get("path").asText(), dvOf(a.get("add")))
       }
     }
-    val snap = snapshot(spark, table, Some(toVersion))
-    readEntries(spark, table, added.result(), snap.schema, snap.columnMappingMode)
+    added.result()
+  }
+
+  /** Read a specific entry subset under the table's schema/mapping at
+    * `versionAsOf` — the rate-limited streaming source's batch reader. */
+  private[graft] def readEntriesAt(spark: SparkSession, table: String,
+      entries: Seq[FileEntry], versionAsOf: Long): DataFrame = {
+    val snap = snapshot(spark, table, Some(versionAsOf))
+    readEntries(spark, table, entries, snap.schema, snap.columnMappingMode)
   }
 
   /** Row-level change feed for the commits in `(fromVersion, toVersion]`:

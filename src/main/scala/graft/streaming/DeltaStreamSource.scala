@@ -16,14 +16,19 @@ import org.apache.spark.sql.types.StructType
   *   spark.readStream.format("graft-delta").load("/path/to/table")
   * }}}
   *
-  * Offsets ARE log versions: each micro-batch reads exactly the files
-  * ADDED in `(lastCommittedVersion, latestVersion]` via
-  * [[DeltaLog.addedSince]] — the log IS the write-ahead queue, so no
-  * directory diffing, no reprocessing, and the engine's offset
-  * checkpointing gives crash-resume for free (a restarted query resumes
-  * from the last committed version). The very first batch reads the full
-  * snapshot at the then-latest version. Deletion vectors apply on both
-  * paths: a masked row never enters the stream.
+  * Offsets ARE log positions: each micro-batch reads exactly the files
+  * ADDED in `(lastCommitted, latest]` — the log IS the write-ahead
+  * queue, so no directory diffing, no reprocessing, and the engine's
+  * offset checkpointing gives crash-resume for free (a restarted query
+  * resumes from the last committed position). The very first batch
+  * reads the full snapshot at the then-latest version. Deletion
+  * vectors apply on both paths: a masked row never enters the stream.
+  *
+  * `.option("maxFilesPerTrigger", n)` bounds each micro-batch to n
+  * files — without it the initial snapshot of a 100 TB table arrives
+  * as ONE batch. Offsets then carry `(version, fileIndex)` into a
+  * deterministically-ordered (by path) per-version feed, so a chunk
+  * boundary survives restart exactly.
   *
   * Commits that REMOVE files (MERGE/DELETE/OPTIMIZE with dataChange)
   * refuse loudly — an append-only feed cannot represent them; pass
@@ -35,37 +40,140 @@ import org.apache.spark.sql.types.StructType
   * trickle of appends streams the trickle.
   */
 final class DeltaStreamSource(ctx: SQLContext, table: String,
-    skipChangeCommits: Boolean) extends Source {
+    skipChangeCommits: Boolean, maxFilesPerTrigger: Option[Int]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import DeltaStreamSource.Pos
 
   private val spark = ctx.sparkSession
   require(DeltaLog.isDeltaTable(spark, table),
     s"graft-delta stream source: not a Delta table: $table")
+  maxFilesPerTrigger.foreach(n =>
+    require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
 
   override val schema: StructType = DeltaStreamSource.schemaOf(ctx, table)
 
-  private def toVersion(o: OffsetV1): Long = o match {
-    case l: LongOffset => l.offset
-    case s: SerializedOffset => LongOffset(s).offset
-    case other => other.json().trim.toLong
+  // ------------------------------------------------------------- offsets
+
+  private def parse(o: OffsetV1): Pos = o match {
+    case s: SerializedOffset => Pos.fromJson(s.json)
+    case l: LongOffset => Pos(l.offset, -1L, l.offset) // legacy whole-version
+    case other => Pos.fromJson(other.json())
   }
 
-  override def getOffset: Option[OffsetV1] =
-    DeltaLog.latestVersion(spark, table).map(LongOffset(_))
+  /** Files of one log position's feed, deterministically ordered by
+    * path: the snapshot at `snap` for the initial version, that
+    * version's adds otherwise. Cached — a feed for a fixed version is
+    * immutable. */
+  private val feedCache = scala.collection.mutable.HashMap.empty[Long, IndexedSeq[DeltaLog.FileEntry]]
+  private def feedOf(v: Long, snapVersion: Long): IndexedSeq[DeltaLog.FileEntry] =
+    feedCache.getOrElseUpdate(v, {
+      val entries =
+        if (v == snapVersion) DeltaLog.snapshot(spark, table, Some(v)).fileEntries
+        else DeltaLog.addedFileEntries(spark, table, v - 1, v, skipChangeCommits)
+      entries.sortBy(_.path).toIndexedSeq
+    })
+
+  /** The last position this source planned or recovered — where the
+    * next getOffset continues from. */
+  private var highWater: Option[Pos] = None
+  private def advanceHighWater(p: Pos): Unit =
+    if (!highWater.exists(h =>
+        DeltaStreamSource.posOrdering.gteq(h.orderKey, p.orderKey)))
+      highWater = Some(p)
+
+  /** Trigger.AvailableNow freezes the end of the run at prepare time:
+    * without this the engine falls back to ONE batch, defeating
+    * maxFilesPerTrigger's chunking. */
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = DeltaLog.latestVersion(spark, table)
+
+  // SupportsAdmissionControl (pulled in by SupportsTriggerAvailableNow):
+  // the engine calls latestOffset instead of getOffset once a source
+  // declares admission control; rate limiting stays the source-level
+  // maxFilesPerTrigger option, so the engine's ReadLimit passes through
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getOffset: Option[OffsetV1] = {
+    val actual = DeltaLog.latestVersion(spark, table).getOrElse(return highWater)
+    val latest = availableNowCap.fold(actual)(math.min(actual, _))
+    val next = maxFilesPerTrigger match {
+      case None =>
+        val snapV = highWater.map(_.snap).getOrElse(latest)
+        val cur = highWater.getOrElse(Pos(-1L, -1L, snapV))
+        if (cur.version >= latest && cur.consumed) cur
+        else Pos(latest, -1L, snapV)
+      case Some(budget) =>
+        val snapV = highWater.map(_.snap).getOrElse(latest)
+        var cur = highWater.getOrElse(Pos(snapV, 0L, snapV))
+        var left = budget.toLong
+        // walk versions, consuming up to `budget` files
+        var out = cur
+        var v = cur.version
+        var idx = cur.index(feedOf(v, snapV).size.toLong)
+        while (left > 0 && (v < latest || idx < feedOf(v, snapV).size)) {
+          val size = feedOf(v, snapV).size.toLong
+          if (idx >= size) { v += 1; idx = 0L }
+          else {
+            val take = math.min(left, size - idx)
+            idx += take; left -= take
+            out = Pos(v, if (idx >= size) -1L else idx, snapV)
+          }
+        }
+        if (out == cur && cur.version >= latest && cur.consumed) cur else out
+    }
+    advanceHighWater(next)
+    if (next.version < 0) None else Some(next)
+  }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val to = toVersion(end)
-    val df = start.map(toVersion) match {
-      // first batch: the full snapshot at the stream's starting version
-      case None => DeltaLog.read(spark, table, Some(to))
-      case Some(from) if from >= to =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(from) => DeltaLog.addedSince(spark, table, from, to, skipChangeCommits)
+    val e = parse(end)
+    advanceHighWater(e) // restart recovery: resume planning past this batch
+    val entries: Seq[DeltaLog.FileEntry] = start.map(parse) match {
+      case None =>
+        sliceTo(e)
+      case Some(s) if DeltaStreamSource.posOrdering.gteq(s.orderKey, e.orderKey) =>
+        Seq.empty
+      case Some(s) =>
+        sliceBetween(s, e)
     }
+    val df =
+      if (entries.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else DeltaLog.readEntriesAt(spark, table, entries, e.version)
     // normalize to the declared column order (a partitioned read
     // surfaces partition columns last); the engine asserts getBatch
     // frames are MARKED streaming, hence the shim
     org.apache.spark.sql.GraftSqlShim.asStreaming(
       df.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  /** Everything from the stream start through `e`. */
+  private def sliceTo(e: Pos): Seq[DeltaLog.FileEntry] =
+    (e.snap to e.version).flatMap { v =>
+      val feed = feedOf(v, e.snap)
+      if (v < e.version) feed else feed.take(e.index(feed.size.toLong).toInt)
+    }
+
+  /** Everything in `(s, e]`. A fully-consumed start version is skipped
+    * without touching its feed (legacy whole-version offsets carry a
+    * `snap` that must not reinterpret it). */
+  private def sliceBetween(s: Pos, e: Pos): Seq[DeltaLog.FileEntry] = {
+    val firstV = if (s.consumed) s.version + 1 else s.version
+    (firstV to e.version).flatMap { v =>
+      val feed = feedOf(v, e.snap)
+      val from = if (v == s.version) s.index(feed.size.toLong) else 0L
+      val until = if (v == e.version) e.index(feed.size.toLong) else feed.size.toLong
+      if (until > from) feed.slice(from.toInt, until.toInt) else Seq.empty
+    }
   }
 
   override def stop(): Unit = ()
@@ -78,6 +186,37 @@ object DeltaStreamSource {
     DeltaLog.snapshot(ctx.sparkSession, table).schema.getOrElse(
       throw new IllegalArgumentException(
         s"graft-delta stream source: table $table declares no schema"))
+
+  /** A log position: `version` + how many files of that version's feed
+    * are consumed (`index`; -1 = all), plus the stream's initial
+    * snapshot version `snap` (whose feed is the full snapshot, not the
+    * version's adds). Total order: (version, index-with--1-as-∞). */
+  private[streaming] final case class Pos(version: Long, rawIndex: Long, snap: Long)
+      extends OffsetV1 {
+    def consumed: Boolean = rawIndex < 0
+    def index(size: Long): Long = if (rawIndex < 0) size else rawIndex
+    def orderKey: (Long, Long) = (version, if (rawIndex < 0) Long.MaxValue else rawIndex)
+    override def json: String =
+      s"""{"version":$version,"index":$rawIndex,"snap":$snap}"""
+  }
+  private[streaming] object Pos {
+    def apply(version: Long, rawIndex: Long, snap: Long): Pos =
+      new Pos(version, rawIndex, snap)
+    private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def fromJson(s: String): Pos = {
+      val t = s.trim
+      if (t.startsWith("{")) {
+        val n = mapper.readTree(t)
+        Pos(n.get("version").asLong(), n.get("index").asLong(), n.get("snap").asLong())
+      } else {
+        // legacy whole-version LongOffset checkpoint: fully consumed
+        val v = t.toLong
+        Pos(v, -1L, v)
+      }
+    }
+  }
+  private[streaming] val posOrdering: Ordering[(Long, Long)] =
+    Ordering.Tuple2(Ordering.Long, Ordering.Long)
 }
 
 /** `format("graft-delta")` registration (DSv1 streaming source — the
@@ -98,5 +237,6 @@ final class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegi
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new DeltaStreamSource(ctx, tableOf(parameters),
-      parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")))
+      parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
+      parameters.get("maxFilesPerTrigger").map(_.toInt))
 }

@@ -128,6 +128,61 @@ class StreamingMedallionSpec extends SparkSpec {
     assert(VersionedTable.read(spark, sink).count() == 10L)
   }
 
+  test("maxFilesPerTrigger chunks the snapshot; a chunk boundary survives a crash") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dstream3-").toString
+    val src = s"$base/src"
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    // 10 files x 10 rows: with maxFilesPerTrigger=3 the initial snapshot
+    // must arrive as 4 micro-batches, not one
+    graft.sources.DeltaLog.write(spark,
+      spark.range(0L, 100L).toDF("x").repartition(10), src)
+    assert(graft.sources.DeltaLog.snapshot(spark, src).files.size == 10)
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(failAtBatch: Option[Long]): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("maxFilesPerTrigger", "3").load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (failAtBatch.contains(id)) sys.error("injected crash")
+          batchSizes.synchronized { batchSizes += batch.count() }
+          VersionedTable.write(batch.sparkSession, batch, sink, "append"); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // crash before the third chunk commits: exactly two 3-file chunks
+    // landed, covering strictly less than the table
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(failAtBatch = Some(2L))
+    }
+    val afterCrash = batchSizes.synchronized(batchSizes.toSeq)
+    assert(afterCrash.size == 2 && afterCrash.sum < 100L,
+      s"two 3-file chunks should have committed before the crash: $afterCrash")
+    // restart resumes AT the chunk boundary: replays batch 2, finishes
+    run(failAtBatch = None)
+    assert(VersionedTable.read(spark, sink).as[Long].collect().sorted.toSeq ==
+      (0L to 99L), "chunked snapshot must deliver every row exactly once")
+    assert(batchSizes.synchronized(batchSizes.size) >= 4,
+      s"snapshot must arrive chunked, got batches of $batchSizes")
+    // appends also respect the cap across versions: 4 + 2 files arrive
+    // in at least two further chunks, every row exactly once
+    graft.sources.DeltaLog.write(spark,
+      spark.range(100L, 140L).toDF("x").repartition(4), src, "append")
+    graft.sources.DeltaLog.write(spark,
+      spark.range(140L, 160L).toDF("x").repartition(2), src, "append")
+    batchSizes.synchronized(batchSizes.clear())
+    run(failAtBatch = None)
+    assert(VersionedTable.read(spark, sink).as[Long].collect().sorted.toSeq ==
+      (0L to 159L))
+    assert(batchSizes.synchronized(batchSizes.size) >= 2,
+      s"6 new files under a 3-file cap need >= 2 chunks: $batchSizes")
+  }
+
   test("graft-delta source: DV-aware snapshot; change commits refuse or skip") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-dstream2-").toString
