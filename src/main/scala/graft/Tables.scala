@@ -4,10 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
-  * Each table is a single parquet file under `sfDir`. The `events` table
-  * stores its `ts` column as parquet TIMESTAMP(NANOS); values are
-  * microsecond-aligned, so reading them as Spark microsecond timestamps is
-  * lossless.
+  * Each table is a single parquet file under `sfDir`. The `events`
+  * table's `ts` column has shipped in two physical encodings across
+  * testdata generations — parquet TIMESTAMP(NANOS) (µs-aligned), and
+  * plain timestamp[us] with isAdjustedToUTC=false (read by Spark as
+  * TIMESTAMP_NTZ) — so [[events]] dispatches on the observed type and
+  * always yields a session-TZ `timestamp` column with identical values
+  * (the session runs UTC, making the NTZ→TZ cast value-preserving and
+  * equal to DuckDB's naive reading).
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -18,12 +22,10 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and integer-divide
-    * to microseconds — the generated values are µs-aligned, so this is
-    * lossless and matches what DuckDB sees after `CAST(ts AS TIMESTAMP)`.
-    * Integer `div` (not `/`) — ns epochs exceed 2^53, double would lose
-    * precision. */
+  /** Read `events.parquet` tolerating either `ts` encoding. The
+    * nanosAsLong conf makes a TIMESTAMP(NANOS) column arrive as raw
+    * nano LONGs (Spark's vectorized reader rejects it otherwise) and is
+    * a no-op for other types. */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
@@ -38,7 +40,18 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    eventsRaw(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = eventsRaw(s, d)
+    df.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) read as raw nanos: integer-divide to µs (values
+      // are µs-aligned, so lossless; `div` not `/` — ns epochs exceed
+      // 2^53 and a double quotient would lose precision)
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // timestamp[us] isAdjustedToUTC=false: value-preserving cast under
+      // the UTC session, matching DuckDB's naive reading
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -29,24 +29,35 @@ import java.nio.file.Files
   */
 object Streams {
 
-  /** events.parquet schema for the file stream source (ts read as raw
-    * nanos — see Tables.events for why). */
-  private val eventsSchema = StructType(Seq(
+  /** events.parquet schema for the file stream source. A file stream
+    * needs an explicit schema, and `ts` has shipped in two physical
+    * encodings across testdata generations (TIMESTAMP(NANOS) → raw
+    * LONG under the nanosAsLong conf; timestamp[us] → TIMESTAMP_NTZ),
+    * so the type is taken from the actual footer — forcing LongType
+    * over a micros column would silently read raw micros and collapse
+    * every event time 1000×. */
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-source stream over the events table with event-time timestamp. */
+  /** File-source stream over the events table with event-time timestamp
+    * — same type dispatch as [[graft.Tables.events]]. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventsSchema)
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val raw = spark.readStream
+      .schema(eventsSchema(tsType))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** S1: the production Kafka entry point — one topic per source table,
