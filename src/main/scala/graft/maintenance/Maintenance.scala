@@ -164,5 +164,53 @@ object Maintenance {
     graft.sources.DeltaLog.read(spark, t)
   }
 
-  val all: Seq[graft.QueryDef] = Seq(qZOrderKey, qDeleteDv, qUpdateCow)
+  /** General clause MERGE, oracle-verified end-to-end: a protocol table
+    * built from `customer` takes one merge carrying a conditioned
+    * UPDATE, a fallthrough DELETE, and an INSERT
+    * ([[graft.sources.Merge]] — the reference's `DeltaTable.merge`
+    * chain, gold_pipeline.py:789-796), and the read-back must equal
+    * DuckDB's equivalent join/CASE/anti-filter/union row for row. */
+  val qMergeClauses: graft.QueryDef = graft.QueryDef.sql(
+    "q_merge_clauses",
+    """WITH src AS (
+      |  SELECT c_custkey, c_nationkey + 50 AS src_nation, c_mktsegment AS src_seg
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_nationkey, 'NEWSEG'
+      |  FROM customer WHERE c_custkey % 97 = 0
+      |)
+      |SELECT t.c_custkey, t.c_mktsegment,
+      |  CASE WHEN s.c_custkey IS NOT NULL AND s.src_nation % 2 = 0
+      |       THEN s.src_nation ELSE t.c_nationkey END AS c_nationkey
+      |FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+      |WHERE NOT (s.c_custkey IS NOT NULL AND s.src_nation % 2 <> 0)
+      |UNION ALL
+      |SELECT s.c_custkey, s.src_seg, s.src_nation FROM src s
+      |WHERE s.c_custkey NOT IN (SELECT c_custkey FROM customer)""".stripMargin) {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-merge-clauses-").toString + "/t"
+      val cust = graft.Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+      graft.sources.DeltaLog.write(spark, cust.repartition(4), t)
+      val src = cust.where(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), (col("c_nationkey") + 50).as("src_nation"),
+          col("c_mktsegment").as("src_seg"))
+        .unionByName(cust.where(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            col("c_nationkey").as("src_nation"), lit("NEWSEG").as("src_seg")))
+      graft.sources.Merge.into(spark, t, src, keys = Seq("c_custkey"))
+        .whenMatchedUpdate(Map("c_nationkey" -> col("s.src_nation")),
+          condition = col("s.src_nation") % 2 === 0)
+        .whenMatchedDelete()
+        .whenNotMatchedInsert(Map(
+          "c_custkey" -> col("s.c_custkey"),
+          "c_mktsegment" -> col("s.src_seg"),
+          "c_nationkey" -> col("s.src_nation")))
+        .execute()
+      graft.sources.DeltaLog.read(spark, t)
+  }
+
+  val all: Seq[graft.QueryDef] =
+    Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses)
 }

@@ -1660,7 +1660,8 @@ object DeltaLog {
   private def mergeCore(spark: SparkSession, table: String, snap: Snapshot,
       source: DataFrame, keys: Seq[String],
       frame: (DataFrame, DataFrame) => DataFrame,
-      txn: Option[(String, Long)], operation: String): Long = {
+      txn: Option[(String, Long)], operation: String,
+      probeByKeys: Boolean = true): Long = {
     // column-mapped targets are fine: the rewrite frame is logical and
     // commitWrite stages it under physical names (stats/partitionValues
     // keyed by physicalName); gateWritable refuses only NEW columns
@@ -1673,6 +1674,7 @@ object DeltaLog {
         baseVersion = Some(snap.version))
     }
     basenameIndex(snap.files) match {
+      case _ if !probeByKeys => commit(snap.fileEntries)
       case None => commit(snap.fileEntries)
       case Some(_) =>
         val touchedNames = readEntries(spark, table, snap.fileEntries, snap.schema,
@@ -1697,6 +1699,29 @@ object DeltaLog {
     else mergeCore(spark, table, snapshot(spark, table), source, keys,
       (target, src) => graft.operators.Scd2.mergedFrame(target, src, keys, recencyCol),
       txn = None, operation = "MERGE")
+
+  /** General clause-based MERGE — the reference's `DeltaTable.merge`
+    * builder semantics (WHEN MATCHED [AND cond] UPDATE/DELETE, WHEN NOT
+    * MATCHED [AND cond] INSERT, WHEN NOT MATCHED BY SOURCE UPDATE/
+    * DELETE; first-match-wins per row class) over the same copy-on-write
+    * [[mergeCore]] as [[mergeUpsert]]. `extraOn` is any ON predicate
+    * beyond the key equalities. BY SOURCE clauses modify rows that have
+    * NO source key, so they disable the key-provenance probe and rewrite
+    * the full table — exactly Delta's behavior. Returns the committed
+    * version. Build clauses directly or via [[Merge.into]]. */
+  def merge(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], clauses: Seq[MergeClause],
+      extraOn: Option[Column] = None,
+      aliases: (String, String) = ("t", "s")): Long = {
+    require(isDeltaTable(spark, table),
+      s"MERGE needs an existing Delta-protocol table at $table; write() it first")
+    val probe = !clauses.exists(c => c.isInstanceOf[MergeClause.BySourceUpdate] ||
+      c.isInstanceOf[MergeClause.BySourceDelete])
+    mergeCore(spark, table, snapshot(spark, table), source, keys,
+      (target, src) => Merge.applyClauses(target, src, keys, extraOn, clauses,
+        aliases._1, aliases._2),
+      txn = None, operation = "MERGE", probeByKeys = probe)
+  }
 
   /** Group-replacement MERGE for maintained aggregates
     * ([[graft.maintenance.MaterializedView]]): every key in `groups`

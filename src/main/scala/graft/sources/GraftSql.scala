@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   *     (deletion vectors, no rewrite).
   *   - `UPDATE delta.`/p/t` SET a = expr, b = expr WHERE cond` →
   *     [[DeltaLog.updateWhere]] (copy-on-write).
+  *   - `MERGE INTO delta.`/p/t` [AS t] USING src [AS s] ON t.k = s.k [AND …]
+  *     WHEN MATCHED [AND c] THEN UPDATE SET …|* / DELETE,
+  *     WHEN NOT MATCHED [AND c] THEN INSERT (…) VALUES (…) / INSERT *,
+  *     WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE SET … / DELETE` →
+  *     [[DeltaLog.merge]] (general clause merge, [[Merge]]).
   *   - `RESTORE TABLE delta.`/p/t` TO VERSION AS OF n` →
   *     [[DeltaLog.restore]].
   *   - `OPTIMIZE delta.`/p/t` [ZORDER BY (a, b)]` → [[DeltaLog.optimize]].
@@ -45,6 +50,165 @@ object GraftSql {
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+delta\.`([^`]+)`\s*""".r
   private val TableRef =
     """(?i)delta\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+
+  private val MergeHead = """(?is)\s*MERGE\s+INTO\s+.*""".r
+
+  /** Split `s` on every top-level occurrence of word `keyword` —
+    * outside parens, string literals, AND `CASE … END` blocks (a CASE
+    * expression's own WHEN/AND must not split a MERGE statement).
+    * Returns the segments WITHOUT the keyword; segment 0 is what
+    * precedes the first occurrence. */
+  private def topLevelSplit(s: String, keyword: String): Seq[String] = {
+    val kw = keyword.toLowerCase
+    val out = Seq.newBuilder[String]
+    var depth = 0; var caseDepth = 0; var quote: Char = 0
+    var segStart = 0; var i = 0
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0; i += 1 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if isWord(c) && (i == 0 || !isWord(s(i - 1))) =>
+          var j = i; while (j < s.length && isWord(s(j))) j += 1
+          val word = s.substring(i, j).toLowerCase
+          if (word == "case") caseDepth += 1
+          else if (word == "end" && caseDepth > 0) caseDepth -= 1
+          else if (word == kw && depth == 0 && caseDepth == 0) {
+            out += s.substring(segStart, i); segStart = j
+          }
+          i = j
+        case _ => i += 1
+      }
+    }
+    out += s.substring(segStart)
+    out.result()
+  }
+
+  // clause bodies (what follows a top-level WHEN)
+  private val MatchedUpdateStar =
+    """(?is)\s*MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+\*\s*""".r
+  private val MatchedUpdateC =
+    """(?is)\s*MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+  private val MatchedDeleteC =
+    """(?is)\s*MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*""".r
+  private val BySourceUpdateC =
+    """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+  private val BySourceDeleteC =
+    """(?is)\s*NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*""".r
+  private val InsertStarC =
+    """(?is)\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*\s*""".r
+  private val InsertC =
+    """(?is)\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s*\(([^)]*)\)\s*VALUES\s*\((.+)\)\s*""".r
+  private val MergeTarget =
+    """(?is)\s*MERGE\s+INTO\s+delta\.`([^`]+)`(?:\s+AS\s+(\w+)|\s+(?!USING\b)(\w+))?\s+USING\s+(.*)""".r
+  private val SourceAliasOn =
+    """(?is)(?:\s*AS\s+(\w+)|\s*(?!ON\b)(\w+))?\s+ON\s+(.+)""".r
+  private val EqConjunct =
+    """(?is)\s*(\w+)\.`?(\w+)`?\s*=\s*(\w+)\.`?(\w+)`?\s*""".r
+
+  private def stripAlias(name: String, aliases: Set[String]): String = {
+    val parts = name.split('.')
+    if (parts.length == 2 && aliases.contains(parts(0).toLowerCase)) parts(1)
+    else name
+  }
+
+  /** `MERGE INTO delta.`path` [AS t] USING <src> [AS s] ON <cond>
+    * WHEN [NOT] MATCHED [BY SOURCE] [AND c] THEN UPDATE SET …|* / DELETE /
+    * INSERT (cols) VALUES (…) | INSERT *` → [[DeltaLog.merge]].
+    * The source is `delta.`path``, a registered view, or a
+    * parenthesized subquery (itself allowed to reference delta paths).
+    * ON must contain at least one same-named `t.k = s.k` equality (the
+    * shuffle keys); any further conjuncts become an extra join
+    * predicate. */
+  private def execMerge(spark: SparkSession, statement: String): DataFrame = {
+    val (path, tAliasOpt, rest) = statement match {
+      case MergeTarget(p, a1, a2, r) =>
+        (p, Option(a1).orElse(Option(a2)), r)
+      case _ => sys.error(s"cannot parse MERGE statement: $statement")
+    }
+    // the USING source: delta ref, parenthesized subquery, or view name
+    val trimmed = rest.trim
+    val (srcDf, afterSrc) =
+      if (trimmed.startsWith("(")) {
+        var depth = 0; var quote: Char = 0; var end = -1; var i = 0
+        while (i < trimmed.length && end < 0) {
+          val c = trimmed(i)
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else c match {
+            case '\'' | '"' | '`' => quote = c
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) end = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(end > 0, s"unbalanced parens in MERGE source: $trimmed")
+        (exec(spark, trimmed.substring(1, end)), trimmed.substring(end + 1))
+      } else {
+        val DeltaSrc = """(?is)(delta\.`[^`]+`(?:\s+VERSION\s+AS\s+OF\s+\d+)?)(.*)""".r
+        val ViewSrc = """(?is)([\w.]+)(.*)""".r
+        trimmed match {
+          case DeltaSrc(ref, after) => (exec(spark, s"SELECT * FROM $ref"), after)
+          case ViewSrc(view, after) => (spark.table(view), after)
+          case _ => sys.error(s"cannot parse MERGE source: $trimmed")
+        }
+      }
+    val (sAliasOpt, onAndClauses) = afterSrc match {
+      case SourceAliasOn(a1, a2, r) => (Option(a1).orElse(Option(a2)), r)
+      case _ => sys.error(s"expected [alias] ON <cond> after MERGE source: $afterSrc")
+    }
+    val tAlias = tAliasOpt.getOrElse("t")
+    val sAlias = sAliasOpt.getOrElse("s")
+    val aliasSet = Set(tAlias.toLowerCase, sAlias.toLowerCase)
+
+    val whenSegs = topLevelSplit(onAndClauses, "WHEN")
+    require(whenSegs.length >= 2, s"MERGE needs at least one WHEN clause: $statement")
+    val onCond = whenSegs.head
+
+    // classify ON conjuncts: same-named t/s equalities are merge keys,
+    // the rest joins as an extra predicate
+    val (keys, extras) = topLevelSplit(onCond, "AND")
+      .foldLeft((Seq.empty[String], Seq.empty[String])) { case ((ks, es), conj) =>
+        conj match {
+          case EqConjunct(a1, c1, a2, c2)
+            if c1.equalsIgnoreCase(c2) &&
+              Set(a1.toLowerCase, a2.toLowerCase) == aliasSet => (ks :+ c1, es)
+          case other => (ks, es :+ other)
+        }
+      }
+    require(keys.nonEmpty,
+      s"MERGE ON needs at least one $tAlias.<col> = $sAlias.<col> equality: $onCond")
+    val extraOn = extras.map(expr).reduceOption(_ && _)
+
+    def setMap(set: String): Map[String, org.apache.spark.sql.Column] =
+      splitAssignments(set).map {
+        case Assign(c, e) => stripAlias(c, aliasSet) -> expr(e)
+        case bad => sys.error(s"cannot parse SET assignment: '$bad'")
+      }.toMap
+    def condOpt(c: String) = Option(c).map(expr)
+
+    val clauses: Seq[MergeClause] = whenSegs.tail.map {
+      case MatchedUpdateStar(c) => MergeClause.MatchedUpdate(condOpt(c), Map.empty)
+      case MatchedDeleteC(c) => MergeClause.MatchedDelete(condOpt(c))
+      case MatchedUpdateC(c, set) => MergeClause.MatchedUpdate(condOpt(c), setMap(set))
+      case BySourceDeleteC(c) => MergeClause.BySourceDelete(condOpt(c))
+      case BySourceUpdateC(c, set) => MergeClause.BySourceUpdate(condOpt(c), setMap(set))
+      case InsertStarC(c) => MergeClause.NotMatchedInsert(condOpt(c), Map.empty)
+      case InsertC(c, cols, vals) =>
+        val names = cols.split(",").map(n => stripAlias(
+          n.trim.stripPrefix("`").stripSuffix("`"), aliasSet)).filter(_.nonEmpty)
+        val exprs = splitAssignments(vals)
+        require(names.length == exprs.length,
+          s"INSERT column/value count mismatch: ${names.length} vs ${exprs.length}")
+        MergeClause.NotMatchedInsert(condOpt(c), names.zip(exprs.map(expr)).toMap)
+      case bad => sys.error(s"cannot parse MERGE WHEN clause: WHEN $bad")
+    }
+    version(spark, DeltaLog.merge(spark, path, srcDf, keys, clauses, extraOn,
+      aliases = (tAlias, sAlias)))
+  }
 
   /** Split a SET clause on top-level commas (commas inside parens or
     * string literals belong to the expression). */
@@ -78,6 +242,7 @@ object GraftSql {
     * shapes fall through to Spark SQL with `delta.`path`` references
     * rewritten to temp views — so plain SELECTs just work. */
   def exec(spark: SparkSession, statement: String): DataFrame = statement match {
+    case MergeHead() => execMerge(spark, statement)
     case Delete(path, cond) =>
       version(spark, DeltaLog.deleteWhere(spark, path, expr(cond)))
     case Update(path, set, cond) =>

@@ -1,0 +1,230 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One WHEN clause of a general MERGE. Clauses are evaluated in the
+  * order given, first-match-wins within each of the three row classes
+  * (matched / not-matched-by-target / not-matched-by-source) — the SQL
+  * standard's semantics and a superset of the reference's
+  * `DeltaTable.merge` builder chains
+  * (/root/reference/pipelines/gold_pipeline.py:789-796 conditioned
+  * update + insert-all; silver_pipeline.py's SCD2 expire step is a
+  * matched-update-only merge with an extra ON predicate).
+  *
+  * In clause conditions and SET/VALUES expressions, target columns are
+  * referenced as `col("t.x")` and source columns as `col("s.y")` (the
+  * aliases are configurable for the SQL surface). SET / VALUES maps key
+  * by bare target-column name; an EMPTY map means UPDATE SET * /
+  * INSERT * (every target column taken from the same-named source
+  * column).
+  */
+sealed trait MergeClause {
+  def condition: Option[Column]
+}
+object MergeClause {
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET … (empty set = SET *). */
+  final case class MatchedUpdate(condition: Option[Column],
+      set: Map[String, Column]) extends MergeClause
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class MatchedDelete(condition: Option[Column]) extends MergeClause
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT … (empty values = INSERT *). */
+  final case class NotMatchedInsert(condition: Option[Column],
+      values: Map[String, Column]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET …. */
+  final case class BySourceUpdate(condition: Option[Column],
+      set: Map[String, Column]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  final case class BySourceDelete(condition: Option[Column]) extends MergeClause
+}
+
+/** General clause-based MERGE — the reference's actual upsert API
+  * (`DeltaTable.merge(...).whenMatchedUpdate(...).whenNotMatchedInsertAll()
+  * .execute()`) re-expressed as one declarative frame over the
+  * copy-on-write [[DeltaLog]] machinery.
+  *
+  * Scale shape: the join is a plain equi-join on the merge keys (any
+  * extra ON predicate becomes a join filter), so Catalyst/AQE pick the
+  * physical side freely — no forced broadcast; the target side is only
+  * the files the provenance probe touched (O(touched), not O(table))
+  * unless a BY SOURCE clause forces a full pass, exactly like Delta.
+  */
+object Merge {
+  import MergeClause._
+
+  private val Keep = -1
+  private val Drop = -2
+
+  /** Pure frame transform: apply `clauses` to `(target ⟗ source)` and
+    * return the rows the target table should contain afterwards, in the
+    * target's schema. Raises the protocol's nondeterministic-merge
+    * error when one target row is matched by several modifying source
+    * rows. Used by [[DeltaLog.merge]] under [[DeltaLog.mergeCore]];
+    * public for direct testing on plain frames. */
+  private[graft] def applyClauses(target: DataFrame, source: DataFrame,
+      keys: Seq[String], extraOn: Option[Column], clauses: Seq[MergeClause],
+      tAlias: String = "t", sAlias: String = "s"): DataFrame = {
+    require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    require(keys.nonEmpty, "MERGE needs at least one equi-key")
+    require(tAlias != sAlias, s"target and source aliases collide: '$tAlias'")
+    val tSchema = target.schema
+    val tCols = target.columns.toSeq
+    val srcCols = source.columns.toSet
+    require(keys.forall(srcCols.contains),
+      s"source is missing merge key(s): ${keys.filterNot(srcCols.contains).mkString(", ")}")
+    // SET * / INSERT * pull every target column from the source by name
+    val starClauses = clauses.exists {
+      case MatchedUpdate(_, s) => s.isEmpty
+      case NotMatchedInsert(_, v) => v.isEmpty
+      case _ => false
+    }
+    if (starClauses) {
+      val missing = tCols.filterNot(srcCols.contains)
+      require(missing.isEmpty,
+        s"UPDATE SET * / INSERT * needs every target column in the source; missing: ${missing.mkString(", ")}")
+    }
+    clauses.foreach {
+      case MatchedUpdate(_, s) => requireTargetCols(s.keys, tCols, "UPDATE SET")
+      case BySourceUpdate(_, s) => requireTargetCols(s.keys, tCols, "UPDATE SET")
+      case NotMatchedInsert(_, v) => requireTargetCols(v.keys, tCols, "INSERT")
+      case _ =>
+    }
+
+    val tFlag = "__graft_merge_t"
+    val sFlag = "__graft_merge_s"
+    val tid = "__graft_merge_tid"
+    val sid = "__graft_merge_sid"
+    val t = target.withColumn(tFlag, lit(true))
+      .withColumn(tid, monotonically_increasing_id()).alias(tAlias)
+    val s = source.withColumn(sFlag, lit(true))
+      .withColumn(sid, monotonically_increasing_id()).alias(sAlias)
+    val onKeys = keys.map(k => col(s"$tAlias.$k") === col(s"$sAlias.$k")).reduce(_ && _)
+    val joined = t.join(s, extraOn.fold(onKeys)(onKeys && _), "full_outer")
+
+    val isMatched = coalesce(col(s"$tAlias.$tFlag"), lit(false)) &&
+      coalesce(col(s"$sAlias.$sFlag"), lit(false))
+    val targetOnly = coalesce(col(s"$tAlias.$tFlag"), lit(false)) &&
+      !coalesce(col(s"$sAlias.$sFlag"), lit(false))
+
+    def condOf(c: MergeClause): Column = c.condition.getOrElse(lit(true))
+    def actionOf(c: MergeClause, i: Int): Column = c match {
+      case _: MatchedDelete | _: BySourceDelete => lit(Drop)
+      case _ => lit(i)
+    }
+    // first-match-wins chain over one clause group; `default` when none fires
+    def chain(cs: Seq[(MergeClause, Int)], default: Int): Column =
+      cs.foldRight(lit(default): Column) { case ((c, i), acc) =>
+        when(condOf(c), actionOf(c, i)).otherwise(acc)
+      }
+    val indexed = clauses.zipWithIndex
+    val matched = indexed.filter { case (c, _) =>
+      c.isInstanceOf[MatchedUpdate] || c.isInstanceOf[MatchedDelete] }
+    val bySource = indexed.filter { case (c, _) =>
+      c.isInstanceOf[BySourceUpdate] || c.isInstanceOf[BySourceDelete] }
+    val inserts = indexed.filter { case (c, _) => c.isInstanceOf[NotMatchedInsert] }
+
+    // the protocol's nondeterminism guard: a target row matched by >1
+    // source rows that would modify it has no well-defined result.
+    // One extra pass over the touched slice only; the count collected
+    // to the driver is a single long.
+    if (matched.nonEmpty) {
+      val modifying = matched.map { case (c, _) => condOf(c) }.reduce(_ || _)
+      val dupes = joined.where(isMatched && modifying)
+        .groupBy(col(s"$tAlias.$tid")).count()
+        .where(col("count") > 1).limit(1).count()
+      if (dupes > 0) sys.error(
+        "MERGE failed: a target row was matched by multiple source rows " +
+          "that would update or delete it — the merge is nondeterministic. " +
+          "Deduplicate the source on the merge keys first.")
+    }
+
+    val act = when(isMatched, chain(matched, Keep))
+      .when(targetOnly, chain(bySource, Keep))
+      .otherwise(chain(inserts, Drop))
+    val actCol = "__graft_merge_act"
+
+    def setOf(c: MergeClause, column: String): Option[Column] = c match {
+      case MatchedUpdate(_, set) =>
+        if (set.isEmpty) Some(col(s"$sAlias.$column")) else set.get(column)
+      case BySourceUpdate(_, set) => set.get(column)
+      case NotMatchedInsert(_, values) =>
+        // inserts must yield a value for EVERY column: unlisted ones are
+        // NULL (matches SQL INSERT with a partial column list)
+        if (values.isEmpty) Some(col(s"$sAlias.$column"))
+        else Some(values.getOrElse(column, lit(null)))
+      case _ => None
+    }
+    val out = tSchema.fields.toSeq.map { f =>
+      val v = indexed.foldLeft(col(s"$tAlias.${f.name}")) { case (acc, (c, i)) =>
+        setOf(c, f.name).fold(acc)(set =>
+          when(col(actCol) === i, set).otherwise(acc))
+      }
+      v.cast(f.dataType).as(f.name)
+    }
+    // a target row matched by several source rows joins to several pairs,
+    // but must produce ONE output row: the modifying pair if a clause
+    // fired (the guard above capped those at one), else a single
+    // pass-through copy. Group per TARGET row; source-only rows group by
+    // their own id, so a wide insert never funnels into one partition.
+    // The boolean leg disambiguates tid/sid value collisions (both
+    // counters start at 0).
+    val sourceOnly = !coalesce(col(s"$tAlias.$tFlag"), lit(false))
+    val grpKey = when(sourceOnly, col(s"$sAlias.$sid"))
+      .otherwise(col(s"$tAlias.$tid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(grpKey, sourceOnly)
+      .orderBy(when(col(actCol) === Keep, lit(1)).otherwise(lit(0)))
+    val rnCol = "__graft_merge_rn"
+    joined.withColumn(actCol, act)
+      .withColumn(rnCol, row_number().over(w))
+      .where(col(rnCol) === 1 && col(actCol) =!= Drop)
+      .select(out: _*)
+  }
+
+  private def requireTargetCols(names: Iterable[String], tCols: Seq[String],
+      what: String): Unit = {
+    val bad = names.filterNot(tCols.contains)
+    require(bad.isEmpty,
+      s"$what references non-target column(s): ${bad.mkString(", ")}")
+  }
+
+  /** Fluent builder mirroring the reference's `DeltaTable.merge` chain:
+    * {{{
+    * Merge.into(spark, path, source, keys = Seq("id"))
+    *   .on(col("t.is_current"))                       // extra ON predicate
+    *   .whenMatchedUpdate(Map("x" -> col("s.x")), condition = col("s.x") =!= col("t.x"))
+    *   .whenNotMatchedInsertAll()
+    *   .execute()
+    * }}} */
+  def into(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String]): Builder = new Builder(spark, table, source, keys)
+
+  final class Builder private[Merge] (spark: SparkSession, table: String,
+      source: DataFrame, keys: Seq[String]) {
+    private var extra: Option[Column] = None
+    private val clauses = Seq.newBuilder[MergeClause]
+    /** Extra ON predicate beyond the key equalities (e.g. the SCD2
+      * expire step's `t.is_current`). */
+    def on(condition: Column): Builder = { extra = Some(condition); this }
+    def whenMatchedUpdate(set: Map[String, Column],
+        condition: Column = null): Builder = {
+      clauses += MatchedUpdate(Option(condition), set); this }
+    def whenMatchedUpdateAll(condition: Column = null): Builder = {
+      clauses += MatchedUpdate(Option(condition), Map.empty); this }
+    def whenMatchedDelete(condition: Column = null): Builder = {
+      clauses += MatchedDelete(Option(condition)); this }
+    def whenNotMatchedInsert(values: Map[String, Column],
+        condition: Column = null): Builder = {
+      clauses += NotMatchedInsert(Option(condition), values); this }
+    def whenNotMatchedInsertAll(condition: Column = null): Builder = {
+      clauses += NotMatchedInsert(Option(condition), Map.empty); this }
+    def whenNotMatchedBySourceUpdate(set: Map[String, Column],
+        condition: Column = null): Builder = {
+      clauses += BySourceUpdate(Option(condition), set); this }
+    def whenNotMatchedBySourceDelete(condition: Column = null): Builder = {
+      clauses += BySourceDelete(Option(condition)); this }
+    /** Run the merge; returns the committed table version. */
+    def execute(): Long =
+      DeltaLog.merge(spark, table, source, keys, clauses.result(), extra)
+  }
+}

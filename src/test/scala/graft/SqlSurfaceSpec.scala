@@ -117,4 +117,45 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(q(s"VACUUM delta.`$t` RETAIN 0 HOURS").head().getLong(0) > 0L)
     assert(q(s"SELECT count(*) AS n FROM delta.`$t`").head().getLong(0) == 90L)
   }
+
+  test("statement surface: MERGE INTO with update/delete/insert clauses") {
+    import graft.sources.{DeltaLog, GraftSql}
+    import spark.implicits._
+    def q(sql: String) = GraftSql.exec(spark, sql)
+    val t = java.nio.file.Files.createTempDirectory("graft-sqlmerge-").toString + "/t"
+    DeltaLog.write(spark,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "tag", "v"), t)
+    Seq((2L, 200L), (3L, 5L), (9L, 90L)).toDF("id", "nv")
+      .createOrReplaceTempView("merge_src")
+
+    q(s"""MERGE INTO delta.`$t` AS t USING merge_src AS s ON t.id = s.id
+         |WHEN MATCHED AND s.nv >= 100 THEN UPDATE SET v = s.nv
+         |WHEN MATCHED THEN DELETE
+         |WHEN NOT MATCHED THEN INSERT (id, tag, v) VALUES (s.id, 'new', s.nv)
+         |""".stripMargin)
+    val got = DeltaLog.read(spark, t).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    // 1 untouched, 2 updated, 3 deleted, 9 inserted
+    assert(got === Seq((1L, "a", 10L), (2L, "b", 200L), (9L, "new", 90L)))
+
+    // subquery source + INSERT * + extra non-key ON conjunct (join filter);
+    // a CASE WHEN inside SET must not confuse the clause splitter
+    q(s"""MERGE INTO delta.`$t` tgt
+         |USING (SELECT id, nv FROM merge_src WHERE nv > 0) src
+         |ON tgt.id = src.id AND tgt.v < 100
+         |WHEN MATCHED THEN UPDATE SET v = CASE WHEN src.nv > 50 THEN src.nv ELSE 0 END
+         |""".stripMargin)
+    val after = DeltaLog.read(spark, t).orderBy("id")
+      .as[(Long, String, Long)].collect().toSeq
+    // id=2 has v=200 (fails tgt.v<100 join filter, unchanged);
+    // id=9 has v=90 → matched, nv=90>50 → v=90 (unchanged value)
+    assert(after === Seq((1L, "a", 10L), (2L, "b", 200L), (9L, "new", 90L)))
+
+    // BY SOURCE delete: rows with no source key vanish
+    q(s"""MERGE INTO delta.`$t` AS t USING merge_src AS s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    assert(DeltaLog.read(spark, t).select("id").as[Long].collect().toSet ===
+      Set(2L, 9L))
+  }
 }
