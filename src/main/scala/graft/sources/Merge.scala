@@ -123,20 +123,28 @@ object Merge {
       c.isInstanceOf[BySourceUpdate] || c.isInstanceOf[BySourceDelete] }
     val inserts = indexed.filter { case (c, _) => c.isInstanceOf[NotMatchedInsert] }
 
-    // the protocol's nondeterminism guard: a target row matched by >1
-    // source rows that would modify it has no well-defined result.
-    // One extra pass over the touched slice only; the count collected
-    // to the driver is a single long.
-    if (matched.nonEmpty) {
-      val modifying = matched.map { case (c, _) => condOf(c) }.reduce(_ || _)
-      val dupes = joined.where(isMatched && modifying)
-        .groupBy(col(s"$tAlias.$tid")).count()
-        .where(col("count") > 1).limit(1).count()
-      if (dupes > 0) sys.error(
-        "MERGE failed: a target row was matched by multiple source rows " +
-          "that would update or delete it — the merge is nondeterministic. " +
-          "Deduplicate the source on the merge keys first.")
+    // the protocol's nondeterminism guard, and the dedup decision, in
+    // ONE eager pass over the matched slice: per target row, how many
+    // source rows matched at all (`n`) and how many would modify it
+    // (`m`). m > 1 anywhere → error (no well-defined result); n > 1
+    // anywhere → the output needs the per-target-row dedup window below
+    // (the common unique-key merge skips that extra shuffle entirely).
+    // Two driver-collected longs, nothing more.
+    val modifying = matched.map { case (c, _) => condOf(c) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val Array(maxMatches, maxModifying) = {
+      val r = joined.where(isMatched)
+        .groupBy(col(s"$tAlias.$tid"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(modifying, 1L).otherwise(0L)).as("m"))
+        .agg(coalesce(max(col("n")), lit(0L)),
+          coalesce(max(col("m")), lit(0L))).head()
+      Array(r.getLong(0), r.getLong(1))
     }
+    if (maxModifying > 1) sys.error(
+      "MERGE failed: a target row was matched by multiple source rows " +
+        "that would update or delete it — the merge is nondeterministic. " +
+        "Deduplicate the source on the merge keys first.")
 
     val act = when(isMatched, chain(matched, Keep))
       .when(targetOnly, chain(bySource, Keep))
@@ -164,21 +172,26 @@ object Merge {
     // a target row matched by several source rows joins to several pairs,
     // but must produce ONE output row: the modifying pair if a clause
     // fired (the guard above capped those at one), else a single
-    // pass-through copy. Group per TARGET row; source-only rows group by
-    // their own id, so a wide insert never funnels into one partition.
-    // The boolean leg disambiguates tid/sid value collisions (both
-    // counters start at 0).
-    val sourceOnly = !coalesce(col(s"$tAlias.$tFlag"), lit(false))
-    val grpKey = when(sourceOnly, col(s"$sAlias.$sid"))
-      .otherwise(col(s"$tAlias.$tid"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(grpKey, sourceOnly)
-      .orderBy(when(col(actCol) === Keep, lit(1)).otherwise(lit(0)))
-    val rnCol = "__graft_merge_rn"
-    joined.withColumn(actCol, act)
-      .withColumn(rnCol, row_number().over(w))
-      .where(col(rnCol) === 1 && col(actCol) =!= Drop)
-      .select(out: _*)
+    // pass-through copy. Only when duplicates actually exist (guard
+    // pass), dedup with a window grouped per TARGET row; source-only
+    // rows group by their own id, so a wide insert never funnels into
+    // one partition. The boolean leg disambiguates tid/sid value
+    // collisions (both counters start at 0).
+    val base = joined.withColumn(actCol, act)
+    val deduped =
+      if (maxMatches <= 1) base
+      else {
+        val sourceOnly = !coalesce(col(s"$tAlias.$tFlag"), lit(false))
+        val grpKey = when(sourceOnly, col(s"$sAlias.$sid"))
+          .otherwise(col(s"$tAlias.$tid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(grpKey, sourceOnly)
+          .orderBy(when(col(actCol) === Keep, lit(1)).otherwise(lit(0)))
+        val rnCol = "__graft_merge_rn"
+        base.withColumn(rnCol, row_number().over(w))
+          .where(col(rnCol) === 1).drop(rnCol)
+      }
+    deduped.where(col(actCol) =!= Drop).select(out: _*)
   }
 
   private def requireTargetCols(names: Iterable[String], tCols: Seq[String],

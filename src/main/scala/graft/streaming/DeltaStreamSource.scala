@@ -4,7 +4,7 @@ import graft.sources.DeltaLog
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
@@ -219,6 +219,120 @@ object DeltaStreamSource {
     Ordering.Tuple2(Ordering.Long, Ordering.Long)
 }
 
+/** Change-data-feed mode of the graft-delta stream source — Delta's
+  * `.option("readChangeFeed", "true")` contract
+  * (/root/reference/pipelines/silver_pipeline.py's CDC consumption
+  * shape) on the open log, with the feed derived purely from the
+  * remove/add commit diff (no change files needed):
+  *
+  * {{{
+  *   spark.readStream.format("graft-delta")
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", 0)           // default: only NEW commits
+  *     .option("changeKeys", "id")             // opt-in update_pre/postimage
+  *     .load("/path/to/table")
+  * }}}
+  *
+  * Each micro-batch emits the row-level changes of the commits in
+  * `(lastCommitted, latest]`, stamped with `_change_type` and
+  * `_commit_version`. Without `changeKeys` the feed carries
+  * insert/delete events ([[DeltaLog.changesBetween]]: copy-on-write
+  * rewrites net out, DV updates surface only newly-masked rows); with
+  * `changeKeys` each commit's delete/insert pairs resolve into
+  * `update_preimage`/`update_postimage` ([[DeltaLog.changesWithUpdates]],
+  * whose per-side key-uniqueness guard then applies per commit).
+  * `maxCommitsPerTrigger` bounds a catch-up batch.
+  *
+  * Offsets are plain log versions, so checkpoint recovery replays
+  * exactly the uncommitted suffix. Scale: per batch, O(files touched by
+  * its commits) — a trickle of MERGEs on a 100 TB table streams the
+  * trickle. */
+final class DeltaCdfStreamSource(ctx: SQLContext, table: String,
+    startingVersion: Option[Long], changeKeys: Seq[String],
+    maxCommitsPerTrigger: Option[Int]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private val spark = ctx.sparkSession
+  require(DeltaLog.isDeltaTable(spark, table),
+    s"graft-delta CDF stream source: not a Delta table: $table")
+  maxCommitsPerTrigger.foreach(n =>
+    require(n > 0, s"maxCommitsPerTrigger must be positive, got $n"))
+
+  override val schema: StructType = DeltaCdfStreamSource.schemaOf(ctx, table)
+
+  /** One before the first version whose changes stream: the requested
+    * `startingVersion`, else the table's current head (Delta's default —
+    * an unanchored CDF stream reads only FUTURE commits). */
+  private val initialFrom: Long = startingVersion.map(_ - 1L)
+    .orElse(DeltaLog.latestVersion(spark, table)).getOrElse(-1L)
+
+  private var highWater: Long = initialFrom
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = DeltaLog.latestVersion(spark, table)
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getOffset: Option[OffsetV1] = {
+    val actual = DeltaLog.latestVersion(spark, table)
+      .getOrElse(return if (highWater < 0) None else Some(LongOffset(highWater)))
+    val latest = availableNowCap.fold(actual)(math.min(actual, _))
+    val next = maxCommitsPerTrigger.fold(latest)(n =>
+      math.min(latest, highWater + n))
+    if (next > highWater) highWater = next
+    if (highWater < 0) None else Some(LongOffset(highWater))
+  }
+
+  private def parseV(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val e = parseV(end)
+    if (e > highWater) highWater = e // restart recovery
+    val s = start.map(parseV).getOrElse(initialFrom)
+    // per-commit emission (the CDF contract stamps each row with ITS
+    // commit); every term is O(that commit's touched files)
+    val frames = ((s + 1) to e).map { v =>
+      val c =
+        if (changeKeys.nonEmpty)
+          DeltaLog.changesWithUpdates(spark, table, v - 1, v, changeKeys)
+        else DeltaLog.changesBetween(spark, table, v - 1, v)
+      c.withColumn("_commit_version", lit(v))
+    }
+    val df =
+      if (frames.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else frames.reduce(_ unionByName _)
+    // the change plan contains full-outer joins (changesWithUpdates):
+    // collapse to one streaming-marked RDD leaf so incremental planning
+    // cannot reinterpret it as a stream-stream join
+    org.apache.spark.sql.GraftSqlShim.asStreamingRdd(
+      df.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"DeltaCdfStreamSource[$table]"
+}
+
+object DeltaCdfStreamSource {
+  private[streaming] def schemaOf(ctx: SQLContext, table: String): StructType =
+    DeltaStreamSource.schemaOf(ctx, table)
+      .add("_change_type", org.apache.spark.sql.types.StringType)
+      .add("_commit_version", org.apache.spark.sql.types.LongType)
+}
+
 /** `format("graft-delta")` registration (DSv1 streaming source — the
   * same integration layer Delta Lake's own streaming source uses). */
 final class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
@@ -229,14 +343,26 @@ final class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegi
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-delta stream source needs a table path: .load(\"/path/to/table\")"))
 
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("graft-delta", schema.getOrElse(DeltaStreamSource.schemaOf(ctx, tableOf(parameters))))
+    ("graft-delta", schema.getOrElse(
+      if (isCdf(parameters)) DeltaCdfStreamSource.schemaOf(ctx, tableOf(parameters))
+      else DeltaStreamSource.schemaOf(ctx, tableOf(parameters))))
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new DeltaStreamSource(ctx, tableOf(parameters),
-      parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
-      parameters.get("maxFilesPerTrigger").map(_.toInt))
+    if (isCdf(parameters))
+      new DeltaCdfStreamSource(ctx, tableOf(parameters),
+        parameters.get("startingVersion").map(_.toLong),
+        parameters.get("changeKeys").toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+        parameters.get("maxCommitsPerTrigger").map(_.toInt))
+    else
+      new DeltaStreamSource(ctx, tableOf(parameters),
+        parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
+        parameters.get("maxFilesPerTrigger").map(_.toInt))
 }

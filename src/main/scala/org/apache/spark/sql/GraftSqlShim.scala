@@ -17,6 +17,20 @@ object GraftSqlShim {
   def column(e: catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Collapse a batch plan into ONE streaming-marked RDD leaf — for a
+    * `getBatch` whose plan contains joins/aggregates that must NOT be
+    * re-planned incrementally (leaf-marking via [[asStreaming]] would
+    * turn a batch full-outer join into a watermarkless stream-stream
+    * join that holds every row in state). The RDD is lazy: the batch
+    * plan executes inside the micro-batch job, through the ordinary
+    * batch planner — the `internalCreateDataFrame(_, _, isStreaming)`
+    * door Spark's own sources use. */
+  def asStreamingRdd(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
+  }
+
   /** Re-mark a batch plan's leaf relations as streaming — what a DSv1
     * streaming source's `getBatch` must return (MicroBatchExecution
     * asserts `isStreaming`; Delta's own streaming source performs the

@@ -221,4 +221,70 @@ class StreamingMedallionSpec extends SparkSpec {
     assert(got == Seq(0L, 1L, 2L, 5L, 6L, 7L, 8L, 9L, 15L),
       s"skipChangeCommits must skip the DELETE commit, keep the append: $got")
   }
+
+  test("graft-delta CDF stream: update pairs via changeKeys, per-commit stamps, resume") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-cdfstream-").toString
+    val src = s"$base/src"
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, Long)]
+    graft.sources.DeltaLog.write(spark,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v").coalesce(1), src)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("changeKeys", "id")
+        .load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = batch.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getString(2), r.getLong(3)))
+          got.synchronized { got ++= rows }; ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // anchored at version 0: the creating commit streams as inserts
+    runOnce()
+    assert(got.synchronized(got.sortBy(r => (r._4, r._1)).toSeq) ==
+      Seq((1L, 10L, "insert", 0L), (2L, 20L, "insert", 0L), (3L, 30L, "insert", 0L)))
+
+    // v1: copy-on-write UPDATE (rewrites the whole single file — untouched
+    // neighbors must net to NO event); v2: DV DELETE (only the masked row)
+    graft.sources.DeltaLog.updateWhere(spark, src, $"id" === 2L, Map("v" -> lit(21L)))
+    graft.sources.DeltaLog.deleteWhere(spark, src, $"id" === 3L)
+    got.synchronized(got.clear())
+    runOnce()
+    assert(got.synchronized(got.sortBy(r => (r._4, r._3)).toSeq) == Seq(
+      (2L, 21L, "update_postimage", 1L), (2L, 20L, "update_preimage", 1L),
+      (3L, 30L, "delete", 2L)),
+      s"resumed CDF stream must carry exactly the new commits' row changes: $got")
+
+    // idle restart emits nothing
+    got.synchronized(got.clear())
+    runOnce()
+    assert(got.synchronized(got.isEmpty))
+
+    // default mode (no changeKeys): raw insert/delete feed of the same log
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val q2 = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .load(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val rows = batch.collect().map(r => (r.getString(2), r.getLong(3)))
+        got2.synchronized { got2 ++= rows }; ()
+      }
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val byType = got2.synchronized(got2.groupBy(_._1).view.mapValues(_.size).toMap)
+    // v0: 3 inserts; v1 rewrite: 3 deletes + 3 inserts; v2 DV: 1 delete
+    assert(byType == Map("insert" -> 6, "delete" -> 4), byType.toString)
+  }
 }
