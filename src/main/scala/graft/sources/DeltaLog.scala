@@ -602,11 +602,15 @@ object DeltaLog {
     * Empty entry set → empty frame with the declared logical schema. */
   private def readEntries(spark: SparkSession, table: String,
       entries: Seq[FileEntry], schema: Option[StructType],
-      mappingMode: String): DataFrame = {
+      mappingMode: String, withProvenance: Boolean = false): DataFrame = {
     val mapped = (mappingMode == "name" || mappingMode == "id") && schema.isDefined
-    if (entries.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-        schema.getOrElse(new StructType()))
+    if (entries.isEmpty) {
+      val base = schema.getOrElse(new StructType())
+      val s =
+        if (!withProvenance) base
+        else base.add(FpCol, StringType).add(RiCol, LongType)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+    }
     // id-mode: the scan must match parquet columns by field id, not name.
     // Spark only honors this through the session conf, and the returned
     // frame is lazy — a save/restore around read() would un-set it before
@@ -625,36 +629,66 @@ object DeltaLog {
       if (mapped)
         schema.map(s => physicalType(s, mappingMode == "id").asInstanceOf[StructType])
       else schema
-    val abs = entries.map(e => new Path(table, e.path).toString)
-    val r = readSession.read.option("basePath", table)
-    val df0 = readSchema.fold(r.parquet(abs: _*))(s => r.schema(s).parquet(abs: _*))
+    // A shallow clone's log references EXTERNAL files by absolute path
+    // (cloneShallow); basePath cannot span roots and Spark's partition
+    // discovery refuses mixed prefixes, so entries group by root — the
+    // table's own files under `table`, external files under the root
+    // above their `k=v` partition directories — one scan per root (one
+    // external root in practice), unioned by name. Provenance
+    // (`_metadata` resolves only on a direct scan, never a union) is
+    // materialized per group when needed: for the DV anti-filter, and
+    // as __graft_file_path/__graft_row_index columns when the caller
+    // asks (`withProvenance` — the DML probe contract).
+    def isExternal(p: String): Boolean = p.startsWith("/") || p.contains(":/")
+    def rootOf(p: Path): String = {
+      var cur = p.getParent
+      while (cur != null && cur.getName.contains("=")) cur = cur.getParent
+      cur.toString
+    }
     val dvEntries = entries.filter(_.dv.isDefined)
+    val needMeta = withProvenance || dvEntries.nonEmpty
+    def readGroup(basePath: String, paths: Seq[String]): DataFrame = {
+      val r = readSession.read.option("basePath", basePath)
+      val df = readSchema.fold(r.parquet(paths: _*))(s => r.schema(s).parquet(paths: _*))
+      if (!needMeta) df
+      else df.select(col("*"), col("_metadata.file_path").as(FpCol),
+        col("_metadata.row_index").as(RiCol))
+    }
+    val (extEntries, localEntries) = entries.partition(e => isExternal(e.path))
+    val groups =
+      (if (localEntries.isEmpty) Seq.empty
+       else Seq(readGroup(table,
+         localEntries.map(e => new Path(table, e.path).toString)))) ++
+        extEntries.groupBy(e => rootOf(new Path(e.path))).toSeq.sortBy(_._1)
+          .map { case (root, es) => readGroup(root, es.map(_.path)) }
+    val df0 = groups.reduce(_ unionByName _)
     val df1 =
       if (dvEntries.isEmpty) df0
       else {
         val fsys = fs(spark, table)
         val byBase: Map[String, Seq[(String, Array[Long])]] = dvEntries
           .map(e => basename(e.path) ->
-            (e.path -> DeletionVectors.deletedRows(fsys, table, e.dv.get)))
+            (pathSuffix(e.path) -> DeletionVectors.deletedRows(fsys, table, e.dv.get)))
           .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
         val bc = spark.sparkContext.broadcast(byBase)
         val keep = udf((fp: String, idx: Long) =>
           bc.value.get(fp.substring(fp.lastIndexOf('/') + 1))
-            .forall(_.forall { case (rel, deleted) =>
-              !(fp.endsWith("/" + rel) &&
+            .forall(_.forall { case (suffix, deleted) =>
+              !(fp.endsWith(suffix) &&
                 java.util.Arrays.binarySearch(deleted, idx) >= 0)
             }))
-        df0.where(keep(col("_metadata.file_path"), col("_metadata.row_index")))
+        df0.where(keep(col(FpCol), col(RiCol)))
       }
-    if (!mapped) df1
-    else df1.select(schema.get.fields.toSeq.map { fld =>
+    val df2 = if (needMeta && !withProvenance) df1.drop(FpCol, RiCol) else df1
+    if (!mapped) df2
+    else df2.select(schema.get.fields.toSeq.map { fld =>
       val phys = physicalName(fld)
       val c = col(s"`$phys`")
       // positional struct cast renames nested physical fields back
       val renamed =
         if (physicalType(fld.dataType) == fld.dataType) c else c.cast(fld.dataType)
       renamed.as(fld.name)
-    }: _*)
+    } ++ (if (withProvenance) Seq(col(FpCol), col(RiCol)) else Seq.empty): _*)
   }
 
   /** Batch-read the table (optionally `VERSION AS OF`). */
@@ -705,6 +739,104 @@ object DeltaLog {
       val op = ci.filter(_.has("operation")).map(_.get("operation").asText())
       (v, ts, op)
     }.toDF("version", "timestamp", "operation")
+  }
+
+  /** DESCRIBE DETAIL: Delta's one-row table summary — format, location,
+    * file count and bytes, partition columns, properties, protocol
+    * versions. numFiles/sizeInBytes aggregate over the DISTRIBUTED
+    * [[Snapshot.allFiles]] (two longs reach the driver, never the file
+    * list) — the shape that still answers instantly on a 10M-file
+    * table. */
+  def detail(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val snap = snapshot(spark, table)
+    val agg = snap.allFiles.agg(
+      count(lit(1)), coalesce(sum(col("size")), lit(0L))).head()
+    val (minR, minW) = snap.protocolJson.map { p =>
+      val n = mapper.readTree(p)
+      (n.get("minReaderVersion").asInt(), n.get("minWriterVersion").asInt())
+    }.getOrElse((1, 2))
+    Seq((
+      "delta", table, snap.version, agg.getLong(0), agg.getLong(1),
+      snap.partitionColumns, snap.configuration, minR, minW))
+      .toDF("format", "location", "version", "numFiles", "sizeInBytes",
+        "partitionColumns", "properties", "minReaderVersion", "minWriterVersion")
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`): a new
+    * table whose version-0 log REFERENCES the source's data files in
+    * place — absolute-path add actions, zero bytes copied, instant
+    * fork of a table of any size. Stats, partition values, and
+    * deletion vectors carry over (u-type DV descriptors become p-type
+    * absolute sidecar references). Subsequent DML on the clone is
+    * ordinary copy-on-write against the CLONE's log: the source never
+    * sees it, and VACUUM on the clone only ever deletes files under
+    * the clone's root (a referenced absolute path is not its file).
+    *
+    * Scale: O(source files) driver-side metadata to build the one
+    * commit — the same cost Delta's clone pays; no data motion. */
+  def cloneShallow(spark: SparkSession, source: String, target: String,
+      versionAsOf: Option[Long] = None): Long = {
+    require(isDeltaTable(spark, source),
+      s"shallow clone needs a Delta-protocol source: $source")
+    require(!isDeltaTable(spark, target),
+      s"shallow clone target is already a Delta table: $target")
+    val snap = snapshot(spark, source, versionAsOf)
+    val meta = snap.metaDataJson.getOrElse(
+      sys.error(s"source $source declares no metaData; cannot clone"))
+    val srcFs = fs(spark, source)
+    def absData(rel: String): String =
+      srcFs.makeQualified(new Path(source, rel)).toString
+    val now = System.currentTimeMillis()
+
+    val actions = Seq.newBuilder[String]
+    actions += s"""{"protocol":${snap.protocolJson.getOrElse("""{"minReaderVersion":1,"minWriterVersion":2}""")}}"""
+    val metaNode = mapper.readTree(meta).asInstanceOf[ObjectNode]
+    metaNode.put("id", java.util.UUID.randomUUID().toString)
+    actions += s"""{"metaData":${mapper.writeValueAsString(metaNode)}}"""
+    snap.allFiles
+      .select("path", "partitionValues", "size", "modificationTime", "stats",
+        "deletionVector").collect().foreach { r =>
+      val pv: Map[String, String] = {
+        val m = r.getMap[String, String](1)
+        if (m == null) Map.empty else m.toMap
+      }
+      val dvField =
+        if (r.isNullAt(5)) ""
+        else {
+          val s = r.getStruct(5)
+          val d = DeletionVectors.Descriptor(
+            s.getString(0), s.getString(1),
+            if (s.isNullAt(2)) None else Some(s.getInt(2)),
+            if (s.isNullAt(3)) 0 else s.getInt(3),
+            if (s.isNullAt(4)) 0L else s.getLong(4))
+          val abs = d.storageType match {
+            case "u" => d.copy(storageType = "p",
+              pathOrInlineDv = srcFs.makeQualified(
+                DeletionVectors.sidecarPath(source, d.pathOrInlineDv)).toString)
+            case _ => d
+          }
+          "," + dvJson(abs)
+        }
+      val statsField =
+        if (r.isNullAt(4)) "" else s""","stats":${jsonStr(r.getString(4))}"""
+      val mt = if (r.isNullAt(3)) now else r.getLong(3)
+      actions += s"""{"add":{"path":${jsonStr(absData(r.getString(0)))},""" +
+        s""""partitionValues":${pvJsonOf(pv)},"size":${r.getLong(2)},""" +
+        s""""modificationTime":$mt,"dataChange":true$statsField$dvField}}"""
+    }
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"CLONE"}}"""
+
+    val f = fs(spark, target)
+    f.mkdirs(new Path(target, "_delta_log"))
+    val tmp = new Path(logDir(target), f".00000-clone-$now%d.json.tmp")
+    val out = f.create(tmp, false)
+    try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = commitPath(target, 0L)
+    require(!f.exists(dest) && f.rename(tmp, dest),
+      s"clone target $target gained a commit concurrently")
+    0L
   }
 
   // ---------------------------------------------------------- change feeds
@@ -869,18 +1001,20 @@ object DeltaLog {
     val base = side(removed, "delete").unionByName(side(added, "insert"))
     if (dvDiffs.isEmpty) base
     else {
-      val byBase = dvDiffs.toSeq.map { case (p, d) => basename(p) -> (p, d) }
+      val byBase = dvDiffs.toSeq.map { case (p, d) => basename(p) -> (pathSuffix(p), d) }
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
       val bc = spark.sparkContext.broadcast(byBase)
       val hit = udf((fp: String, idx: Long) =>
         bc.value.get(fp.substring(fp.lastIndexOf('/') + 1))
-          .exists(_.exists { case (rel, diff) =>
-            fp.endsWith("/" + rel) &&
+          .exists(_.exists { case (suffix, diff) =>
+            fp.endsWith(suffix) &&
               java.util.Arrays.binarySearch(diff, idx) >= 0
           }))
       val diffRows = readEntries(spark, table,
-        dvDiffs.toSeq.map { case (p, _) => FileEntry(p) }, snap.schema, "none")
-        .where(hit(col("_metadata.file_path"), col("_metadata.row_index")))
+        dvDiffs.toSeq.map { case (p, _) => FileEntry(p) }, snap.schema, "none",
+        withProvenance = true)
+        .where(hit(col(FpCol), col(RiCol)))
+        .drop(FpCol, RiCol)
         .withColumn("_change_type", lit("delete"))
       base.unionByName(diffRows)
     }
@@ -1169,6 +1303,25 @@ object DeltaLog {
       .mkString("{", ",", "}")
 
   private def basename(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+
+  /** Materialized provenance columns (`readEntries(withProvenance =
+    * true)`): the scanned file's `_metadata.file_path`/`row_index`,
+    * surfaced as real columns so they survive the per-root union a
+    * shallow-clone read needs. */
+  private val FpCol = "__graft_file_path"
+  private val RiCol = "__graft_row_index"
+
+  /** File name (basename) from the materialized provenance column. */
+  private def provFileName: Column = element_at(split(col(FpCol), "/"), -1)
+
+  /** Suffix that provenance-matches a log path against a scanned
+    * `_metadata.file_path` URI: the scheme-less absolute path for an
+    * external (shallow-clone) reference, the "/"-prefixed relative
+    * path otherwise. */
+  private def pathSuffix(rel: String): String = {
+    val p = new Path(rel).toUri.getPath
+    if (p.startsWith("/")) p else "/" + p
+  }
 
   /** basename -> relative path, or None when basenames collide (a
     * foreign layout this writer never produces; callers fall back to
@@ -1678,8 +1831,8 @@ object DeltaLog {
       case None => commit(snap.fileEntries)
       case Some(_) =>
         val touchedNames = readEntries(spark, table, snap.fileEntries, snap.schema,
-          snap.columnMappingMode)
-          .withColumn("__fname", fileNameCol)
+          snap.columnMappingMode, withProvenance = true)
+          .withColumn("__fname", provFileName)
           .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
           .select("__fname").distinct().collect().map(_.getString(0)).toSet
         commit(snap.fileEntries.filter(e => touchedNames.contains(basename(e.path))))
@@ -1951,10 +2104,10 @@ object DeltaLog {
     // descriptors (path, offset, size, cardinality): O(touched files)
     // even for a GDPR-wide DELETE whose bitmaps total GBs.
     val results: Array[(String, Long, Option[(String, Int, Int)])] =
-      readEntries(spark, table, candidates, snap.schema, snap.columnMappingMode)
+      readEntries(spark, table, candidates, snap.schema, snap.columnMappingMode,
+        withProvenance = true)
         .where(predicate)
-        .select(col("_metadata.file_path").as("fp"),
-          col("_metadata.row_index").as("ri"))
+        .select(col(FpCol).as("fp"), col(RiCol).as("ri"))
         .groupBy("fp").agg(sort_array(collect_list(col("ri"))).as("rows"))
         .as[(String, Array[Long])]
         .mapPartitions { it =>
@@ -1965,7 +2118,7 @@ object DeltaLog {
             val resolved = buf.map { case (fp, rows) =>
               val base = fp.substring(fp.lastIndexOf('/') + 1)
               val (rel, oldDv, numRec) = bcInfo.value.getOrElse(base, Seq.empty)
-                .find(c => fp.endsWith("/" + c._1))
+                .find(c => fp.endsWith(pathSuffix(c._1)))
                 .getOrElse(sys.error(s"DELETE: scanned file $fp not in the snapshot"))
               val all = oldDv match {
                 case None => rows
@@ -2065,9 +2218,9 @@ object DeltaLog {
       case None => candidates // colliding basenames: rewrite all candidates
       case Some(_) =>
         val names = readEntries(spark, table, candidates, snap.schema,
-          snap.columnMappingMode)
+          snap.columnMappingMode, withProvenance = true)
           .where(predicate)
-          .select(fileNameCol.as("__fname")).distinct()
+          .select(provFileName.as("__fname")).distinct()
           .collect().map(_.getString(0)).toSet
         candidates.filter(e => names.contains(basename(e.path)))
     }

@@ -10,9 +10,10 @@ import org.apache.spark.sql.functions._
   * implements is reachable as a statement here, with `delta.`path``
   * table references:
   *
-  *   - `SELECT … FROM delta.`/p/t` [VERSION AS OF n] …` — any query;
-  *     references are rewritten to temp views over [[DeltaLog.read]]
-  *     and handed to Spark SQL unchanged (full Catalyst surface).
+  *   - `SELECT … FROM delta.`/p/t` [VERSION AS OF n | TIMESTAMP AS OF
+  *     'yyyy-MM-dd[ HH:mm:ss]'] …` — any query; references are
+  *     rewritten to temp views over [[DeltaLog.read]] and handed to
+  *     Spark SQL unchanged (full Catalyst surface).
   *   - `DELETE FROM delta.`/p/t` WHERE cond` → [[DeltaLog.deleteWhere]]
   *     (deletion vectors, no rewrite).
   *   - `UPDATE delta.`/p/t` SET a = expr, b = expr WHERE cond` →
@@ -27,6 +28,9 @@ import org.apache.spark.sql.functions._
   *   - `OPTIMIZE delta.`/p/t` [ZORDER BY (a, b)]` → [[DeltaLog.optimize]].
   *   - `VACUUM delta.`/p/t` [RETAIN n HOURS]` → [[DeltaLog.vacuum]].
   *   - `DESCRIBE HISTORY delta.`/p/t`` → [[DeltaLog.history]].
+  *   - `DESCRIBE DETAIL delta.`/p/t`` → [[DeltaLog.detail]].
+  *   - `CREATE TABLE delta.`/p/u` SHALLOW CLONE delta.`/p/t`
+  *     [VERSION AS OF n]` → [[DeltaLog.cloneShallow]].
   *
   * DML/maintenance statements return a one-row frame with the committed
   * version (or files removed, for VACUUM) — the same shape Delta's SQL
@@ -48,8 +52,21 @@ object GraftSql {
     """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+RETAIN\s+(\d+)\s+HOURS\s*""".r
   private val Vacuum = """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s*""".r
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+delta\.`([^`]+)`\s*""".r
+  private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+delta\.`([^`]+)`\s*""".r
+  private val CloneStmt =
+    """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s+SHALLOW\s+CLONE\s+delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val TableRef =
-    """(?i)delta\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+))?""".r
+    """(?i)delta\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
+
+  /** A `TIMESTAMP AS OF` literal: `yyyy-MM-dd[ HH:mm:ss]`, read in the
+    * session's UTC convention. */
+  private def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    val ldt =
+      if (t.length <= 10) java.time.LocalDate.parse(t).atStartOfDay()
+      else java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+    ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
 
   private val MergeHead = """(?is)\s*MERGE\s+INTO\s+.*""".r
 
@@ -270,12 +287,20 @@ object GraftSql {
       Seq(DeltaLog.vacuum(spark, path).toLong).toDF("files_removed")
     case History(path) =>
       DeltaLog.history(spark, path)
+    case Detail(path) =>
+      DeltaLog.detail(spark, path)
+    case CloneStmt(target, src, v) =>
+      version(spark,
+        DeltaLog.cloneShallow(spark, src, target, Option(v).map(_.toLong)))
     case other =>
-      // SELECT (or anything else): rewrite delta.`path` [VERSION AS OF n]
-      // references into temp views and let Spark SQL take it from there
+      // SELECT (or anything else): rewrite delta.`path` [VERSION AS OF n
+      // | TIMESTAMP AS OF 'ts'] references into temp views and let Spark
+      // SQL take it from there
       val rewritten = TableRef.replaceAllIn(other, m => {
         val path = m.group(1)
         val ver = Option(m.group(3)).map(_.toLong)
+          .orElse(Option(m.group(4)).map(t =>
+            DeltaLog.versionAtTimestamp(spark, path, parseTsMillis(t))))
         val view = s"graft_delta_${Integer.toHexString((path, ver).hashCode)}"
         DeltaLog.read(spark, path, ver).createOrReplaceTempView(view)
         scala.util.matching.Regex.quoteReplacement(view)

@@ -1285,4 +1285,48 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).where($"lang" === "en")
       .select("x").as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("shallow clone: zero-copy fork — reads equal, DML independent, vacuum safe") {
+    val base = Files.createTempDirectory("graft-clone-").toString
+    val src = s"$base/src"
+    val tgt = s"$base/tgt"
+    // partitioned source with a deletion vector: clone must carry
+    // partition values, stats, and the DV (as an absolute reference)
+    DeltaLog.write(spark,
+      (0L until 20L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("x", "g")
+        .coalesce(1), src, partitionBy = Seq("g"))
+    DeltaLog.deleteWhere(spark, src, $"x" === 4L)
+    val srcRows = DeltaLog.read(spark, src).as[(Long, String)].collect().sorted.toSeq
+
+    DeltaLog.cloneShallow(spark, src, tgt)
+    assert(DeltaLog.read(spark, tgt).as[(Long, String)].collect().sorted.toSeq
+      == srcRows, "clone must read exactly the source's rows")
+    // no data bytes copied: the clone dir holds only the log
+    val dataFiles = new File(tgt).listFiles().filterNot(_.getName == "_delta_log")
+    assert(dataFiles.isEmpty, dataFiles.mkString(","))
+
+    // DML on the clone: append + DV delete; the source never changes
+    DeltaLog.write(spark, Seq((100L, "a")).toDF("x", "g"), tgt,
+      mode = "append", partitionBy = Seq("g"))
+    DeltaLog.deleteWhere(spark, tgt, $"x" === 6L)
+    assert(DeltaLog.read(spark, tgt).where($"x" === 100L).count() == 1L)
+    assert(DeltaLog.read(spark, tgt).where($"x" === 6L).count() == 0L)
+    assert(DeltaLog.read(spark, src).as[(Long, String)].collect().sorted.toSeq
+      == srcRows, "source must be untouched by clone DML")
+
+    // zone-map pruning on the clone still has the carried stats to use
+    val pruned = DeltaLog.readPruned(spark, tgt, $"x" === 100L)
+    assert(pruned.count() == 1L)
+
+    // VACUUM on the clone deletes nothing of the source's
+    DeltaLog.vacuum(spark, tgt, retainMillis = 0L)
+    assert(DeltaLog.read(spark, src).as[(Long, String)].collect().sorted.toSeq
+      == srcRows, "vacuuming the clone must never touch source files")
+    assert(DeltaLog.read(spark, tgt).where($"x" === 100L).count() == 1L)
+
+    // time-traveled clone: version 0 of the source (pre-DELETE)
+    val tgt0 = s"$base/tgt0"
+    DeltaLog.cloneShallow(spark, src, tgt0, versionAsOf = Some(0L))
+    assert(DeltaLog.read(spark, tgt0).count() == 20L)
+  }
 }

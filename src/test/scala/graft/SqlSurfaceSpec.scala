@@ -97,6 +97,14 @@ class SqlSurfaceSpec extends SparkSpec {
     // time travel sees the pre-DELETE state
     assert(q(s"SELECT count(*) AS n FROM delta.`$t` VERSION AS OF 0")
       .head().getLong(0) == 100L)
+    // TIMESTAMP AS OF far in the future resolves to the newest version
+    assert(q(s"SELECT count(*) AS n FROM delta.`$t` TIMESTAMP AS OF '2100-01-01'")
+      .head().getLong(0) == 90L)
+
+    // DESCRIBE DETAIL: one row, distributed file aggregate
+    val d = q(s"DESCRIBE DETAIL delta.`$t`").head()
+    assert(d.getAs[String]("format") == "delta" &&
+      d.getAs[Long]("numFiles") > 0L && d.getAs[Long]("sizeInBytes") > 0L)
 
     // OPTIMIZE purges the DVs; HISTORY lists every operation
     q(s"OPTIMIZE delta.`$t`")
