@@ -839,6 +839,67 @@ object DeltaLog {
     0L
   }
 
+  /** COPY INTO: idempotent bulk file ingestion (Databricks' loading
+    * verb for landed files). Every source file is ingested AT MOST
+    * once — the ingestion state is one SetTransaction per file
+    * (`appId = "copy-into:" + absolute path`), carried in the SAME
+    * atomic commit as the data, replayed from log + checkpoint like
+    * any txn. Re-running after a crash or on a directory that has
+    * gained files ingests exactly the missing ones; a concurrent
+    * writer invalidates the read-modify-write via the baseVersion pin
+    * instead of double-loading. Existing-table loads project BY NAME
+    * onto the table schema (missing columns null, extra file columns
+    * refused) — COPY INTO's contract.
+    *
+    * Returns (committed version, files ingested). Scale: the file
+    * listing and per-file txn state are O(source files) metadata; the
+    * data path is one distributed scan of only the new files. */
+  def copyInto(spark: SparkSession, table: String, sourceDir: String,
+      format: String = "parquet", pattern: Option[String] = None): (Long, Int) = {
+    val srcFs = new Path(sourceDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matcher = pattern.map(p =>
+      java.nio.file.FileSystems.getDefault.getPathMatcher("glob:" + p))
+    val listed = {
+      val it = srcFs.listFiles(new Path(sourceDir), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        val name = p.getName
+        if (!name.startsWith("_") && !name.startsWith(".") &&
+            matcher.forall(_.matches(java.nio.file.Paths.get(
+              p.toUri.getPath).getFileName)))
+          b += srcFs.makeQualified(p).toString
+      }
+      b.result().sorted
+    }
+    val exists = isDeltaTable(spark, table)
+    val snap = if (exists) Some(snapshot(spark, table)) else None
+    val done = snap.map(_.txns.keySet).getOrElse(Set.empty)
+    val fresh = listed.filterNot(p => done.contains(s"copy-into:$p"))
+    if (fresh.isEmpty)
+      return (snap.map(_.version).getOrElse(-1L), 0)
+    val raw = spark.read.format(format).load(fresh: _*)
+    val df = snap.flatMap(_.schema) match {
+      case None => raw
+      case Some(s) =>
+        val extra = raw.columns.filterNot(c => s.fieldNames.contains(c))
+        require(extra.isEmpty,
+          s"COPY INTO: source carries columns not in the table: ${extra.mkString(", ")}")
+        raw.select(s.fields.toSeq.map { f =>
+          if (raw.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
+    val txns = fresh.map(p => s"copy-into:$p" -> 0L)
+    val v = commitWrite(spark, df, table,
+      partitionBy = snap.map(_.partitionColumns).getOrElse(Seq.empty),
+      txn = None, removePaths = _ => Seq.empty, widenSchema = false,
+      dataChange = true, operation = "COPY INTO",
+      baseVersion = snap.map(_.version), extraTxns = txns)
+    (v, fresh.size)
+  }
+
   // ---------------------------------------------------------- change feeds
 
   private def isDataChange(n: JsonNode): Boolean =
@@ -1446,7 +1507,8 @@ object DeltaLog {
       removePaths: Snapshot => Seq[String], widenSchema: Boolean,
       dataChange: Boolean, operation: String,
       retryOnRace: Boolean = false, baseVersion: Option[Long] = None,
-      properties: Map[String, String] = Map.empty): Long = {
+      properties: Map[String, String] = Map.empty,
+      extraTxns: Seq[(String, Long)] = Seq.empty): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -1747,7 +1809,7 @@ object DeltaLog {
         actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
           s""""size":$size,"modificationTime":$now,"dataChange":$dataChange$statsField}}"""
       }
-      txn.foreach { case (appId, v) =>
+      (txn.toSeq ++ extraTxns).foreach { case (appId, v) =>
         actions += s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":$now}}"""
       }
       actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(operation)}}}"""
@@ -1865,14 +1927,15 @@ object DeltaLog {
   def merge(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], clauses: Seq[MergeClause],
       extraOn: Option[Column] = None,
-      aliases: (String, String) = ("t", "s")): Long = {
+      aliases: (String, String) = ("t", "s"),
+      schemaEvolution: Boolean = false): Long = {
     require(isDeltaTable(spark, table),
       s"MERGE needs an existing Delta-protocol table at $table; write() it first")
     val probe = !clauses.exists(c => c.isInstanceOf[MergeClause.BySourceUpdate] ||
       c.isInstanceOf[MergeClause.BySourceDelete])
     mergeCore(spark, table, snapshot(spark, table), source, keys,
       (target, src) => Merge.applyClauses(target, src, keys, extraOn, clauses,
-        aliases._1, aliases._2),
+        aliases._1, aliases._2, schemaEvolution),
       txn = None, operation = "MERGE", probeByKeys = probe)
   }
 

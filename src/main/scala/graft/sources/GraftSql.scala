@@ -31,6 +31,9 @@ import org.apache.spark.sql.functions._
   *   - `DESCRIBE DETAIL delta.`/p/t`` → [[DeltaLog.detail]].
   *   - `CREATE TABLE delta.`/p/u` SHALLOW CLONE delta.`/p/t`
   *     [VERSION AS OF n]` → [[DeltaLog.cloneShallow]].
+  *   - `COPY INTO delta.`/p/t` FROM '/landing/dir' FILEFORMAT = PARQUET
+  *     [PATTERN = '*.parquet']` → [[DeltaLog.copyInto]] (idempotent
+  *     per-file ingestion).
   *
   * DML/maintenance statements return a one-row frame with the committed
   * version (or files removed, for VACUUM) — the same shape Delta's SQL
@@ -55,6 +58,8 @@ object GraftSql {
   private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+delta\.`([^`]+)`\s*""".r
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s+SHALLOW\s+CLONE\s+delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
+  private val CopyInto =
+    """(?is)\s*COPY\s+INTO\s+delta\.`([^`]+)`\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*""".r
   private val TableRef =
     """(?i)delta\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
 
@@ -292,6 +297,11 @@ object GraftSql {
     case CloneStmt(target, src, v) =>
       version(spark,
         DeltaLog.cloneShallow(spark, src, target, Option(v).map(_.toLong)))
+    case CopyInto(path, from, fmt, pat) =>
+      val (v, n) = DeltaLog.copyInto(spark, path, from,
+        fmt.toLowerCase, Option(pat))
+      import spark.implicits._
+      Seq((v, n.toLong)).toDF("version", "files_ingested")
     case other =>
       // SELECT (or anything else): rewrite delta.`path` [VERSION AS OF n
       // | TIMESTAMP AS OF 'ts'] references into temp views and let Spark

@@ -63,7 +63,8 @@ object Merge {
     * public for direct testing on plain frames. */
   private[graft] def applyClauses(target: DataFrame, source: DataFrame,
       keys: Seq[String], extraOn: Option[Column], clauses: Seq[MergeClause],
-      tAlias: String = "t", sAlias: String = "s"): DataFrame = {
+      tAlias: String = "t", sAlias: String = "s",
+      schemaEvolution: Boolean = false): DataFrame = {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     require(keys.nonEmpty, "MERGE needs at least one equi-key")
     require(tAlias != sAlias, s"target and source aliases collide: '$tAlias'")
@@ -78,12 +79,29 @@ object Merge {
       case NotMatchedInsert(_, v) => v.isEmpty
       case _ => false
     }
-    if (starClauses) {
+    if (starClauses && !schemaEvolution) {
       val missing = tCols.filterNot(srcCols.contains)
       require(missing.isEmpty,
-        s"UPDATE SET * / INSERT * needs every target column in the source; missing: ${missing.mkString(", ")}")
+        s"UPDATE SET * / INSERT * needs every target column in the source; " +
+          s"missing: ${missing.mkString(", ")} (or merge withSchemaEvolution)")
     }
-    clauses.foreach {
+    // schema evolution (Delta's autoMerge): SET */INSERT * carry NEW
+    // source columns into the target, and an explicit SET/VALUES may
+    // name a new column; rows a clause does not reach get NULL there.
+    // Without it, unknown columns refuse below.
+    val newFromSource: Seq[org.apache.spark.sql.types.StructField] =
+      if (!schemaEvolution || !starClauses) Seq.empty
+      else source.schema.fields.toSeq.filterNot(f => tCols.contains(f.name))
+    val newFromSets: Seq[String] =
+      if (!schemaEvolution) Seq.empty
+      else clauses.flatMap {
+        case MatchedUpdate(_, s) => s.keys
+        case BySourceUpdate(_, s) => s.keys
+        case NotMatchedInsert(_, v) => v.keys
+        case _ => Seq.empty
+      }.distinct.filterNot(n =>
+        tCols.contains(n) || newFromSource.exists(_.name == n))
+    if (!schemaEvolution) clauses.foreach {
       case MatchedUpdate(_, s) => requireTargetCols(s.keys, tCols, "UPDATE SET")
       case BySourceUpdate(_, s) => requireTargetCols(s.keys, tCols, "UPDATE SET")
       case NotMatchedInsert(_, v) => requireTargetCols(v.keys, tCols, "INSERT")
@@ -153,12 +171,15 @@ object Merge {
 
     def setOf(c: MergeClause, column: String): Option[Column] = c match {
       case MatchedUpdate(_, set) =>
-        if (set.isEmpty) Some(col(s"$sAlias.$column")) else set.get(column)
+        if (set.isEmpty)
+          if (srcCols.contains(column)) Some(col(s"$sAlias.$column")) else None
+        else set.get(column)
       case BySourceUpdate(_, set) => set.get(column)
       case NotMatchedInsert(_, values) =>
         // inserts must yield a value for EVERY column: unlisted ones are
         // NULL (matches SQL INSERT with a partial column list)
-        if (values.isEmpty) Some(col(s"$sAlias.$column"))
+        if (values.isEmpty)
+          if (srcCols.contains(column)) Some(col(s"$sAlias.$column")) else None
         else Some(values.getOrElse(column, lit(null)))
       case _ => None
     }
@@ -168,6 +189,22 @@ object Merge {
           when(col(actCol) === i, set).otherwise(acc))
       }
       v.cast(f.dataType).as(f.name)
+    } ++ newFromSource.map { f =>
+      // evolved column sourced from the source frame: null wherever no
+      // star clause (or explicit set) reached the row
+      val v = indexed.foldLeft(lit(null).cast(f.dataType): Column) {
+        case (acc, (c, i)) => setOf(c, f.name).fold(acc)(set =>
+          when(col(actCol) === i, set).otherwise(acc))
+      }
+      v.cast(f.dataType).as(f.name)
+    } ++ newFromSets.map { n =>
+      // evolved column defined only by explicit SET/VALUES expressions:
+      // type comes from the expressions themselves
+      val v = indexed.foldLeft(lit(null): Column) { case (acc, (c, i)) =>
+        setOf(c, n).fold(acc)(set =>
+          when(col(actCol) === i, set).otherwise(acc))
+      }
+      v.as(n)
     }
     // a target row matched by several source rows joins to several pairs,
     // but must produce ONE output row: the modifying pair if a clause
@@ -215,10 +252,15 @@ object Merge {
   final class Builder private[Merge] (spark: SparkSession, table: String,
       source: DataFrame, keys: Seq[String]) {
     private var extra: Option[Column] = None
+    private var evolve: Boolean = false
     private val clauses = Seq.newBuilder[MergeClause]
     /** Extra ON predicate beyond the key equalities (e.g. the SCD2
       * expire step's `t.is_current`). */
     def on(condition: Column): Builder = { extra = Some(condition); this }
+    /** Delta's autoMerge: update-all/insert-all carry new source
+      * columns into the target schema; explicit SET/VALUES may name
+      * new columns. */
+    def withSchemaEvolution(): Builder = { evolve = true; this }
     def whenMatchedUpdate(set: Map[String, Column],
         condition: Column = null): Builder = {
       clauses += MatchedUpdate(Option(condition), set); this }
@@ -238,6 +280,7 @@ object Merge {
       clauses += BySourceDelete(Option(condition)); this }
     /** Run the merge; returns the committed table version. */
     def execute(): Long =
-      DeltaLog.merge(spark, table, source, keys, clauses.result(), extra)
+      DeltaLog.merge(spark, table, source, keys, clauses.result(), extra,
+        schemaEvolution = evolve)
   }
 }

@@ -1329,4 +1329,47 @@ class DeltaLogSpec extends SparkSpec {
     DeltaLog.cloneShallow(spark, src, tgt0, versionAsOf = Some(0L))
     assert(DeltaLog.read(spark, tgt0).count() == 20L)
   }
+
+  test("COPY INTO ingests each landed file exactly once, across reruns") {
+    val base = Files.createTempDirectory("graft-copyinto-").toString
+    val landing = s"$base/landing"
+    val t = s"$base/t"
+    def land(name: String, xs: Seq[Long]): Unit = {
+      val tmp = Files.createTempDirectory("graft-land-").toString
+      xs.toDF("x").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new File(landing).mkdirs()
+      Files.move(part.toPath, new File(landing, name).toPath)
+    }
+    land("a.parquet", Seq(1L, 2L))
+    land("b.parquet", Seq(3L))
+
+    val (v1, n1) = DeltaLog.copyInto(spark, t, landing)
+    assert(n1 == 2 && v1 == 0L)
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+
+    // rerun with nothing new: no commit, nothing ingested
+    val (v2, n2) = DeltaLog.copyInto(spark, t, landing)
+    assert(n2 == 0 && v2 == v1)
+    assert(DeltaLog.read(spark, t).count() == 3L)
+
+    // a new file lands: only IT is ingested
+    land("c.parquet", Seq(9L))
+    val (v3, n3) = DeltaLog.copyInto(spark, t, landing)
+    assert(n3 == 1 && v3 == v1 + 1)
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 9L))
+
+    // the per-file state survives a checkpoint + JSON vacuum
+    DeltaLog.checkpoint(spark, t)
+    val (_, n4) = DeltaLog.copyInto(spark, t, landing)
+    assert(n4 == 0)
+
+    // SQL verb, with a pattern that excludes everything
+    val r = graft.sources.GraftSql.exec(spark,
+      s"COPY INTO delta.`$t` FROM '$landing' FILEFORMAT = PARQUET PATTERN = '*.json'")
+      .head()
+    assert(r.getLong(1) == 0L)
+  }
 }

@@ -127,6 +127,41 @@ class MergeClausesSpec extends SparkSpec {
       Seq(1L -> 11, 2L -> 20, 100L -> 1000, 200L -> 2000))
   }
 
+  test("schema evolution: star clauses carry new source columns; old rows get null") {
+    val t = target3()
+    val src = Seq((2L, "B", 22, "x2"), (9L, "I", 90, "x9"))
+      .toDF("id", "tag", "v", "extra")
+    Merge.into(spark, t, src, keys = Seq("id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val got = DeltaLog.read(spark, t).orderBy("id")
+      .as[(Long, String, Int, Option[String])].collect().toSeq
+    assert(got === Seq((1L, "a", 10, None), (2L, "B", 22, Some("x2")),
+      (3L, "c", 30, None), (4L, "d", 40, None), (9L, "I", 90, Some("x9"))))
+    // the evolved schema is durable: a fresh snapshot declares `extra`
+    assert(DeltaLog.snapshot(spark, t).schema.get.fieldNames.contains("extra"))
+  }
+
+  test("schema evolution: an explicit SET may name a new column") {
+    val t = target3()
+    val src = Seq((1L, 7)).toDF("id", "nv")
+    Merge.into(spark, t, src, keys = Seq("id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdate(Map("score" -> (col("s.nv") * 2)))
+      .execute()
+    val got = DeltaLog.read(spark, t).orderBy("id")
+      .select("id", "score").as[(Long, Option[Int])].collect().toSeq
+    assert(got === Seq(1L -> Some(14), 2L -> None, 3L -> None, 4L -> None))
+    // without the flag the same merge refuses
+    intercept[IllegalArgumentException] {
+      Merge.into(spark, t, src, keys = Seq("id"))
+        .whenMatchedUpdate(Map("brand_new" -> lit(1)))
+        .execute()
+    }
+  }
+
   test("clause validation: bad SET column, missing source key, star without columns") {
     val t = Seq((1L, 2)).toDF("id", "v")
     val s = Seq((1L, 3)).toDF("id", "nv")
