@@ -839,6 +839,35 @@ object DeltaLog {
     0L
   }
 
+  /** Selective overwrite — Delta's `replaceWhere`: atomically delete
+    * every row matching `predicate` and insert `df`, whose rows must
+    * ALL satisfy the predicate (refused otherwise — the contract that
+    * makes partition-scoped reloads safe). Zone-map pruning finds the
+    * candidate files; only those are rewritten (surviving non-matching
+    * rows carried over), everything else stays live untouched —
+    * O(candidate files), the partition-reload shape at 100 TB. Pinned
+    * at the read snapshot: a concurrent writer fails the commit loudly.
+    * Returns the committed version. */
+  def replaceWhere(spark: SparkSession, table: String, df: DataFrame,
+      predicate: Column): Long = {
+    require(isDeltaTable(spark, table),
+      s"replaceWhere needs an existing Delta-protocol table at $table")
+    val snap = snapshot(spark, table)
+    val violations = df.where(!coalesce(predicate, lit(false))).limit(1).count()
+    require(violations == 0L,
+      "replaceWhere: the new data contains rows NOT matching the predicate")
+    val candidates = pruneEntries(spark, snap, predicate)
+    // survivors: rows in candidate files where the predicate is false
+    // or null (DELETE-complement semantics)
+    val keep = readEntries(spark, table, candidates, snap.schema,
+      snap.columnMappingMode).where(!coalesce(predicate, lit(false)))
+    commitWrite(spark, keep.unionByName(df, allowMissingColumns = true), table,
+      snap.partitionColumns, txn = None,
+      removePaths = _ => candidates.map(_.path), widenSchema = false,
+      dataChange = true, operation = "REPLACE WHERE",
+      baseVersion = Some(snap.version))
+  }
+
   /** COPY INTO: idempotent bulk file ingestion (Databricks' loading
     * verb for landed files). Every source file is ingested AT MOST
     * once — the ingestion state is one SetTransaction per file
@@ -1079,6 +1108,23 @@ object DeltaLog {
         .withColumn("_change_type", lit("delete"))
       base.unionByName(diffRows)
     }
+  }
+
+  /** Per-commit change feed over an inclusive version range — Delta's
+    * `table_changes(t, from, to)` shape: each commit's
+    * [[changesBetween]] (or [[changesWithUpdates]] when `keys` are
+    * given) stamped with its `_commit_version`. Every term is O(that
+    * commit's touched files). */
+  def changesRange(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long,
+      keys: Seq[String] = Seq.empty): DataFrame = {
+    require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
+    (fromVersion to toVersion).map { v =>
+      val c =
+        if (keys.nonEmpty) changesWithUpdates(spark, table, v - 1, v, keys)
+        else changesBetween(spark, table, v - 1, v)
+      c.withColumn("_commit_version", lit(v))
+    }.reduce(_ unionByName _)
   }
 
   /** CDF-shaped change feed: [[changesBetween]] with the file-level

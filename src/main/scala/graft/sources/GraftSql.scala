@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions._
   *   - `COPY INTO delta.`/p/t` FROM '/landing/dir' FILEFORMAT = PARQUET
   *     [PATTERN = '*.parquet']` → [[DeltaLog.copyInto]] (idempotent
   *     per-file ingestion).
+  *   - `INSERT INTO delta.`/p/t` REPLACE WHERE cond SELECT …` →
+  *     [[DeltaLog.replaceWhere]] (selective overwrite).
+  *   - `TABLE_CHANGES(delta.`/p/t`, from, to)` inside any SELECT →
+  *     [[DeltaLog.changesRange]] (the CDF batch function).
   *
   * DML/maintenance statements return a one-row frame with the committed
   * version (or files removed, for VACUUM) — the same shape Delta's SQL
@@ -60,6 +64,10 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s+SHALLOW\s+CLONE\s+delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+delta\.`([^`]+)`\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*""".r
+  private val ReplaceWhereStmt =
+    """(?is)\s*INSERT\s+INTO\s+delta\.`([^`]+)`\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+)""".r
+  private val TableChanges =
+    """(?i)TABLE_CHANGES\s*\(\s*delta\.`([^`]+)`\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val TableRef =
     """(?i)delta\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
 
@@ -302,11 +310,20 @@ object GraftSql {
         fmt.toLowerCase, Option(pat))
       import spark.implicits._
       Seq((v, n.toLong)).toDF("version", "files_ingested")
+    case ReplaceWhereStmt(path, cond, select) =>
+      version(spark,
+        DeltaLog.replaceWhere(spark, path, exec(spark, select), expr(cond)))
     case other =>
-      // SELECT (or anything else): rewrite delta.`path` [VERSION AS OF n
-      // | TIMESTAMP AS OF 'ts'] references into temp views and let Spark
-      // SQL take it from there
-      val rewritten = TableRef.replaceAllIn(other, m => {
+      // SELECT (or anything else): rewrite table_changes(delta.`p`, a, b)
+      // and delta.`path` [VERSION AS OF n | TIMESTAMP AS OF 'ts']
+      // references into temp views and let Spark SQL take it from there
+      val withChanges = TableChanges.replaceAllIn(other, m => {
+        val (path, a, b) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
+        val view = s"graft_changes_${Integer.toHexString((path, a, b).hashCode)}"
+        DeltaLog.changesRange(spark, path, a, b).createOrReplaceTempView(view)
+        scala.util.matching.Regex.quoteReplacement(view)
+      })
+      val rewritten = TableRef.replaceAllIn(withChanges, m => {
         val path = m.group(1)
         val ver = Option(m.group(3)).map(_.toLong)
           .orElse(Option(m.group(4)).map(t =>

@@ -302,18 +302,11 @@ final class DeltaCdfStreamSource(ctx: SQLContext, table: String,
     val s = start.map(parseV).getOrElse(initialFrom)
     // per-commit emission (the CDF contract stamps each row with ITS
     // commit); every term is O(that commit's touched files)
-    val frames = ((s + 1) to e).map { v =>
-      val c =
-        if (changeKeys.nonEmpty)
-          DeltaLog.changesWithUpdates(spark, table, v - 1, v, changeKeys)
-        else DeltaLog.changesBetween(spark, table, v - 1, v)
-      c.withColumn("_commit_version", lit(v))
-    }
     val df =
-      if (frames.isEmpty)
+      if (s >= e)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else frames.reduce(_ unionByName _)
+      else DeltaLog.changesRange(spark, table, s + 1, e, changeKeys)
     // the change plan contains full-outer joins (changesWithUpdates):
     // collapse to one streaming-marked RDD leaf so incremental planning
     // cannot reinterpret it as a stream-stream join

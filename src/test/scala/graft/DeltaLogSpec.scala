@@ -1330,6 +1330,40 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, tgt0).count() == 20L)
   }
 
+  test("replaceWhere: selective overwrite rewrites only candidate files") {
+    val t = freshTable()
+    // two files with disjoint key ranges so pruning can skip one
+    DeltaLog.write(spark, (0L until 10L).map(i => (i, (i * 10).toInt)).toDF("k", "v")
+      .coalesce(1), t)
+    DeltaLog.write(spark, (100L until 110L).map(i => (i, (i * 10).toInt)).toDF("k", "v")
+      .coalesce(1), t, mode = "append")
+    val before = DeltaLog.snapshot(spark, t).files.toSet
+
+    // replace the k<10 slice with fresh rows; the 100s file must survive
+    val v = DeltaLog.replaceWhere(spark, t,
+      Seq((5L, -1), (6L, -2)).toDF("k", "v"), $"k" < 10L)
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.version == v)
+    assert(before.intersect(after.files.toSet).size == 1,
+      "the non-matching file must stay live untouched")
+    assert(DeltaLog.read(spark, t).orderBy("k").as[(Long, Int)].collect().toSeq ==
+      Seq(5L -> -1, 6L -> -2) ++ (100L until 110L).map(i => i -> i.toInt * 10))
+
+    // new data violating the predicate refuses
+    intercept[IllegalArgumentException] {
+      DeltaLog.replaceWhere(spark, t, Seq((500L, 0)).toDF("k", "v"), $"k" < 10L)
+    }
+    // SQL verb + table_changes over the replace commit
+    graft.sources.GraftSql.exec(spark,
+      s"INSERT INTO delta.`$t` REPLACE WHERE k < 10 SELECT 7L AS k, -7 AS v")
+    assert(DeltaLog.read(spark, t).where($"k" < 10).as[(Long, Int)]
+      .collect().toSeq == Seq(7L -> -7))
+    val changes = graft.sources.GraftSql.exec(spark,
+      s"SELECT _change_type, count(*) AS n FROM TABLE_CHANGES(delta.`$t`, ${v + 1}, ${v + 1}) GROUP BY 1")
+      .as[(String, Long)].collect().toMap
+    assert(changes == Map("delete" -> 2L, "insert" -> 1L), changes.toString)
+  }
+
   test("COPY INTO ingests each landed file exactly once, across reruns") {
     val base = Files.createTempDirectory("graft-copyinto-").toString
     val landing = s"$base/landing"
