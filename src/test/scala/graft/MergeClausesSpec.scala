@@ -162,6 +162,22 @@ class MergeClausesSpec extends SparkSpec {
     }
   }
 
+  test("plan shape: the dedup window enters the plan only under duplicate matches") {
+    val t = Seq((1L, 10), (2L, 20)).toDF("id", "v")
+    def planOf(src: org.apache.spark.sql.DataFrame): String =
+      Merge.applyClauses(t, src, Seq("id"), None,
+        Seq(MatchedUpdate(None, Map("v" -> lit(0)))))
+        .queryExecution.executedPlan.toString
+    // unique source keys: no per-target-row window (no extra shuffle)
+    assert(!planOf(Seq((1L, 1)).toDF("id", "nv")).contains("Window"))
+    // duplicate NON-modifying matches would duplicate rows: window appears
+    val dup = Seq((1L, 1), (1L, 2)).toDF("id", "nv")
+    val dupPlan = Merge.applyClauses(t, dup, Seq("id"), None,
+      Seq(MatchedUpdate(Some(col("s.nv") === 1), Map("v" -> lit(0)))))
+      .queryExecution.executedPlan.toString
+    assert(dupPlan.contains("Window"))
+  }
+
   test("clause validation: bad SET column, missing source key, star without columns") {
     val t = Seq((1L, 2)).toDF("id", "v")
     val s = Seq((1L, 3)).toDF("id", "nv")
