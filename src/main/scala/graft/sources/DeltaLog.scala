@@ -47,6 +47,12 @@ import scala.collection.mutable
   * informational fields (`stats`, `tags`) are tolerated per the
   * protocol's forward-compatibility rules.
   */
+/** A commit lost the version race to a concurrent writer: the caller's
+  * read-modify-write is stale. Row-level DML recomputes from a fresh
+  * snapshot and retries ([[DeltaLog.withDmlRetry]]); pinned-fold
+  * consumers (the materialized view) surface it to re-fold. */
+final class CommitRaceException(msg: String) extends RuntimeException(msg)
+
 object DeltaLog {
 
   /** One live data file: its path and, when present, the deletion-vector
@@ -849,7 +855,7 @@ object DeltaLog {
     * at the read snapshot: a concurrent writer fails the commit loudly.
     * Returns the committed version. */
   def replaceWhere(spark: SparkSession, table: String, df: DataFrame,
-      predicate: Column): Long = {
+      predicate: Column): Long = withDmlRetry(3) {
     require(isDeltaTable(spark, table),
       s"replaceWhere needs an existing Delta-protocol table at $table")
     val snap = snapshot(spark, table)
@@ -1784,7 +1790,7 @@ object DeltaLog {
       // concurrent changes and duplicate rewritten rows. Rename-level
       // races alone cannot catch this (the rename at version+1 would
       // succeed cleanly).
-      baseVersion.foreach(b => require(version == b + 1,
+      baseVersion.foreach(b => if (version != b + 1) throw new CommitRaceException(
         s"concurrent commit: $table advanced from version $b to ${version - 1} " +
           s"while this $operation was computed — re-read and retry"))
       val declared = declaredSchema(prevSnap)
@@ -1880,7 +1886,8 @@ object DeltaLog {
       else {
         f.delete(tmp, false)
         if (!retryOnRace || attempt >= 9)
-          sys.error(s"concurrent commit lost the race for version $version at $table")
+          throw new CommitRaceException(
+            s"concurrent commit lost the race for version $version at $table")
         attempt += 1
       }
     }
@@ -1902,6 +1909,29 @@ object DeltaLog {
           System.err.println(
             s"[delta] auto-checkpoint of $table at $committed failed: ${e.getMessage}")
       }
+  }
+
+  /** Re-run a whole DML operation on a lost commit race — sound
+    * because every operation below recomputes from a FRESH snapshot on
+    * each attempt, and a failed attempt's staged data files / DV
+    * sidecars are invisible orphans (vacuum-reclaimable). This is
+    * Delta's optimistic concurrency at operation granularity: two
+    * writers touching disjoint rows both land, serialized by the
+    * commit rename; the loser pays one recompute. Pinned-fold
+    * consumers ([[mergeGroups]], the materialized view) deliberately
+    * bypass it — their inputs were computed from the pinned snapshot,
+    * so a blind re-run would be wrong there. */
+  private def withDmlRetry[T](attempts: Int)(op: => T): T = {
+    var left = attempts
+    while (true) {
+      try return op
+      catch {
+        case e: CommitRaceException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Shared copy-on-write MERGE machinery: a provenance semi-join finds
@@ -1957,9 +1987,11 @@ object DeltaLog {
   def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
       keys: Seq[String], recencyCol: String): Long =
     if (!isDeltaTable(spark, table)) write(spark, source, table)
-    else mergeCore(spark, table, snapshot(spark, table), source, keys,
-      (target, src) => graft.operators.Scd2.mergedFrame(target, src, keys, recencyCol),
-      txn = None, operation = "MERGE")
+    else withDmlRetry(3) {
+      mergeCore(spark, table, snapshot(spark, table), source, keys,
+        (target, src) => graft.operators.Scd2.mergedFrame(target, src, keys, recencyCol),
+        txn = None, operation = "MERGE")
+    }
 
   /** General clause-based MERGE — the reference's `DeltaTable.merge`
     * builder semantics (WHEN MATCHED [AND cond] UPDATE/DELETE, WHEN NOT
@@ -1979,10 +2011,12 @@ object DeltaLog {
       s"MERGE needs an existing Delta-protocol table at $table; write() it first")
     val probe = !clauses.exists(c => c.isInstanceOf[MergeClause.BySourceUpdate] ||
       c.isInstanceOf[MergeClause.BySourceDelete])
-    mergeCore(spark, table, snapshot(spark, table), source, keys,
-      (target, src) => Merge.applyClauses(target, src, keys, extraOn, clauses,
-        aliases._1, aliases._2, schemaEvolution),
-      txn = None, operation = "MERGE", probeByKeys = probe)
+    withDmlRetry(3) {
+      mergeCore(spark, table, snapshot(spark, table), source, keys,
+        (target, src) => Merge.applyClauses(target, src, keys, extraOn, clauses,
+          aliases._1, aliases._2, schemaEvolution),
+        txn = None, operation = "MERGE", probeByKeys = probe)
+    }
   }
 
   /** Group-replacement MERGE for maintained aggregates
@@ -2172,7 +2206,8 @@ object DeltaLog {
     * rows. [[optimize]] remains the DV purge. Returns the committed
     * version, or the current one when nothing matched (no empty
     * commits). */
-  def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long = {
+  def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long =
+      withDmlRetry(3) {
     import spark.implicits._
     val snap = snapshot(spark, table)
     // column-mapped targets are fine: DELETE is name-agnostic — the
@@ -2309,7 +2344,7 @@ object DeltaLog {
     * loudly. Returns the committed version (current one when nothing
     * matched: no empty commits). */
   def updateWhere(spark: SparkSession, table: String, predicate: Column,
-      set: Map[String, Column]): Long = {
+      set: Map[String, Column]): Long = withDmlRetry(3) {
     val snap = snapshot(spark, table)
     // column-mapped targets are fine: the rewrite goes through
     // commitWrite's logical→physical staging translation

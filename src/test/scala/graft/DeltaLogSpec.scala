@@ -1330,6 +1330,29 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, tgt0).count() == 20L)
   }
 
+  test("racing row-level DML lands both writers via built-in operation retry") {
+    // UPDATE and DELETE on disjoint slices fired concurrently: whoever
+    // loses the version race recomputes from the fresh snapshot and
+    // retries INSIDE the engine — no caller-side loop needed
+    val t = freshTable()
+    DeltaLog.write(spark,
+      (0L until 100L).map(i => (i, 0)).toDF("k", "v").repartition(4), t)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val update = Future {
+      DeltaLog.updateWhere(spark, t, $"k" < 50L, Map("v" -> lit(1)))
+    }
+    val delete = Future {
+      DeltaLog.deleteWhere(spark, t, $"k" >= 90L)
+    }
+    Await.result(Future.sequence(Seq(update, delete)), 180.seconds)
+    val got = DeltaLog.read(spark, t).as[(Long, Int)].collect().toMap
+    assert(got.size == 90, s"deleted slice must be gone: ${got.size}")
+    assert((0L until 50L).forall(got(_) == 1), "updated slice must carry v=1")
+    assert((50L until 90L).forall(got(_) == 0), "middle slice untouched")
+  }
+
   test("replaceWhere: selective overwrite rewrites only candidate files") {
     val t = freshTable()
     // two files with disjoint key ranges so pruning can skip one
