@@ -211,6 +211,96 @@ object Maintenance {
       graft.sources.DeltaLog.read(spark, t)
   }
 
+  /** replaceWhere (selective overwrite), oracle-verified: the BUILDING
+    * slice of a protocol `customer` table is atomically replaced by a
+    * deterministic transform of itself; the read-back must equal
+    * DuckDB's complement-union row for row. */
+  val qReplaceWhere: graft.QueryDef = graft.QueryDef.sql(
+    "q_replace_where",
+    """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+      |WHERE c_mktsegment <> 'BUILDING'
+      |UNION ALL
+      |SELECT c_custkey + 500000, c_mktsegment, c_nationkey + 1
+      |FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-replace-where-").toString + "/t"
+    val cust = graft.Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    graft.sources.DeltaLog.write(spark, cust.repartition(4), t)
+    val fresh = cust.where(col("c_mktsegment") === "BUILDING")
+      .select((col("c_custkey") + 500000).as("c_custkey"), col("c_mktsegment"),
+        (col("c_nationkey") + 1).as("c_nationkey"))
+    graft.sources.DeltaLog.replaceWhere(spark, t, fresh,
+      col("c_mktsegment") === "BUILDING")
+    graft.sources.DeltaLog.read(spark, t)
+  }
+
+  /** COPY INTO, oracle-verified: `customer` split into two landed
+    * parquet files, ingested by TWO copyInto runs (the second must be
+    * a no-op — per-file SetTransaction idempotence), and the read-back
+    * must equal the full table. */
+  val qCopyInto: graft.QueryDef = graft.QueryDef.sql(
+    "q_copy_into",
+    "SELECT c_custkey, c_mktsegment, c_nationkey FROM customer") { (spark, dir) =>
+    val base = java.nio.file.Files.createTempDirectory("graft-copy-into-").toString
+    val landing = s"$base/landing"
+    val t = s"$base/t"
+    val cust = graft.Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    cust.where(col("c_custkey") % 2 === 0).coalesce(1)
+      .write.parquet(s"$landing/even")
+    graft.sources.DeltaLog.copyInto(spark, t, landing)
+    cust.where(col("c_custkey") % 2 =!= 0).coalesce(1)
+      .write.parquet(s"$landing/odd")
+    graft.sources.DeltaLog.copyInto(spark, t, landing) // ingests ONLY odd
+    val (_, n) = graft.sources.DeltaLog.copyInto(spark, t, landing) // no-op
+    require(n == 0, s"COPY INTO rerun must ingest nothing, got $n")
+    graft.sources.DeltaLog.read(spark, t)
+  }
+
+  /** SHALLOW CLONE, oracle-verified end to end: clone a protocol
+    * `customer` table (zero copy), DELETE a slice on the CLONE only,
+    * and read the clone back — must equal DuckDB's anti-filter while
+    * the source stays intact (checked in-query). */
+  val qCloneRead: graft.QueryDef = graft.QueryDef.sql(
+    "q_clone_read",
+    """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+      |WHERE NOT (c_nationkey % 5 = 0)""".stripMargin) { (spark, dir) =>
+    val base = java.nio.file.Files.createTempDirectory("graft-clone-q-").toString
+    val src = s"$base/src"
+    val tgt = s"$base/tgt"
+    val cust = graft.Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    graft.sources.DeltaLog.write(spark, cust.repartition(4), src)
+    graft.sources.DeltaLog.cloneShallow(spark, src, tgt)
+    graft.sources.DeltaLog.deleteWhere(spark, tgt, col("c_nationkey") % 5 === 0)
+    val srcCount = graft.sources.DeltaLog.read(spark, src).count()
+    require(srcCount == cust.count(), s"clone DML leaked into the source: $srcCount")
+    graft.sources.DeltaLog.read(spark, tgt)
+  }
+
+  /** Batch CDF via the SQL TABLE_CHANGES function, oracle-verified: a
+    * DV DELETE's change feed must surface exactly the masked rows as
+    * `delete` events stamped with the commit version (the DV-diff fast
+    * path — never a rewrite of untouched neighbors). */
+  val qCdcTableChanges: graft.QueryDef = graft.QueryDef.sql(
+    "q_cdc_table_changes",
+    """SELECT c_custkey, c_mktsegment, c_nationkey,
+      |  'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |FROM customer WHERE c_mktsegment = 'MACHINERY' AND c_custkey % 3 = 0""".stripMargin) {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-cdc-changes-").toString + "/t"
+      graft.sources.DeltaLog.write(spark,
+        graft.Tables.customer(spark, dir)
+          .select("c_custkey", "c_mktsegment", "c_nationkey").repartition(4), t)
+      graft.sources.DeltaLog.deleteWhere(spark, t,
+        col("c_mktsegment") === "MACHINERY" && col("c_custkey") % 3 === 0)
+      graft.sources.GraftSql.exec(spark,
+        s"SELECT * FROM TABLE_CHANGES(delta.`$t`, 1, 1)")
+  }
+
   val all: Seq[graft.QueryDef] =
-    Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses)
+    Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
+      qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges)
 }
