@@ -300,7 +300,24 @@ object Maintenance {
         s"SELECT * FROM TABLE_CHANGES(delta.`$t`, 1, 1)")
   }
 
+  /** Metadata-only count, oracle-verified: after a DV DELETE the
+    * engine's `SELECT COUNT(*)` answers from Σ numRecords − Σ DV
+    * cardinality over the distributed file frame — zero data files
+    * opened — and must equal DuckDB's scan count exactly. */
+  val qMetaCount: graft.QueryDef = graft.QueryDef.sql(
+    "q_meta_count",
+    "SELECT count(*) AS n FROM customer WHERE NOT (c_custkey % 7 = 0)") {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-meta-count-").toString + "/t"
+      graft.sources.DeltaLog.write(spark,
+        graft.Tables.customer(spark, dir)
+          .select("c_custkey", "c_mktsegment", "c_nationkey").repartition(4), t)
+      graft.sources.DeltaLog.deleteWhere(spark, t, col("c_custkey") % 7 === 0)
+      graft.sources.GraftSql.exec(spark, s"SELECT COUNT(*) AS n FROM delta.`$t`")
+  }
+
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
-      qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges)
+      qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount)
 }

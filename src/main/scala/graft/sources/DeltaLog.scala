@@ -874,6 +874,27 @@ object DeltaLog {
       baseVersion = Some(snap.version))
   }
 
+  /** Metadata-only row count — Delta's `SELECT count(*)` fast path:
+    * when every live file carries `numRecords` stats, the answer is
+    * Σ numRecords − Σ deletion-vector cardinality, computed as one
+    * aggregate over the DISTRIBUTED file frame (two longs reach the
+    * driver; zero data files open). Falls back to a real scan when any
+    * stats are missing. On a 100 TB table this is the difference
+    * between milliseconds of log metadata and a full scan. */
+  def countRows(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val snap = snapshot(spark, table, versionAsOf)
+    val r = snap.allFiles.select(
+      get_json_object(col("stats"), "$.numRecords").cast("long").as("n"),
+      coalesce(col("deletionVector.cardinality"), lit(0L)).as("dv"))
+      .agg(count(lit(1)), count(col("n")),
+        coalesce(sum(col("n")), lit(0L)), coalesce(sum(col("dv")), lit(0L)))
+      .head()
+    if (r.getLong(0) == r.getLong(1)) r.getLong(2) - r.getLong(3)
+    else readEntries(spark, table, snap.fileEntries, snap.schema,
+      snap.columnMappingMode).count()
+  }
+
   /** COPY INTO: idempotent bulk file ingestion (Databricks' loading
     * verb for landed files). Every source file is ingested AT MOST
     * once — the ingestion state is one SetTransaction per file

@@ -64,6 +64,8 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s+SHALLOW\s+CLONE\s+delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+delta\.`([^`]+)`\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*""".r
+  private val CountStar =
+    """(?is)\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?\s+FROM\s+delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val ReplaceWhereStmt =
     """(?is)\s*INSERT\s+INTO\s+delta\.`([^`]+)`\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+)""".r
   private val TableChanges =
@@ -310,6 +312,12 @@ object GraftSql {
         fmt.toLowerCase, Option(pat))
       import spark.implicits._
       Seq((v, n.toLong)).toDF("version", "files_ingested")
+    // a bare COUNT(*) answers from file statistics — zero data files
+    // opened (Delta's metadata-count fast path)
+    case CountStar(alias, path, v) =>
+      import spark.implicits._
+      Seq(DeltaLog.countRows(spark, path, Option(v).map(_.toLong)))
+        .toDF(Option(alias).getOrElse("count(1)"))
     case ReplaceWhereStmt(path, cond, select) =>
       version(spark,
         DeltaLog.replaceWhere(spark, path, exec(spark, select), expr(cond)))

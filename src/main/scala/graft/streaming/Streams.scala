@@ -333,6 +333,36 @@ object Streams {
     runToMemory(agg, "q_stream_delta_tail_sink", "complete")
   }
 
+  /** Streaming CDF, oracle-verified: a customer table takes a DV
+    * DELETE (v1) then an append (v2); the `readChangeFeed` stream
+    * anchored at version 1 must emit exactly the masked rows as
+    * `delete` events and the appended rows as `insert` events, each
+    * stamped with its commit version — the same per-commit contract
+    * DuckDB expresses as two filtered projections. */
+  val qStreamCdf: QueryDef = QueryDef.sql(
+    "q_stream_cdf",
+    """SELECT c_custkey, c_nationkey,
+      |  'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |FROM customer WHERE c_custkey % 11 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_nationkey + 7, 'insert', CAST(2 AS BIGINT)
+      |FROM customer WHERE c_custkey % 13 = 0""".stripMargin) { (spark, dir) =>
+    val tbl = Files.createTempDirectory("graft-stream-cdf-").toString + "/t"
+    val cust = graft.Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey")
+    graft.sources.DeltaLog.write(spark, cust.repartition(4), tbl)
+    graft.sources.DeltaLog.deleteWhere(spark, tbl, col("c_custkey") % 11 === 0)
+    graft.sources.DeltaLog.write(spark,
+      cust.where(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"), (col("c_nationkey") + 7).as("c_nationkey")),
+      tbl, mode = "append")
+    val changes = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(tbl)
+    runToMemory(changes, "q_stream_cdf_sink", "append")
+  }
+
   val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark, qStreamJoin,
-    qStreamEnrich, qDeltaTail)
+    qStreamEnrich, qDeltaTail, qStreamCdf)
 }
