@@ -2417,14 +2417,34 @@ object DeltaLog {
     * rewrite recollects stats, clustering immediately pays off in
     * [[readPruned]]/[[pruneFiles]] file skipping. */
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
-      zorderBy: Seq[String] = Seq.empty): Long = {
+      zorderBy: Seq[String] = Seq.empty,
+      minFileSize: Long = Long.MaxValue): Long = {
     val snap = snapshot(spark, table)
+    // Bin-packing scope: only files below `minFileSize` — plus any file
+    // carrying a deletion vector (compaction doubles as the DV purge) —
+    // are rewritten; large clean files stay live untouched. The default
+    // compacts everything (the small-fixture behavior); a 100 TB
+    // deployment passes Delta's ~128 MB threshold so OPTIMIZE is
+    // O(small files), not O(table). ZORDER always takes the full scope:
+    // clustering is a whole-table layout decision.
+    val candidates =
+      if (zorderBy.nonEmpty || minFileSize == Long.MaxValue) snap.fileEntries
+      else {
+        val smalls = snap.allFiles
+          .where(col("size").isNull || col("size") < minFileSize)
+          .select("path").collect().map(_.getString(0)).toSet
+        snap.fileEntries.filter(e => e.dv.isDefined || smalls.contains(e.path))
+      }
+    // nothing worth rewriting: a no-op, not an empty commit
+    if (candidates.isEmpty ||
+        (candidates.size < 2 && candidates.forall(_.dv.isEmpty)))
+      return snap.version
     // column-mapped targets are fine: the compacted frame is logical and
     // commitWrite stages it under physical names
     // the compaction input is THIS snapshot's file set; pin it as
     // baseVersion so a concurrent append between read and commit fails
     // the OPTIMIZE instead of losing the appended file
-    val df = readEntries(spark, table, snap.fileEntries, snap.schema,
+    val df = readEntries(spark, table, candidates, snap.schema,
       snap.columnMappingMode)
     val compacted = zorderBy match {
       case Seq(a, b) => graft.maintenance.Maintenance.zOrderFrame(df, targetFiles, a, b)
@@ -2444,7 +2464,8 @@ object DeltaLog {
       case other => sys.error(s"zorderBy supports 1 or 2 columns, got ${other.mkString(",")}")
     }
     commitWrite(spark, compacted, table, snap.partitionColumns, None,
-      removePaths = _ => snap.files, widenSchema = false, dataChange = false,
+      removePaths = _ => candidates.map(_.path), widenSchema = false,
+      dataChange = false,
       operation = "OPTIMIZE", baseVersion = Some(snap.version))
   }
 

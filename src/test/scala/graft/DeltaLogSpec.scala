@@ -1330,6 +1330,40 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.read(spark, tgt0).count() == 20L)
   }
 
+  test("OPTIMIZE bin-packing: large clean files stay live; DV'd files always purge") {
+    val t = freshTable()
+    // one big file, three small ones
+    DeltaLog.write(spark, (0L until 5000L).toDF("x").coalesce(1), t)
+    (0 until 3).foreach(i => DeltaLog.write(spark,
+      Seq(10000L + i).toDF("x").coalesce(1), t, mode = "append"))
+    val before = DeltaLog.snapshot(spark, t)
+    assert(before.files.size == 4)
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bigSize = before.files.map(p =>
+      fsys.getFileStatus(new org.apache.hadoop.fs.Path(t, p)).getLen).max
+
+    // threshold below the big file: only the three smalls compact
+    DeltaLog.optimize(spark, t, minFileSize = bigSize)
+    val after = DeltaLog.snapshot(spark, t)
+    assert(after.files.size == 2, after.files.toString)
+    assert(before.files.toSet.intersect(after.files.toSet).size == 1,
+      "the large file must survive untouched")
+    assert(DeltaLog.read(spark, t).count() == 5003L)
+
+    // nothing small left: OPTIMIZE is a no-op, not an empty commit
+    val v = DeltaLog.optimize(spark, t, minFileSize = 1024L)
+    assert(v == after.version, "no-op OPTIMIZE must not commit")
+
+    // a DV'd file is always a candidate (compaction doubles as purge),
+    // even when it is larger than the threshold
+    DeltaLog.deleteWhere(spark, t, $"x" === 7L)
+    assert(DeltaLog.snapshot(spark, t).fileEntries.exists(_.dv.isDefined))
+    DeltaLog.optimize(spark, t, minFileSize = 1L)
+    assert(DeltaLog.snapshot(spark, t).fileEntries.forall(_.dv.isEmpty))
+    assert(DeltaLog.read(spark, t).count() == 5002L)
+  }
+
   test("racing row-level DML lands both writers via built-in operation retry") {
     // UPDATE and DELETE on disjoint slices fired concurrently: whoever
     // loses the version race recomputes from the fresh snapshot and
