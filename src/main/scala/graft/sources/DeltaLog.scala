@@ -2486,7 +2486,8 @@ object DeltaLog {
     * Passing `retainMillis = 0` (tests, exclusive maintenance windows)
     * restores immediate reclamation. Returns the deleted file count. */
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1,
-      retainMillis: Long = defaultVacuumRetentionMillis): Int = {
+      retainMillis: Long = defaultVacuumRetentionMillis,
+      dryRun: Boolean = false): Int = {
     require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
     require(retainMillis >= 0, s"retainMillis must be >= 0: $retainMillis")
     val f = fs(spark, table)
@@ -2517,7 +2518,7 @@ object DeltaLog {
       if (st.isFile && (isData || isDeadSidecar) && !rel.startsWith("_delta_log") &&
           !rel.contains("/.") && !rel.startsWith(".") &&
           st.getModificationTime <= cutoff) {
-        f.delete(st.getPath, false)
+        if (!dryRun) f.delete(st.getPath, false)
         deleted += 1
       }
     }

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   *   - `RESTORE TABLE delta.`/p/t` TO VERSION AS OF n` →
   *     [[DeltaLog.restore]].
   *   - `OPTIMIZE delta.`/p/t` [ZORDER BY (a, b)]` → [[DeltaLog.optimize]].
-  *   - `VACUUM delta.`/p/t` [RETAIN n HOURS]` → [[DeltaLog.vacuum]].
+  *   - `VACUUM delta.`/p/t` [RETAIN n HOURS] [DRY RUN]` → [[DeltaLog.vacuum]].
   *   - `DESCRIBE HISTORY delta.`/p/t`` → [[DeltaLog.history]].
   *   - `DESCRIBE DETAIL delta.`/p/t`` → [[DeltaLog.detail]].
   *   - `CREATE TABLE delta.`/p/u` SHALLOW CLONE delta.`/p/t`
@@ -56,7 +56,9 @@ object GraftSql {
     """(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
   private val Optimize = """(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s*""".r
   private val VacuumRetain =
-    """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+RETAIN\s+(\d+)\s+HOURS\s*""".r
+    """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+RETAIN\s+(\d+)\s+HOURS(\s+DRY\s+RUN)?\s*""".r
+  private val VacuumDry =
+    """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+DRY\s+RUN\s*""".r
   private val Vacuum = """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s*""".r
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+delta\.`([^`]+)`\s*""".r
   private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+delta\.`([^`]+)`\s*""".r
@@ -292,11 +294,16 @@ object GraftSql {
           .filter(_.nonEmpty).toSeq))
     case Optimize(path) =>
       version(spark, DeltaLog.optimize(spark, path))
-    case VacuumRetain(path, hours) =>
+    case VacuumRetain(path, hours, dry) =>
       val n = DeltaLog.vacuum(spark, path,
-        retainMillis = hours.toLong * 60L * 60L * 1000L)
+        retainMillis = hours.toLong * 60L * 60L * 1000L,
+        dryRun = dry != null)
       import spark.implicits._
-      Seq(n.toLong).toDF("files_removed")
+      Seq(n.toLong).toDF(if (dry != null) "files_reclaimable" else "files_removed")
+    case VacuumDry(path) =>
+      import spark.implicits._
+      Seq(DeltaLog.vacuum(spark, path, dryRun = true).toLong)
+        .toDF("files_reclaimable")
     case Vacuum(path) =>
       import spark.implicits._
       Seq(DeltaLog.vacuum(spark, path).toLong).toDF("files_removed")

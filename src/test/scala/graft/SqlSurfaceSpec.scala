@@ -121,8 +121,15 @@ class SqlSurfaceSpec extends SparkSpec {
 
     // VACUUM with an explicit retention window reclaims nothing young…
     assert(q(s"VACUUM delta.`$t` RETAIN 168 HOURS").head().getLong(0) == 0L)
-    // …and RETAIN 0 HOURS reclaims the unreferenced files
-    assert(q(s"VACUUM delta.`$t` RETAIN 0 HOURS").head().getLong(0) > 0L)
+    // …DRY RUN counts the reclaimable files without deleting anything…
+    val reclaimable = q(s"VACUUM delta.`$t` RETAIN 0 HOURS DRY RUN").head().getLong(0)
+    assert(reclaimable > 0L)
+    // a real scan (WHERE defeats the metadata fast path) proves the
+    // version-0 files are still on disk
+    assert(q(s"SELECT count(*) AS n FROM delta.`$t` VERSION AS OF 0 WHERE x >= 0")
+      .head().getLong(0) == 100L, "dry run must not delete")
+    // …and RETAIN 0 HOURS reclaims exactly those files
+    assert(q(s"VACUUM delta.`$t` RETAIN 0 HOURS").head().getLong(0) == reclaimable)
     assert(q(s"SELECT count(*) AS n FROM delta.`$t`").head().getLong(0) == 90L)
   }
 
