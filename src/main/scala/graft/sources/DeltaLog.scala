@@ -743,8 +743,20 @@ object DeltaLog {
       val ts = ci.filter(_.has("timestamp")).map(_.get("timestamp").asLong())
         .getOrElse(f.getFileStatus(commitPath(table, v)).getModificationTime)
       val op = ci.filter(_.has("operation")).map(_.get("operation").asText())
-      (v, ts, op)
-    }.toDF("version", "timestamp", "operation")
+      val params: Map[String, String] = ci
+        .filter(n => n.has("operationParameters") &&
+          n.get("operationParameters").isObject)
+        .map { n =>
+          val it = n.get("operationParameters").fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText()
+          }
+          b.result()
+        }.getOrElse(Map.empty)
+      (v, ts, op, params)
+    }.toDF("version", "timestamp", "operation", "operationParameters")
   }
 
   /** DESCRIBE DETAIL: Delta's one-row table summary — format, location,
@@ -871,7 +883,8 @@ object DeltaLog {
       snap.partitionColumns, txn = None,
       removePaths = _ => candidates.map(_.path), widenSchema = false,
       dataChange = true, operation = "REPLACE WHERE",
-      baseVersion = Some(snap.version))
+      baseVersion = Some(snap.version),
+      operationParameters = Map("predicate" -> predSql(predicate)))
   }
 
   /** Metadata-only row count — Delta's `SELECT count(*)` fast path:
@@ -1448,6 +1461,13 @@ object DeltaLog {
   /** File name (basename) from the materialized provenance column. */
   private def provFileName: Column = element_at(split(col(FpCol), "/"), -1)
 
+  /** Best-effort SQL rendering of a predicate for
+    * `commitInfo.operationParameters` — audit metadata only, never
+    * parsed back. (Column.toString renders the column node; the
+    * catalyst-expression route prints an opaque wrapper on Spark 4's
+    * ColumnNode API.) */
+  private def predSql(c: Column): String = c.toString
+
   /** Suffix that provenance-matches a log path against a scanned
     * `_metadata.file_path` URI: the scheme-less absolute path for an
     * external (shallow-clone) reference, the "/"-prefixed relative
@@ -1581,7 +1601,8 @@ object DeltaLog {
       dataChange: Boolean, operation: String,
       retryOnRace: Boolean = false, baseVersion: Option[Long] = None,
       properties: Map[String, String] = Map.empty,
-      extraTxns: Seq[(String, Long)] = Seq.empty): Long = {
+      extraTxns: Seq[(String, Long)] = Seq.empty,
+      operationParameters: Map[String, String] = Map.empty): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -1885,7 +1906,10 @@ object DeltaLog {
       (txn.toSeq ++ extraTxns).foreach { case (appId, v) =>
         actions += s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":$now}}"""
       }
-      actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(operation)}}}"""
+      val opParams =
+        if (operationParameters.isEmpty) ""
+        else s""","operationParameters":${pvJsonOf(operationParameters)}"""
+      actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(operation)}$opParams}}"""
 
       // write-then-rename: the commit becomes visible atomically or not at all
       val tmp = new Path(logDir(table), f".$version%020d-$nonce.json.tmp")
@@ -1983,7 +2007,8 @@ object DeltaLog {
       commitWrite(spark, out, table, snap.partitionColumns, txn,
         removePaths = _ => touched.map(_.path), widenSchema = true,
         dataChange = true, operation = operation,
-        baseVersion = Some(snap.version))
+        baseVersion = Some(snap.version),
+        operationParameters = Map("mergeKeys" -> keys.mkString(",")))
     }
     basenameIndex(snap.files) match {
       case _ if !probeByKeys => commit(snap.fileEntries)
@@ -2337,7 +2362,8 @@ object DeltaLog {
         s""""size":${m.getLong(2)},"modificationTime":${m.getLong(3)},"dataChange":true,""" +
         dvJson(d) + s"$statsField}}"
     }
-    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE"}}"""
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE",""" +
+      s""""operationParameters":${pvJsonOf(Map("predicate" -> predSql(predicate)))}}}"""
 
     // pinned at the snapshot: only valid as the very next version
     val f = fs(spark, table)
@@ -2397,7 +2423,9 @@ object DeltaLog {
     }: _*)
     commitWrite(spark, out, table, snap.partitionColumns, None,
       removePaths = _ => touched.map(_.path), widenSchema = true,
-      dataChange = true, operation = "UPDATE", baseVersion = Some(snap.version))
+      dataChange = true, operation = "UPDATE", baseVersion = Some(snap.version),
+      operationParameters = Map("predicate" -> predSql(predicate),
+        "setColumns" -> set.keys.toSeq.sorted.mkString(",")))
   }
 
   /** OPTIMIZE: rewrite the current snapshot into (up to) `targetFiles`

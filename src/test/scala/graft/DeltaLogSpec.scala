@@ -853,6 +853,17 @@ class DeltaLogSpec extends SparkSpec {
       .select("version", "operation").as[(Long, Option[String])]
       .collect().sortBy(_._1).toSeq
     assert(h.map(_._2.get) == Seq("OVERWRITE", "APPEND", "MERGE", "OPTIMIZE"), h.toString)
+    // audit parameters: the MERGE commit records its keys, and a DELETE
+    // records its predicate (Delta's operationParameters contract)
+    val mergeParams = DeltaLog.history(spark, t)
+      .where($"operation" === "MERGE")
+      .select("operationParameters").as[Map[String, String]].head()
+    assert(mergeParams.get("mergeKeys").contains("id"), mergeParams.toString)
+    DeltaLog.deleteWhere(spark, t, $"id" === 2L)
+    val delParams = DeltaLog.history(spark, t)
+      .where($"operation" === "DELETE")
+      .select("operationParameters").as[Map[String, String]].head()
+    assert(delParams("predicate").contains("id"), delParams.toString)
   }
 
   test("TIMESTAMP AS OF resolves to the newest commit at or before the asked time") {
