@@ -1432,6 +1432,38 @@ class DeltaLogSpec extends SparkSpec {
     assert(changes == Map("delete" -> 2L, "insert" -> 1L), changes.toString)
   }
 
+  test("countRows: stats answer without a scan; stats-less foreign logs fall back") {
+    // our own writer always records numRecords: metadata path
+    val t = freshTable()
+    DeltaLog.write(spark, (0L until 100L).toDF("x").repartition(3), t)
+    DeltaLog.deleteWhere(spark, t, $"x" % 10 === 0L)
+    assert(DeltaLog.countRows(spark, t) == 90L)
+    assert(DeltaLog.countRows(spark, t, versionAsOf = Some(0L)) == 100L)
+
+    // a hand-built foreign log WITHOUT stats must fall back to a scan
+    val t2 = freshTable()
+    writeDataFile(Seq(1L, 2L, 3L).toDF("x"), t2, "part-a.snappy.parquet")
+    commit(t2, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaAction(xSchema),
+      addAction("part-a.snappy.parquet")))
+    assert(DeltaLog.countRows(spark, t2) == 3L)
+  }
+
+  test("clone of a clone: absolute references carry through unchanged") {
+    val base = Files.createTempDirectory("graft-clone2-").toString
+    val src = s"$base/src"
+    DeltaLog.write(spark, (0L until 10L).toDF("x"), src)
+    DeltaLog.cloneShallow(spark, src, s"$base/c1")
+    DeltaLog.write(spark, Seq(100L).toDF("x"), s"$base/c1", mode = "append")
+    DeltaLog.cloneShallow(spark, s"$base/c1", s"$base/c2")
+    assert(DeltaLog.read(spark, s"$base/c2").as[Long].collect().sorted.toSeq ==
+      (0L until 10L) :+ 100L)
+    // the second clone holds no data files either
+    assert(new File(s"$base/c2").listFiles()
+      .filterNot(_.getName == "_delta_log").isEmpty)
+  }
+
   test("COPY INTO ingests each landed file exactly once, across reruns") {
     val base = Files.createTempDirectory("graft-copyinto-").toString
     val landing = s"$base/landing"
