@@ -317,7 +317,45 @@ object Maintenance {
       graft.sources.GraftSql.exec(spark, s"SELECT COUNT(*) AS n FROM delta.`$t`")
   }
 
+  /** Write-path Change Data Feed, oracle-verified: a table carrying
+    * `delta.enableChangeDataFeed=true` (the property on every reference
+    * silver table, /root/reference/pipelines/silver_pipeline.py:95) gets
+    * row-level change files under `_change_data/` committed as `cdc`
+    * actions by DELETE and UPDATE — the feed is then served from those
+    * files alone (no reconstruction, no data-file reads) and must equal
+    * DuckDB's direct computation of the deleted rows and the update
+    * pre/post images. Exercises both DML writers, the cdc read path,
+    * and the keyed pair resolution in one row. */
+  val qCdfWriteFeed: graft.QueryDef = graft.QueryDef.sql(
+    "q_cdf_write_feed",
+    """SELECT c_custkey, c_mktsegment, c_nationkey,
+      |  'delete' AS _change_type, CAST(1 AS BIGINT) AS _commit_version
+      |FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey % 5 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, c_nationkey,
+      |  'update_preimage', CAST(2 AS BIGINT)
+      |FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 11 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, c_nationkey + 500,
+      |  'update_postimage', CAST(2 AS BIGINT)
+      |FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 11 = 0""".stripMargin) {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-cdf-feed-").toString + "/t"
+      graft.sources.DeltaLog.write(spark,
+        graft.Tables.customer(spark, dir)
+          .select("c_custkey", "c_mktsegment", "c_nationkey").repartition(4), t,
+        properties = Map("delta.enableChangeDataFeed" -> "true"))
+      graft.sources.DeltaLog.deleteWhere(spark, t,
+        col("c_mktsegment") === "BUILDING" && col("c_custkey") % 5 === 0)
+      graft.sources.DeltaLog.updateWhere(spark, t,
+        col("c_mktsegment") === "AUTOMOBILE" && col("c_custkey") % 11 === 0,
+        Map("c_nationkey" -> (col("c_nationkey") + 500)))
+      graft.sources.DeltaLog.changesRange(spark, t, 1, 2, keys = Seq("c_custkey"))
+  }
+
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
-      qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount)
+      qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
+      qCdfWriteFeed)
 }

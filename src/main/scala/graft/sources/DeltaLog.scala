@@ -1088,8 +1088,33 @@ object DeltaLog {
         s"(present: ${versions.mkString(",")}) — rebuild the consumer from a snapshot")
     val added = mutable.LinkedHashMap.empty[String, Option[DeletionVectors.Descriptor]]
     val removed = mutable.LinkedHashMap.empty[String, Option[DeletionVectors.Descriptor]]
+    // change-data files: a commit carrying `cdc` actions describes its
+    // row-level changes COMPLETELY through them (the protocol's CDF
+    // contract) — its add/remove actions are ignored for the feed, and
+    // the change files are read directly instead of reconstructing from
+    // the file diff. Commits without cdc actions reconstruct as before,
+    // so mixed windows (foreign CDF writer + plain writer) stay exact.
+    val cdcFiles = mutable.ArrayBuffer.empty[(String, Map[String, String])]
     versions.foreach { v =>
-      readCommit(f, table, v).foreach { a =>
+      val acts = readCommit(f, table, v)
+      val cdcActs = acts.filter(_.has("cdc"))
+      if (cdcActs.nonEmpty) cdcActs.foreach { a =>
+        val c = a.get("cdc")
+        val pv =
+          if (!c.has("partitionValues") || c.get("partitionValues").isNull)
+            Map.empty[String, String]
+          else {
+            val it = c.get("partitionValues").fields()
+            val b = Map.newBuilder[String, String]
+            while (it.hasNext) {
+              val e = it.next()
+              b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+            }
+            b.result()
+          }
+        cdcFiles += ((c.get("path").asText(), pv))
+      }
+      else acts.foreach { a =>
         if (a.has("add") && isDataChange(a.get("add"))) {
           val add = a.get("add")
           added.put(add.get("path").asText(), dvOf(add))
@@ -1129,7 +1154,7 @@ object DeltaLog {
         snap.schema, snap.columnMappingMode)
         .withColumn("_change_type", lit(tag))
     val base = side(removed, "delete").unionByName(side(added, "insert"))
-    if (dvDiffs.isEmpty) base
+    val withDv = if (dvDiffs.isEmpty) base
     else {
       val byBase = dvDiffs.toSeq.map { case (p, d) => basename(p) -> (pathSuffix(p), d) }
         .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
@@ -1148,6 +1173,56 @@ object DeltaLog {
         .withColumn("_change_type", lit("delete"))
       base.unionByName(diffRows)
     }
+    if (cdcFiles.isEmpty) withDv
+    else withDv.unionByName(readCdcFiles(spark, table, cdcFiles.toSeq, snap))
+  }
+
+  /** Read change-data (`cdc`-action) parquet files under the window-end
+    * declared schema and fold them into [[changesBetween]]'s two-type
+    * contract (`update_preimage` → `delete`, `update_postimage` →
+    * `insert` — exact for any linear fold; [[changesWithUpdates]]
+    * re-resolves the pairs when a consumer wants them). Change files
+    * carry the table's DATA columns (physical names under column
+    * mapping, parquet field ids in id mode) plus the protocol's literal
+    * `_change_type` column; partition columns are attached from each
+    * action's `partitionValues` — the spec's source of truth — never
+    * from directory names. */
+  private def readCdcFiles(spark: SparkSession, table: String,
+      files: Seq[(String, Map[String, String])], snap: Snapshot): DataFrame = {
+    val schema = snap.schema.getOrElse(new StructType())
+    val partCols = snap.partitionColumns
+    val dataFields = schema.fields.filterNot(f => partCols.contains(f.name)).toSeq
+    val mappingMode = snap.columnMappingMode
+    // same per-read child-session isolation as readEntries: id-mode
+    // field-id resolution must not leak into the caller's session
+    val readSession =
+      if (mappingMode == "id") {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s
+      } else spark
+    val physData = physicalType(StructType(dataFields), fieldIds = mappingMode == "id")
+      .asInstanceOf[StructType]
+    val readSchema = physData.add("_change_type", StringType)
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    files.groupBy(_._2).toSeq.map { case (pv, group) =>
+      val paths = group.map { case (p, _) => new Path(table, p).toString }
+      val raw = readSession.read.schema(readSchema).parquet(paths: _*)
+      val dataCols = dataFields.zip(physData.fields).map { case (lf, pf) =>
+        col(pf.name).as(lf.name)
+      }
+      val partColsOut = partCols.map { c =>
+        val dt = byName(c).dataType
+        val v = Option(pv.getOrElse(snap.columnMapping.getOrElse(c, c),
+          pv.getOrElse(c, null)))
+        v.fold(lit(null).cast(dt))(s => lit(s).cast(dt)).as(c)
+      }
+      raw.select(dataCols ++ partColsOut :+ col("_change_type"): _*)
+    }.reduce(_ unionByName _)
+      .select(schema.fields.toSeq.map(f => col(f.name)) :+
+        when(col("_change_type") === "update_preimage", "delete")
+          .when(col("_change_type") === "update_postimage", "insert")
+          .otherwise(col("_change_type")).as("_change_type"): _*)
   }
 
   /** Per-commit change feed over an inclusive version range — Delta's
@@ -1602,7 +1677,8 @@ object DeltaLog {
       retryOnRace: Boolean = false, baseVersion: Option[Long] = None,
       properties: Map[String, String] = Map.empty,
       extraTxns: Seq[(String, Long)] = Seq.empty,
-      operationParameters: Map[String, String] = Map.empty): Long = {
+      operationParameters: Map[String, String] = Map.empty,
+      cdc: Option[DataFrame] = None): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -1812,6 +1888,13 @@ object DeltaLog {
       else collectFileStats(spark, table, movedFiles.map(_._1), stagedDf.schema,
         physPartitionBy)
 
+    // change-data files (CDF write path): staged ONCE like the data
+    // files — a retried commit re-declares the same change files
+    val cdcActions: Seq[String] =
+      cdc.filter(_ => firstPrev.exists(cdfEnabled))
+        .map(stageCdc(spark, table, _, firstPrev.get))
+        .getOrElse(Seq.empty)
+
     // Optimistic-concurrency commit loop: build the version-dependent
     // actions, write-then-rename; a lost race re-reads the log and (for
     // conflict-free commits, retryOnRace) retries at the next version.
@@ -1840,6 +1923,8 @@ object DeltaLog {
       val actions = Seq.newBuilder[String]
       if (version == 0L)
         actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      if (cdcActions.nonEmpty)
+        cdfProtocolUpgrade(prevSnap.flatMap(_.protocolJson)).foreach(actions += _)
       // metaData on the first commit, any schema change (evolution — the
       // widened union declares so older files read with nulls in the new
       // columns), or a property change. The PREVIOUS declaration's
@@ -1903,6 +1988,7 @@ object DeltaLog {
         actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
           s""""size":$size,"modificationTime":$now,"dataChange":$dataChange$statsField}}"""
       }
+      cdcActions.foreach(actions += _)
       (txn.toSeq ++ extraTxns).foreach { case (appId, v) =>
         actions += s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":$now}}"""
       }
@@ -2002,13 +2088,19 @@ object DeltaLog {
     // commitWrite stages it under physical names (stats/partitionValues
     // keyed by physicalName); gateWritable refuses only NEW columns
     def commit(touched: Seq[FileEntry]): Long = {
-      val out = frame(readEntries(spark, table, touched, snap.schema,
-        snap.columnMappingMode), source)
+      val target = readEntries(spark, table, touched, snap.schema,
+        snap.columnMappingMode)
+      val out = frame(target, source)
+      // CDF write path: change files describe the net row-level diff of
+      // the rewrite (falls back to no cdc action — file-diff
+      // reconstruction — when keys are not unique on a side)
+      val cdcFrame = if (!cdfEnabled(snap)) None else mergeCdc(target, out, keys)
       commitWrite(spark, out, table, snap.partitionColumns, txn,
         removePaths = _ => touched.map(_.path), widenSchema = true,
         dataChange = true, operation = operation,
         baseVersion = Some(snap.version),
-        operationParameters = Map("mergeKeys" -> keys.mkString(",")))
+        operationParameters = Map("mergeKeys" -> keys.mkString(",")),
+        cdc = cdcFrame)
     }
     basenameIndex(snap.files) match {
       case _ if !probeByKeys => commit(snap.fileEntries)
@@ -2126,6 +2218,155 @@ object DeltaLog {
       d.offset.fold("")(o => s""""offset":$o,""") +
       s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
 
+  // ------------------------------------------------- change data feed (write)
+
+  /** The table asked for write-time change files
+    * (`delta.enableChangeDataFeed=true` — the property the reference
+    * sets on every silver table,
+    * /root/reference/pipelines/silver_pipeline.py:95). */
+  private def cdfEnabled(snap: Snapshot): Boolean =
+    snap.configuration.get("delta.enableChangeDataFeed").contains("true")
+
+  private[graft] val ChangeDataDir = "_change_data"
+
+  /** Stage a change frame (table columns + the protocol's literal
+    * `_change_type` column) as parquet change files under
+    * `_change_data/` and return the commit's `cdc` actions. Staging
+    * mirrors the data path: physical column names (+ parquet field ids
+    * in id mode) under column mapping, partition directories under the
+    * table's physical partitioning with the values recorded on the
+    * action (JSON null for a null partition value), nonce-unique names
+    * so a lost-race commit's change files are invisible orphans. The
+    * write is executor-parallel; the driver handles O(change files)
+    * renames and action strings only. */
+  private def stageCdc(spark: SparkSession, table: String, changes: DataFrame,
+      snap: Snapshot): Seq[String] = {
+    val f = fs(spark, table)
+    val root = new Path(table)
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val scratch = new Path(root, s".tmp-cdc-$nonce")
+    val mappingMode = snap.columnMappingMode
+    val staged =
+      if (mappingMode == "none") changes
+      else {
+        val byName = snap.schema.get.fields.map(fl => fl.name -> fl).toMap
+        changes.select(changes.schema.fields.toSeq.map { fld =>
+          if (fld.name == "_change_type") col(fld.name)
+          else {
+            val declared = byName(fld.name)
+            val phys = physicalType(StructType(Seq(declared)),
+              fieldIds = mappingMode == "id").asInstanceOf[StructType].fields(0)
+            col(fld.name).cast(phys.dataType).as(phys.name, phys.metadata)
+          }
+        }: _*)
+      }
+    val physPartitionBy =
+      snap.partitionColumns.map(n => snap.columnMapping.getOrElse(n, n))
+    val w = staged.write.mode("overwrite")
+    (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
+      .parquet(scratch.toString)
+    val listed = f.listFiles(scratch, true)
+    val actions = Seq.newBuilder[String]
+    var idx = 0
+    while (listed.hasNext) {
+      val st = listed.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val relDir = f.makeQualified(scratch).toUri
+          .relativize(st.getPath.getParent.toUri).getPath.stripSuffix("/")
+        val pv = relDir.split("/").filter(_.contains("=")).map { seg =>
+          val Array(k, v) = seg.split("=", 2)
+          k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                else java.net.URLDecoder.decode(v, "UTF-8"))
+        }.toMap
+        val destRel = s"$ChangeDataDir/" +
+          (if (relDir.isEmpty) "" else relDir + "/") +
+          f"cdc-$idx%05d-$nonce.snappy.parquet"
+        idx += 1
+        val dest = new Path(root, destRel)
+        f.mkdirs(dest.getParent)
+        require(f.rename(st.getPath, dest), s"cdc stage move failed: $dest")
+        actions += s"""{"cdc":{"path":${jsonStr(destRel)},""" +
+          s""""partitionValues":${pvJsonOf(pv)},""" +
+          s""""size":${f.getFileStatus(dest).getLen},"dataChange":false}}"""
+      }
+    }
+    f.delete(scratch, true)
+    actions.result()
+  }
+
+  /** MERGE's change frame: the exact row-level diff of the rewritten
+    * files, classified CDF-style by joining old and new on `keys` —
+    * identical rows (copy-on-write carries of untouched neighbors)
+    * produce NO event, so the change files describe only net changes.
+    * Returns None when keys are not unique on a side (a raw upsert
+    * target may hold duplicates): the commit then carries no cdc
+    * actions and readers reconstruct from the file diff — still exact
+    * for folds, just file-granular. Cost: two key-uniqueness
+    * aggregations + one keyed join over the O(touched) delta, paid only
+    * when the table enables CDF. */
+  private def mergeCdc(old: DataFrame, nw: DataFrame,
+      keys: Seq[String]): Option[DataFrame] = {
+    if (keys.isEmpty) return None
+    val outCols = nw.columns.toSeq
+    val oldAligned = old.select(outCols.map(c =>
+      if (old.columns.contains(c)) col(c)
+      else lit(null).cast(nw.schema(c).dataType).as(c)): _*)
+    def hasDupes(df: DataFrame) = df.groupBy(keys.map(col): _*)
+      .count().where(col("count") > 1).limit(1).count() > 0
+    if (hasDupes(oldAligned) || hasDupes(nw)) return None
+    val cols = outCols.filterNot(keys.contains)
+    def side(df: DataFrame, as: String) =
+      df.select(keys.map(col) :+ struct(cols.map(col): _*).as(as): _*)
+    val j = side(oldAligned, "__old").join(side(nw, "__new"), keys, "full_outer")
+    def ev(row: Column, t: String) = struct(row.as("row"), lit(t).as("t"))
+    val none = slice(array(ev(col("__new"), "")), 1, 0)
+    val events = j.select(keys.map(col) :+ explode(
+      when(col("__old").isNull, array(ev(col("__new"), "insert")))
+        .when(col("__new").isNull, array(ev(col("__old"), "delete")))
+        .when(col("__old") <=> col("__new"), none)
+        .otherwise(array(ev(col("__old"), "update_preimage"),
+          ev(col("__new"), "update_postimage")))).as("__e"): _*)
+    Some(events.select(keys.map(col) ++
+      cols.map(n => col(s"__e.row.$n").as(n)) :+
+      col("__e.t").as("_change_type"): _*))
+  }
+
+  /** Protocol line a cdc-writing commit must carry when the table's
+    * protocol predates the feature: CDF is a WRITER feature — legacy
+    * minWriterVersion 4, or the `changeDataFeed` entry under table
+    * features. None when already declared. */
+  private def cdfProtocolUpgrade(existing: Option[String]): Option[String] = {
+    val node = existing
+      .map(mapper.readTree(_).asInstanceOf[ObjectNode])
+      .getOrElse(mapper.readTree("""{"minReaderVersion":1,"minWriterVersion":2}""")
+        .asInstanceOf[ObjectNode])
+    val mwv = if (node.has("minWriterVersion")) node.get("minWriterVersion").asInt() else 2
+    if (mwv >= 7) {
+      val wf = node.get("writerFeatures")
+      val have = wf != null && !wf.isNull && {
+        val it = wf.elements()
+        var found = false
+        while (it.hasNext && !found) found = it.next().asText() == "changeDataFeed"
+        found
+      }
+      if (have) None
+      else {
+        val out = node.deepCopy()
+        val arr =
+          if (out.has("writerFeatures") && out.get("writerFeatures").isArray)
+            out.get("writerFeatures").asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+          else out.putArray("writerFeatures")
+        arr.add("changeDataFeed")
+        Some(s"""{"protocol":${mapper.writeValueAsString(out)}}""")
+      }
+    } else if (mwv >= 4) None
+    else {
+      val out = node.deepCopy()
+      out.put("minWriterVersion", 4)
+      Some(s"""{"protocol":${mapper.writeValueAsString(out)}}""")
+    }
+  }
+
   /** Write `actions` as commit `version` atomically (write-then-rename
     * under the per-table gate). The caller's read-modify-write is pinned:
     * a lost race fails loudly — by construction the inputs are stale. */
@@ -2228,6 +2469,189 @@ object DeltaLog {
     commitRaw(spark, table, v, actions.result(), "RESTORE")
     maybeAutoCheckpoint(spark, table, v)
     v
+  }
+
+  // ------------------------------------------------------------------ DDL
+
+  /** One metadata-only commit: the current declaration, mutated, plus a
+    * commitInfo — pinned at `snap` (a racing writer fails loudly). The
+    * shape behind CREATE-less DDL verbs (ADD COLUMNS, TBLPROPERTIES). */
+  private def commitMetaData(spark: SparkSession, snap: Snapshot, table: String,
+      operation: String)(mutate: ObjectNode => Unit): Long = {
+    val meta = snap.metaDataJson
+      .map(mapper.readTree(_).asInstanceOf[ObjectNode].deepCopy())
+      .getOrElse(mapper.createObjectNode())
+    if (!meta.has("id")) meta.put("id", java.util.UUID.randomUUID().toString)
+    if (!meta.has("format")) {
+      val fmt = meta.putObject("format")
+      fmt.put("provider", "parquet"); fmt.putObject("options")
+    }
+    if (!meta.has("partitionColumns")) {
+      val pc = meta.putArray("partitionColumns")
+      snap.partitionColumns.foreach(pc.add)
+    }
+    if (!meta.has("configuration")) meta.putObject("configuration")
+    if (!meta.has("createdTime")) meta.put("createdTime", System.currentTimeMillis())
+    mutate(meta)
+    val now = System.currentTimeMillis()
+    val actions = Seq(
+      s"""{"metaData":${mapper.writeValueAsString(meta)}}""",
+      s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(operation)}}}""")
+    val f = fs(spark, table)
+    val current = (listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq).max
+    require(current == snap.version,
+      s"concurrent commit: $table advanced from version ${snap.version} to $current " +
+        s"while this $operation was computed — re-read and retry")
+    val v = snap.version + 1
+    commitRaw(spark, table, v, actions, operation)
+    maybeAutoCheckpoint(spark, table, v)
+    v
+  }
+
+  private def containsStructType(dt: DataType): Boolean = dt match {
+    case _: StructType => true
+    case a: ArrayType => containsStructType(a.elementType)
+    case m: MapType => containsStructType(m.keyType) || containsStructType(m.valueType)
+    case _ => false
+  }
+
+  /** CREATE TABLE: declare schema, partitioning, and properties as
+    * commit 0 — metadata only, zero data files (the reference's DDL-first
+    * star schema, /root/reference/databricks_DW/02_create_tables.sql:9-184,
+    * creates every gold table before any pipeline writes it). Under a
+    * `delta.columnMapping.mode` property every column gets a minted
+    * physicalName/columnId and the protocol declares the legacy
+    * column-mapping versions (2/5), like Delta's create-with-mapping.
+    * Refuses when the table already exists. */
+  def createTable(spark: SparkSession, table: String, schema: StructType,
+      partitionBy: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty): Long = {
+    require(!isDeltaTable(spark, table), s"CREATE TABLE: already exists: $table")
+    val bad = partitionBy.filterNot(schema.fieldNames.contains)
+    require(bad.isEmpty,
+      s"PARTITIONED BY references unknown columns: ${bad.mkString(",")}")
+    val f = fs(spark, table)
+    f.mkdirs(logDir(table))
+    val mode = properties.getOrElse("delta.columnMapping.mode", "none")
+    require(mode == "none" || mode == "name" || mode == "id",
+      s"unsupported delta.columnMapping.mode: $mode")
+    val (declared, cfg) =
+      if (mode == "none") (schema, properties)
+      else {
+        schema.fields.foreach(fl => require(!containsStructType(fl.dataType),
+          s"CREATE TABLE with column mapping: nested-struct column " +
+            s"'${fl.name}' needs per-field ids (unsupported)"))
+        val minted = StructType(schema.fields.zipWithIndex.map { case (fl, i) =>
+          fl.copy(metadata = new MetadataBuilder().withMetadata(fl.metadata)
+            .putLong(FieldIdKey, i + 1L)
+            .putString(PhysNameKey, s"col-${java.util.UUID.randomUUID()}")
+            .build())
+        })
+        (minted,
+          properties + ("delta.columnMapping.maxColumnId" -> schema.fields.length.toString))
+      }
+    val proto =
+      if (mode == "none") """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      else """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+    val meta = mapper.createObjectNode()
+    meta.put("id", java.util.UUID.randomUUID().toString)
+    val fmt = meta.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    meta.put("schemaString", declared.json)
+    val pc = meta.putArray("partitionColumns")
+    partitionBy.foreach(pc.add)
+    val cfgNode = meta.putObject("configuration")
+    cfg.foreach { case (k, v) => cfgNode.put(k, v) }
+    meta.put("createdTime", System.currentTimeMillis())
+    val now = System.currentTimeMillis()
+    commitRaw(spark, table, 0L, Seq(proto,
+      s"""{"metaData":${mapper.writeValueAsString(meta)}}""",
+      s"""{"commitInfo":{"timestamp":$now,"operation":"CREATE TABLE"}}"""),
+      "CREATE TABLE")
+    0L
+  }
+
+  /** ALTER TABLE … ADD COLUMNS: metadata-only schema evolution — the
+    * reference's own migration shape (`ALTER TABLE dim_eater ADD COLUMNS
+    * (updated_at TIMESTAMP)`,
+    * /root/reference/databricks_DW/02_create_tables.sql:187-189).
+    * Existing files simply surface null for the new columns; no data is
+    * touched. Column-mapped tables mint a physicalName/columnId per new
+    * column, exactly like widening-append evolution. */
+  def alterAddColumns(spark: SparkSession, table: String,
+      newCols: StructType): Long = {
+    val snap = snapshot(spark, table)
+    val prev = snap.schema.getOrElse(
+      sys.error(s"ALTER TABLE: no schema declared for $table"))
+    val clash = newCols.fieldNames.filter(prev.fieldNames.contains)
+    require(clash.isEmpty,
+      s"ADD COLUMNS: already present in $table: ${clash.mkString(",")}")
+    val mode = snap.columnMappingMode
+    val minted: Seq[StructField] =
+      if (mode == "none") newCols.fields.toSeq
+      else {
+        newCols.fields.foreach(fl => require(!containsStructType(fl.dataType),
+          s"ADD COLUMNS on a column-mapped table: nested-struct column " +
+            s"'${fl.name}' needs per-field ids (unsupported)"))
+        val usedIds = prev.fields.collect {
+          case fl if fl.metadata.contains(FieldIdKey) => fl.metadata.getLong(FieldIdKey)
+        } ++ snap.configuration.get("delta.columnMapping.maxColumnId").map(_.toLong)
+        val base = if (usedIds.isEmpty) 0L else usedIds.max
+        newCols.fields.toSeq.zipWithIndex.map { case (fl, i) =>
+          fl.copy(metadata = new MetadataBuilder().withMetadata(fl.metadata)
+            .putLong(FieldIdKey, base + i + 1)
+            .putString(PhysNameKey, s"col-${java.util.UUID.randomUUID()}")
+            .build())
+        }
+      }
+    val declared = minted.foldLeft(prev)((s, fl) => s.add(fl))
+    commitMetaData(spark, snap, table, "ADD COLUMNS") { meta =>
+      meta.put("schemaString", declared.json)
+      if (mode != "none") {
+        val cfgNode =
+          if (meta.has("configuration") && meta.get("configuration").isObject)
+            meta.get("configuration").asInstanceOf[ObjectNode]
+          else meta.putObject("configuration")
+        cfgNode.put("delta.columnMapping.maxColumnId",
+          minted.map(_.metadata.getLong(FieldIdKey)).max.toString)
+      }
+    }
+  }
+
+  /** ALTER TABLE … SET TBLPROPERTIES: merge `props` into the table
+    * configuration — how a user enables CDF, appendOnly, or CHECK
+    * constraints on a live table; writers enforce from the next commit.
+    * Column-mapping-mode migration of existing data is refused. */
+  def alterSetProperties(spark: SparkSession, table: String,
+      props: Map[String, String]): Long = {
+    val snap = snapshot(spark, table)
+    props.get("delta.columnMapping.mode").foreach { m =>
+      require(m == snap.columnMappingMode,
+        s"cannot migrate column mapping mode of $table from " +
+          s"'${snap.columnMappingMode}' to '$m' — existing files would need " +
+          "rewritten metadata (unsupported); declare the mode at CREATE TABLE")
+    }
+    commitMetaData(spark, snap, table, "SET TBLPROPERTIES") { meta =>
+      val cfgNode =
+        if (meta.has("configuration") && meta.get("configuration").isObject)
+          meta.get("configuration").asInstanceOf[ObjectNode]
+        else meta.putObject("configuration")
+      props.foreach { case (k, v) => cfgNode.put(k, v) }
+    }
+  }
+
+  /** ALTER TABLE … UNSET TBLPROPERTIES. */
+  def alterUnsetProperties(spark: SparkSession, table: String,
+      keys: Seq[String]): Long = {
+    val snap = snapshot(spark, table)
+    keys.foreach(k => require(!k.startsWith("delta.columnMapping."),
+      s"cannot unset $k — column-mapping state is load-bearing for every file"))
+    commitMetaData(spark, snap, table, "UNSET TBLPROPERTIES") { meta =>
+      if (meta.has("configuration") && meta.get("configuration").isObject) {
+        val cfgNode = meta.get("configuration").asInstanceOf[ObjectNode]
+        keys.foreach(cfgNode.remove)
+      }
+    }
   }
 
   /** Row-level DELETE via deletion vectors: files whose zone maps prove
@@ -2342,9 +2766,29 @@ object DeltaLog {
         (entryByPath(rel), DeletionVectors.Descriptor("u", z85, Some(off), size, card))
     }
 
+    // CDF write path: the matched live rows ARE the deleted set — stage
+    // them as `delete`-typed change files so readers need not touch the
+    // data files at all (and foreign CDF readers need not understand
+    // the DV-update fast path). Staged before the pin check; a lost
+    // race leaves vacuum-reclaimable orphans, like staged data files.
+    val cdcActions: Seq[String] =
+      if (!cdfEnabled(snap)) Seq.empty
+      else stageCdc(spark, table,
+        readEntries(spark, table, candidates, snap.schema, snap.columnMappingMode)
+          .where(predicate).withColumn("_change_type", lit("delete")), snap)
+
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]
-    dvProtocolUpgrade(snap.protocolJson).foreach(actions += _)
+    // one combined protocol action when both the DV and CDF features
+    // need declaring: the CDF check runs against the DV-upgraded
+    // protocol so the second upgrade extends, never overrides, the first
+    val dvUp = dvProtocolUpgrade(snap.protocolJson)
+    val protoAfterDv = dvUp
+      .map(s => mapper.writeValueAsString(mapper.readTree(s).get("protocol")))
+      .orElse(snap.protocolJson)
+    val cdfUp =
+      if (cdcActions.isEmpty) None else cdfProtocolUpgrade(protoAfterDv)
+    cdfUp.orElse(dvUp).foreach(actions += _)
     // the remove carries the file's OLD descriptor (protocol semantics:
     // the removed content is what consumers could see) — without it a
     // change-feed fold would double-delete the already-masked rows
@@ -2362,6 +2806,7 @@ object DeltaLog {
         s""""size":${m.getLong(2)},"modificationTime":${m.getLong(3)},"dataChange":true,""" +
         dvJson(d) + s"$statsField}}"
     }
+    cdcActions.foreach(actions += _)
     actions += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE",""" +
       s""""operationParameters":${pvJsonOf(Map("predicate" -> predSql(predicate)))}}}"""
 
@@ -2421,11 +2866,25 @@ object DeltaLog {
     val out = target.select(target.columns.toSeq.map { c =>
       set.get(c).fold(col(c))(e => when(predicate, e).otherwise(col(c)).as(c))
     }: _*)
+    // CDF write path: the matched rows, as the protocol's
+    // update_preimage/update_postimage pairs — exactly the rows the SET
+    // touched, never the carried neighbors
+    val cdcFrame =
+      if (!cdfEnabled(snap)) None
+      else {
+        val matched = target.where(predicate)
+        val post = matched.select(matched.columns.toSeq.map { c =>
+          set.get(c).fold(col(c))(e => e.as(c))
+        }: _*).withColumn("_change_type", lit("update_postimage"))
+        Some(matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post))
+      }
     commitWrite(spark, out, table, snap.partitionColumns, None,
       removePaths = _ => touched.map(_.path), widenSchema = true,
       dataChange = true, operation = "UPDATE", baseVersion = Some(snap.version),
       operationParameters = Map("predicate" -> predSql(predicate),
-        "setColumns" -> set.keys.toSeq.sorted.mkString(",")))
+        "setColumns" -> set.keys.toSeq.sorted.mkString(",")),
+      cdc = cdcFrame)
   }
 
   /** OPTIMIZE: rewrite the current snapshot into (up to) `targetFiles`
@@ -2533,6 +2992,14 @@ object DeltaLog {
         .relativize(f.makeQualified(p).toUri).getPath)
       .toSet
     val cutoff = System.currentTimeMillis() - retainMillis
+    // change-data files referenced by any SURVIVING commit JSON stay —
+    // [[changesBetween]] can still serve those windows; once the commit
+    // is checkpointed away the cdc file becomes reclaimable like any
+    // unreferenced data file. O(surviving commits) driver work, bounded
+    // by the checkpoint interval.
+    val liveCdc: Set[String] = listVersions(spark, table).flatMap(v =>
+      readCommit(f, table, v).filter(_.has("cdc"))
+        .map(_.get("cdc").get("path").asText())).toSet
     // every data file under the root (not the log dir), relative paths
     val root = f.makeQualified(new Path(table))
     val it = f.listFiles(root, true)
@@ -2540,7 +3007,8 @@ object DeltaLog {
     while (it.hasNext) {
       val st = it.next()
       val rel = root.toUri.relativize(st.getPath.toUri).getPath
-      val isData = rel.endsWith(".parquet") && !live.contains(rel)
+      val isData = rel.endsWith(".parquet") && !live.contains(rel) &&
+        !liveCdc.contains(rel)
       val isDeadSidecar = basename(rel).startsWith("deletion_vector_") &&
         rel.endsWith(".bin") && !liveSidecars.contains(rel)
       if (st.isFile && (isData || isDeadSidecar) && !rel.startsWith("_delta_log") &&

@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   *   - `DESCRIBE DETAIL delta.`/p/t`` → [[DeltaLog.detail]].
   *   - `CREATE TABLE delta.`/p/u` SHALLOW CLONE delta.`/p/t`
   *     [VERSION AS OF n]` → [[DeltaLog.cloneShallow]].
+  *   - `CREATE TABLE delta.`/p/t` (a BIGINT, b STRING, …) [PARTITIONED
+  *     BY (b)] [TBLPROPERTIES ('k'='v', …)]` → [[DeltaLog.createTable]]
+  *     (metadata-only commit 0 — the reference's DDL-first star schema,
+  *     02_create_tables.sql:9-184).
+  *   - `ALTER TABLE delta.`/p/t` ADD COLUMNS (c TIMESTAMP, …)` →
+  *     [[DeltaLog.alterAddColumns]] (metadata-only evolution —
+  *     02_create_tables.sql:187-189).
+  *   - `ALTER TABLE delta.`/p/t` SET TBLPROPERTIES ('k'='v', …)` /
+  *     `UNSET TBLPROPERTIES ('k', …)` → [[DeltaLog.alterSetProperties]]
+  *     / [[DeltaLog.alterUnsetProperties]].
   *   - `COPY INTO delta.`/p/t` FROM '/landing/dir' FILEFORMAT = PARQUET
   *     [PATTERN = '*.parquet']` → [[DeltaLog.copyInto]] (idempotent
   *     per-file ingestion).
@@ -74,6 +84,45 @@ object GraftSql {
     """(?i)TABLE_CHANGES\s*\(\s*delta\.`([^`]+)`\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val TableRef =
     """(?i)delta\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
+  // CREATE TABLE: the column list may hold nested parens (DECIMAL(12,2)),
+  // so only the head is regex-matched; the balanced column list and the
+  // optional PARTITIONED BY / TBLPROPERTIES clauses are scanned manually
+  private val CreateHead =
+    """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s*\((.*)""".r
+  private val PartitionedBy =
+    """(?is)\s*PARTITIONED\s+BY\s*\(([^)]+)\)(.*)""".r
+  private val TblProps = """(?is)\s*TBLPROPERTIES\s*\((.+)\)\s*""".r
+  private val AlterAdd =
+    """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+ADD\s+COLUMNS\s*\((.+)\)\s*""".r
+  private val AlterSet =
+    """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
+  private val AlterUnset =
+    """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
+  private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val PropKey = """'([^']*)'""".r
+
+  private def parseProps(s: String): Map[String, String] =
+    PropPair.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
+
+  /** Split `rest` (everything after the opening paren of a CREATE TABLE
+    * column list) into the balanced column-list DDL and the tail after
+    * its closing paren. */
+  private def balancedSplit(rest: String): (String, String) = {
+    var depth = 1; var i = 0; var quote = ' '
+    while (i < rest.length && depth > 0) {
+      val c = rest(i)
+      if (quote != ' ') { if (c == quote) quote = ' ' }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    require(depth == 0, s"unbalanced parens in CREATE TABLE: ($rest")
+    (rest.substring(0, i - 1), rest.substring(i))
+  }
 
   /** A `TIMESTAMP AS OF` literal: `yyyy-MM-dd[ HH:mm:ss]`, read in the
     * session's UTC convention. */
@@ -277,6 +326,34 @@ object GraftSql {
     * rewritten to temp views — so plain SELECTs just work. */
   def exec(spark: SparkSession, statement: String): DataFrame = statement match {
     case MergeHead() => execMerge(spark, statement)
+    // DDL before DML: CloneStmt also begins with CREATE TABLE but names
+    // no column list, so the head patterns cannot collide
+    case CloneStmt(target, src, v) =>
+      version(spark,
+        DeltaLog.cloneShallow(spark, src, target, Option(v).map(_.toLong)))
+    case CreateHead(path, rest) =>
+      val (colsDdl, tail) = balancedSplit(rest)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+      val (partBy, afterPart) = tail match {
+        case PartitionedBy(cols, t) =>
+          (cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq, t)
+        case t => (Seq.empty[String], t)
+      }
+      val props = afterPart match {
+        case TblProps(kv) => parseProps(kv)
+        case t => require(t.trim.isEmpty,
+          s"cannot parse CREATE TABLE tail: '$t'"); Map.empty[String, String]
+      }
+      version(spark, DeltaLog.createTable(spark, path, schema, partBy, props))
+    case AlterAdd(path, colsDdl) =>
+      version(spark, DeltaLog.alterAddColumns(spark, path,
+        org.apache.spark.sql.types.StructType.fromDDL(colsDdl)))
+    case AlterSet(path, kv) =>
+      version(spark, DeltaLog.alterSetProperties(spark, path, parseProps(kv)))
+    case AlterUnset(path, kv) =>
+      version(spark, DeltaLog.alterUnsetProperties(spark, path,
+        PropKey.findAllMatchIn(kv).map(_.group(1)).toSeq))
     case Delete(path, cond) =>
       version(spark, DeltaLog.deleteWhere(spark, path, expr(cond)))
     case Update(path, set, cond) =>
@@ -311,9 +388,6 @@ object GraftSql {
       DeltaLog.history(spark, path)
     case Detail(path) =>
       DeltaLog.detail(spark, path)
-    case CloneStmt(target, src, v) =>
-      version(spark,
-        DeltaLog.cloneShallow(spark, src, target, Option(v).map(_.toLong)))
     case CopyInto(path, from, fmt, pat) =>
       val (v, n) = DeltaLog.copyInto(spark, path, from,
         fmt.toLowerCase, Option(pat))
