@@ -354,8 +354,39 @@ object Maintenance {
       graft.sources.DeltaLog.changesRange(spark, t, 1, 2, keys = Seq("c_custkey"))
   }
 
+  /** DDL lifecycle, oracle-verified: CREATE TABLE (metadata-only commit
+    * 0), append, ALTER TABLE ADD COLUMNS (metadata-only evolution —
+    * the reference's own migration shape,
+    * /root/reference/databricks_DW/02_create_tables.sql:187-189), append
+    * under the widened schema, read back — pre-evolution rows must
+    * surface NULL in the added column, exactly DuckDB's union shape. */
+  val qDdlLifecycle: graft.QueryDef = graft.QueryDef.sql(
+    "q_ddl_lifecycle",
+    """SELECT c_custkey, c_mktsegment, CAST(NULL AS BIGINT) AS nation
+      |FROM customer WHERE c_custkey % 2 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, c_nationkey AS nation
+      |FROM customer WHERE c_custkey % 2 = 1""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-ddl-life-").toString + "/t"
+    val c = graft.Tables.customer(spark, dir)
+    graft.sources.GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$t` (c_custkey BIGINT, c_mktsegment STRING)")
+    graft.sources.DeltaLog.write(spark,
+      c.where(col("c_custkey") % 2 === 0).select("c_custkey", "c_mktsegment"),
+      t, mode = "append")
+    graft.sources.GraftSql.exec(spark,
+      s"ALTER TABLE delta.`$t` ADD COLUMNS (nation BIGINT)")
+    graft.sources.DeltaLog.write(spark,
+      c.where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          col("c_nationkey").cast("bigint").as("nation")),
+      t, mode = "append")
+    graft.sources.DeltaLog.read(spark, t)
+  }
+
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
-      qCdfWriteFeed)
+      qCdfWriteFeed, qDdlLifecycle)
 }
