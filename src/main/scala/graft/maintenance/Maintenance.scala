@@ -385,8 +385,72 @@ object Maintenance {
     graft.sources.DeltaLog.read(spark, t)
   }
 
+  /** Generated columns, oracle-verified end-to-end: CREATE TABLE with
+    * `order_year INT GENERATED ALWAYS AS (year(o_orderdate))`
+    * partitioned by it, append orders WITHOUT the column (the writer
+    * computes it — Delta's `generatedColumns` feature), read back. The
+    * result must equal DuckDB computing the same projection directly —
+    * proving computation, partition layout, and read-back typing all
+    * line up. At scale this is the canonical `date(ts)` partitioning:
+    * the writer derives the partition key, so every file lands in one
+    * partition and zone maps stay tight on the base column. */
+  val qGeneratedCols: graft.QueryDef = graft.QueryDef.sql(
+    "q_generated_cols",
+    """SELECT o_orderkey, o_totalprice,
+      |  CAST(year(o_orderdate) AS INT) AS order_year
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-gen-cols-").toString + "/t"
+    graft.sources.GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$t` (o_orderkey BIGINT, o_totalprice DOUBLE, " +
+        "order_year INT GENERATED ALWAYS AS (year(o_orderdate))) " +
+        "PARTITIONED BY (order_year)")
+    // o_orderdate rides along so the expression can see it; the table
+    // schema widens with it (append evolution), which is fine — the
+    // oracle projects the three asserted columns
+    graft.sources.DeltaLog.write(spark,
+      graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double"),
+          col("o_orderdate")),
+      t, mode = "append")
+    graft.sources.DeltaLog.read(spark, t)
+      .select("o_orderkey", "o_totalprice", "order_year")
+  }
+
+  /** Identity columns, oracle-verified on their invariants: CREATE TABLE
+    * with `sk BIGINT GENERATED ALWAYS AS IDENTITY`, two appends without
+    * the column (the writer allocates distributed, dense-from-empty
+    * ids and advances the protocol's high-water mark between commits),
+    * read back and assert count/distinct/min/max — the shape DuckDB can
+    * state without seeing the engine's row→id assignment (which is
+    * legitimately order-dependent). The reference builds surrogate keys
+    * with a single-partition row_number window (SURVEY §7.4) — identity
+    * columns are the shuffle-free, scale-correct replacement. */
+  val qIdentitySurrogate: graft.QueryDef = graft.QueryDef.sql(
+    "q_identity_surrogate",
+    """SELECT count(*) AS n_rows, count(*) AS n_distinct_sk,
+      |  CAST(1 AS BIGINT) AS min_sk, CAST(count(*) AS BIGINT) AS max_sk
+      |FROM customer""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-identity-").toString + "/t"
+    graft.sources.GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$t` (sk BIGINT GENERATED ALWAYS AS IDENTITY " +
+        "(START WITH 1 INCREMENT BY 1), c_custkey BIGINT, c_mktsegment STRING)")
+    val c = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey").cast("bigint").as("c_custkey"), col("c_mktsegment"))
+    graft.sources.DeltaLog.write(spark,
+      c.where(col("c_custkey") % 2 === 0), t, mode = "append")
+    graft.sources.DeltaLog.write(spark,
+      c.where(col("c_custkey") % 2 === 1), t, mode = "append")
+    graft.sources.DeltaLog.read(spark, t).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("sk")).as("n_distinct_sk"),
+      min(col("sk")).as("min_sk"),
+      max(col("sk")).as("max_sk"))
+  }
+
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
-      qCdfWriteFeed, qDdlLifecycle)
+      qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate)
 }

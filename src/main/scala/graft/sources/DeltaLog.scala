@@ -300,6 +300,17 @@ object DeltaLog {
 
   private val PhysNameKey = "delta.columnMapping.physicalName"
   private val FieldIdKey = "delta.columnMapping.id"
+
+  // ------------------------------------- generated & identity columns
+  // (Delta writer features `generatedColumns` / `identityColumns`: the
+  // column's StructField metadata carries the generation expression or
+  // the identity start/step/highWaterMark — the protocol's own keys, so
+  // tables created by delta-spark round-trip)
+  private[graft] val GenExprKey = "delta.generationExpression"
+  private[graft] val IdStartKey = "delta.identity.start"
+  private[graft] val IdStepKey = "delta.identity.step"
+  private[graft] val IdHwmKey = "delta.identity.highWaterMark"
+  private[graft] val IdAllowKey = "delta.identity.allowExplicitInsert"
   /** Spark's parquet reader resolves columns by this metadata key when
     * `spark.sql.parquet.fieldId.read.enabled` is set. */
   private val ParquetFieldIdKey = "parquet.field.id"
@@ -1646,13 +1657,148 @@ object DeltaLog {
     // appends retry a lost version race (no conflict is possible: the
     // commit removes nothing and its file names are nonce-unique);
     // overwrites/merges must instead surface the conflict to the caller,
-    // whose read-modify-write is stale after a concurrent commit
-    commitWrite(spark, df, table, partitionBy, txn,
+    // whose read-modify-write is stale after a concurrent commit. An
+    // append into an identity table is the one append that CAN race
+    // (its allocated ids are fenced on the snapshot that supplied the
+    // high-water mark) — that race surfaces as CommitRaceException and
+    // the operation-level retry here re-allocates from a fresh snapshot.
+    def run(): Long = commitWrite(spark, df, table, partitionBy, txn,
       removePaths = s => if (mode == "overwrite") s.files else Seq.empty,
       widenSchema = mode == "append", dataChange = true,
       operation = mode.toUpperCase,
       retryOnRace = mode == "append" && baseVersion.isEmpty,
       baseVersion = baseVersion, properties = properties)
+    if (mode == "append" && baseVersion.isEmpty) withDmlRetry(3)(run())
+    else run()
+  }
+
+  /** Writer-feature compliance for generated and identity columns,
+    * applied to every dataChange commit ([[commitWrite]]):
+    *
+    * Generated columns (`delta.generationExpression` field metadata):
+    *   - user-data writes (APPEND/OVERWRITE/REPLACE WHERE/COPY INTO):
+    *     a missing column is computed from its expression; a provided
+    *     column is ENFORCED (`value <=> expr` per row, null-safe) and a
+    *     violating write refuses whole — Delta's invariant semantics.
+    *   - rewrites (MERGE/UPDATE), whose frame derives from the table
+    *     itself: the column is RECOMPUTED unconditionally, so a SET or
+    *     update-clause touching a base column keeps the invariant;
+    *     untouched rows recompute to their existing value (the
+    *     expression is deterministic over the row).
+    *
+    * Identity columns (`delta.identity.*` field metadata, BIGINT):
+    *   - null slots (a missing column, explicit nulls, or MERGE-inserted
+    *     rows) are allocated fresh values `highWaterMark + k·step`.
+    *     Allocation is DISTRIBUTED: one light counting pre-pass gets the
+    *     row count per input partition (collecting O(partitions)
+    *     scalars), then each row's value is derived from
+    *     `monotonically_increasing_id()` — partition offset plus
+    *     in-partition index — with no shuffle and no window. Non-null
+    *     rows consume allocation slots too (gaps, which the identity
+    *     contract explicitly allows) so the id needs no per-row
+    *     null-rank. The two evaluations of the frame (count pass +
+    *     staging write) rely on deterministic partition contents —
+    *     the same property Spark itself requires for task retries.
+    *   - explicit non-null values refuse under GENERATED ALWAYS
+    *     (`allowExplicitInsert` absent/false) on user-data writes;
+    *     rewrites carry existing values through untouched. Under BY
+    *     DEFAULT the high-water mark advances past the provided values
+    *     so later allocations never collide.
+    *   - the advanced `delta.identity.highWaterMark` is committed in the
+    *     SAME commit's metaData action (schema metadata), the protocol's
+    *     allocation fence; a racing writer triggers a
+    *     [[CommitRaceException]] and the operation-level retry
+    *     re-allocates from the fresh snapshot.
+    *
+    * Returns the (possibly augmented) frame plus the new high-water
+    * mark per identity column (empty when nothing advanced). */
+  private def applyGeneratedIdentity(spark: SparkSession, df: DataFrame,
+      declared: StructType, dataChange: Boolean, operation: String)
+      : (DataFrame, Map[String, Long]) = {
+    val genFields = declared.fields.filter(_.metadata.contains(GenExprKey)).toSeq
+    val idFields = declared.fields.filter(_.metadata.contains(IdStartKey)).toSeq
+    if (!dataChange || (genFields.isEmpty && idFields.isEmpty))
+      return (df, Map.empty)
+    val rewriteOp = operation == "MERGE" || operation == "UPDATE"
+    var data = df
+    if (genFields.nonEmpty) {
+      if (rewriteOp) {
+        genFields.foreach { fl =>
+          if (data.columns.contains(fl.name))
+            data = data.withColumn(fl.name,
+              expr(fl.metadata.getString(GenExprKey)).cast(fl.dataType))
+        }
+      } else {
+        val (present, absent) =
+          genFields.partition(fl => data.columns.contains(fl.name))
+        absent.foreach { fl =>
+          data = data.withColumn(fl.name,
+            expr(fl.metadata.getString(GenExprKey)).cast(fl.dataType))
+        }
+        if (present.nonEmpty) {
+          val violated = present.map { fl =>
+            !(col(fl.name) <=> expr(fl.metadata.getString(GenExprKey)).cast(fl.dataType))
+          }.reduce(_ || _)
+          require(data.where(violated).limit(1).count() == 0L,
+            s"generated-column invariant violated by $operation: " + present
+              .map(fl => s"${fl.name} := ${fl.metadata.getString(GenExprKey)}")
+              .mkString("; "))
+        }
+      }
+    }
+    var hwms = Map.empty[String, Long]
+    idFields.foreach { fl =>
+      val m = fl.metadata
+      val start = if (m.contains(IdStartKey)) m.getLong(IdStartKey) else 1L
+      val step = if (m.contains(IdStepKey)) m.getLong(IdStepKey) else 1L
+      require(step != 0L, s"identity column ${fl.name}: step must be non-zero")
+      val allowExplicit =
+        scala.util.Try(m.getBoolean(IdAllowKey)).getOrElse(false)
+      val hwm = if (m.contains(IdHwmKey)) m.getLong(IdHwmKey) else start - step
+      val hadCol = data.columns.contains(fl.name)
+      if (hadCol && !rewriteOp && !allowExplicit)
+        require(data.where(col(fl.name).isNotNull).limit(1).count() == 0L,
+          s"identity column ${fl.name} is GENERATED ALWAYS — explicit values " +
+            s"refused (set $IdAllowKey=true for GENERATED BY DEFAULT)")
+      if (!hadCol) data = data.withColumn(fl.name, lit(null).cast(LongType))
+      // counting pre-pass: rows + provided extremum per input partition
+      // (monotonically_increasing_id encodes partition << 33 | index)
+      val gidCol = "__graft_identity_gid"
+      val tagged = data.withColumn(gidCol, monotonically_increasing_id())
+      val perPart = tagged
+        .groupBy(shiftright(col(gidCol), 33).as("__pid"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col(fl.name).isNull, 1L).otherwise(0L)).as("__nulls"),
+          min(col(fl.name)).as("__mn"), max(col(fl.name)).as("__mx"))
+        .collect()
+      val totalRows = perPart.map(_.getAs[Long]("__n")).sum
+      val anyNull = perPart.exists(_.getAs[Long]("__nulls") > 0L)
+      val provided = perPart.flatMap { r =>
+        Option(if (step > 0) r.getAs[Any]("__mx") else r.getAs[Any]("__mn"))
+      }.map { case l: Long => l }
+      // the mark only ever advances in step direction — past both its
+      // previous value and any explicitly provided ids
+      val base =
+        if (provided.isEmpty) hwm
+        else if (step > 0) math.max(hwm, provided.max)
+        else math.min(hwm, provided.min)
+      if (anyNull) {
+        val offsets: Map[Long, Long] = {
+          val sorted = perPart.map(r =>
+            r.getAs[Long]("__pid") -> r.getAs[Long]("__n")).sortBy(_._1)
+          var acc = 0L
+          sorted.map { case (pid, n) => val o = pid -> acc; acc += n; o }.toMap
+        }
+        val slot = element_at(typedLit(offsets), shiftright(col(gidCol), 33)) +
+          col(gidCol).bitwiseAND(lit((1L << 33) - 1L)) + lit(1L)
+        data = tagged.withColumn(fl.name,
+            when(col(fl.name).isNull, lit(base) + lit(step) * slot)
+              .otherwise(col(fl.name)))
+          .drop(gidCol)
+        hwms += fl.name -> (base + step * totalRows)
+      } else if (base != hwm) hwms += fl.name -> base
+    }
+    (data, hwms)
   }
 
   /** Core committer behind every write shape (overwrite, append,
@@ -1791,7 +1937,41 @@ object DeltaLog {
         case _ => df.schema
       }
     gateWritable(firstPrev)
-    declaredSchema(firstPrev)
+    // the feature-bearing view of the declared schema: an OVERWRITE
+    // redeclares df's own schema, but generated/identity columns are
+    // table-owned — the caller legitimately omits them (the writer
+    // computes them), so they must survive the redeclaration instead of
+    // silently vanishing on the first overwrite
+    val featureSchema: StructType = {
+      val base = declaredSchema(firstPrev)
+      firstPrev.flatMap(_.schema)
+        .map(_.fields.filter(fl => fl.metadata.contains(GenExprKey) ||
+          fl.metadata.contains(IdStartKey)).toSeq)
+        .getOrElse(Seq.empty)
+        .filterNot(fl => base.fieldNames.contains(fl.name))
+        .foldLeft(base)(_ add _)
+    }
+    // generated/identity columns: fill, enforce, or recompute against
+    // the table's declared metadata; identityHwms carries the advanced
+    // high-water marks for the metaData action below
+    val (data, identityHwms) = applyGeneratedIdentity(spark, df,
+      featureSchema, dataChange, operation)
+    // columns the feature pass ADDED (a generated/identity column the
+    // caller's frame lacked) must be re-attached to the declaration —
+    // with their feature metadata
+    val featureAdded: Seq[StructField] =
+      data.columns.filterNot(df.columns.contains).toSeq
+        .flatMap(n => featureSchema.fields.find(_.name == n))
+    def amendDeclared(s: StructType): StructType = {
+      val widened = featureAdded.filterNot(fl => s.fieldNames.contains(fl.name))
+        .foldLeft(s)((acc, fl) => acc.add(fl))
+      if (identityHwms.isEmpty) widened
+      else StructType(widened.fields.map { fl =>
+        identityHwms.get(fl.name).fold(fl)(h => fl.copy(metadata =
+          new MetadataBuilder().withMetadata(fl.metadata)
+            .putLong(IdHwmKey, h).build()))
+      })
+    }
     // table-property enforcement (writer-side protocol compliance),
     // BEFORE staging so a refused commit leaves zero trace:
     // - delta.appendOnly: a dataChange commit must not remove files
@@ -1806,7 +1986,7 @@ object DeltaLog {
       effConfig.foreach { case (k, v) =>
         if (k.startsWith("delta.constraints.")) {
           val name = k.stripPrefix("delta.constraints.")
-          val bad = df.where(!coalesce(expr(v), lit(true))).limit(1).count()
+          val bad = data.where(!coalesce(expr(v), lit(true))).limit(1).count()
           require(bad == 0L,
             s"CHECK constraint '$name' ($v) violated by rows written to $table — refused")
         }
@@ -1829,20 +2009,31 @@ object DeltaLog {
     // caller's frame and partitionBy stay logical.
     val mappingMode = firstPrev.map(_.columnMappingMode).getOrElse("none")
     val stagedDf =
-      if (mappingMode == "none") df
+      if (mappingMode == "none") data
       else {
         val byName = (firstPrev.flatMap(_.schema).get.fields ++ mappedMinted)
           .map(f => f.name -> f).toMap
-        val mapped = StructType(df.schema.fields.map(fld => byName(fld.name)))
+        val mapped = StructType(data.schema.fields.map(fld => byName(fld.name)))
         val phys = physicalType(mapped, fieldIds = mappingMode == "id")
           .asInstanceOf[StructType]
-        df.select(df.schema.fields.zip(phys.fields).map { case (src, dst) =>
+        data.select(data.schema.fields.zip(phys.fields).map { case (src, dst) =>
           col(src.name).cast(dst.dataType).as(dst.name, dst.metadata)
         }.toIndexedSeq: _*)
       }
+    // append-shaped commits (no removes) into a partitioned table
+    // inherit its partitioning for the STAGED LAYOUT too, not only the
+    // metaData declaration below — otherwise an append without an
+    // explicit partitionBy would land unpartitioned files (empty
+    // partitionValues) in a table whose declaration promises pruning
+    val effPartitionBy: Seq[String] =
+      if (partitionBy.nonEmpty) partitionBy
+      else firstPrev match {
+        case Some(p) if removePaths(p).isEmpty => p.partitionColumns
+        case _ => Seq.empty
+      }
     val physPartitionBy =
-      if (mappingMode == "none") partitionBy
-      else partitionBy.map(n => firstPrev.get.columnMapping.getOrElse(n, n))
+      if (mappingMode == "none") effPartitionBy
+      else effPartitionBy.map(n => firstPrev.get.columnMapping.getOrElse(n, n))
     val w = stagedDf.write.mode("overwrite")
     (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
       .parquet(scratch.toString)
@@ -1918,7 +2109,15 @@ object DeltaLog {
       baseVersion.foreach(b => if (version != b + 1) throw new CommitRaceException(
         s"concurrent commit: $table advanced from version $b to ${version - 1} " +
           s"while this $operation was computed — re-read and retry"))
-      val declared = declaredSchema(prevSnap)
+      // identity allocation is fenced on the snapshot it read its
+      // high-water mark from: committing the staged ids at a LATER
+      // version could collide with a concurrent writer's allocation, so
+      // the race surfaces for an operation-level re-allocation instead
+      if (identityHwms.nonEmpty && version != firstVersion)
+        throw new CommitRaceException(
+          s"concurrent commit: identity allocation for $operation on $table " +
+            s"was computed against version ${firstVersion - 1} — re-read and retry")
+      val declared = amendDeclared(declaredSchema(prevSnap))
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[String]
       if (version == 0L)
@@ -1943,14 +2142,9 @@ object DeltaLog {
           fmt.put("provider", "parquet"); fmt.putObject("options")
         }
         meta.put("schemaString", declared.json)
-        // append-style commits (no removes) into a partitioned table
-        // inherit its partitioning; overwrites declare their own
-        val pc =
-          if (partitionBy.nonEmpty) partitionBy
-          else prevSnap match {
-            case Some(p) if removePaths(p).isEmpty => p.partitionColumns
-            case _ => partitionBy
-          }
+        // the declaration must match the STAGED layout: the inherited
+        // (or explicit) partitioning computed above
+        val pc = effPartitionBy
         val pcArr = meta.putArray("partitionColumns")
         pc.foreach(pcArr.add)
         if (properties.nonEmpty || !meta.has("configuration")) {
@@ -2550,9 +2744,28 @@ object DeltaLog {
         (minted,
           properties + ("delta.columnMapping.maxColumnId" -> schema.fields.length.toString))
       }
+    // writer features raise the legacy writer version they map to
+    // (4 = generatedColumns, 5 = columnMapping, 6 = identityColumns);
+    // the declared protocol is the max the schema demands
+    val hasGen = schema.fields.exists(_.metadata.contains(GenExprKey))
+    val hasIdent = schema.fields.exists(_.metadata.contains(IdStartKey))
+    schema.fields.filter(_.metadata.contains(GenExprKey)).foreach { fl =>
+      require(!fl.metadata.contains(IdStartKey),
+        s"column ${fl.name} cannot be both generated and identity")
+      // parse now: a typo'd expression must refuse at CREATE, not at
+      // the first write
+      spark.sessionState.sqlParser.parseExpression(
+        fl.metadata.getString(GenExprKey))
+    }
+    schema.fields.filter(_.metadata.contains(IdStartKey)).foreach { fl =>
+      require(fl.dataType == LongType,
+        s"identity column ${fl.name} must be BIGINT, is ${fl.dataType.simpleString}")
+    }
+    val minWriter = Seq(2, if (hasGen) 4 else 2, if (mode != "none") 5 else 2,
+      if (hasIdent) 6 else 2).max
+    val minReader = if (mode == "none") 1 else 2
     val proto =
-      if (mode == "none") """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      else """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":$minWriter}}"""
     val meta = mapper.createObjectNode()
     meta.put("id", java.util.UUID.randomUUID().toString)
     val fmt = meta.putObject("format")
@@ -2845,6 +3058,14 @@ object DeltaLog {
       val missing = set.keySet -- s.fieldNames
       require(missing.isEmpty,
         s"UPDATE SET references columns not in the table: ${missing.mkString(",")}")
+      // generated columns recompute from their expression (below, via
+      // commitWrite) and identity values are allocator-owned — a direct
+      // SET on either would break the invariant
+      val derived = s.fields.filter(fl => fl.metadata.contains(GenExprKey) ||
+        fl.metadata.contains(IdStartKey)).map(_.name).toSet
+      val badSet = set.keySet & derived
+      require(badSet.isEmpty,
+        s"UPDATE SET on generated/identity columns refused: ${badSet.mkString(",")}")
     }
     val candidates = pruneEntries(spark, snap, predicate)
     if (candidates.isEmpty) return snap.version
@@ -2873,9 +3094,16 @@ object DeltaLog {
       if (!cdfEnabled(snap)) None
       else {
         val matched = target.where(predicate)
-        val post = matched.select(matched.columns.toSeq.map { c =>
+        val post0 = matched.select(matched.columns.toSeq.map { c =>
           set.get(c).fold(col(c))(e => e.as(c))
-        }: _*).withColumn("_change_type", lit("update_postimage"))
+        }: _*)
+        // the post-image must show the RECOMPUTED generated columns —
+        // the same values commitWrite rewrites into the table
+        val post = snap.schema.map(_.fields.filter(_.metadata.contains(GenExprKey)))
+          .getOrElse(Array.empty[StructField])
+          .foldLeft(post0)((d, fl) => d.withColumn(fl.name,
+            expr(fl.metadata.getString(GenExprKey)).cast(fl.dataType)))
+          .withColumn("_change_type", lit("update_postimage"))
         Some(matched.withColumn("_change_type", lit("update_preimage"))
           .unionByName(post))
       }

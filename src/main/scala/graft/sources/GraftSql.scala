@@ -104,6 +104,58 @@ object GraftSql {
   private def parseProps(s: String): Map[String, String] =
     PropPair.findAllMatchIn(s).map(m => m.group(1) -> m.group(2)).toMap
 
+  // column DDL with a generation clause — Databricks' own syntax:
+  //   sk BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1)
+  //   yr INT GENERATED ALWAYS AS (year(order_ts))
+  private val IdentityCol =
+    ("""(?is)^\s*`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?)\s+GENERATED\s+""" +
+      """(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY""" +
+      """(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*$""").r
+  private val GeneratedCol =
+    """(?is)^\s*`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*$""".r
+
+  /** Split a CREATE TABLE column list on top-level commas (nested
+    * parens — DECIMAL(12,2), START WITH … — and quotes stay intact). */
+  private def splitTopCommas(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0; var quote: Char = 0; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.result().filter(_.trim.nonEmpty)
+  }
+
+  /** Parse a CREATE TABLE column list, honoring GENERATED ALWAYS AS
+    * (expr) and GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY clauses by
+    * attaching the protocol's field-metadata keys. */
+  private def parseColumns(colsDdl: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(splitTopCommas(colsDdl).map {
+      case IdentityCol(name, tpe, kind, startO, stepO) =>
+        val md = new MetadataBuilder()
+          .putLong(DeltaLog.IdStartKey, Option(startO).map(_.toLong).getOrElse(1L))
+          .putLong(DeltaLog.IdStepKey, Option(stepO).map(_.toLong).getOrElse(1L))
+        if (!kind.equalsIgnoreCase("ALWAYS"))
+          md.putBoolean(DeltaLog.IdAllowKey, true)
+        StructField(name, DataType.fromDDL(tpe), nullable = true, md.build())
+      case GeneratedCol(name, tpe, genExpr) =>
+        StructField(name, DataType.fromDDL(tpe), nullable = true,
+          new MetadataBuilder()
+            .putString(DeltaLog.GenExprKey, genExpr.trim).build())
+      case plain => StructType.fromDDL(plain).fields.head
+    })
+  }
+
   /** Split `rest` (everything after the opening paren of a CREATE TABLE
     * column list) into the balanced column-list DDL and the tail after
     * its closing paren. */
@@ -333,7 +385,7 @@ object GraftSql {
         DeltaLog.cloneShallow(spark, src, target, Option(v).map(_.toLong)))
     case CreateHead(path, rest) =>
       val (colsDdl, tail) = balancedSplit(rest)
-      val schema = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+      val schema = parseColumns(colsDdl)
       val (partBy, afterPart) = tail match {
         case PartitionedBy(cols, t) =>
           (cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
