@@ -2867,6 +2867,148 @@ object DeltaLog {
     }
   }
 
+  /** Column names referenced by the table's CHECK constraints and
+    * generation expressions (lowercased, top-level attribute heads) —
+    * the columns a rename/drop must not silently break. */
+  private def referencedColumns(spark: SparkSession, snap: Snapshot): Set[String] = {
+    val exprs =
+      snap.configuration.collect {
+        case (k, v) if k.startsWith("delta.constraints.") => v
+      } ++
+      snap.schema.map(_.fields.collect {
+        case fl if fl.metadata.contains(GenExprKey) => fl.metadata.getString(GenExprKey)
+      }.toSeq).getOrElse(Seq.empty)
+    exprs.flatMap { e =>
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.map(_.toLowerCase)
+      }.flatten
+    }.toSet
+  }
+
+  /** ALTER TABLE … RENAME COLUMN — metadata-only, and only possible
+    * UNDER COLUMN MAPPING: the data files are keyed by the stable
+    * physicalName/columnId, so re-declaring the logical name in
+    * schemaString renames the column for every file, past and future,
+    * without touching a byte of data (Delta's own precondition for
+    * RENAME). Without mapping, files are bound to the old name and a
+    * rename would null the column — refused. Partition columns rename
+    * too (partitionColumns speaks logical names; the directory layout
+    * and partitionValues stay keyed by physicalName). A column
+    * referenced by a CHECK constraint or a generation expression
+    * refuses — the stored expression text would dangle. */
+  def alterRenameColumn(spark: SparkSession, table: String,
+      from: String, to: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.columnMappingMode != "none",
+      s"RENAME COLUMN on $table needs column mapping " +
+        "(delta.columnMapping.mode=name|id at CREATE TABLE) — without it " +
+        "existing files are bound to the old name")
+    val prev = snap.schema.getOrElse(sys.error(s"no schema declared for $table"))
+    require(prev.fieldNames.contains(from), s"RENAME COLUMN: no such column: $from")
+    require(!prev.fieldNames.contains(to), s"RENAME COLUMN: already exists: $to")
+    require(!referencedColumns(spark, snap).contains(from.toLowerCase),
+      s"RENAME COLUMN: $from is referenced by a CHECK constraint or a " +
+        "generation expression — drop the constraint / recreate first")
+    val declared = StructType(prev.fields.map(fl =>
+      if (fl.name == from) fl.copy(name = to) else fl))
+    commitMetaData(spark, snap, table, "RENAME COLUMN") { meta =>
+      meta.put("schemaString", declared.json)
+      if (snap.partitionColumns.contains(from)) {
+        val pc = meta.putArray("partitionColumns")
+        snap.partitionColumns.foreach(c => pc.add(if (c == from) to else c))
+      }
+    }
+  }
+
+  /** ALTER TABLE … DROP COLUMN — metadata-only under column mapping:
+    * the field leaves schemaString, existing files simply stop
+    * projecting it (their physical column becomes dead weight until a
+    * rewrite). The protocol's key property, asserted in spec: a later
+    * ADD COLUMNS with the SAME logical name mints a FRESH
+    * physicalName/columnId, so the old data is NOT resurrected — the
+    * re-added column reads null everywhere. Partition columns and
+    * constraint/generation-referenced columns refuse. */
+  def alterDropColumn(spark: SparkSession, table: String, name: String): Long = {
+    val snap = snapshot(spark, table)
+    require(snap.columnMappingMode != "none",
+      s"DROP COLUMN on $table needs column mapping — without it the column " +
+        "cannot leave the schema while files still carry it under its own name")
+    val prev = snap.schema.getOrElse(sys.error(s"no schema declared for $table"))
+    require(prev.fieldNames.contains(name), s"DROP COLUMN: no such column: $name")
+    require(prev.fields.length > 1, s"DROP COLUMN: cannot drop the last column")
+    require(!snap.partitionColumns.contains(name),
+      s"DROP COLUMN: $name is a partition column")
+    require(!referencedColumns(spark, snap).contains(name.toLowerCase),
+      s"DROP COLUMN: $name is referenced by a CHECK constraint or a " +
+        "generation expression")
+    val declared = StructType(prev.fields.filterNot(_.name == name))
+    commitMetaData(spark, snap, table, "DROP COLUMN") { meta =>
+      meta.put("schemaString", declared.json)
+    }
+  }
+
+  /** ALTER TABLE … ADD CONSTRAINT name CHECK (expr): validates the
+    * EXISTING rows first (one distributed anti-filter count — Delta's
+    * own semantics: a constraint that current data violates refuses),
+    * then records `delta.constraints.name`; every later dataChange
+    * write enforces it pre-staging. */
+  def alterAddConstraint(spark: SparkSession, table: String,
+      name: String, expression: String): Long = {
+    val snap = snapshot(spark, table)
+    val key = s"delta.constraints.$name"
+    require(!snap.configuration.contains(key),
+      s"ADD CONSTRAINT: $name already exists on $table")
+    spark.sessionState.sqlParser.parseExpression(expression)
+    val bad = read(spark, table)
+      .where(!coalesce(expr(expression), lit(true))).limit(1).count()
+    require(bad == 0L,
+      s"ADD CONSTRAINT $name ($expression): existing rows violate it — refused")
+    alterSetProperties(spark, table, Map(key -> expression))
+  }
+
+  /** ALTER TABLE … DROP CONSTRAINT name. */
+  def alterDropConstraint(spark: SparkSession, table: String, name: String): Long =
+    alterUnsetProperties(spark, table, Seq(s"delta.constraints.$name"))
+
+  /** ALTER TABLE … SYNC IDENTITY: re-seat each identity column's
+    * high-water mark on the actual extremum present in the table (one
+    * distributed min/max over just those columns) — the repair step
+    * after BY DEFAULT writers inserted explicit ids. The mark only
+    * moves in step direction; an already-correct mark is a no-op
+    * commit-free call. */
+  def alterSyncIdentity(spark: SparkSession, table: String): Long = {
+    val snap = snapshot(spark, table)
+    val prev = snap.schema.getOrElse(sys.error(s"no schema declared for $table"))
+    val idFields = prev.fields.filter(_.metadata.contains(IdStartKey)).toSeq
+    require(idFields.nonEmpty, s"SYNC IDENTITY: $table has no identity columns")
+    val aggs = idFields.flatMap(fl =>
+      Seq(min(col(fl.name)).as(s"__mn_${fl.name}"),
+        max(col(fl.name)).as(s"__mx_${fl.name}")))
+    val row = read(spark, table).agg(aggs.head, aggs.tail: _*).head()
+    val updates = idFields.flatMap { fl =>
+      val m = fl.metadata
+      val start = if (m.contains(IdStartKey)) m.getLong(IdStartKey) else 1L
+      val step = if (m.contains(IdStepKey)) m.getLong(IdStepKey) else 1L
+      val hwm = if (m.contains(IdHwmKey)) m.getLong(IdHwmKey) else start - step
+      val ext = Option(row.getAs[Any](
+        if (step > 0) s"__mx_${fl.name}" else s"__mn_${fl.name}"))
+        .map { case l: Long => l }
+      val next = ext.map(e =>
+        if (step > 0) math.max(hwm, e) else math.min(hwm, e)).getOrElse(hwm)
+      if (next != hwm) Some(fl.name -> next) else None
+    }.toMap
+    if (updates.isEmpty) return snap.version
+    val declared = StructType(prev.fields.map { fl =>
+      updates.get(fl.name).fold(fl)(h => fl.copy(metadata =
+        new MetadataBuilder().withMetadata(fl.metadata)
+          .putLong(IdHwmKey, h).build()))
+    })
+    commitMetaData(spark, snap, table, "SYNC IDENTITY") { meta =>
+      meta.put("schemaString", declared.json)
+    }
+  }
+
   /** Row-level DELETE via deletion vectors: files whose zone maps prove
     * no row can match are never touched; every other file gets a roaring
     * bitmap of its deleted row indexes written as a sidecar frame, and

@@ -98,6 +98,16 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
   private val AlterUnset =
     """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+UNSET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
+  private val AlterRename =
+    """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*""".r
+  private val AlterDropCol =
+    """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+DROP\s+COLUMN\s+`?(\w+)`?\s*""".r
+  private val AlterAddCheck =
+    """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+  private val AlterDropCheck =
+    """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+  private val AlterSync =
+    """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+SYNC\s+IDENTITY\s*""".r
   private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val PropKey = """'([^']*)'""".r
 
@@ -406,6 +416,16 @@ object GraftSql {
     case AlterUnset(path, kv) =>
       version(spark, DeltaLog.alterUnsetProperties(spark, path,
         PropKey.findAllMatchIn(kv).map(_.group(1)).toSeq))
+    case AlterRename(path, from, to) =>
+      version(spark, DeltaLog.alterRenameColumn(spark, path, from, to))
+    case AlterDropCol(path, name) =>
+      version(spark, DeltaLog.alterDropColumn(spark, path, name))
+    case AlterAddCheck(path, name, check) =>
+      version(spark, DeltaLog.alterAddConstraint(spark, path, name, check))
+    case AlterDropCheck(path, name) =>
+      version(spark, DeltaLog.alterDropConstraint(spark, path, name))
+    case AlterSync(path) =>
+      version(spark, DeltaLog.alterSyncIdentity(spark, path))
     case Delete(path, cond) =>
       version(spark, DeltaLog.deleteWhere(spark, path, expr(cond)))
     case Update(path, set, cond) =>
