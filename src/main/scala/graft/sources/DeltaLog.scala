@@ -725,10 +725,17 @@ object DeltaLog {
     val versions = listVersions(spark, table)
     require(versions.nonEmpty,
       s"timestamp travel needs JSON commits (checkpoint-only log): $table")
+    // in-commit timestamps take precedence over the wall-clock field
+    // and over file mtimes (which backup/restore or object-store
+    // migration scramble) — the feature's whole point
     def commitTs(v: Long): Long =
       readCommit(f, table, v).collectFirst {
-        case a if a.has("commitInfo") && a.get("commitInfo").has("timestamp") =>
-          a.get("commitInfo").get("timestamp").asLong()
+        case a if a.has("commitInfo") &&
+            (a.get("commitInfo").has("inCommitTimestamp") ||
+              a.get("commitInfo").has("timestamp")) =>
+          val ci = a.get("commitInfo")
+          if (ci.has("inCommitTimestamp")) ci.get("inCommitTimestamp").asLong()
+          else ci.get("timestamp").asLong()
       }.getOrElse(f.getFileStatus(commitPath(table, v)).getModificationTime)
     val eligible = versions.filter(commitTs(_) <= tsMillis)
     require(eligible.nonEmpty,
@@ -751,7 +758,9 @@ object DeltaLog {
     listVersions(spark, table).map { v =>
       val ci = readCommit(f, table, v).find(_.has("commitInfo"))
         .map(_.get("commitInfo"))
-      val ts = ci.filter(_.has("timestamp")).map(_.get("timestamp").asLong())
+      val ts = ci.filter(_.has("inCommitTimestamp"))
+        .map(_.get("inCommitTimestamp").asLong())
+        .orElse(ci.filter(_.has("timestamp")).map(_.get("timestamp").asLong()))
         .getOrElse(f.getFileStatus(commitPath(table, v)).getModificationTime)
       val op = ci.filter(_.has("operation")).map(_.get("operation").asText())
       val params: Map[String, String] = ci
@@ -854,7 +863,9 @@ object DeltaLog {
         s""""partitionValues":${pvJsonOf(pv)},"size":${r.getLong(2)},""" +
         s""""modificationTime":$mt,"dataChange":true$statsField$dvField}}"""
     }
-    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"CLONE"}}"""
+    actions += s"""{"commitInfo":{"timestamp":$now""" +
+      ictField(spark, target, 0L, snap.configuration, now) +
+      s""","operation":"CLONE"}}"""
 
     val f = fs(spark, target)
     f.mkdirs(new Path(target, "_delta_log"))
@@ -2034,7 +2045,22 @@ object DeltaLog {
     val physPartitionBy =
       if (mappingMode == "none") effPartitionBy
       else effPartitionBy.map(n => firstPrev.get.columnMapping.getOrElse(n, n))
-    val w = stagedDf.write.mode("overwrite")
+    // optimizeWrite (delta.autoOptimize.optimizeWrite): AQE-rebalanced
+    // pre-write shuffle — partition-value-aligned, skew-split output
+    // bins instead of one small file per task per partition value. The
+    // rebalance hint is exactly OSS Spark's optimize-write primitive:
+    // AQE coalesces undersized bins and splits oversized ones at
+    // runtime, so file count tracks DATA VOLUME, not task count — the
+    // property that keeps a 1000-executor streaming append from minting
+    // 1000 shards per trigger.
+    val stagedOut =
+      if (dataChange &&
+          effConfig.get("delta.autoOptimize.optimizeWrite").contains("true")) {
+        if (physPartitionBy.nonEmpty)
+          stagedDf.hint("rebalance", physPartitionBy.map(col): _*)
+        else stagedDf.hint("rebalance")
+      } else stagedDf
+    val w = stagedOut.write.mode("overwrite")
     (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
       .parquet(scratch.toString)
     val staged = f.listFiles(scratch, true)
@@ -2120,10 +2146,22 @@ object DeltaLog {
       val declared = amendDeclared(declaredSchema(prevSnap))
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[String]
+      val ictOn = effConfig.get(IctEnableKey).contains("true")
       if (version == 0L)
-        actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      if (cdcActions.nonEmpty)
-        cdfProtocolUpgrade(prevSnap.flatMap(_.protocolJson)).foreach(actions += _)
+        // at most ONE protocol action per commit: a version-0 write that
+        // already enables in-commit timestamps declares the upgraded
+        // protocol directly
+        actions += (if (ictOn) ictProtocolUpgrade(None).get
+          else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      // at most one protocol action per commit: when both the CDF and
+      // the in-commit-timestamp upgrade are due, chain them
+      val protoBase = prevSnap.flatMap(_.protocolJson)
+      val cdfUp = if (cdcActions.isEmpty) None else cdfProtocolUpgrade(protoBase)
+      def inner(action: String): String =
+        mapper.writeValueAsString(mapper.readTree(action).get("protocol"))
+      val ictUp = if (!ictOn || version == 0L) None
+        else ictProtocolUpgrade(cdfUp.map(inner).orElse(protoBase))
+      (ictUp.orElse(cdfUp)).foreach(actions += _)
       // metaData on the first commit, any schema change (evolution — the
       // widened union declares so older files read with nulls in the new
       // columns), or a property change. The PREVIOUS declaration's
@@ -2189,7 +2227,9 @@ object DeltaLog {
       val opParams =
         if (operationParameters.isEmpty) ""
         else s""","operationParameters":${pvJsonOf(operationParameters)}"""
-      actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(operation)}$opParams}}"""
+      actions += s"""{"commitInfo":{"timestamp":$now""" +
+        ictField(spark, table, version, effConfig, now) +
+        s""","operation":${jsonStr(operation)}$opParams}}"""
 
       // write-then-rename: the commit becomes visible atomically or not at all
       val tmp = new Path(logDir(table), f".$version%020d-$nonce.json.tmp")
@@ -2217,8 +2257,42 @@ object DeltaLog {
       }
     }
     maybeAutoCheckpoint(spark, table, committed)
+    maybeAutoCompact(spark, table, operation, dataChange, effConfig)
     committed
   }
+
+  /** Auto compaction (delta.autoOptimize.autoCompact): after a
+    * dataChange commit, if the table has accumulated at least
+    * `spark.graft.delta.autoCompact.minNumFiles` (default 50) files
+    * under `spark.graft.delta.autoCompact.minFileSize` (default 16 MB;
+    * Databricks' knob defaults to 128 MB at warehouse scale), run a
+    * bin-packing OPTIMIZE scoped to just those files. The check is one
+    * distributed count over the file-state frame; the compaction is
+    * O(small files). Best effort, like the checkpoint: the commit is
+    * already durable, and a lost compaction race just leaves the small
+    * files for the next writer. */
+  private def maybeAutoCompact(spark: SparkSession, table: String,
+      operation: String, dataChange: Boolean,
+      cfg: scala.collection.Map[String, String]): Unit =
+    if (dataChange && operation != "OPTIMIZE" &&
+        cfg.get("delta.autoOptimize.autoCompact").contains("true")) {
+      val minSize = spark.conf.get(
+        "spark.graft.delta.autoCompact.minFileSize",
+        (16L * 1024 * 1024).toString).toLong
+      val minNum = spark.conf.get(
+        "spark.graft.delta.autoCompact.minNumFiles", "50").toInt
+      try {
+        val snap = snapshot(spark, table)
+        val small = snap.allFiles.where(col("size") < minSize).count()
+        if (small >= minNum) {
+          optimize(spark, table, minFileSize = minSize); ()
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[delta] auto-compact of $table failed: ${e.getMessage}")
+      }
+    }
 
   /** Auto-checkpoint: bounded JSON replay for long-lived tables, run
     * after every `spark.graft.delta.checkpointInterval`-th commit. Best
@@ -2564,6 +2638,75 @@ object DeltaLog {
   /** Write `actions` as commit `version` atomically (write-then-rename
     * under the per-table gate). The caller's read-modify-write is pinned:
     * a lost race fails loudly — by construction the inputs are stale. */
+  // ------------------------------------------- in-commit timestamps
+  // (writer feature `inCommitTimestamp`, minWriterVersion 7: when
+  // `delta.enableInCommitTimestamps=true` every commit's commitInfo
+  // carries a MONOTONIC logical clock, and timestamp time travel
+  // resolves against it instead of file modification times — which
+  // rsync, backup-restore, or object-store migration scramble)
+
+  private[graft] val IctEnableKey = "delta.enableInCommitTimestamps"
+
+  /** The `,"inCommitTimestamp":N` fragment for a commitInfo about to be
+    * written at `version` (empty when the feature is off). N is
+    * `max(now, previous commit's clock + 1)` — strictly monotonic even
+    * when the wall clock steps backwards. A vacuumed predecessor falls
+    * back to wall time (the checkpointed prefix is pre-enablement or
+    * already monotone). */
+  private def ictValue(spark: SparkSession, table: String, version: Long,
+      cfg: scala.collection.Map[String, String], now: Long): Option[Long] =
+    if (!cfg.get(IctEnableKey).contains("true")) None
+    else {
+      val f = fs(spark, table)
+      val prev =
+        if (version == 0L) 0L
+        else try readCommit(f, table, version - 1).collectFirst {
+          case a if a.has("commitInfo") => a.get("commitInfo")
+        }.map { ci =>
+          if (ci.has("inCommitTimestamp")) ci.get("inCommitTimestamp").asLong()
+          else if (ci.has("timestamp")) ci.get("timestamp").asLong()
+          else 0L
+        }.getOrElse(0L)
+        catch { case scala.util.control.NonFatal(_) => 0L }
+      Some(math.max(now, prev + 1))
+    }
+
+  private def ictField(spark: SparkSession, table: String, version: Long,
+      cfg: scala.collection.Map[String, String], now: Long): String =
+    ictValue(spark, table, version, cfg, now)
+      .fold("")(t => s""","inCommitTimestamp":$t""")
+
+  /** Protocol action upgrading the table to carry the
+    * `inCommitTimestamp` writer feature (None when already present).
+    * Writer-only: minWriterVersion 7 with the legacy writer features
+    * spelled out, reader side untouched. */
+  private def ictProtocolUpgrade(existing: Option[String]): Option[String] = {
+    val node = existing
+      .map(mapper.readTree(_).asInstanceOf[ObjectNode])
+      .getOrElse(mapper.readTree("""{"minReaderVersion":1,"minWriterVersion":2}""")
+        .asInstanceOf[ObjectNode])
+    def feats(field: String): Seq[String] =
+      if (!node.has(field) || node.get(field).isNull) Seq.empty
+      else {
+        val it = node.get(field).elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      }
+    if (feats("writerFeatures").contains("inCommitTimestamp")) return None
+    val mwv = if (node.has("minWriterVersion")) node.get("minWriterVersion").asInt() else 2
+    val legacyWriter = Seq(
+      2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
+      4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
+      6 -> "identityColumns").collect { case (v, f) if mwv >= v && mwv < 7 => f }
+    val wf = (feats("writerFeatures") ++ legacyWriter :+ "inCommitTimestamp").distinct
+    val out = node.deepCopy()
+    out.put("minWriterVersion", 7)
+    val wfArr = out.putArray("writerFeatures")
+    wf.foreach(wfArr.add)
+    Some(s"""{"protocol":${mapper.writeValueAsString(out)}}""")
+  }
+
   private def commitRaw(spark: SparkSession, table: String, version: Long,
       actions: Seq[String], operation: String): Unit = {
     val f = fs(spark, table)
@@ -2654,7 +2797,9 @@ object DeltaLog {
         s""""modificationTime":${if (m.isNullAt(3)) now else m.getLong(3)},""" +
         s""""dataChange":true$dvField$statsField}}"""
     }
-    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"RESTORE"}}"""
+    actions += s"""{"commitInfo":{"timestamp":$now""" +
+      ictField(spark, table, cur.version + 1, cur.configuration, now) +
+      s""","operation":"RESTORE"}}"""
     val current = (listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq).max
     require(current == cur.version,
       s"concurrent commit: $table advanced from version ${cur.version} to $current " +
@@ -2688,9 +2833,26 @@ object DeltaLog {
     if (!meta.has("createdTime")) meta.put("createdTime", System.currentTimeMillis())
     mutate(meta)
     val now = System.currentTimeMillis()
-    val actions = Seq(
+    // in-commit timestamps: read the flag from the MUTATED configuration
+    // (this very commit may be the one enabling it — per spec, the
+    // enablement commit itself must carry the first clock, the writer
+    // feature, and the enablement-provenance properties)
+    val cfgNode = meta.get("configuration")
+    val ictOn = cfgNode != null && cfgNode.has(IctEnableKey) &&
+      cfgNode.get(IctEnableKey).asText() == "true"
+    val wasOn = snap.configuration.get(IctEnableKey).contains("true")
+    val ictV = ictValue(spark, table, snap.version + 1,
+      if (ictOn) Map(IctEnableKey -> "true") else Map.empty[String, String], now)
+    val ict = ictV.fold("")(t => s""","inCommitTimestamp":$t""")
+    if (ictOn && !wasOn) {
+      val cn = cfgNode.asInstanceOf[ObjectNode]
+      cn.put("delta.inCommitTimestampEnablementVersion", (snap.version + 1).toString)
+      cn.put("delta.inCommitTimestampEnablementTimestamp", ictV.get.toString)
+    }
+    val protoUp = if (!ictOn) None else ictProtocolUpgrade(snap.protocolJson)
+    val actions = protoUp.toSeq ++ Seq(
       s"""{"metaData":${mapper.writeValueAsString(meta)}}""",
-      s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr(operation)}}}""")
+      s"""{"commitInfo":{"timestamp":$now$ict,"operation":${jsonStr(operation)}}}""")
     val f = fs(spark, table)
     val current = (listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq).max
     require(current == snap.version,
@@ -2764,8 +2926,16 @@ object DeltaLog {
     val minWriter = Seq(2, if (hasGen) 4 else 2, if (mode != "none") 5 else 2,
       if (hasIdent) 6 else 2).max
     val minReader = if (mode == "none") 1 else 2
-    val proto =
+    val protoLegacy =
       s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":$minWriter}}"""
+    // enabling in-commit timestamps at creation upgrades the declared
+    // protocol to the writer feature directly (one protocol action)
+    val proto =
+      if (properties.get(IctEnableKey).contains("true"))
+        ictProtocolUpgrade(Some(
+          s"""{"minReaderVersion":$minReader,"minWriterVersion":$minWriter}"""))
+          .getOrElse(protoLegacy)
+      else protoLegacy
     val meta = mapper.createObjectNode()
     meta.put("id", java.util.UUID.randomUUID().toString)
     val fmt = meta.putObject("format")
@@ -2779,7 +2949,7 @@ object DeltaLog {
     val now = System.currentTimeMillis()
     commitRaw(spark, table, 0L, Seq(proto,
       s"""{"metaData":${mapper.writeValueAsString(meta)}}""",
-      s"""{"commitInfo":{"timestamp":$now,"operation":"CREATE TABLE"}}"""),
+      s"""{"commitInfo":{"timestamp":$now${ictField(spark, table, 0L, cfg, now)},"operation":"CREATE TABLE"}}"""),
       "CREATE TABLE")
     0L
   }
@@ -3162,7 +3332,9 @@ object DeltaLog {
         dvJson(d) + s"$statsField}}"
     }
     cdcActions.foreach(actions += _)
-    actions += s"""{"commitInfo":{"timestamp":$now,"operation":"DELETE",""" +
+    actions += s"""{"commitInfo":{"timestamp":$now""" +
+      ictField(spark, table, snap.version + 1, snap.configuration, now) +
+      s""","operation":"DELETE",""" +
       s""""operationParameters":${pvJsonOf(Map("predicate" -> predSql(predicate)))}}}"""
 
     // pinned at the snapshot: only valid as the very next version
