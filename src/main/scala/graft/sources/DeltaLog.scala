@@ -88,7 +88,27 @@ object DeltaLog {
       columnMappingMode: String,
       metaDataJson: Option[String],
       protocolJson: Option[String],
-      allFiles: DataFrame) {
+      allFiles: DataFrame,
+      domainMetadata: Map[String, String] = Map.empty) {
+
+    /** Clustering columns from the `delta.clustering` metadata domain
+      * (Delta's liquid-clustering declaration; empty when unclustered). */
+    lazy val clusteringColumns: Seq[String] =
+      domainMetadata.get("delta.clustering").toSeq.flatMap { cfg =>
+        val n = mapper.readTree(cfg)
+        if (!n.has("clusteringColumns")) Seq.empty
+        else {
+          val it = n.get("clusteringColumns").elements()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val part = it.next()
+            // each entry is a (possibly nested) name path; top-level only
+            if (part.isArray && part.size() > 0) b += part.get(0).asText()
+            else if (part.isTextual) b += part.asText()
+          }
+          b.result()
+        }
+      }
 
     /** Path + deletion vector of every live file, collected ONCE and
       * cached — the driver needs paths to build any multi-file scan (the
@@ -269,7 +289,7 @@ object DeltaLog {
     * rather than silently misread. */
   private val supportedReaderFeatures =
     Set("timestampNtz", "columnMapping", "vacuumProtocolCheck",
-      "deletionVectors", "v2Checkpoint")
+      "deletionVectors", "v2Checkpoint", "typeWidening")
 
   private def gateProtocol(p: JsonNode): Unit = {
     val mrv = if (p.has("minReaderVersion")) p.get("minReaderVersion").asInt() else 1
@@ -369,13 +389,16 @@ object DeltaLog {
     .add("writerFeatures", ArrayType(StringType))
   private val txnSchema = new StructType()
     .add("appId", StringType).add("version", LongType).add("lastUpdated", LongType)
+  private val domainMetadataSchema = new StructType()
+    .add("domain", StringType).add("configuration", StringType)
+    .add("removed", BooleanType)
 
   /** The action schema used to parse the JSON commit tail distributed
     * AND to lay out checkpoint parquet rows — one shape, both directions. */
   private val actionSchema = new StructType()
     .add("add", addSchema).add("remove", removeSchema)
     .add("metaData", metaDataSchema).add("protocol", protocolSchema)
-    .add("txn", txnSchema)
+    .add("txn", txnSchema).add("domainMetadata", domainMetadataSchema)
 
   /** V2 checkpoint manifests add sidecar pointers (and a
     * checkpointMetadata marker) to the action vocabulary. */
@@ -443,6 +466,18 @@ object DeltaLog {
     var metaRaw: Option[String] = None
     var protoRaw: Option[String] = None
     val txns = mutable.Map.empty[String, Long]
+    // metadata domains (delta.clustering, …): last writer per domain
+    // wins, a removed=true tombstone drops it — metadata-sized, so the
+    // replay is driver-side like metaData/protocol/txn
+    val domains = mutable.Map.empty[String, String]
+    def applyDomain(d: JsonNode): Unit = {
+      val name = d.get("domain").asText()
+      if (d.has("removed") && d.get("removed").asBoolean(false)) domains.remove(name)
+      else domains.put(name,
+        if (d.has("configuration") && !d.get("configuration").isNull)
+          d.get("configuration").asText() else "")
+      ()
+    }
     def applyMetaData(m: JsonNode, raw: String): Unit = {
       gateMetaData(m)
       schema = Some(DataType.fromJson(m.get("schemaString").asText())
@@ -491,6 +526,10 @@ object DeltaLog {
         cp.where("txn IS NOT NULL AND txn.appId IS NOT NULL")
           .select("txn.appId", "txn.version").collect()
           .foreach(r => txns.put(r.getString(0), r.getLong(1)))
+      if (cp.columns.contains("domainMetadata"))
+        cp.where("domainMetadata IS NOT NULL AND domainMetadata.domain IS NOT NULL")
+          .select(to_json(col("domainMetadata"))).collect()
+          .foreach(r => applyDomain(mapper.readTree(r.getString(0))))
     }
 
     val replayFrom = cpMeta.map(_.version + 1).getOrElse(0L)
@@ -513,7 +552,7 @@ object DeltaLog {
           // never JSON-parsed on the driver; false positives (e.g. a
           // stats payload mentioning "txn") parse and fall through
           if (line.contains("\"metaData\"") || line.contains("\"protocol\"") ||
-              line.contains("\"txn\"")) {
+              line.contains("\"txn\"") || line.contains("\"domainMetadata\"")) {
             val action = mapper.readTree(line)
             if (action.has("protocol")) {
               gateProtocol(action.get("protocol"))
@@ -524,6 +563,8 @@ object DeltaLog {
             } else if (action.has("txn")) {
               val t = action.get("txn")
               txns.put(t.get("appId").asText(), t.get("version").asLong())
+            } else if (action.has("domainMetadata")) {
+              applyDomain(action.get("domainMetadata"))
             }
           }
         }
@@ -579,7 +620,7 @@ object DeltaLog {
             "stats", "deletionVector")
     }
     Snapshot(target, schema, partCols, txns.toMap, mappingMode,
-      metaRaw, protoRaw, allFiles)
+      metaRaw, protoRaw, allFiles, domains.toMap)
   }
 
   /** Whether `table` has a Delta log with at least one commit or
@@ -1907,7 +1948,7 @@ object DeltaLog {
     // commit (schema enforcement) must leave zero trace on disk. Re-run
     // per commit attempt — a concurrent append may have evolved the
     // schema between retries.
-    def declaredSchema(prevSnap: Option[Snapshot]): StructType =
+    def declaredSchema(prevSnap: Option[Snapshot], atVersion: Long = -1L): StructType =
       (widenSchema, prevSnap.flatMap(_.schema)) match {
         case (_, Some(prev)) if prevSnap.exists(_.columnMappingMode != "none") =>
           // column-mapped: the declaration's field metadata IS the
@@ -1934,17 +1975,38 @@ object DeltaLog {
           // different type must refuse loudly — silently keeping the old
           // declaration would make the new files unreadable (parquet type
           // mismatch at scan), and silently replacing it would null out
-          // every old file's column
+          // every old file's column. Under delta.enableTypeWidening two
+          // directions open up: a WIDER append re-declares the column at
+          // the wide type (old narrow files keep reading, verified
+          // reader-side; delta.typeChanges records provenance) and a
+          // NARROWER append upcasts the incoming frame (below, before
+          // staging) under the unchanged declaration.
+          val widenOn = (prevSnap.map(_.configuration).getOrElse(Map.empty)
+            ++ properties).get(TypeWideningKey).contains("true")
           df.schema.fields.foreach { fld =>
             prev.fields.find(_.name == fld.name).foreach { p =>
-              require(p.dataType == fld.dataType,
+              require(p.dataType == fld.dataType ||
+                  (widenOn && (canWiden(p.dataType, fld.dataType) ||
+                    canWiden(fld.dataType, p.dataType))),
                 s"schema enforcement: column '${fld.name}' is ${p.dataType.simpleString} " +
                   s"in the table but ${fld.dataType.simpleString} in the append — " +
-                  "overwrite with the new schema to change a column's type")
+                  "overwrite with the new schema to change a column's type" +
+                  (if (widenOn) "" else
+                    s" (or set $TypeWideningKey=true for a safe widening)"))
             }
           }
+          val merged =
+            if (!widenOn) prev
+            else StructType(prev.fields.map { p =>
+              df.schema.fields.find(_.name == p.name) match {
+                case Some(fld) if canWiden(p.dataType, fld.dataType) =>
+                  p.copy(dataType = fld.dataType,
+                    metadata = typeChangeMeta(p, fld.dataType, atVersion))
+                case _ => p
+              }
+            })
           val extra = df.schema.fields.filterNot(f => prev.fieldNames.contains(f.name))
-          extra.foldLeft(prev)((s, f) => s.add(f))
+          extra.foldLeft(merged)((s, f) => s.add(f))
         case _ => df.schema
       }
     gateWritable(firstPrev)
@@ -1983,6 +2045,25 @@ object DeltaLog {
             .putLong(IdHwmKey, h).build()))
       })
     }
+    // type widening, NARROW direction: an append whose column is
+    // narrower than the declaration upcasts before staging — the
+    // declaration stays put, the staged parquet carries the declared
+    // type, and no reader ever sees a mixed-type file set
+    val wideningOn = (firstPrev.map(_.configuration).getOrElse(Map.empty)
+      ++ properties).get(TypeWideningKey).contains("true")
+    val staged0 =
+      if (!wideningOn || firstPrev.isEmpty) data
+      else {
+        val decl = declaredSchema(firstPrev, firstVersion)
+        data.schema.fields.foldLeft(data) { (d, fld) =>
+          decl.fields.find(_.name == fld.name) match {
+            case Some(t) if t.dataType != fld.dataType &&
+                canWiden(fld.dataType, t.dataType) =>
+              d.withColumn(fld.name, col(fld.name).cast(t.dataType))
+            case _ => d
+          }
+        }
+      }
     // table-property enforcement (writer-side protocol compliance),
     // BEFORE staging so a refused commit leaves zero trace:
     // - delta.appendOnly: a dataChange commit must not remove files
@@ -1997,7 +2078,7 @@ object DeltaLog {
       effConfig.foreach { case (k, v) =>
         if (k.startsWith("delta.constraints.")) {
           val name = k.stripPrefix("delta.constraints.")
-          val bad = data.where(!coalesce(expr(v), lit(true))).limit(1).count()
+          val bad = staged0.where(!coalesce(expr(v), lit(true))).limit(1).count()
           require(bad == 0L,
             s"CHECK constraint '$name' ($v) violated by rows written to $table — refused")
         }
@@ -2020,14 +2101,14 @@ object DeltaLog {
     // caller's frame and partitionBy stay logical.
     val mappingMode = firstPrev.map(_.columnMappingMode).getOrElse("none")
     val stagedDf =
-      if (mappingMode == "none") data
+      if (mappingMode == "none") staged0
       else {
         val byName = (firstPrev.flatMap(_.schema).get.fields ++ mappedMinted)
           .map(f => f.name -> f).toMap
-        val mapped = StructType(data.schema.fields.map(fld => byName(fld.name)))
+        val mapped = StructType(staged0.schema.fields.map(fld => byName(fld.name)))
         val phys = physicalType(mapped, fieldIds = mappingMode == "id")
           .asInstanceOf[StructType]
-        data.select(data.schema.fields.zip(phys.fields).map { case (src, dst) =>
+        staged0.select(staged0.schema.fields.zip(phys.fields).map { case (src, dst) =>
           col(src.name).cast(dst.dataType).as(dst.name, dst.metadata)
         }.toIndexedSeq: _*)
       }
@@ -2143,7 +2224,7 @@ object DeltaLog {
         throw new CommitRaceException(
           s"concurrent commit: identity allocation for $operation on $table " +
             s"was computed against version ${firstVersion - 1} — re-read and retry")
-      val declared = amendDeclared(declaredSchema(prevSnap))
+      val declared = amendDeclared(declaredSchema(prevSnap, version))
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[String]
       val ictOn = effConfig.get(IctEnableKey).contains("true")
@@ -2161,7 +2242,15 @@ object DeltaLog {
         mapper.writeValueAsString(mapper.readTree(action).get("protocol"))
       val ictUp = if (!ictOn || version == 0L) None
         else ictProtocolUpgrade(cdfUp.map(inner).orElse(protoBase))
-      (ictUp.orElse(cdfUp)).foreach(actions += _)
+      // a widening that actually re-typed a declared column upgrades to
+      // the typeWidening table feature (reader AND writer side)
+      val wideningOccurred = wideningOn && prevSnap.flatMap(_.schema).exists(prev =>
+        declared.fields.exists(f =>
+          prev.fields.find(_.name == f.name).exists(_.dataType != f.dataType)))
+      val twUp = if (!wideningOccurred) None
+        else twProtocolUpgrade(
+          ictUp.orElse(cdfUp).map(inner).orElse(protoBase))
+      (twUp.orElse(ictUp).orElse(cdfUp)).foreach(actions += _)
       // metaData on the first commit, any schema change (evolution — the
       // widened union declares so older files read with nulls in the new
       // columns), or a property change. The PREVIOUS declaration's
@@ -2676,11 +2765,46 @@ object DeltaLog {
     ictValue(spark, table, version, cfg, now)
       .fold("")(t => s""","inCommitTimestamp":$t""")
 
-  /** Protocol action upgrading the table to carry the
-    * `inCommitTimestamp` writer feature (None when already present).
-    * Writer-only: minWriterVersion 7 with the legacy writer features
-    * spelled out, reader side untouched. */
-  private def ictProtocolUpgrade(existing: Option[String]): Option[String] = {
+  // ------------------------------------------------- type widening
+  // (table feature `typeWidening`, reader+writer: a column's type may
+  // WIDEN in place — the old narrow parquet files read under the
+  // widened schema with zero rewrite; verified against this Spark
+  // build's parquet reader for every pair below)
+
+  private[graft] val TypeWideningKey = "delta.enableTypeWidening"
+
+  /** Safe in-place widenings: integer chain, float→double, int→double
+    * (exact to 2^53 — the same loss contract Delta accepts), and
+    * date→timestamp_ntz. Decimal precision changes are excluded
+    * (scale semantics are not a plain reader widening). */
+  private def canWiden(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+    case (ShortType, IntegerType | LongType | DoubleType) => true
+    case (IntegerType, LongType | DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case (DateType, TimestampNTZType) => true
+    case _ => false
+  }
+
+  /** Record a widening in the field's `delta.typeChanges` metadata —
+    * the protocol's provenance trail (fromType/toType/tableVersion). */
+  private def typeChangeMeta(p: StructField, to: DataType, v: Long): Metadata = {
+    val prior: Array[Metadata] =
+      if (p.metadata.contains("delta.typeChanges"))
+        p.metadata.getMetadataArray("delta.typeChanges")
+      else Array.empty
+    val entry = new MetadataBuilder()
+      .putString("fromType", p.dataType.typeName)
+      .putString("toType", to.typeName)
+      .putLong("tableVersion", v).build()
+    new MetadataBuilder().withMetadata(p.metadata)
+      .putMetadataArray("delta.typeChanges", prior :+ entry).build()
+  }
+
+  /** Protocol action adding the `typeWidening` table feature on BOTH
+    * sides (a pre-feature reader would misparse narrow files under the
+    * widened schema). None when already present. */
+  private def twProtocolUpgrade(existing: Option[String]): Option[String] = {
     val node = existing
       .map(mapper.readTree(_).asInstanceOf[ObjectNode])
       .getOrElse(mapper.readTree("""{"minReaderVersion":1,"minWriterVersion":2}""")
@@ -2693,18 +2817,85 @@ object DeltaLog {
         while (it.hasNext) b += it.next().asText()
         b.result()
       }
-    if (feats("writerFeatures").contains("inCommitTimestamp")) return None
+    if (feats("readerFeatures").contains("typeWidening")) return None
     val mwv = if (node.has("minWriterVersion")) node.get("minWriterVersion").asInt() else 2
     val legacyWriter = Seq(
       2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
       4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
       6 -> "identityColumns").collect { case (v, f) if mwv >= v && mwv < 7 => f }
-    val wf = (feats("writerFeatures") ++ legacyWriter :+ "inCommitTimestamp").distinct
+    val wf = (feats("writerFeatures") ++ legacyWriter :+ "typeWidening").distinct
+    val out = mapper.createObjectNode()
+    out.put("minReaderVersion", 3)
+    out.put("minWriterVersion", 7)
+    val rfArr = out.putArray("readerFeatures")
+    (feats("readerFeatures") :+ "typeWidening").distinct.foreach(rfArr.add)
+    val wfArr = out.putArray("writerFeatures")
+    wf.foreach(wfArr.add)
+    Some(s"""{"protocol":${mapper.writeValueAsString(out)}}""")
+  }
+
+  /** Protocol action upgrading the table to carry the given WRITER
+    * features (None when all already present): minWriterVersion 7 with
+    * the legacy writer features spelled out, reader side untouched. */
+  private def writerFeatureUpgrade(existing: Option[String],
+      features: Seq[String]): Option[String] = {
+    val node = existing
+      .map(mapper.readTree(_).asInstanceOf[ObjectNode])
+      .getOrElse(mapper.readTree("""{"minReaderVersion":1,"minWriterVersion":2}""")
+        .asInstanceOf[ObjectNode])
+    def feats(field: String): Seq[String] =
+      if (!node.has(field) || node.get(field).isNull) Seq.empty
+      else {
+        val it = node.get(field).elements()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) b += it.next().asText()
+        b.result()
+      }
+    if (features.forall(feats("writerFeatures").contains)) return None
+    val mwv = if (node.has("minWriterVersion")) node.get("minWriterVersion").asInt() else 2
+    val legacyWriter = Seq(
+      2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
+      4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
+      6 -> "identityColumns").collect { case (v, f) if mwv >= v && mwv < 7 => f }
+    val wf = (feats("writerFeatures") ++ legacyWriter ++ features).distinct
     val out = node.deepCopy()
     out.put("minWriterVersion", 7)
     val wfArr = out.putArray("writerFeatures")
     wf.foreach(wfArr.add)
     Some(s"""{"protocol":${mapper.writeValueAsString(out)}}""")
+  }
+
+  private def ictProtocolUpgrade(existing: Option[String]): Option[String] =
+    writerFeatureUpgrade(existing, Seq("inCommitTimestamp"))
+
+  /** Upsert (or tombstone) one metadata domain — the protocol's
+    * `domainMetadata` action (writer feature v7): system and user
+    * domains attach name-spaced configuration to the table that
+    * survives checkpoints and replay; `delta.clustering` is the domain
+    * liquid clustering declares its columns in. One commit; last
+    * writer per domain wins. */
+  def setDomainMetadata(spark: SparkSession, table: String, domain: String,
+      configuration: String, removed: Boolean = false): Long = {
+    val snap = snapshot(spark, table)
+    if (!removed) mapper.readTree(configuration) // must be valid JSON
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    writerFeatureUpgrade(snap.protocolJson, Seq("domainMetadata"))
+      .foreach(actions += _)
+    actions += s"""{"domainMetadata":{"domain":${jsonStr(domain)},""" +
+      s""""configuration":${jsonStr(configuration)},"removed":$removed}}"""
+    actions += s"""{"commitInfo":{"timestamp":$now""" +
+      ictField(spark, table, snap.version + 1, snap.configuration, now) +
+      s""","operation":"SET DOMAIN METADATA"}}"""
+    val f = fs(spark, table)
+    val current = (listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq).max
+    require(current == snap.version,
+      s"concurrent commit: $table advanced from version ${snap.version} to $current " +
+        "while this domain update was computed — re-read and retry")
+    val v = snap.version + 1
+    commitRaw(spark, table, v, actions.result(), "SET DOMAIN METADATA")
+    maybeAutoCheckpoint(spark, table, v)
+    v
   }
 
   private def commitRaw(spark: SparkSession, table: String, version: Long,
@@ -2881,11 +3072,21 @@ object DeltaLog {
     * Refuses when the table already exists. */
   def createTable(spark: SparkSession, table: String, schema: StructType,
       partitionBy: Seq[String] = Seq.empty,
-      properties: Map[String, String] = Map.empty): Long = {
+      properties: Map[String, String] = Map.empty,
+      clusterBy: Seq[String] = Seq.empty): Long = {
     require(!isDeltaTable(spark, table), s"CREATE TABLE: already exists: $table")
     val bad = partitionBy.filterNot(schema.fieldNames.contains)
     require(bad.isEmpty,
       s"PARTITIONED BY references unknown columns: ${bad.mkString(",")}")
+    val badC = clusterBy.filterNot(schema.fieldNames.contains)
+    require(badC.isEmpty,
+      s"CLUSTER BY references unknown columns: ${badC.mkString(",")}")
+    require(clusterBy.isEmpty || partitionBy.isEmpty,
+      "CLUSTER BY and PARTITIONED BY are mutually exclusive (Delta's rule: " +
+        "liquid clustering replaces hive partitioning)")
+    require(clusterBy.size <= 2,
+      s"CLUSTER BY supports at most 2 columns here (one range key or a " +
+        s"2-D Morton key feed OPTIMIZE's clustering): ${clusterBy.mkString(",")}")
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     val mode = properties.getOrElse("delta.columnMapping.mode", "none")
@@ -2926,16 +3127,17 @@ object DeltaLog {
     val minWriter = Seq(2, if (hasGen) 4 else 2, if (mode != "none") 5 else 2,
       if (hasIdent) 6 else 2).max
     val minReader = if (mode == "none") 1 else 2
-    val protoLegacy =
+    // feature-bearing creations upgrade the declared protocol directly
+    // (one protocol action): in-commit timestamps, clustering domains
+    var proto =
       s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":$minWriter}}"""
-    // enabling in-commit timestamps at creation upgrades the declared
-    // protocol to the writer feature directly (one protocol action)
-    val proto =
-      if (properties.get(IctEnableKey).contains("true"))
-        ictProtocolUpgrade(Some(
-          s"""{"minReaderVersion":$minReader,"minWriterVersion":$minWriter}"""))
-          .getOrElse(protoLegacy)
-      else protoLegacy
+    def innerOf(a: String): String =
+      mapper.writeValueAsString(mapper.readTree(a).get("protocol"))
+    if (properties.get(IctEnableKey).contains("true"))
+      ictProtocolUpgrade(Some(innerOf(proto))).foreach(proto = _)
+    if (clusterBy.nonEmpty)
+      writerFeatureUpgrade(Some(innerOf(proto)),
+        Seq("domainMetadata", "clustering")).foreach(proto = _)
     val meta = mapper.createObjectNode()
     meta.put("id", java.util.UUID.randomUUID().toString)
     val fmt = meta.putObject("format")
@@ -2947,11 +3149,41 @@ object DeltaLog {
     cfg.foreach { case (k, v) => cfgNode.put(k, v) }
     meta.put("createdTime", System.currentTimeMillis())
     val now = System.currentTimeMillis()
+    val clusterAction: Seq[String] =
+      if (clusterBy.isEmpty) Seq.empty
+      else {
+        val cols = clusterBy.map(c => s"""[${jsonStr(c)}]""").mkString("[", ",", "]")
+        Seq(s"""{"domainMetadata":{"domain":"delta.clustering",""" +
+          s""""configuration":${jsonStr(s"""{"clusteringColumns":$cols}""")},""" +
+          s""""removed":false}}""")
+      }
     commitRaw(spark, table, 0L, Seq(proto,
-      s"""{"metaData":${mapper.writeValueAsString(meta)}}""",
+      s"""{"metaData":${mapper.writeValueAsString(meta)}}""") ++ clusterAction ++ Seq(
       s"""{"commitInfo":{"timestamp":$now${ictField(spark, table, 0L, cfg, now)},"operation":"CREATE TABLE"}}"""),
       "CREATE TABLE")
     0L
+  }
+
+  /** ALTER TABLE … CLUSTER BY (…): re-declare the clustering columns
+    * (or NONE with an empty list — the domain is tombstoned). Layout
+    * changes take effect at the next OPTIMIZE; no data moves here. */
+  def alterClusterBy(spark: SparkSession, table: String,
+      clusterBy: Seq[String]): Long = {
+    val snap = snapshot(spark, table)
+    val prev = snap.schema.getOrElse(sys.error(s"no schema declared for $table"))
+    val bad = clusterBy.filterNot(prev.fieldNames.contains)
+    require(bad.isEmpty, s"CLUSTER BY references unknown columns: ${bad.mkString(",")}")
+    require(clusterBy.size <= 2,
+      s"CLUSTER BY supports at most 2 columns here: ${clusterBy.mkString(",")}")
+    require(snap.partitionColumns.isEmpty,
+      s"CLUSTER BY on a hive-partitioned table refused (mutually exclusive)")
+    if (clusterBy.isEmpty)
+      setDomainMetadata(spark, table, "delta.clustering", "{}", removed = true)
+    else {
+      val cols = clusterBy.map(c => s"""[${jsonStr(c)}]""").mkString("[", ",", "]")
+      setDomainMetadata(spark, table, "delta.clustering",
+        s"""{"clusteringColumns":$cols}""")
+    }
   }
 
   /** ALTER TABLE … ADD COLUMNS: metadata-only schema evolution — the
@@ -3449,6 +3681,15 @@ object DeltaLog {
       zorderBy: Seq[String] = Seq.empty,
       minFileSize: Long = Long.MaxValue): Long = {
     val snap = snapshot(spark, table)
+    // liquid clustering: a clustered table's OPTIMIZE clusters by its
+    // declared delta.clustering columns unless the caller overrides —
+    // the property that makes `OPTIMIZE t` the only maintenance verb a
+    // clustered table ever needs. Auto-compaction's scoped bin-packing
+    // (minFileSize set) deliberately does NOT re-cluster: it must stay
+    // O(small files).
+    val effZorder =
+      if (zorderBy.nonEmpty || minFileSize != Long.MaxValue) zorderBy
+      else snap.clusteringColumns
     // Bin-packing scope: only files below `minFileSize` — plus any file
     // carrying a deletion vector (compaction doubles as the DV purge) —
     // are rewritten; large clean files stay live untouched. The default
@@ -3457,7 +3698,7 @@ object DeltaLog {
     // O(small files), not O(table). ZORDER always takes the full scope:
     // clustering is a whole-table layout decision.
     val candidates =
-      if (zorderBy.nonEmpty || minFileSize == Long.MaxValue) snap.fileEntries
+      if (effZorder.nonEmpty || minFileSize == Long.MaxValue) snap.fileEntries
       else {
         val smalls = snap.allFiles
           .where(col("size").isNull || col("size") < minFileSize)
@@ -3475,7 +3716,7 @@ object DeltaLog {
     // the OPTIMIZE instead of losing the appended file
     val df = readEntries(spark, table, candidates, snap.schema,
       snap.columnMappingMode)
-    val compacted = zorderBy match {
+    val compacted = effZorder match {
       case Seq(a, b) => graft.maintenance.Maintenance.zOrderFrame(df, targetFiles, a, b)
       case Seq(a) =>
         df.repartitionByRange(targetFiles, col(a)).sortWithinPartitions(col(a))
@@ -3590,7 +3831,8 @@ object DeltaLog {
       lit(null).cast(removeSchema).as("remove"),
       lit(null).cast(metaDataSchema).as("metaData"),
       lit(null).cast(protocolSchema).as("protocol"),
-      lit(null).cast(txnSchema).as("txn"))
+      lit(null).cast(txnSchema).as("txn"),
+      lit(null).cast(domainMetadataSchema).as("domainMetadata"))
     // the singleton metaData must be COMPLETE per the checkpoint spec:
     // fill protocol-required fields a terse foreign log never declared
     val metaNode = snap.metaDataJson
@@ -3616,6 +3858,12 @@ object DeltaLog {
       s"""{"protocol":$protoJson}""") ++
       snap.txns.toSeq.sortBy(_._1).map { case (a, v) =>
         s"""{"txn":{"appId":${jsonStr(a)},"version":$v,"lastUpdated":$now}}"""
+      } ++
+      // live metadata domains survive the JSON tail's vacuum through the
+      // checkpoint, like every other singleton
+      snap.domainMetadata.toSeq.sortBy(_._1).map { case (d, cfg) =>
+        s"""{"domainMetadata":{"domain":${jsonStr(d)},""" +
+          s""""configuration":${jsonStr(cfg)},"removed":false}}"""
       }
     def stagedParquet(scratch: Path): Seq[Path] = {
       val it = f.listFiles(scratch, false)

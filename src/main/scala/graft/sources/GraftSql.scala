@@ -62,6 +62,8 @@ object GraftSql {
     """(?is)\s*UPDATE\s+delta\.`([^`]+)`\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
   private val Restore =
     """(?is)\s*RESTORE\s+TABLE\s+delta\.`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+  private val RestoreTs =
+    """(?is)\s*RESTORE\s+TABLE\s+delta\.`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val OptimizeZ =
     """(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
   private val Optimize = """(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s*""".r
@@ -91,6 +93,10 @@ object GraftSql {
     """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s*\((.*)""".r
   private val PartitionedBy =
     """(?is)\s*PARTITIONED\s+BY\s*\(([^)]+)\)(.*)""".r
+  private val ClusterBy =
+    """(?is)\s*CLUSTER\s+BY\s*\(([^)]+)\)(.*)""".r
+  private val AlterCluster =
+    """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+CLUSTER\s+BY\s+(?:\(([^)]+)\)|(NONE))\s*""".r
   private val TblProps = """(?is)\s*TBLPROPERTIES\s*\((.+)\)\s*""".r
   private val AlterAdd =
     """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+ADD\s+COLUMNS\s*\((.+)\)\s*""".r
@@ -396,18 +402,23 @@ object GraftSql {
     case CreateHead(path, rest) =>
       val (colsDdl, tail) = balancedSplit(rest)
       val schema = parseColumns(colsDdl)
-      val (partBy, afterPart) = tail match {
+      val (partBy, clusterBy, afterPart) = tail match {
         case PartitionedBy(cols, t) =>
           (cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
-            .filter(_.nonEmpty).toSeq, t)
-        case t => (Seq.empty[String], t)
+            .filter(_.nonEmpty).toSeq, Seq.empty[String], t)
+        case ClusterBy(cols, t) =>
+          (Seq.empty[String],
+            cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty).toSeq, t)
+        case t => (Seq.empty[String], Seq.empty[String], t)
       }
       val props = afterPart match {
         case TblProps(kv) => parseProps(kv)
         case t => require(t.trim.isEmpty,
           s"cannot parse CREATE TABLE tail: '$t'"); Map.empty[String, String]
       }
-      version(spark, DeltaLog.createTable(spark, path, schema, partBy, props))
+      version(spark,
+        DeltaLog.createTable(spark, path, schema, partBy, props, clusterBy))
     case AlterAdd(path, colsDdl) =>
       version(spark, DeltaLog.alterAddColumns(spark, path,
         org.apache.spark.sql.types.StructType.fromDDL(colsDdl)))
@@ -426,6 +437,11 @@ object GraftSql {
       version(spark, DeltaLog.alterDropConstraint(spark, path, name))
     case AlterSync(path) =>
       version(spark, DeltaLog.alterSyncIdentity(spark, path))
+    case AlterCluster(path, cols, none) =>
+      version(spark, DeltaLog.alterClusterBy(spark, path,
+        if (none != null) Seq.empty
+        else cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq))
     case Delete(path, cond) =>
       version(spark, DeltaLog.deleteWhere(spark, path, expr(cond)))
     case Update(path, set, cond) =>
@@ -437,6 +453,9 @@ object GraftSql {
         DeltaLog.updateWhere(spark, path, expr(cond), assignments.toMap))
     case Restore(path, v) =>
       version(spark, DeltaLog.restore(spark, path, v.toLong))
+    case RestoreTs(path, ts) =>
+      version(spark, DeltaLog.restore(spark, path,
+        DeltaLog.versionAtTimestamp(spark, path, parseTsMillis(ts))))
     case OptimizeZ(path, cols) =>
       version(spark, DeltaLog.optimize(spark, path,
         zorderBy = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.{DeltaLog, GraftSql}
+import org.apache.spark.sql.functions._
+
+/** Metadata domains (`domainMetadata` action, writer feature v7) and
+  * liquid clustering on top of them: `CREATE TABLE … CLUSTER BY (a,b)`
+  * records the `delta.clustering` domain, a bare `OPTIMIZE` clusters by
+  * the declared columns (range for one, Morton for two) so zone maps
+  * tighten without the caller naming them, `ALTER TABLE … CLUSTER BY`
+  * re-declares (or tombstones with NONE), and the domain survives
+  * checkpoint + JSON vacuum like every singleton. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft-cluster-").toString + "/t"
+
+  test("domain metadata round-trips: set, overwrite, tombstone, checkpoint survival") {
+    val t = fresh()
+    DeltaLog.write(spark, Seq(1L).toDF("x"), t)
+    DeltaLog.setDomainMetadata(spark, t, "app.retention", """{"days":30}""")
+    assert(DeltaLog.snapshot(spark, t).domainMetadata("app.retention") ==
+      """{"days":30}""")
+    // protocol carries the writer feature now
+    assert(DeltaLog.snapshot(spark, t).protocolJson.get.contains("domainMetadata"))
+    // last writer per domain wins
+    DeltaLog.setDomainMetadata(spark, t, "app.retention", """{"days":7}""")
+    assert(DeltaLog.snapshot(spark, t).domainMetadata("app.retention") ==
+      """{"days":7}""")
+    // survives checkpoint + vacuumed JSON tail
+    DeltaLog.checkpoint(spark, t)
+    val logDir = new java.io.File(t, "_delta_log")
+    logDir.listFiles().filter(_.getName.endsWith(".json"))
+      .foreach(f => java.nio.file.Files.delete(f.toPath))
+    assert(DeltaLog.snapshot(spark, t).domainMetadata("app.retention") ==
+      """{"days":7}""")
+    // tombstone removes it
+    DeltaLog.setDomainMetadata(spark, t, "app.retention", "{}", removed = true)
+    assert(!DeltaLog.snapshot(spark, t).domainMetadata.contains("app.retention"))
+  }
+
+  test("CLUSTER BY declares the clustering domain and a bare OPTIMIZE honors it") {
+    val t = fresh()
+    GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$t` (k BIGINT, v BIGINT) CLUSTER BY (k)")
+    val snap0 = DeltaLog.snapshot(spark, t)
+    assert(snap0.clusteringColumns == Seq("k"))
+    assert(snap0.protocolJson.get.contains("clustering"))
+    // interleaved appends: every file spans the whole k range
+    (0 until 4).foreach { i =>
+      DeltaLog.write(spark,
+        (0L until 100L).map(j => (j * 4 + i, j)).toDF("k", "v"), t, mode = "append")
+    }
+    // bare OPTIMIZE: no columns named — the declared clustering applies,
+    // and the rewrite makes zone maps disjoint enough that a point
+    // predicate prunes most files
+    DeltaLog.optimize(spark, t, targetFiles = 4)
+    val snap = DeltaLog.snapshot(spark, t)
+    val pruned = DeltaLog.pruneFiles(spark, snap, col("k") === 5L)
+    assert(snap.files.size >= 4)
+    assert(pruned.size < snap.files.size,
+      s"clustered OPTIMIZE should let k=5 prune below ${snap.files.size} files, " +
+        s"got ${pruned.size}")
+    assert(DeltaLog.read(spark, t).count() == 400L)
+  }
+
+  test("ALTER TABLE CLUSTER BY re-declares; NONE tombstones; partitioned tables refuse") {
+    val t = fresh()
+    GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$t` (a BIGINT, b BIGINT) CLUSTER BY (a)")
+    GraftSql.exec(spark, s"ALTER TABLE delta.`$t` CLUSTER BY (a, b)")
+    assert(DeltaLog.snapshot(spark, t).clusteringColumns == Seq("a", "b"))
+    GraftSql.exec(spark, s"ALTER TABLE delta.`$t` CLUSTER BY NONE")
+    assert(DeltaLog.snapshot(spark, t).clusteringColumns.isEmpty)
+
+    val p = fresh()
+    GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$p` (a BIGINT, c STRING) PARTITIONED BY (c)")
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"ALTER TABLE delta.`$p` CLUSTER BY (a)")
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLog.createTable(spark, fresh(),
+        org.apache.spark.sql.types.StructType.fromDDL("a BIGINT, c STRING"),
+        partitionBy = Seq("c"), clusterBy = Seq("a"))
+    }
+  }
+}

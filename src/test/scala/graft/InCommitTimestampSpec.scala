@@ -82,6 +82,21 @@ class InCommitTimestampSpec extends SparkSpec {
     assert(h == c1)
   }
 
+  test("RESTORE TO TIMESTAMP resolves against the in-commit clock") {
+    val t = fresh()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE delta.`$t` (id BIGINT)
+         |TBLPROPERTIES ('delta.enableInCommitTimestamps'='true')""".stripMargin)
+    DeltaLog.write(spark, Seq(1L).toDF("id"), t, mode = "append")   // v1
+    DeltaLog.write(spark, Seq(2L).toDF("id"), t, mode = "append")   // v2
+    val c1 = ictOf(t, 1L).get
+    val lit = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(c1), java.time.ZoneOffset.UTC)
+      .toString.replace("T", " ")
+    GraftSql.exec(spark, s"RESTORE TABLE delta.`$t` TO TIMESTAMP AS OF '$lit'")
+    assert(DeltaLog.read(spark, t).as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("the clock never regresses, even past a future-stamped foreign commit") {
     val t = fresh()
     GraftSql.exec(spark,
