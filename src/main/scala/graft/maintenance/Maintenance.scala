@@ -449,8 +449,64 @@ object Maintenance {
       max(col("sk")).as("max_sk"))
   }
 
+  /** Type widening, oracle-verified end-to-end: an INT column widens to
+    * BIGINT when a second append arrives with the wider type — the
+    * first append's narrow files are NOT rewritten, yet the read-back
+    * must equal DuckDB computing the whole union at the wide type,
+    * proving the widened read path bit-for-bit. */
+  val qWidenAppend: graft.QueryDef = graft.QueryDef.sql(
+    "q_widen_append",
+    """SELECT CAST(o_orderkey AS INT) AS k, CAST(o_shippriority AS BIGINT) AS prio
+      |FROM orders
+      |UNION ALL
+      |SELECT CAST(o_orderkey + 10000000 AS INT) AS k, CAST(o_custkey AS BIGINT) AS prio
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-widen-q-").toString + "/t"
+    graft.sources.GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$t` (k INT, prio INT) " +
+        "TBLPROPERTIES ('delta.enableTypeWidening'='true')")
+    val o = graft.Tables.orders(spark, dir)
+    graft.sources.DeltaLog.write(spark,
+      o.select(col("o_orderkey").cast("int").as("k"),
+        col("o_shippriority").cast("int").as("prio")), t, mode = "append")
+    // the second batch carries prio as BIGINT → the column widens
+    graft.sources.DeltaLog.write(spark,
+      o.select((col("o_orderkey") + 10000000).cast("int").as("k"),
+        col("o_custkey").cast("bigint").as("prio")), t, mode = "append")
+    graft.sources.DeltaLog.read(spark, t)
+  }
+
+  /** Liquid clustering, oracle-verified: CLUSTER BY table, interleaved
+    * appends, one bare OPTIMIZE (clusters by the declared column with
+    * no argument) — and the rewritten table must still equal DuckDB's
+    * plain projection row for row. Layout is asserted in
+    * ClusteringSpec; this row pins data fidelity through the clustered
+    * rewrite. */
+  val qClusterOptimize: graft.QueryDef = graft.QueryDef.sql(
+    "q_cluster_optimize",
+    "SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price FROM orders") {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-cluster-q-").toString + "/t"
+      graft.sources.GraftSql.exec(spark,
+        s"CREATE TABLE delta.`$t` (o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE) " +
+          "CLUSTER BY (o_custkey)")
+      val o = graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("price"))
+      // interleaved halves: every file spans the full o_custkey range
+      graft.sources.DeltaLog.write(spark,
+        o.where(col("o_orderkey") % 2 === 0), t, mode = "append")
+      graft.sources.DeltaLog.write(spark,
+        o.where(col("o_orderkey") % 2 === 1), t, mode = "append")
+      graft.sources.DeltaLog.optimize(spark, t, targetFiles = 4)
+      graft.sources.DeltaLog.read(spark, t)
+  }
+
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
-      qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate)
+      qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
+      qWidenAppend, qClusterOptimize)
 }
