@@ -170,19 +170,28 @@ object Bench {
     val head = s""""metric":"total","value":$total,"unit":"sec""""
     val loadJson = s""""load":{"before":$loadBefore,"after":${loadAvg()},""" +
       s""""procs":${Runtime.getRuntime.availableProcessors()}}"""
-    val tail = s""""failed":$failed,"sf":"$sfDir",$loadJson$goldJson"""
-    // The downstream tail capture is bounded and sbt appends [success]
-    // noise, so a single line carrying the 101-query map truncates
-    // (BENCH_r04..r06 parsed: null). Emission order for a bounded tail:
-    // droppable detail lines FIRST (shuffle map, then the per-query
-    // times map), and a COMPACT summary — total, failed, sf, gold_batch,
-    // gold_curve; NO per-query map — as the very LAST stdout line, so
-    // the capture always ends with one complete parseable JSON line.
-    // The full canonical line goes to the file artifact untruncated.
+    val tail = s""""failed":$failed,"sf":"$sfDir",""" +
+      s""""queries_file":"BENCH_FULL.json",$loadJson$goldJson"""
+    // The downstream tail capture is bounded (~2000 chars) and sbt
+    // appends [success] noise, so a single line carrying the 119-query
+    // map truncates (BENCH_r04..r06 parsed: null) — and 119 named
+    // timings alone are ~3000 chars, so they can never fit the parsed
+    // line. Emission order for a bounded tail: droppable detail lines
+    // FIRST (shuffle map, then the per-query times map), and a COMPACT
+    // summary — total, failed, sf, gold_batch, gold_curve; NO per-query
+    // map — as the very LAST stdout line, so the capture always ends
+    // with one complete parseable JSON line. The full canonical line
+    // goes to TWO file artifacts untruncated: the scratch path
+    // (BENCH_LOCAL.json, gitignored) and BENCH_FULL.json, which is
+    // TRACKED so every round's full per-query map survives in git for
+    // round-over-round regression checks; the summary line's
+    // `queries_file` field names it.
     val full = s"""{$head,"queries":$qs,"shuffle_bytes":$sh,$tail}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"shuffle_bytes_by_query","unit":"bytes","shuffle_bytes":$sh}""")
     println(s"""{"metric":"per_query_sec","unit":"sec","queries":$qs}""")
     println(s"""{$head,$tail}""")

@@ -29,6 +29,7 @@ object SparkEntry {
       streaming.Streams.all ++
       streaming.Sessions.all ++
       llm.TextAnalysis.all ++
+      llm.Retrieval.all ++
       llm.Dedup.all ++
       llm.Similarity.all ++
       llm.Multimodal.all ++

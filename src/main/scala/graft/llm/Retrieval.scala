@@ -1,0 +1,174 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retrieval-style scoring over the documents corpus — the query-driven
+  * half of a training-data pipeline: BM25 ranking (eval-set retrieval,
+  * contamination probes, targeted corpus carving) and a bigram-LM
+  * fluency score (CCNet-shaped model-free quality signal).
+  *
+  * Scale design (the inverted-index shape): tokenization fans out to a
+  * (doc, term) frame; every aggregate and join after that keys on
+  * `term` or `(doc, term)` — hashes and counts cross the shuffle, never
+  * document text. Query sets are tiny literal frames and broadcast.
+  * Nothing here is all-pairs: scoring touches only the posting lists of
+  * the query's terms, so a 3-term query against 100 TB reads three
+  * posting lists, not the corpus.
+  *
+  * Engine parity: scores avoid transcendentals entirely (JVM `ln` and
+  * DuckDB `ln` differ in ULPs) — BM25 uses the rational idf variant
+  * `(N-df+0.5)/(df+0.5)` and the LM score averages raw transition
+  * probabilities; per-document sums fold over per-term lists sorted on
+  * a unique key, so float addition order is pinned on both engines and
+  * results are bit-identical.
+  */
+object Retrieval {
+  import Portable._
+
+  /** The deterministic benchmark query set (terms all present in the
+    * synthetic corpus; distinct terms per query). */
+  private val querySet: Seq[(String, Seq[String])] = Seq(
+    "q_scan_perf" -> Seq("scan", "fast", "column"),
+    "q_join_shape" -> Seq("join", "merge", "hash"),
+    "q_stream" -> Seq("stream", "batch", "window"))
+
+  private val K1 = 1.2
+  private val B = 0.75
+  private val TopK = 5
+
+  /** BM25 top-k: rank documents for each benchmark query via the
+    * inverted index. k1=1.2, b=0.75, rational idf (no ln — see parity
+    * note above); ties broken by doc_id so the cut is deterministic. */
+  val qBm25TopK: QueryDef = {
+    val valuesSql = querySet.flatMap { case (q, ts) =>
+      ts.map(t => s"('$q', '$t')")
+    }.mkString(", ")
+    QueryDef.sql(
+      "q_text_bm25_topk",
+      s"""WITH tokd AS (
+         |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+         |), dl AS (
+         |  SELECT doc_id, count(*) AS dl FROM tokd GROUP BY 1
+         |), corpus AS (
+         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM tokd GROUP BY 1, 2
+         |), df AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |), qs(qid, term) AS (VALUES $valuesSql),
+         |contribs AS (
+         |  SELECT qs.qid, tf.doc_id, tf.term,
+         |    ((n - df + 0.5e0) / (df + 0.5e0)) *
+         |      (tf * (${K1}e0 + 1.0e0) /
+         |        (tf + ${K1}e0 * ((1.0e0 - ${B}e0) + ${B}e0 * (dl / avgdl)))) AS contrib
+         |  FROM qs JOIN tf USING (term) JOIN df USING (term)
+         |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus
+         |), scored AS (
+         |  SELECT qid, doc_id, count(*) AS n_terms_hit,
+         |    list_reduce(
+         |      list_prepend(CAST(0.0 AS DOUBLE),
+         |        list_transform(list_sort(list({t: term, c: contrib})),
+         |          s -> s.c)),
+         |      (a, b) -> a + b) AS score
+         |  FROM contribs GROUP BY 1, 2
+         |)
+         |SELECT qid, doc_id, n_terms_hit, score,
+         |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
+         |FROM scored QUALIFY rnk <= $TopK""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables.spread(Tables.documents(spark, dir))
+      val tokd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val dl = tokd.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val corpus = dl.agg(count(lit(1)).as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = tokd.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val qs = querySet.flatMap { case (q, ts) => ts.map(q -> _) }
+        .toDF("qid", "term")
+      // the query set prunes the posting lists FIRST (broadcast semi
+      // shape), so df/dl join only the surviving (doc, term) rows
+      val contribs = broadcast(qs).join(tf, "term").join(dfTbl, "term")
+        .join(dl, "doc_id").crossJoin(broadcast(corpus))
+        .select(col("qid"), col("doc_id"), col("term"),
+          (((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+            (col("tf") * lit(K1 + 1.0) /
+              (col("tf") + lit(K1) * (lit(1.0 - B) +
+                lit(B) * (col("dl") / col("avgdl"))))))
+            .as("contrib"))
+      val scored = contribs.groupBy(col("qid"), col("doc_id"))
+        .agg(count(lit(1)).as("n_terms_hit"),
+          aggregate(
+            sort_array(collect_list(struct(col("term").as("t"), col("contrib").as("c")))),
+            lit(0.0),
+            (acc, s) => acc + s.getField("c")).as("score"))
+      scored.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
+        .where(col("rnk") <= TopK)
+    }
+  }
+
+  /** Bigram-LM fluency: the mean corpus transition probability
+    * p(wᵢ | wᵢ₋₁) = C(wᵢ₋₁ wᵢ) / C(wᵢ₋₁ ·) over a document's bigrams —
+    * high for prose made of common continuations, low for shuffled or
+    * templated junk. The model-free stand-in for CCNet's LM-perplexity
+    * filter (no weights, no ln — raw probabilities keep engine parity).
+    *
+    * Shape: one explode to (doc, pos, bigram), two count aggregates
+    * (bigram counts; prefix counts — both key on strings, tiny rows),
+    * one join back, one per-doc fold sorted by position. All shuffles
+    * carry hashes/counts. */
+  val qLmScore: QueryDef = QueryDef.sql(
+    "q_text_lm_score",
+    """WITH bigr AS (
+       |  SELECT doc_id, unnest([{i: i, w1: toks[i], w2: toks[i+1]}
+       |      for i in generate_series(1, len(toks) - 1)]) AS b
+       |  FROM (SELECT doc_id,
+       |      list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS toks
+       |    FROM documents)
+       |  WHERE len(toks) >= 2
+       |), flat AS (
+       |  SELECT doc_id, b.i::BIGINT AS pos, b.w1 AS w1, b.w2 AS w2 FROM bigr
+       |), c2 AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM flat GROUP BY 1, 2
+       |), c1 AS (
+       |  SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1
+       |), probs AS (
+       |  SELECT doc_id, pos, CAST(c2 AS DOUBLE) / c1 AS p
+       |  FROM flat JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+       |)
+       |SELECT doc_id, count(*) AS n_bigrams,
+       |  list_reduce(
+       |    list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list_sort(list({i: pos, p: p})), s -> s.p)),
+       |    (a, b) -> a + b) / count(*) AS avg_transition_p
+       |FROM probs GROUP BY doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.spread(Tables.documents(spark, dir))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 2)
+    // bigrams computed array-side (no self-join): zip the token list
+    // against itself shifted by one, keep the 1-based position
+    val bigr = docs.select(col("doc_id"),
+        posexplode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col.w1").as("w1"), col("col.w2").as("w2"))
+    val c2 = bigr.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val probs = bigr.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), col("pos"),
+        (col("c2").cast("double") / col("c1")).as("p"))
+    probs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (aggregate(
+          sort_array(collect_list(struct(col("pos").as("i"), col("p").as("p")))),
+          lit(0.0),
+          (acc, s) => acc + s.getField("p")) / count(lit(1)))
+          .as("avg_transition_p"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qBm25TopK, qLmScore)
+}

@@ -456,7 +456,7 @@ object Maintenance {
     * proving the widened read path bit-for-bit. */
   val qWidenAppend: graft.QueryDef = graft.QueryDef.sql(
     "q_widen_append",
-    """SELECT CAST(o_orderkey AS INT) AS k, CAST(o_shippriority AS BIGINT) AS prio
+    """SELECT CAST(o_orderkey AS INT) AS k, CAST(o_custkey % 100 AS BIGINT) AS prio
       |FROM orders
       |UNION ALL
       |SELECT CAST(o_orderkey + 10000000 AS INT) AS k, CAST(o_custkey AS BIGINT) AS prio
@@ -469,7 +469,7 @@ object Maintenance {
     val o = graft.Tables.orders(spark, dir)
     graft.sources.DeltaLog.write(spark,
       o.select(col("o_orderkey").cast("int").as("k"),
-        col("o_shippriority").cast("int").as("prio")), t, mode = "append")
+        (col("o_custkey") % 100).cast("int").as("prio")), t, mode = "append")
     // the second batch carries prio as BIGINT → the column widens
     graft.sources.DeltaLog.write(spark,
       o.select((col("o_orderkey") + 10000000).cast("int").as("k"),

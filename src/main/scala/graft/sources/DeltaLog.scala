@@ -3,7 +3,7 @@ package graft.sources
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -115,19 +115,8 @@ object DeltaLog {
       * same footprint Spark's InMemoryFileIndex pays); stats and
       * partition values stay distributed. */
     lazy val fileEntries: Seq[FileEntry] = allFiles
-      .select("path", "deletionVector").collect().toSeq.map { r =>
-        val dv =
-          if (r.isNullAt(1)) None
-          else {
-            val s = r.getStruct(1)
-            Some(DeletionVectors.Descriptor(
-              s.getString(0), s.getString(1),
-              if (s.isNullAt(2)) None else Some(s.getInt(2)),
-              if (s.isNullAt(3)) 0 else s.getInt(3),
-              if (s.isNullAt(4)) 0L else s.getLong(4)))
-          }
-        FileEntry(r.getString(0), dv)
-      }.sortBy(_.path)
+      .select("path", "deletionVector").collect().toSeq
+      .map(entryOfRow).sortBy(_.path)
 
     /** Live file paths (relative to the table root), sorted. */
     def files: Seq[String] = fileEntries.map(_.path)
@@ -161,6 +150,40 @@ object DeltaLog {
       paths.map(p => byPath.getOrElse(p, FileEntry(p)))
     }
   }
+
+  /** Decode one `allFiles` row (path, deletionVector) into a FileEntry. */
+  private def entryOfRow(r: Row): FileEntry = {
+    val dv =
+      if (r.isNullAt(1)) None
+      else {
+        val s = r.getStruct(1)
+        Some(DeletionVectors.Descriptor(
+          s.getString(0), s.getString(1),
+          if (s.isNullAt(2)) None else Some(s.getInt(2)),
+          if (s.isNullAt(3)) 0 else s.getInt(3),
+          if (s.isNullAt(4)) 0L else s.getLong(4)))
+      }
+    FileEntry(r.getString(0), dv)
+  }
+
+  /** Live-file count of a snapshot — ONE distributed count, no entry
+    * materialization on the driver (the streaming source's admission
+    * control needs only the size of the initial-snapshot feed). */
+  private[graft] def snapshotFileCount(snap: Snapshot): Long = snap.allFiles.count()
+
+  /** Path-ordered slice [from, until) of a snapshot's live file
+    * entries, collecting ONLY the slice on the driver — the chunked
+    * initial-snapshot path: a 10⁶-file table streamed with
+    * maxFilesPerTrigger=1000 holds 1000 entries at a time, never all.
+    * Ordering is the distributed sort on `path` (binary UTF-8 — equal
+    * to the JVM sort for the ASCII paths the writer mints), so chunk
+    * boundaries are stable across calls and restarts. */
+  private[graft] def snapshotFileSlice(snap: Snapshot,
+      from: Long, until: Long): Seq[FileEntry] =
+    if (until <= from) Seq.empty
+    else snap.allFiles.select("path", "deletionVector").orderBy("path")
+      .offset(from.toInt).limit((until - from).toInt)
+      .collect().toSeq.map(entryOfRow)
 
   private val mapper = new ObjectMapper()
 
@@ -753,8 +776,62 @@ object DeltaLog {
   def read(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, versionAsOf)
-    readEntries(spark, table, snap.fileEntries, snap.schema, snap.columnMappingMode)
+    readSnapshotChunked(spark, table, snap)
   }
+
+  /** Plan a full-table scan with BOUNDED driver state: entries stream
+    * off the DISTRIBUTED file frame in chunks of
+    * `spark.graft.read.maxEntriesPerChunk` (default 200k), one
+    * multi-file relation per chunk, unioned by name — an unfiltered
+    * SELECT * over a 10⁶-file table never holds every FileEntry on the
+    * driver at once. The common case (≤ one chunk — every testdata
+    * table) takes a single limit-collect and produces EXACTLY the
+    * one-relation plan the old path built, so Catalyst sees no union
+    * and nothing changes downstream; filters and pruning push into
+    * every union branch when chunking does kick in. */
+  private[graft] def readSnapshotChunked(spark: SparkSession, table: String,
+      snap: Snapshot): DataFrame = {
+    val chunkSize = spark.conf.getOption("spark.graft.read.maxEntriesPerChunk")
+      .map(_.toInt).getOrElse(200000)
+    require(chunkSize > 0, s"spark.graft.read.maxEntriesPerChunk must be > 0")
+    val frame = snap.allFiles.select("path", "deletionVector")
+    // fast path: one job, one relation — identical to the pre-chunking
+    // plan whenever the table fits one chunk
+    val head = frame.limit(chunkSize + 1).collect()
+    if (head.length <= chunkSize) {
+      meterReadCollect(head.length)
+      return readEntries(spark, table, head.toSeq.map(entryOfRow),
+        snap.schema, snap.columnMappingMode)
+    }
+    // big-table path: partition the file frame so each partition is one
+    // chunk, then iterate partition-at-a-time (toLocalIterator holds
+    // exactly one partition of entries on the driver)
+    val n = frame.count()
+    val parts = math.max(1L, (n + chunkSize - 1) / chunkSize).toInt
+    val it = frame.repartition(parts).toLocalIterator()
+    val dfs = Seq.newBuilder[DataFrame]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    def flush(): Unit = if (buf.nonEmpty) {
+      meterReadCollect(buf.size)
+      dfs += readEntries(spark, table, buf.toSeq,
+        snap.schema, snap.columnMappingMode)
+      buf.clear()
+    }
+    while (it.hasNext) {
+      buf += entryOfRow(it.next())
+      if (buf.size >= chunkSize) flush()
+    }
+    flush()
+    dfs.result().reduce(_ unionByName _)
+  }
+
+  /** Test gauge: largest single driver-side entry collect a chunked
+    * read performed since the last reset. */
+  private val readMeter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def meterReadCollect(n: Int): Unit =
+    readMeter.getAndAccumulate(n.toLong, (a: Long, b: Long) => math.max(a, b))
+  private[graft] def resetReadCollectMeter(): Unit = readMeter.set(0L)
+  private[graft] def maxDriverEntriesPerReadChunk: Long = readMeter.get()
 
   /** `TIMESTAMP AS OF`: the newest version whose commit timestamp
     * (commitInfo, falling back to the commit file's mtime for foreign
@@ -912,7 +989,7 @@ object DeltaLog {
     f.mkdirs(new Path(target, "_delta_log"))
     val tmp = new Path(logDir(target), f".00000-clone-$now%d.json.tmp")
     val out = f.create(tmp, false)
-    try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((orderCommitActions(actions.result()).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val dest = commitPath(target, 0L)
     require(!f.exists(dest) && f.rename(tmp, dest),
@@ -967,8 +1044,7 @@ object DeltaLog {
         coalesce(sum(col("n")), lit(0L)), coalesce(sum(col("dv")), lit(0L)))
       .head()
     if (r.getLong(0) == r.getLong(1)) r.getLong(2) - r.getLong(3)
-    else readEntries(spark, table, snap.fileEntries, snap.schema,
-      snap.columnMappingMode).count()
+    else readSnapshotChunked(spark, table, snap).count()
   }
 
   /** COPY INTO: idempotent bulk file ingestion (Databricks' loading
@@ -1766,11 +1842,16 @@ object DeltaLog {
     * mark per identity column (empty when nothing advanced). */
   private def applyGeneratedIdentity(spark: SparkSession, df: DataFrame,
       declared: StructType, dataChange: Boolean, operation: String)
-      : (DataFrame, Map[String, Long]) = {
+      : (DataFrame, Map[String, Long], () => Unit) = {
     val genFields = declared.fields.filter(_.metadata.contains(GenExprKey)).toSeq
     val idFields = declared.fields.filter(_.metadata.contains(IdStartKey)).toSeq
     if (!dataChange || (genFields.isEmpty && idFields.isEmpty))
-      return (df, Map.empty)
+      return (df, Map.empty, () => ())
+    // frames pinned for the duration of allocation + staging: the gid
+    // tagging below is non-deterministic across re-evaluation (AQE
+    // re-plan, non-deterministic source), so the counting pre-pass and
+    // the staged write MUST observe the same materialization
+    val pinned = Seq.newBuilder[DataFrame]
     val rewriteOp = operation == "MERGE" || operation == "UPDATE"
     var data = df
     if (genFields.nonEmpty) {
@@ -1817,6 +1898,7 @@ object DeltaLog {
       // (monotonically_increasing_id encodes partition << 33 | index)
       val gidCol = "__graft_identity_gid"
       val tagged = data.withColumn(gidCol, monotonically_increasing_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val perPart = tagged
         .groupBy(shiftright(col(gidCol), 33).as("__pid"))
         .agg(count(lit(1)).as("__n"),
@@ -1847,10 +1929,15 @@ object DeltaLog {
             when(col(fl.name).isNull, lit(base) + lit(step) * slot)
               .otherwise(col(fl.name)))
           .drop(gidCol)
+        pinned += tagged // released by the caller once staging completes
         hwms += fl.name -> (base + step * totalRows)
-      } else if (base != hwm) hwms += fl.name -> base
+      } else {
+        tagged.unpersist()
+        if (base != hwm) hwms += fl.name -> base
+      }
     }
-    (data, hwms)
+    val toRelease = pinned.result()
+    (data, hwms, () => toRelease.foreach(_.unpersist()))
   }
 
   /** Core committer behind every write shape (overwrite, append,
@@ -2027,7 +2114,7 @@ object DeltaLog {
     // generated/identity columns: fill, enforce, or recompute against
     // the table's declared metadata; identityHwms carries the advanced
     // high-water marks for the metaData action below
-    val (data, identityHwms) = applyGeneratedIdentity(spark, df,
+    val (data, identityHwms, releaseIdentityPins) = applyGeneratedIdentity(spark, df,
       featureSchema, dataChange, operation)
     // columns the feature pass ADDED (a generated/identity column the
     // caller's frame lacked) must be re-attached to the declaration —
@@ -2142,8 +2229,9 @@ object DeltaLog {
         else stagedDf.hint("rebalance")
       } else stagedDf
     val w = stagedOut.write.mode("overwrite")
-    (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
+    try (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
       .parquet(scratch.toString)
+    finally releaseIdentityPins()
     val staged = f.listFiles(scratch, true)
     val moved = Seq.newBuilder[(String, Map[String, String])] // relPath -> partitionValues
     var idx = 0
@@ -2323,7 +2411,7 @@ object DeltaLog {
       // write-then-rename: the commit becomes visible atomically or not at all
       val tmp = new Path(logDir(table), f".$version%020d-$nonce.json.tmp")
       val out = f.create(tmp, false)
-      try out.write((actions.result().mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write((orderCommitActions(actions.result()).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       val commitDest = commitPath(table, version)
       // HDFS/object-store rename fails on an existing destination (true
@@ -2824,11 +2912,18 @@ object DeltaLog {
       4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
       6 -> "identityColumns").collect { case (v, f) if mwv >= v && mwv < 7 => f }
     val wf = (feats("writerFeatures") ++ legacyWriter :+ "typeWidening").distinct
+    // bumping minReaderVersion to 3 switches readers to feature
+    // enumeration: legacy reader features implied by the OLD version
+    // must be spelled out (columnMapping at mrv>=2), mirroring
+    // legacyWriter — otherwise readers would stop enforcing them
+    val mrv = if (node.has("minReaderVersion")) node.get("minReaderVersion").asInt() else 1
+    val legacyReader =
+      Seq(2 -> "columnMapping").collect { case (v, f) if mrv >= v && mrv < 3 => f }
     val out = mapper.createObjectNode()
     out.put("minReaderVersion", 3)
     out.put("minWriterVersion", 7)
     val rfArr = out.putArray("readerFeatures")
-    (feats("readerFeatures") :+ "typeWidening").distinct.foreach(rfArr.add)
+    (feats("readerFeatures") ++ legacyReader :+ "typeWidening").distinct.foreach(rfArr.add)
     val wfArr = out.putArray("writerFeatures")
     wf.foreach(wfArr.add)
     Some(s"""{"protocol":${mapper.writeValueAsString(out)}}""")
@@ -2898,13 +2993,22 @@ object DeltaLog {
     v
   }
 
+  /** Order actions for the commit file: commitInfo FIRST. The Delta
+    * in-commit-timestamp spec requires readers to resolve the commit
+    * clock from the head of the file, and delta-spark writes commitInfo
+    * first unconditionally — match that convention on every path. */
+  private def orderCommitActions(actions: Seq[String]): Seq[String] = {
+    val (info, rest) = actions.partition(_.startsWith("""{"commitInfo""""))
+    info ++ rest
+  }
+
   private def commitRaw(spark: SparkSession, table: String, version: Long,
       actions: Seq[String], operation: String): Unit = {
     val f = fs(spark, table)
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(logDir(table), f".$version%020d-$nonce.json.tmp")
     val out = f.create(tmp, false)
-    try out.write((actions.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((orderCommitActions(actions).mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     val dest = commitPath(table, version)
     val gate = commitGates.computeIfAbsent(table, _ => new Object)
@@ -3007,7 +3111,8 @@ object DeltaLog {
     * commitInfo — pinned at `snap` (a racing writer fails loudly). The
     * shape behind CREATE-less DDL verbs (ADD COLUMNS, TBLPROPERTIES). */
   private def commitMetaData(spark: SparkSession, snap: Snapshot, table: String,
-      operation: String)(mutate: ObjectNode => Unit): Long = {
+      operation: String, extraActions: Seq[String] = Nil)
+      (mutate: ObjectNode => Unit): Long = {
     val meta = snap.metaDataJson
       .map(mapper.readTree(_).asInstanceOf[ObjectNode].deepCopy())
       .getOrElse(mapper.createObjectNode())
@@ -3042,7 +3147,7 @@ object DeltaLog {
     }
     val protoUp = if (!ictOn) None else ictProtocolUpgrade(snap.protocolJson)
     val actions = protoUp.toSeq ++ Seq(
-      s"""{"metaData":${mapper.writeValueAsString(meta)}}""",
+      s"""{"metaData":${mapper.writeValueAsString(meta)}}""") ++ extraActions ++ Seq(
       s"""{"commitInfo":{"timestamp":$now$ict,"operation":${jsonStr(operation)}}}""")
     val f = fs(spark, table)
     val current = (listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq).max
@@ -3314,7 +3419,20 @@ object DeltaLog {
         "generation expression — drop the constraint / recreate first")
     val declared = StructType(prev.fields.map(fl =>
       if (fl.name == from) fl.copy(name = to) else fl))
-    commitMetaData(spark, snap, table, "RENAME COLUMN") { meta =>
+    // a clustering column renames WITH the table: rewrite the
+    // delta.clustering domain in the same commit, else the next bare
+    // OPTIMIZE would cluster by a name that no longer resolves
+    val clusterRewrite =
+      if (!snap.clusteringColumns.contains(from)) Nil
+      else {
+        val cols = snap.clusteringColumns
+          .map(c => s"""[${jsonStr(if (c == from) to else c)}]""")
+          .mkString("[", ",", "]")
+        val cfg = jsonStr(s"""{"clusteringColumns":$cols}""")
+        Seq(s"""{"domainMetadata":{"domain":"delta.clustering",""" +
+          s""""configuration":$cfg,"removed":false}}""")
+      }
+    commitMetaData(spark, snap, table, "RENAME COLUMN", clusterRewrite) { meta =>
       meta.put("schemaString", declared.json)
       if (snap.partitionColumns.contains(from)) {
         val pc = meta.putArray("partitionColumns")
@@ -3341,6 +3459,9 @@ object DeltaLog {
     require(prev.fields.length > 1, s"DROP COLUMN: cannot drop the last column")
     require(!snap.partitionColumns.contains(name),
       s"DROP COLUMN: $name is a partition column")
+    require(!snap.clusteringColumns.contains(name),
+      s"DROP COLUMN: $name is a clustering column (delta.clustering domain) — " +
+        "ALTER TABLE … CLUSTER BY a different column first")
     require(!referencedColumns(spark, snap).contains(name.toLowerCase),
       s"DROP COLUMN: $name is referenced by a CHECK constraint or a " +
         "generation expression")
@@ -3764,44 +3885,102 @@ object DeltaLog {
     val versions = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq
     val kept = versions.distinct.sorted.takeRight(keepVersions)
     val keptSnaps = kept.map(v => snapshot(spark, table, Some(v)))
-    val live = keptSnaps.flatMap(_.files).toSet
+    import spark.implicits._
+    // LIVE data paths stay DISTRIBUTED: the union of the kept
+    // snapshots' file frames — never a 10⁶-path Set on the driver.
+    val liveData = keptSnaps.map(_.allFiles.select(col("path")))
+      .reduce(_ union _)
     // DV sidecars referenced by any kept snapshot stay; the rest are
     // reclaimable like data files (OPTIMIZE purges DVs but cannot
-    // delete the sidecar while older versions still reference it)
-    val liveSidecars = keptSnaps.flatMap(_.fileEntries.flatMap(_.dv))
-      .filter(_.storageType == "u")
-      .map(d => DeletionVectors.sidecarPath(table, d.pathOrInlineDv))
-      .map(p => f.makeQualified(new Path(table)).toUri
-        .relativize(f.makeQualified(p).toUri).getPath)
-      .toSet
+    // delete the sidecar while older versions still reference it).
+    // Only the DISTINCT descriptors reach the driver (Z85→uuid decode
+    // is a JVM-side function): O(distinct DVs), ≪ O(files).
+    val tableRootQ = f.makeQualified(new Path(table))
+    val liveSidecars: Seq[String] = keptSnaps.map(_.allFiles
+        .where(col("deletionVector").isNotNull &&
+          col("deletionVector.storageType") === "u")
+        .select(col("deletionVector.pathOrInlineDv")))
+      .reduce(_ union _).distinct().as[String].collect().toSeq
+      .map(u => tableRootQ.toUri.relativize(
+        f.makeQualified(DeletionVectors.sidecarPath(table, u)).toUri).getPath)
     val cutoff = System.currentTimeMillis() - retainMillis
     // change-data files referenced by any SURVIVING commit JSON stay —
     // [[changesBetween]] can still serve those windows; once the commit
     // is checkpointed away the cdc file becomes reclaimable like any
     // unreferenced data file. O(surviving commits) driver work, bounded
     // by the checkpoint interval.
-    val liveCdc: Set[String] = listVersions(spark, table).flatMap(v =>
+    val liveCdc: Seq[String] = listVersions(spark, table).flatMap(v =>
       readCommit(f, table, v).filter(_.has("cdc"))
-        .map(_.get("cdc").get("path").asText())).toSet
-    // every data file under the root (not the log dir), relative paths
-    val root = f.makeQualified(new Path(table))
-    val it = f.listFiles(root, true)
-    var deleted = 0
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = root.toUri.relativize(st.getPath.toUri).getPath
-      val isData = rel.endsWith(".parquet") && !live.contains(rel) &&
-        !liveCdc.contains(rel)
-      val isDeadSidecar = basename(rel).startsWith("deletion_vector_") &&
-        rel.endsWith(".bin") && !liveSidecars.contains(rel)
-      if (st.isFile && (isData || isDeadSidecar) && !rel.startsWith("_delta_log") &&
-          !rel.contains("/.") && !rel.startsWith(".") &&
-          st.getModificationTime <= cutoff) {
-        if (!dryRun) f.delete(st.getPath, false)
-        deleted += 1
-      }
+        .map(_.get("cdc").get("path").asText()))
+    // candidate listing PARALLELIZED per subtree: the driver lists only
+    // the root's first level; executors walk their directories — a
+    // Hive-partitioned 100 TB table lists its thousands of partition
+    // dirs concurrently instead of one driver RemoteIterator.
+    val top = f.listStatus(tableRootQ).toSeq
+      .filterNot(_.getPath.getName == "_delta_log")
+    val rootUri = tableRootQ.toUri
+    def relOf(p: Path): String = rootUri.relativize(p.toUri).getPath
+    val topFileRows: Seq[(String, Long)] = top.filter(_.isFile)
+      .map(st => (relOf(st.getPath), st.getModificationTime))
+    val topDirs: Seq[String] = top.filter(_.isDirectory).map(_.getPath.toString)
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val rootStr = tableRootQ.toString
+    val dirRows: Dataset[(String, Long)] =
+      if (topDirs.isEmpty) spark.emptyDataset[(String, Long)]
+      else spark.createDataset(topDirs)
+        .repartition(math.min(topDirs.size,
+          math.max(1, spark.sparkContext.defaultParallelism)))
+        .mapPartitions { dirs =>
+          if (dirs.isEmpty) Iterator.empty
+          else {
+            val fsys = new Path(rootStr).getFileSystem(bcConf.value.value)
+            val base = fsys.makeQualified(new Path(rootStr)).toUri
+            dirs.flatMap { d =>
+              val out = Seq.newBuilder[(String, Long)]
+              val walk = fsys.listFiles(new Path(d), true)
+              while (walk.hasNext) {
+                val st = walk.next()
+                if (st.isFile)
+                  out += ((base.relativize(st.getPath.toUri).getPath,
+                    st.getModificationTime))
+              }
+              out.result()
+            }
+          }
+        }
+    val found = dirRows.union(topFileRows.toDS()).toDF("rel", "mtime")
+    // reclaimable = aged-out data files or DV sidecars under the root
+    // that NO kept snapshot references (left-anti against the
+    // distributed live frame; sidecar/cdc keep-lists are small and
+    // broadcast via isin)
+    val isData = col("rel").endsWith(".parquet")
+    val isSidecar = element_at(split(col("rel"), "/"), -1)
+      .startsWith("deletion_vector_") && col("rel").endsWith(".bin")
+    val visible = !col("rel").startsWith("_delta_log") &&
+      !col("rel").contains("/.") && !col("rel").startsWith(".")
+    val keepCdc = if (liveCdc.isEmpty) lit(false) else col("rel").isin(liveCdc: _*)
+    val keepSidecar =
+      if (liveSidecars.isEmpty) lit(false) else col("rel").isin(liveSidecars: _*)
+    val candidates = found
+      .where(visible && col("mtime") <= cutoff &&
+        ((isData && !keepCdc) || (isSidecar && !keepSidecar)))
+      .join(liveData, col("rel") === col("path"), "left_anti")
+    if (dryRun) candidates.count().toInt
+    else {
+      // deletes run on executors (idempotent on retry: deleting an
+      // absent file is a no-op false); only the count reaches the driver
+      val n = candidates.select("rel").as[String].mapPartitions { paths =>
+        if (paths.isEmpty) Iterator.empty
+        else {
+          val fsys = new Path(rootStr).getFileSystem(bcConf.value.value)
+          var c = 0L
+          paths.foreach { rel => fsys.delete(new Path(rootStr, rel), false); c += 1 }
+          Iterator.single(c)
+        }
+      }.collect().sum
+      n.toInt
     }
-    deleted
   }
 
   /** Write a parquet checkpoint of the current snapshot + the

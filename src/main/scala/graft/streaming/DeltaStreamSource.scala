@@ -60,18 +60,45 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
     case other => Pos.fromJson(other.json())
   }
 
-  /** Files of one log position's feed, deterministically ordered by
-    * path: the snapshot at `snap` for the initial version, that
-    * version's adds otherwise. Cached — a feed for a fixed version is
-    * immutable. */
-  private val feedCache = scala.collection.mutable.HashMap.empty[Long, IndexedSeq[DeltaLog.FileEntry]]
-  private def feedOf(v: Long, snapVersion: Long): IndexedSeq[DeltaLog.FileEntry] =
-    feedCache.getOrElseUpdate(v, {
-      val entries =
-        if (v == snapVersion) DeltaLog.snapshot(spark, table, Some(v)).fileEntries
-        else DeltaLog.addedFileEntries(spark, table, v - 1, v, skipChangeCommits)
-      entries.sortBy(_.path).toIndexedSeq
+  /** One log position's feed, deterministically ordered by path: the
+    * snapshot at `snap` for the initial version, that version's adds
+    * otherwise. Driver state is BOUNDED: the initial snapshot is never
+    * materialized whole — its SIZE is one distributed count and each
+    * batch collects only its [from, until) slice
+    * ([[DeltaLog.snapshotFileSlice]]), so a 10⁶-file table streamed
+    * with maxFilesPerTrigger=n holds ≤n entries at a time. Per-version
+    * ADD feeds are O(that commit) and evicted once their version is
+    * consumed ([[getBatch]]); a restart recomputes them from the log. */
+  private val addsCache = scala.collection.mutable.HashMap.empty[Long, IndexedSeq[DeltaLog.FileEntry]]
+  private var snapState: Option[(Long, DeltaLog.Snapshot, Long)] = None
+
+  private def snapInfo(snapV: Long): (Long, DeltaLog.Snapshot, Long) =
+    snapState match {
+      case Some(s) if s._1 == snapV => s
+      case _ =>
+        val sn = DeltaLog.snapshot(spark, table, Some(snapV))
+        val st = (snapV, sn, DeltaLog.snapshotFileCount(sn))
+        snapState = Some(st); st
+    }
+
+  private def addsOf(v: Long): IndexedSeq[DeltaLog.FileEntry] =
+    addsCache.getOrElseUpdate(v, {
+      val es = DeltaLog.addedFileEntries(spark, table, v - 1, v, skipChangeCommits)
+        .sortBy(_.path).toIndexedSeq
+      DeltaStreamSource.meterCollect(es.size)
+      es
     })
+
+  private def feedSize(v: Long, snapV: Long): Long =
+    if (v == snapV) snapInfo(snapV)._3 else addsOf(v).size.toLong
+
+  private def feedSlice(v: Long, snapV: Long,
+      from: Long, until: Long): Seq[DeltaLog.FileEntry] =
+    if (v == snapV) {
+      val es = DeltaLog.snapshotFileSlice(snapInfo(snapV)._2, from, until)
+      DeltaStreamSource.meterCollect(es.size)
+      es
+    } else addsOf(v).slice(from.toInt, until.toInt)
 
   /** The last position this source planned or recovered — where the
     * next getOffset continues from. */
@@ -114,12 +141,14 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
         val snapV = highWater.map(_.snap).getOrElse(latest)
         var cur = highWater.getOrElse(Pos(snapV, 0L, snapV))
         var left = budget.toLong
-        // walk versions, consuming up to `budget` files
+        // walk versions, consuming up to `budget` files — sizes only
+        // (the snapshot size is one distributed count, cached; no
+        // entry ever reaches the driver during admission control)
         var out = cur
         var v = cur.version
-        var idx = cur.index(feedOf(v, snapV).size.toLong)
-        while (left > 0 && (v < latest || idx < feedOf(v, snapV).size)) {
-          val size = feedOf(v, snapV).size.toLong
+        var idx = cur.index(feedSize(v, snapV))
+        while (left > 0 && (v < latest || idx < feedSize(v, snapV))) {
+          val size = feedSize(v, snapV)
           if (idx >= size) { v += 1; idx = 0L }
           else {
             val take = math.min(left, size - idx)
@@ -149,6 +178,11 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else DeltaLog.readEntriesAt(spark, table, entries, e.version)
+    // a version's ADD feed is consumed once planned through `e`; evict
+    // so a long-lived stream's driver state stays O(one batch), not
+    // O(stream lifetime) — a restart-recovery getBatch recomputes the
+    // evicted feed from the log
+    addsCache.filterInPlace { case (v, _) => v > e.version }
     // normalize to the declared column order (a partitioned read
     // surfaces partition columns last); the engine asserts getBatch
     // frames are MARKED streaming, hence the shim
@@ -159,8 +193,9 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
   /** Everything from the stream start through `e`. */
   private def sliceTo(e: Pos): Seq[DeltaLog.FileEntry] =
     (e.snap to e.version).flatMap { v =>
-      val feed = feedOf(v, e.snap)
-      if (v < e.version) feed else feed.take(e.index(feed.size.toLong).toInt)
+      val size = feedSize(v, e.snap)
+      val until = if (v < e.version) size else e.index(size)
+      feedSlice(v, e.snap, 0L, until)
     }
 
   /** Everything in `(s, e]`. A fully-consumed start version is skipped
@@ -169,10 +204,10 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
   private def sliceBetween(s: Pos, e: Pos): Seq[DeltaLog.FileEntry] = {
     val firstV = if (s.consumed) s.version + 1 else s.version
     (firstV to e.version).flatMap { v =>
-      val feed = feedOf(v, e.snap)
-      val from = if (v == s.version) s.index(feed.size.toLong) else 0L
-      val until = if (v == e.version) e.index(feed.size.toLong) else feed.size.toLong
-      if (until > from) feed.slice(from.toInt, until.toInt) else Seq.empty
+      val size = feedSize(v, e.snap)
+      val from = if (v == s.version) s.index(size) else 0L
+      val until = if (v == e.version) e.index(size) else size
+      if (until > from) feedSlice(v, e.snap, from, until) else Seq.empty
     }
   }
 
@@ -182,6 +217,17 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
 }
 
 object DeltaStreamSource {
+  /** Test gauge: the largest single driver-side FileEntry collect any
+    * source performed since the last [[resetCollectMeter]] — a spec
+    * over a many-file table asserts it stays ≤ maxFilesPerTrigger
+    * (i.e. the initial snapshot was chunked, never materialized
+    * whole). Shared across sources; reset per test. */
+  private val maxCollected = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[streaming] def meterCollect(n: Int): Unit =
+    maxCollected.getAndAccumulate(n.toLong, math.max)
+  private[graft] def resetCollectMeter(): Unit = maxCollected.set(0L)
+  private[graft] def maxDriverEntriesPerCollect: Long = maxCollected.get()
+
   private[streaming] def schemaOf(ctx: SQLContext, table: String): StructType =
     DeltaLog.snapshot(ctx.sparkSession, table).schema.getOrElse(
       throw new IllegalArgumentException(

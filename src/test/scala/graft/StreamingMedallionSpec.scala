@@ -183,6 +183,51 @@ class StreamingMedallionSpec extends SparkSpec {
       s"6 new files under a 3-file cap need >= 2 chunks: $batchSizes")
   }
 
+  test("many-file initial snapshot streams with bounded driver state") {
+    import spark.implicits._
+    // 10^4 files, 1 row each: the 100 TB shape in miniature. The source
+    // must chunk the snapshot WITHOUT ever materializing all entries on
+    // the driver — the collect meter records the largest single
+    // FileEntry collect any stream performed.
+    val base = java.nio.file.Files.createTempDirectory("graft-dstream4-").toString
+    val src = s"$base/src"
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    graft.sources.DeltaLog.write(spark,
+      spark.range(0L, 10000L).toDF("x").repartition(10000), src)
+    assert(graft.sources.DeltaLog.countRows(spark, src) == 10000L)
+
+    graft.streaming.DeltaStreamSource.resetCollectMeter()
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "2000").load(src)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        VersionedTable.write(batch.sparkSession, batch, sink, "append"); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    assert(VersionedTable.read(spark, sink).count() == 10000L,
+      "every row exactly once through the chunked snapshot")
+    val peak = graft.streaming.DeltaStreamSource.maxDriverEntriesPerCollect
+    assert(peak > 0L && peak <= 2000L,
+      s"driver-collected entries per batch must be <= maxFilesPerTrigger, got $peak")
+
+    // the unpruned BATCH read of the same many-file table also plans in
+    // bounded chunks: with a 2000-entry chunk cap, no single driver
+    // collect may exceed it, and the unioned plan still reads every row
+    spark.conf.set("spark.graft.read.maxEntriesPerChunk", "2000")
+    try {
+      graft.sources.DeltaLog.resetReadCollectMeter()
+      assert(graft.sources.DeltaLog.read(spark, src).count() == 10000L)
+      val readPeak = graft.sources.DeltaLog.maxDriverEntriesPerReadChunk
+      assert(readPeak > 0L && readPeak <= 2000L,
+        s"full-read driver chunk must be <= maxEntriesPerChunk, got $readPeak")
+    } finally spark.conf.unset("spark.graft.read.maxEntriesPerChunk")
+  }
+
   test("graft-delta source: DV-aware snapshot; change commits refuse or skip") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-dstream2-").toString
