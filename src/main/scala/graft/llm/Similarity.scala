@@ -769,8 +769,81 @@ object Similarity {
   }
 
   // lazy because the trained queries train on first access (needs a session)
+  /** SemDeDup-style semantic dedup: cluster-bounded embedding near-dup
+    * with a KEEP/DROP decision per vector. Each vector is assigned to
+    * its nearest coarse IVF cell; ONLY within-cell pairs are scored
+    * (the SemDeDup recipe — candidates bounded by the cluster, never
+    * all-pairs); a vector is dropped when a LOWER-id cell-mate sits
+    * within the cosine threshold, `kept_by` naming its keeper (-1 for
+    * survivors). Deterministic: greedy by vec_id, no RNG.
+    *
+    * Scale: assignment is a broadcast map-side pass; the self-join is
+    * co-clustered behind one cell-partitioned exchange; per-cell pair
+    * count is (cell size choose 2) — the quantizer bounds it the same
+    * way it bounds IVF search cost. τ=0.35 is fixture-calibrated (the
+    * synthetic vectors top out at cosine 0.48 within cells; a real
+    * corpus runs 0.9+); the plan shape is τ-independent. */
+  val qSemanticDedup: QueryDef = {
+    val tau = 0.35
+    QueryDef.sql(
+      "q_dedup_semantic",
+      s"""WITH norms AS ($normsSql
+         |), cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM norms WHERE vec_id % 50 = 0
+         |), assigned AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT n.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+         |          c.cell_id) AS rn
+         |    FROM norms n CROSS JOIN cents c) WHERE rn = 1
+         |), pairs AS (
+         |  SELECT b.vec_id AS vec_id, a.vec_id AS keeper
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  JOIN norms na ON na.vec_id = a.vec_id
+         |  JOIN norms nb ON nb.vec_id = b.vec_id
+         |  WHERE ${dotSql("na.embedding", "nb.embedding")} / (na.nrm * nb.nrm) >= ${tau}e0
+         |), drops AS (
+         |  SELECT vec_id, min(keeper) AS kept_by FROM pairs GROUP BY vec_id
+         |)
+         |SELECT s.vec_id, s.cell_id,
+         |  d.vec_id IS NOT NULL AS dropped,
+         |  coalesce(d.kept_by, -1) AS kept_by
+         |FROM assigned s LEFT JOIN drops d ON s.vec_id = d.vec_id""".stripMargin) {
+      (spark, dir) =>
+        val n = norms(spark, dir)
+        val cents = n.where(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
+            col("nrm").as("c_nrm"))
+        val assigned = graft.Tables.spread(n).crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell_id"),
+            row_number().over(Window.partitionBy(col("vec_id")).orderBy(
+              (dot(col("embedding"), col("c_emb")) / (col("nrm") * col("c_nrm"))).desc,
+              col("cell_id"))).as("rn"))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("nrm"), col("cell_id"))
+          .repartition(col("cell_id"))
+        val pairs = assigned.as("a").join(assigned.as("b"),
+            col("a.cell_id") === col("b.cell_id") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .where((dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))) >= tau)
+          .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("keeper"))
+        val drops = pairs.groupBy(col("vec_id"))
+          .agg(min(col("keeper")).as("kept_by"))
+        assigned.select(col("vec_id"), col("cell_id"))
+          .join(drops.withColumnRenamed("vec_id", "d_vec"),
+            col("vec_id") === col("d_vec"), "left")
+          .select(col("vec_id"), col("cell_id"),
+            col("d_vec").isNotNull.as("dropped"),
+            coalesce(col("kept_by"), lit(-1L)).as("kept_by"))
+    }
+  }
+
   lazy val all: Seq[QueryDef] =
     Seq(qCosineTopK, qIvfAnn, qIvfMultiProbe, qEmbeddingNearDup, qIvfTrained,
-      qPqAdc, qIvfPq)
+      qPqAdc, qIvfPq, qSemanticDedup)
 }
 

@@ -504,9 +504,40 @@ object Maintenance {
       graft.sources.DeltaLog.read(spark, t)
   }
 
+  /** Row tracking, oracle-verified: two appends into a row-tracked
+    * table must yield a DENSE, UNIQUE id space 0..n-1 regardless of
+    * file layout — the invariant the protocol's baseRowId allocation
+    * promises. The oracle states the invariant (a function of row count
+    * alone); the Spark side computes it from the ACTUAL `_row_id`s, so
+    * an overlap, gap, or lost domain update breaks the hash. Also
+    * re-reads row values through the id surface: sum(o_custkey) proves
+    * the join attaches ids to the right rows, not just the right count. */
+  val qRowTrackingIds: graft.QueryDef = graft.QueryDef.sql(
+    "q_rowtracking_ids",
+    """SELECT count(*) AS n_rows, count(*) AS n_distinct_ids,
+      |  CAST(0 AS BIGINT) AS min_id, count(*) - 1 AS max_id,
+      |  CAST(sum(o_custkey) AS BIGINT) AS sum_custkey
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-rowtrack-q-").toString + "/t"
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+    graft.sources.DeltaLog.write(spark,
+      o.where(col("o_orderkey") % 2 === 0), t,
+      properties = Map(graft.sources.DeltaLog.RowTrackingKey -> "true"))
+    graft.sources.DeltaLog.write(spark,
+      o.where(col("o_orderkey") % 2 === 1), t, mode = "append")
+    graft.sources.DeltaLog.readWithRowIds(spark, t).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("_row_id")).as("n_distinct_ids"),
+      min(col("_row_id")).as("min_id"),
+      max(col("_row_id")).as("max_id"),
+      sum(col("o_custkey")).as("sum_custkey"))
+  }
+
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
-      qWidenAppend, qClusterOptimize)
+      qWidenAppend, qClusterOptimize, qRowTrackingIds)
 }

@@ -145,8 +145,28 @@ object DeltaLog {
       else schema.map(_.fields.map(f => f.name -> physicalName(f)).toMap)
         .getOrElse(Map.empty)
 
+    /** Entries for a specific path subset — a DISTRIBUTED semi-join
+      * against the file frame, so a MERGE/OPTIMIZE removing 10 files of
+      * a 10⁶-file table collects 10 entries, never the whole snapshot
+      * (the full-overwrite case passes every path and pays O(files),
+      * which is also the size of the commit it is building). Paths not
+      * in the snapshot come back as plain entries, preserving the
+      * caller's remove-whatever-it-asked contract. */
     private[sources] def entriesFor(paths: Seq[String]): Seq[FileEntry] = {
-      val byPath = fileEntries.map(e => e.path -> e).toMap
+      if (paths.isEmpty) return Seq.empty
+      // a huge path set (full overwrite) would make a poor broadcast —
+      // and needs ~every entry anyway, so the cached full collect wins
+      if (paths.size > 100000) {
+        val byPath = fileEntries.map(e => e.path -> e).toMap
+        return paths.map(p => byPath.getOrElse(p, FileEntry(p)))
+      }
+      val spark = allFiles.sparkSession
+      import spark.implicits._
+      val wanted = paths.toDF("__want")
+      val matched = allFiles.select(col("path"), col("deletionVector"))
+        .join(broadcast(wanted), col("path") === col("__want"), "left_semi")
+        .collect().map(entryOfRow)
+      val byPath = matched.map(e => e.path -> e).toMap
       paths.map(p => byPath.getOrElse(p, FileEntry(p)))
     }
   }
@@ -397,6 +417,7 @@ object DeltaLog {
     .add("size", LongType).add("modificationTime", LongType)
     .add("dataChange", BooleanType).add("stats", StringType)
     .add("deletionVector", dvSchema)
+    .add("baseRowId", LongType).add("defaultRowCommitVersion", LongType)
   private val removeSchema = new StructType()
     .add("path", StringType).add("deletionTimestamp", LongType)
     .add("dataChange", BooleanType).add("deletionVector", dvSchema)
@@ -456,7 +477,8 @@ object DeltaLog {
     cp.where("add IS NOT NULL AND add.path IS NOT NULL")
       .selectExpr("add.path AS path", sel("partitionValues", "MAP<STRING,STRING>"),
         sel("size", "BIGINT"), sel("modificationTime", "BIGINT"),
-        sel("stats", "STRING"), dvExpr)
+        sel("stats", "STRING"), dvExpr,
+        sel("baseRowId", "BIGINT"), sel("defaultRowCommitVersion", "BIGINT"))
       .withColumn("__v", lit(cpVersion)).withColumn("__kind", lit("add"))
   }
 
@@ -610,6 +632,8 @@ object DeltaLog {
             col("add.modificationTime").as("modificationTime"),
             col("add.stats").as("stats"),
             col("add.deletionVector").as("deletionVector"),
+            col("add.baseRowId").as("baseRowId"),
+            col("add.defaultRowCommitVersion").as("defaultRowCommitVersion"),
             col("__v"), lit("add").as("__kind"))
         val removes = raw.where("remove IS NOT NULL AND remove.path IS NOT NULL")
           .select(col("remove.path").as("path"),
@@ -618,6 +642,8 @@ object DeltaLog {
             lit(null).cast("BIGINT").as("modificationTime"),
             lit(null).cast("STRING").as("stats"),
             lit(null).cast(dvDdl).as("deletionVector"),
+            lit(null).cast("BIGINT").as("baseRowId"),
+            lit(null).cast("BIGINT").as("defaultRowCommitVersion"),
             col("__v"), lit("remove").as("__kind"))
         adds.unionByName(removes)
       }
@@ -628,7 +654,8 @@ object DeltaLog {
           .add("path", StringType)
           .add("partitionValues", MapType(StringType, StringType))
           .add("size", LongType).add("modificationTime", LongType)
-          .add("stats", StringType).add("deletionVector", dvSchema))
+          .add("stats", StringType).add("deletionVector", dvSchema)
+          .add("baseRowId", LongType).add("defaultRowCommitVersion", LongType))
       case dfs =>
         val w = Window.partitionBy("path").orderBy(col("__v").desc)
         dfs.reduce(_.unionByName(_))
@@ -640,7 +667,7 @@ object DeltaLog {
           // (an ABSENT key proves nothing — a foreign writer may simply
           // have omitted it)
           .select("path", "partitionValues", "size", "modificationTime",
-            "stats", "deletionVector")
+            "stats", "deletionVector", "baseRowId", "defaultRowCommitVersion")
     }
     Snapshot(target, schema, partCols, txns.toMap, mappingMode,
       metaRaw, protoRaw, allFiles, domains.toMap)
@@ -823,6 +850,30 @@ object DeltaLog {
     }
     flush()
     dfs.result().reduce(_ unionByName _)
+  }
+
+  /** Batch read surfacing STABLE ROW IDS (`_row_id`, `_row_commit_version`)
+    * on a row-tracked table: each row's id is its file's `baseRowId` plus
+    * its physical position — the Delta `rowTracking` read semantics.
+    * Deletion vectors compose exactly (a masked row's id simply never
+    * surfaces; survivors keep theirs). The id attach is a DISTRIBUTED
+    * join of the scan against the file frame on file basename (nonce
+    * names are unique), so no per-file map ever sits on the driver. */
+  def readWithRowIds(spark: SparkSession, table: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(spark, table, versionAsOf)
+    require(snap.configuration.get(RowTrackingKey).contains("true"),
+      s"readWithRowIds: $table does not enable $RowTrackingKey")
+    val df = readEntries(spark, table, snap.fileEntries, snap.schema,
+      snap.columnMappingMode, withProvenance = true)
+    val fileIds = snap.allFiles.where(col("baseRowId").isNotNull)
+      .select(element_at(split(col("path"), "/"), -1).as("__rt_name"),
+        col("baseRowId").as("__rt_base"),
+        col("defaultRowCommitVersion").as("__rt_dcv"))
+    df.join(fileIds, provFileName === col("__rt_name"), "left")
+      .withColumn("_row_id", col("__rt_base") + col(RiCol))
+      .withColumn("_row_commit_version", col("__rt_dcv"))
+      .drop(FpCol, RiCol, "__rt_name", "__rt_base", "__rt_dcv")
   }
 
   /** Test gauge: largest single driver-side entry collect a chunked
@@ -2316,18 +2367,18 @@ object DeltaLog {
       val now = System.currentTimeMillis()
       val actions = Seq.newBuilder[String]
       val ictOn = effConfig.get(IctEnableKey).contains("true")
-      if (version == 0L)
-        // at most ONE protocol action per commit: a version-0 write that
-        // already enables in-commit timestamps declares the upgraded
-        // protocol directly
-        actions += (if (ictOn) ictProtocolUpgrade(None).get
+      val rtOn = effConfig.get(RowTrackingKey).contains("true")
+      // at most ONE protocol action per commit: the version-0 base and
+      // every due feature upgrade (CDF, in-commit timestamps, type
+      // widening, row tracking) CHAIN into a single action
+      val proto0: Option[String] =
+        if (version != 0L) None
+        else Some(if (ictOn) ictProtocolUpgrade(None).get
           else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-      // at most one protocol action per commit: when both the CDF and
-      // the in-commit-timestamp upgrade are due, chain them
-      val protoBase = prevSnap.flatMap(_.protocolJson)
-      val cdfUp = if (cdcActions.isEmpty) None else cdfProtocolUpgrade(protoBase)
       def inner(action: String): String =
         mapper.writeValueAsString(mapper.readTree(action).get("protocol"))
+      val protoBase = proto0.map(inner).orElse(prevSnap.flatMap(_.protocolJson))
+      val cdfUp = if (cdcActions.isEmpty) None else cdfProtocolUpgrade(protoBase)
       val ictUp = if (!ictOn || version == 0L) None
         else ictProtocolUpgrade(cdfUp.map(inner).orElse(protoBase))
       // a widening that actually re-typed a declared column upgrades to
@@ -2338,7 +2389,12 @@ object DeltaLog {
       val twUp = if (!wideningOccurred) None
         else twProtocolUpgrade(
           ictUp.orElse(cdfUp).map(inner).orElse(protoBase))
-      (twUp.orElse(ictUp).orElse(cdfUp)).foreach(actions += _)
+      val rtUp = if (!rtOn) None
+        else writerFeatureUpgrade(
+          twUp.orElse(ictUp).orElse(cdfUp).map(inner).orElse(protoBase),
+          Seq("rowTracking", "domainMetadata"))
+      (rtUp.orElse(twUp).orElse(ictUp).orElse(cdfUp).orElse(proto0))
+        .foreach(actions += _)
       // metaData on the first commit, any schema change (evolution — the
       // widened union declares so older files read with nulls in the new
       // columns), or a property change. The PREVIOUS declaration's
@@ -2389,14 +2445,42 @@ object DeltaLog {
           actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":$dataChange$dvField}}"""
         }
       }
+      // row tracking: fresh contiguous baseRowId ranges for the staged
+      // files (allocated from the delta.rowTracking domain's high-water
+      // mark, advanced in the SAME commit). Preserving ids across a
+      // dataChange=false rewrite would need MATERIALIZED row-id columns
+      // — refused instead of silently re-numbering.
+      if (rtOn && !dataChange && movedFiles.nonEmpty)
+        sys.error(s"rewrite of row-tracked table $table would re-number rows " +
+          "(row-id materialization is not implemented) — refused")
+      var rtNext: Long =
+        if (!rtOn) 0L
+        else prevSnap.flatMap(_.domainMetadata.get(RowTrackingDomain))
+          .map(cfg => mapper.readTree(cfg).path("rowIdHighWaterMark").asLong(-1L))
+          .getOrElse(-1L) + 1L
+      def rtFieldFor(rel: String): String =
+        if (!rtOn) "" else {
+          val nr = statsByFile.get(rel).map(mapper.readTree(_))
+            .filter(_.has("numRecords")).map(_.get("numRecords").asLong())
+            .getOrElse(sys.error(
+              s"row tracking needs numRecords stats for $rel of $table"))
+          val base = rtNext
+          rtNext += nr
+          s""","baseRowId":$base,"defaultRowCommitVersion":$version"""
+        }
       movedFiles.foreach { case (rel, pv) =>
         val pvJson = pvJsonOf(pv)
         val size = f.getFileStatus(new Path(root, rel)).getLen
         val statsField =
           statsByFile.get(rel).fold("")(s => s""","stats":${jsonStr(s)}""")
         actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
-          s""""size":$size,"modificationTime":$now,"dataChange":$dataChange$statsField}}"""
+          s""""size":$size,"modificationTime":$now,"dataChange":$dataChange""" +
+          s"""$statsField${rtFieldFor(rel)}}}"""
       }
+      if (rtOn && movedFiles.nonEmpty)
+        actions += s"""{"domainMetadata":{"domain":${jsonStr(RowTrackingDomain)},""" +
+          s""""configuration":${jsonStr(s"""{"rowIdHighWaterMark":${rtNext - 1}}""")},""" +
+          """"removed":false}}"""
       cdcActions.foreach(actions += _)
       (txn.toSeq ++ extraTxns).foreach { case (appId, v) =>
         actions += s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":$now}}"""
@@ -2824,6 +2908,19 @@ object DeltaLog {
 
   private[graft] val IctEnableKey = "delta.enableInCommitTimestamps"
 
+  // ------------------------------------------------- row tracking
+  // (writer feature `rowTracking` + its `domainMetadata` dependency):
+  // every add action carries `baseRowId`/`defaultRowCommitVersion`,
+  // fresh ranges allocated from the `delta.rowTracking` domain's
+  // rowIdHighWaterMark in the same commit; a row's id is
+  // baseRowId + its physical position. DV deletes and RESTORE preserve
+  // the fields (no bytes move); copy-on-write rewrites re-number (the
+  // protocol's fresh-row semantics absent materialized row-id columns),
+  // and dataChange=false rewrites refuse rather than silently
+  // re-numbering rows OPTIMIZE must keep stable.
+  private[graft] val RowTrackingKey = "delta.enableRowTracking"
+  private[graft] val RowTrackingDomain = "delta.rowTracking"
+
   /** The `,"inCommitTimestamp":N` fragment for a commitInfo about to be
     * written at `version` (empty when the feature is off). N is
     * `max(now, previous commit's clock + 1)` — strictly monotonic even
@@ -3071,7 +3168,8 @@ object DeltaLog {
       if (readds.isEmpty) Map.empty
       else tgt.allFiles
         .join(broadcast(readds.map(_.path).toDF("path")), Seq("path"))
-        .select("path", "partitionValues", "size", "modificationTime", "stats")
+        .select("path", "partitionValues", "size", "modificationTime", "stats",
+          "baseRowId", "defaultRowCommitVersion")
         .collect().map(r => r.getString(0) -> r).toMap
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]
@@ -3087,10 +3185,14 @@ object DeltaLog {
       val statsField =
         Option(m.getString(4)).fold("")(s => s""","stats":${jsonStr(s)}""")
       val dvField = e.dv.fold("")(d => "," + dvJson(d))
+      // restore re-adds keep the target version's row-tracking fields
+      val rtField =
+        if (m.isNullAt(5)) ""
+        else s""","baseRowId":${m.getLong(5)},"defaultRowCommitVersion":${m.getLong(6)}"""
       actions += s"""{"add":{"path":${jsonStr(e.path)},"partitionValues":$pvJson,""" +
         s""""size":${if (m.isNullAt(2)) 0L else m.getLong(2)},""" +
         s""""modificationTime":${if (m.isNullAt(3)) now else m.getLong(3)},""" +
-        s""""dataChange":true$dvField$statsField}}"""
+        s""""dataChange":true$dvField$statsField$rtField}}"""
     }
     actions += s"""{"commitInfo":{"timestamp":$now""" +
       ictField(spark, table, cur.version + 1, cur.configuration, now) +
@@ -3571,7 +3673,8 @@ object DeltaLog {
     // surviving rows, numRecords stays physical)
     val metaByPath: Map[String, Row] = snap.allFiles
       .join(broadcast(candidates.map(_.path).toDF("path")), Seq("path"))
-      .select("path", "partitionValues", "size", "modificationTime", "stats")
+      .select("path", "partitionValues", "size", "modificationTime", "stats",
+        "baseRowId", "defaultRowCommitVersion")
       .collect().map(r => r.getString(0) -> r).toMap
     def numRecordsOf(path: String): Option[Long] =
       Option(metaByPath(path).getString(4)).flatMap { s =>
@@ -3680,9 +3783,14 @@ object DeltaLog {
       val pvJson = pvJsonOf(pv)
       val statsField =
         Option(m.getString(4)).fold("")(s => s""","stats":${jsonStr(s)}""")
+      // a DV re-add keeps the file's row-tracking fields: physical rows
+      // (and so row ids) are untouched, only the mask grew
+      val rtField =
+        if (m.isNullAt(5)) ""
+        else s""","baseRowId":${m.getLong(5)},"defaultRowCommitVersion":${m.getLong(6)}"""
       actions += s"""{"add":{"path":${jsonStr(e.path)},"partitionValues":$pvJson,""" +
         s""""size":${m.getLong(2)},"modificationTime":${m.getLong(3)},"dataChange":true,""" +
-        dvJson(d) + s"$statsField}}"
+        dvJson(d) + s"$statsField$rtField}}"
     }
     cdcActions.foreach(actions += _)
     actions += s"""{"commitInfo":{"timestamp":$now""" +
@@ -4005,7 +4113,8 @@ object DeltaLog {
         coalesce(col("partitionValues"),
           expr("CAST(map() AS MAP<STRING,STRING>)")).as("partitionValues"),
         col("size"), col("modificationTime"), lit(true).as("dataChange"),
-        col("stats"), col("deletionVector").cast(dvSchema).as("deletionVector"))
+        col("stats"), col("deletionVector").cast(dvSchema).as("deletionVector"),
+        col("baseRowId"), col("defaultRowCommitVersion"))
         .cast(addSchema).as("add"),
       lit(null).cast(removeSchema).as("remove"),
       lit(null).cast(metaDataSchema).as("metaData"),
