@@ -170,5 +170,89 @@ object Retrieval {
           .as("avg_transition_p"))
   }
 
-  val all: Seq[QueryDef] = Seq(qBm25TopK, qLmScore)
+  /** DSIR-style importance weights: how much more likely is each
+    * document under the TARGET distribution (here: the `lang='en'`
+    * slice) than under the raw corpus, measured on hashed bigram
+    * features — the data-selection weight behind importance resampling
+    * (Xie et al., "Data Selection for Language Models via Importance
+    * Resampling"). weight(doc) = Π over its bigrams of
+    * (p̂_target(bucket) / p̂_raw(bucket)) with add-one smoothing over
+    * B=64 hash buckets.
+    *
+    * Engine parity without logs: the per-bucket ratio is two pinned
+    * divisions, and the per-doc product folds over POSITION-sorted
+    * ratios, so multiplication order is identical in both engines (the
+    * product of ≤100 ratios in [1/65, 65] stays comfortably inside
+    * double range; corpus-scale docs would switch to the log-sum form
+    * at the cost of oracle bit-parity).
+    *
+    * Scale: two count aggregates keyed on a 64-value bucket id (tiny),
+    * broadcast back; everything else is per-row. */
+  val qDsirWeights: QueryDef = {
+    val B = 64
+    QueryDef.sql(
+      "q_corpus_dsir",
+      s"""WITH bigr AS (
+         |  SELECT doc_id, lang, unnest([{i: i, g: toks[i] || ' ' || toks[i+1]}
+         |      for i in generate_series(1, len(toks) - 1)]) AS b
+         |  FROM (SELECT doc_id, lang,
+         |      list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS toks
+         |    FROM documents)
+         |  WHERE len(toks) >= 2
+         |), feats AS (
+         |  SELECT doc_id, lang, b.i::BIGINT AS pos,
+         |    ${h32Sql("b.g")} % $B AS bucket
+         |  FROM bigr
+         |), raw_c AS (
+         |  SELECT bucket, count(*) AS c FROM feats GROUP BY 1
+         |), tgt_c AS (
+         |  SELECT bucket, count(*) AS c FROM feats WHERE lang = 'en' GROUP BY 1
+         |), tot AS (
+         |  SELECT (SELECT count(*) FROM feats) AS n_raw,
+         |    (SELECT count(*) FROM feats WHERE lang = 'en') AS n_tgt
+         |), ratios AS (
+         |  SELECT r.bucket,
+         |    (CAST(coalesce(t.c, 0) + 1 AS DOUBLE) / (n_tgt + $B)) /
+         |      (CAST(r.c + 1 AS DOUBLE) / (n_raw + $B)) AS ratio
+         |  FROM raw_c r LEFT JOIN tgt_c t ON r.bucket = t.bucket CROSS JOIN tot
+         |)
+         |SELECT f.doc_id, count(*) AS n_feats,
+         |  list_reduce(
+         |    list_prepend(CAST(1.0 AS DOUBLE),
+         |      list_transform(list_sort(list({i: pos, r: ratio})), s -> s.r)),
+         |    (a, b) -> a * b) AS dsir_weight
+         |FROM feats f JOIN ratios USING (bucket)
+         |GROUP BY f.doc_id""".stripMargin) { (spark, dir) =>
+      val docs = Tables.spread(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val feats = docs.select(col("doc_id"), col("lang"),
+          posexplode(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))))
+        .select(col("doc_id"), col("lang"), (col("pos") + 1).cast("long").as("pos"),
+          (h32(col("col")) % B).as("bucket"))
+      val rawC = feats.groupBy(col("bucket")).agg(count(lit(1)).as("c_raw"))
+      val tgtC = feats.where(col("lang") === "en")
+        .groupBy(col("bucket")).agg(count(lit(1)).as("c_tgt"))
+      val tot = feats.agg(count(lit(1)).as("n_raw"),
+        count(when(col("lang") === "en", 1)).as("n_tgt"))
+      val ratios = rawC.join(tgtC, Seq("bucket"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          (((coalesce(col("c_tgt"), lit(0L)) + 1).cast("double") /
+            (col("n_tgt") + B)) /
+            ((col("c_raw") + 1).cast("double") / (col("n_raw") + B))).as("ratio"))
+      feats.join(broadcast(ratios), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          aggregate(
+            sort_array(collect_list(struct(col("pos").as("i"), col("ratio").as("r")))),
+            lit(1.0),
+            (acc, s) => acc * s.getField("r")).as("dsir_weight"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qBm25TopK, qLmScore, qDsirWeights)
 }

@@ -4219,6 +4219,7 @@ object DeltaLog {
         s"checkpoint manifest move failed: $dest")
       f.delete(manScratch, true)
       writeLastCheckpoint("")
+      maybeCleanupExpiredLog(spark, table, snap)
       return snap.version
     }
 
@@ -4244,6 +4245,73 @@ object DeltaLog {
     }
     f.delete(scratch, true)
     writeLastCheckpoint(if (n == 1) "" else s""","parts":$n""")
+    maybeCleanupExpiredLog(spark, table, snap)
     snap.version
   }
+
+  // ------------------------------------------------- log cleanup
+  // (delta.logRetentionDuration metadata cleanup: Delta expires JSON
+  // commits behind a checkpoint once they age past the retention
+  // window — replay always starts at the checkpoint, so only time
+  // travel below it is given up, and the reader's contiguity guard
+  // already reports that case precisely)
+
+  /** Parse `delta.logRetentionDuration` ("interval N days|hours|minutes",
+    * Delta's own format); default 30 days — Delta's default. */
+  private def logRetentionMillis(cfg: Map[String, String]): Long = {
+    val dflt = 30L * 24 * 3600 * 1000
+    val re = """interval\s+(\d+)\s+(day|days|hour|hours|minute|minutes)""".r
+    cfg.get("delta.logRetentionDuration").map(_.trim.toLowerCase) match {
+      case Some(re(n, u)) =>
+        val unit =
+          if (u.startsWith("day")) 24L * 3600 * 1000
+          else if (u.startsWith("hour")) 3600L * 1000
+          else 60L * 1000
+        n.toLong * unit
+      case _ => dflt
+    }
+  }
+
+  /** Expired-log cleanup: delete the CONTIGUOUS PREFIX of JSON commits
+    * strictly below the newest checkpoint whose files aged past the
+    * retention window. Prefix-only, never a gap — the first young (or
+    * checkpoint-covered) commit stops the sweep, so every surviving
+    * version below the checkpoint remains exactly replayable and the
+    * reader's non-contiguous guard never mis-fires on our own tables.
+    * Returns the number of commits removed (or that would be, dryRun). */
+  def cleanupLog(spark: SparkSession, table: String,
+      retainMillis: Option[Long] = None, dryRun: Boolean = false): Int = {
+    val f = fs(spark, table)
+    val cpV = lastCheckpoint(f, table).getOrElse(return 0)
+    val retain = retainMillis.getOrElse(
+      logRetentionMillis(snapshot(spark, table).configuration))
+    val cutoff = System.currentTimeMillis() - retain
+    var n = 0
+    var stop = false
+    val it = listVersions(spark, table).iterator
+    while (!stop && it.hasNext) {
+      val v = it.next()
+      if (v >= cpV) stop = true
+      else {
+        val p = commitPath(table, v)
+        if (f.getFileStatus(p).getModificationTime <= cutoff) {
+          if (!dryRun) f.delete(p, false)
+          n += 1
+        } else stop = true
+      }
+    }
+    n
+  }
+
+  /** Checkpoint-time hook: Delta cleans expired logs whenever it writes
+    * a checkpoint unless `delta.enableExpiredLogCleanup` is false.
+    * Best-effort like the checkpoint itself — a cleanup failure never
+    * fails the (already durable) checkpoint. */
+  private def maybeCleanupExpiredLog(spark: SparkSession, table: String,
+      snap: Snapshot): Unit =
+    if (!snap.configuration.get("delta.enableExpiredLogCleanup").contains("false"))
+      try {
+        cleanupLog(spark, table, Some(logRetentionMillis(snap.configuration)))
+        ()
+      } catch { case _: Throwable => () }
 }

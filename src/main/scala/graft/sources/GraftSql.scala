@@ -73,6 +73,8 @@ object GraftSql {
     """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+DRY\s+RUN\s*""".r
   private val Vacuum = """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s*""".r
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+delta\.`([^`]+)`\s*""".r
+  private val ShowProps =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+delta\.`([^`]+)`(?:\s*\(\s*'([^']+)'\s*\))?\s*""".r
   private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+delta\.`([^`]+)`\s*""".r
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s+SHALLOW\s+CLONE\s+delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
@@ -479,6 +481,17 @@ object GraftSql {
       DeltaLog.history(spark, path)
     case Detail(path) =>
       DeltaLog.detail(spark, path)
+    case ShowProps(path, key) =>
+      // SHOW TBLPROPERTIES delta.`p` [('key')] — Delta's SQL shape:
+      // all configuration pairs, or the one asked-for key
+      import spark.implicits._
+      val cfg = DeltaLog.snapshot(spark, path).configuration
+      val rows = Option(key) match {
+        case Some(k) => Seq(k -> cfg.getOrElse(k,
+          s"Table ${path} does not have property: $k"))
+        case None => cfg.toSeq.sortBy(_._1)
+      }
+      rows.toDF("key", "value")
     case CopyInto(path, from, fmt, pat) =>
       val (v, n) = DeltaLog.copyInto(spark, path, from,
         fmt.toLowerCase, Option(pat))

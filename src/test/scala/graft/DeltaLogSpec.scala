@@ -1211,6 +1211,43 @@ class DeltaLogSpec extends SparkSpec {
     assert(e.getMessage.contains("non-contiguous"), e.getMessage)
   }
 
+  test("cleanupLog expires only the aged contiguous prefix behind the checkpoint") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L).toDF("x").coalesce(1), t)            // v0
+    DeltaLog.write(spark, Seq(2L).toDF("x").coalesce(1), t, "append")  // v1
+    DeltaLog.write(spark, Seq(3L).toDF("x").coalesce(1), t, "append")  // v2
+    DeltaLog.checkpoint(spark, t)
+    DeltaLog.write(spark, Seq(4L).toDF("x").coalesce(1), t, "append")  // v3
+    val fsys = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def jsonPath(v: Long) =
+      new org.apache.hadoop.fs.Path(t, f"_delta_log/$v%020d.json")
+    // age v0 and v1 past the window; v2 stays young → only v0+v1 expire
+    // (and v3, above the checkpoint, must NEVER be touched)
+    val old = System.currentTimeMillis() - 90L * 24 * 3600 * 1000
+    fsys.setTimes(jsonPath(0L), old, -1)
+    fsys.setTimes(jsonPath(1L), old, -1)
+    assert(DeltaLog.cleanupLog(spark, t, dryRun = true) == 2)
+    assert(DeltaLog.cleanupLog(spark, t) == 2)
+    assert(!fsys.exists(jsonPath(0L)) && !fsys.exists(jsonPath(1L)))
+    assert(fsys.exists(jsonPath(2L)) && fsys.exists(jsonPath(3L)))
+    // the table reads fine (checkpoint covers the cleaned prefix) and
+    // time travel to the expired versions refuses per the reader guard
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException](DeltaLog.snapshot(spark, t, Some(1L)))
+    // a young gap stops the sweep: age v2 but keep a fresh mtime "hole"
+    // impossible here — instead verify prefix-only: re-run is a no-op
+    assert(DeltaLog.cleanupLog(spark, t) == 0)
+    // checkpoint-time auto-cleanup honors the opt-out
+    DeltaLog.write(spark, Seq(5L).toDF("x").coalesce(1), t, "append",
+      properties = Map("delta.enableExpiredLogCleanup" -> "false"))
+    fsys.setTimes(jsonPath(2L), old, -1)
+    DeltaLog.checkpoint(spark, t)
+    assert(fsys.exists(jsonPath(2L)),
+      "enableExpiredLogCleanup=false must suppress checkpoint-time cleanup")
+  }
+
   test("addedSince refuses a log-cleaned commit inside the window") {
     val t = freshTable()
     DeltaLog.write(spark, Seq(1L).toDF("x").coalesce(1), t)            // v0

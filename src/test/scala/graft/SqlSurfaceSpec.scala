@@ -72,6 +72,23 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT tag FROM dl_now WHERE id = 2").head().getString(0) == "b2")
   }
 
+  test("SHOW TBLPROPERTIES lists configuration; the keyed form answers one") {
+    import graft.sources.{DeltaLog, GraftSql}
+    import spark.implicits._
+    val t = java.nio.file.Files.createTempDirectory("graft-sqlprops-").toString + "/t"
+    DeltaLog.write(spark, Seq(1L).toDF("x").coalesce(1), t,
+      properties = Map("delta.appendOnly" -> "true", "team.owner" -> "graft"))
+    val all = GraftSql.exec(spark, s"SHOW TBLPROPERTIES delta.`$t`")
+      .as[(String, String)].collect().toMap
+    assert(all("delta.appendOnly") == "true" && all("team.owner") == "graft")
+    val one = GraftSql.exec(spark,
+      s"SHOW TBLPROPERTIES delta.`$t` ('team.owner')").head()
+    assert(one.getString(0) == "team.owner" && one.getString(1) == "graft")
+    val missing = GraftSql.exec(spark,
+      s"SHOW TBLPROPERTIES delta.`$t` ('no.such.key')").head()
+    assert(missing.getString(1).contains("does not have property"))
+  }
+
   test("statement surface: SELECT/DELETE/UPDATE/RESTORE/OPTIMIZE/VACUUM/HISTORY") {
     import graft.sources.{DeltaLog, GraftSql}
     import spark.implicits._
