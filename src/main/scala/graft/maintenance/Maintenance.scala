@@ -65,6 +65,43 @@ object Maintenance {
       .drop("__zkey")
   }
 
+  /** N-dimensional Morton clustering (3 ≤ n ≤ 4; the 2-D path keeps the
+    * dedicated codegen'd [[graft.functions.ZOrderKey]]). The key is
+    * built from plain column bit arithmetic — shift/and/or stay inside
+    * whole-stage codegen — interleaving `bitsPer` bits per dimension
+    * round-robin, leftmost column highest-order on ties: 16 bits each
+    * for n=3 (48-bit key), 15 for n=4 (60-bit), both far finer than
+    * file granularity. Same normalization contract as [[zOrderFrame]]:
+    * one min/max pass over just the cluster columns. */
+  def zOrderFrameN(df: DataFrame, numFiles: Int, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 3 && cols.size <= 4,
+      s"zOrderFrameN handles 3-4 columns, got ${cols.mkString(",")}")
+    val n = cols.size
+    val bitsPer = if (n == 3) 16 else 15
+    val cells = (1L << bitsPer).toDouble
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    require((0 until 2 * n).forall(!r.isNullAt(_)),
+      s"zOrderFrameN: no non-null values in ${cols.mkString(",")}")
+    def grid(i: Int): org.apache.spark.sql.Column = {
+      val (lo, hi) = (r.getDouble(2 * i), r.getDouble(2 * i + 1))
+      if (hi == lo) lit(0L)
+      else least(
+        floor((col(cols(i)).cast("double") - lit(lo)) / (hi - lo) * cells),
+        lit(cells - 1)).cast("long")
+    }
+    val key = (0 until n).flatMap { i =>
+      val g = grid(i)
+      (0 until bitsPer).map(b =>
+        shiftleft(shiftright(g, b).bitwiseAND(lit(1L)), b * n + (n - 1 - i)))
+    }.reduce(_ bitwiseOR _)
+    df.withColumn("__zkey", key)
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions(col("__zkey"))
+      .drop("__zkey")
+  }
+
   /** Atomic-enough rewrite: write to a sibling tmp dir, then swap.
     * (Parquet datasets can't be overwritten in place while being read.) */
   private def rewrite(spark: SparkSession, path: String, f: DataFrame => DataFrame): Unit = {

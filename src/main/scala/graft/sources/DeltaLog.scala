@@ -817,7 +817,7 @@ object DeltaLog {
     * and nothing changes downstream; filters and pruning push into
     * every union branch when chunking does kick in. */
   private[graft] def readSnapshotChunked(spark: SparkSession, table: String,
-      snap: Snapshot): DataFrame = {
+      snap: Snapshot, withProvenance: Boolean = false): DataFrame = {
     val chunkSize = spark.conf.getOption("spark.graft.read.maxEntriesPerChunk")
       .map(_.toInt).getOrElse(200000)
     require(chunkSize > 0, s"spark.graft.read.maxEntriesPerChunk must be > 0")
@@ -828,7 +828,7 @@ object DeltaLog {
     if (head.length <= chunkSize) {
       meterReadCollect(head.length)
       return readEntries(spark, table, head.toSeq.map(entryOfRow),
-        snap.schema, snap.columnMappingMode)
+        snap.schema, snap.columnMappingMode, withProvenance)
     }
     // big-table path: partition the file frame so each partition is one
     // chunk, then iterate partition-at-a-time (toLocalIterator holds
@@ -841,7 +841,7 @@ object DeltaLog {
     def flush(): Unit = if (buf.nonEmpty) {
       meterReadCollect(buf.size)
       dfs += readEntries(spark, table, buf.toSeq,
-        snap.schema, snap.columnMappingMode)
+        snap.schema, snap.columnMappingMode, withProvenance)
       buf.clear()
     }
     while (it.hasNext) {
@@ -864,8 +864,7 @@ object DeltaLog {
     val snap = snapshot(spark, table, versionAsOf)
     require(snap.configuration.get(RowTrackingKey).contains("true"),
       s"readWithRowIds: $table does not enable $RowTrackingKey")
-    val df = readEntries(spark, table, snap.fileEntries, snap.schema,
-      snap.columnMappingMode, withProvenance = true)
+    val df = readSnapshotChunked(spark, table, snap, withProvenance = true)
     val fileIds = snap.allFiles.where(col("baseRowId").isNotNull)
       .select(element_at(split(col("path"), "/"), -1).as("__rt_name"),
         col("baseRowId").as("__rt_base"),
@@ -3291,9 +3290,10 @@ object DeltaLog {
     require(clusterBy.isEmpty || partitionBy.isEmpty,
       "CLUSTER BY and PARTITIONED BY are mutually exclusive (Delta's rule: " +
         "liquid clustering replaces hive partitioning)")
-    require(clusterBy.size <= 2,
-      s"CLUSTER BY supports at most 2 columns here (one range key or a " +
-        s"2-D Morton key feed OPTIMIZE's clustering): ${clusterBy.mkString(",")}")
+    require(clusterBy.size <= 4,
+      s"CLUSTER BY supports at most 4 columns (Delta's own limit; one " +
+        s"range key or a 2-4-D Morton key feed OPTIMIZE's clustering): " +
+        clusterBy.mkString(","))
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     val mode = properties.getOrElse("delta.columnMapping.mode", "none")
@@ -3380,8 +3380,9 @@ object DeltaLog {
     val prev = snap.schema.getOrElse(sys.error(s"no schema declared for $table"))
     val bad = clusterBy.filterNot(prev.fieldNames.contains)
     require(bad.isEmpty, s"CLUSTER BY references unknown columns: ${bad.mkString(",")}")
-    require(clusterBy.size <= 2,
-      s"CLUSTER BY supports at most 2 columns here: ${clusterBy.mkString(",")}")
+    require(clusterBy.size <= 4,
+      s"CLUSTER BY supports at most 4 columns (Delta's own limit): " +
+        clusterBy.mkString(","))
     require(snap.partitionColumns.isEmpty,
       s"CLUSTER BY on a hive-partitioned table refused (mutually exclusive)")
     if (clusterBy.isEmpty)
@@ -3960,7 +3961,9 @@ object DeltaLog {
         val bucketSrc = if (dataCols.nonEmpty) dataCols else df.columns
         val bucket = pmod(hash(bucketSrc.map(col).toSeq: _*), lit(targetFiles))
         df.repartition(snap.partitionColumns.map(col) :+ bucket: _*)
-      case other => sys.error(s"zorderBy supports 1 or 2 columns, got ${other.mkString(",")}")
+      case zs if zs.size >= 3 && zs.size <= 4 =>
+        graft.maintenance.Maintenance.zOrderFrameN(df, targetFiles, zs)
+      case other => sys.error(s"zorderBy supports 1 to 4 columns, got ${other.mkString(",")}")
     }
     commitWrite(spark, compacted, table, snap.partitionColumns, None,
       removePaths = _ => candidates.map(_.path), widenSchema = false,
@@ -4166,7 +4169,8 @@ object DeltaLog {
     }
     def writeLastCheckpoint(partsField: String): Unit = {
       val lp = new Path(logDir(table), "_last_checkpoint")
-      val size = snap.files.size + 2 + snap.txns.size
+      // action count from one distributed count — never the entry seq
+      val size = snapshotFileCount(snap) + 2 + snap.txns.size
       val out = f.create(lp, true)
       try out.write(
         s"""{"version":${snap.version},"size":$size$partsField}""".getBytes("UTF-8"))

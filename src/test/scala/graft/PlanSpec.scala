@@ -272,4 +272,33 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_comment"),
       s"unused columns must be pruned from the scan:\n$readSchema")
   }
+
+  test("BM25 prunes posting lists by the query terms before scoring") {
+    // the tiny query set must broadcast, and the plan must be free of
+    // cartesian products — scoring touches the query terms' postings,
+    // not all (doc, term) pairs
+    val plan = planOf("q_text_bm25_topk")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"),
+      s"BM25 must never go all-pairs:\n$plan")
+  }
+
+  test("semantic dedup: within-cell self-join, no cartesian, text never shuffles") {
+    // the embedding self-join is keyed on cell_id (the quantizer bounds
+    // candidates); an unkeyed cross join is the 100 TB catastrophe. The
+    // broadcast nearest-cell assignment keeps the centroid cross join
+    // (10 rows) — assert the candidate join itself is a keyed join.
+    val df = SparkEntry.queries("q_dedup_semantic")(spark, sfDir)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("""(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)""".r
+      .findAllIn(plan).nonEmpty, plan)
+    // the only allowed nested-loops are the bounded 10-centroid
+    // broadcast, replicated once per consumer of the assignment subplan
+    // (pairs a-side, b-side, and the keep/drop output) — an all-pairs
+    // vector join would add a 4th (or a CartesianProduct) and fail here
+    assert(!plan.contains("CartesianProduct"), plan)
+    val nested = """\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(plan).size
+    assert(nested <= 3, s"only the 10-centroid broadcast may nest:\n$plan")
+  }
 }
