@@ -205,6 +205,48 @@ object DeltaLog {
       .offset(from.toInt).limit((until - from).toInt)
       .collect().toSeq.map(entryOfRow)
 
+  /** Byte-budget batch boundaries over the path-ordered snapshot feed:
+    * element k is the EXCLUSIVE end index of byte-batch k, where a file
+    * belongs to batch ⌊bytes-before-it / budget⌋ — each batch is ≥1
+    * file and ≈budget bytes. Computed DISTRIBUTED (two-phase cumulative
+    * sum: partitioned running totals + broadcast per-partition offsets
+    * — no single-partition window); the driver holds only the O(total
+    * bytes / budget) boundary list. The ordering is the same
+    * distributed path sort [[snapshotFileSlice]] slices by, so byte
+    * batches and index slices agree. */
+  private[graft] def snapshotByteBatchEnds(snap: Snapshot,
+      budget: Long): IndexedSeq[Long] = {
+    require(budget > 0, s"byte budget must be positive: $budget")
+    val spark = snap.allFiles.sparkSession
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    val base = snap.allFiles
+      .select(col("path"), coalesce(col("size"), lit(0L)).as("sz"))
+      .repartitionByRange(parts, col("path")).sortWithinPartitions("path")
+      .withColumn("pid", spark_partition_id())
+    val pw = Window.partitionBy("pid").orderBy("path")
+    val local = base.withColumn("lrn", row_number().over(pw).cast("long"))
+      .withColumn("lcum", sum(col("sz")).over(pw))
+    val offs = local.groupBy("pid")
+      .agg(count(lit(1)).as("n"), sum("sz").as("bytes"))
+      .orderBy("pid").collect()
+    var rowOff = Map.empty[Int, Long]
+    var byteOff = Map.empty[Int, Long]
+    var rAcc = 0L
+    var bAcc = 0L
+    offs.foreach { r =>
+      rowOff += r.getInt(0) -> rAcc; byteOff += r.getInt(0) -> bAcc
+      rAcc += r.getLong(1); bAcc += r.getLong(2)
+    }
+    if (rAcc == 0L) return IndexedSeq.empty
+    local.select(
+        (element_at(typedLit(rowOff), col("pid")) + col("lrn")).as("rn"),
+        (element_at(typedLit(byteOff), col("pid")) + col("lcum")).as("cum"),
+        col("sz"))
+      .withColumn("k", expr(s"(cum - sz) div $budget"))
+      .groupBy("k").agg(max("rn").as("end"))
+      .orderBy("k").select("end").collect().map(_.getLong(0)).toIndexedSeq
+  }
+
   private val mapper = new ObjectMapper()
 
   private def fs(spark: SparkSession, path: String): FileSystem =
@@ -1227,6 +1269,25 @@ object DeltaLog {
       }
     }
     added.result()
+  }
+
+  /** [[addedFileEntries]] plus each add's declared byte size — the
+    * streaming source's byte-budget admission needs them; O(commit). */
+  private[graft] def addedFileEntriesSized(spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long,
+      skipChangeCommits: Boolean): Seq[(FileEntry, Long)] = {
+    val f = fs(spark, table)
+    val sizes = scala.collection.mutable.Map.empty[String, Long]
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      if (listVersions(spark, table).contains(v))
+        readCommit(f, table, v).foreach { a =>
+          if (a.has("add") && a.get("add").has("size"))
+            sizes(a.get("add").get("path").asText()) =
+              a.get("add").get("size").asLong()
+        }
+    }
+    addedFileEntries(spark, table, fromVersion, toVersion, skipChangeCommits)
+      .map(e => e -> sizes.getOrElse(e.path, 0L))
   }
 
   /** Read a specific entry subset under the table's schema/mapping at

@@ -6,6 +6,7 @@ import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 /** Structured Streaming source over the engine's Delta-protocol tables —
@@ -40,7 +41,8 @@ import org.apache.spark.sql.types.StructType
   * trickle of appends streams the trickle.
   */
 final class DeltaStreamSource(ctx: SQLContext, table: String,
-    skipChangeCommits: Boolean, maxFilesPerTrigger: Option[Int]) extends Source
+    skipChangeCommits: Boolean, maxFilesPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import DeltaStreamSource.Pos
 
@@ -49,6 +51,10 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
     s"graft-delta stream source: not a Delta table: $table")
   maxFilesPerTrigger.foreach(n =>
     require(n > 0, s"maxFilesPerTrigger must be positive, got $n"))
+  maxBytesPerTrigger.foreach(n =>
+    require(n > 0, s"maxBytesPerTrigger must be positive, got $n"))
+  require(maxFilesPerTrigger.isEmpty || maxBytesPerTrigger.isEmpty,
+    "set maxFilesPerTrigger OR maxBytesPerTrigger, not both")
 
   override val schema: StructType = DeltaStreamSource.schemaOf(ctx, table)
 
@@ -81,13 +87,47 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
         snapState = Some(st); st
     }
 
+  private val addSizesCache = scala.collection.mutable.HashMap.empty[Long, IndexedSeq[Long]]
+
   private def addsOf(v: Long): IndexedSeq[DeltaLog.FileEntry] =
     addsCache.getOrElseUpdate(v, {
-      val es = DeltaLog.addedFileEntries(spark, table, v - 1, v, skipChangeCommits)
-        .sortBy(_.path).toIndexedSeq
-      DeltaStreamSource.meterCollect(es.size)
-      es
+      val sized = DeltaLog.addedFileEntriesSized(spark, table, v - 1, v, skipChangeCommits)
+        .sortBy(_._1.path).toIndexedSeq
+      DeltaStreamSource.meterCollect(sized.size)
+      addSizesCache(v) = sized.map(_._2)
+      sized.map(_._1)
     })
+
+  private def addSizesOf(v: Long): IndexedSeq[Long] = {
+    addsOf(v); addSizesCache(v)
+  }
+
+  /** Byte-batch exclusive end indexes of the initial-snapshot feed —
+    * ONE distributed cumulative-sum job per stream, O(batches) driver. */
+  private var snapByteEnds: Option[(Long, IndexedSeq[Long])] = None
+  private def byteEndsOf(snapV: Long, budget: Long): IndexedSeq[Long] =
+    snapByteEnds match {
+      case Some((v, e)) if v == snapV => e
+      case _ =>
+        val e = DeltaLog.snapshotByteBatchEnds(snapInfo(snapV)._2, budget)
+        snapByteEnds = Some((snapV, e)); e
+    }
+
+  /** End index (exclusive) of the byte-batch containing `idx` in
+    * version `v`'s feed under `budget` bytes per trigger. */
+  private def byteBatchEnd(v: Long, snapV: Long, idx: Long, budget: Long): Long =
+    if (v == snapV) {
+      val ends = byteEndsOf(snapV, budget)
+      ends.find(_ > idx).getOrElse(feedSize(v, snapV))
+    } else {
+      val sizes = addSizesOf(v)
+      var i = idx
+      var acc = 0L
+      while (i < sizes.size && (i == idx || acc + sizes(i.toInt) <= budget)) {
+        acc += sizes(i.toInt); i += 1
+      }
+      i
+    }
 
   private def feedSize(v: Long, snapV: Long): Long =
     if (v == snapV) snapInfo(snapV)._3 else addsOf(v).size.toLong
@@ -131,13 +171,27 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
   override def getOffset: Option[OffsetV1] = {
     val actual = DeltaLog.latestVersion(spark, table).getOrElse(return highWater)
     val latest = availableNowCap.fold(actual)(math.min(actual, _))
-    val next = maxFilesPerTrigger match {
-      case None =>
+    val next = (maxFilesPerTrigger, maxBytesPerTrigger) match {
+      case (None, None) =>
         val snapV = highWater.map(_.snap).getOrElse(latest)
         val cur = highWater.getOrElse(Pos(-1L, -1L, snapV))
         if (cur.version >= latest && cur.consumed) cur
         else Pos(latest, -1L, snapV)
-      case Some(budget) =>
+      case (None, Some(bytes)) =>
+        // byte-budget admission: ONE ≈bytes batch per trigger, never
+        // spanning a version boundary (rate limits are approximate by
+        // contract; a version's leftover tail forms the next batch)
+        val snapV = highWater.map(_.snap).getOrElse(latest)
+        val cur = highWater.getOrElse(Pos(snapV, 0L, snapV))
+        var v = cur.version
+        var idx = cur.index(feedSize(v, snapV))
+        while (v < latest && idx >= feedSize(v, snapV)) { v += 1; idx = 0L }
+        if (idx >= feedSize(v, snapV)) cur
+        else {
+          val end = byteBatchEnd(v, snapV, idx, bytes)
+          Pos(v, if (end >= feedSize(v, snapV)) -1L else end, snapV)
+        }
+      case (Some(budget), _) =>
         val snapV = highWater.map(_.snap).getOrElse(latest)
         var cur = highWater.getOrElse(Pos(snapV, 0L, snapV))
         var left = budget.toLong
@@ -183,6 +237,7 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
     // O(stream lifetime) — a restart-recovery getBatch recomputes the
     // evicted feed from the log
     addsCache.filterInPlace { case (v, _) => v > e.version }
+    addSizesCache.filterInPlace { case (v, _) => v > e.version }
     // normalize to the declared column order (a partitioned read
     // surfaces partition columns last); the engine asserts getBatch
     // frames are MARKED streaming, hence the shim
@@ -372,11 +427,61 @@ object DeltaCdfStreamSource {
       .add("_commit_version", org.apache.spark.sql.types.LongType)
 }
 
-/** `format("graft-delta")` registration (DSv1 streaming source — the
-  * same integration layer Delta Lake's own streaming source uses). */
-final class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegister {
+/** Exactly-once streaming SINK into a protocol table — Delta's
+  * `writeStream.format("delta")` shape on the open log:
+  *
+  * {{{
+  *   df.writeStream.format("graft-delta")
+  *     .option("checkpointLocation", ckpt)
+  *     .start("/path/to/table")                 // append mode
+  * }}}
+  *
+  * Each micro-batch lands as ONE atomic protocol commit carrying a
+  * SetTransaction `(appId, batchId)` — a replayed batch (crash between
+  * sink write and engine checkpoint) is detected from the table's own
+  * txn state and skipped, so rows land exactly once without any
+  * side-channel. `appId` defaults to a checkpoint-stable identity via
+  * `.option("txnAppId", …)`; Complete mode overwrites per batch.
+  * Partition columns pass through `partitionBy(...)`. */
+final class DeltaStreamSink(table: String, partitionBy: Seq[String],
+    outputMode: OutputMode, appIdOpt: Option[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    // default identity: the streaming query id — checkpoint-stable
+    // across restarts (stored in the checkpoint's metadata), distinct
+    // between two queries feeding the same table
+    val appId = appIdOpt.getOrElse("graft-delta-sink:" + Option(
+      spark.sparkContext.getLocalProperty("sql.streaming.queryId")).getOrElse(table))
+    if (DeltaLog.isDeltaTable(spark, table) &&
+        DeltaLog.lastTxn(spark, table, appId).exists(_ >= batchId)) return
+    val batch = org.apache.spark.sql.GraftSqlShim.asBatch(data)
+    val mode =
+      if (outputMode == OutputMode.Complete()) "overwrite" else "append"
+    DeltaLog.write(spark, batch, table, mode, partitionBy = partitionBy,
+      txn = Some(appId -> batchId))
+    ()
+  }
+
+  override def toString: String = s"DeltaStreamSink[$table]"
+}
+
+/** `format("graft-delta")` registration (DSv1 streaming source + sink —
+  * the same integration layer Delta Lake's own streaming uses). */
+final class DeltaStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+      s"graft-delta sink supports Append and Complete output modes, got $outputMode")
+    new DeltaStreamSink(tableOf(parameters), partitionColumns, outputMode,
+      parameters.get("txnAppId"))
+  }
 
   private def tableOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -403,5 +508,6 @@ final class DeltaStreamProvider extends StreamSourceProvider with DataSourceRegi
     else
       new DeltaStreamSource(ctx, tableOf(parameters),
         parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
-        parameters.get("maxFilesPerTrigger").map(_.toInt))
+        parameters.get("maxFilesPerTrigger").map(_.toInt),
+        parameters.get("maxBytesPerTrigger").map(_.toLong))
 }

@@ -363,6 +363,36 @@ object Streams {
     runToMemory(changes, "q_stream_cdf_sink", "append")
   }
 
+  /** The graft-delta streaming SINK under the oracle: a log-to-log
+    * pipeline — protocol source → narrow transform → protocol sink,
+    * each micro-batch one atomic commit with a SetTransaction — whose
+    * read-back must equal DuckDB computing the same projection. The
+    * exactly-once replay contract is spec-verified
+    * (StreamingMedallionSpec); this row pins data fidelity through the
+    * full streaming write path (S4 expressed on the open protocol). */
+  val qDeltaSink: QueryDef = QueryDef.sql(
+    "q_stream_delta_sink",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(o_totalprice AS DOUBLE) * 2 AS doubled
+      |FROM orders""".stripMargin) { (spark, dir) =>
+    val base = Files.createTempDirectory("graft-delta-sink-q-").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    graft.sources.DeltaLog.write(spark,
+      graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("price")), src)
+    val q = spark.readStream.format("graft-delta").load(src)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("price") * 2).as("doubled"))
+      .writeStream.format("graft-delta")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    graft.sources.DeltaLog.read(spark, dst)
+  }
+
   val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark, qStreamJoin,
-    qStreamEnrich, qDeltaTail, qStreamCdf)
+    qStreamEnrich, qDeltaTail, qStreamCdf, qDeltaSink)
 }

@@ -31,6 +31,18 @@ object GraftSqlShim {
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
   }
 
+  /** Detach a micro-batch's incremental frame into a plain BATCH frame —
+    * what a DSv1 `Sink.addBatch` must do before handing the rows to a
+    * batch writer (writing the streaming-marked frame directly would
+    * re-enter the incremental planner). Delta's own V1 sink uses this
+    * exact door; the RDD is lazy, so the batch executes inside the
+    * micro-batch job. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
+
   /** Re-mark a batch plan's leaf relations as streaming — what a DSv1
     * streaming source's `getBatch` must return (MicroBatchExecution
     * asserts `isStreaming`; Delta's own streaming source performs the

@@ -183,6 +183,56 @@ class StreamingMedallionSpec extends SparkSpec {
       s"6 new files under a 3-file cap need >= 2 chunks: $batchSizes")
   }
 
+  test("graft-delta SINK: exactly-once protocol appends, log-to-log pipeline") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dsink-").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ckpt = s"$base/ckpt"
+    graft.sources.DeltaLog.write(spark, spark.range(0L, 50L).toDF("x"), src)
+
+    // log → transform → log, both ends on the protocol, no foreachBatch
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta").load(src)
+        .withColumn("y", $"x" * 2)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    run()
+    val got = graft.sources.DeltaLog.read(spark, dst)
+      .select("x", "y").as[(Long, Long)].collect().sorted.toSeq
+    assert(got == (0L until 50L).map(x => (x, x * 2)))
+
+    // replayed batch: delete the engine's commit log so the SAME batch
+    // re-fires; the sink's txn state must make the rerun a no-op
+    val f = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/0"), false)
+    run()
+    assert(graft.sources.DeltaLog.read(spark, dst).count() == 50L,
+      "a replayed micro-batch must not double-append")
+
+    // new data flows incrementally; Complete-mode aggregate overwrites
+    graft.sources.DeltaLog.write(spark,
+      spark.range(50L, 60L).toDF("x"), src, mode = "append")
+    run()
+    assert(graft.sources.DeltaLog.read(spark, dst).count() == 60L)
+    val aggDst = s"$base/agg"
+    val q2 = spark.readStream.format("graft-delta").load(src)
+      .groupBy(($"x" % 2).as("parity")).count()
+      .writeStream.format("graft-delta").outputMode("complete")
+      .option("checkpointLocation", s"$base/ckpt2")
+      .trigger(Trigger.AvailableNow())
+      .start(aggDst)
+    q2.awaitTermination()
+    val agg = graft.sources.DeltaLog.read(spark, aggDst)
+      .as[(Long, Long)].collect().toMap
+    assert(agg == Map(0L -> 30L, 1L -> 30L), agg.toString)
+  }
+
   test("many-file initial snapshot streams with bounded driver state") {
     import spark.implicits._
     // 10^4 files, 1 row each: the 100 TB shape in miniature. The source
@@ -226,6 +276,54 @@ class StreamingMedallionSpec extends SparkSpec {
       assert(readPeak > 0L && readPeak <= 2000L,
         s"full-read driver chunk must be <= maxEntriesPerChunk, got $readPeak")
     } finally spark.conf.unset("spark.graft.read.maxEntriesPerChunk")
+  }
+
+  test("maxBytesPerTrigger chunks by bytes; chunk boundaries survive restart") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-dbytes-").toString
+    val src = s"$base/src"
+    val sink = s"$base/sink"
+    val ckpt = s"$base/ckpt"
+    // 10 similar-size files; a budget of ~3 files' bytes must deliver
+    // the snapshot in several batches of roughly 3 files each
+    graft.sources.DeltaLog.write(spark,
+      spark.range(0L, 100L).toDF("x").repartition(10), src)
+    val totalBytes = graft.sources.DeltaLog.snapshot(spark, src).allFiles
+      .agg(sum("size")).head().getLong(0)
+    val budget = totalBytes * 3 / 10 + 1
+
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(failAtBatch: Option[Long]): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("maxBytesPerTrigger", budget.toString).load(src)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (failAtBatch.contains(id)) sys.error("injected crash")
+          batchSizes.synchronized { batchSizes += batch.count() }
+          VersionedTable.write(batch.sparkSession, batch, sink, "append"); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(failAtBatch = Some(2L))
+    }
+    val afterCrash = batchSizes.synchronized(batchSizes.toSeq)
+    assert(afterCrash.size == 2 && afterCrash.sum < 100L,
+      s"two byte-budget chunks should have committed before the crash: $afterCrash")
+    run(failAtBatch = None)
+    assert(VersionedTable.read(spark, sink).as[Long].collect().sorted.toSeq ==
+      (0L to 99L), "byte-chunked snapshot must deliver every row exactly once")
+    val all = batchSizes.synchronized(batchSizes.toSeq)
+    assert(all.size >= 3, s"10 files under a ~3-file byte budget need >= 3 chunks: $all")
+    // appends also flow under the byte budget
+    graft.sources.DeltaLog.write(spark,
+      spark.range(100L, 140L).toDF("x").repartition(4), src, "append")
+    run(failAtBatch = None)
+    assert(VersionedTable.read(spark, sink).as[Long].collect().sorted.toSeq ==
+      (0L to 139L))
   }
 
   test("graft-delta source: DV-aware snapshot; change commits refuse or skip") {
