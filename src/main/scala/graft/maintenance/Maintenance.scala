@@ -572,9 +572,34 @@ object Maintenance {
       sum(col("o_custkey")).as("sum_custkey"))
   }
 
+  /** Bloom-filter-index point lookup, oracle-verified end-to-end: a
+    * protocol table is built from `lineitem` hash-striped across files
+    * (every file's l_orderkey [min, max] spans the whole domain — zone
+    * maps prune NOTHING), a bloom index is created on the key
+    * ([[graft.sources.BloomIndex]]), and a point lookup through
+    * `readPruned` must equal DuckDB's plain filter row for row — the
+    * skip can only ever be sound. The probed key (the table's min) is
+    * computed first, so the same literal reaches both engines. */
+  val qBloomSkipping: graft.QueryDef = graft.QueryDef.sql(
+    "q_bloom_skipping",
+    """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      |WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem)
+      |ORDER BY l_linenumber""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-bloom-q-").toString + "/t"
+    val li = graft.Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    graft.sources.DeltaLog.write(spark, li.repartition(4), t)
+    graft.sources.BloomIndex.create(spark, t, Seq("l_orderkey"),
+      fpp = 0.01, items = 100000L)
+    val k = li.agg(min(col("l_orderkey"))).head.getLong(0)
+    graft.sources.DeltaLog.readPruned(spark, t, col("l_orderkey") === k)
+      .orderBy("l_linenumber")
+  }
+
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
-      qWidenAppend, qClusterOptimize, qRowTrackingIds)
+      qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping)
 }

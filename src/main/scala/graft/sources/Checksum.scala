@@ -1,0 +1,124 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-version table checksums — Delta's `<version>.crc` files.
+  *
+  * delta-spark writes a `VersionChecksum` JSON next to every commit:
+  * aggregate table state (`tableSizeBytes`, `numFiles`, the effective
+  * `metadata` and `protocol`) that lets a reader (a) cross-check log
+  * replay for corruption and (b) answer state questions without
+  * replaying anything. The files are strictly OPTIONAL — a reader that
+  * finds none behaves identically — so writing them is best-effort and
+  * must never fail a commit.
+  *
+  * Scale shape: the hot path (append-only commits — streaming sinks,
+  * micro-batches) updates incrementally from the previous checksum plus
+  * the in-memory commit actions, O(commit) with zero Spark jobs.
+  * Remove-carrying commits (DML, OPTIMIZE, RESTORE) cannot increment —
+  * remove actions don't carry sizes — so they recompute from the file
+  * frame with ONE distributed aggregation (count + sum(size) over
+  * `allFiles`, metadata-sized rows; never data files).
+  */
+object Checksum {
+
+  private val mapper = new ObjectMapper()
+
+  /** Parsed checksum state. */
+  case class VersionChecksum(version: Long, tableSizeBytes: Long,
+      numFiles: Long, metadataJson: Option[String], protocolJson: Option[String])
+
+  private def crcPath(table: String, v: Long): Path =
+    new Path(DeltaLog.logDir(table), f"$v%020d.crc")
+
+  /** Read the checksum for `version` — None when absent/unreadable. */
+  def read(spark: SparkSession, table: String, version: Long): Option[VersionChecksum] =
+    try {
+      val f = DeltaLog.fs(spark, table)
+      val p = crcPath(table, version)
+      if (!f.exists(p)) return None
+      val len = f.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val raw = new String(buf, "UTF-8")
+      val n = mapper.readTree(raw)
+      Some(VersionChecksum(version,
+        n.get("tableSizeBytes").asLong(), n.get("numFiles").asLong(),
+        Option(n.get("metadata")).filterNot(_.isNull).map(mapper.writeValueAsString),
+        Option(n.get("protocol")).filterNot(_.isNull).map(mapper.writeValueAsString)))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Write the checksum for a just-committed `version` from its action
+    * lines. Best-effort: any failure is swallowed (the commit already
+    * won; crc files are an optional integrity layer). Incremental when
+    * the commit only ADDS on top of a previous checksum; one distributed
+    * metadata aggregation otherwise. */
+  private[sources] def update(spark: SparkSession, table: String,
+      version: Long, actions: Seq[String]): Unit =
+    try {
+      val parsed = actions.map(mapper.readTree)
+      val adds = parsed.filter(_.has("add")).map(_.get("add"))
+      val hasRemove = parsed.exists(_.has("remove"))
+      val metaJson = parsed.find(_.has("metaData"))
+        .map(n => mapper.writeValueAsString(n.get("metaData")))
+      val protoJson = parsed.find(_.has("protocol"))
+        .map(n => mapper.writeValueAsString(n.get("protocol")))
+      val prev = if (version == 0L) None else read(spark, table, version - 1)
+
+      val (numFiles, sizeBytes, snapFallback) = prev match {
+        case Some(p) if !hasRemove =>
+          (p.numFiles + adds.size,
+            p.tableSizeBytes + adds.map(_.get("size").asLong()).sum,
+            None)
+        case _ =>
+          // no baseline or removes present: ONE distributed aggregation
+          // over the metadata frame (O(files) rows, never data files)
+          val snap = DeltaLog.snapshot(spark, table, Some(version))
+          val r = snap.allFiles.agg(
+            count(lit(1)), coalesce(sum(col("size")), lit(0L))).head
+          (r.getLong(0), r.getLong(1), Some(snap))
+      }
+
+      val out = mapper.createObjectNode()
+      out.put("tableSizeBytes", sizeBytes)
+      out.put("numFiles", numFiles)
+      out.put("numMetadata", 1L)
+      out.put("numProtocol", 1L)
+      val effMeta = metaJson.orElse(prev.flatMap(_.metadataJson))
+        .orElse(snapFallback.flatMap(_.metaDataJson))
+      val effProto = protoJson.orElse(prev.flatMap(_.protocolJson))
+        .orElse(snapFallback.flatMap(_.protocolJson))
+      effMeta.foreach(m => out.set[ObjectNode]("metadata", mapper.readTree(m)))
+      effProto.foreach(p => out.set[ObjectNode]("protocol", mapper.readTree(p)))
+
+      val f = DeltaLog.fs(spark, table)
+      val o = f.create(crcPath(table, version), false)
+      try o.write((mapper.writeValueAsString(out) + "\n").getBytes("UTF-8"))
+      finally o.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Validate the newest checksum against actual log-replay state: the
+    * file frame's (count, total size) must equal the recorded values,
+    * and the recorded metadata/protocol must match the snapshot's.
+    * Returns None when no checksum exists at the snapshot version;
+    * Some(report) otherwise. ONE distributed aggregation. */
+  def validate(spark: SparkSession, table: String): Option[Map[String, Boolean]] = {
+    val snap = DeltaLog.snapshot(spark, table)
+    read(spark, table, snap.version).map { crc =>
+      val r = snap.allFiles.agg(
+        count(lit(1)), coalesce(sum(col("size")), lit(0L))).head
+      Map(
+        "numFiles" -> (r.getLong(0) == crc.numFiles),
+        "tableSizeBytes" -> (r.getLong(1) == crc.tableSizeBytes),
+        "metadata" -> crc.metadataJson.forall(m =>
+          snap.metaDataJson.map(mapper.readTree).contains(mapper.readTree(m))),
+        "protocol" -> crc.protocolJson.forall(p =>
+          snap.protocolJson.map(mapper.readTree).contains(mapper.readTree(p))))
+    }
+  }
+}

@@ -249,10 +249,10 @@ object DeltaLog {
 
   private val mapper = new ObjectMapper()
 
-  private def fs(spark: SparkSession, path: String): FileSystem =
+  private[sources] def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def logDir(table: String) = new Path(table, "_delta_log")
+  private[sources] def logDir(table: String) = new Path(table, "_delta_log")
 
   private val commitRe = """(\d{20})\.json""".r
 
@@ -273,7 +273,7 @@ object DeltaLog {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  private def commitPath(table: String, v: Long) =
+  private[sources] def commitPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.json")
 
   private def readCommit(f: FileSystem, table: String, v: Long): Seq[JsonNode] = {
@@ -1086,6 +1086,7 @@ object DeltaLog {
     val dest = commitPath(target, 0L)
     require(!f.exists(dest) && f.rename(tmp, dest),
       s"clone target $target gained a commit concurrently")
+    Checksum.update(spark, target, 0L, actions.result())
     0L
   }
 
@@ -1106,7 +1107,7 @@ object DeltaLog {
     val violations = df.where(!coalesce(predicate, lit(false))).limit(1).count()
     require(violations == 0L,
       "replaceWhere: the new data contains rows NOT matching the predicate")
-    val candidates = pruneEntries(spark, snap, predicate)
+    val candidates = pruneEntries(spark, snap, predicate, Some(table))
     // survivors: rows in candidate files where the predicate is false
     // or null (DELETE-complement semantics)
     val keep = readEntries(spark, table, candidates, snap.schema,
@@ -1638,7 +1639,7 @@ object DeltaLog {
     * ranges overlap the query — and the driver never materializes the
     * pruned-away file metadata at all. */
   private def pruneEntries(spark: SparkSession, snap: Snapshot,
-      predicate: Column): Seq[FileEntry] = {
+      predicate: Column, table: Option[String] = None): Seq[FileEntry] = {
     // resolve the predicate against the declared schema (an empty frame
     // through the analyzer) so bounds see coerced catalyst expressions —
     // EqualTo(attr, Literal) with types already unified
@@ -1738,8 +1739,46 @@ object DeltaLog {
       case NullCheck(c, wantNull) =>
         if (wantNull) nc(c) === lit(0L) else allNull(c)
     }
-    val skip = bounds.map(b => coalesce(skipBound(b), lit(false))).reduce(_ || _)
-    val surviving = snap.allFiles.where(!skip)
+    // ---- per-file bloom-index probes: equality / IN bounds on indexed
+    // columns add `bloom present && provably absent` skip terms. Files
+    // without a bloom row (pre-index files, fresh compaction output)
+    // never bloom-skip — zone maps still apply, results stay exact.
+    val idxCols = BloomIndex.settings(snap.configuration)._1
+      .filterNot(partCols).filter(c => byName.get(c).exists(f =>
+        BloomIndex.eligible(f.dataType)))
+    val bloomProbes: Seq[(String, Seq[Column])] =
+      if (idxCols.isEmpty) Nil
+      else bounds.collect {
+        case Cmp(c, "=", v) if idxCols.contains(c) => c -> Seq(v)
+        case InList(c, vs) if idxCols.contains(c) => c -> vs
+      }
+    val (withBlooms, bloomSkip) =
+      if (bloomProbes.isEmpty) (snap.allFiles, lit(false))
+      else table.flatMap(t => BloomIndex.frame(spark, t)) match {
+        case None => (snap.allFiles, lit(false))
+        case Some(idx) =>
+          val probeCols = bloomProbes.map(_._1).distinct
+          val joined = probeCols.zipWithIndex.foldLeft(snap.allFiles) {
+            case (df, (c, i)) => df.join(
+              idx.where(col("col") === phys(c))
+                .select(col("file").as("path"), col("bloom").as(s"__bloom_$i")),
+              Seq("path"), "left")
+          }
+          val terms = bloomProbes.map { case (c, vs) =>
+            val i = probeCols.indexOf(c)
+            val dt = byName(c).dataType
+            // hashes of the probe literals under the SAME width-stable
+            // normalization the build used — constant-folded, one array
+            val hashes = array(vs.map(v =>
+              BloomIndex.hashInput(v.cast(dt), dt)): _*)
+            col(s"__bloom_$i").isNotNull &&
+              !BloomIndex.mightContainAny(col(s"__bloom_$i"), hashes)
+          }
+          (joined, terms.reduce(_ || _))
+      }
+    val skip = (bounds.map(b => coalesce(skipBound(b), lit(false))) :+
+      coalesce(bloomSkip, lit(false))).reduce(_ || _)
+    val surviving = withBlooms.where(!skip)
       .select("path", "deletionVector")
     val byPath = Snapshot(snap.version, snap.schema, snap.partitionColumns,
       snap.txns, snap.columnMappingMode, snap.metaDataJson, snap.protocolJson,
@@ -1747,10 +1786,12 @@ object DeltaLog {
     byPath
   }
 
-  /** Surviving file paths under `predicate` — see [[pruneEntries]]. */
+  /** Surviving file paths under `predicate` — see [[pruneEntries]].
+    * Passing `table` additionally engages the bloom-filter index (when
+    * one exists) for equality/IN bounds. */
   private[graft] def pruneFiles(spark: SparkSession, snap: Snapshot,
-      predicate: Column): Seq[String] =
-    pruneEntries(spark, snap, predicate).map(_.path)
+      predicate: Column, table: Option[String] = None): Seq[String] =
+    pruneEntries(spark, snap, predicate, table).map(_.path)
 
   /** Batch read with stats-based file skipping: files whose zone maps
     * prove no row can match `predicate` are never listed in the scan;
@@ -1759,7 +1800,7 @@ object DeltaLog {
   def readPruned(spark: SparkSession, table: String,
       predicate: Column, versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(spark, table, versionAsOf)
-    readEntries(spark, table, pruneEntries(spark, snap, predicate),
+    readEntries(spark, table, pruneEntries(spark, snap, predicate, Some(table)),
       snap.schema, snap.columnMappingMode)
       .where(predicate)
   }
@@ -1805,13 +1846,13 @@ object DeltaLog {
   /** basename -> relative path, or None when basenames collide (a
     * foreign layout this writer never produces; callers fall back to
     * provenance-free behavior). */
-  private def basenameIndex(rels: Seq[String]): Option[Map[String, String]] = {
+  private[sources] def basenameIndex(rels: Seq[String]): Option[Map[String, String]] = {
     val m = rels.map(p => basename(p) -> p).toMap
     if (m.size == rels.size) Some(m) else None
   }
 
   /** The basename of the file each row was read from. */
-  private def fileNameCol: Column =
+  private[sources] def fileNameCol: Column =
     element_at(split(col("_metadata.file_path"), "/"), -1)
 
   private def putStat(node: ObjectNode, k: String, v: Any): Unit = v match {
@@ -2385,6 +2426,41 @@ object DeltaLog {
       else collectFileStats(spark, table, movedFiles.map(_._1), stagedDf.schema,
         physPartitionBy)
 
+    // Zero-row staged files (an empty overwrite = truncate, a fully
+    // filtered write) never enter the commit — real Delta writers do not
+    // add empty files, and a full-table DELETE must be metadata-only.
+    // Detectable exactly: a parquet file with no rows contributes no
+    // group to the stats read-back. Only applied when stats collection
+    // actually ran — the colliding-basename fallback (empty stats map)
+    // must not drop every file.
+    val liveFiles =
+      if (movedFiles.isEmpty || basenameIndex(movedFiles.map(_._1)).isEmpty)
+        movedFiles
+      else {
+        val (empties, live) = movedFiles.partition(m => !statsByFile.contains(m._1))
+        empties.foreach { case (rel, _) =>
+          try { f.delete(new Path(root, rel), false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        live
+      }
+
+    // bloom-index maintenance (graft.bloomIndex.columns): blooms for the
+    // just-staged files land in the sidecar in the SAME pre-commit window
+    // as stats. A lost commit race leaves only orphan sidecar rows keyed
+    // by file names no snapshot references — harmless, the probe joins on
+    // live paths (and the retried commit re-declares the same files, so
+    // their blooms stay valid).
+    if (liveFiles.nonEmpty) {
+      val (bloomCols, bItems, bFpp) = BloomIndex.settings(effConfig)
+      if (bloomCols.nonEmpty) {
+        val m = firstPrev.map(_.columnMapping).getOrElse(Map.empty)
+        BloomIndex.bloomsFor(spark, table, liveFiles.map(_._1),
+          bloomCols.map(c => m.getOrElse(c, c)), bItems, bFpp)
+          .foreach(BloomIndex.writeAppend(spark, table, _))
+      }
+    }
+
     // change-data files (CDF write path): staged ONCE like the data
     // files — a retried commit re-declares the same change files
     val cdcActions: Seq[String] =
@@ -2510,7 +2586,7 @@ object DeltaLog {
       // mark, advanced in the SAME commit). Preserving ids across a
       // dataChange=false rewrite would need MATERIALIZED row-id columns
       // — refused instead of silently re-numbering.
-      if (rtOn && !dataChange && movedFiles.nonEmpty)
+      if (rtOn && !dataChange && liveFiles.nonEmpty)
         sys.error(s"rewrite of row-tracked table $table would re-number rows " +
           "(row-id materialization is not implemented) — refused")
       var rtNext: Long =
@@ -2528,7 +2604,7 @@ object DeltaLog {
           rtNext += nr
           s""","baseRowId":$base,"defaultRowCommitVersion":$version"""
         }
-      movedFiles.foreach { case (rel, pv) =>
+      liveFiles.foreach { case (rel, pv) =>
         val pvJson = pvJsonOf(pv)
         val size = f.getFileStatus(new Path(root, rel)).getLen
         val statsField =
@@ -2537,7 +2613,7 @@ object DeltaLog {
           s""""size":$size,"modificationTime":$now,"dataChange":$dataChange""" +
           s"""$statsField${rtFieldFor(rel)}}}"""
       }
-      if (rtOn && movedFiles.nonEmpty)
+      if (rtOn && liveFiles.nonEmpty)
         actions += s"""{"domainMetadata":{"domain":${jsonStr(RowTrackingDomain)},""" +
           s""""configuration":${jsonStr(s"""{"rowIdHighWaterMark":${rtNext - 1}}""")},""" +
           """"removed":false}}"""
@@ -2553,9 +2629,10 @@ object DeltaLog {
         s""","operation":${jsonStr(operation)}$opParams}}"""
 
       // write-then-rename: the commit becomes visible atomically or not at all
+      val actionSeq = actions.result()
       val tmp = new Path(logDir(table), f".$version%020d-$nonce.json.tmp")
       val out = f.create(tmp, false)
-      try out.write((orderCommitActions(actions.result()).mkString("\n") + "\n").getBytes("UTF-8"))
+      try out.write((orderCommitActions(actionSeq).mkString("\n") + "\n").getBytes("UTF-8"))
       finally out.close()
       val commitDest = commitPath(table, version)
       // HDFS/object-store rename fails on an existing destination (true
@@ -2568,8 +2645,10 @@ object DeltaLog {
       val won = gate.synchronized {
         !f.exists(commitDest) && f.rename(tmp, commitDest)
       }
-      if (won) committed = version
-      else {
+      if (won) {
+        committed = version
+        Checksum.update(spark, table, version, actionSeq)
+      } else {
         f.delete(tmp, false)
         if (!retryOnRace || attempt >= 9)
           throw new CommitRaceException(
@@ -3175,6 +3254,7 @@ object DeltaLog {
       sys.error(s"concurrent commit: $table advanced past version ${version - 1} " +
         s"while this $operation was computed — re-read and retry")
     }
+    Checksum.update(spark, table, version, actions)
   }
 
   /** RESTORE TABLE … TO VERSION AS OF `version`: make the current state
@@ -3727,7 +3807,7 @@ object DeltaLog {
     // re-add copies the file's existing (physical-keyed) stats/pv
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
       s"table $table is append-only (delta.appendOnly=true): DELETE refused")
-    val candidates = pruneEntries(spark, snap, predicate)
+    val candidates = pruneEntries(spark, snap, predicate, Some(table))
     if (candidates.isEmpty) return snap.version
 
     // original add metadata for the CANDIDATE paths (O(candidate files)
@@ -3904,7 +3984,7 @@ object DeltaLog {
       require(badSet.isEmpty,
         s"UPDATE SET on generated/identity columns refused: ${badSet.mkString(",")}")
     }
-    val candidates = pruneEntries(spark, snap, predicate)
+    val candidates = pruneEntries(spark, snap, predicate, Some(table))
     if (candidates.isEmpty) return snap.version
     // probe: which candidate files hold >= 1 matching LIVE row (same
     // provenance pattern as mergeCore — only file NAMES reach the driver)
@@ -3970,8 +4050,30 @@ object DeltaLog {
     * [[readPruned]]/[[pruneFiles]] file skipping. */
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
       zorderBy: Seq[String] = Seq.empty,
-      minFileSize: Long = Long.MaxValue): Long = {
+      minFileSize: Long = Long.MaxValue,
+      where: Option[Column] = None): Long = {
     val snap = snapshot(spark, table)
+    // OPTIMIZE ... WHERE: partition-scoped maintenance — the verb a
+    // 100 TB deployment actually runs (compact yesterday's partition,
+    // not the table). The predicate must reference partition columns
+    // ONLY, because only then is file pruning EXACT (min = max = the
+    // directory value) — a data-column predicate would make the rewrite
+    // scope depend on best-effort zone maps.
+    val scoped: Seq[FileEntry] = where match {
+      case None => snap.fileEntries
+      case Some(p) =>
+        val schema = snap.schema.getOrElse(sys.error(s"no schema at $table"))
+        val refs = spark
+          .createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+          .where(p).queryExecution.analyzed.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition.references.map(_.name).toSeq
+          }.flatten.distinct
+        val bad = refs.filterNot(snap.partitionColumns.contains)
+        require(bad.isEmpty, "OPTIMIZE WHERE must reference partition " +
+          s"columns only; non-partition: ${bad.mkString(",")}")
+        pruneEntries(spark, snap, p, Some(table))
+    }
     // liquid clustering: a clustered table's OPTIMIZE clusters by its
     // declared delta.clustering columns unless the caller overrides —
     // the property that makes `OPTIMIZE t` the only maintenance verb a
@@ -3989,12 +4091,12 @@ object DeltaLog {
     // O(small files), not O(table). ZORDER always takes the full scope:
     // clustering is a whole-table layout decision.
     val candidates =
-      if (effZorder.nonEmpty || minFileSize == Long.MaxValue) snap.fileEntries
+      if (effZorder.nonEmpty || minFileSize == Long.MaxValue) scoped
       else {
         val smalls = snap.allFiles
           .where(col("size").isNull || col("size") < minFileSize)
           .select("path").collect().map(_.getString(0)).toSet
-        snap.fileEntries.filter(e => e.dv.isDefined || smalls.contains(e.path))
+        scoped.filter(e => e.dv.isDefined || smalls.contains(e.path))
       }
     // nothing worth rewriting: a no-op, not an empty commit
     if (candidates.isEmpty ||
@@ -4360,7 +4462,11 @@ object DeltaLog {
       else {
         val p = commitPath(table, v)
         if (f.getFileStatus(p).getModificationTime <= cutoff) {
-          if (!dryRun) f.delete(p, false)
+          if (!dryRun) {
+            f.delete(p, false)
+            // the commit's optional .crc sidecar expires with it
+            f.delete(new Path(logDir(table), f"$v%020d.crc"), false)
+          }
           n += 1
         } else stop = true
       }

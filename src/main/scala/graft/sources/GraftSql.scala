@@ -67,6 +67,22 @@ object GraftSql {
   private val OptimizeZ =
     """(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
   private val Optimize = """(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s*""".r
+  private val OptimizeWhereZ =
+    ("""(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s+WHERE\s+(.+?)""" +
+      """\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""").r
+  private val OptimizeWhere =
+    """(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s+WHERE\s+(.+?)\s*""".r
+  private val DeleteAll =
+    """(?is)\s*DELETE\s+FROM\s+delta\.`([^`]+)`\s*""".r
+  private val Ctas =
+    """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s*(.*?)\s*AS\s+(SELECT\s.+)""".r
+  private val ReorgPurge =
+    """(?is)\s*REORG\s+TABLE\s+delta\.`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
+  private val CreateBloomIdx =
+    ("""(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+delta\.`([^`]+)`""" +
+      """\s+FOR\s+COLUMNS\s*\(([^)]+)\)(?:\s+OPTIONS\s*\((.+)\))?\s*""").r
+  private val DropBloomIdx =
+    """(?is)\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+delta\.`([^`]+)`\s*""".r
   private val VacuumRetain =
     """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+RETAIN\s+(\d+)\s+HOURS(\s+DRY\s+RUN)?\s*""".r
   private val VacuumDry =
@@ -421,6 +437,32 @@ object GraftSql {
       }
       version(spark,
         DeltaLog.createTable(spark, path, schema, partBy, props, clusterBy))
+    // CTAS — CREATE TABLE ... AS SELECT: evaluate the query (delta
+    // references and TABLE_CHANGES rewrite recursively) and land it as
+    // the new table's first commit. CreateHead cannot collide: it
+    // requires an explicit column list in parens.
+    case Ctas(path, mid, select) =>
+      require(!DeltaLog.isDeltaTable(spark, path),
+        s"CTAS target already exists: $path")
+      def cols(s: String) = s.split(",")
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+      val (partBy, clusterBy, afterPart) = mid match {
+        case PartitionedBy(cs, t) => (cols(cs), Seq.empty[String], t)
+        case ClusterBy(cs, t) => (Seq.empty[String], cols(cs), t)
+        case t => (Seq.empty[String], Seq.empty[String], t)
+      }
+      val props = afterPart match {
+        case TblProps(kv) => parseProps(kv)
+        case t => require(t.trim.isEmpty,
+          s"cannot parse CTAS tail: '$t'"); Map.empty[String, String]
+      }
+      val df = exec(spark, select)
+      val v = DeltaLog.write(spark, df, path, "overwrite",
+        partitionBy = partBy, properties = props)
+      if (clusterBy.nonEmpty) {
+        DeltaLog.alterClusterBy(spark, path, clusterBy)
+        version(spark, DeltaLog.snapshot(spark, path).version)
+      } else version(spark, v)
     case AlterAdd(path, colsDdl) =>
       version(spark, DeltaLog.alterAddColumns(spark, path,
         org.apache.spark.sql.types.StructType.fromDDL(colsDdl)))
@@ -446,6 +488,12 @@ object GraftSql {
           .filter(_.nonEmpty).toSeq))
     case Delete(path, cond) =>
       version(spark, DeltaLog.deleteWhere(spark, path, expr(cond)))
+    // DELETE without WHERE: metadata-only truncate — ONE commit removing
+    // every file entry; no data file is read, rewritten, or DV-masked
+    // (Delta's full-table DELETE fast path)
+    case DeleteAll(path) =>
+      val empty = DeltaLog.read(spark, path).limit(0)
+      version(spark, DeltaLog.write(spark, empty, path, "overwrite"))
     case Update(path, set, cond) =>
       val assignments = splitAssignments(set).map {
         case Assign(c, e) => c -> expr(e)
@@ -462,8 +510,36 @@ object GraftSql {
       version(spark, DeltaLog.optimize(spark, path,
         zorderBy = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq))
+    // OPTIMIZE ... WHERE: partition-scoped compaction/clustering — the
+    // predicate must reference partition columns only (validated inside)
+    case OptimizeWhereZ(path, cond, cols) =>
+      version(spark, DeltaLog.optimize(spark, path,
+        zorderBy = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq,
+        where = Some(expr(cond))))
+    case OptimizeWhere(path, cond) =>
+      version(spark, DeltaLog.optimize(spark, path, where = Some(expr(cond))))
     case Optimize(path) =>
       version(spark, DeltaLog.optimize(spark, path))
+    // REORG ... APPLY (PURGE): rewrite ONLY the files carrying deletion
+    // vectors (minFileSize=1 scopes bin-packing to DV files — no file is
+    // under 1 byte), materializing the deletes; Delta's REORG verb
+    case ReorgPurge(path) =>
+      version(spark, DeltaLog.optimize(spark, path, minFileSize = 1L))
+    case CreateBloomIdx(path, cols, opts) =>
+      val props = Option(opts).map(parseProps).getOrElse(Map.empty)
+      val colSeq = cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSeq
+      BloomIndex.create(spark, path, colSeq,
+        fpp = props.get("fpp").map(_.toDouble).getOrElse(BloomIndex.DefaultFpp),
+        items = props.get("numItems").map(_.toLong)
+          .getOrElse(BloomIndex.DefaultItems))
+      import spark.implicits._
+      colSeq.toDF("indexed_column")
+    case DropBloomIdx(path) =>
+      BloomIndex.drop(spark, path)
+      import spark.implicits._
+      Seq(path).toDF("dropped_index_on")
     case VacuumRetain(path, hours, dry) =>
       val n = DeltaLog.vacuum(spark, path,
         retainMillis = hours.toLong * 60L * 60L * 1000L,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.{ExactVariance, GeohashEncode, ZOrderKey}
+import graft.sources.{DeltaLog, GraftSql}
 import org.apache.spark.sql.functions._
 
 /** The engine must be drivable from PURE SQL — the reference's users
@@ -189,5 +190,74 @@ class SqlSurfaceSpec extends SparkSpec {
          |""".stripMargin)
     assert(DeltaLog.read(spark, t).select("id").as[Long].collect().toSet ===
       Set(2L, 9L))
+  }
+
+  test("CTAS lands a query as a new table; partitioned + properties variants") {
+    Tables.registerAll(spark, sfDir)
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-ctas-").toString + "/t"
+    GraftSql.exec(spark,
+      s"""CREATE TABLE delta.`$t` AS
+         |SELECT n_nationkey, n_name, n_regionkey FROM nation
+         |WHERE n_regionkey < 3""".stripMargin)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.version == 0L)
+    val back = DeltaLog.read(spark, t)
+    assert(back.count() == spark.sql(
+      "SELECT 1 FROM nation WHERE n_regionkey < 3").count())
+    // CTAS onto an existing table refuses
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"CREATE TABLE delta.`$t` AS SELECT 1 AS x")
+    }
+    // partitioned CTAS with properties
+    val t2 = java.nio.file.Files
+      .createTempDirectory("graft-ctas-").toString + "/t"
+    GraftSql.exec(spark,
+      s"""CREATE TABLE delta.`$t2` PARTITIONED BY (n_regionkey)
+         |TBLPROPERTIES ('delta.appendOnly'='true') AS
+         |SELECT n_nationkey, n_name, n_regionkey FROM nation""".stripMargin)
+    val s2 = DeltaLog.snapshot(spark, t2)
+    assert(s2.partitionColumns == Seq("n_regionkey"))
+    assert(s2.configuration("delta.appendOnly") == "true")
+    assert(DeltaLog.read(spark, t2).count() == 25L)
+  }
+
+  test("DELETE without WHERE truncates metadata-only (no rewrite, no DVs)") {
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-truncate-").toString + "/t"
+    DeltaLog.write(spark,
+      spark.range(0, 100).select(col("id").as("k")).repartition(4), t)
+    GraftSql.exec(spark, s"DELETE FROM delta.`$t`")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.files.isEmpty, "full-table DELETE must remove every entry")
+    assert(DeltaLog.read(spark, t).count() == 0L)
+    // schema survives; the table keeps accepting appends
+    DeltaLog.write(spark,
+      spark.range(0, 5).select(col("id").as("k")), t, "append")
+    assert(DeltaLog.read(spark, t).count() == 5L)
+    // time travel still sees the pre-truncate rows
+    assert(DeltaLog.read(spark, t, Some(0L)).count() == 100L)
+  }
+
+  test("OPTIMIZE WHERE compacts only the matching partition") {
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-optwhere-").toString + "/t"
+    val df = spark.range(0, 400).select(col("id").as("k"),
+      (col("id") % 4).as("p"))
+    // 4 partitions × several files each
+    DeltaLog.write(spark, df.repartition(8), t, partitionBy = Seq("p"))
+    val before = DeltaLog.snapshot(spark, t)
+    val untouched = before.files.filterNot(_.startsWith("p=1/")).toSet
+    assert(before.files.count(_.startsWith("p=1/")) > 1)
+    GraftSql.exec(spark, s"OPTIMIZE delta.`$t` WHERE p = 1")
+    val after = DeltaLog.snapshot(spark, t)
+    // scoped partition compacted to one file; every other file untouched
+    assert(after.files.count(_.startsWith("p=1/")) == 1)
+    assert(untouched.subsetOf(after.files.toSet))
+    assert(DeltaLog.read(spark, t).count() == 400L)
+    // a data-column predicate is refused
+    intercept[IllegalArgumentException] {
+      GraftSql.exec(spark, s"OPTIMIZE delta.`$t` WHERE k = 1")
+    }
   }
 }
