@@ -842,8 +842,127 @@ object Similarity {
     }
   }
 
+  // ---- int8 scalar quantization (SQ8): 4x smaller vectors, asymmetric
+  // search — the FAISS ScalarQuantizer shape. Per-DIMENSION trained
+  // (vmin, vmax) bounds; code_i = round(255·(x_i−vmin_i)/(vmax_i−vmin_i))
+  // clamped to [0,255] (one byte per dimension); search decodes
+  // candidates from codes alone and scores against the FULL-PRECISION
+  // query (asymmetric — the standard accuracy/compression tradeoff).
+  // At 100 TB: the index column is dim bytes/vector instead of 4·dim,
+  // the bounds are 2·dim scalars riding the closure, and scoring is
+  // pure column arithmetic.
+
+  /** Per-dimension (vmin, vmax) over the corpus — ONE explode +
+    * dim-sized aggregation; exact min/max, order-free, deterministic. */
+  def trainSqBounds(emb: DataFrame): (Array[Double], Array[Double]) = {
+    val rows = emb
+      .select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (rows.map(_._2), rows.map(_._3))
+  }
+
+  /** int8 codes (as ints 0..255 for SQL portability; one byte of
+    * information per dimension). Degenerate dimensions (vmax = vmin)
+    * code 0 and decode to vmin exactly. */
+  def sqEncode(emb: DataFrame, vmins: Array[Double],
+      vmaxs: Array[Double]): DataFrame = {
+    val mnL = typedLit(vmins.toSeq)
+    val mxL = typedLit(vmaxs.toSeq)
+    val codes = transform(sequence(lit(1), lit(dim)), i => {
+      val x = element_at(col("embedding"), i).cast("double")
+      val mn = element_at(mnL, i)
+      val mx = element_at(mxL, i)
+      when(mx === mn, lit(0))
+        .otherwise(greatest(lit(0.0), least(lit(255.0),
+          round(lit(255.0) * (x - mn) / (mx - mn)))).cast("int"))
+    })
+    emb.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** Decoded vector from codes alone: r_i = vmin_i + c_i·(vmax_i−vmin_i)/255. */
+  private def sqDecode(codes: Column, vmins: Array[Double],
+      vmaxs: Array[Double]): Column = {
+    val mnL = typedLit(vmins.toSeq)
+    val mxL = typedLit(vmaxs.toSeq)
+    transform(sequence(lit(1), lit(dim)), i =>
+      element_at(mnL, i) + element_at(codes, i).cast("double") *
+        (element_at(mxL, i) - element_at(mnL, i)) / lit(255.0))
+  }
+
+  /** Asymmetric SQ8 top-k: full-precision queries against candidates
+    * reconstructed from their byte codes only. */
+  def sqSearch(emb: DataFrame, vmins: Array[Double], vmaxs: Array[Double],
+      queryPred: Column, topk: Int): DataFrame = {
+    val recon = sqEncode(emb, vmins, vmaxs)
+      .select(col("vec_id"), sqDecode(col("codes"), vmins, vmaxs).as("r_emb"))
+    val q = emb.where(queryPred).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_nrm"))
+    recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        (dot(col("q_emb"), col("r_emb")) /
+          (col("q_nrm") * sqrt(dot(col("r_emb"), col("r_emb")))))
+          .as("sq_score"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("sq_score").desc, col("cand_id"))))
+      .where(col("rnk") <= topk)
+  }
+
+  private lazy val sqBoundsFixture: (Array[Double], Array[Double]) =
+    trainSqBounds(
+      graft.Tables.embeddings(org.apache.spark.sql.SparkSession.active, trainDir)
+        .select(col("vec_id"), col("embedding")))
+
+  /** SQ8 search under the oracle: the trained bounds are exact corpus
+    * min/max (order-free ⇒ deterministic), embedded as double literals
+    * in BOTH engines; encode/decode/score use the same fixed-order
+    * arithmetic, so scores are bit-identical. */
+  lazy val qSq8: QueryDef = {
+    val (vmins, vmaxs) = sqBoundsFixture
+    def dlit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('e') || s.contains('E')) s else s + "e0"
+    }
+    val mnList = vmins.map(dlit).mkString("[", ", ", "]")
+    val mxList = vmaxs.map(dlit).mkString("[", ", ", "]")
+    QueryDef.sql(
+      "q_sim_sq8",
+      s"""WITH b AS (SELECT $mnList::DOUBLE[] AS mn, $mxList::DOUBLE[] AS mx
+         |), recon AS (
+         |  SELECT e.vec_id,
+         |    list_transform(generate_series(1,$dim), i ->
+         |      b.mn[i] + (CASE WHEN b.mx[i] = b.mn[i] THEN 0.0::DOUBLE
+         |        ELSE least(255.0::DOUBLE, greatest(0.0::DOUBLE,
+         |          round(255.0::DOUBLE * (e.embedding[i]::DOUBLE - b.mn[i]) /
+         |            (b.mx[i] - b.mn[i])))) END) *
+         |        (b.mx[i] - b.mn[i]) / 255.0::DOUBLE) AS r_emb
+         |  FROM embeddings e, b
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS q_nrm
+         |  FROM embeddings WHERE vec_id < 5
+         |), scores AS (
+         |  SELECT q.query_id, r.vec_id AS cand_id,
+         |    ${dotSql("q.q_emb", "r.r_emb")} /
+         |      (q.q_nrm * sqrt(${dotSql("r.r_emb", "r.r_emb")})) AS sq_score
+         |  FROM q, recon r WHERE r.vec_id <> q.query_id
+         |)
+         |SELECT query_id, cand_id, sq_score,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sq_score DESC, cand_id) AS rnk
+         |FROM scores
+         |QUALIFY rnk <= 3""".stripMargin) { (spark, dir) =>
+      sqSearch(
+        graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        vmins, vmaxs, col("vec_id") < 5, topk = 3)
+    }
+  }
+
   lazy val all: Seq[QueryDef] =
     Seq(qCosineTopK, qIvfAnn, qIvfMultiProbe, qEmbeddingNearDup, qIvfTrained,
-      qPqAdc, qIvfPq, qSemanticDedup)
+      qPqAdc, qIvfPq, qSemanticDedup, qSq8)
 }
 

@@ -416,6 +416,12 @@ object DeltaLog {
   private[graft] val IdStepKey = "delta.identity.step"
   private[graft] val IdHwmKey = "delta.identity.highWaterMark"
   private[graft] val IdAllowKey = "delta.identity.allowExplicitInsert"
+  /** Column DEFAULT values (writer feature `allowColumnDefaults`): the
+    * SQL default expression under Spark's own field-metadata key, so
+    * delta-spark round-trips. Writes lacking the column materialize the
+    * default; existing rows are NEVER backfilled (per spec, SET DEFAULT
+    * affects future inserts only). */
+  private[graft] val DefaultKey = "CURRENT_DEFAULT"
   /** Spark's parquet reader resolves columns by this metadata key when
     * `spark.sql.parquet.fieldId.read.enabled` is set. */
   private val ParquetFieldIdKey = "parquet.field.id"
@@ -1879,11 +1885,25 @@ object DeltaLog {
 
   private def collectFileStats(spark: SparkSession, table: String,
       rels: Seq[String], dataSchema: StructType,
-      partitionBy: Seq[String]): Map[String, String] = {
-    val fields = dataSchema.fields.toSeq
+      partitionBy: Seq[String],
+      cfg: Map[String, String] = Map.empty): Map[String, String] = {
+    // stats scope follows Delta's own knobs: an explicit
+    // delta.dataSkippingStatsColumns list wins (uncapped); otherwise the
+    // first delta.dataSkippingNumIndexedCols eligible columns (-1 = all,
+    // default 32). numRecords is always collected — row tracking, the
+    // metadata COUNT(*) fast path, and the empty-file filter need it.
+    val requested = cfg.get("delta.dataSkippingStatsColumns")
+      .map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+        .filter(_.nonEmpty).toSet)
+    val maxCols = cfg.get("delta.dataSkippingNumIndexedCols")
+      .map(_.trim.toInt).getOrElse(statsMaxCols)
+    val base = dataSchema.fields.toSeq
       .filterNot(f => partitionBy.contains(f.name))
       .filter(f => isStatType(f.dataType))
-      .take(statsMaxCols)
+    val fields = requested match {
+      case Some(cols) => base.filter(f => cols.contains(f.name))
+      case None => if (maxCols < 0) base else base.take(maxCols)
+    }
     val byName = basenameIndex(rels).getOrElse(return Map.empty)
     val abs = rels.map(p => new Path(table, p).toString)
     val df = spark.read.option("basePath", table).parquet(abs: _*)
@@ -1997,15 +2017,27 @@ object DeltaLog {
       : (DataFrame, Map[String, Long], () => Unit) = {
     val genFields = declared.fields.filter(_.metadata.contains(GenExprKey)).toSeq
     val idFields = declared.fields.filter(_.metadata.contains(IdStartKey)).toSeq
+    // column DEFAULTs: a data-changing write that does not name a
+    // defaulted column gets the default MATERIALIZED (spec: defaults
+    // fill at write time, never at read; an explicitly written NULL
+    // stays NULL). Rewrite ops (MERGE/UPDATE) carry every column.
+    val defFields = declared.fields.filter(_.metadata.contains(DefaultKey))
+      .filterNot(fl => df.columns.contains(fl.name)).toSeq
+    val dfFilled =
+      if (!dataChange || defFields.isEmpty ||
+          operation == "MERGE" || operation == "UPDATE") df
+      else defFields.foldLeft(df)((d, fl) => d.withColumn(fl.name,
+        expr(fl.metadata.getString(DefaultKey)).cast(fl.dataType)))
+    val df0 = dfFilled
     if (!dataChange || (genFields.isEmpty && idFields.isEmpty))
-      return (df, Map.empty, () => ())
+      return (df0, Map.empty, () => ())
     // frames pinned for the duration of allocation + staging: the gid
     // tagging below is non-deterministic across re-evaluation (AQE
     // re-plan, non-deterministic source), so the counting pre-pass and
     // the staged write MUST observe the same materialization
     val pinned = Seq.newBuilder[DataFrame]
     val rewriteOp = operation == "MERGE" || operation == "UPDATE"
-    var data = df
+    var data = df0
     if (genFields.nonEmpty) {
       if (rewriteOp) {
         genFields.foreach { fl =>
@@ -2424,7 +2456,7 @@ object DeltaLog {
     val statsByFile: Map[String, String] =
       if (movedFiles.isEmpty) Map.empty
       else collectFileStats(spark, table, movedFiles.map(_._1), stagedDf.schema,
-        physPartitionBy)
+        physPartitionBy, effConfig)
 
     // Zero-row staged files (an empty overwrite = truncate, a fully
     // filtered write) never enter the commit — real Delta writers do not
@@ -2656,7 +2688,7 @@ object DeltaLog {
         attempt += 1
       }
     }
-    maybeAutoCheckpoint(spark, table, committed)
+    maybeAutoCheckpoint(spark, table, committed, effConfig)
     maybeAutoCompact(spark, table, operation, dataChange, effConfig)
     committed
   }
@@ -2699,8 +2731,10 @@ object DeltaLog {
     * effort — the commit is already durable, and a racing writer may
     * legitimately checkpoint the same version first. */
   private def maybeAutoCheckpoint(spark: SparkSession, table: String,
-      committed: Long): Unit = {
-    val interval = spark.conf.get("spark.graft.delta.checkpointInterval", "10").toInt
+      committed: Long, cfg: Map[String, String] = Map.empty): Unit = {
+    // Delta's own table property wins; the session conf is the default
+    val interval = cfg.getOrElse("delta.checkpointInterval",
+      spark.conf.get("spark.graft.delta.checkpointInterval", "10")).trim.toInt
     if (interval > 0 && committed > 0 && committed % interval == 0)
       try { checkpoint(spark, table); () }
       catch {
@@ -3460,6 +3494,7 @@ object DeltaLog {
     // the declared protocol is the max the schema demands
     val hasGen = schema.fields.exists(_.metadata.contains(GenExprKey))
     val hasIdent = schema.fields.exists(_.metadata.contains(IdStartKey))
+    val hasDefault = schema.fields.exists(_.metadata.contains(DefaultKey))
     schema.fields.filter(_.metadata.contains(GenExprKey)).foreach { fl =>
       require(!fl.metadata.contains(IdStartKey),
         s"column ${fl.name} cannot be both generated and identity")
@@ -3467,6 +3502,13 @@ object DeltaLog {
       // the first write
       spark.sessionState.sqlParser.parseExpression(
         fl.metadata.getString(GenExprKey))
+    }
+    schema.fields.filter(_.metadata.contains(DefaultKey)).foreach { fl =>
+      require(!fl.metadata.contains(GenExprKey) &&
+          !fl.metadata.contains(IdStartKey),
+        s"column ${fl.name} cannot combine DEFAULT with generated/identity")
+      spark.sessionState.sqlParser.parseExpression(
+        fl.metadata.getString(DefaultKey))
     }
     schema.fields.filter(_.metadata.contains(IdStartKey)).foreach { fl =>
       require(fl.dataType == LongType,
@@ -3486,6 +3528,9 @@ object DeltaLog {
     if (clusterBy.nonEmpty)
       writerFeatureUpgrade(Some(innerOf(proto)),
         Seq("domainMetadata", "clustering")).foreach(proto = _)
+    if (hasDefault)
+      writerFeatureUpgrade(Some(innerOf(proto)),
+        Seq("allowColumnDefaults")).foreach(proto = _)
     val meta = mapper.createObjectNode()
     meta.put("id", java.util.UUID.randomUUID().toString)
     val fmt = meta.putObject("format")
@@ -3579,6 +3624,44 @@ object DeltaLog {
         cfgNode.put("delta.columnMapping.maxColumnId",
           minted.map(_.metadata.getLong(FieldIdKey)).max.toString)
       }
+    }
+  }
+
+  /** ALTER TABLE … ALTER COLUMN c SET DEFAULT expr / DROP DEFAULT:
+    * attach (or remove) the column's CURRENT_DEFAULT. Per the spec,
+    * this affects FUTURE writes only — existing rows are never
+    * backfilled (the defining difference from ADD COLUMN backfill
+    * semantics, which Delta refuses for exactly this reason). The SET
+    * commit carries the `allowColumnDefaults` writer-feature upgrade
+    * when the protocol lacks it. */
+  def alterColumnDefault(spark: SparkSession, table: String,
+      colName: String, default: Option[String]): Long = {
+    val snap = snapshot(spark, table)
+    val prev = snap.schema.getOrElse(
+      sys.error(s"ALTER COLUMN: no schema declared for $table"))
+    val fl = prev.fields.find(_.name == colName).getOrElse(
+      sys.error(s"ALTER COLUMN: no column $colName in $table"))
+    default.foreach { d =>
+      require(!fl.metadata.contains(GenExprKey) &&
+          !fl.metadata.contains(IdStartKey),
+        s"column $colName cannot combine DEFAULT with generated/identity")
+      spark.sessionState.sqlParser.parseExpression(d)
+    }
+    val md = new MetadataBuilder().withMetadata(fl.metadata)
+    default match {
+      case Some(d) => md.putString(DefaultKey, d)
+      case None => md.remove(DefaultKey)
+    }
+    val declared = StructType(prev.fields.map(f =>
+      if (f.name == colName) f.copy(metadata = md.build()) else f))
+    val upgrade: Seq[String] =
+      if (default.isEmpty) Nil
+      else writerFeatureUpgrade(snap.protocolJson,
+        Seq("allowColumnDefaults")).toSeq
+    commitMetaData(spark, snap, table,
+      if (default.isDefined) "SET DEFAULT" else "DROP DEFAULT",
+      extraActions = upgrade) { meta =>
+      meta.put("schemaString", declared.json)
     }
   }
 
@@ -4150,6 +4233,70 @@ object DeltaLog {
     * any sane retention window — both are skipped, never deleted.
     * Passing `retainMillis = 0` (tests, exclusive maintenance windows)
     * restores immediate reclamation. Returns the deleted file count. */
+  /** VACUUM LITE — log-driven reclamation: candidates come from the
+    * surviving commit JSONs' `remove` actions (deletionTimestamp aged
+    * past retention), never from LISTING the table. At 10⁶ files the
+    * recursive listing is the slowest part of a full VACUUM; the log
+    * already knows exactly what was removed. Narrower by design —
+    * Delta's documented VACUUM LITE contract: crash orphans (never
+    * logged) and removes only recorded in already-cleaned commits are
+    * out of reach; run a full [[vacuum]] occasionally for those.
+    * Safety mirrors the full vacuum: a path live in any kept snapshot
+    * survives (a removed-then-re-added file is live), only
+    * table-root-relative paths are ever deleted (a shallow clone's
+    * absolute source references are untouchable), and the
+    * deletionTimestamp age guard keeps concurrent writers safe.
+    * Deletes run on executors; the driver holds only the surviving
+    * log's remove records — O(log tail), bounded by the checkpoint
+    * interval. Returns the deleted (or reclaimable, dryRun) count. */
+  def vacuumLite(spark: SparkSession, table: String, keepVersions: Int = 1,
+      retainMillis: Long = defaultVacuumRetentionMillis,
+      dryRun: Boolean = false): Int = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1: $keepVersions")
+    require(retainMillis >= 0, s"retainMillis must be >= 0: $retainMillis")
+    val f = fs(spark, table)
+    val cutoff = System.currentTimeMillis() - retainMillis
+    val versions = listVersions(spark, table)
+    // removed data paths from the surviving JSON tail — RELATIVE paths
+    // only (an absolute/external reference belongs to a clone source)
+    val removed: Seq[(String, Long)] = versions.flatMap(v =>
+      readCommit(f, table, v).filter(_.has("remove")).flatMap { n =>
+        val r = n.get("remove")
+        val p = r.get("path").asText()
+        // external reference = scheme-carrying URI (file:/…, s3://…) or
+        // absolute path — a shallow clone's source files; never ours to
+        // delete
+        val u = new Path(p)
+        if (u.toUri.getScheme != null || u.isAbsolute) None
+        else Some((p, if (r.has("deletionTimestamp"))
+          r.get("deletionTimestamp").asLong() else 0L))
+      })
+    val aged = removed.collect { case (p, ts) if ts <= cutoff => p }.distinct
+    if (aged.isEmpty) return 0
+    val keptV = (versions ++ lastCheckpoint(f, table).toSeq)
+      .distinct.sorted.takeRight(keepVersions)
+    val liveData = keptV.map(v => snapshot(spark, table, Some(v))
+      .allFiles.select(col("path"))).reduce(_ union _)
+    import spark.implicits._
+    val candidates = aged.toDF("rel")
+      .join(liveData, col("rel") === col("path"), "left_anti")
+    if (dryRun) return candidates.count().toInt
+    val rootStr = f.makeQualified(new Path(table)).toString
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    candidates.select("rel").as[String].mapPartitions { paths =>
+      if (paths.isEmpty) Iterator.empty
+      else {
+        val fsys = new Path(rootStr).getFileSystem(bcConf.value.value)
+        var c = 0L
+        paths.foreach { rel =>
+          if (fsys.delete(new Path(rootStr, rel), false)) c += 1
+        }
+        Iterator.single(c)
+      }
+    }.collect().sum.toInt
+  }
+
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1,
       retainMillis: Long = defaultVacuumRetentionMillis,
       dryRun: Boolean = false): Int = {

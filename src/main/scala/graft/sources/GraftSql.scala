@@ -85,6 +85,11 @@ object GraftSql {
     """(?is)\s*DROP\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+delta\.`([^`]+)`\s*""".r
   private val VacuumRetain =
     """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+RETAIN\s+(\d+)\s+HOURS(\s+DRY\s+RUN)?\s*""".r
+  private val VacuumLiteRetain =
+    ("""(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+LITE""" +
+      """\s+RETAIN\s+(\d+)\s+HOURS(\s+DRY\s+RUN)?\s*""").r
+  private val VacuumLite =
+    """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+LITE(\s+DRY\s+RUN)?\s*""".r
   private val VacuumDry =
     """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+DRY\s+RUN\s*""".r
   private val Vacuum = """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s*""".r
@@ -92,6 +97,8 @@ object GraftSql {
   private val ShowProps =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+delta\.`([^`]+)`(?:\s*\(\s*'([^']+)'\s*\))?\s*""".r
   private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+delta\.`([^`]+)`\s*""".r
+  private val ShowParts =
+    """(?is)\s*SHOW\s+PARTITIONS\s+delta\.`([^`]+)`\s*""".r
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s+SHALLOW\s+CLONE\s+delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val CopyInto =
@@ -132,6 +139,12 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
   private val AlterSync =
     """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+SYNC\s+IDENTITY\s*""".r
+  private val AlterSetDefault =
+    ("""(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+ALTER\s+COLUMN\s+""" +
+      """`?(\w+)`?\s+SET\s+DEFAULT\s+(.+?)\s*""").r
+  private val AlterDropDefault =
+    ("""(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+ALTER\s+COLUMN\s+""" +
+      """`?(\w+)`?\s+DROP\s+DEFAULT\s*""").r
   private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val PropKey = """'([^']*)'""".r
 
@@ -147,6 +160,9 @@ object GraftSql {
       """(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*$""").r
   private val GeneratedCol =
     """(?is)^\s*`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*$""".r
+  //   c INT DEFAULT 5, s STRING DEFAULT 'x' — column DEFAULT values
+  private val DefaultCol =
+    """(?is)^\s*`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?)\s+DEFAULT\s+(.+?)\s*$""".r
 
   /** Split a CREATE TABLE column list on top-level commas (nested
     * parens — DECIMAL(12,2), START WITH … — and quotes stay intact). */
@@ -186,6 +202,10 @@ object GraftSql {
         StructField(name, DataType.fromDDL(tpe), nullable = true,
           new MetadataBuilder()
             .putString(DeltaLog.GenExprKey, genExpr.trim).build())
+      case DefaultCol(name, tpe, dflt) =>
+        StructField(name, DataType.fromDDL(tpe), nullable = true,
+          new MetadataBuilder()
+            .putString(DeltaLog.DefaultKey, dflt.trim).build())
       case plain => StructType.fromDDL(plain).fields.head
     })
   }
@@ -481,6 +501,10 @@ object GraftSql {
       version(spark, DeltaLog.alterDropConstraint(spark, path, name))
     case AlterSync(path) =>
       version(spark, DeltaLog.alterSyncIdentity(spark, path))
+    case AlterSetDefault(path, c, dflt) =>
+      version(spark, DeltaLog.alterColumnDefault(spark, path, c, Some(dflt)))
+    case AlterDropDefault(path, c) =>
+      version(spark, DeltaLog.alterColumnDefault(spark, path, c, None))
     case AlterCluster(path, cols, none) =>
       version(spark, DeltaLog.alterClusterBy(spark, path,
         if (none != null) Seq.empty
@@ -540,6 +564,17 @@ object GraftSql {
       BloomIndex.drop(spark, path)
       import spark.implicits._
       Seq(path).toDF("dropped_index_on")
+    // VACUUM ... LITE: log-driven reclamation, no table listing
+    case VacuumLiteRetain(path, hours, dry) =>
+      val n = DeltaLog.vacuumLite(spark, path,
+        retainMillis = hours.toLong * 60L * 60L * 1000L,
+        dryRun = dry != null)
+      import spark.implicits._
+      Seq(n.toLong).toDF(if (dry != null) "files_reclaimable" else "files_removed")
+    case VacuumLite(path, dry) =>
+      import spark.implicits._
+      Seq(DeltaLog.vacuumLite(spark, path, dryRun = dry != null).toLong)
+        .toDF(if (dry != null) "files_reclaimable" else "files_removed")
     case VacuumRetain(path, hours, dry) =>
       val n = DeltaLog.vacuum(spark, path,
         retainMillis = hours.toLong * 60L * 60L * 1000L,
@@ -557,6 +592,17 @@ object GraftSql {
       DeltaLog.history(spark, path)
     case Detail(path) =>
       DeltaLog.detail(spark, path)
+    // SHOW PARTITIONS: the distinct partition tuples, straight from the
+    // DISTRIBUTED file frame's partitionValues — zero data files opened
+    case ShowParts(path) =>
+      val snap = DeltaLog.snapshot(spark, path)
+      require(snap.partitionColumns.nonEmpty,
+        s"SHOW PARTITIONS: table is not partitioned: $path")
+      val phys = snap.columnMapping
+      snap.allFiles.select(snap.partitionColumns.map(c =>
+        try_element_at(col("partitionValues"),
+          lit(phys.getOrElse(c, c))).as(c)): _*)
+        .distinct().orderBy(snap.partitionColumns.map(col): _*)
     case ShowProps(path, key) =>
       // SHOW TBLPROPERTIES delta.`p` [('key')] — Delta's SQL shape:
       // all configuration pairs, or the one asked-for key

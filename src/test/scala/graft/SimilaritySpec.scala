@@ -186,4 +186,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rTrained >= rPlaceholder,
       f"trained quantizer lost recall: $rTrained%.2f < $rPlaceholder%.2f")
   }
+
+  test("SQ8: codes are bytes, decode round-trips within quantization error, high recall") {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val (mns, mxs) = Similarity.trainSqBounds(e)
+    assert(mns.length == 64 && mxs.length == 64)
+    assert(mns.zip(mxs).forall { case (a, b) => a <= b })
+    val codes = Similarity.sqEncode(e, mns, mxs)
+    // every code in [0, 255] — genuinely one byte of information
+    val bad = codes.select(explode(col("codes")).as("c"))
+      .where(col("c") < 0 || col("c") > 255).count()
+    assert(bad == 0L)
+    // asymmetric search at 4x compression keeps recall@3 high
+    val truth = exactTop3(5)
+    val r = recallOfSearch(
+      Similarity.sqSearch(e, mns, mxs, col("vec_id") < 5, 3), truth)
+    info(f"SQ8 recall@3 = $r%.2f")
+    assert(r >= 0.8, f"SQ8 recall collapsed: $r%.2f")
+  }
 }

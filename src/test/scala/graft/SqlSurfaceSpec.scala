@@ -239,6 +239,60 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t, Some(0L)).count() == 100L)
   }
 
+  test("SHOW PARTITIONS lists distinct tuples from the file frame") {
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-showparts-").toString + "/t"
+    val df = spark.range(0, 60).select(col("id").as("k"),
+      (col("id") % 3).as("p"), (col("id") % 2).as("q"))
+    DeltaLog.write(spark, df, t, partitionBy = Seq("p", "q"))
+    val parts = GraftSql.exec(spark, s"SHOW PARTITIONS delta.`$t`")
+    assert(parts.columns.toSeq == Seq("p", "q"))
+    assert(parts.count() == 6L)
+    intercept[IllegalArgumentException] {
+      val t2 = java.nio.file.Files
+        .createTempDirectory("graft-showparts-").toString + "/t"
+      DeltaLog.write(spark, df.drop("p", "q"), t2)
+      GraftSql.exec(spark, s"SHOW PARTITIONS delta.`$t2`")
+    }
+  }
+
+  test("data-skipping stats knobs and delta.checkpointInterval are honored") {
+    import graft.sources.GraftSql
+    // explicit stats column list: only 's' gets min/max; numRecords stays
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-statscols-").toString + "/t"
+    DeltaLog.write(spark,
+      spark.range(0, 20).select(col("id").as("k"),
+        format_string("s%02d", col("id")).as("s")).coalesce(1), t,
+      properties = Map("delta.dataSkippingStatsColumns" -> "s"))
+    val st = DeltaLog.snapshot(spark, t).allFiles
+      .select("stats").head.getString(0)
+    assert(st.contains("numRecords") && st.contains("\"s\"") &&
+      !st.contains("\"k\""), st)
+    // numIndexedCols=1: only the FIRST eligible column is stats'd
+    val t2 = java.nio.file.Files
+      .createTempDirectory("graft-statscols-").toString + "/t"
+    DeltaLog.write(spark,
+      spark.range(0, 20).select(col("id").as("k"),
+        format_string("s%02d", col("id")).as("s")).coalesce(1), t2,
+      properties = Map("delta.dataSkippingNumIndexedCols" -> "1"))
+    val st2 = DeltaLog.snapshot(spark, t2).allFiles
+      .select("stats").head.getString(0)
+    assert(st2.contains("\"k\"") && !st2.contains("\"s\""), st2)
+    // delta.checkpointInterval as a TABLE property: checkpoint at v2
+    val t3 = java.nio.file.Files
+      .createTempDirectory("graft-cpint-").toString + "/t"
+    DeltaLog.write(spark, spark.range(0, 5).toDF("k").coalesce(1), t3,
+      properties = Map("delta.checkpointInterval" -> "2"))
+    DeltaLog.write(spark, spark.range(5, 10).toDF("k").coalesce(1), t3, "append")
+    DeltaLog.write(spark, spark.range(10, 15).toDF("k").coalesce(1), t3, "append")
+    val fs = new org.apache.hadoop.fs.Path(t3)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(t3,
+      "_delta_log/_last_checkpoint")),
+      "table-property checkpoint interval of 2 must checkpoint at v2")
+  }
+
   test("OPTIMIZE WHERE compacts only the matching partition") {
     val t = java.nio.file.Files
       .createTempDirectory("graft-optwhere-").toString + "/t"
