@@ -36,6 +36,40 @@ object Dedup {
   private val numBands = 4
   private val rowsPerBand = 4
 
+  /** LSH parameter tuner (MMDS ch. 3, public): pick (bands b, rows r)
+    * with b·r ≤ numHashes whose S-curve P(candidate) = 1−(1−s^r)^b best
+    * approximates a step at the target Jaccard `threshold` — minimizing
+    * the usual asymmetric integral of false positives below the
+    * threshold plus false negatives above it. Deterministic closed
+    * search over the divisor grid; call once at pipeline-configuration
+    * time (the engine's fixed 4×4 default is this tuner's own answer
+    * for threshold ≈ 0.75 at 16 hashes). */
+  def tuneLsh(threshold: Double, numHashes: Int,
+      fpWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0, s"threshold in (0,1): $threshold")
+    require(numHashes >= 2, s"numHashes >= 2: $numHashes")
+    def pCand(s: Double, b: Int, r: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    val n = 1000
+    val candidates = for {
+      r <- 1 to numHashes
+      b = numHashes / r
+      if b >= 1
+    } yield {
+      // Riemann error vs the ideal step at `threshold`
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < n) {
+        val s = (i + 0.5) / n
+        val p = pCand(s, b, r)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      ((b, r), (fpWeight * fp + (1.0 - fpWeight) * fn) / n)
+    }
+    candidates.minBy { case ((b, r), err) => (err, -b * r, r) }._1
+  }
+
   /** Exact dedup: canonical id per content-hash group (min doc_id), a
     * flag for the non-canonical members. One shuffle, no text compare. */
   val qExact: QueryDef = QueryDef.sql(

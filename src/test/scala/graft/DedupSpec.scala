@@ -71,4 +71,21 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) >= 1, "doc 2 shares its leading span with doc 1")
     assert(out(3L) == 0, "doc 3 has no cross-doc span")
   }
+
+  test("LSH tuner: thresholds map to sane (b, r); S-curve crosses near target") {
+    // the curve's 50% crossover (1/b)^(1/r) must land near the asked
+    // threshold for standard configurations
+    Seq((0.5, 128), (0.8, 128), (0.9, 256), (0.7, 64)).foreach {
+      case (t, h) =>
+        val (b, r) = graft.llm.Dedup.tuneLsh(t, h)
+        assert(b * r <= h && b >= 1 && r >= 1)
+        val crossover = math.pow(1.0 / b, 1.0 / r)
+        assert(math.abs(crossover - t) < 0.15,
+          f"threshold $t%.2f, $h hashes -> (b=$b, r=$r), crossover $crossover%.2f")
+    }
+    // monotonicity: a higher threshold never yields FEWER rows per band
+    val r1 = graft.llm.Dedup.tuneLsh(0.5, 128)._2
+    val r2 = graft.llm.Dedup.tuneLsh(0.9, 128)._2
+    assert(r2 >= r1, s"rows per band must grow with threshold: $r1 -> $r2")
+  }
 }
