@@ -374,7 +374,7 @@ object DeltaLog {
     * rather than silently misread. */
   private val supportedReaderFeatures =
     Set("timestampNtz", "columnMapping", "vacuumProtocolCheck",
-      "deletionVectors", "v2Checkpoint", "typeWidening")
+      "deletionVectors", "v2Checkpoint", "typeWidening", "variantType")
 
   private def gateProtocol(p: JsonNode): Unit = {
     val mrv = if (p.has("minReaderVersion")) p.get("minReaderVersion").asInt() else 1
@@ -2561,7 +2561,14 @@ object DeltaLog {
         else writerFeatureUpgrade(
           twUp.orElse(ictUp).orElse(cdfUp).map(inner).orElse(protoBase),
           Seq("rowTracking", "domainMetadata"))
-      (rtUp.orElse(twUp).orElse(ictUp).orElse(cdfUp).orElse(proto0))
+      // a VARIANT-typed column upgrades to the variantType table feature
+      // (reader AND writer — pre-feature readers cannot decode the
+      // physical struct<metadata,value> encoding)
+      val vtUp = if (!containsVariant(declared)) None
+        else readerWriterFeatureUpgrade(
+          rtUp.orElse(twUp).orElse(ictUp).orElse(cdfUp).map(inner)
+            .orElse(protoBase), "variantType")
+      (vtUp.orElse(rtUp).orElse(twUp).orElse(ictUp).orElse(cdfUp).orElse(proto0))
         .foreach(actions += _)
       // metaData on the first commit, any schema change (evolution — the
       // widened union declares so older files read with nulls in the new
@@ -3162,7 +3169,28 @@ object DeltaLog {
   /** Protocol action adding the `typeWidening` table feature on BOTH
     * sides (a pre-feature reader would misparse narrow files under the
     * widened schema). None when already present. */
-  private def twProtocolUpgrade(existing: Option[String]): Option[String] = {
+  private def twProtocolUpgrade(existing: Option[String]): Option[String] =
+    readerWriterFeatureUpgrade(existing, "typeWidening")
+
+  /** Does the schema carry a VARIANT anywhere (incl. nested)? */
+  private def containsVariant(schema: StructType): Boolean = {
+    def hv(dt: DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.VariantType => true
+      case s: StructType => s.fields.exists(f => hv(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hv(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        hv(m.keyType) || hv(m.valueType)
+      case _ => false
+    }
+    schema.fields.exists(f => hv(f.dataType))
+  }
+
+  /** Protocol action adding `feature` as a READER+WRITER table feature
+    * (minReaderVersion 3 / minWriterVersion 7), spelling out the legacy
+    * features the OLD versions implied on both sides. None when already
+    * present. */
+  private def readerWriterFeatureUpgrade(existing: Option[String],
+      feature: String): Option[String] = {
     val node = existing
       .map(mapper.readTree(_).asInstanceOf[ObjectNode])
       .getOrElse(mapper.readTree("""{"minReaderVersion":1,"minWriterVersion":2}""")
@@ -3175,13 +3203,13 @@ object DeltaLog {
         while (it.hasNext) b += it.next().asText()
         b.result()
       }
-    if (feats("readerFeatures").contains("typeWidening")) return None
+    if (feats("readerFeatures").contains(feature)) return None
     val mwv = if (node.has("minWriterVersion")) node.get("minWriterVersion").asInt() else 2
     val legacyWriter = Seq(
       2 -> "appendOnly", 2 -> "invariants", 3 -> "checkConstraints",
       4 -> "changeDataFeed", 4 -> "generatedColumns", 5 -> "columnMapping",
       6 -> "identityColumns").collect { case (v, f) if mwv >= v && mwv < 7 => f }
-    val wf = (feats("writerFeatures") ++ legacyWriter :+ "typeWidening").distinct
+    val wf = (feats("writerFeatures") ++ legacyWriter :+ feature).distinct
     // bumping minReaderVersion to 3 switches readers to feature
     // enumeration: legacy reader features implied by the OLD version
     // must be spelled out (columnMapping at mrv>=2), mirroring
@@ -3193,7 +3221,7 @@ object DeltaLog {
     out.put("minReaderVersion", 3)
     out.put("minWriterVersion", 7)
     val rfArr = out.putArray("readerFeatures")
-    (feats("readerFeatures") ++ legacyReader :+ "typeWidening").distinct.foreach(rfArr.add)
+    (feats("readerFeatures") ++ legacyReader :+ feature).distinct.foreach(rfArr.add)
     val wfArr = out.putArray("writerFeatures")
     wf.foreach(wfArr.add)
     Some(s"""{"protocol":${mapper.writeValueAsString(out)}}""")
