@@ -893,19 +893,42 @@ object Similarity {
         (element_at(mxL, i) - element_at(mnL, i)) / lit(255.0))
   }
 
+  /** Encode∘decode fused into ONE array pass: numerically identical to
+    * `sqDecode(sqEncode(...))` (the int code round-trips exactly through
+    * double), but evaluates a single higher-order transform per row
+    * instead of two with an intermediate code array. */
+  private def sqReconCol(emb: Column, vmins: Array[Double],
+      vmaxs: Array[Double]): Column = {
+    val mnL = typedLit(vmins.toSeq)
+    val mxL = typedLit(vmaxs.toSeq)
+    transform(sequence(lit(1), lit(dim)), i => {
+      val x = element_at(emb, i).cast("double")
+      val mn = element_at(mnL, i)
+      val mx = element_at(mxL, i)
+      val code = when(mx === mn, lit(0))
+        .otherwise(greatest(lit(0.0), least(lit(255.0),
+          round(lit(255.0) * (x - mn) / (mx - mn)))).cast("int"))
+      mn + code.cast("double") * (mx - mn) / lit(255.0)
+    })
+  }
+
   /** Asymmetric SQ8 top-k: full-precision queries against candidates
-    * reconstructed from their byte codes only. */
+    * reconstructed from their byte codes only. The candidate norm is
+    * computed once per candidate BEFORE the query join — not once per
+    * (query, candidate) pair. */
   def sqSearch(emb: DataFrame, vmins: Array[Double], vmaxs: Array[Double],
       queryPred: Column, topk: Int): DataFrame = {
-    val recon = sqEncode(emb, vmins, vmaxs)
-      .select(col("vec_id"), sqDecode(col("codes"), vmins, vmaxs).as("r_emb"))
+    val recon = emb
+      .select(col("vec_id"), sqReconCol(col("embedding"), vmins, vmaxs).as("r_emb"))
+      .select(col("vec_id"), col("r_emb"),
+        sqrt(dot(col("r_emb"), col("r_emb"))).as("r_nrm"))
     val q = emb.where(queryPred).select(
       col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       sqrt(dot(col("embedding"), col("embedding"))).as("q_nrm"))
     recon.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         (dot(col("q_emb"), col("r_emb")) /
-          (col("q_nrm") * sqrt(dot(col("r_emb"), col("r_emb")))))
+          (col("q_nrm") * col("r_nrm")))
           .as("sq_score"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("sq_score").desc, col("cand_id"))))
