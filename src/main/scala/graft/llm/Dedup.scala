@@ -267,6 +267,58 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Exact n-gram overlap decontamination (n = 8) — the published
+    * GPT-3/PaLM eval-hygiene method, complementary to the near-dup check
+    * above: a test-split document is contaminated when ANY of its exact
+    * token 8-grams also appears in a non-test document. Per doc the
+    * distinct gram set is hashed (h60 of the space-joined window), so
+    * every shuffle and the train∩test join carry 8-byte hashes, never
+    * text; the train side collapses to a distinct gram-hash set first
+    * (hash aggregate), which at 100 TB is the bounded-cardinality side
+    * of the join. Output: each contaminated test doc with its distinct
+    * gram count, the overlapping-gram count, and the overlap fraction. */
+  val qDecontamNgram: QueryDef = {
+    val n = 8
+    QueryDef.sql(
+      "q_decontam_ngram",
+      s"""WITH toks AS (
+         |  SELECT doc_id, (${h60Sql("text")}) % 100 >= 90 AS is_test,
+         |    ${tokensSql("text")} AS t
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, is_test,
+         |    unnest(list_distinct(list_transform(generate_series(1, len(t) - ${n - 1}),
+         |      i -> ${h60Sql(s"array_to_string(t[i:i+${n - 1}], ' ')")}))) AS gh
+         |  FROM toks WHERE len(t) >= $n
+         |), train AS (SELECT DISTINCT gh FROM g WHERE NOT is_test
+         |), test AS (SELECT doc_id, gh FROM g WHERE is_test
+         |), per AS (SELECT doc_id, count(*) AS n_grams FROM test GROUP BY 1
+         |), sh AS (
+         |  SELECT t.doc_id, count(*) AS n_shared
+         |  FROM test t JOIN train USING (gh) GROUP BY 1
+         |)
+         |SELECT p.doc_id AS test_doc, p.n_grams, s.n_shared,
+         |  CAST(s.n_shared AS DOUBLE) / p.n_grams AS shared_frac
+         |FROM per p JOIN sh s ON s.doc_id = p.doc_id""".stripMargin) { (spark, dir) =>
+      val toked = Tables.documents(spark, dir)
+        .select(col("doc_id"), (h60(col("text")) % 100 >= 90).as("is_test"),
+          tokens(col("text")).as("t"))
+        .where(size(col("t")) >= n)
+      val grams = toked.select(col("doc_id"), col("is_test"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(col("t")) - (n - 1)),
+          i => h60(concat_ws(" ", slice(col("t"), i, lit(n))))))).as("gh"))
+      val trainG = grams.where(!col("is_test")).select("gh").distinct()
+      val testG = grams.where(col("is_test")).select(col("doc_id"), col("gh"))
+      val perDoc = testG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+      val shared = testG.join(trainG, "gh")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      perDoc.join(shared, Seq("doc_id"))
+        .select(col("doc_id").as("test_doc"), col("n_grams"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_grams")).as("shared_frac"))
+    }
+  }
+
   /** End-to-end corpus curation — the composition an LLM training-data
     * pipeline actually runs: Gopher-style quality gate ∧ exact-dup
     * canonicalization ∧ near-dup removal (drop the non-canonical side of
@@ -648,6 +700,6 @@ object Dedup {
   }
 
   val all: Seq[QueryDef] = Seq(qExact, qMinhashLsh, qSimhash, qNgramJaccard,
-    qCorpusCuration, qClusters, qSplitContamination, qSubstringDedup, qContainment,
-    qChunkBoilerplate, qBoilerplateStrip)
+    qCorpusCuration, qClusters, qSplitContamination, qDecontamNgram,
+    qSubstringDedup, qContainment, qChunkBoilerplate, qBoilerplateStrip)
 }

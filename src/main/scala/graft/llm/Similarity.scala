@@ -984,8 +984,95 @@ object Similarity {
     }
   }
 
+  // ---- binary (1-bit) quantization: 64 dims → 64 sign bits packed into
+  // two longs (16 bytes/vector, 16x smaller than float32). Candidate
+  // generation is TWO xor+popcount ops per pair (Hamming distance over
+  // the packed words) instead of a 64-element dot — the cheapest
+  // first-pass filter in the ANN family; survivors are reranked with
+  // exact cosine. At 100 TB the bit-code column is what scans: the
+  // full-precision vectors are touched only for ~C candidates/query.
+
+  /** Sign bits of dimensions [lo, hi] packed into one long
+    * (bit i−lo set ⇔ x_i > 0). Integer arithmetic — exactly portable. */
+  private def packSign(emb: Column, lo: Int, hi: Int): Column =
+    aggregate(sequence(lit(lo), lit(hi)), lit(0L),
+      (acc, i) => acc + when(element_at(emb, i).cast("double") > 0.0,
+        pow(lit(2.0), i - lit(lo)).cast("long")).otherwise(lit(0L)))
+
+  /** Binary-code ANN: Hamming top-`cands` over the packed sign bits,
+    * then exact-cosine rerank of the survivors to top-`topk`. */
+  def binarySearch(emb: DataFrame, queryPred: Column, cands: Int,
+      topk: Int): DataFrame = {
+    val codes = emb.select(col("vec_id"),
+      packSign(col("embedding"), 1, 32).as("b_lo"),
+      packSign(col("embedding"), 33, 64).as("b_hi"))
+    val q = emb.where(queryPred).select(
+      col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+      sqrt(dot(col("embedding"), col("embedding"))).as("q_nrm"),
+      packSign(col("embedding"), 1, 32).as("q_lo"),
+      packSign(col("embedding"), 33, 64).as("q_hi"))
+    val ham = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        col("vec_id").as("cand_id"),
+        (bit_count(col("b_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("b_hi").bitwiseXOR(col("q_hi")))).as("hamming"))
+      .withColumn("hrnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("hamming"), col("cand_id"))))
+      .where(col("hrnk") <= cands)
+    // rerank: only the C survivors/query touch full-precision vectors
+    ham.join(emb.select(col("vec_id").as("cand_id"), col("embedding")), "cand_id")
+      .select(col("query_id"), col("cand_id"), col("hamming"),
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * sqrt(dot(col("embedding"), col("embedding")))))
+          .as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))))
+      .where(col("rnk") <= topk)
+  }
+
+  /** Oracle twin: the packed words are integers (no IEEE-order concerns)
+    * and the rerank reuses the pinned-order dot, so rows are
+    * bit-identical. DuckDB's xor()/bit_count mirror Spark's. */
+  lazy val qBinaryHamming: QueryDef = {
+    def packSql(lo: Int, hi: Int): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform(generate_series($lo,$hi),
+         | i -> CASE WHEN embedding[i]::DOUBLE > 0.0
+         |   THEN CAST(pow(2.0, i - $lo) AS BIGINT) ELSE 0::BIGINT END)), (a,b) -> a+b)""".stripMargin
+    QueryDef.sql(
+      "q_sim_binary_hamming",
+      s"""WITH codes AS (
+         |  SELECT vec_id, ${packSql(1, 32)} AS b_lo, ${packSql(33, 64)} AS b_hi
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS q_nrm,
+         |    ${packSql(1, 32)} AS q_lo, ${packSql(33, 64)} AS q_hi
+         |  FROM embeddings WHERE vec_id < 5
+         |), ham AS (
+         |  SELECT query_id, q_emb, q_nrm, c.vec_id AS cand_id,
+         |    CAST(bit_count(xor(c.b_lo, q.q_lo)) + bit_count(xor(c.b_hi, q.q_hi)) AS INT) AS hamming,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bit_count(xor(c.b_lo, q.q_lo)) + bit_count(xor(c.b_hi, q.q_hi)), c.vec_id) AS hrnk
+         |  FROM codes c, q WHERE c.vec_id <> q.query_id
+         |), rer AS (
+         |  SELECT query_id, cand_id, hamming,
+         |    ${dotSql("h.q_emb", "e.embedding")} /
+         |      (h.q_nrm * sqrt(${dotSql("e.embedding", "e.embedding")})) AS cosine
+         |  FROM ham h JOIN embeddings e ON e.vec_id = h.cand_id
+         |  WHERE h.hrnk <= 20
+         |)
+         |SELECT query_id, cand_id, hamming, cosine,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id) AS rnk
+         |FROM rer
+         |QUALIFY rnk <= 3""".stripMargin) { (spark, dir) =>
+      binarySearch(
+        graft.Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")),
+        col("vec_id") < 5, cands = 20, topk = 3)
+    }
+  }
+
   lazy val all: Seq[QueryDef] =
     Seq(qCosineTopK, qIvfAnn, qIvfMultiProbe, qEmbeddingNearDup, qIvfTrained,
-      qPqAdc, qIvfPq, qSemanticDedup, qSq8)
+      qPqAdc, qIvfPq, qSemanticDedup, qSq8, qBinaryHamming)
 }
 

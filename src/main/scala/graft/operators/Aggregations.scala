@@ -397,6 +397,32 @@ object Aggregations {
       .select(col("l_returnflag"), col("l_linestatus"), col("gid"), col("n"))
   }
 
+  /** Arbitrary GROUPING SETS — levels rollup/cube can't express: the
+    * (flag, status) grain plus a status-only subtotal plus the grand
+    * total, but NO flag-only level. One Expand + hash aggregate exactly
+    * like rollup — the shuffle carries one partial per (row, declared
+    * set), so cost scales with the sets you ask for, not 2^keys. */
+  val qGroupingSets: QueryDef = QueryDef.sql(
+    "q_agg_grouping_sets",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(38,10))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin) {
+    (spark, dir) =>
+      Tables.lineitem(spark, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"),
+          money(dsum(col("l_extendedprice"))).as("revenue"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("gid"),
+          col("revenue"), col("n"))
+  }
+
   /** Unpivot (melt) — the inverse of [[qPivotNative]]: wide per-type
     * count columns back to long (user, event_type, n) form. Narrow
     * row-local expansion (each input row emits k rows, no shuffle);
@@ -494,5 +520,5 @@ object Aggregations {
     q1PricingSummary, qCustomerLifetime, qConditionalRates,
     qEventPivot, qGroupwiseMax, qCountReport, qRollup, qCube, qPercentiles,
     qApproxDistinct, qQuantileSketch, qPivotNative, qExactVariance, qFunnel,
-    qGroupingId, qUnpivot, qExactCorr, qArgMax)
+    qGroupingId, qGroupingSets, qUnpivot, qExactCorr, qArgMax)
 }

@@ -204,4 +204,19 @@ class SimilaritySpec extends SparkSpec {
     info(f"SQ8 recall@3 = $r%.2f")
     assert(r >= 0.8, f"SQ8 recall collapsed: $r%.2f")
   }
+
+  test("binary quantization: Hamming filter + exact rerank keeps recall; rerank is exact cosine") {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val truth = exactTop3(5)
+    val res = Similarity.binarySearch(e, col("vec_id") < 5, cands = 20, topk = 3)
+    val r = recallOfSearch(res, truth)
+    info(f"binary recall@3 (C=20) = $r%.2f")
+    assert(r >= 0.5, f"binary recall collapsed: $r%.2f")
+    // widening the candidate pool can only help: C = all-but-one recovers
+    // the exact brute-force answer (the rerank IS exact cosine)
+    val n = e.count().toInt
+    val rAll = recallOfSearch(
+      Similarity.binarySearch(e, col("vec_id") < 5, cands = n, topk = 3), truth)
+    assert(rAll == 1.0, f"full-pool rerank must equal brute force, got $rAll%.2f")
+  }
 }
