@@ -295,6 +295,30 @@ object Maintenance {
     graft.sources.DeltaLog.read(spark, t)
   }
 
+  /** CONVERT TO DELTA, oracle-verified end to end: land `customer` as a
+    * PLAIN partitioned parquet directory, convert it in place (no data
+    * movement — the original files become the table), then run a
+    * partition-pruned protocol read plus an appended increment. The
+    * oracle sees the same rows straight from the source table. */
+  val qConvertToDelta: graft.QueryDef = graft.QueryDef.sql(
+    "q_convert_to_delta",
+    """SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+      |WHERE c_nationkey % 4 = 1""".stripMargin) { (spark, dir) =>
+    val base = java.nio.file.Files.createTempDirectory("graft-convert-q-").toString
+    val t = s"$base/t"
+    val cust = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+        (col("c_nationkey") % 4).cast("int").as("p"))
+    cust.where(col("p") =!= 1)
+      .write.partitionBy("p").parquet(t)
+    graft.sources.DeltaLog.convertToDelta(spark, t, partitionBy = Seq("p"))
+    // the converted table is first-class: append the missing slice
+    graft.sources.DeltaLog.write(spark, cust.where(col("p") === 1), t,
+      "append", partitionBy = Seq("p"))
+    graft.sources.DeltaLog.readPruned(spark, t, col("p") === 1)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+  }
+
   /** SHALLOW CLONE, oracle-verified end to end: clone a protocol
     * `customer` table (zero copy), DELETE a slice on the CLONE only,
     * and read the clone back — must equal DuckDB's anti-filter while
@@ -601,5 +625,6 @@ object Maintenance {
     Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
-      qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping)
+      qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
+      qConvertToDelta)
 }

@@ -4277,6 +4277,181 @@ object DeltaLog {
     * Deletes run on executors; the driver holds only the surviving
     * log's remove records — O(log tail), bounded by the checkpoint
     * interval. Returns the deleted (or reclaimable, dryRun) count. */
+  /** CONVERT TO DELTA: mint a `_delta_log` over an existing plain-parquet
+    * directory IN PLACE — zero data movement, zero rewrite. Reference
+    * workload equivalent: promoting a historical parquet landing zone to
+    * the transaction-log format without re-ingesting it.
+    *
+    * Scale shape (designed for 10⁶-file directories):
+    *   - directory tree walked on the DRIVER at O(dirs) — Hive layouts
+    *     have one dir per partition, orders of magnitude fewer than files;
+    *   - per-directory file listing runs ON EXECUTORS (the same
+    *     distributed-listing pattern as [[vacuum]]);
+    *   - per-file zone-map stats come from ONE distributed scan grouped
+    *     by filename (the cost every stats-collecting convert pays;
+    *     `collectStats = false` skips it for scan-once archives);
+    *   - add actions are STREAMED into the version-0 commit via
+    *     `toLocalIterator` — the driver never holds the file list.
+    *
+    * Partitioned layouts (`k=v` directories) must declare `partitionBy`
+    * (like delta-spark's required partition schema); partition column
+    * TYPES are Spark's partition-discovery inference over the directory
+    * names. Refuses when the directory already carries a log. */
+  def convertToDelta(spark: SparkSession, table: String,
+      partitionBy: Seq[String] = Seq.empty,
+      collectStats: Boolean = true,
+      properties: Map[String, String] = Map.empty): Long = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    val root = f.makeQualified(new Path(table))
+    require(f.exists(root), s"CONVERT TO DELTA: no such directory $table")
+    require(!isDeltaTable(spark, table) && listVersions(spark, table).isEmpty,
+      s"CONVERT TO DELTA: $table already carries a _delta_log")
+
+    // directory tree: driver walk over DIRS only (hidden/log dirs skipped)
+    val hidden = (n: String) => n.startsWith("_") || n.startsWith(".")
+    val dirBuf = Seq.newBuilder[String]
+    val stack = scala.collection.mutable.Stack(root)
+    while (stack.nonEmpty) {
+      val d = stack.pop()
+      dirBuf += d.toString
+      f.listStatus(d).foreach { st =>
+        if (st.isDirectory && !hidden(st.getPath.getName)) stack.push(st.getPath)
+      }
+    }
+    val allDirs = dirBuf.result()
+    val rootStr = root.toString
+    require(partitionBy.nonEmpty ||
+        !allDirs.exists(d => d.length > rootStr.length && d.contains("=")),
+      s"CONVERT TO DELTA: $table has a partitioned (k=v) layout — declare " +
+        "the partition columns (PARTITIONED BY)")
+
+    // file listing on executors: the driver sees a DataFrame, not a list
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val listDf = spark.createDataset(allDirs)
+      .repartition(math.min(allDirs.size,
+        math.max(1, spark.sparkContext.defaultParallelism)))
+      .mapPartitions { ds =>
+        val fsys = new Path(rootStr).getFileSystem(bcConf.value.value)
+        val base = fsys.makeQualified(new Path(rootStr)).toUri
+        ds.flatMap { d =>
+          fsys.listStatus(new Path(d)).iterator
+            .filter(st => st.isFile && !hidden(st.getPath.getName) &&
+              st.getPath.getName.endsWith(".parquet"))
+            .map(st => (base.relativize(st.getPath.toUri).getPath,
+              st.getLen, st.getModificationTime))
+        }
+      }.toDF("rel", "size", "mtime")
+      .withColumn("__b", element_at(split(col("rel"), "/"), -1))
+
+    // schema: one footer-merging read; partition columns via Spark's
+    // partition discovery (types inferred from the directory names)
+    val full = spark.read.option("basePath", table).parquet(table)
+    val schema = full.schema
+    partitionBy.foreach(c => require(schema.fieldNames.contains(c),
+      s"CONVERT TO DELTA: declared partition column '$c' not discovered in $table " +
+        s"(found: ${schema.fieldNames.mkString(", ")})"))
+
+    // zone-map stats: one distributed scan, one row per file, joined to
+    // the listing by basename (collision → stats silently skipped, the
+    // same degradation as commitWrite's fallback)
+    val statFields = schema.fields.toSeq
+      .filterNot(fl => partitionBy.contains(fl.name))
+      .filter(fl => isStatType(fl.dataType)).take(statsMaxCols)
+    val collide = collectStats && {
+      val r = listDf.agg(count(lit(1)), countDistinct(col("__b"))).head()
+      r.getLong(0) != r.getLong(1)
+    }
+    val joined =
+      if (!collectStats || collide || statFields.isEmpty) {
+        listDf.withColumn("__n", lit(null).cast("long"))
+      } else {
+        val aggs = Seq(count(lit(1)).as("__n")) ++
+          statFields.zipWithIndex.flatMap { case (fld, i) =>
+            Seq(min(col(fld.name)).as(s"__mn_$i"),
+              max(col(fld.name)).as(s"__mx_$i"),
+              sum(when(col(fld.name).isNull, 1L).otherwise(0L)).as(s"__nc_$i"))
+          }
+        val statsDf = full.groupBy(fileNameCol.as("__b"))
+          .agg(aggs.head, aggs.tail: _*)
+        listDf.join(statsDf, Seq("__b"), "left")
+      }
+
+    // version-0 commit, adds streamed — O(1) driver memory in files
+    f.mkdirs(logDir(table))
+    val now = System.currentTimeMillis()
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(logDir(table), f".${0L}%020d-$nonce.json.tmp")
+    val meta = mapper.createObjectNode()
+    meta.put("id", java.util.UUID.randomUUID().toString)
+    val fmt = meta.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    meta.put("schemaString", schema.json)
+    val pcArr = meta.putArray("partitionColumns")
+    partitionBy.foreach(pcArr.add)
+    val cfgNode = meta.putObject("configuration")
+    properties.foreach { case (k, v) => cfgNode.put(k, v) }
+    meta.put("createdTime", now)
+    val out = f.create(tmp, false)
+    var nFiles = 0L
+    try {
+      def line(s: String): Unit = out.write((s + "\n").getBytes("UTF-8"))
+      line(s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr("CONVERT")},""" +
+        s""""operationParameters":${pvJsonOf(Map(
+          "partitionedBy" -> partitionBy.mkString(","),
+          "collectStats" -> collectStats.toString))}}}""")
+      line("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+      line(s"""{"metaData":${mapper.writeValueAsString(meta)}}""")
+      val rows = joined.toLocalIterator()
+      while (rows.hasNext) {
+        val r = rows.next()
+        val rel = r.getAs[String]("rel")
+        val pv: Map[String, String] = rel.split("/").dropRight(1)
+          .filter(_.contains("=")).map { seg =>
+            val Array(k, v) = seg.split("=", 2)
+            k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                  else java.net.URLDecoder.decode(v, "UTF-8"))
+          }.toMap
+        require(pv.keySet == partitionBy.toSet,
+          s"CONVERT TO DELTA: file $rel sits under partition dirs " +
+            s"(${pv.keys.mkString(",")}) that disagree with the declared " +
+            s"partitioning (${partitionBy.mkString(",")})")
+        val statsField =
+          if (r.isNullAt(r.fieldIndex("__n"))) ""
+          else {
+            val node = mapper.createObjectNode()
+            node.put("numRecords", r.getAs[Long]("__n"))
+            val mins = node.putObject("minValues")
+            val maxs = node.putObject("maxValues")
+            val ncs = node.putObject("nullCount")
+            statFields.zipWithIndex.foreach { case (fld, i) =>
+              putStat(mins, fld.name, r.get(r.fieldIndex(s"__mn_$i")))
+              putStat(maxs, fld.name, r.get(r.fieldIndex(s"__mx_$i")))
+              ncs.put(fld.name, r.getAs[Long](s"__nc_$i"))
+            }
+            s""","stats":${jsonStr(mapper.writeValueAsString(node))}"""
+          }
+        line(s"""{"add":{"path":${jsonStr(rel)},"partitionValues":${pvJsonOf(pv)},""" +
+          s""""size":${r.getAs[Long]("size")},"modificationTime":${r.getAs[Long]("mtime")},""" +
+          s""""dataChange":true$statsField}}""")
+        nFiles += 1
+      }
+    } finally out.close()
+    require(nFiles > 0, {
+      f.delete(tmp, false)
+      s"CONVERT TO DELTA: no parquet files found under $table"
+    })
+    val dest = commitPath(table, 0L)
+    val gate = commitGates.computeIfAbsent(table, _ => new Object)
+    val won = gate.synchronized(!f.exists(dest) && f.rename(tmp, dest))
+    if (!won) {
+      f.delete(tmp, false)
+      sys.error(s"CONVERT TO DELTA: concurrent writer minted $table's log first")
+    }
+    0L
+  }
+
   def vacuumLite(spark: SparkSession, table: String, keepVersions: Int = 1,
       retainMillis: Long = defaultVacuumRetentionMillis,
       dryRun: Boolean = false): Int = {

@@ -92,6 +92,9 @@ object GraftSql {
     """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+LITE(\s+DRY\s+RUN)?\s*""".r
   private val VacuumDry =
     """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s+DRY\s+RUN\s*""".r
+  private val ConvertStmt =
+    ("""(?is)\s*CONVERT\s+TO\s+DELTA\s+parquet\.`([^`]+)`""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(\s+NO\s+STATISTICS)?\s*""").r
   private val Vacuum = """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s*""".r
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+delta\.`([^`]+)`\s*""".r
   private val ShowProps =
@@ -564,6 +567,17 @@ object GraftSql {
       BloomIndex.drop(spark, path)
       import spark.implicits._
       Seq(path).toDF("dropped_index_on")
+    // CONVERT TO DELTA parquet.`path` [PARTITIONED BY (c1, c2)] [NO STATISTICS]
+    // — partition column NAMES only (types come from partition discovery,
+    // matching convertToDelta's contract)
+    case ConvertStmt(path, partCols, noStats) =>
+      val pb = Option(partCols).toSeq.flatMap(_.split(",").toSeq)
+        .map(_.trim.stripPrefix("`").stripSuffix("`"))
+        // tolerate delta-spark's `name type` partition-schema spelling by
+        // keeping the name token only
+        .map(_.split("\\s+")(0)).filter(_.nonEmpty)
+      version(spark,
+        DeltaLog.convertToDelta(spark, path, pb, collectStats = noStats == null))
     // VACUUM ... LITE: log-driven reclamation, no table listing
     case VacuumLiteRetain(path, hours, dry) =>
       val n = DeltaLog.vacuumLite(spark, path,
