@@ -27,6 +27,7 @@ object SparkEntry {
       functions.Geo.all ++
       maintenance.Maintenance.all ++
       streaming.Streams.all ++
+      streaming.StatefulTopK.all ++
       streaming.Sessions.all ++
       llm.TextAnalysis.all ++
       llm.Retrieval.all ++
