@@ -1096,6 +1096,118 @@ object DeltaLog {
     0L
   }
 
+  /** DEEP CLONE: an independent copy of the source table at (optionally)
+    * a past version. Data files AND deletion-vector sidecars are copied
+    * ON EXECUTORS — the driver streams fully-formed add actions from the
+    * copy tasks into the target's version-0 commit and never holds the
+    * file list. Unlike [[cloneShallow]] the target owns its bytes:
+    * vacuuming or rewriting the source cannot break it, and the target's
+    * own VACUUM/DML work with no absolute-reference carve-outs.
+    *
+    * A deep clone OF a shallow clone localizes the absolute references:
+    * externally-referenced data files are copied under a minted relative
+    * name (partitionValues on the add action — the protocol's source of
+    * truth — carry the partitioning; directory layout is cosmetic), and
+    * external p-mode DV references are copied into the target. */
+  def cloneDeep(spark: SparkSession, source: String, target: String,
+      versionAsOf: Option[Long] = None): Long = {
+    require(isDeltaTable(spark, source),
+      s"deep clone needs a Delta-protocol source: $source")
+    require(!isDeltaTable(spark, target),
+      s"deep clone target is already a Delta table: $target")
+    val snap = snapshot(spark, source, versionAsOf)
+    val meta = snap.metaDataJson.getOrElse(
+      sys.error(s"source $source declares no metaData; cannot clone"))
+    val srcFs = fs(spark, source)
+    val srcRoot = srcFs.makeQualified(new Path(source)).toString
+    val tgtFs = fs(spark, target)
+    tgtFs.mkdirs(new Path(target))
+    val tgtRoot = tgtFs.makeQualified(new Path(target)).toString
+    val now = System.currentTimeMillis()
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+
+    // copy on executors; each task RETURNS the add actions for the files
+    // it copied (paths/DVs rewritten to target-local form)
+    import spark.implicits._
+    val addActions: Dataset[String] = snap.allFiles
+      .select("path", "partitionValues", "size", "stats", "deletionVector")
+      .as[(String, Option[Map[String, String]], Long, Option[String],
+        Option[(String, String, Option[Int], Option[Int], Option[Long])])]
+      .mapPartitions { rows =>
+        val conf = bcConf.value.value
+        val sf = new Path(srcRoot).getFileSystem(conf)
+        val tf = new Path(tgtRoot).getFileSystem(conf)
+        def copyTo(src: Path, dst: Path): Unit = {
+          if (tf.exists(dst)) return // shared sidecar already copied
+          tf.mkdirs(dst.getParent)
+          val tmp = new Path(dst.getParent,
+            s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+          org.apache.hadoop.fs.FileUtil.copy(
+            src.getFileSystem(conf), src, tf, tmp, false, conf)
+          if (!tf.rename(tmp, dst)) tf.delete(tmp, false) // racer won; same bytes
+        }
+        rows.map { case (path, pv, size, stats, dv) =>
+          val u = new Path(path)
+          val external = u.toUri.getScheme != null || u.isAbsolute
+          val rel = if (!external) path
+            else s"cloned-${java.util.UUID.randomUUID().toString.take(12)}.snappy.parquet"
+          copyTo(if (external) u else new Path(srcRoot, path), new Path(tgtRoot, rel))
+          val dvField = dv.fold("") { case (st, enc, off, len, card) =>
+            val d = DeletionVectors.Descriptor(st, enc, off,
+              len.getOrElse(0), card.getOrElse(0L))
+            val local = st match {
+              case "u" =>
+                copyTo(DeletionVectors.sidecarPath(srcRoot, enc),
+                  DeletionVectors.sidecarPath(tgtRoot, enc))
+                d
+              case "p" =>
+                val dstRel = s"deletion_vectors/cloned-${java.util.UUID.randomUUID().toString.take(12)}.bin"
+                copyTo(new Path(enc), new Path(tgtRoot, dstRel))
+                d.copy(pathOrInlineDv = new Path(tgtRoot, dstRel).toString)
+              case _ => d // inline: the descriptor IS the bitmap
+            }
+            "," + dvJson(local)
+          }
+          val statsField = stats.fold("")(s => s""","stats":${jsonStr(s)}""")
+          s"""{"add":{"path":${jsonStr(rel)},""" +
+            s""""partitionValues":${pvJsonOf(pv.getOrElse(Map.empty))},""" +
+            s""""size":$size,"modificationTime":$now,"dataChange":true""" +
+            s"""$statsField$dvField}}"""
+        }
+      }
+
+    // stream the version-0 commit: commitInfo first (ICT spec), then
+    // protocol/metaData, then the adds as the copy tasks deliver them
+    tgtFs.mkdirs(logDir(target))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(logDir(target), f".${0L}%020d-$nonce.json.tmp")
+    val out = tgtFs.create(tmp, false)
+    try {
+      def line(s: String): Unit = out.write((s + "\n").getBytes("UTF-8"))
+      line(s"""{"commitInfo":{"timestamp":$now""" +
+        ictField(spark, target, 0L, snap.configuration, now) +
+        s""","operation":${jsonStr("CLONE DEEP")},""" +
+        s""""operationParameters":${pvJsonOf(Map(
+          "source" -> source, "sourceVersion" -> snap.version.toString))}}}""")
+      line(s"""{"protocol":${snap.protocolJson.getOrElse(
+        """{"minReaderVersion":1,"minWriterVersion":2}""")}}""")
+      val metaNode = mapper.readTree(meta).asInstanceOf[ObjectNode]
+      metaNode.put("id", java.util.UUID.randomUUID().toString)
+      line(s"""{"metaData":${mapper.writeValueAsString(metaNode)}}""")
+      val it = addActions.toLocalIterator()
+      while (it.hasNext) line(it.next())
+    } finally out.close()
+    val dest = commitPath(target, 0L)
+    val gate = commitGates.computeIfAbsent(target, _ => new Object)
+    val won = gate.synchronized(!tgtFs.exists(dest) && tgtFs.rename(tmp, dest))
+    if (!won) {
+      tgtFs.delete(tmp, false)
+      sys.error(s"clone target $target gained a commit concurrently")
+    }
+    0L
+  }
+
   /** Selective overwrite — Delta's `replaceWhere`: atomically delete
     * every row matching `predicate` and insert `df`, whose rows must
     * ALL satisfy the predicate (refused otherwise — the contract that

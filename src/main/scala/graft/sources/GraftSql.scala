@@ -104,6 +104,8 @@ object GraftSql {
     """(?is)\s*SHOW\s+PARTITIONS\s+delta\.`([^`]+)`\s*""".r
   private val CloneStmt =
     """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s+SHALLOW\s+CLONE\s+delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
+  private val DeepCloneStmt =
+    """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s+(?:DEEP\s+)?CLONE\s+delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val CopyInto =
     """(?is)\s*COPY\s+INTO\s+delta\.`([^`]+)`\s+FROM\s+'([^']+)'\s+FILEFORMAT\s*=\s*(\w+)(?:\s+PATTERN\s*=\s*'([^']+)')?\s*""".r
   private val CountStar =
@@ -440,6 +442,10 @@ object GraftSql {
     case CloneStmt(target, src, v) =>
       version(spark,
         DeltaLog.cloneShallow(spark, src, target, Option(v).map(_.toLong)))
+    // Databricks semantics: a bare CLONE is a deep clone
+    case DeepCloneStmt(target, src, v) =>
+      version(spark,
+        DeltaLog.cloneDeep(spark, src, target, Option(v).map(_.toLong)))
     case CreateHead(path, rest) =>
       val (colsDdl, tail) = balancedSplit(rest)
       val schema = parseColumns(colsDdl)
