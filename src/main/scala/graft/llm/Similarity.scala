@@ -519,11 +519,17 @@ object Similarity {
     }: _*)
     // approximate COSINE: normalize by the reconstruction's norm so the
     // ranking objective matches the exact baseline's (raw MIPS dot would
-    // rank large-norm reconstructions first)
-    encoded.join(broadcast(queries), col("vec_id") =!= col("query_id"))
+    // rank large-norm reconstructions first). The reconstruction and its
+    // norm materialize ONCE per candidate, below the query join — not
+    // once per (query, candidate) pair.
+    val reconF = encoded
+      .select(col("vec_id"), recon.as("r_emb"))
+      .select(col("vec_id"), col("r_emb"),
+        sqrt(dot(col("r_emb"), col("r_emb"))).as("r_nrm"))
+    reconF.join(broadcast(queries), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        (dot(col("q_emb"), recon) /
-          (col("q_nrm") * sqrt(dot(recon, recon)))).as("adc_score"))
+        (dot(col("q_emb"), col("r_emb")) /
+          (col("q_nrm") * col("r_nrm"))).as("adc_score"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_score").desc, col("cand_id"))))
       .where(col("rnk") <= topk)
@@ -644,11 +650,16 @@ object Similarity {
         element_at(col("codes"), mi + 1) + 1)
     }: _*)
     val rec = zip_with(centSel, reconRes, (c, r) => c + r)
-    encoded
+    // reconstruction + norm once per candidate, below the join
+    val reconF = encoded
+      .select(col("vec_id"), col("cell"), rec.as("r_emb"))
+      .select(col("vec_id"), col("cell"), col("r_emb"),
+        sqrt(dot(col("r_emb"), col("r_emb"))).as("r_nrm"))
+    reconF
       .join(broadcast(queries),
         col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
-        (dot(col("q_emb"), rec) / (col("q_nrm") * sqrt(dot(rec, rec))))
+        (dot(col("q_emb"), col("r_emb")) / (col("q_nrm") * col("r_nrm")))
           .as("adc_score"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc_score").desc, col("cand_id"))))
