@@ -32,6 +32,7 @@ object SparkEntry {
       llm.TextAnalysis.all ++
       llm.Retrieval.all ++
       llm.Dedup.all ++
+      llm.Bpe.all ++
       llm.Similarity.all ++
       llm.Multimodal.all ++
       llm.Sampling.all

@@ -1,0 +1,142 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed byte-pair-encoding tokenizer: learn a merge table from
+  * the corpus (the Sennrich/GPT training algorithm) and encode documents
+  * with it. The reference pipeline has no tokenizer at all; a training-
+  * data engine needs one for token accounting, packing, and budget ops
+  * (the `q_corpus_*` family currently approximates tokens by whitespace).
+  *
+  * Scale shape:
+  *   - training operates on the DISTINCT word-frequency table, never the
+  *     corpus: one corpus pass builds (word, freq), and each merge round
+  *     is a pair-count aggregation over the word VOCABULARY (10⁶–10⁷
+  *     rows at web scale — orders of magnitude below the corpus) plus a
+  *     1-row argmax to the driver. Driver state = the merge table
+  *     (K pairs), nothing else.
+  *   - each round's vocabulary re-symbolization persists and the
+  *     previous round unpersists: lineage stays O(1) deep, K Spark jobs
+  *     total.
+  *   - encoding is a pure column fold — the merge table embeds in the
+  *     plan as K nested array folds applied in rank order, exactly the
+  *     BPE left-to-right non-overlapping scan. No UDFs, no shuffle.
+  */
+object Bpe {
+
+  /** One learned merge: ranked pair → joined symbol. */
+  final case class Merge(a: String, b: String, rank: Int)
+
+  private val EndOfWord = "</w>"
+
+  /** Word → initial symbol array: characters plus the end-of-word
+    * sentinel (Sennrich's formulation — merges crossing word boundaries
+    * are impossible, and the sentinel distinguishes suffix tokens). */
+  private def initialSymbols(word: Column): Column =
+    concat(split(word, ""), array(lit(EndOfWord)))
+
+  /** Apply ONE merge to a symbol array: the standard left-to-right
+    * non-overlapping scan as an array fold ([a,a,a] under (a,a) →
+    * [aa, a], never [a, aa]). */
+  private def applyMerge(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Adjacent-pair frequencies over the (symbolized) vocabulary,
+    * frequency-weighted. */
+  private def pairCounts(vocab: DataFrame): DataFrame =
+    vocab.where(size(col("syms")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(element_at(col("syms"), i).as("a"),
+          element_at(col("syms"), i + 1).as("b")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("freq")).as("n"))
+
+  /** Learn `k` merges from the corpus' text column. Deterministic:
+    * argmax ties break on (pair) lexical order. Stops early when no
+    * adjacent pair repeats (`minCount` floor). */
+  def train(docs: DataFrame, text: Column, k: Int, minCount: Long = 2L): Seq[Merge] = {
+    var vocab = docs
+      .select(explode(Portable.tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(initialSymbols(col("w")).as("syms"), col("freq"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[Merge]
+    var prev: Option[DataFrame] = None
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      // ONE job per round: this argmax also materializes `vocab`'s cache,
+      // after which the previous round's cache is safe to drop (no extra
+      // count() barrier)
+      val top = pairCounts(vocab)
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).collect()
+      prev.foreach(_.unpersist())
+      prev = Some(vocab)
+      if (top.isEmpty || top(0).getAs[Long]("n") < minCount) done = true
+      else {
+        val (a, b) = (top(0).getAs[String]("a"), top(0).getAs[String]("b"))
+        merges += Merge(a, b, rank)
+        vocab = vocab
+          .select(applyMerge(col("syms"), a, b).as("syms"), col("freq"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        rank += 1
+      }
+    }
+    prev.foreach(_.unpersist())
+    vocab.unpersist()
+    merges.result()
+  }
+
+  /** Tokenize one word-column by folding the merge table in rank order —
+    * the exact training-time scan, so train-then-encode round-trips. */
+  def encodeWord(word: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(initialSymbols(word))(
+      (c, m) => applyMerge(c, m.a, m.b))
+
+  /** Per-document token accounting under a trained merge table:
+    * tokens-per-doc, chars-per-token compression, and the doc's token
+    * array md5 (content-addressable encode identity). One narrow pass,
+    * no shuffle beyond the per-doc explode/agg pair. */
+  def encodeStats(docs: DataFrame, text: Column, merges: Seq[Merge]): DataFrame = {
+    val words = docs.select(col("doc_id"), col("n_chars"),
+      posexplode(Portable.tokens(text)).as(Seq("pos", "w")))
+    // the K-fold merge scan runs once per DISTINCT word — the vocabulary
+    // is orders of magnitude below the occurrence count (Zipf), and the
+    // occurrence side just joins the finished token arrays back in
+    // (AQE broadcasts the vocab when it fits)
+    val vocabEnc = words.select(col("w")).distinct()
+      .select(col("w"), encodeWord(col("w"), merges).as("t"))
+    val toks = words.join(vocabEnc, Seq("w"))
+      .select(col("doc_id"), col("n_chars"), col("pos"), col("t"))
+    // collect_list order is partition-dependent — the word position
+    // pins the encode identity
+    toks.groupBy(col("doc_id"))
+      .agg(first(col("n_chars")).as("n_chars"),
+        sum(size(col("t"))).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t"))))).as("encode_md5"))
+  }
+
+  /** Registered surface: train 12 merges on the documents corpus (the
+    * trainer is deterministic, so this is stable run to run), then
+    * encode every document. Rows-only gate: the merge-application fold
+    * has no faithful DuckDB twin (RE2 lacks the lookbehind a string
+    * rewrite would need; list_reduce cannot build arrays), so
+    * correctness is owned by `BpeSpec`'s golden + property tests. */
+  lazy val qBpeTokens: QueryDef = QueryDef.rowsOnly("q_text_bpe_tokens") {
+    (spark, dir) =>
+      val docs = Tables.documents(spark, dir)
+      val merges = train(docs, col("text"), k = 12)
+      encodeStats(docs, col("text"), merges)
+  }
+
+  val all: Seq[QueryDef] = Seq(qBpeTokens)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.llm.Bpe
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE ([[graft.llm.Bpe]]): the Sennrich golden example,
+  * the left-to-right non-overlap scan law, train→encode round-trip,
+  * and partitioning determinism. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Sennrich golden corpus learns the published first merges") {
+    // the worked example from the BPE paper (freqs via repetition):
+    // low x5, lower x2, newest x6, widest x3
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val docs = words.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val merges = Bpe.train(docs, col("text"), k = 4, minCount = 2L)
+    // published sequence: (e,s)->es x9, (es,t)->est x9, (est,</w>) x9,
+    // then (l,o) x7
+    assert(merges.map(m => (m.a, m.b)) == Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"), ("l", "o")), merges)
+    // encode under the learned table
+    val enc = Bpe.encodeWord(col("w"), merges)
+    val got = Seq("lowest", "newer").toDF("w").select(enc.as("t"))
+      .as[Seq[String]].collect().toSeq
+    assert(got == Seq(
+      Seq("lo", "w", "est</w>"),
+      Seq("n", "e", "w", "e", "r", "</w>")), got)
+  }
+
+  test("merge scan is left-to-right non-overlapping: [a,a,a] -> [aa, a]") {
+    val merges = Seq(Bpe.Merge("a", "a", 0))
+    val got = Seq("aaa", "aaaa", "aa").toDF("w")
+      .select(col("w"), Bpe.encodeWord(col("w"), merges).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("aaa") == Seq("aa", "a", "</w>"), got)
+    assert(got("aaaa") == Seq("aa", "aa", "</w>"), got)
+    assert(got("aa") == Seq("aa", "</w>"), got)
+  }
+
+  test("encode round-trips: concatenated tokens reproduce each word; stats deterministic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.train(docs, col("text"), k = 8)
+    assert(merges.size == 8, merges)
+    // every token sequence concatenates back to word + sentinel
+    val words = docs.select(explode(graft.llm.Portable.tokens(col("text"))).as("w"))
+      .distinct()
+    val bad = words
+      .select(col("w"), concat_ws("", Bpe.encodeWord(col("w"), merges)).as("j"))
+      .where(col("j") =!= concat(col("w"), lit("</w>"))).count()
+    assert(bad == 0L)
+    // doc-level stats identical across partitionings
+    val a = Bpe.encodeStats(docs.repartition(1), col("text"), merges)
+      .orderBy("doc_id").collect().toSeq
+    val b = Bpe.encodeStats(docs.repartition(7), col("text"), merges)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    // tokens never exceed characters (merges only shrink)
+    val over = Bpe.encodeStats(docs, col("text"), merges)
+      .where(col("n_tokens") > col("n_chars") + 1).count()
+    assert(over == 0L)
+  }
+}
