@@ -89,7 +89,10 @@ object DeltaLog {
       metaDataJson: Option[String],
       protocolJson: Option[String],
       allFiles: DataFrame,
-      domainMetadata: Map[String, String] = Map.empty) {
+      domainMetadata: Map[String, String] = Map.empty,
+      // SetTransaction lastUpdated stamps (absent when the action carried
+      // none) — drives delta.setTransactionRetentionDuration expiry
+      txnTimes: Map[String, Long] = Map.empty) {
 
     /** Clustering columns from the `delta.clustering` metadata domain
       * (Delta's liquid-clustering declaration; empty when unclustered). */
@@ -559,6 +562,7 @@ object DeltaLog {
     var metaRaw: Option[String] = None
     var protoRaw: Option[String] = None
     val txns = mutable.Map.empty[String, Long]
+    val txnTimes = mutable.Map.empty[String, Long]
     // metadata domains (delta.clustering, …): last writer per domain
     // wins, a removed=true tombstone drops it — metadata-sized, so the
     // replay is driver-side like metaData/protocol/txn
@@ -617,8 +621,12 @@ object DeltaLog {
           }
       if (cp.columns.contains("txn"))
         cp.where("txn IS NOT NULL AND txn.appId IS NOT NULL")
-          .select("txn.appId", "txn.version").collect()
-          .foreach(r => txns.put(r.getString(0), r.getLong(1)))
+          .select("txn.appId", "txn.version", "txn.lastUpdated").collect()
+          .foreach { r =>
+            txns.put(r.getString(0), r.getLong(1))
+            if (!r.isNullAt(2)) txnTimes.put(r.getString(0), r.getLong(2))
+            else txnTimes.remove(r.getString(0))
+          }
       if (cp.columns.contains("domainMetadata"))
         cp.where("domainMetadata IS NOT NULL AND domainMetadata.domain IS NOT NULL")
           .select(to_json(col("domainMetadata"))).collect()
@@ -656,6 +664,9 @@ object DeltaLog {
             } else if (action.has("txn")) {
               val t = action.get("txn")
               txns.put(t.get("appId").asText(), t.get("version").asLong())
+              if (t.has("lastUpdated") && !t.get("lastUpdated").isNull)
+                txnTimes.put(t.get("appId").asText(), t.get("lastUpdated").asLong())
+              else txnTimes.remove(t.get("appId").asText())
             } else if (action.has("domainMetadata")) {
               applyDomain(action.get("domainMetadata"))
             }
@@ -718,7 +729,7 @@ object DeltaLog {
             "stats", "deletionVector", "baseRowId", "defaultRowCommitVersion")
     }
     Snapshot(target, schema, partCols, txns.toMap, mappingMode,
-      metaRaw, protoRaw, allFiles, domains.toMap)
+      metaRaw, protoRaw, allFiles, domains.toMap, txnTimes.toMap)
   }
 
   /** Whether `table` has a Delta log with at least one commit or
@@ -4769,11 +4780,23 @@ object DeltaLog {
     if (!metaNode.has("createdTime")) metaNode.put("createdTime", now)
     val protoJson = snap.protocolJson
       .getOrElse("""{"minReaderVersion":1,"minWriterVersion":2}""")
+    // SetTransaction expiry (delta.setTransactionRetentionDuration):
+    // entries whose lastUpdated is beyond the retention window drop at
+    // checkpoint time — the protocol's mechanism for keeping the txn
+    // table from growing forever under churning stream ids. Entries
+    // with NO recorded lastUpdated never expire (delta-spark semantics).
+    val txnRetention = snap.configuration
+      .get("delta.setTransactionRetentionDuration").flatMap(parseInterval)
+    val keptTxns = snap.txns.toSeq.sortBy(_._1).filter { case (a, _) =>
+      txnRetention.forall(ret =>
+        snap.txnTimes.get(a).forall(ts => now - ts <= ret))
+    }
     val metaLines = Seq(
       s"""{"metaData":${mapper.writeValueAsString(metaNode)}}""",
       s"""{"protocol":$protoJson}""") ++
-      snap.txns.toSeq.sortBy(_._1).map { case (a, v) =>
-        s"""{"txn":{"appId":${jsonStr(a)},"version":$v,"lastUpdated":$now}}"""
+      keptTxns.map { case (a, v) =>
+        val ts = snap.txnTimes.get(a).fold("")(t => s""","lastUpdated":$t""")
+        s"""{"txn":{"appId":${jsonStr(a)},"version":$v$ts}}"""
       } ++
       // live metadata domains survive the JSON tail's vacuum through the
       // checkpoint, like every other singleton
@@ -4795,7 +4818,7 @@ object DeltaLog {
     def writeLastCheckpoint(partsField: String): Unit = {
       val lp = new Path(logDir(table), "_last_checkpoint")
       // action count from one distributed count — never the entry seq
-      val size = snapshotFileCount(snap) + 2 + snap.txns.size
+      val size = snapshotFileCount(snap) + 2 + keptTxns.size
       val out = f.create(lp, true)
       try out.write(
         s"""{"version":${snap.version},"size":$size$partsField}""".getBytes("UTF-8"))
@@ -4885,21 +4908,26 @@ object DeltaLog {
   // travel below it is given up, and the reader's contiguity guard
   // already reports that case precisely)
 
-  /** Parse `delta.logRetentionDuration` ("interval N days|hours|minutes",
-    * Delta's own format); default 30 days — Delta's default. */
-  private def logRetentionMillis(cfg: Map[String, String]): Long = {
-    val dflt = 30L * 24 * 3600 * 1000
+  /** Parse Delta's interval-property format ("interval N
+    * days|hours|minutes") to milliseconds; None when unparsable. */
+  private def parseInterval(raw: String): Option[Long] = {
     val re = """interval\s+(\d+)\s+(day|days|hour|hours|minute|minutes)""".r
-    cfg.get("delta.logRetentionDuration").map(_.trim.toLowerCase) match {
-      case Some(re(n, u)) =>
+    raw.trim.toLowerCase match {
+      case re(n, u) =>
         val unit =
           if (u.startsWith("day")) 24L * 3600 * 1000
           else if (u.startsWith("hour")) 3600L * 1000
           else 60L * 1000
-        n.toLong * unit
-      case _ => dflt
+        Some(n.toLong * unit)
+      case _ => None
     }
   }
+
+  /** Parse `delta.logRetentionDuration` (Delta's own format); default
+    * 30 days — Delta's default. */
+  private def logRetentionMillis(cfg: Map[String, String]): Long =
+    cfg.get("delta.logRetentionDuration").flatMap(parseInterval)
+      .getOrElse(30L * 24 * 3600 * 1000)
 
   /** Expired-log cleanup: delete the CONTIGUOUS PREFIX of JSON commits
     * strictly below the newest checkpoint whose files aged past the
