@@ -3871,6 +3871,44 @@ object DeltaLog {
     }.toSet
   }
 
+  /** `ALTER TABLE … ALTER COLUMN c TYPE t`: EXPLICIT in-place type
+    * widening (delta-spark's DDL spelling of the append-time evolution
+    * path) — one metadata-only commit re-declaring the column at the
+    * wider type with `delta.typeChanges` provenance and the
+    * `typeWidening` protocol upgrade. Requires
+    * `delta.enableTypeWidening=true` (delta-spark's own gate);
+    * narrowings and non-widening changes refuse; same-type is a no-op.
+    * Zero files rewritten — old narrow files read upcast. */
+  def alterColumnType(spark: SparkSession, table: String,
+      column: String, to: DataType): Long = {
+    val snap = snapshot(spark, table)
+    val prev = snap.schema.getOrElse(
+      sys.error(s"ALTER COLUMN: no schema declared for $table"))
+    val idx = prev.fieldNames.indexOf(column)
+    require(idx >= 0, s"ALTER COLUMN: no column '$column' in $table")
+    val p = prev.fields(idx)
+    if (DataType.equalsStructurally(p.dataType, to, ignoreNullability = true))
+      return snap.version
+    require(snap.configuration.get(TypeWideningKey).contains("true"),
+      s"ALTER COLUMN TYPE needs $TypeWideningKey=true on $table")
+    require(canWiden(p.dataType, to),
+      s"ALTER COLUMN: ${p.dataType.simpleString} -> ${to.simpleString} " +
+        "is not a supported widening")
+    require(snap.columnMappingMode == "none",
+      s"ALTER COLUMN TYPE on column-mapped $table is unsupported " +
+        "(widening is bypassed for mapped tables in this writer)")
+    require(!snap.partitionColumns.contains(column),
+      s"ALTER COLUMN: '$column' is a partition column — partition values " +
+        "are directory-encoded strings; widening them is not supported")
+    val fldNew = p.copy(dataType = to,
+      metadata = typeChangeMeta(p, to, snap.version + 1))
+    val declared = StructType(prev.fields.updated(idx, fldNew))
+    commitMetaData(spark, snap, table, "CHANGE COLUMN",
+      extraActions = twProtocolUpgrade(snap.protocolJson).toSeq) { meta =>
+      meta.put("schemaString", declared.json)
+    }
+  }
+
   /** ALTER TABLE … RENAME COLUMN — metadata-only, and only possible
     * UNDER COLUMN MAPPING: the data files are keyed by the stable
     * physicalName/columnId, so re-declaring the logical name in

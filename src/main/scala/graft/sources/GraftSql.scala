@@ -150,6 +150,9 @@ object GraftSql {
   private val AlterDropDefault =
     ("""(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+ALTER\s+COLUMN\s+""" +
       """`?(\w+)`?\s+DROP\s+DEFAULT\s*""").r
+  private val AlterColType =
+    ("""(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+ALTER\s+COLUMN\s+""" +
+      """`?(\w+)`?\s+TYPE\s+(.+?)\s*""").r
   private val PropPair = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val PropKey = """'([^']*)'""".r
 
@@ -514,6 +517,9 @@ object GraftSql {
       version(spark, DeltaLog.alterColumnDefault(spark, path, c, Some(dflt)))
     case AlterDropDefault(path, c) =>
       version(spark, DeltaLog.alterColumnDefault(spark, path, c, None))
+    case AlterColType(path, c, tpe) =>
+      version(spark, DeltaLog.alterColumnType(spark, path, c,
+        org.apache.spark.sql.types.DataType.fromDDL(tpe)))
     case AlterCluster(path, cols, none) =>
       version(spark, DeltaLog.alterClusterBy(spark, path,
         if (none != null) Seq.empty

@@ -112,4 +112,32 @@ class TypeWideningSpec extends SparkSpec {
       java.time.LocalDateTime.parse("2024-03-01T00:00:00"),
       java.time.LocalDateTime.parse("2024-04-01T12:30:00")))
   }
+
+  test("explicit ALTER COLUMN TYPE widens in place; guards hold") {
+    val t = fresh()
+    GraftSql.exec(spark,
+      s"""CREATE TABLE delta.`$t` (id INT, v STRING)
+         |TBLPROPERTIES ('delta.enableTypeWidening'='true')""".stripMargin)
+    DeltaLog.write(spark, Seq((7, "a")).toDF("id", "v"), t, mode = "append")
+    val files = DeltaLog.snapshot(spark, t).files
+    GraftSql.exec(spark, s"ALTER TABLE delta.`$t` ALTER COLUMN id TYPE BIGINT")
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.schema.get("id").dataType == LongType)
+    assert(snap.files == files, "DDL widening must rewrite nothing")
+    assert(snap.protocolJson.get.contains("typeWidening"))
+    assert(snap.schema.get("id").metadata.contains("delta.typeChanges"))
+    assert(DeltaLog.read(spark, t).select("id").as[Long].head() == 7L)
+    // a long append now lands without evolution machinery
+    DeltaLog.write(spark, Seq((9_000_000_000L, "b")).toDF("id", "v"), t, "append")
+    assert(DeltaLog.read(spark, t).count() == 2L)
+    // narrowing refuses; missing the gate property refuses
+    val e = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      s"ALTER TABLE delta.`$t` ALTER COLUMN id TYPE INT"))
+    assert(e.getMessage.contains("not a supported widening"), e.getMessage)
+    val t2 = fresh()
+    GraftSql.exec(spark, s"CREATE TABLE delta.`$t2` (id INT)")
+    val e2 = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      s"ALTER TABLE delta.`$t2` ALTER COLUMN id TYPE BIGINT"))
+    assert(e2.getMessage.contains("enableTypeWidening"), e2.getMessage)
+  }
 }
