@@ -161,6 +161,91 @@ object TextAnalysis {
       flags :+ (!drop).as("keep"): _*)
   }
 
+  /** The complete published Gopher document-filter rule set (Rae et al.
+    * 2021, the quality gate most open-web pipelines start from), one
+    * boolean per rule plus the conjunction: word count ∈ [50, 100k],
+    * mean word length ∈ [3, 10], symbol-to-word (# + …) ≤ 0.1, ≤90% of
+    * lines bullet-led, ≤30% ellipsis-ended, ≥80% of words alphabetic,
+    * ≥2 of the 8 canonical stopwords present. Pure column arithmetic —
+    * zero UDFs, zero shuffles beyond the scan. */
+  val qGopherRules: QueryDef = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHitsSql = gopherStops
+      .map(s => s"(CASE WHEN list_contains(toks, '$s') THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    QueryDef.sql(
+      "q_text_gopher_rules",
+      s"""SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+         |  bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio, n_stop_hits,
+         |  n_words >= 50 AND n_words <= 100000 AS rule_word_count,
+         |  mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS rule_mean_word_len,
+         |  symbol_word_ratio <= 0.1 AS rule_symbol_ratio,
+         |  bullet_line_ratio <= 0.9 AS rule_bullets,
+         |  ellipsis_line_ratio <= 0.3 AS rule_ellipsis,
+         |  alpha_word_ratio >= 0.8 AS rule_alpha_words,
+         |  n_stop_hits >= 2 AS rule_stopwords,
+         |  (n_words >= 50 AND n_words <= 100000) AND
+         |    (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AND
+         |    symbol_word_ratio <= 0.1 AND bullet_line_ratio <= 0.9 AND
+         |    ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8 AND
+         |    n_stop_hits >= 2 AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    len(toks) AS n_words,
+         |    CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b) AS DOUBLE) / len(toks) AS mean_word_len,
+         |    (CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE) +
+         |      CAST(length(text) - length(replace(text, '...', '')) AS DOUBLE) / 3.0) / len(toks) AS symbol_word_ratio,
+         |    CAST(len(list_filter(lns, l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•'))) AS DOUBLE) / len(lns) AS bullet_line_ratio,
+         |    CAST(len(list_filter(lns, l -> right(rtrim(l), 3) = '...' OR right(rtrim(l), 1) = '…')) AS DOUBLE) / len(lns) AS ellipsis_line_ratio,
+         |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS DOUBLE) / len(toks) AS alpha_word_ratio,
+         |    $stopHitsSql AS n_stop_hits
+         |  FROM (SELECT doc_id, text, ${tokensSql("text")} AS toks,
+         |          string_split(text, chr(10)) AS lns
+         |        FROM documents)
+         |  WHERE len(toks) > 0)""".stripMargin) { (spark, dir) =>
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"),
+          split(col("text"), "\n", -1).as("lns"))
+        .where(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          size(col("toks")).as("n_words"),
+          (aggregate(col("toks"), lit(0L), (a, t) => a + length(t).cast("long"))
+            .cast("double") / size(col("toks"))).as("mean_word_len"),
+          (((length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+            .cast("double") +
+            (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", "")))
+              .cast("double") / 3.0) / size(col("toks"))).as("symbol_word_ratio"),
+          (size(filter(col("lns"), l =>
+            substring(ltrim(l), 1, 1).isInCollection(Seq("-", "*", "•"))))
+            .cast("double") / size(col("lns"))).as("bullet_line_ratio"),
+          (size(filter(col("lns"), l =>
+            substring(rtrim(l), -3, 3) === "..." || substring(rtrim(l), -1, 1) === "…"))
+            .cast("double") / size(col("lns"))).as("ellipsis_line_ratio"),
+          (size(filter(col("toks"), t => t.rlike("[a-zA-Z]")))
+            .cast("double") / size(col("toks"))).as("alpha_word_ratio"),
+          gopherStops.map(s =>
+            when(array_contains(col("toks"), s), 1).otherwise(0))
+            .reduce(_ + _).as("n_stop_hits"))
+      val rules = Seq(
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("rule_word_count"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("rule_mean_word_len"),
+        (col("symbol_word_ratio") <= 0.1).as("rule_symbol_ratio"),
+        (col("bullet_line_ratio") <= 0.9).as("rule_bullets"),
+        (col("ellipsis_line_ratio") <= 0.3).as("rule_ellipsis"),
+        (col("alpha_word_ratio") >= 0.8).as("rule_alpha_words"),
+        (col("n_stop_hits") >= 2).as("rule_stopwords"))
+      base.select(Seq(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_word_ratio"), col("bullet_line_ratio"),
+        col("ellipsis_line_ratio"), col("alpha_word_ratio"), col("n_stop_hits")) ++
+        rules :+
+        ((col("n_words") >= 50 && col("n_words") <= 100000) &&
+          (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0) &&
+          col("symbol_word_ratio") <= 0.1 && col("bullet_line_ratio") <= 0.9 &&
+          col("ellipsis_line_ratio") <= 0.3 && col("alpha_word_ratio") >= 0.8 &&
+          col("n_stop_hits") >= 2).as("keep"): _*)
+    }
+  }
+
   /** PII redaction — the scrub pass a training corpus runs before
     * anything else: emails, phone-shaped digit runs, and IPv4 literals
     * replaced by typed placeholder tokens. Patterns stay in the regex
@@ -325,5 +410,6 @@ object TextAnalysis {
   }
 
   val all: Seq[QueryDef] = Seq(qTextStats, qTextLangId, qTextFingerprint, qTextQuality,
+    qGopherRules,
     qTextRedact, qTextRepetition, qTopTerms, qBigramCoverage)
 }
