@@ -76,6 +76,8 @@ object GraftSql {
     """(?is)\s*DELETE\s+FROM\s+delta\.`([^`]+)`\s*""".r
   private val Ctas =
     """(?is)\s*CREATE\s+TABLE\s+delta\.`([^`]+)`\s*(.*?)\s*AS\s+(SELECT\s.+)""".r
+  private val CtasOrReplace =
+    """(?is)\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+delta\.`([^`]+)`\s*(.*?)\s*AS\s+(SELECT\s.+)""".r
   private val ReorgPurge =
     """(?is)\s*REORG\s+TABLE\s+delta\.`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val CreateBloomIdx =
@@ -430,6 +432,34 @@ object GraftSql {
 
   private val Assign = """(?s)\s*`?([\w.]+)`?\s*=\s*(.+)""".r
 
+  /** Shared CTAS body: evaluate the query and land it as one commit.
+    * `orReplace = false` refuses an existing target; `true` overwrites
+    * it in place, redeclaring the schema, with history preserved. */
+  private def execCtas(spark: SparkSession, path: String, mid: String,
+      select: String, orReplace: Boolean): DataFrame = {
+    require(orReplace || !DeltaLog.isDeltaTable(spark, path),
+      s"CTAS target already exists: $path (use CREATE OR REPLACE TABLE)")
+    def cols(s: String) = s.split(",")
+      .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+    val (partBy, clusterBy, afterPart) = mid match {
+      case PartitionedBy(cs, t) => (cols(cs), Seq.empty[String], t)
+      case ClusterBy(cs, t) => (Seq.empty[String], cols(cs), t)
+      case t => (Seq.empty[String], Seq.empty[String], t)
+    }
+    val props = afterPart match {
+      case TblProps(kv) => parseProps(kv)
+      case t => require(t.trim.isEmpty,
+        s"cannot parse CTAS tail: '$t'"); Map.empty[String, String]
+    }
+    val df = exec(spark, select)
+    val v = DeltaLog.write(spark, df, path, "overwrite",
+      partitionBy = partBy, properties = props)
+    if (clusterBy.nonEmpty) {
+      DeltaLog.alterClusterBy(spark, path, clusterBy)
+      version(spark, DeltaLog.snapshot(spark, path).version)
+    } else version(spark, v)
+  }
+
   private def version(spark: SparkSession, v: Long): DataFrame = {
     import spark.implicits._
     Seq(v).toDF("version")
@@ -473,28 +503,14 @@ object GraftSql {
     // references and TABLE_CHANGES rewrite recursively) and land it as
     // the new table's first commit. CreateHead cannot collide: it
     // requires an explicit column list in parens.
+    // CREATE OR REPLACE TABLE … AS SELECT: one atomic overwrite commit
+    // that REDECLARES the schema (delta-spark's replace semantics —
+    // history and time travel to the pre-replace versions survive,
+    // unlike DROP + CREATE)
+    case CtasOrReplace(path, mid, select) =>
+      execCtas(spark, path, mid, select, orReplace = true)
     case Ctas(path, mid, select) =>
-      require(!DeltaLog.isDeltaTable(spark, path),
-        s"CTAS target already exists: $path")
-      def cols(s: String) = s.split(",")
-        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
-      val (partBy, clusterBy, afterPart) = mid match {
-        case PartitionedBy(cs, t) => (cols(cs), Seq.empty[String], t)
-        case ClusterBy(cs, t) => (Seq.empty[String], cols(cs), t)
-        case t => (Seq.empty[String], Seq.empty[String], t)
-      }
-      val props = afterPart match {
-        case TblProps(kv) => parseProps(kv)
-        case t => require(t.trim.isEmpty,
-          s"cannot parse CTAS tail: '$t'"); Map.empty[String, String]
-      }
-      val df = exec(spark, select)
-      val v = DeltaLog.write(spark, df, path, "overwrite",
-        partitionBy = partBy, properties = props)
-      if (clusterBy.nonEmpty) {
-        DeltaLog.alterClusterBy(spark, path, clusterBy)
-        version(spark, DeltaLog.snapshot(spark, path).version)
-      } else version(spark, v)
+      execCtas(spark, path, mid, select, orReplace = false)
     case AlterAdd(path, colsDdl) =>
       version(spark, DeltaLog.alterAddColumns(spark, path,
         org.apache.spark.sql.types.StructType.fromDDL(colsDdl)))

@@ -222,6 +222,31 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t2).count() == 25L)
   }
 
+  test("CREATE OR REPLACE TABLE redeclares schema in place; history survives") {
+    Tables.registerAll(spark, sfDir)
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-corsel-").toString + "/t"
+    GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$t` AS SELECT n_nationkey, n_name FROM nation")
+    assert(DeltaLog.read(spark, t).count() == 25L)
+    // replace with a DIFFERENT schema — one commit, no drop
+    GraftSql.exec(spark,
+      s"""CREATE OR REPLACE TABLE delta.`$t` AS
+         |SELECT r_regionkey AS rk, r_name AS rn FROM region""".stripMargin)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.version == 1L, s"replace must be ONE commit: ${snap.version}")
+    assert(snap.schema.get.fieldNames.toSeq == Seq("rk", "rn"))
+    assert(DeltaLog.read(spark, t).count() == 5L)
+    // time travel to the pre-replace version still works
+    assert(DeltaLog.read(spark, t, Some(0L)).count() == 25L)
+    // OR REPLACE also creates when the target is absent
+    val t2 = java.nio.file.Files
+      .createTempDirectory("graft-corsel-").toString + "/t"
+    GraftSql.exec(spark,
+      s"CREATE OR REPLACE TABLE delta.`$t2` AS SELECT 1 AS x")
+    assert(DeltaLog.read(spark, t2).count() == 1L)
+  }
+
   test("DELETE without WHERE truncates metadata-only (no rewrite, no DVs)") {
     val t = java.nio.file.Files
       .createTempDirectory("graft-truncate-").toString + "/t"
