@@ -1002,8 +1002,21 @@ object DeltaLog {
           }
           b.result()
         }.getOrElse(Map.empty)
-      (v, ts, op, params)
-    }.toDF("version", "timestamp", "operation", "operationParameters")
+      val metrics: Map[String, String] = ci
+        .filter(n => n.has("operationMetrics") &&
+          n.get("operationMetrics").isObject)
+        .map { n =>
+          val it = n.get("operationMetrics").fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) {
+            val e = it.next()
+            if (!e.getValue.isNull) b += e.getKey -> e.getValue.asText()
+          }
+          b.result()
+        }.getOrElse(Map.empty)
+      (v, ts, op, params, metrics)
+    }.toDF("version", "timestamp", "operation", "operationParameters",
+      "operationMetrics")
   }
 
   /** DESCRIBE DETAIL: Delta's one-row table summary — format, location,
@@ -2737,10 +2750,12 @@ object DeltaLog {
       // removes carry the file's descriptor (protocol semantics: the
       // removed content is what consumers could see) — a change-feed
       // fold over a DV'd file would otherwise double-delete masked rows
+      var removedFiles = 0L
       prevSnap.toSeq.foreach { ps =>
         ps.entriesFor(removePaths(ps)).foreach { e =>
           val dvField = e.dv.fold("")(d => "," + dvJson(d))
           actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":$dataChange$dvField}}"""
+          removedFiles += 1
         }
       }
       // row tracking: fresh contiguous baseRowId ranges for the staged
@@ -2766,9 +2781,11 @@ object DeltaLog {
           rtNext += nr
           s""","baseRowId":$base,"defaultRowCommitVersion":$version"""
         }
+      var outBytes = 0L
       liveFiles.foreach { case (rel, pv) =>
         val pvJson = pvJsonOf(pv)
         val size = f.getFileStatus(new Path(root, rel)).getLen
+        outBytes += size
         val statsField =
           statsByFile.get(rel).fold("")(s => s""","stats":${jsonStr(s)}""")
         actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
@@ -2786,9 +2803,17 @@ object DeltaLog {
       val opParams =
         if (operationParameters.isEmpty) ""
         else s""","operationParameters":${pvJsonOf(operationParameters)}"""
+      // operationMetrics (delta-spark's string-valued map in commitInfo):
+      // all three figures fall out of state already in hand — no extra
+      // jobs, no extra filesystem calls
+      val outRows = liveFiles.flatMap(lf => statsByFile.get(lf._1))
+        .map(st => mapper.readTree(st).path("numRecords").asLong(0L)).sum
+      val opMetrics = s""","operationMetrics":{""" +
+        s""""numFiles":"${liveFiles.size}","numOutputRows":"$outRows",""" +
+        s""""numOutputBytes":"$outBytes","numRemovedFiles":"$removedFiles"}"""
       actions += s"""{"commitInfo":{"timestamp":$now""" +
         ictField(spark, table, version, effConfig, now) +
-        s""","operation":${jsonStr(operation)}$opParams}}"""
+        s""","operation":${jsonStr(operation)}$opParams$opMetrics}}"""
 
       // write-then-rename: the commit becomes visible atomically or not at all
       val actionSeq = actions.result()
