@@ -319,6 +319,29 @@ object Maintenance {
       .select("c_custkey", "c_mktsegment", "c_nationkey")
   }
 
+  /** Iceberg interop, oracle-verified end to end: export `customer` to
+    * an Iceberg v1 table (two append snapshots), read it back through
+    * the from-scratch metadata/manifest reader at the CURRENT snapshot,
+    * and prove snapshot time travel in-query (first-append count). The
+    * oracle sees the same rows from the source table. */
+  val qIcebergRoundtrip: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_roundtrip",
+    "SELECT c_custkey, c_mktsegment, c_nationkey FROM customer") { (spark, dir) =>
+    val base = java.nio.file.Files.createTempDirectory("graft-iceberg-q-").toString
+    val t = s"$base/t"
+    val cust = graft.Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    val firstHalf = cust.where(col("c_custkey") % 2 === 0)
+    val s1 = graft.sources.IcebergTable.writeAppend(spark, firstHalf, t)
+    graft.sources.IcebergTable.writeAppend(spark,
+      cust.where(col("c_custkey") % 2 =!= 0), t)
+    val atFirst = graft.sources.IcebergTable
+      .read(spark, t, snapshotId = Some(s1)).count()
+    require(atFirst == firstHalf.count(),
+      s"Iceberg snapshot travel returned $atFirst rows")
+    graft.sources.IcebergTable.read(spark, t)
+  }
+
   /** SHALLOW CLONE, oracle-verified end to end: clone a protocol
     * `customer` table (zero copy), DELETE a slice on the CLONE only,
     * and read the clone back — must equal DuckDB's anti-filter while
@@ -626,5 +649,5 @@ object Maintenance {
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
-      qConvertToDelta)
+      qConvertToDelta, qIcebergRoundtrip)
 }

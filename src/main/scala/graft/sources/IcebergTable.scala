@@ -1,0 +1,411 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Apache Iceberg table interop, from the PUBLIC spec
+  * (https://iceberg.apache.org/spec/) with no Iceberg libraries — the
+  * same from-scratch approach as [[DeltaLog]] for the Delta protocol.
+  *
+  * READ (v1 and v2 metadata): `metadata/version-hint.text` (or the
+  * highest `v*.metadata.json`) → current snapshot → manifest list
+  * (avro) → manifests (avro) → live parquet data files. Iceberg avro
+  * metadata is self-describing, so entries resolve by FIELD NAME — the
+  * spec's names — which reads both this writer's minimal files and
+  * real Iceberg tables'. Manifest entries with status DELETED drop;
+  * v2 DELETE manifests (`content = 1`) and non-parquet data files
+  * refuse loudly rather than silently over-returning rows. Time travel
+  * by snapshot id or timestamp (snapshot-log).
+  *
+  * WRITE (append-only, format-version 1, unpartitioned): each append
+  * stages parquet under `data/`, then writes one manifest + a manifest
+  * list + a new `vN.metadata.json` and flips `version-hint.text` —
+  * the reader-visible commit point. Field-ids are assigned
+  * sequentially and carried in both the table schema JSON and the
+  * manifest avro schema (`field-id` props), which is what real Iceberg
+  * readers key on.
+  *
+  * Scale notes: manifests are METADATA (a few KB per data-file entry);
+  * the driver reads manifests only — data files go straight to the
+  * distributed parquet scan. A 10⁶-file table at Iceberg's default
+  * manifest sizing is ~10³ manifests; per-manifest reading could fan
+  * out via mapPartitions exactly like [[DeltaLog]]'s checkpoint read if
+  * that ever bounds. */
+object IcebergTable {
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  // ------------------------------------------------------------- metadata
+
+  /** Latest metadata JSON: version-hint.text when present, else the
+    * highest `v<N>.metadata.json`. */
+  private def currentMetadataPath(f: FileSystem, table: String): Path = {
+    val mdir = new Path(table, "metadata")
+    require(f.exists(mdir), s"not an Iceberg table (no metadata/): $table")
+    val hint = new Path(mdir, "version-hint.text")
+    if (f.exists(hint)) new Path(mdir, s"v${readText(f, hint)}.metadata.json")
+    else {
+      val vs = f.listStatus(mdir).map(_.getPath.getName)
+        .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+          n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
+      require(vs.nonEmpty, s"no v*.metadata.json under $mdir")
+      new Path(mdir, s"v${vs.max}.metadata.json")
+    }
+  }
+
+  def isIcebergTable(spark: SparkSession, table: String): Boolean = {
+    val f = fs(spark, table)
+    scala.util.Try(currentMetadataPath(f, table)).toOption.exists(f.exists)
+  }
+
+  /** Iceberg schema JSON → Spark StructType (spec type names). */
+  private def toSpark(t: com.fasterxml.jackson.databind.JsonNode): DataType =
+    if (t.isTextual) t.asText() match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" => StringType
+      case "date" => DateType
+      case "timestamp" => TimestampNTZType
+      case "timestamptz" => TimestampType
+      case "binary" => BinaryType
+      case "uuid" => StringType
+      case s if s.startsWith("decimal(") =>
+        val Array(p, sc) = s.stripPrefix("decimal(").stripSuffix(")").split(",")
+        DecimalType(p.trim.toInt, sc.trim.toInt)
+      case s if s.startsWith("fixed[") => BinaryType
+      case other => sys.error(s"unsupported Iceberg type: $other")
+    } else t.get("type").asText() match {
+      case "struct" => StructType(t.get("fields").elements().asScala.map { fld =>
+        StructField(fld.get("name").asText(), toSpark(fld.get("type")),
+          nullable = !fld.path("required").asBoolean(false))
+      }.toSeq)
+      case "list" =>
+        ArrayType(toSpark(t.get("element")),
+          containsNull = !t.path("element-required").asBoolean(false))
+      case "map" =>
+        MapType(toSpark(t.get("key")), toSpark(t.get("value")),
+          valueContainsNull = !t.path("value-required").asBoolean(false))
+      case other => sys.error(s"unsupported Iceberg nested type: $other")
+    }
+
+  /** Parsed table state at the chosen snapshot. */
+  case class State(formatVersion: Int, schema: StructType,
+      snapshotId: Long, dataFiles: Seq[String], recordCount: Long)
+
+  private def resolveSchema(root: ObjectNode): StructType = {
+    // v2: schemas[] + current-schema-id; v1: schema
+    val node =
+      if (root.has("schemas")) {
+        val want = root.get("current-schema-id").asInt()
+        root.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == want)
+          .getOrElse(sys.error("current-schema-id not in schemas[]"))
+      } else root.get("schema")
+    toSpark(node).asInstanceOf[StructType]
+  }
+
+  private def avroEntries(f: FileSystem, p: Path): Seq[GenericRecord] = {
+    // DataFileReader needs a SeekableInput; route through a local copy
+    // when the FS isn't local (metadata files are KB-sized)
+    val local = java.io.File.createTempFile("graft-iceberg-", ".avro")
+    try {
+      f.copyToLocalFile(false, p, new Path(local.getAbsolutePath), true)
+      val rd = new DataFileReader[GenericRecord](local,
+        new GenericDatumReader[GenericRecord]())
+      try rd.iterator().asScala.toVector finally rd.close()
+    } finally { local.delete(); () }
+  }
+
+  private def str(r: GenericRecord, field: String): Option[String] =
+    Option(r.getSchema.getField(field)).flatMap(_ => Option(r.get(field)))
+      .map(_.toString)
+
+  private def lng(r: GenericRecord, field: String): Option[Long] =
+    Option(r.getSchema.getField(field)).flatMap(_ => Option(r.get(field)))
+      .map(_.asInstanceOf[Number].longValue())
+
+  /** Resolve a table location that may be absolute (real Iceberg writes
+    * fully-qualified paths) or relative to the table root. */
+  private def resolve(table: String, p: String): String = {
+    val u = new Path(p)
+    if (u.toUri.getScheme != null || u.isAbsolute) p
+    else new Path(table, p).toString
+  }
+
+  /** Table state at `snapshotId` (default: current), or `asOfMillis`
+    * resolved through the snapshot-log. */
+  def state(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): State = {
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val fv = root.path("format-version").asInt(1)
+    val snaps = root.path("snapshots").elements().asScala.toSeq
+    require(snaps.nonEmpty, s"Iceberg table $table has no snapshots")
+    val wantId = (snapshotId, asOfMillis) match {
+      case (Some(id), _) => id
+      case (None, Some(ts)) =>
+        val log = root.path("snapshot-log").elements().asScala.toSeq
+        val eligible = log.filter(_.get("timestamp-ms").asLong() <= ts)
+        require(eligible.nonEmpty, s"no Iceberg snapshot at or before $ts")
+        eligible.maxBy(_.get("timestamp-ms").asLong())
+          .get("snapshot-id").asLong()
+      case _ => root.get("current-snapshot-id").asLong()
+    }
+    val snap = snaps.find(_.get("snapshot-id").asLong() == wantId)
+      .getOrElse(sys.error(s"snapshot $wantId not in $table metadata"))
+    val listPath = new Path(resolve(table, snap.get("manifest-list").asText()))
+
+    val files = Seq.newBuilder[String]
+    var rows = 0L
+    avroEntries(f, listPath).foreach { m =>
+      // v2 manifest-list rows carry `content`: 0 = data, 1 = deletes.
+      // Positional/equality delete files change row-level results —
+      // ignoring them would silently over-return; refuse instead.
+      require(lng(m, "content").forall(_ == 0L),
+        s"Iceberg v2 DELETE manifests in $table are not supported by this reader")
+      val mPath = new Path(resolve(table,
+        str(m, "manifest_path").getOrElse(sys.error("manifest_path missing"))))
+      avroEntries(f, mPath).foreach { e =>
+        val status = lng(e, "status").getOrElse(0L)
+        if (status != 2L) { // 2 = DELETED entry
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          require(lng(df, "content").forall(_ == 0L),
+            s"delete data-file entries in $table are not supported")
+          val fmt = str(df, "file_format").getOrElse("PARQUET")
+          require(fmt.equalsIgnoreCase("parquet"),
+            s"non-parquet Iceberg data file ($fmt) in $table")
+          files += resolve(table,
+            str(df, "file_path").getOrElse(sys.error("file_path missing")))
+          rows += lng(df, "record_count").getOrElse(0L)
+        }
+      }
+    }
+    State(fv, resolveSchema(root), wantId, files.result(), rows)
+  }
+
+  /** Read the table (optionally at a snapshot / timestamp) as a
+    * DataFrame: the live file list goes straight to the distributed
+    * parquet scan, projected to the declared schema by NAME. */
+  def read(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): DataFrame = {
+    val st = state(spark, table, snapshotId, asOfMillis)
+    if (st.dataFiles.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
+    val raw = spark.read.schema(st.schema).parquet(st.dataFiles: _*)
+    raw.select(st.schema.fieldNames.map(org.apache.spark.sql.functions.col)
+      .toIndexedSeq: _*)
+  }
+
+  /** Metadata-only COUNT(*) from manifest record counts. */
+  def countRows(spark: SparkSession, table: String): Long =
+    state(spark, table).recordCount
+
+  // --------------------------------------------------------------- write
+
+  private def icebergType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType | ShortType | ByteType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case DateType => "date"
+    case TimestampNTZType => "timestamp"
+    case TimestampType => "timestamptz"
+    case BinaryType => "binary"
+    case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+    case other => sys.error(s"Iceberg export: unsupported type ${other.simpleString}")
+  }
+
+  private def manifestAvroSchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int","field-id":0},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |    {"name":"file_path","type":"string","field-id":100},
+      |    {"name":"file_format","type":"string","field-id":101},
+      |    {"name":"record_count","type":"long","field-id":103},
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  ]}}
+      |]}""".stripMargin.replace("|", ""))
+
+  private def manifestListAvroSchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |  {"name":"manifest_path","type":"string","field-id":500},
+      |  {"name":"manifest_length","type":"long","field-id":501},
+      |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503}
+      |]}""".stripMargin.replace("|", ""))
+
+  private def writeAvro(f: FileSystem, dest: Path, schema: AvroSchema,
+      records: Seq[GenericRecord]): Long = {
+    val local = java.io.File.createTempFile("graft-iceberg-w-", ".avro")
+    try {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, local)
+      try records.foreach(w.append) finally w.close()
+      f.mkdirs(dest.getParent)
+      f.copyFromLocalFile(false, true, new Path(local.getAbsolutePath), dest)
+      local.length()
+    } finally { local.delete(); () }
+  }
+
+  /** Append `df` as one Iceberg v1 snapshot (creates the table on first
+    * call). Unpartitioned; the commit point is the version-hint flip. */
+  def writeAppend(spark: SparkSession, df: DataFrame, table: String): Long = {
+    val f = fs(spark, table)
+    val root = new Path(table)
+    val mdir = new Path(root, "metadata")
+    val existing: Option[ObjectNode] =
+      if (!isIcebergTable(spark, table)) None
+      else Some(mapper.readTree(readText(f, currentMetadataPath(f, table)))
+        .asInstanceOf[ObjectNode])
+    existing.foreach { prev =>
+      val prevSchema = resolveSchema(prev)
+      require(prevSchema.fieldNames.toSeq == df.schema.fieldNames.toSeq &&
+        prevSchema.fields.zip(df.schema.fields).forall { case (a, b) =>
+          DataType.equalsStructurally(a.dataType, b.dataType, true) },
+        s"Iceberg append schema mismatch at $table")
+    }
+    val version = existing.map(e =>
+      e.get("last-sequence-number") match {
+        case null => e.path("snapshots").size() + 1
+        case _ => e.path("snapshots").size() + 1
+      }).getOrElse(1)
+    val snapshotId = System.currentTimeMillis() * 1000 + version
+    val now = System.currentTimeMillis()
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+
+    // 1. stage parquet under data/
+    val scratch = new Path(root, s".ice-stage-$nonce")
+    df.write.parquet(scratch.toString)
+    val staged = f.listStatus(scratch).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val dataFiles = staged.zipWithIndex.map { case (p, i) =>
+      val dest = new Path(root, f"data/part-$version%05d-$i%05d-$nonce.parquet")
+      f.mkdirs(dest.getParent)
+      require(f.rename(p, dest), s"stage move failed: $dest")
+      dest
+    }
+    f.delete(scratch, true)
+    // per-file record counts from footer-free bookkeeping: one count per
+    // staged file via a grouped read (matches DeltaLog's stats pass)
+    val counts: Map[String, Long] =
+      if (dataFiles.isEmpty) Map.empty
+      else spark.read.parquet(dataFiles.map(_.toString): _*)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+        .count().collect()
+        .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
+
+    // 2. one manifest for the new files
+    val mSchema = manifestAvroSchema
+    val dfSchema = mSchema.getField("data_file").schema()
+    val entries = dataFiles.map { p =>
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(dfSchema)
+      d.put("file_path", p.toString)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", counts.getOrElse(p.getName, 0L))
+      d.put("file_size_in_bytes", f.getFileStatus(p).getLen)
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = new Path(mdir, s"manifest-$version-$nonce.avro")
+    val mLen = writeAvro(f, manifestPath, mSchema, entries.toSeq)
+
+    // 3. manifest list = previous snapshot's manifests + the new one
+    val prevManifests: Seq[(String, Long)] = existing.toSeq.flatMap { prev =>
+      val curId = prev.get("current-snapshot-id").asLong()
+      prev.path("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == curId).toSeq
+        .flatMap { s =>
+          avroEntries(f, new Path(resolve(table, s.get("manifest-list").asText())))
+            .map(r => (str(r, "manifest_path").get,
+              lng(r, "manifest_length").getOrElse(0L)))
+        }
+    }
+    val mlSchema = manifestListAvroSchema
+    val mlRecords = (prevManifests :+ (manifestPath.toString, mLen)).map {
+      case (p, len) =>
+        val r = new GenericData.Record(mlSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        r.put("added_snapshot_id", snapshotId)
+        r
+    }
+    val listPath = new Path(mdir, s"snap-$snapshotId-$nonce.avro")
+    writeAvro(f, listPath, mlSchema, mlRecords)
+
+    // 4. new metadata json (schema field-ids assigned once, stable)
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 1)
+    meta.put("table-uuid", existing.map(_.get("table-uuid").asText())
+      .getOrElse(java.util.UUID.randomUUID().toString))
+    meta.put("location", table)
+    meta.put("last-updated-ms", now)
+    meta.put("last-column-id", df.schema.fields.length)
+    val schemaNode = meta.putObject("schema")
+    schemaNode.put("type", "struct")
+    val fieldsArr = schemaNode.putArray("fields")
+    df.schema.fields.zipWithIndex.foreach { case (fld, i) =>
+      val n = fieldsArr.addObject()
+      n.put("id", i + 1); n.put("name", fld.name)
+      n.put("required", false); n.put("type", icebergType(fld.dataType))
+    }
+    val specs = meta.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0); spec0.putArray("fields")
+    meta.put("default-spec-id", 0)
+    meta.put("current-snapshot-id", snapshotId)
+    val snapsArr = meta.putArray("snapshots")
+    existing.foreach(_.path("snapshots").elements().asScala
+      .foreach(s => snapsArr.add(s)))
+    val sn = snapsArr.addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    val sum = sn.putObject("summary"); sum.put("operation", "append")
+    val logArr = meta.putArray("snapshot-log")
+    existing.foreach(_.path("snapshot-log").elements().asScala
+      .foreach(l => logArr.add(l)))
+    val le = logArr.addObject()
+    le.put("timestamp-ms", now); le.put("snapshot-id", snapshotId)
+
+    val mdPath = new Path(mdir, s"v$version.metadata.json")
+    val out = f.create(mdPath, false)
+    try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    finally out.close()
+    // 5. the commit point
+    val hint = f.create(new Path(mdir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    snapshotId
+  }
+}
