@@ -4638,6 +4638,55 @@ object DeltaLog {
     0L
   }
 
+  /** CONVERT an Iceberg table TO DELTA, in place and zero-copy: the
+    * live file set comes from the ICEBERG MANIFESTS (never a directory
+    * listing — an Iceberg data/ dir legitimately holds dead files from
+    * superseded snapshots), each add carries numRecords stats from the
+    * manifest's record counts, and the `_delta_log` lands next to the
+    * untouched `metadata/` dir — both formats stay readable until the
+    * owner retires one (the Databricks in-place convert shape). */
+  def convertIcebergToDelta(spark: SparkSession, table: String): Long = {
+    require(IcebergTable.isIcebergTable(spark, table),
+      s"CONVERT FROM ICEBERG: no Iceberg metadata under $table")
+    require(!isDeltaTable(spark, table) && listVersions(spark, table).isEmpty,
+      s"CONVERT FROM ICEBERG: $table already carries a _delta_log")
+    val st = IcebergTable.state(spark, table)
+    val f = fs(spark, table)
+    val root = f.makeQualified(new Path(table))
+    val rootUri = root.toUri
+    val now = System.currentTimeMillis()
+    f.mkdirs(logDir(table))
+    val meta = mapper.createObjectNode()
+    meta.put("id", java.util.UUID.randomUUID().toString)
+    val fmt = meta.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    meta.put("schemaString", st.schema.json)
+    meta.putArray("partitionColumns")
+    meta.putObject("configuration")
+    meta.put("createdTime", now)
+    val actions = Seq.newBuilder[String]
+    actions += s"""{"commitInfo":{"timestamp":$now,"operation":${jsonStr("CONVERT")},""" +
+      s""""operationParameters":${pvJsonOf(Map(
+        "sourceFormat" -> "iceberg",
+        "sourceSnapshotId" -> st.snapshotId.toString))}}}"""
+    actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    actions += s"""{"metaData":${mapper.writeValueAsString(meta)}}"""
+    st.dataFiles.zip(st.fileRecordCounts).foreach { case (p, rc) =>
+      val abs = new Path(p)
+      val rel = rootUri.relativize(f.makeQualified(abs).toUri).getPath
+      require(!new Path(rel).isAbsolute && !rel.startsWith(".."),
+        s"CONVERT FROM ICEBERG: data file $p lies outside the table root")
+      val status = f.getFileStatus(abs)
+      val statsField =
+        s""","stats":${jsonStr(s"""{"numRecords":$rc}""")}"""
+      actions += s"""{"add":{"path":${jsonStr(rel)},"partitionValues":{},""" +
+        s""""size":${status.getLen},"modificationTime":${status.getModificationTime},""" +
+        s""""dataChange":true$statsField}}"""
+    }
+    commitRaw(spark, table, 0L, actions.result(), "CONVERT")
+    0L
+  }
+
   def vacuumLite(spark: SparkSession, table: String, keepVersions: Int = 1,
       retainMillis: Long = defaultVacuumRetentionMillis,
       dryRun: Boolean = false): Int = {

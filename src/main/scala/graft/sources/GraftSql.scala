@@ -97,6 +97,8 @@ object GraftSql {
   private val ConvertStmt =
     ("""(?is)\s*CONVERT\s+TO\s+DELTA\s+parquet\.`([^`]+)`""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(\s+NO\s+STATISTICS)?\s*""").r
+  private val ConvertIceberg =
+    """(?is)\s*CONVERT\s+TO\s+DELTA\s+iceberg\.`([^`]+)`\s*""".r
   private val Vacuum = """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s*""".r
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+delta\.`([^`]+)`\s*""".r
   private val ShowProps =
@@ -606,6 +608,8 @@ object GraftSql {
         .map(_.split("\\s+")(0)).filter(_.nonEmpty)
       version(spark,
         DeltaLog.convertToDelta(spark, path, pb, collectStats = noStats == null))
+    case ConvertIceberg(path) =>
+      version(spark, DeltaLog.convertIcebergToDelta(spark, path))
     // VACUUM ... LITE: log-driven reclamation, no table listing
     case VacuumLiteRetain(path, hours, dry) =>
       val n = DeltaLog.vacuumLite(spark, path,

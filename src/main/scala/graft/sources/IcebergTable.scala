@@ -110,7 +110,10 @@ object IcebergTable {
 
   /** Parsed table state at the chosen snapshot. */
   case class State(formatVersion: Int, schema: StructType,
-      snapshotId: Long, dataFiles: Seq[String], recordCount: Long)
+      snapshotId: Long, dataFiles: Seq[String], recordCount: Long,
+      // per-file record counts straight from the manifests (parallel to
+      // dataFiles) — feeds converted-table stats without a data scan
+      fileRecordCounts: Seq[Long] = Seq.empty)
 
   private def resolveSchema(root: ObjectNode): StructType = {
     // v2: schemas[] + current-schema-id; v1: schema
@@ -178,6 +181,7 @@ object IcebergTable {
     val listPath = new Path(resolve(table, snap.get("manifest-list").asText()))
 
     val files = Seq.newBuilder[String]
+    val fileRows = Seq.newBuilder[Long]
     var rows = 0L
     avroEntries(f, listPath).foreach { m =>
       // v2 manifest-list rows carry `content`: 0 = data, 1 = deletes.
@@ -198,11 +202,14 @@ object IcebergTable {
             s"non-parquet Iceberg data file ($fmt) in $table")
           files += resolve(table,
             str(df, "file_path").getOrElse(sys.error("file_path missing")))
-          rows += lng(df, "record_count").getOrElse(0L)
+          val rc = lng(df, "record_count").getOrElse(0L)
+          fileRows += rc
+          rows += rc
         }
       }
     }
-    State(fv, resolveSchema(root), wantId, files.result(), rows)
+    State(fv, resolveSchema(root), wantId, files.result(), rows,
+      fileRows.result())
   }
 
   /** Read the table (optionally at a snapshot / timestamp) as a
@@ -404,6 +411,119 @@ object IcebergTable {
     try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
     finally out.close()
     // 5. the commit point
+    val hint = f.create(new Path(mdir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    snapshotId
+  }
+
+  /** Mirror a DELTA table's current snapshot as Iceberg metadata in the
+    * SAME directory — the UniForm shape: one set of parquet bytes, two
+    * metadata stacks, any Iceberg reader sees exactly the Delta state.
+    * Each call appends one Iceberg snapshot whose single manifest lists
+    * the Delta snapshot's live files (sizes from the log, numRecords
+    * from the per-file stats). Refuses what Iceberg metadata cannot
+    * express without rewriting data: deletion vectors (need v2 delete
+    * files) and Delta-partitioned layouts (partition values live in
+    * directories + actions, not in the parquet, so a plain-parquet
+    * Iceberg read would drop those columns). Re-mirror after each Delta
+    * commit to keep the views in sync. */
+  def mirrorDelta(spark: SparkSession, table: String): Long = {
+    val snap = DeltaLog.snapshot(spark, table)
+    val schema = snap.schema.getOrElse(
+      sys.error(s"mirrorDelta: $table declares no schema"))
+    require(snap.partitionColumns.isEmpty,
+      s"mirrorDelta: $table is partitioned — partition values are not in " +
+        "the parquet files, an Iceberg read would drop them")
+    require(snap.columnMappingMode == "none",
+      s"mirrorDelta: $table uses column mapping (physical names differ)")
+    val f = fs(spark, table)
+    val root = f.makeQualified(new Path(table))
+    val mdir = new Path(root, "metadata")
+    // live files + per-file counts from the DISTRIBUTED frame: only
+    // (path, size, numRecords) triples reach the driver — the same
+    // O(files) the manifest itself costs
+    import org.apache.spark.sql.functions.{col, get_json_object}
+    val rows = snap.allFiles
+      .select(col("path"), col("size"),
+        get_json_object(col("stats"), "$.numRecords").cast("long").as("rc"),
+        col("deletionVector.storageType").as("dvst"))
+      .collect()
+    require(rows.forall(_.isNullAt(3)),
+      s"mirrorDelta: $table carries deletion vectors — Iceberg needs v2 " +
+        "delete files to express them; REORG ... APPLY (PURGE) first")
+    val existing: Option[ObjectNode] =
+      if (!isIcebergTable(spark, table)) None
+      else Some(mapper.readTree(readText(f, currentMetadataPath(f, table)))
+        .asInstanceOf[ObjectNode])
+    val version = existing.map(_.path("snapshots").size() + 1).getOrElse(1)
+    val snapshotId = System.currentTimeMillis() * 1000 + version
+    val now = System.currentTimeMillis()
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+
+    val mSchema = manifestAvroSchema
+    val dfSchema = mSchema.getField("data_file").schema()
+    val entries = rows.map { r =>
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(dfSchema)
+      d.put("file_path", new Path(root, r.getString(0)).toString)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", if (r.isNullAt(2)) 0L else r.getLong(2))
+      d.put("file_size_in_bytes", r.getLong(1))
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = new Path(mdir, s"manifest-$version-$nonce.avro")
+    val mLen = writeAvro(f, manifestPath, mSchema, entries.toSeq)
+    val mlSchema = manifestListAvroSchema
+    val mlRec = new GenericData.Record(mlSchema)
+    mlRec.put("manifest_path", manifestPath.toString)
+    mlRec.put("manifest_length", mLen)
+    mlRec.put("partition_spec_id", 0)
+    mlRec.put("added_snapshot_id", snapshotId)
+    val listPath = new Path(mdir, s"snap-$snapshotId-$nonce.avro")
+    writeAvro(f, listPath, mlSchema, Seq(mlRec))
+
+    val meta = mapper.createObjectNode()
+    meta.put("format-version", 1)
+    meta.put("table-uuid", existing.map(_.get("table-uuid").asText())
+      .getOrElse(java.util.UUID.randomUUID().toString))
+    meta.put("location", table)
+    meta.put("last-updated-ms", now)
+    meta.put("last-column-id", schema.fields.length)
+    val schemaNode = meta.putObject("schema")
+    schemaNode.put("type", "struct")
+    val fieldsArr = schemaNode.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (fld, i) =>
+      val n = fieldsArr.addObject()
+      n.put("id", i + 1); n.put("name", fld.name)
+      n.put("required", false); n.put("type", icebergType(fld.dataType))
+    }
+    val specs = meta.putArray("partition-specs")
+    val spec0 = specs.addObject()
+    spec0.put("spec-id", 0); spec0.putArray("fields")
+    meta.put("default-spec-id", 0)
+    meta.put("current-snapshot-id", snapshotId)
+    val snapsArr = meta.putArray("snapshots")
+    existing.foreach(_.path("snapshots").elements().asScala
+      .foreach(s => snapsArr.add(s)))
+    val sn = snapsArr.addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    val sum = sn.putObject("summary")
+    sum.put("operation", "replace")
+    sum.put("delta-version", snap.version.toString)
+    val logArr = meta.putArray("snapshot-log")
+    existing.foreach(_.path("snapshot-log").elements().asScala
+      .foreach(l => logArr.add(l)))
+    val le = logArr.addObject()
+    le.put("timestamp-ms", now); le.put("snapshot-id", snapshotId)
+    val mdPath = new Path(mdir, s"v$version.metadata.json")
+    val out = f.create(mdPath, false)
+    try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    finally out.close()
     val hint = f.create(new Path(mdir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
     snapshotId

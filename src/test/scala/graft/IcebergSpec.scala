@@ -56,6 +56,49 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).count() == 3L)
   }
 
+  test("CONVERT iceberg -> delta in place: manifests drive the file set, not listing") {
+    val t = fresh()
+    // two appends; the Iceberg data/ dir will NOT contain dead files,
+    // so also leave a stray parquet that a naive lister would pick up
+    graft.sources.IcebergTable.writeAppend(spark,
+      spark.range(0, 60).select(col("id").as("k")), t)
+    graft.sources.IcebergTable.writeAppend(spark,
+      spark.range(60, 100).select(col("id").as("k")), t)
+    spark.range(9000, 9100).select(col("id").as("k"))
+      .coalesce(1).write.parquet(t + "/stray")
+    graft.sources.DeltaLog.convertIcebergToDelta(spark, t)
+    assert(graft.sources.DeltaLog.isDeltaTable(spark, t))
+    // the delta view equals the ICEBERG live set — the stray dir is invisible
+    assert(graft.sources.DeltaLog.read(spark, t).count() == 100L)
+    // manifest record counts became numRecords stats: metadata-only COUNT works
+    assert(graft.sources.DeltaLog.countRows(spark, t) == 100L)
+    // the converted table is writable as Delta
+    graft.sources.DeltaLog.write(spark, Seq(7777L).toDF("k"), t, "append")
+    assert(graft.sources.DeltaLog.read(spark, t).count() == 101L)
+  }
+
+  test("mirrorDelta: UniForm shape — Iceberg readers see the Delta state") {
+    val t = fresh()
+    graft.sources.DeltaLog.write(spark,
+      spark.range(0, 80).select(col("id").as("k"), (col("id") * 2).as("v"))
+        .repartition(2), t)
+    graft.sources.IcebergTable.mirrorDelta(spark, t)
+    assert(IcebergTable.read(spark, t).count() == 80L)
+    assert(IcebergTable.countRows(spark, t) == 80L)
+    assert(IcebergTable.read(spark, t).agg(sum("v")).as[Long].head() == 6320L)
+    // delta evolves; a re-mirror catches the iceberg view up
+    graft.sources.DeltaLog.write(spark,
+      Seq((500L, 0L)).toDF("k", "v"), t, "append")
+    assert(IcebergTable.read(spark, t).count() == 80L) // stale until re-mirror
+    graft.sources.IcebergTable.mirrorDelta(spark, t)
+    assert(IcebergTable.read(spark, t).count() == 81L)
+    // DV-carrying tables refuse (Iceberg can't express the mask)
+    graft.sources.DeltaLog.deleteWhere(spark, t, col("k") === 0L)
+    val e = intercept[IllegalArgumentException](
+      graft.sources.IcebergTable.mirrorDelta(spark, t))
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+
   test("v2 delete manifests refuse loudly") {
     val t = fresh()
     IcebergTable.writeAppend(spark, Seq(1L, 2L, 3L).toDF("k"), t)
