@@ -50,8 +50,29 @@ import scala.collection.mutable
 /** A commit lost the version race to a concurrent writer: the caller's
   * read-modify-write is stale. Row-level DML recomputes from a fresh
   * snapshot and retries ([[DeltaLog.withDmlRetry]]); pinned-fold
-  * consumers (the materialized view) surface it to re-fold. */
-final class CommitRaceException(msg: String) extends RuntimeException(msg)
+  * consumers (the materialized view) surface it to re-fold.
+  *
+  * Subclasses classify WHY the concurrent history could not be rebased
+  * over — the same taxonomy delta-spark's conflict checker raises, so a
+  * caller can distinguish "someone appended under Serializable" from
+  * "someone deleted the rows I was rewriting". All of them extend this
+  * class: any `catch`-site that retried races before keeps working. */
+class CommitRaceException(msg: String) extends RuntimeException(msg)
+
+/** A concurrent transaction added files this one should have read. */
+final class ConcurrentAppendException(msg: String) extends CommitRaceException(msg)
+/** A concurrent transaction deleted a file this one read. */
+final class ConcurrentDeleteReadException(msg: String) extends CommitRaceException(msg)
+/** A concurrent transaction deleted a file this one also deletes. */
+final class ConcurrentDeleteDeleteException(msg: String) extends CommitRaceException(msg)
+/** A concurrent transaction changed the table metadata (schema,
+  * properties, partitioning, or a metadata domain). */
+final class MetadataChangedException(msg: String) extends CommitRaceException(msg)
+/** A concurrent transaction upgraded the table protocol. */
+final class ProtocolChangedException(msg: String) extends CommitRaceException(msg)
+/** A concurrent transaction committed under the same SetTransaction
+  * appId — the idempotence watermark this one asserted is stale. */
+final class ConcurrentTransactionException(msg: String) extends CommitRaceException(msg)
 
 object DeltaLog {
 
@@ -278,6 +299,11 @@ object DeltaLog {
 
   private[sources] def commitPath(table: String, v: Long) =
     new Path(logDir(table), f"$v%020d.json")
+
+  /** Raw action lines of one commit file (diagnostics and specs). */
+  private[graft] def readCommitActions(spark: SparkSession, table: String,
+      v: Long): Seq[String] =
+    readCommit(fs(spark, table), table, v).map(mapper.writeValueAsString)
 
   private def readCommit(f: FileSystem, table: String, v: Long): Seq[JsonNode] = {
     val in = f.open(commitPath(table, v))
@@ -1259,7 +1285,9 @@ object DeltaLog {
       removePaths = _ => candidates.map(_.path), widenSchema = false,
       dataChange = true, operation = "REPLACE WHERE",
       baseVersion = Some(snap.version),
-      operationParameters = Map("predicate" -> predSql(predicate)))
+      operationParameters = Map("predicate" -> predSql(predicate)),
+      readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
+        candidates.map(_.path).toSet)))
   }
 
   /** Metadata-only row count — Delta's `SELECT count(*)` fast path:
@@ -2071,6 +2099,113 @@ object DeltaLog {
   private val commitGates =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** What a pinned read-modify-write transaction READ and intends to
+    * REMOVE — the inputs the conflict checker ([[checkConflicts]]) needs
+    * to decide whether concurrent commits can be rebased over. Paths are
+    * table-relative, exactly as the log's add/remove actions carry them. */
+  private[graft] final case class TxnReadInfo(
+      readPaths: Set[String],
+      removePaths: Set[String],
+      appIds: Set[String] = Set.empty)
+
+  /** Test-only injection point: runs after a DML operation computed its
+    * plan from a pinned snapshot and before its commit — a spec installs
+    * a concurrent writer here to exercise the conflict checker. No-op in
+    * production; never set outside tests. */
+  private[graft] var raceHook: (String, String) => Unit = (_, _) => ()
+
+  /** Isolation level this table commits under: WriteSerializable (the
+    * Delta default — blind appends never conflict with concurrent
+    * read-modify-writes) or Serializable (every concurrent dataChange
+    * add conflicts, giving a single serial order that includes reads). */
+  private def isolationOf(cfg: scala.collection.Map[String, String]): String =
+    cfg.getOrElse("delta.isolationLevel", "WriteSerializable")
+
+  /** Delta-style conflict detection for a transaction pinned at
+    * `base` when the log has advanced to `upTo`: replay the WINNING
+    * commits `base+1 .. upTo` and decide whether this transaction's
+    * read-modify-write is still valid (return) or stale (throw the
+    * typed [[CommitRaceException]] subclass naming the conflict).
+    *
+    * Rules (delta-spark's ConflictChecker, from the public protocol's
+    * concurrency semantics):
+    *   - a winner's protocol action → [[ProtocolChangedException]];
+    *   - a winner's metaData action (schema/property/partitioning
+    *     change) or non-row-tracking domainMetadata →
+    *     [[MetadataChangedException]] (row-tracking high-water-mark
+    *     advances are fine: the rebased commit re-reads the fresh mark);
+    *   - a winner's remove of a file this txn READ →
+    *     [[ConcurrentDeleteReadException]]; of a file this txn also
+    *     REMOVES → [[ConcurrentDeleteDeleteException]];
+    *   - a winner's dataChange add: allowed under WriteSerializable when
+    *     the winning commit declared itself a blind append (commitInfo
+    *     `isBlindAppend`), because the history is equivalent to "this
+    *     txn first, the append after". Under Serializable — or for a
+    *     non-blind winner, whose adds came from ITS read-modify-write —
+    *     → [[ConcurrentAppendException]];
+    *   - a winner's SetTransaction under an appId this txn asserts →
+    *     [[ConcurrentTransactionException]].
+    *
+    * Driver cost: O(intervening commits) small JSON reads — the same
+    * files the loser would re-replay anyway. A missing commit file
+    * (already log-cleaned) fails conservatively. At 1000-writer scale
+    * this is what turns "every concurrent append aborts my MERGE" into
+    * "the MERGE lands one version later, zero recompute". */
+  private[graft] def checkConflicts(spark: SparkSession, table: String,
+      base: Long, upTo: Long, info: TxnReadInfo,
+      cfg: scala.collection.Map[String, String]): Unit = {
+    val f = fs(spark, table)
+    val serializable = isolationOf(cfg) == "Serializable"
+    (base + 1 to upTo).foreach { v =>
+      val lines =
+        try readCommit(f, table, v)
+        catch {
+          case scala.util.control.NonFatal(_) => throw new CommitRaceException(
+            s"concurrent commit: $table advanced from $base to $upTo and commit " +
+              s"$v is no longer readable — re-read and retry")
+        }
+      def fail(e: CommitRaceException): Nothing = throw e
+      val blind = lines.exists(n => n.has("commitInfo") &&
+        n.get("commitInfo").path("isBlindAppend").asBoolean(false))
+      lines.foreach { n =>
+        if (n.has("protocol"))
+          fail(new ProtocolChangedException(
+            s"concurrent commit $v upgraded the protocol of $table"))
+        if (n.has("metaData"))
+          fail(new MetadataChangedException(
+            s"concurrent commit $v changed the metadata of $table"))
+        if (n.has("domainMetadata") &&
+            n.get("domainMetadata").path("domain").asText("") != RowTrackingDomain)
+          fail(new MetadataChangedException(
+            s"concurrent commit $v changed metadata domain " +
+              s"'${n.get("domainMetadata").path("domain").asText("")}' of $table"))
+        if (n.has("txn")) {
+          val appId = n.get("txn").path("appId").asText("")
+          if (info.appIds.contains(appId))
+            fail(new ConcurrentTransactionException(
+              s"concurrent commit $v advanced SetTransaction '$appId' of $table"))
+        }
+        if (n.has("remove")) {
+          val p = n.get("remove").path("path").asText("")
+          if (info.removePaths.contains(p))
+            fail(new ConcurrentDeleteDeleteException(
+              s"concurrent commit $v deleted $p of $table, which this " +
+                "transaction also deletes"))
+          if (info.readPaths.contains(p))
+            fail(new ConcurrentDeleteReadException(
+              s"concurrent commit $v deleted $p of $table, which this " +
+                "transaction read"))
+        }
+        if (n.has("add") && n.get("add").path("dataChange").asBoolean(false) &&
+            (serializable || !blind))
+          fail(new ConcurrentAppendException(
+            s"concurrent commit $v added files to $table" +
+              (if (serializable) " under Serializable isolation"
+               else " from a read-modify-write (not a blind append)")))
+      }
+    }
+  }
+
   /** Commit `df` to the table as one public-protocol Delta commit:
     * parquet data files land under the table root (partition-dir layout
     * when `partitionBy` is set), then ONE `_delta_log/<v>.json` appears
@@ -2103,7 +2238,10 @@ object DeltaLog {
       widenSchema = mode == "append", dataChange = true,
       operation = mode.toUpperCase,
       retryOnRace = mode == "append" && baseVersion.isEmpty,
-      baseVersion = baseVersion, properties = properties)
+      baseVersion = baseVersion, properties = properties,
+      // an append never read the table: declared blind so concurrent
+      // read-modify-writes can rebase over it (WriteSerializable)
+      blindAppend = mode == "append")
     if (mode == "append" && baseVersion.isEmpty) withDmlRetry(3)(run())
     else run()
   }
@@ -2283,7 +2421,14 @@ object DeltaLog {
       properties: Map[String, String] = Map.empty,
       extraTxns: Seq[(String, Long)] = Seq.empty,
       operationParameters: Map[String, String] = Map.empty,
-      cdc: Option[DataFrame] = None): Long = {
+      cdc: Option[DataFrame] = None,
+      // conflict-detection inputs: what a pinned txn read/removes (lets
+      // the commit REBASE over non-conflicting concurrent commits
+      // instead of aborting), and whether this commit is a blind append
+      // (declared in commitInfo so OTHER writers' conflict checks can
+      // rebase over it)
+      readInfo: Option[TxnReadInfo] = None,
+      blindAppend: Boolean = false): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -2636,6 +2781,7 @@ object DeltaLog {
         .map(stageCdc(spark, table, _, firstPrev.get))
         .getOrElse(Seq.empty)
 
+    raceHook(table, operation)
     // Optimistic-concurrency commit loop: build the version-dependent
     // actions, write-then-rename; a lost race re-reads the log and (for
     // conflict-free commits, retryOnRace) retries at the next version.
@@ -2650,15 +2796,25 @@ object DeltaLog {
       cached = None
       gateWritable(prevSnap)
       // a commit whose inputs (merge frame, compaction set, removePaths)
-      // were derived from snapshot `baseVersion` is valid ONLY as the
-      // very next version: if another writer slipped in, this
-      // read-modify-write is stale — committing it would lose the
-      // concurrent changes and duplicate rewritten rows. Rename-level
-      // races alone cannot catch this (the rename at version+1 would
-      // succeed cleanly).
-      baseVersion.foreach(b => if (version != b + 1) throw new CommitRaceException(
-        s"concurrent commit: $table advanced from version $b to ${version - 1} " +
-          s"while this $operation was computed — re-read and retry"))
+      // were derived from snapshot `baseVersion` is valid as a LATER
+      // version only when every intervening commit is provably
+      // non-conflicting (checkConflicts) — then the commit REBASES: the
+      // staged files and fixed remove set are still exactly right, and
+      // the loser pays O(intervening commits) of JSON reads instead of a
+      // full recompute. Without readInfo (callers whose removePaths
+      // depend on the live snapshot, e.g. whole-table OVERWRITE, or the
+      // materialized view's pinned fold) any advance aborts, as before.
+      // Rename-level races alone cannot catch staleness (the rename at
+      // version+1 would succeed cleanly).
+      baseVersion.foreach { b =>
+        if (version != b + 1) readInfo match {
+          case Some(info) =>
+            checkConflicts(spark, table, b, version - 1, info, effConfig)
+          case None => throw new CommitRaceException(
+            s"concurrent commit: $table advanced from version $b to ${version - 1} " +
+              s"while this $operation was computed — re-read and retry")
+        }
+      }
       // identity allocation is fenced on the snapshot it read its
       // high-water mark from: committing the staged ids at a LATER
       // version could collide with a concurrent writer's allocation, so
@@ -2813,7 +2969,8 @@ object DeltaLog {
         s""""numOutputBytes":"$outBytes","numRemovedFiles":"$removedFiles"}"""
       actions += s"""{"commitInfo":{"timestamp":$now""" +
         ictField(spark, table, version, effConfig, now) +
-        s""","operation":${jsonStr(operation)}$opParams$opMetrics}}"""
+        s""","operation":${jsonStr(operation)}$opParams$opMetrics,""" +
+        s""""isBlindAppend":${blindAppend && removedFiles == 0}}}"""
 
       // write-then-rename: the commit becomes visible atomically or not at all
       val actionSeq = actions.result()
@@ -2837,7 +2994,9 @@ object DeltaLog {
         Checksum.update(spark, table, version, actionSeq)
       } else {
         f.delete(tmp, false)
-        if (!retryOnRace || attempt >= 9)
+        // a conflict-checked pinned commit may also retry the loop: the
+        // next iteration re-runs checkConflicts against whatever landed
+        if ((!retryOnRace && readInfo.isEmpty) || attempt >= 9)
           throw new CommitRaceException(
             s"concurrent commit lost the race for version $version at $table")
         attempt += 1
@@ -2940,7 +3099,7 @@ object DeltaLog {
       source: DataFrame, keys: Seq[String],
       frame: (DataFrame, DataFrame) => DataFrame,
       txn: Option[(String, Long)], operation: String,
-      probeByKeys: Boolean = true): Long = {
+      probeByKeys: Boolean = true, rebase: Boolean = true): Long = {
     // column-mapped targets are fine: the rewrite frame is logical and
     // commitWrite stages it under physical names (stats/partitionValues
     // keyed by physicalName); gateWritable refuses only NEW columns
@@ -2957,7 +3116,13 @@ object DeltaLog {
         dataChange = true, operation = operation,
         baseVersion = Some(snap.version),
         operationParameters = Map("mergeKeys" -> keys.mkString(",")),
-        cdc = cdcFrame)
+        cdc = cdcFrame,
+        // rebase over concurrent blind appends: the touched set is what
+        // this MERGE read and removes. The materialized-view fold
+        // (mergeGroups) opts out — its txn watermark must stay exact.
+        readInfo = if (!rebase) None
+          else Some(TxnReadInfo(touched.map(_.path).toSet,
+            touched.map(_.path).toSet, txn.map(_._1).toSet)))
     }
     basenameIndex(snap.files) match {
       case _ if !probeByKeys => commit(snap.fileEntries)
@@ -3028,7 +3193,7 @@ object DeltaLog {
       (target, src) => target
         .join(src.select(keys.map(col): _*), keys, "left_anti")
         .unionByName(src.where(!col(deleteCol)).drop(deleteCol)),
-      txn = txn, operation = "MERGE")
+      txn = txn, operation = "MERGE", rebase = false)
 
   /** The protocol line a DV-writing commit must carry: when the current
     * protocol does not already declare the `deletionVectors` feature,
@@ -3461,8 +3626,11 @@ object DeltaLog {
     val won = gate.synchronized(!f.exists(dest) && f.rename(tmp, dest))
     if (!won) {
       f.delete(tmp, false)
-      sys.error(s"concurrent commit: $table advanced past version ${version - 1} " +
-        s"while this $operation was computed — re-read and retry")
+      // typed so withDmlRetry-wrapped callers recompute from a fresh
+      // snapshot instead of failing hard on a rename-level race
+      throw new CommitRaceException(
+        s"concurrent commit: $table advanced past version ${version - 1} " +
+          s"while this $operation was computed — re-read and retry")
     }
     Checksum.update(spark, table, version, actions)
   }
@@ -4232,18 +4400,26 @@ object DeltaLog {
         dvJson(d) + s"$statsField$rtField}}"
     }
     cdcActions.foreach(actions += _)
-    actions += s"""{"commitInfo":{"timestamp":$now""" +
-      ictField(spark, table, snap.version + 1, snap.configuration, now) +
-      s""","operation":"DELETE",""" +
-      s""""operationParameters":${pvJsonOf(Map("predicate" -> predSql(predicate)))}}}"""
-
-    // pinned at the snapshot: only valid as the very next version
+    // pinned at the snapshot; rebases over provably non-conflicting
+    // concurrent commits (blind appends), and otherwise throws the typed
+    // CommitRaceException that withDmlRetry upstream turns into a
+    // fresh-snapshot recompute (the old `require` threw an
+    // IllegalArgumentException the retry never caught)
+    raceHook(table, "DELETE")
     val f = fs(spark, table)
     val current = (listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq).max
-    require(current == snap.version,
-      s"concurrent commit: $table advanced from version ${snap.version} to $current " +
-        "while this DELETE was computed — re-read and retry")
-    val version = snap.version + 1
+    if (current != snap.version)
+      checkConflicts(spark, table, snap.version, current,
+        TxnReadInfo(candidates.map(_.path).toSet,
+          merged.map(_._1.path).toSet), snap.configuration)
+    val version = current + 1
+    // commitInfo built against the FINAL version: a rebased commit's
+    // in-commit timestamp must stay monotonic over the commits it
+    // rebased past, so the ICT clock reads version-1, not the pin
+    actions += s"""{"commitInfo":{"timestamp":$now""" +
+      ictField(spark, table, version, snap.configuration, now) +
+      s""","operation":"DELETE",""" +
+      s""""operationParameters":${pvJsonOf(Map("predicate" -> predSql(predicate)))}}}"""
     commitRaw(spark, table, version, actions.result(), "DELETE")
     maybeAutoCheckpoint(spark, table, version)
     version
@@ -4326,7 +4502,9 @@ object DeltaLog {
       dataChange = true, operation = "UPDATE", baseVersion = Some(snap.version),
       operationParameters = Map("predicate" -> predSql(predicate),
         "setColumns" -> set.keys.toSeq.sorted.mkString(",")),
-      cdc = cdcFrame)
+      cdc = cdcFrame,
+      readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
+        touched.map(_.path).toSet)))
   }
 
   /** OPTIMIZE: rewrite the current snapshot into (up to) `targetFiles`
@@ -4428,7 +4606,11 @@ object DeltaLog {
     commitWrite(spark, compacted, table, snap.partitionColumns, None,
       removePaths = _ => candidates.map(_.path), widenSchema = false,
       dataChange = false,
-      operation = "OPTIMIZE", baseVersion = Some(snap.version))
+      operation = "OPTIMIZE", baseVersion = Some(snap.version),
+      // rebase over concurrent blind appends: the compaction set is
+      // fixed, and an appended file simply misses this bin-pack
+      readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
+        candidates.map(_.path).toSet)))
   }
 
   /** Default VACUUM retention: 7 days, matching Delta's
