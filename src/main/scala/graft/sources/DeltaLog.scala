@@ -279,6 +279,7 @@ object DeltaLog {
   private[sources] def logDir(table: String) = new Path(table, "_delta_log")
 
   private val commitRe = """(\d{20})\.json""".r
+  private val compactedRe = """(\d{20})\.(\d{20})\.compacted\.json""".r
 
   /** Committed versions present as JSON commits (ascending). */
   def listVersions(spark: SparkSession, table: String): Seq[Long] = {
@@ -289,6 +290,21 @@ object DeltaLog {
       case commitRe(v) => v.toLong
     }.sorted
   }
+
+  /** Log-compaction files present (ascending start): each covers the
+    * inclusive commit range `(start, end)` — the protocol's
+    * `<x>.<y>.compacted.json` minor compaction. */
+  def listCompactions(spark: SparkSession, table: String): Seq[(Long, Long)] = {
+    val f = fs(spark, table)
+    val dir = logDir(table)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case compactedRe(x, y) => (x.toLong, y.toLong)
+    }.sortBy(_._1)
+  }
+
+  private[sources] def compactedPath(table: String, x: Long, y: Long) =
+    new Path(logDir(table), f"$x%020d.$y%020d.compacted.json")
 
   /** Newest committed version (JSON commits ∪ checkpoint) — what a
     * streaming tail polls; cheap (one directory listing, no replay). */
@@ -660,19 +676,40 @@ object DeltaLog {
     }
 
     val replayFrom = cpMeta.map(_.version + 1).getOrElse(0L)
-    val tailVersions = versions.filter(v => v >= replayFrom && v <= target)
-    // the replayed tail must be gap-free from replayFrom to target: on a
-    // foreign table whose old commits were metadata-cleaned
+    // Replay SEGMENTS from replayFrom to target: a log-compaction file
+    // (`<x>.<y>.compacted.json`, the protocol's minor compaction)
+    // whose range starts exactly at the cursor substitutes for its
+    // whole range — bounded replay between checkpoints; otherwise the
+    // per-version commit. Coverage must be gap-free: on a foreign
+    // table whose old commits were metadata-cleaned
     // (delta.logRetentionDuration), a version below the retained window
-    // passes the membership check above yet would replay only the
-    // surviving suffix — a silently partial (wrong) file set. Delta
-    // errors on non-contiguous replay; so do we.
-    require(tailVersions == (replayFrom to target),
-      s"non-contiguous _delta_log for $table: need versions $replayFrom..$target " +
-        s"beyond the checkpoint, found [${tailVersions.mkString(",")}] — " +
-        "older commits were vacuumed/log-cleaned; time travel to this version is gone")
-    tailVersions.foreach { v =>
-      val in = f.open(commitPath(table, v))
+    // would otherwise replay only the surviving suffix — a silently
+    // partial (wrong) file set. Delta errors on non-contiguous replay;
+    // so do we.
+    val compactions = listCompactions(spark, table)
+      .filter { case (x, y) => x >= replayFrom && y <= target }
+    val vset = versions.toSet
+    val segB = Seq.newBuilder[Path]
+    var sv = replayFrom
+    while (sv <= target) {
+      val covering = compactions.filter(_._1 == sv)
+      if (covering.nonEmpty) {
+        val y = covering.map(_._2).max
+        segB += compactedPath(table, sv, y)
+        sv = y + 1
+      } else {
+        require(vset.contains(sv),
+          s"non-contiguous _delta_log for $table: need versions " +
+            s"$replayFrom..$target beyond the checkpoint, missing $sv — " +
+            "older commits were vacuumed/log-cleaned; time travel to this " +
+            "version is gone")
+        segB += commitPath(table, sv)
+        sv += 1
+      }
+    }
+    val segPaths = segB.result()
+    segPaths.foreach { p =>
+      val in = f.open(p)
       try {
         scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
           // substring prefilter: add/remove lines (the O(files) bulk) are
@@ -704,12 +741,19 @@ object DeltaLog {
     // file-level state, fully distributed: checkpoint rows ∪ JSON tail,
     // last action per path wins, survivors are the adds
     val tailFrame: Option[DataFrame] =
-      if (tailVersions.isEmpty) None
+      if (segPaths.isEmpty) None
       else Some {
-        val paths = tailVersions.map(v => commitPath(table, v).toString)
+        val paths = segPaths.map(_.toString)
+        // ordering version: a commit file's own version, or — for a
+        // compaction segment, already netted per path at write time —
+        // its range END, so later segments/commits supersede it
         val raw = spark.read.schema(actionSchema).json(paths: _*)
-          .withColumn("__v", regexp_extract(col("_metadata.file_path"),
-            """(\d{20})\.json""", 1).cast("long"))
+          .withColumn("__v", coalesce(
+            nullif(regexp_extract(col("_metadata.file_path"),
+              """/(\d{20})\.json$""", 1), lit("")),
+            nullif(regexp_extract(col("_metadata.file_path"),
+              """/\d{20}\.(\d{20})\.compacted\.json$""", 1), lit("")))
+            .cast("long"))
         val adds = raw.where("add IS NOT NULL AND add.path IS NOT NULL")
           .select(col("add.path").as("path"),
             col("add.partitionValues").as("partitionValues"),
@@ -742,7 +786,11 @@ object DeltaLog {
           .add("stats", StringType).add("deletionVector", dvSchema)
           .add("baseRowId", LongType).add("defaultRowCommitVersion", LongType))
       case dfs =>
-        val w = Window.partitionBy("path").orderBy(col("__v").desc)
+        // tie-break within one version: the add wins — a DV update
+        // (remove+add of the SAME path in one commit) nets to the add
+        // carrying the new descriptor. Explicit, not union-order luck.
+        val w = Window.partitionBy("path")
+          .orderBy(col("__v").desc, when(col("__kind") === "add", 0).otherwise(1))
         dfs.reduce(_.unionByName(_))
           .withColumn("__rn", row_number().over(w))
           .where(col("__rn") === 1 && col("__kind") === "add")
@@ -3003,6 +3051,7 @@ object DeltaLog {
       }
     }
     maybeAutoCheckpoint(spark, table, committed, effConfig)
+    maybeLogCompact(spark, table, committed, effConfig)
     maybeAutoCompact(spark, table, operation, dataChange, effConfig)
     committed
   }
@@ -4422,6 +4471,7 @@ object DeltaLog {
       s""""operationParameters":${pvJsonOf(Map("predicate" -> predSql(predicate)))}}}"""
     commitRaw(spark, table, version, actions.result(), "DELETE")
     maybeAutoCheckpoint(spark, table, version)
+    maybeLogCompact(spark, table, version, snap.configuration)
     version
   }
 
@@ -5255,7 +5305,125 @@ object DeltaLog {
         } else stop = true
       }
     }
+    // log-compaction files fully below the checkpoint expire with the
+    // commits they cover (replay ≥ checkpoint never selects them, and
+    // time travel into their range needs the plain commits anyway);
+    // not counted — the return value is commits removed
+    if (!dryRun)
+      listCompactions(spark, table).foreach { case (x, y) =>
+        if (y < cpV) {
+          val p = compactedPath(table, x, y)
+          if (f.getFileStatus(p).getModificationTime <= cutoff)
+            f.delete(p, false)
+        }
+      }
     n
+  }
+
+  /** Log compaction — the protocol's `<x>.<y>.compacted.json` minor
+    * compaction: ONE file holding the NET actions of the inclusive
+    * commit range `[start, end]`, which [[snapshot]] substitutes for
+    * the whole range during replay. This bounds the JSON tail BETWEEN
+    * checkpoints without paying for a full checkpoint: on a table
+    * committing every few seconds, replay cost goes from O(commits
+    * since checkpoint) files to O(commits / interval).
+    *
+    * Netting rules (replay-equivalent by construction): last add or
+    * remove per data-file path (an in-range DV update — remove+add of
+    * the same path in one commit — nets to the re-add carrying the new
+    * descriptor; a file added then removed nets to the remove
+    * tombstone), the latest protocol and metaData, the last txn per
+    * appId, the last domainMetadata per domain; commitInfo and cdc
+    * actions drop (change-feed readers replay the original commits,
+    * which compaction never deletes). File actions net DISTRIBUTED
+    * (window over the range's action lines) and stream to the file via
+    * toLocalIterator — the driver never holds the range's add set.
+    *
+    * Returns true when written; false when the file already exists
+    * (another compactor won — the outcome is identical). */
+  def compactLog(spark: SparkSession, table: String,
+      start: Long, end: Long): Boolean = {
+    require(start >= 0 && end > start,
+      s"compactLog needs 0 <= start < end, got $start..$end")
+    val f = fs(spark, table)
+    val have = listVersions(spark, table).toSet
+    (start to end).foreach(v => require(have.contains(v),
+      s"compactLog $start..$end of $table: commit $v is missing"))
+    val dest = compactedPath(table, start, end)
+    if (f.exists(dest)) return false
+
+    // driver-side metadata netting in version order (raw lines kept
+    // verbatim — the compacted file must parse exactly like a commit)
+    var protoLine: Option[String] = None
+    var metaLine: Option[String] = None
+    val txnLines = mutable.LinkedHashMap.empty[String, String]
+    val domainLines = mutable.LinkedHashMap.empty[String, String]
+    (start to end).foreach { v =>
+      readCommit(f, table, v).foreach { n =>
+        if (n.has("protocol")) protoLine = Some(mapper.writeValueAsString(n))
+        else if (n.has("metaData")) metaLine = Some(mapper.writeValueAsString(n))
+        else if (n.has("txn"))
+          txnLines.put(n.get("txn").get("appId").asText(),
+            mapper.writeValueAsString(n))
+        else if (n.has("domainMetadata"))
+          domainLines.put(n.get("domainMetadata").get("domain").asText(),
+            mapper.writeValueAsString(n))
+      }
+    }
+
+    // distributed per-path netting of add/remove, raw lines preserved;
+    // same ordering rule as snapshot replay (version desc, add wins an
+    // in-version tie)
+    val paths = (start to end).map(v => commitPath(table, v).toString)
+    val lines = spark.read.text(paths: _*)
+      .withColumn("__v", regexp_extract(col("_metadata.file_path"),
+        """/(\d{20})\.json$""", 1).cast("long"))
+      .withColumn("__p", coalesce(
+        get_json_object(col("value"), "$.add.path"),
+        get_json_object(col("value"), "$.remove.path")))
+      .where(col("__p").isNotNull)
+      .withColumn("__kind", when(
+        get_json_object(col("value"), "$.add.path").isNotNull, "add")
+        .otherwise("remove"))
+    val w = Window.partitionBy("__p")
+      .orderBy(col("__v").desc, when(col("__kind") === "add", 0).otherwise(1))
+    val net = lines.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select("value")
+
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(logDir(table),
+      f".$start%020d.$end%020d-$nonce.compacted.json.tmp")
+    val out = f.create(tmp, false)
+    try {
+      def line(s: String): Unit = out.write((s + "\n").getBytes("UTF-8"))
+      protoLine.foreach(line)
+      metaLine.foreach(line)
+      txnLines.values.foreach(line)
+      domainLines.values.foreach(line)
+      val it = net.toLocalIterator()
+      while (it.hasNext) line(it.next().getString(0))
+    } finally out.close()
+    if (f.rename(tmp, dest)) true
+    else { f.delete(tmp, false); false }
+  }
+
+  /** Post-commit hook: write a log-compaction file for every
+    * `delta.logCompaction.interval` commits (table property; session
+    * default `spark.graft.delta.logCompaction.interval`, 0 = off).
+    * Best effort — the commit is already durable, and a racing
+    * compactor writing the same range first is the same outcome. */
+  private def maybeLogCompact(spark: SparkSession, table: String,
+      committed: Long, cfg: scala.collection.Map[String, String]): Unit = {
+    val k = cfg.getOrElse("delta.logCompaction.interval",
+      spark.conf.get("spark.graft.delta.logCompaction.interval", "0")).trim.toInt
+    if (k > 1 && committed > 0 && (committed + 1) % k == 0)
+      try { compactLog(spark, table, committed - k + 1, committed); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[delta] log compaction of $table at $committed failed: ${e.getMessage}")
+      }
   }
 
   /** Checkpoint-time hook: Delta cleans expired logs whenever it writes
