@@ -644,10 +644,74 @@ object Maintenance {
       .orderBy("l_linenumber")
   }
 
+  /** Log compaction, oracle-verified end-to-end: three appends, one
+    * `<0>.<2>.compacted.json` minor compaction, then the covered commit
+    * JSONs are DELETED — the read that follows can only be served
+    * through the compacted file, and it must still equal DuckDB
+    * computing the union of the three slices directly. Replay fidelity
+    * through the netted range, not just "a file appeared". */
+  val qLogCompaction: graft.QueryDef = graft.QueryDef.sql(
+    "q_log_compaction",
+    """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+      |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)""".stripMargin) {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-logcomp-q-").toString + "/t"
+      val o = graft.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("price"))
+      (0 to 2).foreach(m => graft.sources.DeltaLog.write(spark,
+        o.where(col("o_orderkey") % 4 === m), t, mode = "append"))
+      graft.sources.DeltaLog.compactLog(spark, t, 0, 2)
+      val f = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (0L to 2L).foreach(v => f.delete(new org.apache.hadoop.fs.Path(
+        t, f"_delta_log/$v%020d.json"), false))
+      graft.sources.DeltaLog.read(spark, t)
+  }
+
+  /** Conflict-detection rebase, oracle-verified: an UPDATE computed
+    * against a pinned snapshot races a concurrent blind append (injected
+    * between plan and commit). Under WriteSerializable the UPDATE lands
+    * WITHOUT recompute, so the appended rows — including ones matching
+    * the update predicate — stay untouched: the history is equivalent
+    * to "update first, append after". The oracle states exactly that
+    * semantics: base BUILDING rows re-segmented, appended rows verbatim. */
+  val qConcurrentRebase: graft.QueryDef = graft.QueryDef.sql(
+    "q_concurrent_rebase",
+    """SELECT c_custkey, CASE WHEN c_mktsegment = 'BUILDING' THEN 'PRIORITY'
+      |  ELSE c_mktsegment END AS seg
+      |FROM customer
+      |UNION ALL
+      |SELECT c_custkey + 1000000, c_mktsegment AS seg
+      |FROM customer WHERE c_custkey % 10 = 0""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-rebase-q-").toString + "/t"
+    val c = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    graft.sources.DeltaLog.write(spark, c, t)
+    val late = c.where(col("c_custkey") % 10 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"), col("seg"))
+    // inject the concurrent append between the UPDATE's plan and commit
+    // (reentrancy-guarded: the append itself passes through the hook)
+    var fired = false
+    var inAct = false
+    graft.sources.DeltaLog.raceHook = (_, _) =>
+      if (!inAct && !fired) {
+        fired = true; inAct = true
+        try { graft.sources.DeltaLog.write(spark, late, t, mode = "append"); () }
+        finally inAct = false
+      }
+    try
+      graft.sources.DeltaLog.updateWhere(spark, t,
+        col("seg") === "BUILDING", Map("seg" -> lit("PRIORITY")))
+    finally graft.sources.DeltaLog.raceHook = (_, _) => ()
+    graft.sources.DeltaLog.read(spark, t)
+  }
+
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
-      qConvertToDelta, qIcebergRoundtrip)
+      qConvertToDelta, qIcebergRoundtrip, qLogCompaction, qConcurrentRebase)
 }

@@ -306,10 +306,13 @@ object DeltaLog {
   private[sources] def compactedPath(table: String, x: Long, y: Long) =
     new Path(logDir(table), f"$x%020d.$y%020d.compacted.json")
 
-  /** Newest committed version (JSON commits ∪ checkpoint) — what a
-    * streaming tail polls; cheap (one directory listing, no replay). */
+  /** Newest committed version (JSON commits ∪ checkpoint ∪ compaction
+    * range-ends) — what a streaming tail polls; cheap (one directory
+    * listing, no replay). */
   def latestVersion(spark: SparkSession, table: String): Option[Long] = {
-    val vs = listVersions(spark, table) ++ lastCheckpoint(fs(spark, table), table).toSeq
+    val vs = listVersions(spark, table) ++
+      lastCheckpoint(fs(spark, table), table).toSeq ++
+      listCompactions(spark, table).map(_._2)
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -589,12 +592,18 @@ object DeltaLog {
       versionAsOf: Option[Long] = None): Snapshot = {
     val f = fs(spark, table)
     val versions = listVersions(spark, table)
-    require(versions.nonEmpty || lastCheckpoint(f, table).nonEmpty,
+    // a log whose JSON tail was fully replaced by compaction files is
+    // still a table: compaction range-ends count as reachable versions
+    val compEnds = listCompactions(spark, table).map(_._2)
+    require(versions.nonEmpty || lastCheckpoint(f, table).nonEmpty ||
+        compEnds.nonEmpty,
       s"not a Delta table (no _delta_log commits): $table")
     val target = versionAsOf.getOrElse(
-      (versions.lastOption.toSeq ++ lastCheckpoint(f, table).toSeq).max)
+      (versions.lastOption.toSeq ++ lastCheckpoint(f, table).toSeq ++
+        compEnds).max)
     versionAsOf.foreach { v =>
-      require(versions.contains(v) || lastCheckpoint(f, table).contains(v),
+      require(versions.contains(v) || lastCheckpoint(f, table).contains(v) ||
+          compEnds.contains(v),
         s"version $v not present in $table/_delta_log (have ${versions.mkString(",")})")
     }
 
@@ -816,7 +825,8 @@ object DeltaLog {
   def isDeltaTable(spark: SparkSession, table: String): Boolean = {
     val f = fs(spark, table)
     f.exists(logDir(table)) &&
-      (listVersions(spark, table).nonEmpty || lastCheckpoint(f, table).nonEmpty)
+      (listVersions(spark, table).nonEmpty || lastCheckpoint(f, table).nonEmpty ||
+        listCompactions(spark, table).nonEmpty)
   }
 
   /** Last transaction version committed for `appId` (the protocol's
@@ -1335,7 +1345,8 @@ object DeltaLog {
       baseVersion = Some(snap.version),
       operationParameters = Map("predicate" -> predSql(predicate)),
       readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
-        candidates.map(_.path).toSet)))
+        candidates.map(_.path).toSet,
+        addSkip = zoneSkip(spark, snap, predicate).map(_._2))))
   }
 
   /** Metadata-only row count — Delta's `SELECT count(*)` fast path:
@@ -1856,19 +1867,29 @@ object DeltaLog {
     * scanning a table and scanning the handful of files whose min/max
     * ranges overlap the query — and the driver never materializes the
     * pruned-away file metadata at all. */
-  private def pruneEntries(spark: SparkSession, snap: Snapshot,
-      predicate: Column, table: Option[String] = None): Seq[FileEntry] = {
+  /** The zone-map/partition-value SKIP expression for `predicate`,
+    * evaluable over any frame carrying (`partitionValues`, `stats`)
+    * columns — [[Snapshot.allFiles]] in [[pruneEntries]], or a frame of
+    * a WINNING commit's add actions in [[checkConflicts]], where it
+    * decides whether concurrently-added files might match a pinned
+    * transaction's read predicate. Returns the extracted bounds plus the
+    * skip column; None when the predicate yields no prunable bound (the
+    * caller must then stay conservative). Bloom-index probes are NOT
+    * included — they join a per-file index frame, so [[pruneEntries]]
+    * layers them on separately. */
+  private def zoneSkip(spark: SparkSession, snap: Snapshot,
+      predicate: Column): Option[(Seq[Bound], Column)] = {
     // resolve the predicate against the declared schema (an empty frame
     // through the analyzer) so bounds see coerced catalyst expressions —
     // EqualTo(attr, Literal) with types already unified
-    val schema = snap.schema.getOrElse(return snap.fileEntries)
+    val schema = snap.schema.getOrElse(return None)
     val analyzed = spark
       .createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       .where(predicate).queryExecution.analyzed
     val bounds = analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => boundsOf(f.condition)
     }.flatten
-    if (bounds.isEmpty) return snap.fileEntries
+    if (bounds.isEmpty) return None
     val partCols = snap.partitionColumns.toSet
     val byName = schema.fields.map(f => f.name -> f).toMap
     val phys: String => String = n => snap.columnMapping.getOrElse(n, n)
@@ -1957,6 +1978,18 @@ object DeltaLog {
       case NullCheck(c, wantNull) =>
         if (wantNull) nc(c) === lit(0L) else allNull(c)
     }
+    val skip = bounds.map(b => coalesce(skipBound(b), lit(false))).reduce(_ || _)
+    Some((bounds, skip))
+  }
+
+  private def pruneEntries(spark: SparkSession, snap: Snapshot,
+      predicate: Column, table: Option[String] = None): Seq[FileEntry] = {
+    val schema = snap.schema.getOrElse(return snap.fileEntries)
+    val (bounds, zskip) = zoneSkip(spark, snap, predicate)
+      .getOrElse(return snap.fileEntries)
+    val partCols = snap.partitionColumns.toSet
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val phys: String => String = n => snap.columnMapping.getOrElse(n, n)
     // ---- per-file bloom-index probes: equality / IN bounds on indexed
     // columns add `bloom present && provably absent` skip terms. Files
     // without a bloom row (pre-index files, fresh compaction output)
@@ -1994,8 +2027,7 @@ object DeltaLog {
           }
           (joined, terms.reduce(_ || _))
       }
-    val skip = (bounds.map(b => coalesce(skipBound(b), lit(false))) :+
-      coalesce(bloomSkip, lit(false))).reduce(_ || _)
+    val skip = zskip || coalesce(bloomSkip, lit(false))
     val surviving = withBlooms.where(!skip)
       .select("path", "deletionVector")
     val byPath = Snapshot(snap.version, snap.schema, snap.partitionColumns,
@@ -2150,11 +2182,23 @@ object DeltaLog {
   /** What a pinned read-modify-write transaction READ and intends to
     * REMOVE — the inputs the conflict checker ([[checkConflicts]]) needs
     * to decide whether concurrent commits can be rebased over. Paths are
-    * table-relative, exactly as the log's add/remove actions carry them. */
+    * table-relative, exactly as the log's add/remove actions carry them.
+    *
+    * `addSkip` refines the concurrent-ADD check: the transaction's read
+    * predicate compiled to a zone-map skip expression ([[zoneSkip]],
+    * built once at plan time against the pinned schema). A winning
+    * commit's added file whose stats/partition values PROVABLY cannot
+    * match the predicate does not conflict — stats-precise where
+    * delta-spark is partition-precise, so two UPDATEs on provably
+    * disjoint key ranges commute instead of recomputing. None = any
+    * qualifying add conflicts (conservative); `Some(lit(true))` = adds
+    * never conflict (a pure rewrite like OPTIMIZE, which read only its
+    * own compaction set). */
   private[graft] final case class TxnReadInfo(
       readPaths: Set[String],
       removePaths: Set[String],
-      appIds: Set[String] = Set.empty)
+      appIds: Set[String] = Set.empty,
+      addSkip: Option[Column] = None)
 
   /** Test-only injection point: runs after a DML operation computed its
     * plan from a pinned snapshot and before its commit — a spec installs
@@ -2204,6 +2248,11 @@ object DeltaLog {
       cfg: scala.collection.Map[String, String]): Unit = {
     val f = fs(spark, table)
     val serializable = isolationOf(cfg) == "Serializable"
+    // winner adds this txn "should have read": checked against the
+    // txn's read predicate (addSkip) in ONE small local job at the end —
+    // a provably non-matching file does not conflict
+    val suspectAdds = Seq.newBuilder[(String, Map[String, String], String)]
+    var suspectCount = 0
     (base + 1 to upTo).foreach { v =>
       val lines =
         try readCommit(f, table, v)
@@ -2245,11 +2294,39 @@ object DeltaLog {
                 "transaction read"))
         }
         if (n.has("add") && n.get("add").path("dataChange").asBoolean(false) &&
-            (serializable || !blind))
-          fail(new ConcurrentAppendException(
-            s"concurrent commit $v added files to $table" +
-              (if (serializable) " under Serializable isolation"
-               else " from a read-modify-write (not a blind append)")))
+            (serializable || !blind)) info.addSkip match {
+          case None =>
+            fail(new ConcurrentAppendException(
+              s"concurrent commit $v added files to $table" +
+                (if (serializable) " under Serializable isolation"
+                 else " from a read-modify-write (not a blind append)")))
+          case Some(_) =>
+            val a = n.get("add")
+            val pv = mutable.Map.empty[String, String]
+            if (a.has("partitionValues") && a.get("partitionValues").isObject) {
+              val it = a.get("partitionValues").fields()
+              while (it.hasNext) {
+                val e = it.next()
+                pv.put(e.getKey, if (e.getValue.isNull) null else e.getValue.asText())
+              }
+            }
+            suspectAdds += ((a.path("path").asText(""), pv.toMap,
+              if (a.has("stats") && !a.get("stats").isNull)
+                a.get("stats").asText() else null))
+            suspectCount += 1
+        }
+      }
+    }
+    if (suspectCount > 0) info.addSkip.foreach { skip =>
+      import spark.implicits._
+      val frame = suspectAdds.result()
+        .toDF("path", "partitionValues", "stats")
+      val overlapping = frame.where(!coalesce(skip, lit(false)))
+        .select("path").limit(1).collect()
+      overlapping.headOption.foreach { r =>
+        throw new ConcurrentAppendException(
+          s"concurrent commit added ${r.getString(0)} to $table, whose " +
+            "stats may match rows this transaction read")
       }
     }
   }
@@ -2485,7 +2562,8 @@ object DeltaLog {
     // it would commit BELOW the checkpoint and be silently ignored by
     // replay
     def nextVersion(): Long = {
-      val prior = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq
+      val prior = listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq ++
+        listCompactions(spark, table).map(_._2)
       if (prior.isEmpty) 0L else prior.max + 1
     }
 
@@ -4460,7 +4538,9 @@ object DeltaLog {
     if (current != snap.version)
       checkConflicts(spark, table, snap.version, current,
         TxnReadInfo(candidates.map(_.path).toSet,
-          merged.map(_._1.path).toSet), snap.configuration)
+          merged.map(_._1.path).toSet,
+          addSkip = zoneSkip(spark, snap, predicate).map(_._2)),
+        snap.configuration)
     val version = current + 1
     // commitInfo built against the FINAL version: a rebased commit's
     // in-commit timestamp must stay monotonic over the commits it
@@ -4554,7 +4634,8 @@ object DeltaLog {
         "setColumns" -> set.keys.toSeq.sorted.mkString(",")),
       cdc = cdcFrame,
       readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
-        touched.map(_.path).toSet)))
+        touched.map(_.path).toSet,
+        addSkip = zoneSkip(spark, snap, predicate).map(_._2))))
   }
 
   /** OPTIMIZE: rewrite the current snapshot into (up to) `targetFiles`
@@ -4657,10 +4738,12 @@ object DeltaLog {
       removePaths = _ => candidates.map(_.path), widenSchema = false,
       dataChange = false,
       operation = "OPTIMIZE", baseVersion = Some(snap.version),
-      // rebase over concurrent blind appends: the compaction set is
-      // fixed, and an appended file simply misses this bin-pack
+      // rebase over ANY concurrent add: the compaction set is fixed and
+      // a pure rewrite read nothing else — an appended file (blind or
+      // from a rewrite) simply misses this bin-pack. Only remove-overlap
+      // or metadata changes conflict.
       readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
-        candidates.map(_.path).toSet)))
+        candidates.map(_.path).toSet, addSkip = Some(lit(true)))))
   }
 
   /** Default VACUUM retention: 7 days, matching Delta's

@@ -143,15 +143,44 @@ class ConcurrencySpec extends SparkSpec
       .contains("x"))
   }
 
-  test("Serializable isolation: even a blind append forces recompute") {
+  test("Serializable isolation: a blind append MATCHING the predicate recomputes") {
+    val t = fresh()
+    seed(t, " TBLPROPERTIES ('delta.isolationLevel'='Serializable')")
+    val attempts = raceOnce(() =>
+      DeltaLog.write(spark, Seq((1L, "dup")).toDF("k", "v"), t, mode = "append"))
+    DeltaLog.updateWhere(spark, t, col("k") === 1L, Map("v" -> lit("A")))
+    // the appended k=1 row's stats overlap the predicate → conflict →
+    // recompute, which then updates BOTH k=1 rows (serial history)
+    assert(attempts() == 2)
+    val got = DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "A"), (2L, "b")))
+  }
+
+  test("Serializable isolation: a provably disjoint blind append rebases") {
     val t = fresh()
     seed(t, " TBLPROPERTIES ('delta.isolationLevel'='Serializable')")
     val attempts = raceOnce(() =>
       DeltaLog.write(spark, Seq((9L, "z")).toDF("k", "v"), t, mode = "append"))
     DeltaLog.updateWhere(spark, t, col("k") === 1L, Map("v" -> lit("A")))
-    assert(attempts() == 2)
+    // stats of the appended file (k: 9..9) prove it cannot match k=1 —
+    // no conflict even under Serializable (stats-precise checking)
+    assert(attempts() == 1)
     val got = DeltaLog.read(spark, t).as[(Long, String)].collect().toMap
     assert(got == Map(1L -> "A", 2L -> "b", 9L -> "z"))
+  }
+
+  test("UPDATEs on provably disjoint keys commute without recompute") {
+    val t = fresh(); seed(t)
+    DeltaLog.write(spark, Seq((9L, "z")).toDF("k", "v"), t, mode = "append")
+    val attempts = raceOnce(() => {
+      DeltaLog.updateWhere(spark, t, col("k") === 9L, Map("v" -> lit("Z9"))); ()
+    })
+    // the winner rewrote the k=9 file (non-blind); its new file's stats
+    // (k: 9..9) prove no overlap with this UPDATE's k=1 read — rebase
+    DeltaLog.updateWhere(spark, t, col("k") === 1L, Map("v" -> lit("A")))
+    assert(attempts() == 1)
+    val got = DeltaLog.read(spark, t).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "A", 2L -> "b", 9L -> "Z9"))
   }
 
   test("checkConflicts classifies each conflict with its typed exception") {
