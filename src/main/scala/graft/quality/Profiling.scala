@@ -160,5 +160,71 @@ object Profiling {
         col("l_extendedprice"), z.as("z"), (abs(z) > 1.5).as("is_outlier"))
   }
 
-  val all: Seq[QueryDef] = Seq(qProfile, qHistogram, qOutliers)
+  /** Distribution-drift report between two populations — the data-
+    * quality monitor every production pipeline runs between a baseline
+    * snapshot and today's load (PSI-family). Per fixed equi-width bin:
+    * both populations' counts and shares, plus the total-variation
+    * distance `TVD = ½ Σ |p_i − q_i|` stamped on every row.
+    *
+    * Determinism recipe: the TVD numerator is computed in EXACT integer
+    * arithmetic — `|n_base·NC − n_cur·NB|` as DECIMAL(38,0), summed
+    * (order-independent, unlike a float Σ) — and only the final
+    * division is double, in a fixed operation order both engines
+    * evaluate identically. ln-based PSI is deliberately avoided: libm
+    * `ln` is not guaranteed cross-engine bit-identical; TVD bounds it
+    * (Pinsker) with +,−,×,÷ only.
+    *
+    * Scale: one scan into a 12-group aggregate; the two crossJoins
+    * broadcast 1-row frames. Nothing beyond counters ever shuffles. */
+  val qDrift: QueryDef = {
+    val nb = 12
+    val w = 50000
+    QueryDef.sql(
+      "q_profile_drift",
+      s"""WITH q AS (
+         |  SELECT least(CAST(floor(o_totalprice / $w) AS BIGINT), ${nb - 1}) AS bin,
+         |    o_custkey % 3 = 0 AS is_base
+         |  FROM orders
+         |), g AS (
+         |  SELECT bin,
+         |    count(*) FILTER (WHERE is_base) AS n_base,
+         |    count(*) FILTER (WHERE NOT is_base) AS n_cur
+         |  FROM q GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(n_base) AS BIGINT) AS nb, CAST(sum(n_cur) AS BIGINT) AS nc FROM g
+         |), d AS (
+         |  SELECT g.*, nb, nc,
+         |    abs(CAST(n_base AS DECIMAL(38,0)) * CAST(nc AS DECIMAL(38,0))
+         |      - CAST(n_cur AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))) AS num
+         |  FROM g CROSS JOIN tot
+         |), s AS (
+         |  SELECT CAST(sum(num) AS DECIMAL(38,0)) AS totnum FROM d
+         |)
+         |SELECT bin, n_base, n_cur,
+         |  CAST(n_base AS DOUBLE) / CAST(nb AS DOUBLE) AS share_base,
+         |  CAST(n_cur AS DOUBLE) / CAST(nc AS DOUBLE) AS share_cur,
+         |  CAST(totnum AS DOUBLE) / (2.0 * CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE)) AS tvd
+         |FROM d CROSS JOIN s""".stripMargin) { (spark, dir) =>
+      val q = Tables.orders(spark, dir).select(
+        least(floor(col("o_totalprice") / w).cast("long"), lit((nb - 1).toLong)).as("bin"),
+        (col("o_custkey") % 3 === 0).as("is_base"))
+      val g = q.groupBy(col("bin")).agg(
+        sum(when(col("is_base"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("n_cur"))
+      val tot = g.agg(sum(col("n_base")).as("nb"), sum(col("n_cur")).as("nc"))
+      val d = g.crossJoin(broadcast(tot))
+        .withColumn("num", abs(
+          col("n_base").cast("decimal(38,0)") * col("nc").cast("decimal(38,0)") -
+            col("n_cur").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)")))
+      val s = d.agg(sum(col("num")).cast("decimal(38,0)").as("totnum"))
+      d.crossJoin(broadcast(s)).select(
+        col("bin"), col("n_base"), col("n_cur"),
+        (col("n_base").cast("double") / col("nb").cast("double")).as("share_base"),
+        (col("n_cur").cast("double") / col("nc").cast("double")).as("share_cur"),
+        (col("totnum").cast("double") /
+          (lit(2.0) * col("nb").cast("double") * col("nc").cast("double"))).as("tvd"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(qProfile, qHistogram, qOutliers, qDrift)
 }

@@ -3131,6 +3131,7 @@ object DeltaLog {
     maybeAutoCheckpoint(spark, table, committed, effConfig)
     maybeLogCompact(spark, table, committed, effConfig)
     maybeAutoCompact(spark, table, operation, dataChange, effConfig)
+    maybeSymlinkManifest(spark, table, dataChange, effConfig)
     committed
   }
 
@@ -4745,6 +4746,73 @@ object DeltaLog {
       readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
         candidates.map(_.path).toSet, addSkip = Some(lit(true)))))
   }
+
+  /** `GENERATE symlink_format_manifest` — Delta's Presto/Trino/Athena
+    * compatibility surface: `_symlink_format_manifest/[<k=v>/…]manifest`
+    * text files listing the absolute URIs of the snapshot's live parquet
+    * files (one manifest per partition directory), which Hive-protocol
+    * engines read via SymlinkTextInputFormat. Refuses on tables carrying
+    * deletion vectors — a manifest reader would include the deleted rows
+    * (delta-spark refuses identically); REORG … APPLY (PURGE) first.
+    *
+    * Scale: the file→manifest grouping and the manifest WRITES all run
+    * on executors (one task per partition-dir group); the driver sees
+    * only the total count. Regeneration replaces the whole manifest
+    * tree, so removed partitions cannot leak stale file lists. Auto
+    * mode: `delta.compatibility.symlinkFormatManifest.enabled=true`
+    * regenerates after every dataChange commit, like delta-spark.
+    * Returns the number of listed files. */
+  def generateSymlinkManifest(spark: SparkSession, table: String): Long = {
+    import spark.implicits._
+    val snap = snapshot(spark, table)
+    val dvd = snap.allFiles.where(col("deletionVector").isNotNull)
+      .limit(1).count()
+    require(dvd == 0L,
+      s"GENERATE symlink_format_manifest on $table: the table carries " +
+        "deletion vectors, and a manifest reader would include the deleted " +
+        "rows — run REORG … APPLY (PURGE) first")
+    val f = fs(spark, table)
+    val manifestRoot = new Path(table, "_symlink_format_manifest")
+    if (f.exists(manifestRoot)) f.delete(manifestRoot, true)
+    f.mkdirs(manifestRoot)
+    val rootUri = f.makeQualified(new Path(table)).toString
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val tbl = table
+    val counts = snap.allFiles.select(col("path")).as[String]
+      .map { rel =>
+        val i = rel.lastIndexOf('/')
+        (if (i < 0) "" else rel.substring(0, i), rel)
+      }
+      .toDF("dir", "rel")
+      .groupBy("dir").agg(collect_list(col("rel")).as("rels"))
+      .as[(String, Seq[String])]
+      .map { case (dir, rels) =>
+        val fsys = new Path(tbl).getFileSystem(bcConf.value.value)
+        val root = new Path(tbl, "_symlink_format_manifest")
+        val mdir = if (dir.isEmpty) root else new Path(root, dir)
+        fsys.mkdirs(mdir)
+        val out = fsys.create(new Path(mdir, "manifest"), true)
+        try rels.sorted.foreach(r =>
+          out.write((rootUri + "/" + r + "\n").getBytes("UTF-8")))
+        finally out.close()
+        rels.size.toLong
+      }.toDF("n")
+    counts.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+  }
+
+  /** Post-commit hook for the symlink-manifest auto mode. Best effort:
+    * the commit is durable regardless, and the next GENERATE repairs. */
+  private def maybeSymlinkManifest(spark: SparkSession, table: String,
+      dataChange: Boolean, cfg: scala.collection.Map[String, String]): Unit =
+    if (dataChange && cfg.get("delta.compatibility.symlinkFormatManifest.enabled")
+        .contains("true"))
+      try { generateSymlinkManifest(spark, table); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[delta] symlink manifest of $table failed: ${e.getMessage}")
+      }
 
   /** Default VACUUM retention: 7 days, matching Delta's
     * `deletedFileRetentionDuration` default. */

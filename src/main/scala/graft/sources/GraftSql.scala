@@ -48,6 +48,9 @@ import org.apache.spark.sql.functions._
   *     [[DeltaLog.replaceWhere]] (selective overwrite).
   *   - `TABLE_CHANGES(delta.`/p/t`, from, to)` inside any SELECT →
   *     [[DeltaLog.changesRange]] (the CDF batch function).
+  *   - `GENERATE symlink_format_manifest FOR TABLE delta.`/p/t`` →
+  *     [[DeltaLog.generateSymlinkManifest]] (Presto/Trino/Athena
+  *     manifests).
   *
   * DML/maintenance statements return a one-row frame with the committed
   * version (or files removed, for VACUUM) — the same shape Delta's SQL
@@ -99,6 +102,8 @@ object GraftSql {
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]+)\))?(\s+NO\s+STATISTICS)?\s*""").r
   private val ConvertIceberg =
     """(?is)\s*CONVERT\s+TO\s+DELTA\s+iceberg\.`([^`]+)`\s*""".r
+  private val GenerateManifest =
+    """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+delta\.`([^`]+)`\s*""".r
   private val Vacuum = """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s*""".r
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+delta\.`([^`]+)`\s*""".r
   private val ShowProps =
@@ -610,6 +615,11 @@ object GraftSql {
         DeltaLog.convertToDelta(spark, path, pb, collectStats = noStats == null))
     case ConvertIceberg(path) =>
       version(spark, DeltaLog.convertIcebergToDelta(spark, path))
+    // GENERATE symlink_format_manifest: Presto/Trino/Athena manifests
+    case GenerateManifest(path) =>
+      val n = DeltaLog.generateSymlinkManifest(spark, path)
+      import spark.implicits._
+      Seq(n).toDF("files_listed")
     // VACUUM ... LITE: log-driven reclamation, no table listing
     case VacuumLiteRetain(path, hours, dry) =>
       val n = DeltaLog.vacuumLite(spark, path,
