@@ -1528,6 +1528,39 @@ object DeltaLog {
     readEntries(spark, table, entries, snap.schema, snap.columnMappingMode)
   }
 
+  /** First schema-CHANGING metaData commit in `(fromV, toV]` relative to
+    * `baseline`, comparing names/types/nullability only — field METADATA
+    * churns on perfectly ordinary commits (identity high-water marks
+    * advance inside schema metadata on every identity append) and is NOT
+    * a schema change. The streaming sources fail loudly on a hit:
+    * Delta's streaming contract fixes the schema at stream start, and an
+    * evolution (ADD COLUMNS, widening, RENAME) requires a restart to
+    * pick up the new shape — silently projecting old columns would drop
+    * the new data, and a widened type would break the declared source
+    * schema mid-stream. */
+  private[graft] def schemaChangeIn(spark: SparkSession, table: String,
+      fromV: Long, toV: Long, baseline: StructType): Option[(Long, StructType)] = {
+    def strip(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, strip(f.dataType), f.nullable)))
+      case a: ArrayType => a.copy(elementType = strip(a.elementType))
+      case m: MapType =>
+        m.copy(keyType = strip(m.keyType), valueType = strip(m.valueType))
+      case other => other
+    }
+    val f = fs(spark, table)
+    val have = listVersions(spark, table).toSet
+    val base = strip(baseline)
+    ((fromV + 1) to toV).iterator.flatMap { v =>
+      if (!have.contains(v)) Iterator.empty
+      else readCommit(f, table, v).iterator.collect {
+        case a if a.has("metaData") && a.get("metaData").has("schemaString") =>
+          (v, DataType.fromJson(a.get("metaData").get("schemaString").asText())
+            .asInstanceOf[StructType])
+      }.filter { case (_, st) => strip(st) != base }
+    }.nextOption()
+  }
+
   /** Row-level change feed for the commits in `(fromVersion, toVersion]`:
     * every row VISIBLE in a file removed by a window commit surfaces as
     * `_change_type='delete'` and every row visible in an added file as
@@ -5158,8 +5191,16 @@ object DeltaLog {
     // the root's first level; executors walk their directories — a
     // Hive-partitioned 100 TB table lists its thousands of partition
     // dirs concurrently instead of one driver RemoteIterator.
+    // underscore/hidden trees are engine metadata (the log, the bloom
+    // index sidecar, symlink manifests) — never vacuum candidates, and
+    // not worth walking. The ONE carve-out is `_change_data`: its cdc
+    // parquet must stay reclaimable once the referencing commits are
+    // checkpointed away (delta-spark's exact policy).
     val top = f.listStatus(tableRootQ).toSeq
-      .filterNot(_.getPath.getName == "_delta_log")
+      .filter { st =>
+        val n = st.getPath.getName
+        n == ChangeDataDir || (!n.startsWith("_") && !n.startsWith("."))
+      }
     val rootUri = tableRootQ.toUri
     def relOf(p: Path): String = rootUri.relativize(p.toUri).getPath
     val topFileRows: Seq[(String, Long)] = top.filter(_.isFile)
@@ -5199,7 +5240,10 @@ object DeltaLog {
     val isData = col("rel").endsWith(".parquet")
     val isSidecar = element_at(split(col("rel"), "/"), -1)
       .startsWith("deletion_vector_") && col("rel").endsWith(".bin")
-    val visible = !col("rel").startsWith("_delta_log") &&
+    // belt over the listing filter above: same underscore/hidden policy
+    // with the _change_data carve-out, applied per relative path
+    val visible = (col("rel").startsWith(s"$ChangeDataDir/") ||
+        !col("rel").startsWith("_")) &&
       !col("rel").contains("/.") && !col("rel").startsWith(".")
     val keepCdc = if (liveCdc.isEmpty) lit(false) else col("rel").isin(liveCdc: _*)
     val keepSidecar =

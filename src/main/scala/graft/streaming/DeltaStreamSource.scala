@@ -91,6 +91,15 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
 
   private def addsOf(v: Long): IndexedSeq[DeltaLog.FileEntry] =
     addsCache.getOrElseUpdate(v, {
+      // Delta's streaming contract: schema fixed at stream start; a
+      // schema-evolving commit fails the stream loudly (a restart picks
+      // up the new shape) instead of silently dropping new columns
+      DeltaLog.schemaChangeIn(spark, table, v - 1, v, schema).foreach {
+        case (cv, ns) => throw new IllegalStateException(
+          s"graft-delta stream on $table: schema changed at version $cv " +
+            s"(stream started with ${schema.simpleString}, table now " +
+            s"${ns.simpleString}) — restart the stream to pick up the new schema")
+      }
       val sized = DeltaLog.addedFileEntriesSized(spark, table, v - 1, v, skipChangeCommits)
         .sortBy(_._1.path).toIndexedSeq
       DeltaStreamSource.meterCollect(sized.size)
@@ -360,6 +369,9 @@ final class DeltaCdfStreamSource(ctx: SQLContext, table: String,
     require(n > 0, s"maxCommitsPerTrigger must be positive, got $n"))
 
   override val schema: StructType = DeltaCdfStreamSource.schemaOf(ctx, table)
+  /** The base table schema the stream anchored on (without the _change
+    * columns) — what a schema-evolving commit is compared against. */
+  private val baseSchema: StructType = DeltaStreamSource.schemaOf(ctx, table)
 
   /** One before the first version whose changes stream: the requested
     * `startingVersion`, else the table's current head (Delta's default —
@@ -401,6 +413,15 @@ final class DeltaCdfStreamSource(ctx: SQLContext, table: String,
     val e = parseV(end)
     if (e > highWater) highWater = e // restart recovery
     val s = start.map(parseV).getOrElse(initialFrom)
+    // same streaming contract as the base source: a schema-evolving
+    // commit inside the batch window fails the stream for a restart
+    if (s < e)
+      DeltaLog.schemaChangeIn(spark, table, s, e, baseSchema).foreach {
+        case (cv, ns) => throw new IllegalStateException(
+          s"graft-delta CDF stream on $table: schema changed at version $cv " +
+            s"(stream started with ${baseSchema.simpleString}, table now " +
+            s"${ns.simpleString}) — restart the stream to pick up the new schema")
+      }
     // per-commit emission (the CDF contract stamps each row with ITS
     // commit); every term is O(that commit's touched files)
     val df =

@@ -290,6 +290,29 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.vacuum(spark, t, keepVersions = 1, retainMillis = 0L) == 0)
   }
 
+  test("vacuum never touches engine metadata trees (bloom index, manifests)") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L, 2L, 3L).toDF("x").coalesce(1), t)
+    DeltaLog.write(spark, Seq(4L).toDF("x"), t, "append")
+    graft.sources.BloomIndex.create(spark, t, Seq("x"))
+    DeltaLog.generateSymlinkManifest(spark, t)
+    // supersede both data files so vacuum has real work to do
+    DeltaLog.optimize(spark, t)
+    val deleted = DeltaLog.vacuum(spark, t, keepVersions = 1, retainMillis = 0L)
+    assert(deleted == 2, s"deleted $deleted")
+    // the bloom sidecar (parquet under _graft_index) and the symlink
+    // manifests survived — underscore trees are engine metadata, not
+    // vacuum candidates (the _change_data carve-out keeps its own
+    // coverage in CdfWriteSpec)
+    val bloomParts = Option(new java.io.File(s"$t/_graft_index/bloom")
+      .listFiles()).toSeq.flatten.filter(_.getName.endsWith(".parquet"))
+    assert(bloomParts.nonEmpty, "vacuum deleted the bloom index sidecar")
+    assert(new java.io.File(s"$t/_symlink_format_manifest/manifest").exists(),
+      "vacuum deleted the symlink manifest")
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
+
   test("vacuum keepVersions=2 preserves the previous snapshot's files") {
     val t = freshTable()
     DeltaLog.write(spark, Seq(1L, 2L).toDF("x").coalesce(1), t) // v0

@@ -430,4 +430,53 @@ class StreamingMedallionSpec extends SparkSpec {
     // v0: 3 inserts; v1 rewrite: 3 deletes + 3 inserts; v2 DV: 1 delete
     assert(byType == Map("insert" -> 6, "delete" -> 4), byType.toString)
   }
+
+  test("a schema-evolving commit fails the stream loudly, not silently") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-schchg-").toString
+    val src = s"$base/src"
+    graft.sources.DeltaLog.write(spark,
+      Seq((1L, "a")).toDF("k", "v"), src)
+    val q = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$base/ckpt")
+      .start()
+    q.processAllAvailable() // initial snapshot consumed under (k, v)
+    // evolve WHILE the stream runs: widened append adds a column —
+    // projecting the old shape would silently drop the new data
+    graft.sources.DeltaLog.write(spark,
+      Seq((2L, "b", 7L)).toDF("k", "v", "extra"), src, mode = "append")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination(30000)
+      ()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("schema changed"))), e.toString)
+
+    // ordinary commits that merely RE-DECLARE metadata (identity
+    // high-water advance in field METADATA, property sets) keep
+    // streaming fine — names/types/nullability are what count
+    val src2 = s"$base/src2"
+    graft.sources.GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$src2` (sk BIGINT GENERATED ALWAYS AS IDENTITY, " +
+        "v STRING)")
+    val got = new java.util.concurrent.atomic.AtomicLong
+    val q2 = spark.readStream.format("graft-delta").load(src2)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        got.addAndGet(b.count()); ()
+      }
+      .option("checkpointLocation", s"$base/ckpt2")
+      .start()
+    q2.processAllAvailable()
+    graft.sources.DeltaLog.write(spark, Seq("a").toDF("v"), src2, mode = "append")
+    q2.processAllAvailable()
+    graft.sources.DeltaLog.write(spark, Seq("b").toDF("v"), src2, mode = "append")
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got.get() == 2L)
+  }
 }
