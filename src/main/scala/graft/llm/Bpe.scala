@@ -60,11 +60,30 @@ object Bpe {
 
   /** Learn `k` merges from the corpus' text column. Deterministic:
     * argmax ties break on (pair) lexical order. Stops early when no
-    * adjacent pair repeats (`minCount` floor). */
-  def train(docs: DataFrame, text: Column, k: Int, minCount: Long = 2L): Seq[Merge] = {
-    var vocab = docs
+    * adjacent pair repeats (`minCount` floor).
+    *
+    * Two physically different paths, ONE semantics (the spec asserts
+    * they learn identical tables): when the distinct-word vocabulary
+    * fits under `driverVocabMax` it collects ONCE and the k merge
+    * rounds run as a driver loop — one Spark job total instead of 2k.
+    * Vocabularies above the threshold (10⁶–10⁷ words at web scale)
+    * keep the distributed per-round aggregation, whose driver state is
+    * the merge table alone. The corpus itself is never collected on
+    * either path — only the Zipf-compressed (word, freq) table. */
+  def train(docs: DataFrame, text: Column, k: Int, minCount: Long = 2L,
+      driverVocabMax: Int = 1 << 20): Seq[Merge] = {
+    val wordFreq = docs
       .select(explode(Portable.tokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // take(max+1) returns the WHOLE vocab iff it has <= max rows — the
+    // path decision and the fast path's input are the same single job
+    val head =
+      if (driverVocabMax <= 0) Array.empty[org.apache.spark.sql.Row]
+      else wordFreq.take(driverVocabMax + 1)
+    if (driverVocabMax > 0 && head.length <= driverVocabMax)
+      return trainLocal(
+        head.map(r => (r.getString(0), r.getLong(1))), k, minCount)
+    var vocab = wordFreq
       .select(initialSymbols(col("w")).as("syms"), col("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val merges = Seq.newBuilder[Merge]
@@ -91,6 +110,72 @@ object Bpe {
     }
     prev.foreach(_.unpersist())
     vocab.unpersist()
+    merges.result()
+  }
+
+  /** UTF-8 byte order — what Spark's string ORDER BY compares (UTF8String
+    * is byte-wise); Java's compareTo is UTF-16 code-unit order and the
+    * two disagree between U+E000..U+FFFF and supplementary planes, so the
+    * driver loop must compare the same way the cluster loop does. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The k merge rounds as a driver loop over a collected (word, freq)
+    * vocabulary — step-for-step the distributed algorithm: the same
+    * adjacent-pair frequency count (every index, overlaps included), the
+    * same (n desc, a, b) argmax tie-break in UTF-8 byte order, the same
+    * left-to-right non-overlapping re-symbolization, the same minCount
+    * stop. */
+  private def trainLocal(vocabIn: Array[(String, Long)], k: Int,
+      minCount: Long): Seq[Merge] = {
+    var vocab: Array[(Array[String], Long)] = vocabIn.map { case (w, f) =>
+      ((w.split("") :+ EndOfWord).filter(_.nonEmpty), f)
+    }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          counts.merge((syms(i), syms(i + 1)), f, _ + _)
+          i += 1
+        }
+      }
+      var best: ((String, String), Long) = null
+      counts.forEach { (p, n) =>
+        if (best == null || n > best._2 || (n == best._2 &&
+            (utf8Lt(p._1, best._1._1) || (p._1 == best._1._1 &&
+              utf8Lt(p._2, best._1._2))))) best = (p, n)
+      }
+      if (best == null || best._2 < minCount) done = true
+      else {
+        val (a, b) = best._1
+        merges += Merge(a, b, rank)
+        val joined = a + b
+        vocab = vocab.map { case (syms, f) =>
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          syms.foreach { s =>
+            if (out.nonEmpty && out.last == a && s == b)
+              out(out.length - 1) = joined
+            else out += s
+          }
+          (out.toArray, f)
+        }
+        rank += 1
+      }
+    }
     merges.result()
   }
 

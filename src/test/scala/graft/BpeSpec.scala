@@ -40,6 +40,23 @@ class BpeSpec extends SparkSpec {
     assert(got("aa") == Seq("aa", "</w>"), got)
   }
 
+  test("driver fast path and distributed rounds learn identical merge tables") {
+    // same semantics, two physical paths: driverVocabMax = 0 forces the
+    // distributed per-round aggregation; the default collects the vocab
+    val words =
+      Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    val golden = words.grouped(4).map(_.mkString(" ")).toSeq.toDF("text")
+    val gLocal = Bpe.train(golden, col("text"), k = 4, minCount = 2L)
+    val gDist = Bpe.train(golden, col("text"), k = 4, minCount = 2L,
+      driverVocabMax = 0)
+    assert(gLocal == gDist, s"$gLocal vs $gDist")
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val local = Bpe.train(docs, col("text"), k = 6)
+    val dist = Bpe.train(docs, col("text"), k = 6, driverVocabMax = 0)
+    assert(local == dist, s"$local vs $dist")
+  }
+
   test("encode round-trips: concatenated tokens reproduce each word; stats deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val merges = Bpe.train(docs, col("text"), k = 8)
