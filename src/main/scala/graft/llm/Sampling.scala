@@ -283,6 +283,69 @@ object Sampling {
     }
   }
 
+  /** Deterministic global shuffle-shard for training export: the last
+    * mile of every pretraining pipeline is "write the corpus as N shards
+    * in pseudo-random order". A `rand()` shuffle or `ORDER BY rand()`
+    * is neither reproducible nor append-stable, and a true global sort
+    * of 100 TB is a needless all-to-all; a seeded content-hash key gives
+    * shard = key mod N and an intra-shard order that is pseudorandom,
+    * reproducible run-over-run, and computable per-row. The rank window
+    * is partitioned by shard, so parallelism = N shards and no global
+    * sort exists at any corpus size — the export writer pairs this with
+    * `partitionBy(shard)` + `sortWithinPartitions(pos)`, one exchange
+    * total. */
+  val qShuffleShard: QueryDef = {
+    val shards = 8
+    val seed = "graft:shuffle:42"
+    QueryDef.sql(
+      "q_corpus_shuffle",
+      s"""SELECT doc_id, shard, row_number() OVER w AS pos
+         |FROM (SELECT doc_id,
+         |        ${h60Sql(s"(CAST(doc_id AS VARCHAR) || ':$seed')")} % $shards AS shard,
+         |        ${h60Sql(s"(CAST(doc_id AS VARCHAR) || ':$seed')")} AS skey
+         |      FROM documents)
+         |WINDOW w AS (PARTITION BY shard ORDER BY skey, doc_id)""".stripMargin) {
+      (spark, dir) =>
+        val skey = h60(concat(col("doc_id").cast("string"), lit(s":$seed")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), (skey % shards).as("shard"), skey.as("skey"))
+          .withColumn("pos", row_number().over(w))
+          .select(col("doc_id"), col("shard"), col("pos"))
+    }
+  }
+
+  /** Per-domain contribution caps: pretraining mixes cap how much any
+    * one source/domain contributes (a handful of giant crawl domains
+    * would otherwise dominate the mixture). Rank within each source by
+    * content hash — an unbiased fixed-size uniform sample per domain,
+    * equivalent to a seeded reservoir — and keep rank ≤ cap. The window
+    * partitions by source, so at web scale (millions of domains) every
+    * partition is small and there is no global ordering anywhere; a
+    * single pathological mega-domain is exactly the AQE skew-split
+    * case, and the rank it computes is still per-domain-local. */
+  val qDomainCap: QueryDef = {
+    val cap = 10
+    QueryDef.sql(
+      "q_corpus_domain_cap",
+      s"""SELECT doc_id, source, r AS source_rank,
+         |  CASE WHEN r <= $cap THEN 'kept' ELSE 'capped' END AS status
+         |FROM (SELECT doc_id, source,
+         |        row_number() OVER (PARTITION BY source ORDER BY ${h60Sql("text")}, doc_id) AS r
+         |      FROM documents)""".stripMargin) {
+      (spark, dir) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(h60(col("text")), col("doc_id"))
+        Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"),
+            row_number().over(w).as("r"))
+          .select(col("doc_id"), col("source"), col("r").as("source_rank"),
+            when(col("r") <= cap, "kept").otherwise("capped").as("status"))
+    }
+  }
+
   val all: Seq[QueryDef] =
-    Seq(qSplit, qPacking, qStratified, qTemperature, qChunking, qCorpusMix, qBudget)
+    Seq(qSplit, qPacking, qStratified, qTemperature, qChunking, qCorpusMix,
+      qBudget, qShuffleShard, qDomainCap)
 }
