@@ -269,13 +269,13 @@ object IcebergTable {
       |]}""".stripMargin.replace("|", ""))
 
   private def writeAvro(f: FileSystem, dest: Path, schema: AvroSchema,
-      records: Seq[GenericRecord]): Long = {
+      records: IterableOnce[GenericRecord]): Long = {
     val local = java.io.File.createTempFile("graft-iceberg-w-", ".avro")
     try {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, local)
-      try records.foreach(w.append) finally w.close()
+      try records.iterator.foreach(w.append) finally w.close()
       f.mkdirs(dest.getParent)
       f.copyFromLocalFile(false, true, new Path(local.getAbsolutePath), dest)
       local.length()
@@ -439,18 +439,20 @@ object IcebergTable {
     val f = fs(spark, table)
     val root = f.makeQualified(new Path(table))
     val mdir = new Path(root, "metadata")
-    // live files + per-file counts from the DISTRIBUTED frame: only
-    // (path, size, numRecords) triples reach the driver — the same
-    // O(files) the manifest itself costs
+    // live files + per-file counts from the DISTRIBUTED frame, STREAMED
+    // one partition at a time into the manifest writer — the driver
+    // never holds the full (path, size, numRecords) list (10⁶ files ≈
+    // hundreds of MB if collected); the DV guard is a distributed count
     import org.apache.spark.sql.functions.{col, get_json_object}
-    val rows = snap.allFiles
-      .select(col("path"), col("size"),
-        get_json_object(col("stats"), "$.numRecords").cast("long").as("rc"),
-        col("deletionVector.storageType").as("dvst"))
-      .collect()
-    require(rows.forall(_.isNullAt(3)),
+    val dvFiles = snap.allFiles
+      .where(col("deletionVector.storageType").isNotNull).count()
+    require(dvFiles == 0L,
       s"mirrorDelta: $table carries deletion vectors — Iceberg needs v2 " +
         "delete files to express them; REORG ... APPLY (PURGE) first")
+    val rowIter = snap.allFiles
+      .select(col("path"), col("size"),
+        get_json_object(col("stats"), "$.numRecords").cast("long").as("rc"))
+      .toLocalIterator()
     val existing: Option[ObjectNode] =
       if (!isIcebergTable(spark, table)) None
       else Some(mapper.readTree(readText(f, currentMetadataPath(f, table)))
@@ -462,7 +464,7 @@ object IcebergTable {
 
     val mSchema = manifestAvroSchema
     val dfSchema = mSchema.getField("data_file").schema()
-    val entries = rows.map { r =>
+    val entries = rowIter.asScala.map { r =>
       val e = new GenericData.Record(mSchema)
       e.put("status", 1)
       e.put("snapshot_id", snapshotId)
@@ -475,7 +477,7 @@ object IcebergTable {
       e
     }
     val manifestPath = new Path(mdir, s"manifest-$version-$nonce.avro")
-    val mLen = writeAvro(f, manifestPath, mSchema, entries.toSeq)
+    val mLen = writeAvro(f, manifestPath, mSchema, entries)
     val mlSchema = manifestListAvroSchema
     val mlRec = new GenericData.Record(mlSchema)
     mlRec.put("manifest_path", manifestPath.toString)
