@@ -115,6 +115,16 @@ object DeltaLog {
       // none) — drives delta.setTransactionRetentionDuration expiry
       txnTimes: Map[String, Long] = Map.empty) {
 
+    /** Version of the last whole-scope clustering OPTIMIZE, from the
+      * `graft.clustering.progress` domain — the O(1) state behind
+      * incremental clustering (None until the first bare OPTIMIZE). */
+    lazy val clusteringProgress: Option[Long] =
+      domainMetadata.get("graft.clustering.progress").flatMap { cfg =>
+        val n = mapper.readTree(cfg)
+        if (n.has("lastClustered")) Some(n.get("lastClustered").asLong())
+        else None
+      }
+
     /** Clustering columns from the `delta.clustering` metadata domain
       * (Delta's liquid-clustering declaration; empty when unclustered). */
     lazy val clusteringColumns: Seq[String] =
@@ -2586,7 +2596,10 @@ object DeltaLog {
       // (declared in commitInfo so OTHER writers' conflict checks can
       // rebase over it)
       readInfo: Option[TxnReadInfo] = None,
-      blindAppend: Boolean = false): Long = {
+      blindAppend: Boolean = false,
+      // version-dependent actions appended after the data actions (the
+      // final version is only known post-rebase)
+      extraActionsAt: Long => Seq[String] = _ => Nil): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -3112,6 +3125,10 @@ object DeltaLog {
           s""""configuration":${jsonStr(s"""{"rowIdHighWaterMark":${rtNext - 1}}""")},""" +
           """"removed":false}}"""
       cdcActions.foreach(actions += _)
+      // caller-supplied actions that depend on the FINAL version (a
+      // rebase may have moved it past the pin) — e.g. the clustering
+      // progress domain records the commit it lands in
+      extraActionsAt(version).foreach(actions += _)
       (txn.toSeq ++ extraTxns).foreach { case (appId, v) =>
         actions += s"""{"txn":{"appId":${jsonStr(appId)},"version":$v,"lastUpdated":$now}}"""
       }
@@ -4691,17 +4708,50 @@ object DeltaLog {
   def optimize(spark: SparkSession, table: String, targetFiles: Int = 1,
       zorderBy: Seq[String] = Seq.empty,
       minFileSize: Long = Long.MaxValue,
-      where: Option[Column] = None): Long = {
+      where: Option[Column] = None,
+      full: Boolean = false): Long = {
     val snap = snapshot(spark, table)
+    // Incremental liquid clustering: once a clustered table has been
+    // through one whole-scope OPTIMIZE (recorded as `lastClustered` in
+    // the graft.clustering.progress domain — O(1) state), the next bare
+    // OPTIMIZE clusters ONLY the files that arrived since, into a new
+    // zcube. That is the property that makes nightly OPTIMIZE cost
+    // O(day's ingest) instead of O(100 TB table). `OPTIMIZE … FULL`
+    // (delta-spark's verb) forces the whole-table rewrite — the layout
+    // reset after enough incremental zcubes accumulate or the
+    // clustering columns change.
+    val recordProgress = where.isEmpty && zorderBy.isEmpty &&
+      minFileSize == Long.MaxValue && snap.clusteringColumns.nonEmpty
+    val incrementalBasis: Option[Long] =
+      if (!recordProgress || full) None else snap.clusteringProgress
     // OPTIMIZE ... WHERE: partition-scoped maintenance — the verb a
     // 100 TB deployment actually runs (compact yesterday's partition,
     // not the table). The predicate must reference partition columns
     // ONLY, because only then is file pruning EXACT (min = max = the
     // directory value) — a data-column predicate would make the rewrite
     // scope depend on best-effort zone maps.
-    val scoped: Seq[FileEntry] = where match {
-      case None => snap.fileEntries
-      case Some(p) =>
+    val scoped: Seq[FileEntry] = (incrementalBasis, where) match {
+      case (Some(basis), _) =>
+        // new-since-clustering = live(now) \ live(basis-1) \ adds(basis):
+        // the middle term drops everything the last clustering already
+        // covered, the third drops its own zcube output. If the log was
+        // cleaned past basis-1, degrade to live(now) \ live(basis) — a
+        // file that RACED the clustering commit then stays unclustered
+        // until FULL (bounded: one commit's worth of appends).
+        def liveNotAt(v: Long): Seq[String] = {
+          val prevLive = snapshot(spark, table, Some(v)).allFiles.select("path")
+          snap.allFiles.join(prevLive, Seq("path"), "left_anti")
+            .select("path").collect().map(_.getString(0)).toSeq
+        }
+        val newPaths: Seq[String] = scala.util.Try {
+          val cubeAdds = readCommit(fs(spark, table), table, basis)
+            .filter(_.has("add")).map(_.get("add").get("path").asText()).toSet
+          liveNotAt(basis - 1).filterNot(cubeAdds)
+        }.orElse(scala.util.Try(liveNotAt(basis)))
+          .getOrElse(snap.fileEntries.map(_.path)) // log cleaned: full scope
+        snap.entriesFor(newPaths)
+      case (None, None) => snap.fileEntries
+      case (None, Some(p)) =>
         val schema = snap.schema.getOrElse(sys.error(s"no schema at $table"))
         val refs = spark
           .createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
@@ -4777,7 +4827,13 @@ object DeltaLog {
       // from a rewrite) simply misses this bin-pack. Only remove-overlap
       // or metadata changes conflict.
       readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
-        candidates.map(_.path).toSet, addSkip = Some(lit(true)))))
+        candidates.map(_.path).toSet, addSkip = Some(lit(true)))),
+      // whole-scope clustering records its own commit as the new
+      // incremental basis — atomically, in the same commit
+      extraActionsAt = v =>
+        if (!recordProgress) Nil
+        else Seq(s"""{"domainMetadata":{"domain":"graft.clustering.progress",""" +
+          s""""configuration":${jsonStr(s"""{"lastClustered":$v}""")},"removed":false}}"""))
   }
 
   /** `GENERATE symlink_format_manifest` — Delta's Presto/Trino/Athena
@@ -5149,6 +5205,82 @@ object DeltaLog {
         Iterator.single(c)
       }
     }.collect().sum.toInt
+  }
+
+  /** FSCK REPAIR TABLE: drop log references to files that no longer
+    * exist in the filesystem — out-of-band deletions (bucket lifecycle
+    * rules, manual rm, a botched restore) otherwise leave a table whose
+    * every scan fails on FileNotFound forever. delta-spark's semantics:
+    * repaired entries are REMOVED with dataChange=true (rows readers
+    * could previously see are gone, downstream must re-plan), and an
+    * entry whose DV SIDECAR vanished also drops — reading it would
+    * either resurrect deleted rows or fail the frame CRC.
+    *
+    * Scale shape: existence probes run on EXECUTORS over the
+    * distributed file frame — the driver lists nothing and holds only
+    * the MISSING paths (normally zero or a handful); the repair commit
+    * is O(missing). Probe cost at 10⁶ files is one FS HEAD per file
+    * spread across the cluster — the same order as the scan planning
+    * it repairs. Returns the repaired (or, DRY RUN, reparable)
+    * relative paths. */
+  def fsckRepair(spark: SparkSession, table: String,
+      dryRun: Boolean = false): Seq[String] = withDmlRetry(3) {
+    import spark.implicits._
+    val snap = snapshot(spark, table)
+    val rootStr = fs(spark, table).makeQualified(new Path(table)).toString
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val missing: Seq[String] = snap.allFiles
+      .select(col("path"), col("deletionVector.storageType"),
+        col("deletionVector.pathOrInlineDv"))
+      .as[(String, Option[String], Option[String])]
+      .mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val fsys = new Path(rootStr).getFileSystem(bcConf.value.value)
+          it.filter { case (p, st, pd) =>
+            !fsys.exists(new Path(rootStr, p)) ||
+              (st.contains("u") &&
+                !fsys.exists(DeletionVectors.sidecarPath(rootStr, pd.get)))
+          }.map(_._1)
+        }
+      }.collect().sorted.toSeq
+    if (dryRun || missing.isEmpty) return missing
+    // old DV descriptors for the removes (protocol semantics: the
+    // removed content is what consumers could see) — O(missing) metadata
+    val dvByPath: Map[String, Option[DeletionVectors.Descriptor]] =
+      snap.allFiles.where(col("path").isin(missing: _*))
+        .select(col("path"), col("deletionVector")).collect()
+        .map { r =>
+          val dv = if (r.isNullAt(1)) None else {
+            val s = r.getStruct(1)
+            Some(DeletionVectors.Descriptor(s.getString(0), s.getString(1),
+              if (s.isNullAt(2)) None else Some(s.getInt(2)),
+              s.getInt(3), s.getLong(4)))
+          }
+          r.getString(0) -> dv
+        }.toMap
+    val now = System.currentTimeMillis()
+    val actions = Seq.newBuilder[String]
+    missing.foreach { p =>
+      val dvField = dvByPath.getOrElse(p, None).fold("")(d => "," + dvJson(d))
+      actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true$dvField}}"""
+    }
+    raceHook(table, "FSCK")
+    val f = fs(spark, table)
+    val current = (listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq).max
+    if (current != snap.version)
+      checkConflicts(spark, table, snap.version, current,
+        TxnReadInfo(missing.toSet, missing.toSet), snap.configuration)
+    val version = current + 1
+    actions += s"""{"commitInfo":{"timestamp":$now""" +
+      ictField(spark, table, version, snap.configuration, now) +
+      s""","operation":"FSCK","operationParameters":""" +
+      s"""${pvJsonOf(Map("numRemoved" -> missing.length.toString))}}}"""
+    commitRaw(spark, table, version, actions.result(), "FSCK")
+    maybeAutoCheckpoint(spark, table, version)
+    maybeLogCompact(spark, table, version, snap.configuration)
+    missing
   }
 
   def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1,

@@ -25,8 +25,11 @@ import org.apache.spark.sql.functions._
   *     [[DeltaLog.merge]] (general clause merge, [[Merge]]).
   *   - `RESTORE TABLE delta.`/p/t` TO VERSION AS OF n` →
   *     [[DeltaLog.restore]].
-  *   - `OPTIMIZE delta.`/p/t` [ZORDER BY (a, b)]` → [[DeltaLog.optimize]].
+  *   - `OPTIMIZE delta.`/p/t` [FULL] [ZORDER BY (a, b)]` →
+  *     [[DeltaLog.optimize]] (bare form on a clustered table is
+  *     INCREMENTAL — only files since the last clustering commit).
   *   - `VACUUM delta.`/p/t` [RETAIN n HOURS] [DRY RUN]` → [[DeltaLog.vacuum]].
+  *   - `FSCK REPAIR TABLE delta.`/p/t` [DRY RUN]` → [[DeltaLog.fsckRepair]].
   *   - `DESCRIBE HISTORY delta.`/p/t`` → [[DeltaLog.history]].
   *   - `DESCRIBE DETAIL delta.`/p/t`` → [[DeltaLog.detail]].
   *   - `CREATE TABLE delta.`/p/u` SHALLOW CLONE delta.`/p/t`
@@ -69,6 +72,8 @@ object GraftSql {
     """(?is)\s*RESTORE\s+TABLE\s+delta\.`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*""".r
   private val OptimizeZ =
     """(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s+ZORDER\s+BY\s*\(([^)]+)\)\s*""".r
+  private val OptimizeFull =
+    """(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s+FULL\s*""".r
   private val Optimize = """(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s*""".r
   private val OptimizeWhereZ =
     ("""(?is)\s*OPTIMIZE\s+delta\.`([^`]+)`\s+WHERE\s+(.+?)""" +
@@ -105,6 +110,8 @@ object GraftSql {
   private val GenerateManifest =
     """(?is)\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+delta\.`([^`]+)`\s*""".r
   private val Vacuum = """(?is)\s*VACUUM\s+delta\.`([^`]+)`\s*""".r
+  private val Fsck =
+    """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+delta\.`([^`]+)`(\s+DRY\s+RUN)?\s*""".r
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+delta\.`([^`]+)`\s*""".r
   private val ShowProps =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+delta\.`([^`]+)`(?:\s*\(\s*'([^']+)'\s*\))?\s*""".r
@@ -581,6 +588,11 @@ object GraftSql {
         where = Some(expr(cond))))
     case OptimizeWhere(path, cond) =>
       version(spark, DeltaLog.optimize(spark, path, where = Some(expr(cond))))
+    // OPTIMIZE ... FULL: whole-table recluster (resets the incremental
+    // clustering basis); bare OPTIMIZE on a clustered table is
+    // incremental — O(files since the last clustering commit)
+    case OptimizeFull(path) =>
+      version(spark, DeltaLog.optimize(spark, path, full = true))
     case Optimize(path) =>
       version(spark, DeltaLog.optimize(spark, path))
     // REORG ... APPLY (PURGE): rewrite ONLY the files carrying deletion
@@ -644,6 +656,11 @@ object GraftSql {
     case Vacuum(path) =>
       import spark.implicits._
       Seq(DeltaLog.vacuum(spark, path).toLong).toDF("files_removed")
+    // FSCK REPAIR TABLE: drop log entries whose files vanished out-of-band
+    case Fsck(path, dry) =>
+      import spark.implicits._
+      DeltaLog.fsckRepair(spark, path, dryRun = dry != null)
+        .toDF(if (dry != null) "missing_file" else "removed_file")
     case History(path) =>
       DeltaLog.history(spark, path)
     case Detail(path) =>

@@ -67,6 +67,59 @@ class ClusteringSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).count() == 400L)
   }
 
+  test("incremental clustering: bare OPTIMIZE is O(new files), FULL resets") {
+    val t = fresh()
+    GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$t` (k BIGINT, v BIGINT) CLUSTER BY (k)")
+    (0 until 3).foreach { i =>
+      DeltaLog.write(spark,
+        (0L until 60L).map(j => (j * 3 + i, j)).toDF("k", "v"), t, mode = "append")
+    }
+    // first bare OPTIMIZE: whole scope (nothing clustered yet), records
+    // its own commit as the incremental basis — atomically
+    DeltaLog.optimize(spark, t, targetFiles = 2)
+    val afterFirst = DeltaLog.snapshot(spark, t)
+    assert(afterFirst.clusteringProgress.contains(afterFirst.version),
+      afterFirst.clusteringProgress.toString)
+    val cube1 = afterFirst.files.toSet
+
+    (0 until 2).foreach { _ =>
+      DeltaLog.write(spark,
+        (180L until 240L).map(j => (j, j)).toDF("k", "v").coalesce(1),
+        t, mode = "append")
+    }
+    val newFiles = DeltaLog.snapshot(spark, t).files.toSet -- cube1
+    assert(newFiles.size == 2, newFiles.toString)
+
+    // second bare OPTIMIZE: INCREMENTAL — the first zcube is untouched
+    // (same paths live), only the 2 new files are re-laid-out
+    DeltaLog.optimize(spark, t, targetFiles = 2)
+    val afterSecond = DeltaLog.snapshot(spark, t)
+    assert(cube1.subsetOf(afterSecond.files.toSet),
+      s"first zcube was rewritten: ${cube1 -- afterSecond.files.toSet}")
+    assert((afterSecond.files.toSet & newFiles).isEmpty,
+      "new files were not reclustered")
+    assert(afterSecond.clusteringProgress.contains(afterSecond.version))
+    assert(DeltaLog.read(spark, t).count() == 300L)
+
+    // nothing new since the basis: OPTIMIZE is a no-op, not an empty commit
+    assert(DeltaLog.optimize(spark, t) == afterSecond.version)
+
+    // FULL: whole-table recluster — the accumulated zcubes fold anew
+    DeltaLog.optimize(spark, t, targetFiles = 2, full = true)
+    val afterFull = DeltaLog.snapshot(spark, t)
+    assert((afterFull.files.toSet & cube1).isEmpty,
+      "FULL left the old zcube in place")
+    assert(afterFull.clusteringProgress.contains(afterFull.version))
+    assert(DeltaLog.read(spark, t).count() == 300L)
+    // and the layout is still clustered: a point predicate prunes
+    val pruned = DeltaLog.pruneFiles(spark, afterFull, col("k") === 5L)
+    assert(pruned.size < afterFull.files.size)
+    // the SQL spelling parses and runs
+    GraftSql.exec(spark, s"OPTIMIZE delta.`$t` FULL")
+    assert(DeltaLog.read(spark, t).count() == 300L)
+  }
+
   test("3-column ZORDER: every dimension's zone maps prune, values survive") {
     val t = fresh()
     // 1000 rows over three independent uniform dimensions, written as 4
