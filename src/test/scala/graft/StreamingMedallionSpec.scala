@@ -431,6 +431,41 @@ class StreamingMedallionSpec extends SparkSpec {
     assert(byType == Map("insert" -> 6, "delete" -> 4), byType.toString)
   }
 
+  test("after a schema-evolution failure, a restart resumes under the new schema") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-schres-").toString
+    val src = s"$base/src"
+    graft.sources.DeltaLog.write(spark, Seq((1L, "a")).toDF("k", "v"), src)
+    val ckpt = s"$base/ckpt"
+    val q = spark.readStream.format("graft-delta").load(src)
+      .writeStream.format("noop").option("checkpointLocation", ckpt).start()
+    q.processAllAvailable() // v0 consumed under (k, v)
+    graft.sources.DeltaLog.write(spark,
+      Seq((2L, "b", 7L)).toDF("k", "v", "extra"), src, mode = "append")
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable(); q.awaitTermination(30000); ()
+    }
+    // the documented recovery: restart from the SAME checkpoint — the
+    // new source instance anchors on the evolved schema and replays the
+    // pending commit (v0's rows are NOT re-delivered; its offset is in
+    // the checkpoint)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Long, String, Option[Long])]
+    val q2 = spark.readStream.format("graft-delta").load(src)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        b.collect().foreach(r => seen.add((r.getLong(0), r.getString(1),
+          if (r.length < 3 || r.isNullAt(2)) None else Some(r.getLong(2)))))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSet == Set((2L, "b", Some(7L))), seen.asScala.toSeq)
+  }
+
   test("a schema-evolving commit fails the stream loudly, not silently") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-schchg-").toString
