@@ -1130,10 +1130,43 @@ object DeltaLog {
     }.getOrElse((1, 2))
     Seq((
       "delta", table, snap.version, agg.getLong(0), agg.getLong(1),
-      snap.partitionColumns, snap.configuration, minR, minW))
+      snap.partitionColumns, snap.clusteringColumns, snap.configuration,
+      minR, minW))
       .toDF("format", "location", "version", "numFiles", "sizeInBytes",
-        "partitionColumns", "properties", "minReaderVersion", "minWriterVersion")
+        "partitionColumns", "clusteringColumns", "properties",
+        "minReaderVersion", "minWriterVersion")
   }
+
+  /** SHOW CREATE TABLE: reconstruct the CREATE statement from the
+    * snapshot's declaration — schema (Spark DDL types), partitioning or
+    * clustering, and table properties. What a user pastes to recreate
+    * the table's shape elsewhere (data not included, naturally). */
+  def showCreateTable(spark: SparkSession, table: String): String = {
+    val snap = snapshot(spark, table)
+    val schema = snap.schema.getOrElse(
+      sys.error(s"SHOW CREATE TABLE: $table declares no schema"))
+    val cols = schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"  ${quoteIdent(f.name)} ${f.dataType.sql}$nn"
+    }.mkString(",\n")
+    val layout =
+      if (snap.partitionColumns.nonEmpty)
+        s"\nPARTITIONED BY (${snap.partitionColumns.map(quoteIdent).mkString(", ")})"
+      else if (snap.clusteringColumns.nonEmpty)
+        s"\nCLUSTER BY (${snap.clusteringColumns.map(quoteIdent).mkString(", ")})"
+      else ""
+    val props = snap.configuration.toSeq.sortBy(_._1)
+    val propsSql =
+      if (props.isEmpty) ""
+      else "\nTBLPROPERTIES (\n" + props.map { case (k, v) =>
+        s"  '${k.replace("'", "''")}' = '${v.replace("'", "''")}'"
+      }.mkString(",\n") + ")"
+    s"CREATE TABLE delta.`$table` (\n$cols)\nUSING delta$layout$propsSql"
+  }
+
+  private def quoteIdent(name: String): String =
+    if (name.matches("[A-Za-z_][A-Za-z0-9_]*")) name
+    else s"`${name.replace("`", "``")}`"
 
   /** SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`): a new
     * table whose version-0 log REFERENCES the source's data files in

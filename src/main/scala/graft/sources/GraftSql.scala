@@ -32,6 +32,7 @@ import org.apache.spark.sql.functions._
   *   - `FSCK REPAIR TABLE delta.`/p/t` [DRY RUN]` → [[DeltaLog.fsckRepair]].
   *   - `DESCRIBE HISTORY delta.`/p/t`` → [[DeltaLog.history]].
   *   - `DESCRIBE DETAIL delta.`/p/t`` → [[DeltaLog.detail]].
+  *   - `SHOW CREATE TABLE delta.`/p/t`` → [[DeltaLog.showCreateTable]].
   *   - `CREATE TABLE delta.`/p/u` SHALLOW CLONE delta.`/p/t`
   *     [VERSION AS OF n]` → [[DeltaLog.cloneShallow]].
   *   - `CREATE TABLE delta.`/p/t` (a BIGINT, b STRING, …) [PARTITIONED
@@ -113,6 +114,8 @@ object GraftSql {
   private val Fsck =
     """(?is)\s*FSCK\s+REPAIR\s+TABLE\s+delta\.`([^`]+)`(\s+DRY\s+RUN)?\s*""".r
   private val History = """(?is)\s*DESCRIBE\s+HISTORY\s+delta\.`([^`]+)`\s*""".r
+  private val ShowCreate =
+    """(?is)\s*SHOW\s+CREATE\s+TABLE\s+delta\.`([^`]+)`\s*""".r
   private val ShowProps =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+delta\.`([^`]+)`(?:\s*\(\s*'([^']+)'\s*\))?\s*""".r
   private val Detail = """(?is)\s*DESCRIBE\s+DETAIL\s+delta\.`([^`]+)`\s*""".r
@@ -663,6 +666,9 @@ object GraftSql {
         .toDF(if (dry != null) "missing_file" else "removed_file")
     case History(path) =>
       DeltaLog.history(spark, path)
+    case ShowCreate(path) =>
+      import spark.implicits._
+      Seq(DeltaLog.showCreateTable(spark, path)).toDF("createtab_stmt")
     case Detail(path) =>
       DeltaLog.detail(spark, path)
     // SHOW PARTITIONS: the distinct partition tuples, straight from the

@@ -124,6 +124,11 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(d.getAs[String]("format") == "delta" &&
       d.getAs[Long]("numFiles") > 0L && d.getAs[Long]("sizeInBytes") > 0L)
 
+    // SHOW CREATE TABLE reconstructs the declaration
+    val ddl = q(s"SHOW CREATE TABLE delta.`$t`").head().getString(0)
+    assert(ddl.startsWith(s"CREATE TABLE delta.`$t`"), ddl)
+    assert(ddl.contains("USING delta"), ddl)
+
     // OPTIMIZE purges the DVs; HISTORY lists every operation
     q(s"OPTIMIZE delta.`$t`")
     assert(DeltaLog.snapshot(spark, t).fileEntries.forall(_.dv.isEmpty))
