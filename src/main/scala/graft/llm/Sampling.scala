@@ -345,6 +345,24 @@ object Sampling {
     }
   }
 
+  /** The writer behind [[qShuffleShard]]'s plan shape: export `docs` as
+    * exactly `shards` parquet files under `outDir/shard=N/`, each
+    * internally ordered by the seeded content-hash key — reproducible
+    * pseudo-random training order with ONE exchange and no global sort.
+    * Every shard hashes to exactly one task, so each shard directory
+    * holds one file regardless of the shuffle-partition count. */
+  def writeShards(docs: org.apache.spark.sql.DataFrame, outDir: String,
+      shards: Int, seed: String): Unit = {
+    require(shards > 0, s"shards must be positive: $shards")
+    val skey = h60(concat(col("doc_id").cast("string"), lit(s":$seed")))
+    docs.withColumn("shard", (skey % shards).cast("int"))
+      .withColumn("__skey", skey)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("__skey"), col("doc_id"))
+      .drop("__skey")
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+  }
+
   val all: Seq[QueryDef] =
     Seq(qSplit, qPacking, qStratified, qTemperature, qChunking, qCorpusMix,
       qBudget, qShuffleShard, qDomainCap)
