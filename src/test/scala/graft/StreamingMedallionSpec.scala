@@ -431,6 +431,39 @@ class StreamingMedallionSpec extends SparkSpec {
     assert(byType == Map("insert" -> 6, "delete" -> 4), byType.toString)
   }
 
+  test("Trigger.AvailableNow: one-shot catch-up, restart consumes only the delta") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-avnow-").toString
+    val src = s"$base/src"
+    graft.sources.DeltaLog.write(spark, Seq(1L, 2L).toDF("x"), src)
+    graft.sources.DeltaLog.write(spark, Seq(3L).toDF("x"), src, mode = "append")
+    val got = new java.util.concurrent.atomic.AtomicLong
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("maxCommitsPerTrigger", "1") // several micro-batches to drain
+        .load(src)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          got.addAndGet(b.count()); ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      // AvailableNow TERMINATES ITSELF once caught up — the batch-
+      // incremental contract (a scheduled job, not a daemon)
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    }
+    runOnce()
+    assert(got.get() == 3L, got.get().toString)
+    // nothing new: a second run delivers nothing
+    runOnce()
+    assert(got.get() == 3L, got.get().toString)
+    // an append between runs: only the delta arrives
+    graft.sources.DeltaLog.write(spark, Seq(4L, 5L).toDF("x"), src, mode = "append")
+    runOnce()
+    assert(got.get() == 5L, got.get().toString)
+  }
+
   test("after a schema-evolution failure, a restart resumes under the new schema") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-schres-").toString
