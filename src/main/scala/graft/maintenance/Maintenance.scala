@@ -363,6 +363,28 @@ object Maintenance {
     graft.sources.DeltaLog.read(spark, tgt)
   }
 
+  /** The LIVE relation ([[graft.sources.GraftDeltaFileIndex]]),
+    * oracle-verified: ONE DataFrame built before an append must serve
+    * the post-append state (its file list resolves at planning, the
+    * stream-static join freshness delta-spark provides) and equal
+    * DuckDB's scan of the same rows. */
+  val qLiveRead: graft.QueryDef = graft.QueryDef.sql(
+    "q_live_read",
+    "SELECT c_custkey, c_mktsegment, c_nationkey FROM customer") { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-live-q-").toString + "/t"
+    val cust = graft.Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey")
+    graft.sources.DeltaLog.write(spark,
+      cust.where(col("c_custkey") % 2 === 0).repartition(2), t)
+    // built BEFORE the second half lands — a frozen file list would
+    // return half the table
+    val live = graft.sources.DeltaRelation.readLive(spark, t)
+    graft.sources.DeltaLog.write(spark,
+      cust.where(col("c_custkey") % 2 =!= 0).repartition(2), t, mode = "append")
+    live
+  }
+
   /** Batch CDF via the SQL TABLE_CHANGES function, oracle-verified: a
     * DV DELETE's change feed must surface exactly the masked rows as
     * `delete` events stamped with the commit version (the DV-diff fast
@@ -713,5 +735,6 @@ object Maintenance {
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
-      qConvertToDelta, qIcebergRoundtrip, qLogCompaction, qConcurrentRebase)
+      qConvertToDelta, qIcebergRoundtrip, qLogCompaction, qConcurrentRebase,
+      qLiveRead)
 }

@@ -488,12 +488,29 @@ final class DeltaStreamSink(table: String, partitionBy: Seq[String],
   override def toString: String = s"DeltaStreamSink[$table]"
 }
 
-/** `format("graft-delta")` registration (DSv1 streaming source + sink —
-  * the same integration layer Delta Lake's own streaming uses). */
+/** `format("graft-delta")` registration (DSv1 streaming source + sink +
+  * batch relation — the same integration layer Delta Lake's own
+  * streaming uses). The batch read is the LIVE relation
+  * ([[graft.sources.GraftDeltaFileIndex]]): its file list resolves at
+  * every planning, so a stream-static join's dimension side tracks the
+  * table between micro-batches. */
 final class DeltaStreamProvider extends StreamSourceProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val table = tableOf(parameters)
+    val snap = graft.sources.DeltaLog.snapshot(ctx.sparkSession, table)
+    val schema = snap.schema.getOrElse(
+      sys.error(s"graft-delta: $table declares no schema"))
+    require(snap.partitionColumns.isEmpty && snap.columnMappingMode == "none",
+      s"graft-delta batch relation: $table is partitioned or column-mapped" +
+        " — use DeltaLog.read")
+    graft.sources.DeltaRelation.relationOf(ctx.sparkSession, table, schema)
+  }
 
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String],
