@@ -506,10 +506,11 @@ final class DeltaStreamProvider extends StreamSourceProvider
     val snap = graft.sources.DeltaLog.snapshot(ctx.sparkSession, table)
     val schema = snap.schema.getOrElse(
       sys.error(s"graft-delta: $table declares no schema"))
-    require(snap.partitionColumns.isEmpty && snap.columnMappingMode == "none",
-      s"graft-delta batch relation: $table is partitioned or column-mapped" +
-        " — use DeltaLog.read")
-    graft.sources.DeltaRelation.relationOf(ctx.sparkSession, table, schema)
+    require(snap.columnMappingMode == "none",
+      s"graft-delta batch relation: $table is column-mapped " +
+        "(physical names differ) — use DeltaLog.read")
+    graft.sources.DeltaRelation.relationOf(ctx.sparkSession, table, schema,
+      snap.partitionColumns)
   }
 
   override def createSink(ctx: SQLContext, parameters: Map[String, String],

@@ -61,6 +61,56 @@ class DeltaRelationSpec extends SparkSpec {
     assert(got.toSet == Set((2L, Some("two"))), got.toString)
   }
 
+  private def scanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }.head
+    }
+    scans.head.metrics("numFiles").value
+  }
+
+  test("partitioned live table: values, pruning, and freshness") {
+    val t = fresh()
+    DeltaLog.write(spark,
+      Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("k", "p").repartition(1),
+      t, partitionBy = Seq("p"))
+    val live = DeltaRelation.readLive(spark, t)
+    // declared column order preserved (Spark appends partition cols last
+    // internally; readLive restores the declaration)
+    assert(live.columns.toSeq == Seq("k", "p"))
+    assert(live.count() == 3L)
+    // partition pruning happens IN the index: one partition dir scanned
+    val aOnly = live.where(col("p") === "a")
+    assert(aOnly.as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "a")))
+    assert(scanFiles(live.where(col("p") === "b")) <
+      scanFiles(live), "partition filter did not prune")
+    // a new partition lands between plannings of the SAME frame
+    DeltaLog.write(spark, Seq((4L, "c")).toDF("k", "p"), t,
+      mode = "append", partitionBy = Seq("p"))
+    assert(live.count() == 4L)
+    assert(live.where(col("p") === "c").count() == 1L)
+  }
+
+  test("zone-map skipping flows through the live index's data filters") {
+    val t = fresh()
+    // two files with disjoint k ranges — stats-based skipping territory
+    DeltaLog.write(spark, (1L to 100L).toDF("k").coalesce(1), t)
+    DeltaLog.write(spark, (1000L to 1100L).toDF("k").coalesce(1), t,
+      mode = "append")
+    val live = DeltaRelation.readLive(spark, t)
+    assert(scanFiles(live) == 2L)
+    val one = live.where(col("k") === 1050L)
+    assert(one.as[Long].collect().toSeq == Seq(1050L))
+    assert(scanFiles(live.where(col("k") === 1050L)) == 1L,
+      "zone maps did not skip the out-of-range file")
+  }
+
   test("deletion vectors and schema drift fail the live scan loudly") {
     val t = fresh()
     DeltaLog.write(spark, (1L to 10L).toDF("x"), t)
