@@ -201,6 +201,64 @@ object Maintenance {
     graft.sources.DeltaLog.read(spark, t)
   }
 
+  /** Deletion-vector UPDATE, oracle-verified: same CASE-projection
+    * shape as [[qUpdateCow]] but on a table declaring
+    * `delta.enableDeletionVectors=true`, so [[graft.sources.DeltaLog
+    * .updateWhere]] takes the mask-and-append path — matched rows are
+    * masked by growing the touched files' deletion vectors and only
+    * the post-image rows are written (no data-file rewrite; the scale
+    * shape for narrow updates on wide tables). The read-back must
+    * still equal DuckDB's CASE projection row for row, proving mask,
+    * append, and the masked read path compose bit-for-bit. */
+  val qUpdateDv: graft.QueryDef = graft.QueryDef.sql(
+    "q_update_dv",
+    """SELECT c_custkey, c_mktsegment,
+      |  CASE WHEN c_mktsegment = 'HOUSEHOLD' AND c_custkey % 9 = 0
+      |       THEN c_nationkey + 200 ELSE c_nationkey END AS c_nationkey
+      |FROM customer""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-update-dv-q-").toString + "/t"
+    graft.sources.DeltaLog.write(spark,
+      graft.Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment", "c_nationkey").repartition(4), t,
+      properties = Map("delta.enableDeletionVectors" -> "true"))
+    graft.sources.DeltaLog.updateWhere(spark, t,
+      col("c_mktsegment") === "HOUSEHOLD" && col("c_custkey") % 9 === 0,
+      Map("c_nationkey" -> (col("c_nationkey") + 200)))
+    graft.sources.DeltaLog.read(spark, t)
+  }
+
+  /** Metadata-only DELETE sweep, oracle-verified: a table partitioned
+    * by a derived bucket takes a partition-IN delete plus a zone-map
+    * range delete — both resolve to whole-file removes with ZERO data
+    * reads ([[graft.sources.DeltaLog.deleteWhere]]'s full-match fast
+    * path; DeleteFullFileSpec proves the no-read property on corrupted
+    * files) — and the read-back must equal DuckDB applying both
+    * predicates' complements row for row. The retention-sweep shape:
+    * at 100 TB this is one remove-bearing commit, not a scan. */
+  val qDeleteSweep: graft.QueryDef = graft.QueryDef.sql(
+    "q_delete_sweep",
+    """SELECT o_orderkey, o_custkey, CAST(o_custkey % 4 AS BIGINT) AS bucket
+      |FROM orders
+      |WHERE o_custkey % 4 NOT IN (0, 2) AND o_orderkey < 55000""".stripMargin) {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-del-sweep-q-").toString + "/t"
+      graft.sources.DeltaLog.write(spark,
+        graft.Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_custkey") % 4).as("bucket")).repartition(4), t,
+        partitionBy = Seq("bucket"))
+      // partition sweep: two buckets drop whole
+      graft.sources.DeltaLog.deleteWhere(spark, t,
+        col("bucket").isin(0L, 2L))
+      // zone-map sweep: the high-key range drops whole where files are
+      // fully covered, masks only the straddlers
+      graft.sources.DeltaLog.deleteWhere(spark, t,
+        col("o_orderkey") >= 55000L)
+      graft.sources.DeltaLog.read(spark, t)
+  }
+
   /** General clause MERGE, oracle-verified end-to-end: a protocol table
     * built from `customer` takes one merge carrying a conditioned
     * UPDATE, a fallthrough DELETE, and an INSERT
@@ -731,7 +789,7 @@ object Maintenance {
   }
 
   val all: Seq[graft.QueryDef] =
-    Seq(qZOrderKey, qDeleteDv, qUpdateCow, qMergeClauses,
+    Seq(qZOrderKey, qDeleteDv, qDeleteSweep, qUpdateCow, qUpdateDv, qMergeClauses,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,

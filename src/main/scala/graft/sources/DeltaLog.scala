@@ -2119,6 +2119,155 @@ object DeltaLog {
       predicate: Column, table: Option[String] = None): Seq[String] =
     pruneEntries(spark, snap, predicate, table).map(_.path)
 
+  /** Paths of files whose EVERY row provably satisfies `predicate` —
+    * the DUAL of [[zoneSkip]], and the key to metadata-only DML: a
+    * full-match file can be REMOVED whole without ever being opened,
+    * so the retention-sweep DELETE (drop an expired partition of a
+    * 100 TB table) is one remove-bearing commit with ZERO data I/O.
+    * delta-spark takes this path only for partition-column predicates;
+    * the zone-map terms here extend it to stats-provable range sweeps
+    * on unpartitioned layouts.
+    *
+    * Proof obligations are strictly conjunctive: the predicate must
+    * decompose into top-level AND-ed atoms and EVERY atom must hold for
+    * ALL rows, from the file's partition values or its zone maps plus
+    * nullCount=0 (a null row evaluates an atom to not-TRUE and would
+    * survive a DELETE — it must disqualify the file). One unsupported
+    * atom ⇒ nothing proves (the caller routes every file through the
+    * row-level path); stats bounds are OUTER bounds, so truncated
+    * foreign string stats stay sound (all values live inside
+    * [recorded min, recorded max]). Evaluated DISTRIBUTED over
+    * [[Snapshot.allFiles]]; only the proven paths reach the driver. */
+  private def fullMatchPaths(spark: SparkSession, snap: Snapshot,
+      predicate: Column): Set[String] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val schema = snap.schema.getOrElse(return Set.empty)
+    val analyzed = spark
+      .createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      .where(predicate).queryExecution.analyzed
+    val cond = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.headOption.getOrElse(return Set.empty)
+    def atoms(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => atoms(l) ++ atoms(r)
+      case x => Seq(x)
+    }
+    object C {
+      def unapply(x: Expression): Option[String] = x match {
+        case a: AttributeReference => Some(a.name)
+        case _ => None
+      }
+    }
+    object L {
+      def unapply(x: Expression): Option[(Any, DataType)] = x match {
+        case Literal(v, dt) => Some((v, dt))
+        case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+          Some((c.eval(null), c.dataType))
+        case _ => None
+      }
+    }
+    // same Bound vocabulary as the skip side — but here each atom must
+    // BE its bound exactly (a bound is only a necessary condition of an
+    // unrecognized atom, which proves nothing for all-rows)
+    def atomBound(e: Expression): Option[Bound] = e match {
+      case EqualTo(C(n), L(v, dt)) => litColumn(v, dt).map(Cmp(n, "=", _))
+      case EqualTo(L(v, dt), C(n)) => litColumn(v, dt).map(Cmp(n, "=", _))
+      case LessThan(C(n), L(v, dt)) => litColumn(v, dt).map(Cmp(n, "<", _))
+      case LessThan(L(v, dt), C(n)) => litColumn(v, dt).map(Cmp(n, ">", _))
+      case LessThanOrEqual(C(n), L(v, dt)) => litColumn(v, dt).map(Cmp(n, "<=", _))
+      case LessThanOrEqual(L(v, dt), C(n)) => litColumn(v, dt).map(Cmp(n, ">=", _))
+      case GreaterThan(C(n), L(v, dt)) => litColumn(v, dt).map(Cmp(n, ">", _))
+      case GreaterThan(L(v, dt), C(n)) => litColumn(v, dt).map(Cmp(n, "<", _))
+      case GreaterThanOrEqual(C(n), L(v, dt)) => litColumn(v, dt).map(Cmp(n, ">=", _))
+      case GreaterThanOrEqual(L(v, dt), C(n)) => litColumn(v, dt).map(Cmp(n, "<=", _))
+      case IsNull(C(n)) => Some(NullCheck(n, isNull = true))
+      case IsNotNull(C(n)) => Some(NullCheck(n, isNull = false))
+      case In(C(n), list) =>
+        val vs = list.map { case L(v, dt) => litColumn(v, dt); case _ => None }
+        if (vs.nonEmpty && vs.forall(_.isDefined)) Some(InList(n, vs.flatten))
+        else None
+      case StartsWith(C(n), L(v, _)) if v != null => Some(Prefix(n, v.toString))
+      case _ => None
+    }
+    val bounds = atoms(cond).map(atomBound)
+    if (bounds.exists(_.isEmpty)) return Set.empty // an unprovable atom
+    val partCols = snap.partitionColumns.toSet
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    if (bounds.exists(b => !byName.contains(b.get.colName))) return Set.empty
+    val phys: String => String = n => snap.columnMapping.getOrElse(n, n)
+    val refCols = bounds.map(_.get.colName).distinct.filterNot(partCols)
+    val mmFields = refCols.filter(c => isPruneType(byName(c).dataType))
+      .map(c => StructField(phys(c), byName(c).dataType))
+    val statsSchema = new StructType()
+      .add("numRecords", LongType)
+      .add("minValues", StructType(mmFields))
+      .add("maxValues", StructType(mmFields))
+      .add("nullCount", StructType(refCols.map(c => StructField(phys(c), LongType))))
+    val st = from_json(col("stats"), statsSchema)
+    def mn(c: String) = st.getField("minValues").getField(phys(c))
+    def mx(c: String) = st.getField("maxValues").getField(phys(c))
+    def nc(c: String) = st.getField("nullCount").getField(phys(c))
+    val n = st.getField("numRecords")
+
+    def pvRaw(c: String) = try_element_at(col("partitionValues"), lit(phys(c)))
+    def pvPresent(c: String) = map_contains_key(col("partitionValues"), lit(phys(c)))
+    def allCmp(c: String, op: String, v: Column): Column =
+      if (partCols.contains(c)) {
+        // the directory value IS every row's value: evaluate exactly
+        // (try_cast: a malformed foreign value goes null ⇒ unproven)
+        val pvv = pvRaw(c).try_cast(byName(c).dataType)
+        val hit = op match {
+          case "=" => pvv === v
+          case "<" => pvv < v
+          case "<=" => pvv <= v
+          case ">" => pvv > v
+          case ">=" => pvv >= v
+        }
+        pvPresent(c) && hit
+      } else if (!isPruneType(byName(c).dataType)) lit(false)
+      else {
+        val range = op match {
+          case "=" => mn(c) === v && mx(c) === v
+          case "<" => mx(c) < v
+          case "<=" => mx(c) <= v
+          case ">" => mn(c) > v
+          case ">=" => mn(c) >= v
+        }
+        range && nc(c) === lit(0L)
+      }
+    def allBound(b: Bound): Column = b match {
+      case Cmp(c, op, v) => allCmp(c, op, v)
+      case InList(c, vs) if partCols.contains(c) =>
+        val pvv = pvRaw(c).try_cast(byName(c).dataType)
+        pvPresent(c) && vs.map(pvv === _).reduce(_ || _)
+      case InList(c, vs) if isPruneType(byName(c).dataType) =>
+        // constant file (min = max) whose one value is listed
+        mn(c) === mx(c) && vs.map(mn(c) === _).reduce(_ || _) &&
+          nc(c) === lit(0L)
+      case InList(_, _) => lit(false)
+      case Prefix(c, p) if partCols.contains(c) =>
+        pvPresent(c) && startswith(pvRaw(c), lit(p))
+      case Prefix(c, p) if byName(c).dataType == StringType =>
+        // both outer bounds carry the prefix ⇒ every value between them
+        // does too (binary order: first |p| bytes are pinned)
+        startswith(mn(c), lit(p)) && startswith(mx(c), lit(p)) &&
+          nc(c) === lit(0L)
+      case Prefix(_, _) => lit(false)
+      case NullCheck(c, wantNull) if partCols.contains(c) =>
+        if (wantNull) pvPresent(c) && pvRaw(c).isNull
+        else pvPresent(c) && pvRaw(c).isNotNull
+      case NullCheck(c, wantNull) =>
+        if (wantNull) nc(c) === n && n > lit(0L)
+        else nc(c) === lit(0L)
+    }
+    val proven = bounds.map(b => coalesce(allBound(b.get), lit(false)))
+      .reduce(_ && _)
+    // a provably empty file (numRecords=0) trivially full-matches
+    val allMatch = coalesce(n === lit(0L), lit(false)) || proven
+    snap.allFiles.where(allMatch).select("path").collect()
+      .map(_.getString(0)).toSet
+  }
+
   /** Batch read with stats-based file skipping: files whose zone maps
     * prove no row can match `predicate` are never listed in the scan;
     * the predicate is then applied exactly, so the result equals
@@ -2632,7 +2781,10 @@ object DeltaLog {
       blindAppend: Boolean = false,
       // version-dependent actions appended after the data actions (the
       // final version is only known post-rebase)
-      extraActionsAt: Long => Seq[String] = _ => Nil): Long = {
+      extraActionsAt: Long => Seq[String] = _ => Nil,
+      // the deletion-vector UPDATE path declares the deletionVectors
+      // feature in the same commit that writes its first mask
+      dvUpgrade: Boolean = false): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -3042,7 +3194,9 @@ object DeltaLog {
           else """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
       def inner(action: String): String =
         mapper.writeValueAsString(mapper.readTree(action).get("protocol"))
-      val protoBase = proto0.map(inner).orElse(prevSnap.flatMap(_.protocolJson))
+      val protoBase0 = proto0.map(inner).orElse(prevSnap.flatMap(_.protocolJson))
+      val dvUp = if (!dvUpgrade) None else dvProtocolUpgrade(protoBase0)
+      val protoBase = dvUp.map(inner).orElse(protoBase0)
       val cdfUp = if (cdcActions.isEmpty) None else cdfProtocolUpgrade(protoBase)
       val ictUp = if (!ictOn || version == 0L) None
         else ictProtocolUpgrade(cdfUp.map(inner).orElse(protoBase))
@@ -3065,8 +3219,8 @@ object DeltaLog {
         else readerWriterFeatureUpgrade(
           rtUp.orElse(twUp).orElse(ictUp).orElse(cdfUp).map(inner)
             .orElse(protoBase), "variantType")
-      (vtUp.orElse(rtUp).orElse(twUp).orElse(ictUp).orElse(cdfUp).orElse(proto0))
-        .foreach(actions += _)
+      (vtUp.orElse(rtUp).orElse(twUp).orElse(ictUp).orElse(cdfUp).orElse(dvUp)
+        .orElse(proto0)).foreach(actions += _)
       // metaData on the first commit, any schema change (evolution — the
       // widened union declares so older files read with nulls in the new
       // columns), or a property change. The PREVIOUS declaration's
@@ -4452,6 +4606,97 @@ object DeltaLog {
     }
   }
 
+  /** Distributed deletion-vector growth — the DML core shared by
+    * DELETE and the deletion-vector UPDATE path. For every candidate
+    * file holding ≥1 LIVE row matching `predicate` (the read applies
+    * existing masks, so already-deleted rows never re-enter), each
+    * executor task merges those rows' indexes with the file's existing
+    * DV and writes ONE sidecar frame for its partition — bitmap bytes
+    * never leave the executors. The driver receives only
+    * (relPath, newCardinality, descriptor?) triples plus the
+    * candidates' add-metadata rows (partitionValues/size/mtime/stats/
+    * row-tracking fields, keyed by path): O(touched files), never row
+    * data. A `None` descriptor means every physical row is now masked —
+    * the file is dead and must be removed without a re-add. */
+  private def growDeletionVectors(spark: SparkSession, table: String,
+      snap: Snapshot, candidates: Seq[FileEntry], predicate: Column)
+      : (Map[String, Row], Array[(String, Long, Option[(String, Int, Int)])]) =
+    growDeletionVectorsFrom(spark, table, snap, candidates,
+      readEntries(spark, table, candidates, snap.schema, snap.columnMappingMode,
+        withProvenance = true)
+        .where(predicate)
+        .select(col(FpCol).as("fp"), col(RiCol).as("ri")))
+
+  /** [[growDeletionVectors]] from an explicit mask frame of
+    * (`fp` = scanned file path, `ri` = physical row index) rows — the
+    * form MERGE needs, where the masked set is a join outcome, not a
+    * predicate. Same executor-side bitmap contract. */
+  private def growDeletionVectorsFrom(spark: SparkSession, table: String,
+      snap: Snapshot, candidates: Seq[FileEntry], maskRows: DataFrame)
+      : (Map[String, Row], Array[(String, Long, Option[(String, Int, Int)])]) = {
+    import spark.implicits._
+    // original add metadata for the CANDIDATE paths (O(candidate files)
+    // on the driver — stats stay valid after a DV: min/max bound the
+    // surviving rows, numRecords stays physical)
+    val metaByPath: Map[String, Row] = snap.allFiles
+      .join(broadcast(candidates.map(_.path).toDF("path")), Seq("path"))
+      .select("path", "partitionValues", "size", "modificationTime", "stats",
+        "baseRowId", "defaultRowCommitVersion")
+      .collect().map(r => r.getString(0) -> r).toMap
+    def numRecordsOf(path: String): Option[Long] =
+      Option(metaByPath(path).getString(4)).flatMap { s =>
+        val n = mapper.readTree(s)
+        if (n.has("numRecords")) Some(n.get("numRecords").asLong()) else None
+      }
+    // per-candidate lookup shipped to executors: basename →
+    // (relPath, old descriptor, physical numRecords) — all metadata,
+    // O(candidate files), never row data
+    val infoByBase: Map[String, Seq[(String, Option[DeletionVectors.Descriptor], Option[Long])]] =
+      candidates.map(e => (e.path, e.dv, numRecordsOf(e.path)))
+        .groupBy(t => basename(t._1))
+    val bcInfo = spark.sparkContext.broadcast(infoByBase)
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val tbl = table
+    val results: Array[(String, Long, Option[(String, Int, Int)])] =
+      maskRows
+        .groupBy("fp").agg(sort_array(collect_list(col("ri"))).as("rows"))
+        .as[(String, Array[Long])]
+        .mapPartitions { it =>
+          val buf = it.toArray
+          if (buf.isEmpty) Iterator.empty
+          else {
+            val fsys = new Path(tbl).getFileSystem(bcConf.value.value)
+            val resolved = buf.map { case (fp, rows) =>
+              val base = fp.substring(fp.lastIndexOf('/') + 1)
+              val (rel, oldDv, numRec) = bcInfo.value.getOrElse(base, Seq.empty)
+                .find(c => fp.endsWith(pathSuffix(c._1)))
+                .getOrElse(sys.error(s"DV growth: scanned file $fp not in the snapshot"))
+              val all = oldDv match {
+                case None => rows
+                case Some(old) =>
+                  (DeletionVectors.deletedRows(fsys, tbl, old) ++ rows).distinct.sorted
+              }
+              (rel, all, numRec)
+            }
+            // every physical row deleted → dead file: no frame written
+            val (deadP, liveP) = resolved.partition { case (_, all, nr) =>
+              nr.contains(all.length.toLong)
+            }
+            val descs =
+              if (liveP.isEmpty) Seq.empty
+              else DeletionVectors.writeDvFrames(fsys, tbl,
+                liveP.toSeq.map(p => (DeletionVectors.serialize(p._2), p._2.length.toLong)))
+            deadP.iterator.map { case (rel, all, _) =>
+              (rel, all.length.toLong, None: Option[(String, Int, Int)])
+            } ++ liveP.iterator.zip(descs.iterator).map { case ((rel, all, _), d) =>
+              (rel, all.length.toLong, Some((d.pathOrInlineDv, d.offset.get, d.sizeInBytes)))
+            }
+          }
+        }.collect()
+    (metaByPath, results)
+  }
+
   /** Row-level DELETE via deletion vectors: files whose zone maps prove
     * no row can match are never touched; every other file gets a roaring
     * bitmap of its deleted row indexes written as a sidecar frame, and
@@ -4476,7 +4721,6 @@ object DeltaLog {
     * commits). */
   def deleteWhere(spark: SparkSession, table: String, predicate: Column): Long =
       withDmlRetry(3) {
-    import spark.implicits._
     val snap = snapshot(spark, table)
     // column-mapped targets are fine: DELETE is name-agnostic — the
     // probe reads logically, pruning translates via phys(), and the
@@ -4485,77 +4729,19 @@ object DeltaLog {
       s"table $table is append-only (delta.appendOnly=true): DELETE refused")
     val candidates = pruneEntries(spark, snap, predicate, Some(table))
     if (candidates.isEmpty) return snap.version
-
-    // original add metadata for the CANDIDATE paths (O(candidate files)
-    // on the driver — stats stay valid after a DV: min/max bound the
-    // surviving rows, numRecords stays physical)
-    val metaByPath: Map[String, Row] = snap.allFiles
-      .join(broadcast(candidates.map(_.path).toDF("path")), Seq("path"))
-      .select("path", "partitionValues", "size", "modificationTime", "stats",
-        "baseRowId", "defaultRowCommitVersion")
-      .collect().map(r => r.getString(0) -> r).toMap
-    def numRecordsOf(path: String): Option[Long] =
-      Option(metaByPath(path).getString(4)).flatMap { s =>
-        val n = mapper.readTree(s)
-        if (n.has("numRecords")) Some(n.get("numRecords").asLong()) else None
-      }
-    // per-candidate lookup shipped to executors: basename →
-    // (relPath, old descriptor, physical numRecords) — all metadata,
-    // O(candidate files), never row data
-    val infoByBase: Map[String, Seq[(String, Option[DeletionVectors.Descriptor], Option[Long])]] =
-      candidates.map(e => (e.path, e.dv, numRecordsOf(e.path)))
-        .groupBy(t => basename(t._1))
-    val bcInfo = spark.sparkContext.broadcast(infoByBase)
-    val bcConf = spark.sparkContext.broadcast(
-      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
-    val tbl = table
-
-    // matching LIVE rows only (the read already applies existing DVs),
-    // grouped per physical file; each task merges its files' bitmaps
-    // with any existing DV and writes ONE sidecar for its partition —
-    // bitmap bytes never leave the executors. The driver collects only
-    // descriptors (path, offset, size, cardinality): O(touched files)
-    // even for a GDPR-wide DELETE whose bitmaps total GBs.
-    val results: Array[(String, Long, Option[(String, Int, Int)])] =
-      readEntries(spark, table, candidates, snap.schema, snap.columnMappingMode,
-        withProvenance = true)
-        .where(predicate)
-        .select(col(FpCol).as("fp"), col(RiCol).as("ri"))
-        .groupBy("fp").agg(sort_array(collect_list(col("ri"))).as("rows"))
-        .as[(String, Array[Long])]
-        .mapPartitions { it =>
-          val buf = it.toArray
-          if (buf.isEmpty) Iterator.empty
-          else {
-            val fsys = new Path(tbl).getFileSystem(bcConf.value.value)
-            val resolved = buf.map { case (fp, rows) =>
-              val base = fp.substring(fp.lastIndexOf('/') + 1)
-              val (rel, oldDv, numRec) = bcInfo.value.getOrElse(base, Seq.empty)
-                .find(c => fp.endsWith(pathSuffix(c._1)))
-                .getOrElse(sys.error(s"DELETE: scanned file $fp not in the snapshot"))
-              val all = oldDv match {
-                case None => rows
-                case Some(old) =>
-                  (DeletionVectors.deletedRows(fsys, tbl, old) ++ rows).distinct.sorted
-              }
-              (rel, all, numRec)
-            }
-            // every physical row deleted → dead file: no frame written
-            val (deadP, liveP) = resolved.partition { case (_, all, nr) =>
-              nr.contains(all.length.toLong)
-            }
-            val descs =
-              if (liveP.isEmpty) Seq.empty
-              else DeletionVectors.writeDvFrames(fsys, tbl,
-                liveP.toSeq.map(p => (DeletionVectors.serialize(p._2), p._2.length.toLong)))
-            deadP.iterator.map { case (rel, all, _) =>
-              (rel, all.length.toLong, None: Option[(String, Int, Int)])
-            } ++ liveP.iterator.zip(descs.iterator).map { case ((rel, all, _), d) =>
-              (rel, all.length.toLong, Some((d.pathOrInlineDv, d.offset.get, d.sizeInBytes)))
-            }
-          }
-        }.collect()
-    if (results.isEmpty) return snap.version
+    // metadata-only fast path: a file whose EVERY row provably matches
+    // ([[fullMatchPaths]] — partition values or zone maps) is removed
+    // WHOLE, never opened. A retention sweep (`DELETE WHERE day < X`
+    // on a partitioned table) commits without a single data read; only
+    // boundary-straddling files pay the row-level bitmap path.
+    val fullPaths = fullMatchPaths(spark, snap, predicate)
+    val (whole, partial) = candidates.partition(e => fullPaths.contains(e.path))
+    val (metaByPath, results) =
+      if (partial.isEmpty)
+        (Map.empty[String, Row],
+          Array.empty[(String, Long, Option[(String, Int, Int)])])
+      else growDeletionVectors(spark, table, snap, partial, predicate)
+    if (results.isEmpty && whole.isEmpty) return snap.version
 
     val entryByPath = candidates.map(e => e.path -> e).toMap
     val merged: Seq[(FileEntry, Long)] =
@@ -4580,8 +4766,10 @@ object DeltaLog {
     val actions = Seq.newBuilder[String]
     // one combined protocol action when both the DV and CDF features
     // need declaring: the CDF check runs against the DV-upgraded
-    // protocol so the second upgrade extends, never overrides, the first
-    val dvUp = dvProtocolUpgrade(snap.protocolJson)
+    // protocol so the second upgrade extends, never overrides, the
+    // first. A purely whole-file delete (no descriptor written) needs
+    // no deletionVectors feature at all.
+    val dvUp = if (dvd.isEmpty) None else dvProtocolUpgrade(snap.protocolJson)
     val protoAfterDv = dvUp
       .map(s => mapper.writeValueAsString(mapper.readTree(s).get("protocol")))
       .orElse(snap.protocolJson)
@@ -4591,7 +4779,7 @@ object DeltaLog {
     // the remove carries the file's OLD descriptor (protocol semantics:
     // the removed content is what consumers could see) — without it a
     // change-feed fold would double-delete the already-masked rows
-    merged.foreach { case (e, _) =>
+    (merged.map(_._1) ++ whole).foreach { e =>
       val dvField = e.dv.fold("")(d => "," + dvJson(d))
       actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":true$dvField}}"""
     }
@@ -4622,7 +4810,7 @@ object DeltaLog {
     if (current != snap.version)
       checkConflicts(spark, table, snap.version, current,
         TxnReadInfo(candidates.map(_.path).toSet,
-          merged.map(_._1.path).toSet,
+          (merged.map(_._1.path) ++ whole.map(_.path)).toSet,
           addSkip = zoneSkip(spark, snap, predicate).map(_._2)),
         snap.configuration)
     val version = current + 1
@@ -4673,6 +4861,17 @@ object DeltaLog {
     }
     val candidates = pruneEntries(spark, snap, predicate, Some(table))
     if (candidates.isEmpty) return snap.version
+    // delta-spark's DV DML gate: tables declaring
+    // delta.enableDeletionVectors=true take the mask-and-append path
+    // (O(matched rows) written, no file rewrite); everything else stays
+    // copy-on-write. spark.graft.update.useDeletionVectors=false forces
+    // copy-on-write even on a DV table (the REORG-free purge escape).
+    val useDv = snap.configuration.get("delta.enableDeletionVectors")
+      .contains("true") &&
+      spark.conf.getOption("spark.graft.update.useDeletionVectors")
+        .forall(_.toBoolean)
+    if (useDv)
+      return updateWhereDv(spark, table, snap, predicate, set, candidates)
     // probe: which candidate files hold >= 1 matching LIVE row (same
     // provenance pattern as mergeCore — only file NAMES reach the driver)
     val touched = basenameIndex(candidates.map(_.path)) match {
@@ -4720,6 +4919,86 @@ object DeltaLog {
       readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
         touched.map(_.path).toSet,
         addSkip = zoneSkip(spark, snap, predicate).map(_._2))))
+  }
+
+  /** Deletion-vector UPDATE (delta-spark's DV DML shape, reached from
+    * [[updateWhere]] when the table declares
+    * `delta.enableDeletionVectors=true`): instead of rewriting every
+    * file holding a matching row, the matched rows are MASKED by
+    * growing each touched file's deletion vector
+    * ([[growDeletionVectors]] — sidecars written on executors, only
+    * descriptors collected), and ONLY the post-image rows are written
+    * as new files. An UPDATE matching a sliver of a 100 TB table
+    * therefore writes O(matched rows) parquet plus KB-sized bitmap
+    * sidecars, where copy-on-write pays O(touched file bytes) — the
+    * difference between seconds and hours on wide tables with narrow
+    * updates. One atomic commit: remove(old entry, old descriptor) +
+    * re-add(same path, grown mask — row-tracking fields PRESERVED,
+    * physical rows untouched) per touched file, plus the post-image
+    * adds (fresh row ids: an updated row is a new row, Delta's
+    * fresh-row semantics absent materialized row-id columns). The
+    * commit declares the `deletionVectors` feature when needed. CDF
+    * tables stage exact update_preimage/postimage pairs, so feed
+    * readers never observe the physical mask+append shape; on non-CDF
+    * tables [[changesBetween]] resolves the commit to delete+insert
+    * rows — the physical truth, matching delta-spark. */
+  private def updateWhereDv(spark: SparkSession, table: String,
+      snap: Snapshot, predicate: Column, set: Map[String, Column],
+      candidates: Seq[FileEntry]): Long = {
+    val (metaByPath, results) =
+      growDeletionVectors(spark, table, snap, candidates, predicate)
+    if (results.isEmpty) return snap.version
+    val touchedRel = results.map(_._1).toSet
+    val touched = candidates.filter(e => touchedRel.contains(e.path))
+    // re-adds of the touched files under their grown masks: metadata
+    // verbatim from the snapshot (stats stay valid — min/max bound the
+    // survivors, numRecords stays physical; baseRowId untouched because
+    // no physical row moved)
+    val dvReAdds: Seq[String] = results.toSeq.collect {
+      case (rel, card, Some((z85, off, size))) =>
+        val d = DeletionVectors.Descriptor("u", z85, Some(off), size, card)
+        val m = metaByPath(rel)
+        val pvJson = pvJsonOf(
+          Option(m.getMap[String, String](1)).getOrElse(Map.empty[String, String]))
+        val statsField =
+          Option(m.getString(4)).fold("")(s => s""","stats":${jsonStr(s)}""")
+        val rtField =
+          if (m.isNullAt(5)) ""
+          else s""","baseRowId":${m.getLong(5)},"defaultRowCommitVersion":${m.getLong(6)}"""
+        s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
+          s""""size":${m.getLong(2)},"modificationTime":${m.getLong(3)},""" +
+          s""""dataChange":true,""" + dvJson(d) + s"$statsField$rtField}}"
+    }
+    // post-image rows: the matched LIVE rows with SET applied (generated
+    // columns recompute inside commitWrite, exactly like copy-on-write)
+    val target = readEntries(spark, table, touched, snap.schema,
+      snap.columnMappingMode)
+    val matched = target.where(predicate)
+    val out = matched.select(matched.columns.toSeq.map { c =>
+      set.get(c).fold(col(c))(e => e.as(c))
+    }: _*)
+    val cdcFrame =
+      if (!cdfEnabled(snap)) None
+      else {
+        val post = snap.schema.map(_.fields.filter(_.metadata.contains(GenExprKey)))
+          .getOrElse(Array.empty[StructField])
+          .foldLeft(out)((d, fl) => d.withColumn(fl.name,
+            expr(fl.metadata.getString(GenExprKey)).cast(fl.dataType)))
+          .withColumn("_change_type", lit("update_postimage"))
+        Some(matched.withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post))
+      }
+    commitWrite(spark, out, table, snap.partitionColumns, None,
+      removePaths = _ => touched.map(_.path), widenSchema = true,
+      dataChange = true, operation = "UPDATE", baseVersion = Some(snap.version),
+      operationParameters = Map("predicate" -> predSql(predicate),
+        "setColumns" -> set.keys.toSeq.sorted.mkString(",")),
+      cdc = cdcFrame,
+      readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
+        touched.map(_.path).toSet,
+        addSkip = zoneSkip(spark, snap, predicate).map(_._2))),
+      extraActionsAt = _ => dvReAdds,
+      dvUpgrade = true)
   }
 
   /** OPTIMIZE: rewrite the current snapshot into (up to) `targetFiles`
