@@ -306,6 +306,56 @@ object Maintenance {
       graft.sources.DeltaLog.read(spark, t)
   }
 
+  /** Deletion-vector MERGE, oracle-verified: the SAME clause mix as
+    * [[qMergeClauses]] (conditioned UPDATE, fallthrough DELETE, INSERT)
+    * but on a table declaring `delta.enableDeletionVectors=true`, so
+    * [[graft.sources.DeltaLog.merge]] takes the mask-and-append path —
+    * fired rows are masked in place and only post-images + inserts are
+    * written (DvMergeSpec proves the touched parquet is byte-untouched).
+    * The read-back must equal DuckDB computing the full clause
+    * semantics, proving mask, append and masked read compose. */
+  val qMergeDv: graft.QueryDef = graft.QueryDef.sql(
+    "q_merge_dv",
+    """WITH src AS (
+      |  SELECT c_custkey, c_nationkey + 50 AS src_nation, c_mktsegment AS src_seg
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_nationkey, 'NEWSEG'
+      |  FROM customer WHERE c_custkey % 97 = 0
+      |)
+      |SELECT t.c_custkey, t.c_mktsegment,
+      |  CASE WHEN s.c_custkey IS NOT NULL AND s.src_nation % 2 = 0
+      |       THEN s.src_nation ELSE t.c_nationkey END AS c_nationkey
+      |FROM customer t LEFT JOIN src s ON t.c_custkey = s.c_custkey
+      |WHERE NOT (s.c_custkey IS NOT NULL AND s.src_nation % 2 <> 0)
+      |UNION ALL
+      |SELECT s.c_custkey, s.src_seg, s.src_nation FROM src s
+      |WHERE s.c_custkey NOT IN (SELECT c_custkey FROM customer)""".stripMargin) {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-merge-dv-q-").toString + "/t"
+      val cust = graft.Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+      graft.sources.DeltaLog.write(spark, cust.repartition(4), t,
+        properties = Map("delta.enableDeletionVectors" -> "true"))
+      val src = cust.where(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), (col("c_nationkey") + 50).as("src_nation"),
+          col("c_mktsegment").as("src_seg"))
+        .unionByName(cust.where(col("c_custkey") % 97 === 0)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            col("c_nationkey").as("src_nation"), lit("NEWSEG").as("src_seg")))
+      graft.sources.Merge.into(spark, t, src, keys = Seq("c_custkey"))
+        .whenMatchedUpdate(Map("c_nationkey" -> col("s.src_nation")),
+          condition = col("s.src_nation") % 2 === 0)
+        .whenMatchedDelete()
+        .whenNotMatchedInsert(Map(
+          "c_custkey" -> col("s.c_custkey"),
+          "c_mktsegment" -> col("s.src_seg"),
+          "c_nationkey" -> col("s.src_nation")))
+        .execute()
+      graft.sources.DeltaLog.read(spark, t)
+  }
+
   /** replaceWhere (selective overwrite), oracle-verified: the BUILDING
     * slice of a protocol `customer` table is atomically replaced by a
     * deterministic transform of itself; the read-back must equal
@@ -790,6 +840,7 @@ object Maintenance {
 
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qDeleteSweep, qUpdateCow, qUpdateDv, qMergeClauses,
+      qMergeDv,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,

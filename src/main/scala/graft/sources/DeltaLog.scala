@@ -3537,11 +3537,96 @@ object DeltaLog {
     val probe = !clauses.exists(c => c.isInstanceOf[MergeClause.BySourceUpdate] ||
       c.isInstanceOf[MergeClause.BySourceDelete])
     withDmlRetry(3) {
-      mergeCore(spark, table, snapshot(spark, table), source, keys,
-        (target, src) => Merge.applyClauses(target, src, keys, extraOn, clauses,
-          aliases._1, aliases._2, schemaEvolution),
-        txn = None, operation = "MERGE", probeByKeys = probe)
+      val snap = snapshot(spark, table)
+      // delta-spark's DV DML gate, same as UPDATE: a table declaring
+      // delta.enableDeletionVectors=true takes the mask-and-append path
+      // (O(modified rows) written, untouched neighbors never rewritten);
+      // schema evolution stays copy-on-write (the evolved columns must
+      // reach every carried row). Conf escape mirrors UPDATE's.
+      val useDv = snap.configuration.get("delta.enableDeletionVectors")
+        .contains("true") && !schemaEvolution &&
+        spark.conf.getOption("spark.graft.merge.useDeletionVectors")
+          .forall(_.toBoolean)
+      if (useDv)
+        mergeDv(spark, table, snap, source, keys, clauses, extraOn, aliases, probe)
+      else
+        mergeCore(spark, table, snap, source, keys,
+          (target, src) => Merge.applyClauses(target, src, keys, extraOn, clauses,
+            aliases._1, aliases._2, schemaEvolution),
+          txn = None, operation = "MERGE", probeByKeys = probe)
     }
+  }
+
+  /** Deletion-vector MERGE (delta-spark's DV DML shape, reached from
+    * [[merge]] when the table declares `delta.enableDeletionVectors=
+    * true`): target rows a modifying clause fires on are MASKED by
+    * growing their files' deletion vectors, and ONLY the fired UPDATE
+    * post-images plus fired INSERT rows are written — the untouched
+    * neighbor rows of a touched file are never rewritten, or even
+    * projected. A MERGE updating 0.1% of the rows in wide files
+    * therefore writes O(modified rows) parquet + KB bitmaps where
+    * copy-on-write rewrites O(touched file bytes) — on a 100 TB table
+    * with big files, hours versus seconds. One atomic commit:
+    * remove+re-add(same path, grown mask) per touched file (fully-
+    * masked files just removed), post-image/insert adds, exact CDF
+    * update pairs + insert/delete rows on CDF tables. The provenance
+    * probe still bounds the join to files holding a source key unless
+    * a BY SOURCE clause forces the full pass, exactly like Delta. */
+  private def mergeDv(spark: SparkSession, table: String, snap: Snapshot,
+      source: DataFrame, keys: Seq[String], clauses: Seq[MergeClause],
+      extraOn: Option[Column], aliases: (String, String),
+      probeByKeys: Boolean): Long = {
+    val candidates: Seq[FileEntry] = basenameIndex(snap.files) match {
+      case _ if !probeByKeys => snap.fileEntries
+      case None => snap.fileEntries
+      case Some(_) =>
+        val touchedNames = readEntries(spark, table, snap.fileEntries, snap.schema,
+          snap.columnMappingMode, withProvenance = true)
+          .withColumn("__fname", provFileName)
+          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .select("__fname").distinct().collect().map(_.getString(0)).toSet
+        snap.fileEntries.filter(e => touchedNames.contains(basename(e.path)))
+    }
+    val target = readEntries(spark, table, candidates, snap.schema,
+      snap.columnMappingMode, withProvenance = true)
+    val plan = Merge.applyClausesDv(target, source, keys, extraOn, clauses,
+      (FpCol, RiCol), aliases._1, aliases._2)
+    try {
+      val (metaByPath, results) = growDeletionVectorsFrom(spark, table, snap,
+        candidates, plan.mask)
+      if (results.isEmpty && plan.appends.limit(1).count() == 0L)
+        return snap.version // nothing fired: no empty commits
+      val touchedRel = results.map(_._1).toSet
+      val touched = candidates.filter(e => touchedRel.contains(e.path))
+      val dvReAdds = dvReAddActions(metaByPath, results)
+      // newly-written rows recompute generated columns inside
+      // commitWrite; the CDF post/insert images must show the same
+      val genCols = snap.schema
+        .map(_.fields.filter(_.metadata.contains(GenExprKey)).toSeq)
+        .getOrElse(Seq.empty)
+      def regen(df: DataFrame): DataFrame =
+        genCols.foldLeft(df)((d, fl) => d.withColumn(fl.name,
+          expr(fl.metadata.getString(GenExprKey)).cast(fl.dataType)))
+      val cdcFrame =
+        if (!cdfEnabled(snap)) None
+        else Some(
+          plan.updatePre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(regen(plan.updatePost)
+              .withColumn("_change_type", lit("update_postimage")))
+            .unionByName(plan.deleted.withColumn("_change_type", lit("delete")))
+            .unionByName(regen(plan.inserted)
+              .withColumn("_change_type", lit("insert"))))
+      commitWrite(spark, plan.appends, table, snap.partitionColumns, None,
+        removePaths = _ => touched.map(_.path), widenSchema = true,
+        dataChange = true, operation = "MERGE",
+        baseVersion = Some(snap.version),
+        operationParameters = Map("mergeKeys" -> keys.mkString(",")),
+        cdc = cdcFrame,
+        readInfo = Some(TxnReadInfo(candidates.map(_.path).toSet,
+          touched.map(_.path).toSet)),
+        extraActionsAt = _ => dvReAdds,
+        dvUpgrade = true)
+    } finally plan.release()
   }
 
   /** Group-replacement MERGE for maintained aggregates
@@ -4627,6 +4712,29 @@ object DeltaLog {
         .where(predicate)
         .select(col(FpCol).as("fp"), col(RiCol).as("ri")))
 
+  /** Re-add actions for masked survivors of a DV DML commit: the SAME
+    * path under its grown descriptor, metadata verbatim from the
+    * snapshot row (stats stay valid — min/max bound the survivors,
+    * numRecords stays physical; row-tracking fields preserved because
+    * no physical row moved). Shared by the DV UPDATE and DV MERGE. */
+  private def dvReAddActions(metaByPath: Map[String, Row],
+      results: Array[(String, Long, Option[(String, Int, Int)])]): Seq[String] =
+    results.toSeq.collect {
+      case (rel, card, Some((z85, off, size))) =>
+        val d = DeletionVectors.Descriptor("u", z85, Some(off), size, card)
+        val m = metaByPath(rel)
+        val pvJson = pvJsonOf(
+          Option(m.getMap[String, String](1)).getOrElse(Map.empty[String, String]))
+        val statsField =
+          Option(m.getString(4)).fold("")(s => s""","stats":${jsonStr(s)}""")
+        val rtField =
+          if (m.isNullAt(5)) ""
+          else s""","baseRowId":${m.getLong(5)},"defaultRowCommitVersion":${m.getLong(6)}"""
+        s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
+          s""""size":${m.getLong(2)},"modificationTime":${m.getLong(3)},""" +
+          s""""dataChange":true,""" + dvJson(d) + s"$statsField$rtField}}"
+    }
+
   /** [[growDeletionVectors]] from an explicit mask frame of
     * (`fp` = scanned file path, `ri` = physical row index) rows — the
     * form MERGE needs, where the masked set is a join outcome, not a
@@ -4954,21 +5062,7 @@ object DeltaLog {
     // verbatim from the snapshot (stats stay valid — min/max bound the
     // survivors, numRecords stays physical; baseRowId untouched because
     // no physical row moved)
-    val dvReAdds: Seq[String] = results.toSeq.collect {
-      case (rel, card, Some((z85, off, size))) =>
-        val d = DeletionVectors.Descriptor("u", z85, Some(off), size, card)
-        val m = metaByPath(rel)
-        val pvJson = pvJsonOf(
-          Option(m.getMap[String, String](1)).getOrElse(Map.empty[String, String]))
-        val statsField =
-          Option(m.getString(4)).fold("")(s => s""","stats":${jsonStr(s)}""")
-        val rtField =
-          if (m.isNullAt(5)) ""
-          else s""","baseRowId":${m.getLong(5)},"defaultRowCommitVersion":${m.getLong(6)}"""
-        s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pvJson,""" +
-          s""""size":${m.getLong(2)},"modificationTime":${m.getLong(3)},""" +
-          s""""dataChange":true,""" + dvJson(d) + s"$statsField$rtField}}"
-    }
+    val dvReAdds: Seq[String] = dvReAddActions(metaByPath, results)
     // post-image rows: the matched LIVE rows with SET applied (generated
     // columns recompute inside commitWrite, exactly like copy-on-write)
     val target = readEntries(spark, table, touched, snap.schema,

@@ -231,6 +231,155 @@ object Merge {
     deduped.where(col(actCol) =!= Drop).select(out: _*)
   }
 
+  /** The deletion-vector MERGE decomposition: instead of the whole
+    * post-state of the touched files, the classified join yields
+    *   - `mask`: (fp, ri) provenance of every target row a modifying
+    *     clause fired on — masked in place, never rewritten;
+    *   - `appends`: ONLY the post-images of fired UPDATEs plus fired
+    *     INSERT rows, in the target's schema.
+    * Untouched neighbor rows in touched files are not even projected —
+    * the whole point: a MERGE updating a sliver of a wide file writes
+    * O(modified rows), not O(file). The pre/post/delete/insert frames
+    * feed exact CDF. `release()` drops the persisted classified join
+    * (ONE join evaluation serves the guard, the mask and the appends). */
+  private[graft] final case class DvPlan(mask: DataFrame, appends: DataFrame,
+      updatePre: DataFrame, updatePost: DataFrame,
+      deleted: DataFrame, inserted: DataFrame, release: () => Unit)
+
+  /** [[applyClauses]]' classification, decomposed for the DV path.
+    * `target` must carry the two provenance columns `provCols`
+    * (file path, row index); they never appear in the output frames'
+    * data columns. Schema evolution is the copy-on-write path's job —
+    * callers route evolved merges there. Raises the same
+    * nondeterministic-merge error as [[applyClauses]]. */
+  private[graft] def applyClausesDv(target: DataFrame, source: DataFrame,
+      keys: Seq[String], extraOn: Option[Column], clauses: Seq[MergeClause],
+      provCols: (String, String), tAlias: String = "t", sAlias: String = "s")
+      : DvPlan = {
+    require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
+    require(keys.nonEmpty, "MERGE needs at least one equi-key")
+    require(tAlias != sAlias, s"target and source aliases collide: '$tAlias'")
+    val (fpCol, riCol) = provCols
+    val tSchema = org.apache.spark.sql.types.StructType(
+      target.schema.fields.filterNot(f => f.name == fpCol || f.name == riCol))
+    val tCols = tSchema.fieldNames.toSeq
+    val srcCols = source.columns.toSet
+    require(keys.forall(srcCols.contains),
+      s"source is missing merge key(s): ${keys.filterNot(srcCols.contains).mkString(", ")}")
+    val starClauses = clauses.exists {
+      case MatchedUpdate(_, s) => s.isEmpty
+      case NotMatchedInsert(_, v) => v.isEmpty
+      case _ => false
+    }
+    if (starClauses) {
+      val missing = tCols.filterNot(srcCols.contains)
+      require(missing.isEmpty,
+        s"UPDATE SET * / INSERT * needs every target column in the source; " +
+          s"missing: ${missing.mkString(", ")} (or merge withSchemaEvolution)")
+    }
+    clauses.foreach {
+      case MatchedUpdate(_, s) => requireTargetCols(s.keys, tCols, "UPDATE SET")
+      case BySourceUpdate(_, s) => requireTargetCols(s.keys, tCols, "UPDATE SET")
+      case NotMatchedInsert(_, v) => requireTargetCols(v.keys, tCols, "INSERT")
+      case _ =>
+    }
+
+    val tFlag = "__graft_merge_t"
+    val sFlag = "__graft_merge_s"
+    val tid = "__graft_merge_tid"
+    val t = target.withColumn(tFlag, lit(true))
+      .withColumn(tid, monotonically_increasing_id()).alias(tAlias)
+    val s = source.withColumn(sFlag, lit(true)).alias(sAlias)
+    val onKeys = keys.map(k => col(s"$tAlias.$k") === col(s"$sAlias.$k")).reduce(_ && _)
+    val joined = t.join(s, extraOn.fold(onKeys)(onKeys && _), "full_outer")
+
+    val isTargetRow = coalesce(col(s"$tAlias.$tFlag"), lit(false))
+    val isMatched = isTargetRow && coalesce(col(s"$sAlias.$sFlag"), lit(false))
+    val targetOnly = isTargetRow && !coalesce(col(s"$sAlias.$sFlag"), lit(false))
+
+    def condOf(c: MergeClause): Column = c.condition.getOrElse(lit(true))
+    def actionOf(c: MergeClause, i: Int): Column = c match {
+      case _: MatchedDelete | _: BySourceDelete => lit(Drop)
+      case _ => lit(i)
+    }
+    def chain(cs: Seq[(MergeClause, Int)], default: Int): Column =
+      cs.foldRight(lit(default): Column) { case ((c, i), acc) =>
+        when(condOf(c), actionOf(c, i)).otherwise(acc)
+      }
+    val indexed = clauses.zipWithIndex
+    val matched = indexed.filter { case (c, _) =>
+      c.isInstanceOf[MatchedUpdate] || c.isInstanceOf[MatchedDelete] }
+    val bySource = indexed.filter { case (c, _) =>
+      c.isInstanceOf[BySourceUpdate] || c.isInstanceOf[BySourceDelete] }
+    val inserts = indexed.filter { case (c, _) => c.isInstanceOf[NotMatchedInsert] }
+
+    val act = when(isMatched, chain(matched, Keep))
+      .when(targetOnly, chain(bySource, Keep))
+      .otherwise(chain(inserts, Drop))
+    val actCol = "__graft_merge_act"
+    // ONE persisted evaluation of the join serves the guard pass, the
+    // mask collection and the append staging — a non-deterministic
+    // source (or AQE re-plan) cannot diverge between them
+    val base = joined.withColumn(actCol, act)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // the protocol's nondeterminism guard: with it green, a target row
+    // has at most ONE firing pair — its other matched pairs classify
+    // Keep and are filtered out everywhere below, so no dedup window
+    // is ever needed on this path
+    val modifying = matched.map { case (c, _) => condOf(c) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val maxModifying = base.where(isMatched)
+      .groupBy(col(s"$tAlias.$tid"))
+      .agg(sum(when(modifying, 1L).otherwise(0L)).as("m"))
+      .agg(coalesce(max(col("m")), lit(0L))).head().getLong(0)
+    if (maxModifying > 1) {
+      base.unpersist()
+      sys.error(
+        "MERGE failed: a target row was matched by multiple source rows " +
+          "that would update or delete it — the merge is nondeterministic. " +
+          "Deduplicate the source on the merge keys first.")
+    }
+
+    def setOf(c: MergeClause, column: String): Option[Column] = c match {
+      case MatchedUpdate(_, set) =>
+        if (set.isEmpty)
+          if (srcCols.contains(column)) Some(col(s"$sAlias.$column")) else None
+        else set.get(column)
+      case BySourceUpdate(_, set) => set.get(column)
+      case NotMatchedInsert(_, values) =>
+        if (values.isEmpty)
+          if (srcCols.contains(column)) Some(col(s"$sAlias.$column")) else None
+        else Some(values.getOrElse(column, lit(null)))
+      case _ => None
+    }
+    val out = tSchema.fields.toSeq.map { f =>
+      val v = indexed.foldLeft(col(s"$tAlias.${f.name}")) { case (acc, (c, i)) =>
+        setOf(c, f.name).fold(acc)(set =>
+          when(col(actCol) === i, set).otherwise(acc))
+      }
+      v.cast(f.dataType).as(f.name)
+    }
+    val pre = tCols.map(c => col(s"$tAlias.$c").as(c))
+    val updateIdx = indexed.collect {
+      case (c, i) if c.isInstanceOf[MatchedUpdate] ||
+        c.isInstanceOf[BySourceUpdate] => i
+    }
+    val isUpd = updateIdx.map(col(actCol) === _)
+      .reduceOption(_ || _).getOrElse(lit(false))
+
+    DvPlan(
+      mask = base.where(isTargetRow && col(actCol) =!= Keep)
+        .select(col(s"$tAlias.$fpCol").as("fp"), col(s"$tAlias.$riCol").as("ri")),
+      appends = base.where(col(actCol) =!= Keep && col(actCol) =!= Drop)
+        .select(out: _*),
+      updatePre = base.where(isTargetRow && isUpd).select(pre: _*),
+      updatePost = base.where(isTargetRow && isUpd).select(out: _*),
+      deleted = base.where(isTargetRow && col(actCol) === Drop).select(pre: _*),
+      inserted = base.where(!isTargetRow && col(actCol) =!= Drop).select(out: _*),
+      release = () => { base.unpersist(); () })
+  }
+
   private def requireTargetCols(names: Iterable[String], tCols: Seq[String],
       what: String): Unit = {
     val bad = names.filterNot(tCols.contains)

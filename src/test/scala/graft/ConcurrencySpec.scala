@@ -118,7 +118,14 @@ class ConcurrencySpec extends SparkSpec
   }
 
   test("delete/delete overlap recomputes from a fresh snapshot") {
-    val t = fresh(); seed(t)
+    val t = fresh()
+    // BOTH rows in ONE file: the seed()'s two-file layout stopped
+    // conflicting once (a) zone maps give each DELETE its own file and
+    // (b) a whole-file delete no longer emits the spurious
+    // deletionVectors protocol upgrade that used to trip the loser
+    GraftSql.exec(spark, s"CREATE TABLE delta.`$t` (k BIGINT, v STRING)")
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1),
+      t, mode = "append")
     val attempts = raceOnce(() => {
       DeltaLog.deleteWhere(spark, t, col("k") === 2L); ()
     })
@@ -126,6 +133,18 @@ class ConcurrencySpec extends SparkSpec
     // withDmlRetry recomputes (attempt 2) and the result is still exact
     DeltaLog.deleteWhere(spark, t, col("k") === 1L)
     assert(attempts() == 2)
+    assert(DeltaLog.read(spark, t).count() == 0L)
+  }
+
+  test("disjoint-file delete/delete rebases with zero wasted work") {
+    val t = fresh(); seed(t) // two rows, two files
+    val attempts = raceOnce(() => {
+      DeltaLog.deleteWhere(spark, t, col("k") === 2L); ()
+    })
+    // zone maps scope each DELETE to its own file and neither commit
+    // carries a protocol change → the loser REBASES on attempt 1
+    DeltaLog.deleteWhere(spark, t, col("k") === 1L)
+    assert(attempts() == 1)
     assert(DeltaLog.read(spark, t).count() == 0L)
   }
 
