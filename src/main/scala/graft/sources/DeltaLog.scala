@@ -2992,6 +2992,21 @@ object DeltaLog {
             s"CHECK constraint '$name' ($v) violated by rows written to $table — refused")
         }
       }
+      // NOT NULL column invariants (Delta's `invariants` writer
+      // feature, minWriterVersion 2): a null landing in a column the
+      // declared schema marks non-nullable refuses the whole commit.
+      // ONE combined job for all such columns, skipped entirely when
+      // the declaration has none (the common all-nullable frame).
+      val notNull = firstPrev.flatMap(_.schema).toSeq
+        .flatMap(_.fields.filter(f => !f.nullable))
+        .map(_.name).filter(staged0.columns.contains)
+      if (notNull.nonEmpty) {
+        val anyNull = notNull.map(col(_).isNull).reduce(_ || _)
+        val bad = staged0.where(anyNull).limit(1).count()
+        require(bad == 0L,
+          s"NOT NULL invariant violated: a null reached one of " +
+            s"(${notNull.mkString(", ")}) in rows written to $table — refused")
+      }
     }
 
     // stage the parquet files in a scratch dir, then move them under the
@@ -3510,12 +3525,13 @@ object DeltaLog {
     * every pre-merge version stays time-travelable. Returns the
     * committed version. */
   def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], recencyCol: String): Long =
-    if (!isDeltaTable(spark, table)) write(spark, source, table)
+      keys: Seq[String], recencyCol: String,
+      txn: Option[(String, Long)] = None): Long =
+    if (!isDeltaTable(spark, table)) write(spark, source, table, txn = txn)
     else withDmlRetry(3) {
       mergeCore(spark, table, snapshot(spark, table), source, keys,
         (target, src) => graft.operators.Scd2.mergedFrame(target, src, keys, recencyCol),
-        txn = None, operation = "MERGE")
+        txn = txn, operation = "MERGE")
     }
 
   /** General clause-based MERGE — the reference's `DeltaTable.merge`

@@ -463,9 +463,26 @@ object DeltaCdfStreamSource {
   * txn state and skipped, so rows land exactly once without any
   * side-channel. `appId` defaults to a checkpoint-stable identity via
   * `.option("txnAppId", …)`; Complete mode overwrites per batch.
-  * Partition columns pass through `partitionBy(...)`. */
+  * Partition columns pass through `partitionBy(...)`.
+  *
+  * MERGE (upsert) mode — the CDC-to-silver shape (a change stream
+  * maintains a keyed table instead of appending history):
+  *
+  * {{{
+  *   changes.writeStream.format("graft-delta")
+  *     .option("mergeKeys", "id").option("recencyCol", "ts")
+  *     .option("checkpointLocation", ckpt).start(path)
+  * }}}
+  *
+  * Each micro-batch MERGEs into the table (matched-and-newer rows
+  * replaced, new keys inserted — [[graft.sources.DeltaLog.mergeUpsert]],
+  * copy-on-write O(touched files), or mask-and-append on a DV table)
+  * with the SetTransaction riding the SAME atomic commit, so a replayed
+  * batch is skipped exactly like the append sink: end-to-end
+  * exactly-once upserts with no side-channel. */
 final class DeltaStreamSink(table: String, partitionBy: Seq[String],
-    outputMode: OutputMode, appIdOpt: Option[String])
+    outputMode: OutputMode, appIdOpt: Option[String],
+    mergeKeys: Seq[String] = Seq.empty, recencyCol: Option[String] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -478,10 +495,17 @@ final class DeltaStreamSink(table: String, partitionBy: Seq[String],
     if (DeltaLog.isDeltaTable(spark, table) &&
         DeltaLog.lastTxn(spark, table, appId).exists(_ >= batchId)) return
     val batch = org.apache.spark.sql.GraftSqlShim.asBatch(data)
-    val mode =
-      if (outputMode == OutputMode.Complete()) "overwrite" else "append"
-    DeltaLog.write(spark, batch, table, mode, partitionBy = partitionBy,
-      txn = Some(appId -> batchId))
+    if (mergeKeys.nonEmpty) {
+      DeltaLog.mergeUpsert(spark, table, batch, mergeKeys,
+        recencyCol.getOrElse(sys.error(
+          "graft-delta merge sink: mergeKeys needs recencyCol")),
+        txn = Some(appId -> batchId))
+    } else {
+      val mode =
+        if (outputMode == OutputMode.Complete()) "overwrite" else "append"
+      DeltaLog.write(spark, batch, table, mode, partitionBy = partitionBy,
+        txn = Some(appId -> batchId))
+    }
     ()
   }
 
@@ -516,10 +540,23 @@ final class DeltaStreamProvider extends StreamSourceProvider
   override def createSink(ctx: SQLContext, parameters: Map[String, String],
       partitionColumns: Seq[String],
       outputMode: OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
-    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
-      s"graft-delta sink supports Append and Complete output modes, got $outputMode")
+    val mergeKeys = parameters.get("mergeKeys").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val recency = parameters.get("recencyCol").map(_.trim).filter(_.nonEmpty)
+    if (mergeKeys.nonEmpty) {
+      require(recency.nonEmpty,
+        "graft-delta merge sink: .option(\"mergeKeys\", …) needs " +
+          ".option(\"recencyCol\", …) to order same-key changes")
+      require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+        s"graft-delta merge sink runs in Append or Update mode, got $outputMode")
+    } else {
+      require(recency.isEmpty,
+        "graft-delta sink: .option(\"recencyCol\", …) needs .option(\"mergeKeys\", …)")
+      require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+        s"graft-delta sink supports Append and Complete output modes, got $outputMode")
+    }
     new DeltaStreamSink(tableOf(parameters), partitionColumns, outputMode,
-      parameters.get("txnAppId"))
+      parameters.get("txnAppId"), mergeKeys, recency)
   }
 
   private def tableOf(parameters: Map[String, String]): String =

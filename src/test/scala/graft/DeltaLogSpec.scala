@@ -1122,6 +1122,29 @@ class DeltaLogSpec extends SparkSpec {
     assert(DeltaLog.changesBetween(spark, t, 0L, 1L).count() == 2)
   }
 
+  test("NOT NULL column invariants refuse a null write whole") {
+    val t = freshTable()
+    graft.sources.GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$t` (k BIGINT NOT NULL, v STRING)")
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t, "append")
+    // a null in the declared-non-nullable column refuses BEFORE staging
+    val e = intercept[IllegalArgumentException](DeltaLog.write(spark,
+      Seq((java.lang.Long.valueOf(3L), "c"), (null.asInstanceOf[java.lang.Long], "d"))
+        .toDF("k", "v"), t, "append"))
+    assert(e.getMessage.contains("NOT NULL") && e.getMessage.contains("k"),
+      e.getMessage)
+    // nothing landed; the nullable column still takes nulls fine
+    assert(DeltaLog.read(spark, t).count() == 2)
+    DeltaLog.write(spark,
+      Seq((java.lang.Long.valueOf(4L), null.asInstanceOf[String])).toDF("k", "v"),
+      t, "append")
+    // an UPDATE rewriting k to null refuses too (same commit gate)
+    intercept[IllegalArgumentException](
+      DeltaLog.updateWhere(spark, t, $"k" === 1L,
+        Map("k" -> lit(null).cast("bigint"))))
+    assert(DeltaLog.read(spark, t).count() == 3)
+  }
+
   test("table properties: configuration survives evolution; appendOnly + CHECK enforced") {
     val t = freshTable()
     DeltaLog.write(spark, Seq((1L, 5L)).toDF("x", "v"), t,

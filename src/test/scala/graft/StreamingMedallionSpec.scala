@@ -233,6 +233,63 @@ class StreamingMedallionSpec extends SparkSpec {
     assert(agg == Map(0L -> 30L, 1L -> 30L), agg.toString)
   }
 
+  test("graft-delta MERGE sink: exactly-once streaming upserts") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-msink-").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val ckpt = s"$base/ckpt"
+    graft.sources.DeltaLog.write(spark,
+      (0L until 10L).map(i => (i, s"a$i", 1L)).toDF("id", "v", "ts"), src)
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream.format("graft-delta")
+        .option("mergeKeys", "id").option("recencyCol", "ts")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    run()
+    def state(): Map[Long, (String, Long)] =
+      graft.sources.DeltaLog.read(spark, dst).as[(Long, String, Long)]
+        .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(state() == (0L until 10L).map(i => i -> (s"a$i", 1L)).toMap)
+
+    // a change wave: newer versions of 5 keys + one new key — the keyed
+    // state advances, history does NOT accumulate
+    graft.sources.DeltaLog.write(spark,
+      ((0L until 5L).map(i => (i, s"b$i", 2L)) :+ ((10L, "a10", 1L)))
+        .toDF("id", "v", "ts"), src, mode = "append")
+    run()
+    val want2 = ((0L until 5L).map(i => i -> (s"b$i", 2L)) ++
+      (5L until 10L).map(i => i -> (s"a$i", 1L)) :+ (10L -> ("a10", 1L))).toMap
+    assert(state() == want2)
+    assert(graft.sources.DeltaLog.read(spark, dst).count() == 11L,
+      "upsert must not accumulate history")
+
+    // replayed batch: delete the engine's commit marker so the same
+    // micro-batch re-fires — the MERGE's own SetTransaction makes the
+    // rerun a no-op (exactly-once without a side-channel)
+    val f = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = f.listStatus(new org.apache.hadoop.fs.Path(s"$ckpt/commits"))
+      .map(_.getPath).filter(_.getName.forall(_.isDigit))
+    f.delete(commits.maxBy(_.getName.toLong), false)
+    val vBefore = graft.sources.DeltaLog.snapshot(spark, dst).version
+    run()
+    assert(state() == want2, "a replayed batch must not re-merge")
+    assert(graft.sources.DeltaLog.snapshot(spark, dst).version == vBefore,
+      "a replayed batch must commit nothing")
+
+    // a LATE (older-ts) change must not regress the keyed state
+    graft.sources.DeltaLog.write(spark,
+      Seq((0L, "stale", 0L)).toDF("id", "v", "ts"), src, mode = "append")
+    run()
+    assert(state() == want2, "an older change must lose to the recency guard")
+  }
+
   test("many-file initial snapshot streams with bounded driver state") {
     import spark.implicits._
     // 10^4 files, 1 row each: the 100 TB shape in miniature. The source
