@@ -135,6 +135,49 @@ class DvMergeSpec extends SparkSpec {
       "CoW should replace exactly the touched file")
   }
 
+  test("column-mapped DV merge: logical clauses, physical masks") {
+    val t = fresh()
+    graft.sources.GraftSql.exec(spark,
+      s"""CREATE TABLE delta.`$t` (id BIGINT, v STRING)
+         |TBLPROPERTIES ('delta.columnMapping.mode'='name',
+         |'delta.enableDeletionVectors'='true')""".stripMargin)
+    DeltaLog.write(spark, (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(2), t, mode = "append")
+    val before = parquetState(t)
+    Merge.into(spark, t, Seq((7L, "u7"), (100L, "n100")).toDF("id", "sv"),
+      keys = Seq("id"))
+      .whenMatchedUpdate(Map("v" -> col("s.sv")))
+      .whenNotMatchedInsert(Map("id" -> col("s.id"), "v" -> col("s.sv")))
+      .execute()
+    val got = DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got == ((0L until 40L).map(i =>
+      (i, if (i == 7L) "u7" else s"v$i")) :+ ((100L, "n100"))).toSet)
+    // mask-and-append on the mapped table too: originals byte-untouched
+    val after = parquetState(t)
+    before.foreach { case (name, st) =>
+      assert(after.get(name).contains(st), s"$name was rewritten") }
+    assert(DeltaLog.snapshot(spark, t).fileEntries
+      .flatMap(_.dv).map(_.cardinality).sum == 1L)
+  }
+
+  test("generated columns recompute on DV-merge post-images") {
+    val t = fresh()
+    graft.sources.GraftSql.exec(spark,
+      s"""CREATE TABLE delta.`$t` (id BIGINT, v STRING,
+         |vlen BIGINT GENERATED ALWAYS AS (length(v)))
+         |TBLPROPERTIES ('delta.enableDeletionVectors'='true')""".stripMargin)
+    DeltaLog.write(spark, (0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      t, mode = "append")
+    Merge.into(spark, t, Seq((3L, "longer3")).toDF("id", "sv"), keys = Seq("id"))
+      .whenMatchedUpdate(Map("v" -> col("s.sv")))
+      .execute()
+    val got = DeltaLog.read(spark, t).as[(Long, String, Long)].collect().toSet
+    assert(got.contains((3L, "longer3", 7L)),
+      s"generated column must recompute on the post-image: $got")
+    assert(got == (0L until 10L).map(i =>
+      if (i == 3L) (3L, "longer3", 7L) else (i, s"v$i", s"v$i".length.toLong)).toSet)
+  }
+
   test("nondeterministic source still refuses on the DV path") {
     val t = fresh()
     DeltaLog.write(spark, seed(), t, properties = dvProps)
