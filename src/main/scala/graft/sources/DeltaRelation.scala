@@ -43,7 +43,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, Str
   * delta-spark's TahoeFileIndex pays; the guards ride the same
   * collect, and data-filter pruning collects survivors only. */
 final class GraftDeltaFileIndex(spark: SparkSession, table: String,
-    baseline: StructType, partCols: Seq[String]) extends FileIndex {
+    baseline: StructType, partCols: Seq[String],
+    pinnedVersion: Option[Long] = None) extends FileIndex {
 
   private val rootPath: Path = {
     val p = new Path(table)
@@ -67,9 +68,11 @@ final class GraftDeltaFileIndex(spark: SparkSession, table: String,
     case other => other
   }
 
-  /** Fresh snapshot with the schema-drift guard applied. */
+  /** Fresh snapshot with the schema-drift guard applied — or, for a
+    * time-travel relation, the PINNED version's snapshot (frozen by
+    * definition; the guard is then a no-op). */
   private def guardedSnapshot(): DeltaLog.Snapshot = {
-    val snap = DeltaLog.snapshot(spark, table)
+    val snap = DeltaLog.snapshot(spark, table, pinnedVersion)
     snap.schema.foreach { s =>
       if (strip(s) != strip(baseline)) throw new IllegalStateException(
         s"graft-delta live relation on $table: schema changed since the " +
@@ -154,7 +157,7 @@ final class GraftDeltaFileIndex(spark: SparkSession, table: String,
 
   override def sizeInBytes: Long = {
     import org.apache.spark.sql.functions.sum
-    val r = DeltaLog.snapshot(spark, table).allFiles
+    val r = DeltaLog.snapshot(spark, table, pinnedVersion).allFiles
       .agg(sum(col("size"))).head()
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
@@ -183,9 +186,11 @@ object DeltaRelation {
   }
 
   private[graft] def relationOf(spark: SparkSession, table: String,
-      schema: StructType, partCols: Seq[String]): HadoopFsRelation = {
+      schema: StructType, partCols: Seq[String],
+      pinnedVersion: Option[Long] = None): HadoopFsRelation = {
     val partSet = partCols.toSet
-    val index = new GraftDeltaFileIndex(spark, table, schema, partCols)
+    val index = new GraftDeltaFileIndex(spark, table, schema, partCols,
+      pinnedVersion)
     HadoopFsRelation(
       location = index,
       // the index's own ordering — PartitionDirectory rows are built in

@@ -527,14 +527,29 @@ final class DeltaStreamProvider extends StreamSourceProvider
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     val table = tableOf(parameters)
-    val snap = graft.sources.DeltaLog.snapshot(ctx.sparkSession, table)
+    // time travel: versionAsOf / timestampAsOf pin the relation to one
+    // immutable snapshot (no live tracking — the point is the past);
+    // without either, the relation is LIVE and re-lists per planning
+    val pinned: Option[Long] =
+      (parameters.get("versionAsOf"), parameters.get("timestampAsOf")) match {
+        case (Some(_), Some(_)) => sys.error(
+          "graft-delta: set versionAsOf OR timestampAsOf, not both")
+        case (Some(v), None) => Some(v.trim.toLong)
+        case (None, Some(ts)) => Some(graft.sources.DeltaLog
+          .versionAtTimestamp(ctx.sparkSession, table,
+            java.sql.Timestamp.valueOf(
+              if (ts.trim.length == 10) ts.trim + " 00:00:00" else ts.trim)
+              .getTime))
+        case _ => None
+      }
+    val snap = graft.sources.DeltaLog.snapshot(ctx.sparkSession, table, pinned)
     val schema = snap.schema.getOrElse(
       sys.error(s"graft-delta: $table declares no schema"))
     require(snap.columnMappingMode == "none",
       s"graft-delta batch relation: $table is column-mapped " +
         "(physical names differ) — use DeltaLog.read")
     graft.sources.DeltaRelation.relationOf(ctx.sparkSession, table, schema,
-      snap.partitionColumns)
+      snap.partitionColumns, pinned.map(_ => snap.version))
   }
 
   override def createSink(ctx: SQLContext, parameters: Map[String, String],

@@ -393,6 +393,45 @@ object Streams {
     graft.sources.DeltaLog.read(spark, dst)
   }
 
+  /** Streaming MERGE sink, oracle-verified end-to-end: an orders-derived
+    * change log lands in two waves (per-key representatives of the even
+    * orders, then of the odd), each wave streamed off the protocol log
+    * and MERGED into a keyed table by the graft-delta sink
+    * (`mergeKeys`/`recencyCol`) — matched-and-newer replaced, new keys
+    * inserted, exactly-once via the commit-riding SetTransaction. The
+    * final keyed state must equal DuckDB's per-key argmax over the WHOLE
+    * log (the winner between the two wave representatives is the global
+    * latest; o_orderkey is unique, so the recency guard never ties). */
+  val qStreamMergeSink: QueryDef = QueryDef.sql(
+    "q_stream_merge_sink",
+    """SELECT o_custkey AS id, CAST(max(o_orderkey) AS BIGINT) AS ts,
+      |  CAST(max_by(o_totalprice, o_orderkey) AS DOUBLE) AS price
+      |FROM orders GROUP BY 1""".stripMargin) { (spark, dir) =>
+    val base = Files.createTempDirectory("graft-stream-msink-").toString
+    val src = s"$base/src"
+    val dst = s"$base/dst"
+    val o = graft.Tables.orders(spark, dir)
+    def wave(parity: Int): DataFrame = o
+      .where(col("o_orderkey") % 2 === parity)
+      .groupBy(col("o_custkey").as("id"))
+      .agg(max(col("o_orderkey")).cast("bigint").as("ts"),
+        max_by(col("o_totalprice"), col("o_orderkey")).cast("double").as("price"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream.format("graft-delta")
+        .option("mergeKeys", "id").option("recencyCol", "ts")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    graft.sources.DeltaLog.write(spark, wave(0), src)
+    runOnce()
+    graft.sources.DeltaLog.write(spark, wave(1), src, mode = "append")
+    runOnce()
+    graft.sources.DeltaLog.read(spark, dst)
+  }
+
   val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark, qStreamJoin,
-    qStreamEnrich, qDeltaTail, qStreamCdf, qDeltaSink)
+    qStreamEnrich, qDeltaTail, qStreamCdf, qDeltaSink, qStreamMergeSink)
 }

@@ -111,6 +111,25 @@ class DeltaRelationSpec extends SparkSpec {
       "zone maps did not skip the out-of-range file")
   }
 
+  test("versionAsOf / timestampAsOf pin the relation to a frozen snapshot") {
+    val t = fresh()
+    DeltaLog.write(spark, (1L to 5L).toDF("x"), t)
+    DeltaLog.write(spark, (6L to 9L).toDF("x"), t, mode = "append")
+    val v0 = spark.read.format("graft-delta").option("versionAsOf", "0").load(t)
+    assert(v0.as[Long].collect().sorted.toSeq == (1L to 5L))
+    // the pinned frame does NOT track later appends (that's the point)
+    DeltaLog.write(spark, Seq(100L).toDF("x"), t, mode = "append")
+    assert(v0.count() == 5L)
+    assert(spark.read.format("graft-delta").load(t).count() == 10L)
+    // a generous timestamp resolves to the latest version
+    val byTs = spark.read.format("graft-delta")
+      .option("timestampAsOf", "2200-01-01").load(t)
+    assert(byTs.count() == 10L)
+    intercept[RuntimeException](spark.read.format("graft-delta")
+      .option("versionAsOf", "0").option("timestampAsOf", "2200-01-01").load(t)
+      .count())
+  }
+
   test("deletion vectors and schema drift fail the live scan loudly") {
     val t = fresh()
     DeltaLog.write(spark, (1L to 10L).toDF("x"), t)
