@@ -356,6 +356,35 @@ object Maintenance {
       graft.sources.DeltaLog.read(spark, t)
   }
 
+  /** Dynamic partition overwrite, oracle-verified: a bucket-partitioned
+    * orders table takes an overwrite carrying ONLY bucket-1 rows under
+    * `spark.sql.sources.partitionOverwriteMode=dynamic` — exactly that
+    * partition is replaced (the nightly partition-reload shape, no
+    * replaceWhere predicate to spell), everything else untouched. The
+    * read-back must equal DuckDB's complement-union row for row. */
+  val qDynamicOverwrite: graft.QueryDef = graft.QueryDef.sql(
+    "q_dynamic_overwrite",
+    """SELECT o_orderkey, CAST(o_custkey % 4 AS BIGINT) AS bucket,
+      |  CAST(o_totalprice AS DOUBLE) AS price
+      |FROM orders WHERE o_custkey % 4 <> 1
+      |UNION ALL
+      |SELECT o_orderkey, CAST(1 AS BIGINT), CAST(o_totalprice AS DOUBLE) * 2
+      |FROM orders WHERE o_custkey % 4 = 1""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-dynov-q-").toString + "/t"
+    val o = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (col("o_custkey") % 4).as("bucket"),
+        col("o_totalprice").cast("double").as("price"))
+    graft.sources.DeltaLog.write(spark, o.repartition(4), t,
+      partitionBy = Seq("bucket"))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try graft.sources.DeltaLog.write(spark,
+      o.where(col("bucket") === 1L)
+        .withColumn("price", col("price") * 2), t, mode = "overwrite")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    graft.sources.DeltaLog.read(spark, t)
+  }
+
   /** replaceWhere (selective overwrite), oracle-verified: the BUILDING
     * slice of a protocol `customer` table is atomically replaced by a
     * deterministic transform of itself; the read-back must equal
@@ -840,7 +869,7 @@ object Maintenance {
 
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qDeleteSweep, qUpdateCow, qUpdateDv, qMergeClauses,
-      qMergeDv,
+      qMergeDv, qDynamicOverwrite,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,

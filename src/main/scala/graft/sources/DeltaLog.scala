@@ -2583,8 +2583,30 @@ object DeltaLog {
     // (its allocated ids are fenced on the snapshot that supplied the
     // high-water mark) — that race surfaces as CommitRaceException and
     // the operation-level retry here re-allocates from a fresh snapshot.
-    def run(): Long = commitWrite(spark, df, table, partitionBy, txn,
-      removePaths = s => if (mode == "overwrite") s.files else Seq.empty,
+    // dynamic partition overwrite (Spark's partitionOverwriteMode=dynamic
+    // on the protocol): an overwrite of a partitioned table replaces
+    // ONLY the partitions the incoming frame carries — the nightly
+    // partition-reload shape without spelling a replaceWhere predicate.
+    // The removal set is a distributed semi-join of the file frame
+    // against the frame's distinct partition tuples (typed, null-safe),
+    // O(written partitions) driver state.
+    val dynamic = mode == "overwrite" &&
+      spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        .exists(_.equalsIgnoreCase("dynamic"))
+    // a dynamic overwrite never changes the table's layout — inherit the
+    // declared partitioning for the staged files when the caller omitted
+    // partitionBy (the remove-bearing commit would otherwise land
+    // unpartitioned files in a partitioned table)
+    val effPartitionBy: Seq[String] =
+      if (!dynamic || partitionBy.nonEmpty || !isDeltaTable(spark, table))
+        partitionBy
+      else snapshot(spark, table).partitionColumns
+    def run(): Long = commitWrite(spark, df, table, effPartitionBy, txn,
+      removePaths = s =>
+        if (mode != "overwrite") Seq.empty
+        else if (dynamic && partitionColsOf(s, effPartitionBy).nonEmpty)
+          dynamicOverwriteRemoves(spark, s, df, partitionColsOf(s, effPartitionBy))
+        else s.files,
       widenSchema = mode == "append", dataChange = true,
       operation = mode.toUpperCase,
       retryOnRace = mode == "append" && baseVersion.isEmpty,
@@ -2594,6 +2616,45 @@ object DeltaLog {
       blindAppend = mode == "append")
     if (mode == "append" && baseVersion.isEmpty) withDmlRetry(3)(run())
     else run()
+  }
+
+  /** The effective partition columns of an overwrite: the caller's
+    * `partitionBy`, else the table's declared layout. */
+  private def partitionColsOf(snap: Snapshot, partitionBy: Seq[String]): Seq[String] =
+    if (partitionBy.nonEmpty) partitionBy else snap.partitionColumns
+
+  /** Files whose partition tuple appears in `df` — the removal set of a
+    * DYNAMIC partition overwrite. Typed, null-safe comparison: the
+    * entry's directory value string casts to the declared type and
+    * `<=>`-joins the frame's distinct tuples, so `p=5` matches whether
+    * the incoming column is int or long, and a null partition value
+    * matches exactly the frame's null tuple. Generated partition
+    * columns missing from the frame are computed first (same expression
+    * the stage writer applies). Collects only the matched paths. */
+  private def dynamicOverwriteRemoves(spark: SparkSession, snap: Snapshot,
+      df: DataFrame, partCols: Seq[String]): Seq[String] = {
+    val schema = snap.schema.getOrElse(return snap.files)
+    val byName = schema.fields.map(f => f.name -> f).toMap
+    val phys: String => String = n => snap.columnMapping.getOrElse(n, n)
+    // compute generated partition columns the frame omitted
+    val withGen = partCols.foldLeft(df) { (d, c) =>
+      if (d.columns.contains(c)) d
+      else byName.get(c).filter(_.metadata.contains(GenExprKey)).fold(d)(fl =>
+        d.withColumn(c, expr(fl.metadata.getString(GenExprKey)).cast(fl.dataType)))
+    }
+    val missing = partCols.filterNot(withGen.columns.contains)
+    require(missing.isEmpty,
+      s"dynamic partition overwrite: the frame lacks partition column(s) " +
+        s"${missing.mkString(", ")}")
+    val incoming = withGen.select(partCols.map(c =>
+      col(c).cast(byName(c).dataType).as(s"__in_$c")): _*).distinct()
+    val entries = snap.allFiles.select(col("path") +: partCols.map(c =>
+      try_element_at(col("partitionValues"), lit(phys(c)))
+        .try_cast(byName(c).dataType).as(s"__pv_$c")): _*)
+    val cond = partCols.map(c => col(s"__pv_$c") <=> col(s"__in_$c"))
+      .reduce(_ && _)
+    entries.join(incoming, cond, "left_semi")
+      .select("path").collect().map(_.getString(0)).toSeq
   }
 
   /** Writer-feature compliance for generated and identity columns,
