@@ -131,6 +131,10 @@ object GraftSql {
     """(?is)\s*SELECT\s+COUNT\s*\(\s*\*\s*\)(?:\s+AS\s+(\w+))?\s+FROM\s+delta\.`([^`]+)`(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
   private val ReplaceWhereStmt =
     """(?is)\s*INSERT\s+INTO\s+delta\.`([^`]+)`\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\s.+)""".r
+  private val InsertOverwriteStmt =
+    """(?is)\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?delta\.`([^`]+)`\s+((?:SELECT|VALUES|FROM|WITH)\s.+)""".r
+  private val InsertIntoStmt =
+    """(?is)\s*INSERT\s+INTO\s+delta\.`([^`]+)`\s+((?:SELECT|VALUES|FROM|WITH)\s.+)""".r
   private val TableChanges =
     """(?i)TABLE_CHANGES\s*\(\s*delta\.`([^`]+)`\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val TableRef =
@@ -477,6 +481,23 @@ object GraftSql {
     } else version(spark, v)
   }
 
+  /** SQL INSERT is POSITIONAL: when the SELECT's arity matches the
+    * target's declared column count, columns map (and cast) by position;
+    * otherwise the frame passes by NAME so generated/identity columns
+    * the INSERT legitimately omits still fill in at write. */
+  private def positional(spark: SparkSession, table: String,
+      df: DataFrame): DataFrame = {
+    val declared = if (!DeltaLog.isDeltaTable(spark, table)) None
+      else DeltaLog.snapshot(spark, table).schema
+    declared match {
+      case Some(s) if s.fields.length == df.columns.length =>
+        df.select(df.columns.zip(s.fields).map { case (c, f) =>
+          df.col(c).cast(f.dataType).as(f.name)
+        }.toIndexedSeq: _*)
+      case _ => df
+    }
+  }
+
   private def version(spark: SparkSession, v: Long): DataFrame = {
     import spark.implicits._
     Seq(v).toDF("version")
@@ -707,6 +728,14 @@ object GraftSql {
     case ReplaceWhereStmt(path, cond, select) =>
       version(spark,
         DeltaLog.replaceWhere(spark, path, exec(spark, select), expr(cond)))
+    case InsertOverwriteStmt(path, select) =>
+      // honors spark.sql.sources.partitionOverwriteMode=dynamic: only
+      // the partitions the SELECT carries are replaced
+      version(spark, DeltaLog.write(spark,
+        positional(spark, path, exec(spark, select)), path, mode = "overwrite"))
+    case InsertIntoStmt(path, select) =>
+      version(spark, DeltaLog.write(spark,
+        positional(spark, path, exec(spark, select)), path, mode = "append"))
     case other =>
       // SELECT (or anything else): rewrite table_changes(delta.`p`, a, b)
       // and delta.`path` [VERSION AS OF n | TIMESTAMP AS OF 'ts']

@@ -323,6 +323,33 @@ class SqlSurfaceSpec extends SparkSpec {
       "table-property checkpoint interval of 2 must checkpoint at v2")
   }
 
+  test("INSERT INTO appends positionally; INSERT OVERWRITE honors dynamic mode") {
+    import spark.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-sql-insert-").toString + "/t"
+    GraftSql.exec(spark,
+      s"CREATE TABLE delta.`$t` (k BIGINT, p STRING) PARTITIONED BY (p)")
+    GraftSql.exec(spark,
+      s"INSERT INTO delta.`$t` SELECT * FROM VALUES (1, 'a'), (2, 'b') AS v(x, y)")
+    // positional: names differ (x,y), INT coerces to the declared BIGINT
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    GraftSql.exec(spark, s"INSERT INTO delta.`$t` VALUES (3, 'a')")
+    assert(DeltaLog.read(spark, t).count() == 3L)
+    // dynamic overwrite from SQL: only partition 'a' is replaced
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try GraftSql.exec(spark,
+      s"INSERT OVERWRITE delta.`$t` SELECT * FROM VALUES (9, 'a') AS v(x, y)")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((9L, "a"), (2L, "b")))
+    // static INSERT OVERWRITE truncates
+    GraftSql.exec(spark,
+      s"INSERT OVERWRITE TABLE delta.`$t` SELECT * FROM VALUES (7, 'z') AS v(x, y)")
+    assert(DeltaLog.read(spark, t).as[(Long, String)].collect().toSeq ==
+      Seq((7L, "z")))
+  }
+
   test("OPTIMIZE WHERE compacts only the matching partition") {
     val t = java.nio.file.Files
       .createTempDirectory("graft-optwhere-").toString + "/t"
