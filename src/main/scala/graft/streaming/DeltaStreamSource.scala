@@ -527,6 +527,30 @@ final class DeltaStreamProvider extends StreamSourceProvider
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     val table = tableOf(parameters)
+    // batch CDF read — delta-spark's reader-option spelling of the
+    // change feed: each commit in [startingVersion, endingVersion]
+    // (ending defaults to the head) resolves to its row-level changes,
+    // stamped _change_type/_commit_version; `changeKeys` opts into
+    // update pre/post-image pairs
+    if (isCdf(parameters)) {
+      val from = parameters.getOrElse("startingVersion", sys.error(
+        "graft-delta batch CDF read needs .option(\"startingVersion\", n)"))
+        .trim.toLong
+      val to = parameters.get("endingVersion").map(_.trim.toLong)
+        .orElse(graft.sources.DeltaLog.latestVersion(ctx.sparkSession, table))
+        .getOrElse(sys.error(s"graft-delta: empty log at $table"))
+      val keys = parameters.get("changeKeys").toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      val frame = graft.sources.DeltaLog
+        .changesRange(ctx.sparkSession, table, math.max(1L, from), to, keys)
+      return new org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = frame.schema
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          frame.rdd
+      }
+    }
     // time travel: versionAsOf / timestampAsOf pin the relation to one
     // immutable snapshot (no live tracking — the point is the past);
     // without either, the relation is LIVE and re-lists per planning

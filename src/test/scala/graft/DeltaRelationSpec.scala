@@ -130,6 +130,24 @@ class DeltaRelationSpec extends SparkSpec {
       .count())
   }
 
+  test("batch CDF through reader options: per-commit row-level changes") {
+    val t = fresh()
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    DeltaLog.deleteWhere(spark, t, col("k") === 1L)                // v1
+    DeltaLog.write(spark, Seq((3L, "c")).toDF("k", "v"), t, "append") // v2
+    val feed = spark.read.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").load(t)
+      .select("k", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(feed == Set((1L, "a", "delete", 1L), (3L, "c", "insert", 2L)))
+    // endingVersion bounds the window
+    val only1 = spark.read.format("graft-delta")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "1").load(t)
+    assert(only1.count() == 1L)
+  }
+
   test("deletion vectors and schema drift fail the live scan loudly") {
     val t = fresh()
     DeltaLog.write(spark, (1L to 10L).toDF("x"), t)
