@@ -42,7 +42,8 @@ import org.apache.spark.sql.types.StructType
   */
 final class DeltaStreamSource(ctx: SQLContext, table: String,
     skipChangeCommits: Boolean, maxFilesPerTrigger: Option[Int],
-    maxBytesPerTrigger: Option[Long] = None) extends Source
+    maxBytesPerTrigger: Option[Long] = None,
+    startingVersion: Option[String] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import DeltaStreamSource.Pos
 
@@ -57,6 +58,27 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
     "set maxFilesPerTrigger OR maxBytesPerTrigger, not both")
 
   override val schema: StructType = DeltaStreamSource.schemaOf(ctx, table)
+
+  /** `startingVersion` (Delta's option): SKIP the initial snapshot and
+    * tail the log from this commit on — `"latest"` means only commits
+    * after stream start. At 100 TB this is the difference between
+    * re-reading the whole table and tailing the trickle. The anchor is
+    * the version just BEFORE the first streamed commit; in tail mode
+    * that version's feed is EMPTY (never the snapshot), and the anchor
+    * rides the checkpointed offsets' `snap` field, so restarts resume
+    * exactly. */
+  private val tailAnchor: Option[Long] = startingVersion.map { sv =>
+    sv.trim.toLowerCase match {
+      case "latest" => DeltaLog.latestVersion(spark, table).getOrElse(-1L)
+      case n =>
+        val v = n.toLong
+        require(v >= 1,
+          s"startingVersion must be >= 1 or 'latest' (omit the option to " +
+            s"include the initial snapshot): $sv")
+        v - 1L
+    }
+  }
+  private def tailMode: Boolean = tailAnchor.isDefined
 
   // ------------------------------------------------------------- offsets
 
@@ -139,14 +161,18 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
     }
 
   private def feedSize(v: Long, snapV: Long): Long =
-    if (v == snapV) snapInfo(snapV)._3 else addsOf(v).size.toLong
+    if (v == snapV) { if (tailMode) 0L else snapInfo(snapV)._3 }
+    else addsOf(v).size.toLong
 
   private def feedSlice(v: Long, snapV: Long,
       from: Long, until: Long): Seq[DeltaLog.FileEntry] =
     if (v == snapV) {
-      val es = DeltaLog.snapshotFileSlice(snapInfo(snapV)._2, from, until)
-      DeltaStreamSource.meterCollect(es.size)
-      es
+      if (tailMode) Seq.empty
+      else {
+        val es = DeltaLog.snapshotFileSlice(snapInfo(snapV)._2, from, until)
+        DeltaStreamSource.meterCollect(es.size)
+        es
+      }
     } else addsOf(v).slice(from.toInt, until.toInt)
 
   /** The last position this source planned or recovered — where the
@@ -182,7 +208,8 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
     val latest = availableNowCap.fold(actual)(math.min(actual, _))
     val next = (maxFilesPerTrigger, maxBytesPerTrigger) match {
       case (None, None) =>
-        val snapV = highWater.map(_.snap).getOrElse(latest)
+        val snapV = highWater.map(_.snap)
+          .getOrElse(tailAnchor.getOrElse(latest))
         val cur = highWater.getOrElse(Pos(-1L, -1L, snapV))
         if (cur.version >= latest && cur.consumed) cur
         else Pos(latest, -1L, snapV)
@@ -190,7 +217,8 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
         // byte-budget admission: ONE ≈bytes batch per trigger, never
         // spanning a version boundary (rate limits are approximate by
         // contract; a version's leftover tail forms the next batch)
-        val snapV = highWater.map(_.snap).getOrElse(latest)
+        val snapV = highWater.map(_.snap)
+          .getOrElse(tailAnchor.getOrElse(latest))
         val cur = highWater.getOrElse(Pos(snapV, 0L, snapV))
         var v = cur.version
         var idx = cur.index(feedSize(v, snapV))
@@ -201,7 +229,8 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
           Pos(v, if (end >= feedSize(v, snapV)) -1L else end, snapV)
         }
       case (Some(budget), _) =>
-        val snapV = highWater.map(_.snap).getOrElse(latest)
+        val snapV = highWater.map(_.snap)
+          .getOrElse(tailAnchor.getOrElse(latest))
         var cur = highWater.getOrElse(Pos(snapV, 0L, snapV))
         var left = budget.toLong
         // walk versions, consuming up to `budget` files — sizes only
@@ -624,5 +653,6 @@ final class DeltaStreamProvider extends StreamSourceProvider
       new DeltaStreamSource(ctx, tableOf(parameters),
         parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
         parameters.get("maxFilesPerTrigger").map(_.toInt),
-        parameters.get("maxBytesPerTrigger").map(_.toLong))
+        parameters.get("maxBytesPerTrigger").map(_.toLong),
+        parameters.get("startingVersion"))
 }

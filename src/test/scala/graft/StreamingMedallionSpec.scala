@@ -233,6 +233,43 @@ class StreamingMedallionSpec extends SparkSpec {
     assert(agg == Map(0L -> 30L, 1L -> 30L), agg.toString)
   }
 
+  test("startingVersion skips the initial snapshot and tails the log") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-startv-").toString
+    val src = s"$base/src"
+    graft.sources.DeltaLog.write(spark, spark.range(0L, 50L).toDF("x"), src) // v0
+    graft.sources.DeltaLog.write(spark, spark.range(50L, 60L).toDF("x"), src,
+      mode = "append")                                                       // v1
+    graft.sources.DeltaLog.write(spark, spark.range(60L, 70L).toDF("x"), src,
+      mode = "append")                                                       // v2
+
+    def drain(ckpt: String, opts: Map[String, String]): Seq[Long] = {
+      val sink = s"$base/out-${ckpt.hashCode.toHexString}"
+      val reader = opts.foldLeft(
+        spark.readStream.format("graft-delta")) { case (r, (k, v)) => r.option(k, v) }
+      val q = reader.load(src).writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      scala.util.Try(spark.read.parquet(sink).as[Long].collect().sorted.toSeq)
+        .getOrElse(Seq.empty)
+    }
+    // numeric anchor: versions >= 2 only — the 50-row snapshot and v1
+    // never enter the stream
+    assert(drain(s"$base/ck2", Map("startingVersion" -> "2")) == (60L until 70L))
+    // 'latest': nothing yet; a later append streams alone
+    val ckL = s"$base/ckL"
+    assert(drain(ckL, Map("startingVersion" -> "latest")).isEmpty)
+    graft.sources.DeltaLog.write(spark, spark.range(100L, 103L).toDF("x"), src,
+      mode = "append")
+    assert(drain(ckL, Map("startingVersion" -> "latest")) == (100L until 103L))
+    // restart-exactness: the numeric stream's checkpoint resumes past v2
+    graft.sources.DeltaLog.write(spark, spark.range(200L, 202L).toDF("x"), src,
+      mode = "append")
+    assert(drain(s"$base/ck2", Map("startingVersion" -> "2")) ==
+      ((60L until 70L) ++ (100L until 103L) ++ (200L until 202L)))
+  }
+
   test("graft-delta MERGE sink: exactly-once streaming upserts") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-msink-").toString
