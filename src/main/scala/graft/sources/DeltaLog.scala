@@ -3618,14 +3618,16 @@ object DeltaLog {
       // delta-spark's DV DML gate, same as UPDATE: a table declaring
       // delta.enableDeletionVectors=true takes the mask-and-append path
       // (O(modified rows) written, untouched neighbors never rewritten);
-      // schema evolution stays copy-on-write (the evolved columns must
-      // reach every carried row). Conf escape mirrors UPDATE's.
+      // schema evolution composes — the evolved columns ride the append
+      // side and existing files read null under the widened declaration.
+      // Conf escape mirrors UPDATE's.
       val useDv = snap.configuration.get("delta.enableDeletionVectors")
-        .contains("true") && !schemaEvolution &&
+        .contains("true") &&
         spark.conf.getOption("spark.graft.merge.useDeletionVectors")
           .forall(_.toBoolean)
       if (useDv)
-        mergeDv(spark, table, snap, source, keys, clauses, extraOn, aliases, probe)
+        mergeDv(spark, table, snap, source, keys, clauses, extraOn, aliases,
+          probe, schemaEvolution)
       else
         mergeCore(spark, table, snap, source, keys,
           (target, src) => Merge.applyClauses(target, src, keys, extraOn, clauses,
@@ -3652,7 +3654,7 @@ object DeltaLog {
   private def mergeDv(spark: SparkSession, table: String, snap: Snapshot,
       source: DataFrame, keys: Seq[String], clauses: Seq[MergeClause],
       extraOn: Option[Column], aliases: (String, String),
-      probeByKeys: Boolean): Long = {
+      probeByKeys: Boolean, schemaEvolution: Boolean = false): Long = {
     val candidates: Seq[FileEntry] = basenameIndex(snap.files) match {
       case _ if !probeByKeys => snap.fileEntries
       case None => snap.fileEntries
@@ -3667,7 +3669,7 @@ object DeltaLog {
     val target = readEntries(spark, table, candidates, snap.schema,
       snap.columnMappingMode, withProvenance = true)
     val plan = Merge.applyClausesDv(target, source, keys, extraOn, clauses,
-      (FpCol, RiCol), aliases._1, aliases._2)
+      (FpCol, RiCol), aliases._1, aliases._2, schemaEvolution)
     try {
       val (metaByPath, results) = growDeletionVectorsFrom(spark, table, snap,
         candidates, plan.mask)
@@ -3684,15 +3686,21 @@ object DeltaLog {
       def regen(df: DataFrame): DataFrame =
         genCols.foldLeft(df)((d, fl) => d.withColumn(fl.name,
           expr(fl.metadata.getString(GenExprKey)).cast(fl.dataType)))
+      // allowMissingColumns: under schema evolution the pre-image and
+      // delete frames lack the evolved columns — they pad to null,
+      // exactly what those rows held
       val cdcFrame =
         if (!cdfEnabled(snap)) None
         else Some(
           plan.updatePre.withColumn("_change_type", lit("update_preimage"))
             .unionByName(regen(plan.updatePost)
-              .withColumn("_change_type", lit("update_postimage")))
-            .unionByName(plan.deleted.withColumn("_change_type", lit("delete")))
+              .withColumn("_change_type", lit("update_postimage")),
+              allowMissingColumns = true)
+            .unionByName(plan.deleted.withColumn("_change_type", lit("delete")),
+              allowMissingColumns = true)
             .unionByName(regen(plan.inserted)
-              .withColumn("_change_type", lit("insert"))))
+              .withColumn("_change_type", lit("insert")),
+              allowMissingColumns = true))
       commitWrite(spark, plan.appends, table, snap.partitionColumns, None,
         removePaths = _ => touched.map(_.path), widenSchema = true,
         dataChange = true, operation = "MERGE",

@@ -249,13 +249,15 @@ object Merge {
   /** [[applyClauses]]' classification, decomposed for the DV path.
     * `target` must carry the two provenance columns `provCols`
     * (file path, row index); they never appear in the output frames'
-    * data columns. Schema evolution is the copy-on-write path's job —
-    * callers route evolved merges there. Raises the same
-    * nondeterministic-merge error as [[applyClauses]]. */
+    * data columns. Schema evolution works like [[applyClauses]]': the
+    * APPEND side carries the evolved columns (existing files read null
+    * under the widened declaration — no rewrite, which is the whole
+    * point of this path). Raises the same nondeterministic-merge error
+    * as [[applyClauses]]. */
   private[graft] def applyClausesDv(target: DataFrame, source: DataFrame,
       keys: Seq[String], extraOn: Option[Column], clauses: Seq[MergeClause],
-      provCols: (String, String), tAlias: String = "t", sAlias: String = "s")
-      : DvPlan = {
+      provCols: (String, String), tAlias: String = "t", sAlias: String = "s",
+      schemaEvolution: Boolean = false): DvPlan = {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     require(keys.nonEmpty, "MERGE needs at least one equi-key")
     require(tAlias != sAlias, s"target and source aliases collide: '$tAlias'")
@@ -271,13 +273,25 @@ object Merge {
       case NotMatchedInsert(_, v) => v.isEmpty
       case _ => false
     }
-    if (starClauses) {
+    if (starClauses && !schemaEvolution) {
       val missing = tCols.filterNot(srcCols.contains)
       require(missing.isEmpty,
         s"UPDATE SET * / INSERT * needs every target column in the source; " +
           s"missing: ${missing.mkString(", ")} (or merge withSchemaEvolution)")
     }
-    clauses.foreach {
+    val newFromSource: Seq[org.apache.spark.sql.types.StructField] =
+      if (!schemaEvolution || !starClauses) Seq.empty
+      else source.schema.fields.toSeq.filterNot(f => tCols.contains(f.name))
+    val newFromSets: Seq[String] =
+      if (!schemaEvolution) Seq.empty
+      else clauses.flatMap {
+        case MatchedUpdate(_, s) => s.keys
+        case BySourceUpdate(_, s) => s.keys
+        case NotMatchedInsert(_, v) => v.keys
+        case _ => Seq.empty
+      }.distinct.filterNot(n =>
+        tCols.contains(n) || newFromSource.exists(_.name == n))
+    if (!schemaEvolution) clauses.foreach {
       case MatchedUpdate(_, s) => requireTargetCols(s.keys, tCols, "UPDATE SET")
       case BySourceUpdate(_, s) => requireTargetCols(s.keys, tCols, "UPDATE SET")
       case NotMatchedInsert(_, v) => requireTargetCols(v.keys, tCols, "INSERT")
@@ -359,6 +373,18 @@ object Merge {
           when(col(actCol) === i, set).otherwise(acc))
       }
       v.cast(f.dataType).as(f.name)
+    } ++ newFromSource.map { f =>
+      val v = indexed.foldLeft(lit(null).cast(f.dataType): Column) {
+        case (acc, (c, i)) => setOf(c, f.name).fold(acc)(set =>
+          when(col(actCol) === i, set).otherwise(acc))
+      }
+      v.cast(f.dataType).as(f.name)
+    } ++ newFromSets.map { n =>
+      val v = indexed.foldLeft(lit(null): Column) { case (acc, (c, i)) =>
+        setOf(c, n).fold(acc)(set =>
+          when(col(actCol) === i, set).otherwise(acc))
+      }
+      v.as(n)
     }
     val pre = tCols.map(c => col(s"$tAlias.$c").as(c))
     val updateIdx = indexed.collect {

@@ -178,6 +178,34 @@ class DvMergeSpec extends SparkSpec {
       if (i == 3L) (3L, "longer3", 7L) else (i, s"v$i", s"v$i".length.toLong)).toSet)
   }
 
+  test("schema evolution rides the append side; old files stay untouched") {
+    val t = fresh()
+    DeltaLog.write(spark, (0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(2), t, properties = dvProps)
+    val before = parquetState(t)
+    // source carries a NEW column `extra`; withSchemaEvolution lands it
+    val src = Seq((3L, "u3", "x3"), (50L, "n50", "x50"))
+      .toDF("id", "v", "extra")
+    Merge.into(spark, t, src, keys = Seq("id"))
+      .withSchemaEvolution()
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val got = DeltaLog.read(spark, t)
+      .as[(Long, String, Option[String])].collect().toSet
+    val want = ((0L until 20L).filter(_ != 3L)
+      .map(i => (i, s"v$i", None: Option[String])) ++
+      Seq((3L, "u3", Some("x3")), (50L, "n50", Some("x50")))).toSet
+    assert(got == want)
+    // evolution did NOT rewrite the existing files — the whole point of
+    // composing it with the DV path
+    val after = parquetState(t)
+    before.foreach { case (name, st) =>
+      assert(after.get(name).contains(st), s"$name was rewritten") }
+    assert(DeltaLog.snapshot(spark, t).fileEntries
+      .flatMap(_.dv).map(_.cardinality).sum == 1L)
+  }
+
   test("nondeterministic source still refuses on the DV path") {
     val t = fresh()
     DeltaLog.write(spark, seed(), t, properties = dvProps)
