@@ -271,7 +271,8 @@ object GraftSql {
     ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
   }
 
-  private val MergeHead = """(?is)\s*MERGE\s+INTO\s+.*""".r
+  private val MergeHead =
+    """(?is)\s*MERGE\s+(?:WITH\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+.*""".r
 
   /** Split `s` on every top-level occurrence of word `keyword` —
     * outside parens, string literals, AND `CASE … END` blocks (a CASE
@@ -344,7 +345,13 @@ object GraftSql {
     * shuffle keys); any further conjuncts become an extra join
     * predicate. */
   private def execMerge(spark: SparkSession, statement: String): DataFrame = {
-    val (path, tAliasOpt, rest) = statement match {
+    // delta-spark's `MERGE WITH SCHEMA EVOLUTION INTO …` spelling
+    val EvolutionHead = """(?is)(\s*MERGE\s+)WITH\s+SCHEMA\s+EVOLUTION\s+(INTO\s+.*)""".r
+    val (stmt, evolve) = statement match {
+      case EvolutionHead(head, tail) => (head + tail, true)
+      case s => (s, false)
+    }
+    val (path, tAliasOpt, rest) = stmt match {
       case MergeTarget(p, a1, a2, r) =>
         (p, Option(a1).orElse(Option(a2)), r)
       case _ => sys.error(s"cannot parse MERGE statement: $statement")
@@ -427,7 +434,7 @@ object GraftSql {
       case bad => sys.error(s"cannot parse MERGE WHEN clause: WHEN $bad")
     }
     version(spark, DeltaLog.merge(spark, path, srcDf, keys, clauses, extraOn,
-      aliases = (tAlias, sAlias)))
+      aliases = (tAlias, sAlias), schemaEvolution = evolve))
   }
 
   /** Split a SET clause on top-level commas (commas inside parens or

@@ -323,6 +323,24 @@ class SqlSurfaceSpec extends SparkSpec {
       "table-property checkpoint interval of 2 must checkpoint at v2")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION carries new source columns into the target") {
+    import spark.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-sql-mwse-").toString + "/t"
+    DeltaLog.write(spark, Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    Seq((2L, "B", "x2"), (3L, "c", "x3")).toDF("id", "v", "extra")
+      .createOrReplaceTempView("mwse_src")
+    GraftSql.exec(spark,
+      s"""MERGE WITH SCHEMA EVOLUTION INTO delta.`$t` AS t
+         |USING mwse_src AS s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = DeltaLog.read(spark, t)
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "B", Some("x2")),
+      (3L, "c", Some("x3"))))
+  }
+
   test("INSERT INTO appends positionally; INSERT OVERWRITE honors dynamic mode") {
     import spark.implicits._
     val t = java.nio.file.Files
