@@ -5987,11 +5987,13 @@ object DeltaLog {
       finally out.close()
     }
 
-    // a table whose READER features include v2Checkpoint gets the V2
-    // layout (manifest + _sidecars/) — its readers expect it, and
-    // checkpoint symmetry means a graft-maintained foreign table keeps
-    // the shape its other writers produce
-    val isV2 = snap.protocolJson.exists { pj =>
+    // a table whose READER features include v2Checkpoint — or that
+    // declares delta.checkpointPolicy=v2, the spec's property spelling —
+    // gets the V2 layout (manifest + _sidecars/): its readers expect
+    // it, and checkpoint symmetry means a graft-maintained foreign
+    // table keeps the shape its other writers produce
+    val isV2 = snap.configuration.get("delta.checkpointPolicy")
+      .contains("v2") || snap.protocolJson.exists { pj =>
       val p = mapper.readTree(pj)
       p.has("readerFeatures") && {
         val it = p.get("readerFeatures").elements()

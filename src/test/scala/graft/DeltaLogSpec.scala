@@ -803,6 +803,23 @@ class DeltaLogSpec extends SparkSpec {
       Seq(1L, 2L, 3L))
   }
 
+  test("delta.checkpointPolicy=v2 selects the V2 layout by property") {
+    val t = freshTable()
+    DeltaLog.write(spark, Seq(1L, 2L).toDF("x"), t,
+      properties = Map("delta.checkpointPolicy" -> "v2"))
+    DeltaLog.write(spark, Seq(3L).toDF("x"), t, "append")
+    val cpv = DeltaLog.checkpoint(spark, t)
+    val logFiles = new File(t, "_delta_log").listFiles().map(_.getName)
+    assert(logFiles.exists(n => n.startsWith(f"$cpv%020d.checkpoint.") &&
+      n.endsWith(".parquet") && n != f"$cpv%020d.checkpoint.parquet"),
+      logFiles.mkString(","))
+    assert(new File(t, "_delta_log/_sidecars").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    // and the state reads back whole through the V2 checkpoint
+    assert(DeltaLog.read(spark, t).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+  }
+
   test("V2 checkpoint WRITE: manifest + _sidecars round-trip after JSON vacuum") {
     // checkpoint symmetry: on a table whose reader features include
     // v2Checkpoint, OUR checkpoint writes the V2 layout its other
