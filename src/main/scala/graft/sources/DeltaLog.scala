@@ -1514,7 +1514,7 @@ object DeltaLog {
     * restarts. */
   private[graft] def addedFileEntries(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long,
-      skipChangeCommits: Boolean): Seq[FileEntry] = {
+      skipChangeCommits: Boolean, ignoreDeletes: Boolean = false): Seq[FileEntry] = {
     require(fromVersion <= toVersion, s"$fromVersion > $toVersion")
     val f = fs(spark, table)
     val versions = listVersions(spark, table)
@@ -1532,10 +1532,16 @@ object DeltaLog {
       val actions = readCommit(f, table, v)
       val hasRemoves = actions.exists(a =>
         a.has("remove") && isDataChange(a.get("remove")))
-      if (hasRemoves && !skipChangeCommits)
+      // ignoreDeletes (Delta's option): a PURE delete commit (removes,
+      // zero dataChange adds — the retention-sweep shape) is skipped;
+      // a rewrite commit (removes AND adds) still refuses, because its
+      // adds would re-emit rows the consumer already saw
+      val pureDelete = hasRemoves && !actions.exists(a =>
+        a.has("add") && isDataChange(a.get("add")))
+      if (hasRemoves && !skipChangeCommits && !(ignoreDeletes && pureDelete))
         sys.error(s"version $v removes files; addedSince is append-only — " +
-          "use changesBetween for overwrite/merge feeds, or skipChangeCommits " +
-          "to ignore them")
+          "use changesBetween for overwrite/merge feeds, skipChangeCommits " +
+          "to ignore change commits, or ignoreDeletes for delete-only commits")
       if (!hasRemoves) actions.foreach { a =>
         if (a.has("add") && isDataChange(a.get("add")))
           added += FileEntry(a.get("add").get("path").asText(), dvOf(a.get("add")))
@@ -1548,7 +1554,7 @@ object DeltaLog {
     * streaming source's byte-budget admission needs them; O(commit). */
   private[graft] def addedFileEntriesSized(spark: SparkSession, table: String,
       fromVersion: Long, toVersion: Long,
-      skipChangeCommits: Boolean): Seq[(FileEntry, Long)] = {
+      skipChangeCommits: Boolean, ignoreDeletes: Boolean = false): Seq[(FileEntry, Long)] = {
     val f = fs(spark, table)
     val sizes = scala.collection.mutable.Map.empty[String, Long]
     ((fromVersion + 1) to toVersion).foreach { v =>
@@ -1559,7 +1565,8 @@ object DeltaLog {
               a.get("add").get("size").asLong()
         }
     }
-    addedFileEntries(spark, table, fromVersion, toVersion, skipChangeCommits)
+    addedFileEntries(spark, table, fromVersion, toVersion, skipChangeCommits,
+        ignoreDeletes)
       .map(e => e -> sizes.getOrElse(e.path, 0L))
   }
 

@@ -43,7 +43,8 @@ import org.apache.spark.sql.types.StructType
 final class DeltaStreamSource(ctx: SQLContext, table: String,
     skipChangeCommits: Boolean, maxFilesPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long] = None,
-    startingVersion: Option[String] = None) extends Source
+    startingVersion: Option[String] = None,
+    ignoreDeletes: Boolean = false) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import DeltaStreamSource.Pos
 
@@ -122,7 +123,8 @@ final class DeltaStreamSource(ctx: SQLContext, table: String,
             s"(stream started with ${schema.simpleString}, table now " +
             s"${ns.simpleString}) — restart the stream to pick up the new schema")
       }
-      val sized = DeltaLog.addedFileEntriesSized(spark, table, v - 1, v, skipChangeCommits)
+      val sized = DeltaLog.addedFileEntriesSized(spark, table, v - 1, v,
+        skipChangeCommits, ignoreDeletes)
         .sortBy(_._1.path).toIndexedSeq
       DeltaStreamSource.meterCollect(sized.size)
       addSizesCache(v) = sized.map(_._2)
@@ -654,5 +656,6 @@ final class DeltaStreamProvider extends StreamSourceProvider
         parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
         parameters.get("maxFilesPerTrigger").map(_.toInt),
         parameters.get("maxBytesPerTrigger").map(_.toLong),
-        parameters.get("startingVersion"))
+        parameters.get("startingVersion"),
+        parameters.get("ignoreDeletes").exists(_.equalsIgnoreCase("true")))
 }

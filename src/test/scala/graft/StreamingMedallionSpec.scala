@@ -270,6 +270,40 @@ class StreamingMedallionSpec extends SparkSpec {
       ((60L until 70L) ++ (100L until 103L) ++ (200L until 202L)))
   }
 
+  test("ignoreDeletes skips pure delete commits; rewrites still refuse") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-igdel-").toString
+    val src = s"$base/src"
+    graft.sources.DeltaLog.write(spark,
+      (0L until 30L).map(i => (i, s"d${i % 3}")).toDF("k", "day")
+        .repartition(1), src, partitionBy = Seq("day"))
+    def drain(ckpt: String): Seq[Long] = {
+      val sink = s"$base/out"
+      val q = spark.readStream.format("graft-delta")
+        .option("ignoreDeletes", "true").load(src)
+        .select("k").writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(sink).as[Long].collect().sorted.toSeq
+    }
+    val ckpt = s"$base/ckpt"
+    assert(drain(ckpt) == (0L until 30L))
+    // a retention sweep (pure whole-file delete) streams past silently
+    graft.sources.DeltaLog.deleteWhere(spark, src, col("day") === "d0")
+    graft.sources.DeltaLog.write(spark, Seq((100L, "d1")).toDF("k", "day"),
+      src, mode = "append", partitionBy = Seq("day"))
+    assert(drain(ckpt) == ((0L until 30L) :+ 100L))
+    // but an UPDATE rewrite (removes AND adds) still fails the SAME
+    // stream when it reaches that commit incrementally
+    graft.sources.DeltaLog.updateWhere(spark, src, col("k") === 2L,
+      Map("k" -> lit(999L)))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(ckpt); ()
+    }
+    assert(e.getMessage.contains("removes files"), e.getMessage)
+  }
+
   test("graft-delta MERGE sink: exactly-once streaming upserts") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft-msink-").toString
