@@ -136,6 +136,29 @@ class ConcurrencySpec extends SparkSpec
     assert(DeltaLog.read(spark, t).count() == 0L)
   }
 
+  test("metadata-only sweep rebases over a concurrent out-of-range append") {
+    val t = fresh()
+    GraftSql.exec(spark, s"CREATE TABLE delta.`$t` (k BIGINT, day STRING)")
+    DeltaLog.write(spark, (0L until 20L).map(i => (i, s"d${i % 2}"))
+      .toDF("k", "day").repartition(1), t, mode = "append",
+      partitionBy = Seq("day"))
+    val base = DeltaLog.snapshot(spark, t).version
+    // the racer appends into the SURVIVING partition while the sweep is
+    // pinned — its add provably can't match day='d0', so the sweep
+    // commits at the tip without recompute
+    val attempts = raceOnce(() =>
+      DeltaLog.write(spark, Seq((100L, "d1")).toDF("k", "day"), t,
+        mode = "append", partitionBy = Seq("day")))
+    val v = DeltaLog.deleteWhere(spark, t, col("day") === "d0")
+    assert(v == base + 2)
+    assert(attempts() == 1, "out-of-range append must rebase, not recompute")
+    val got = DeltaLog.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got == ((0L until 20L).filter(_ % 2 == 1)
+      .map(i => (i, "d1")) :+ ((100L, "d1"))).toSet)
+    // and no deletion vectors: the sweep removed whole files
+    assert(DeltaLog.snapshot(spark, t).fileEntries.forall(_.dv.isEmpty))
+  }
+
   test("disjoint-file delete/delete rebases with zero wasted work") {
     val t = fresh(); seed(t) // two rows, two files
     val attempts = raceOnce(() => {
