@@ -89,6 +89,8 @@ object GraftSql {
     """(?is)\s*CREATE\s+OR\s+REPLACE\s+TABLE\s+delta\.`([^`]+)`\s*(.*?)\s*AS\s+(SELECT\s.+)""".r
   private val ReorgPurge =
     """(?is)\s*REORG\s+TABLE\s+delta\.`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
+  private val ReorgPurgeWhere =
+    """(?is)\s*REORG\s+TABLE\s+delta\.`([^`]+)`\s+WHERE\s+(.+?)\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val CreateBloomIdx =
     ("""(?is)\s*CREATE\s+BLOOMFILTER\s+INDEX\s+ON\s+TABLE\s+delta\.`([^`]+)`""" +
       """\s+FOR\s+COLUMNS\s*\(([^)]+)\)(?:\s+OPTIONS\s*\((.+)\))?\s*""").r
@@ -628,7 +630,12 @@ object GraftSql {
       version(spark, DeltaLog.optimize(spark, path))
     // REORG ... APPLY (PURGE): rewrite ONLY the files carrying deletion
     // vectors (minFileSize=1 scopes bin-packing to DV files — no file is
-    // under 1 byte), materializing the deletes; Delta's REORG verb
+    // under 1 byte), materializing the deletes; Delta's REORG verb.
+    // The WHERE form additionally zone-map-scopes which DV files purge —
+    // O(matching DV files) after a targeted sweep, never O(table)
+    case ReorgPurgeWhere(path, cond) =>
+      version(spark,
+        DeltaLog.optimize(spark, path, minFileSize = 1L, where = Some(expr(cond))))
     case ReorgPurge(path) =>
       version(spark, DeltaLog.optimize(spark, path, minFileSize = 1L))
     case CreateBloomIdx(path, cols, opts) =>

@@ -323,6 +323,25 @@ class SqlSurfaceSpec extends SparkSpec {
       "table-property checkpoint interval of 2 must checkpoint at v2")
   }
 
+  test("REORG WHERE purges only the matching files' deletion vectors") {
+    import spark.implicits._
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-sql-reorgw-").toString + "/t"
+    // two single-file partitions, each with a DV from a row-level delete
+    DeltaLog.write(spark, (0L until 20L).map(i => (i, s"p${i % 2}"))
+      .toDF("k", "p").repartition(1), t, partitionBy = Seq("p"))
+    DeltaLog.deleteWhere(spark, t, col("k") === 4L)  // masks p0's file
+    DeltaLog.deleteWhere(spark, t, col("k") === 5L)  // masks p1's file
+    val before = DeltaLog.snapshot(spark, t)
+    assert(before.fileEntries.count(_.dv.nonEmpty) == 2)
+    GraftSql.exec(spark,
+      s"REORG TABLE delta.`$t` WHERE p = 'p0' APPLY (PURGE)")
+    val after = DeltaLog.snapshot(spark, t)
+    // p0's mask materialized away; p1's untouched
+    assert(after.fileEntries.count(_.dv.nonEmpty) == 1)
+    assert(DeltaLog.read(spark, t).count() == 18L)
+  }
+
   test("MERGE WITH SCHEMA EVOLUTION carries new source columns into the target") {
     import spark.implicits._
     val t = java.nio.file.Files
