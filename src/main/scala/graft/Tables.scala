@@ -61,19 +61,45 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
-  /** Spread a narrow input across the cluster ONLY when it actually
-    * arrives narrow (the single-file local fixtures scan as 1-2 tasks,
-    * which would funnel expensive per-row arithmetic into one core). A
-    * real corpus arrives pre-partitioned — at or above `defaultParallelism`
-    * partitions — and passes through untouched, so no full-payload
-    * exchange appears in the 100 TB plan (asserted in PlanSpec).
-    * `spark.graft.spread=never` disables the fixture crutch entirely. */
+  /** Spread a narrow input across the cluster ONLY when it is big enough
+    * for single-core funneling to matter AND its scan genuinely arrives
+    * narrow. Both facts come from file-source *metadata* (total scanned
+    * bytes vs `files.maxPartitionBytes`) — no RDD materialization, no
+    * Spark job, no probe-induced planning side effects.
+    *
+    * Decision table:
+    *   - `spark.graft.spread=never`        → identity (kill switch)
+    *   - input has no file scan            → identity (streams, local rels)
+    *   - scan < `spark.graft.spread.minBytes` (default 64 MB)
+    *                                       → identity: a tiny fixture runs
+    *     fine on 1–2 tasks, and a payload exchange would cost more than
+    *     it saves (this keeps fixture queries shuffle-free)
+    *   - scan splits into ≥ defaultParallelism tasks already
+    *                                       → identity: a real corpus
+    *     arrives pre-partitioned, so no Exchange enters the 100 TB plan
+    *   - large but narrow (few huge files) → repartition to parallelism
+    * Asserted in PlanSpec. */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.getOption("spark.graft.spread").contains("never")) df
     else {
-      val target = spark.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+      val scanBytes = df.queryExecution.analyzed.collectLeaves().map {
+        case l: LogicalRelation => l.relation match {
+          case fs: HadoopFsRelation => fs.location.sizeInBytes
+          case _ => 0L
+        }
+        case _ => 0L
+      }.sum
+      val floor = spark.conf.getOption("spark.graft.spread.minBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      if (scanBytes < math.max(1L, floor)) df
+      else {
+        val target = spark.sparkContext.defaultParallelism
+        val split = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+        val estTasks = (scanBytes + split - 1) / split
+        if (estTasks >= target) df else df.repartition(target)
+      }
     }
   }
 }

@@ -154,15 +154,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("spread is identity on pre-partitioned input (no payload exchange)") {
+  test("spread decides from scan metadata: no RDD probe, no fixture shuffle") {
     val target = spark.sparkContext.defaultParallelism
-    val wide = Tables.documents(spark, sfDir).repartition(target)
-    // a corpus already at cluster parallelism must pass through untouched:
-    // same object, so no Exchange is ever added to the 100 TB plan
-    assert(Tables.spread(wide) eq wide)
-    val narrow = Tables.documents(spark, sfDir).coalesce(1)
-    assert(Tables.spread(narrow).rdd.getNumPartitions == target)
-    // and the conf kill-switch disables the fixture crutch entirely
+    val docs = Tables.documents(spark, sfDir)
+    // a tiny fixture passes through untouched — SAME object, so the
+    // payload exchange the old RDD probe added never enters the plan
+    assert(Tables.spread(docs) eq docs)
+    val narrow = docs.coalesce(1)
+    assert(Tables.spread(narrow) eq narrow)
+    // lower the size floor below the fixture's bytes: now it counts as
+    // "large but narrow" (few huge files vs maxPartitionBytes) and gets
+    // spread to cluster parallelism
+    spark.conf.set("spark.graft.spread.minBytes", "1")
+    try {
+      assert(Tables.spread(narrow).rdd.getNumPartitions == target)
+      // but a scan that already splits into >= parallelism tasks is
+      // identity even above the floor (real corpus arrives wide)
+      val saved = spark.conf.get("spark.sql.files.maxPartitionBytes")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1")
+      try assert(Tables.spread(docs) eq docs)
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", saved)
+    } finally spark.conf.unset("spark.graft.spread.minBytes")
+    // and the conf kill-switch disables the crutch entirely
     spark.conf.set("spark.graft.spread", "never")
     try assert(Tables.spread(narrow) eq narrow)
     finally spark.conf.unset("spark.graft.spread")
