@@ -16,12 +16,12 @@ import org.apache.spark.sql.functions._
   * finds none behaves identically — so writing them is best-effort and
   * must never fail a commit.
   *
-  * Scale shape: the hot path (append-only commits — streaming sinks,
-  * micro-batches) updates incrementally from the previous checksum plus
-  * the in-memory commit actions, O(commit) with zero Spark jobs.
-  * Remove-carrying commits (DML, OPTIMIZE, RESTORE) cannot increment —
-  * remove actions don't carry sizes — so they recompute from the file
-  * frame with ONE distributed aggregation (count + sum(size) over
+  * Scale shape: EVERY commit this writer produces updates incrementally
+  * from the previous checksum plus the in-memory commit actions —
+  * O(commit) with zero Spark jobs — because remove actions carry the
+  * removed file's `size` (the protocol's optional RemoveFile.size).
+  * Only a missing baseline or a foreign log line without a remove size
+  * falls back to ONE distributed aggregation (count + sum(size) over
   * `allFiles`, metadata-sized rows; never data files).
   */
 object Checksum {
@@ -63,7 +63,12 @@ object Checksum {
     try {
       val parsed = actions.map(mapper.readTree)
       val adds = parsed.filter(_.has("add")).map(_.get("add"))
-      val hasRemove = parsed.exists(_.has("remove"))
+      val removes = parsed.filter(_.has("remove")).map(_.get("remove"))
+      // incremental only when every remove recorded its size (the
+      // writers in this repo always do; a foreign log line without one
+      // falls back to the recompute below)
+      val sizedRemoves = removes.forall(r =>
+        r.hasNonNull("size") && r.get("size").asLong(-1L) >= 0L)
       val metaJson = parsed.find(_.has("metaData"))
         .map(n => mapper.writeValueAsString(n.get("metaData")))
       val protoJson = parsed.find(_.has("protocol"))
@@ -71,13 +76,15 @@ object Checksum {
       val prev = if (version == 0L) None else read(spark, table, version - 1)
 
       val (numFiles, sizeBytes, snapFallback) = prev match {
-        case Some(p) if !hasRemove =>
-          (p.numFiles + adds.size,
-            p.tableSizeBytes + adds.map(_.get("size").asLong()).sum,
+        case Some(p) if sizedRemoves =>
+          (p.numFiles + adds.size - removes.size,
+            p.tableSizeBytes + adds.map(_.get("size").asLong()).sum
+              - removes.map(_.get("size").asLong()).sum,
             None)
         case _ =>
-          // no baseline or removes present: ONE distributed aggregation
-          // over the metadata frame (O(files) rows, never data files)
+          // no baseline or a size-less remove: ONE distributed
+          // aggregation over the metadata frame (O(files) rows, never
+          // data files)
           val snap = DeltaLog.snapshot(spark, table, Some(version))
           val r = snap.allFiles.agg(
             count(lit(1)), coalesce(sum(col("size")), lit(0L))).head

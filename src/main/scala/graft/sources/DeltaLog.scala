@@ -78,7 +78,11 @@ object DeltaLog {
 
   /** One live data file: its path and, when present, the deletion-vector
     * descriptor whose row indexes must be filtered out on read. */
-  case class FileEntry(path: String, dv: Option[DeletionVectors.Descriptor] = None)
+  case class FileEntry(path: String, dv: Option[DeletionVectors.Descriptor] = None,
+      // recorded add-action size; -1 = unknown (not loaded / not live).
+      // Carried into remove actions so [[Checksum]] can decrement
+      // incrementally instead of recomputing table state per DML commit.
+      size: Long = -1L)
 
   /** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper
     * ships one to executors (broadcast) via its own write/readFields —
@@ -149,7 +153,7 @@ object DeltaLog {
       * same footprint Spark's InMemoryFileIndex pays); stats and
       * partition values stay distributed. */
     lazy val fileEntries: Seq[FileEntry] = allFiles
-      .select("path", "deletionVector").collect().toSeq
+      .select("path", "deletionVector", "size").collect().toSeq
       .map(entryOfRow).sortBy(_.path)
 
     /** Live file paths (relative to the table root), sorted. */
@@ -197,7 +201,7 @@ object DeltaLog {
       val spark = allFiles.sparkSession
       import spark.implicits._
       val wanted = paths.toDF("__want")
-      val matched = allFiles.select(col("path"), col("deletionVector"))
+      val matched = allFiles.select(col("path"), col("deletionVector"), col("size"))
         .join(broadcast(wanted), col("path") === col("__want"), "left_semi")
         .collect().map(entryOfRow)
       val byPath = matched.map(e => e.path -> e).toMap
@@ -217,7 +221,8 @@ object DeltaLog {
           if (s.isNullAt(3)) 0 else s.getInt(3),
           if (s.isNullAt(4)) 0L else s.getLong(4)))
       }
-    FileEntry(r.getString(0), dv)
+    FileEntry(r.getString(0), dv,
+      if (r.length < 3 || r.isNullAt(2)) -1L else r.getLong(2))
   }
 
   /** Live-file count of a snapshot — ONE distributed count, no entry
@@ -2112,7 +2117,7 @@ object DeltaLog {
       }
     val skip = zskip || coalesce(bloomSkip, lit(false))
     val surviving = withBlooms.where(!skip)
-      .select("path", "deletionVector")
+      .select("path", "deletionVector", "size")
     val byPath = Snapshot(snap.version, snap.schema, snap.partitionColumns,
       snap.txns, snap.columnMappingMode, snap.metaDataJson, snap.protocolJson,
       surviving).fileEntries
@@ -3063,11 +3068,16 @@ object DeltaLog {
       // NOT NULL column invariants (Delta's `invariants` writer
       // feature, minWriterVersion 2): a null landing in a column the
       // declared schema marks non-nullable refuses the whole commit.
-      // ONE combined job for all such columns, skipped entirely when
-      // the declaration has none (the common all-nullable frame).
+      // ONE combined job for all such columns — and only for columns
+      // whose INCOMING field is nullable: a staged field Catalyst
+      // already proves non-nullable cannot produce a null, so the
+      // common invariant-clean append pays ZERO verification jobs
+      // (delta-spark skips the same way).
+      val incomingNullable = staged0.schema.fields
+        .filter(_.nullable).map(_.name).toSet
       val notNull = firstPrev.flatMap(_.schema).toSeq
         .flatMap(_.fields.filter(f => !f.nullable))
-        .map(_.name).filter(staged0.columns.contains)
+        .map(_.name).filter(incomingNullable.contains)
       if (notNull.nonEmpty) {
         val anyNull = notNull.map(col(_).isNull).reduce(_ || _)
         val bad = staged0.where(anyNull).limit(1).count()
@@ -3352,7 +3362,8 @@ object DeltaLog {
       prevSnap.toSeq.foreach { ps =>
         ps.entriesFor(removePaths(ps)).foreach { e =>
           val dvField = e.dv.fold("")(d => "," + dvJson(d))
-          actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":$dataChange$dvField}}"""
+          val szField = if (e.size < 0) "" else s""","size":${e.size}"""
+          actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":$dataChange$szField$dvField}}"""
           removedFiles += 1
         }
       }
@@ -4236,7 +4247,8 @@ object DeltaLog {
     if (metaChanged) tgt.metaDataJson.foreach(m => actions += s"""{"metaData":$m}""")
     removes.foreach { e =>
       val dvField = e.dv.fold("")(d => "," + dvJson(d))
-      actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":true$dvField}}"""
+      val szField = if (e.size < 0) "" else s""","size":${e.size}"""
+      actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":true$szField$dvField}}"""
     }
     readds.foreach { e =>
       val m = metaByPath(e.path)
@@ -4981,7 +4993,8 @@ object DeltaLog {
     // change-feed fold would double-delete the already-masked rows
     (merged.map(_._1) ++ whole).foreach { e =>
       val dvField = e.dv.fold("")(d => "," + dvJson(d))
-      actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":true$dvField}}"""
+      val szField = if (e.size < 0) "" else s""","size":${e.size}"""
+      actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":true$szField$dvField}}"""
     }
     dvd.foreach { case (e, d) =>
       val m = metaByPath(e.path)
@@ -5746,9 +5759,9 @@ object DeltaLog {
     if (dryRun || missing.isEmpty) return missing
     // old DV descriptors for the removes (protocol semantics: the
     // removed content is what consumers could see) — O(missing) metadata
-    val dvByPath: Map[String, Option[DeletionVectors.Descriptor]] =
+    val dvByPath: Map[String, (Option[DeletionVectors.Descriptor], Long)] =
       snap.allFiles.where(col("path").isin(missing: _*))
-        .select(col("path"), col("deletionVector")).collect()
+        .select(col("path"), col("deletionVector"), col("size")).collect()
         .map { r =>
           val dv = if (r.isNullAt(1)) None else {
             val s = r.getStruct(1)
@@ -5756,13 +5769,15 @@ object DeltaLog {
               if (s.isNullAt(2)) None else Some(s.getInt(2)),
               s.getInt(3), s.getLong(4)))
           }
-          r.getString(0) -> dv
+          r.getString(0) -> (dv, if (r.isNullAt(2)) -1L else r.getLong(2))
         }.toMap
     val now = System.currentTimeMillis()
     val actions = Seq.newBuilder[String]
     missing.foreach { p =>
-      val dvField = dvByPath.getOrElse(p, None).fold("")(d => "," + dvJson(d))
-      actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true$dvField}}"""
+      val (dv, sz) = dvByPath.getOrElse(p, (None, -1L))
+      val dvField = dv.fold("")(d => "," + dvJson(d))
+      val szField = if (sz < 0) "" else s""","size":$sz"""
+      actions += s"""{"remove":{"path":${jsonStr(p)},"deletionTimestamp":$now,"dataChange":true$szField$dvField}}"""
     }
     raceHook(table, "FSCK")
     val f = fs(spark, table)
