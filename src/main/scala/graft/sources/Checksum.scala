@@ -91,23 +91,56 @@ object Checksum {
           (r.getLong(0), r.getLong(1), Some(snap))
       }
 
-      val out = mapper.createObjectNode()
-      out.put("tableSizeBytes", sizeBytes)
-      out.put("numFiles", numFiles)
-      out.put("numMetadata", 1L)
-      out.put("numProtocol", 1L)
-      val effMeta = metaJson.orElse(prev.flatMap(_.metadataJson))
-        .orElse(snapFallback.flatMap(_.metaDataJson))
-      val effProto = protoJson.orElse(prev.flatMap(_.protocolJson))
-        .orElse(snapFallback.flatMap(_.protocolJson))
-      effMeta.foreach(m => out.set[ObjectNode]("metadata", mapper.readTree(m)))
-      effProto.foreach(p => out.set[ObjectNode]("protocol", mapper.readTree(p)))
-
-      val f = DeltaLog.fs(spark, table)
-      val o = f.create(crcPath(table, version), false)
-      try o.write((mapper.writeValueAsString(out) + "\n").getBytes("UTF-8"))
-      finally o.close()
+      writeCrc(spark, table, version, numFiles, sizeBytes,
+        metaJson.orElse(prev.flatMap(_.metadataJson))
+          .orElse(snapFallback.flatMap(_.metaDataJson)),
+        protoJson.orElse(prev.flatMap(_.protocolJson))
+          .orElse(snapFallback.flatMap(_.protocolJson)))
     } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Checksum update from PRE-AGGREGATED commit deltas — the form the
+    * streamed wide-DML commit uses, where the remove actions were never
+    * materialized on the driver (the writer counted files/bytes while
+    * streaming them into the commit). Zero Spark jobs when the previous
+    * checksum exists; one metadata aggregation otherwise. */
+  private[sources] def updateDelta(spark: SparkSession, table: String,
+      version: Long, numAdds: Long, addBytes: Long,
+      numRemoves: Long, removeBytes: Long,
+      protoJson: Option[String] = None, metaJson: Option[String] = None): Unit =
+    try {
+      val prev = if (version == 0L) None else read(spark, table, version - 1)
+      val (numFiles, sizeBytes, snapFallback) = prev match {
+        case Some(p) =>
+          (p.numFiles + numAdds - numRemoves,
+            p.tableSizeBytes + addBytes - removeBytes, None)
+        case _ =>
+          val snap = DeltaLog.snapshot(spark, table, Some(version))
+          val r = snap.allFiles.agg(
+            count(lit(1)), coalesce(sum(col("size")), lit(0L))).head
+          (r.getLong(0), r.getLong(1), Some(snap))
+      }
+      writeCrc(spark, table, version, numFiles, sizeBytes,
+        metaJson.orElse(prev.flatMap(_.metadataJson))
+          .orElse(snapFallback.flatMap(_.metaDataJson)),
+        protoJson.orElse(prev.flatMap(_.protocolJson))
+          .orElse(snapFallback.flatMap(_.protocolJson)))
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def writeCrc(spark: SparkSession, table: String, version: Long,
+      numFiles: Long, sizeBytes: Long,
+      effMeta: Option[String], effProto: Option[String]): Unit = {
+    val out = mapper.createObjectNode()
+    out.put("tableSizeBytes", sizeBytes)
+    out.put("numFiles", numFiles)
+    out.put("numMetadata", 1L)
+    out.put("numProtocol", 1L)
+    effMeta.foreach(m => out.set[ObjectNode]("metadata", mapper.readTree(m)))
+    effProto.foreach(p => out.set[ObjectNode]("protocol", mapper.readTree(p)))
+    val f = DeltaLog.fs(spark, table)
+    val o = f.create(crcPath(table, version), false)
+    try o.write((mapper.writeValueAsString(out) + "\n").getBytes("UTF-8"))
+    finally o.close()
+  }
 
   /** Validate the newest checksum against actual log-replay state: the
     * file frame's (count, total size) must equal the recorded values,

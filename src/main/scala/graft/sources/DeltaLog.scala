@@ -1041,6 +1041,15 @@ object DeltaLog {
   private[graft] def resetReadCollectMeter(): Unit = readMeter.set(0L)
   private[graft] def maxDriverEntriesPerReadChunk: Long = readMeter.get()
 
+  /** Test gauge: largest single driver-side entry collect a DML verb
+    * performed since the last reset — the streamed wide DELETE must
+    * keep this at O(boundary files), never O(matched files). */
+  private val dmlMeter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def meterDmlCollect(n: Int): Unit =
+    dmlMeter.getAndAccumulate(n.toLong, (a: Long, b: Long) => math.max(a, b))
+  private[graft] def resetDmlCollectMeter(): Unit = dmlMeter.set(0L)
+  private[graft] def maxDriverEntriesPerDmlCollect: Long = dmlMeter.get()
+
   /** `TIMESTAMP AS OF`: the newest version whose commit timestamp
     * (commitInfo, falling back to the commit file's mtime for foreign
     * logs without one) is ≤ `tsMillis` — the protocol's timestamp
@@ -2071,10 +2080,21 @@ object DeltaLog {
   }
 
   private def pruneEntries(spark: SparkSession, snap: Snapshot,
-      predicate: Column, table: Option[String] = None): Seq[FileEntry] = {
-    val schema = snap.schema.getOrElse(return snap.fileEntries)
+      predicate: Column, table: Option[String] = None): Seq[FileEntry] =
+    Snapshot(snap.version, snap.schema, snap.partitionColumns,
+      snap.txns, snap.columnMappingMode, snap.metaDataJson, snap.protocolJson,
+      pruneFrame(spark, snap, predicate, table)).fileEntries
+
+  /** Distributed form of [[pruneEntries]]: the surviving
+    * (path, deletionVector, size) frame under `predicate`, never
+    * collected — wide-DML callers stream it ([[deleteWhere]]) instead
+    * of holding O(matched files) entries on the driver. */
+  private def pruneFrame(spark: SparkSession, snap: Snapshot,
+      predicate: Column, table: Option[String] = None): DataFrame = {
+    def all = snap.allFiles.select("path", "deletionVector", "size")
+    val schema = snap.schema.getOrElse(return all)
     val (bounds, zskip) = zoneSkip(spark, snap, predicate)
-      .getOrElse(return snap.fileEntries)
+      .getOrElse(return all)
     val partCols = snap.partitionColumns.toSet
     val byName = schema.fields.map(f => f.name -> f).toMap
     val phys: String => String = n => snap.columnMapping.getOrElse(n, n)
@@ -2116,12 +2136,7 @@ object DeltaLog {
           (joined, terms.reduce(_ || _))
       }
     val skip = zskip || coalesce(bloomSkip, lit(false))
-    val surviving = withBlooms.where(!skip)
-      .select("path", "deletionVector", "size")
-    val byPath = Snapshot(snap.version, snap.schema, snap.partitionColumns,
-      snap.txns, snap.columnMappingMode, snap.metaDataJson, snap.protocolJson,
-      surviving).fileEntries
-    byPath
+    withBlooms.where(!skip).select("path", "deletionVector", "size")
   }
 
   /** Surviving file paths under `predicate` — see [[pruneEntries]].
@@ -2131,7 +2146,8 @@ object DeltaLog {
       predicate: Column, table: Option[String] = None): Seq[String] =
     pruneEntries(spark, snap, predicate, table).map(_.path)
 
-  /** Paths of files whose EVERY row provably satisfies `predicate` —
+  /** Column over [[Snapshot.allFiles]] that is true for files whose
+    * EVERY row provably satisfies `predicate` —
     * the DUAL of [[zoneSkip]], and the key to metadata-only DML: a
     * full-match file can be REMOVED whole without ever being opened,
     * so the retention-sweep DELETE (drop an expired partition of a
@@ -2148,18 +2164,19 @@ object DeltaLog {
     * atom ⇒ nothing proves (the caller routes every file through the
     * row-level path); stats bounds are OUTER bounds, so truncated
     * foreign string stats stay sound (all values live inside
-    * [recorded min, recorded max]). Evaluated DISTRIBUTED over
-    * [[Snapshot.allFiles]]; only the proven paths reach the driver. */
-  private def fullMatchPaths(spark: SparkSession, snap: Snapshot,
-      predicate: Column): Set[String] = {
+    * [recorded min, recorded max]). Returned as a COLUMN so the caller
+    * evaluates it distributed — a wide sweep's proven set never needs
+    * to reach the driver (None = nothing provable). */
+  private def fullMatchCondition(spark: SparkSession, snap: Snapshot,
+      predicate: Column): Option[Column] = {
     import org.apache.spark.sql.catalyst.expressions._
-    val schema = snap.schema.getOrElse(return Set.empty)
+    val schema = snap.schema.getOrElse(return None)
     val analyzed = spark
       .createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
       .where(predicate).queryExecution.analyzed
     val cond = analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.headOption.getOrElse(return Set.empty)
+    }.headOption.getOrElse(return None)
     def atoms(e: Expression): Seq[Expression] = e match {
       case And(l, r) => atoms(l) ++ atoms(r)
       case x => Seq(x)
@@ -2202,10 +2219,10 @@ object DeltaLog {
       case _ => None
     }
     val bounds = atoms(cond).map(atomBound)
-    if (bounds.exists(_.isEmpty)) return Set.empty // an unprovable atom
+    if (bounds.exists(_.isEmpty)) return None // an unprovable atom
     val partCols = snap.partitionColumns.toSet
     val byName = schema.fields.map(f => f.name -> f).toMap
-    if (bounds.exists(b => !byName.contains(b.get.colName))) return Set.empty
+    if (bounds.exists(b => !byName.contains(b.get.colName))) return None
     val phys: String => String = n => snap.columnMapping.getOrElse(n, n)
     val refCols = bounds.map(_.get.colName).distinct.filterNot(partCols)
     val mmFields = refCols.filter(c => isPruneType(byName(c).dataType))
@@ -2275,9 +2292,7 @@ object DeltaLog {
     val proven = bounds.map(b => coalesce(allBound(b.get), lit(false)))
       .reduce(_ && _)
     // a provably empty file (numRecords=0) trivially full-matches
-    val allMatch = coalesce(n === lit(0L), lit(false)) || proven
-    snap.allFiles.where(allMatch).select("path").collect()
-      .map(_.getString(0)).toSet
+    Some(coalesce(n === lit(0L), lit(false)) || proven)
   }
 
   /** Batch read with stats-based file skipping: files whose zone maps
@@ -2435,7 +2450,12 @@ object DeltaLog {
       readPaths: Set[String],
       removePaths: Set[String],
       appIds: Set[String] = Set.empty,
-      addSkip: Option[Column] = None)
+      addSkip: Option[Column] = None,
+      // DISTRIBUTED read/remove set for wide DML (a `path`-columned
+      // frame): membership of a winner's removed path is decided by ONE
+      // semi-join on the conflict path instead of a driver-held Set of
+      // O(matched files) paths. Checked IN ADDITION to the Sets.
+      removeFrame: Option[DataFrame] = None)
 
   /** Test-only injection point: runs after a DML operation computed its
     * plan from a pinned snapshot and before its commit — a spec installs
@@ -2490,6 +2510,9 @@ object DeltaLog {
     // a provably non-matching file does not conflict
     val suspectAdds = Seq.newBuilder[(String, Map[String, String], String)]
     var suspectCount = 0
+    // winner-removed paths pending the distributed membership test —
+    // O(intervening commits' removes), not O(this txn's matched files)
+    val suspectRemoves = Seq.newBuilder[String]
     (base + 1 to upTo).foreach { v =>
       val lines =
         try readCommit(f, table, v)
@@ -2529,6 +2552,7 @@ object DeltaLog {
             fail(new ConcurrentDeleteReadException(
               s"concurrent commit $v deleted $p of $table, which this " +
                 "transaction read"))
+          if (info.removeFrame.isDefined) suspectRemoves += p
         }
         if (n.has("add") && n.get("add").path("dataChange").asBoolean(false) &&
             (serializable || !blind)) info.addSkip match {
@@ -2564,6 +2588,22 @@ object DeltaLog {
         throw new ConcurrentAppendException(
           s"concurrent commit added ${r.getString(0)} to $table, whose " +
             "stats may match rows this transaction read")
+      }
+    }
+    // distributed read/remove set (wide DML): ONE broadcast semi-join
+    // decides whether any winner-removed path belongs to this txn's
+    // candidate set — the membership test the Sets above do, without
+    // ever holding O(matched files) paths on the driver
+    val suspects = suspectRemoves.result()
+    if (suspects.nonEmpty) info.removeFrame.foreach { rf =>
+      import spark.implicits._
+      val hit = rf.select(col("path"))
+        .join(broadcast(suspects.toDF("path")), Seq("path"), "left_semi")
+        .limit(1).collect()
+      hit.headOption.foreach { r =>
+        throw new ConcurrentDeleteDeleteException(
+          s"concurrent commit deleted ${r.getString(0)} of $table, which " +
+            "this transaction read and also deletes")
       }
     }
   }
@@ -2642,7 +2682,16 @@ object DeltaLog {
     * the incoming column is int or long, and a null partition value
     * matches exactly the frame's null tuple. Generated partition
     * columns missing from the frame are computed first (same expression
-    * the stage writer applies). Collects only the matched paths. */
+    * the stage writer applies). Collects only the matched paths.
+    *
+    * Driver footprint: O(files in the replaced partitions) — the same
+    * order as the commit's OWN add actions (the overwrite stages new
+    * files for exactly those partitions), so unlike the wide DELETE
+    * ([[deleteWhereStreamed]], whose sweep writes nothing) there is no
+    * asymmetric blow-up to stream away; the commit JSON itself is the
+    * driver's working set either way. A partition holding pathological
+    * millions of tiny files wants OPTIMIZE before reload, not a
+    * different overwrite. */
   private def dynamicOverwriteRemoves(spark: SparkSession, snap: Snapshot,
       df: DataFrame, partCols: Seq[String]): Seq[String] = {
     val schema = snap.schema.getOrElse(return snap.files)
@@ -4939,14 +4988,27 @@ object DeltaLog {
     // re-add copies the file's existing (physical-keyed) stats/pv
     require(!snap.configuration.get("delta.appendOnly").contains("true"),
       s"table $table is append-only (delta.appendOnly=true): DELETE refused")
-    val candidates = pruneEntries(spark, snap, predicate, Some(table))
-    if (candidates.isEmpty) return snap.version
     // metadata-only fast path: a file whose EVERY row provably matches
-    // ([[fullMatchPaths]] — partition values or zone maps) is removed
-    // WHOLE, never opened. A retention sweep (`DELETE WHERE day < X`
-    // on a partitioned table) commits without a single data read; only
-    // boundary-straddling files pay the row-level bitmap path.
-    val fullPaths = fullMatchPaths(spark, snap, predicate)
+    // ([[fullMatchCondition]] — partition values or zone maps) is
+    // removed WHOLE, never opened. With a provable predicate and no
+    // change feed to stage, the whole-match set STREAMS from the file
+    // frame into the commit (a GDPR/retention sweep matching half of a
+    // 10⁶-file table holds only the boundary files on the driver);
+    // otherwise the collected path below.
+    val fullCond = fullMatchCondition(spark, snap, predicate)
+    fullCond match {
+      case Some(cond) if !cdfEnabled(snap) =>
+        return deleteWhereStreamed(spark, table, snap, predicate, cond)
+      case _ => ()
+    }
+    val candidates = pruneEntries(spark, snap, predicate, Some(table))
+    meterDmlCollect(candidates.size)
+    if (candidates.isEmpty) return snap.version
+    val fullPaths: Set[String] = fullCond match {
+      case None => Set.empty
+      case Some(cond) => snap.allFiles.where(cond).select("path")
+        .collect().map(_.getString(0)).toSet
+    }
     val (whole, partial) = candidates.partition(e => fullPaths.contains(e.path))
     val (metaByPath, results) =
       if (partial.isEmpty)
@@ -5035,6 +5097,110 @@ object DeltaLog {
       s""","operation":"DELETE",""" +
       s""""operationParameters":${pvJsonOf(Map("predicate" -> predSql(predicate)))}}}"""
     commitRaw(spark, table, version, actions.result(), "DELETE")
+    maybeAutoCheckpoint(spark, table, version)
+    maybeLogCompact(spark, table, version, snap.configuration)
+    version
+  }
+
+  /** The wide-sweep DELETE: whole-match removes STREAM from the
+    * distributed file frame into the commit file via `toLocalIterator`
+    * — the driver never holds the matched set (same pattern as
+    * [[compactLog]]). Only the boundary-straddling files (predicate
+    * provable for SOME rows, not all) are collected, for the row-level
+    * deletion-vector path; a retention sweep on an aligned layout
+    * collects ZERO entries. Conflict detection against concurrent
+    * commits keeps the rebase semantics via the DISTRIBUTED read-set
+    * (TxnReadInfo.removeFrame: one broadcast semi-join of the winners'
+    * few removed paths against the candidate frame). The `.crc`
+    * checksum updates from counters accumulated while streaming. */
+  private def deleteWhereStreamed(spark: SparkSession, table: String,
+      snap: Snapshot, predicate: Column, fullCond: Column): Long = {
+    val survivors = pruneFrame(spark, snap, predicate, Some(table))
+    // boundary files only — the whole-match set never materializes
+    val partial: Seq[FileEntry] = survivors
+      .where(!coalesce(fullCond, lit(false)))
+      .collect().toSeq.map(entryOfRow)
+    meterDmlCollect(partial.size)
+    val (metaByPath, results) =
+      if (partial.isEmpty)
+        (Map.empty[String, Row],
+          Array.empty[(String, Long, Option[(String, Int, Int)])])
+      else growDeletionVectors(spark, table, snap, partial, predicate)
+    val entryByPath = partial.map(e => e.path -> e).toMap
+    val merged: Seq[FileEntry] =
+      results.toSeq.map { case (rel, _, _) => entryByPath(rel) }
+    val dvd: Seq[(FileEntry, DeletionVectors.Descriptor)] = results.toSeq.collect {
+      case (rel, card, Some((z85, off, size))) =>
+        (entryByPath(rel), DeletionVectors.Descriptor("u", z85, Some(off), size, card))
+    }
+    val now = System.currentTimeMillis()
+    val dvUp = if (dvd.isEmpty) None else dvProtocolUpgrade(snap.protocolJson)
+
+    raceHook(table, "DELETE")
+    val f = fs(spark, table)
+    val current = (listVersions(spark, table) ++ lastCheckpoint(f, table).toSeq).max
+    if (current != snap.version)
+      checkConflicts(spark, table, snap.version, current,
+        TxnReadInfo(partial.map(_.path).toSet, merged.map(_.path).toSet,
+          addSkip = zoneSkip(spark, snap, predicate).map(_._2),
+          removeFrame = Some(survivors)),
+        snap.configuration)
+    val version = current + 1
+
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(logDir(table), f".$version%020d-$nonce.json.tmp")
+    var removed = 0L; var removedBytes = 0L; var addBytes = 0L
+    var sizesKnown = true
+    val out = f.create(tmp, false)
+    try {
+      def line(s: String): Unit = out.write((s + "\n").getBytes("UTF-8"))
+      def removeLine(e: FileEntry): Unit = {
+        val dvField = e.dv.fold("")(d => "," + dvJson(d))
+        val szField = if (e.size < 0) "" else s""","size":${e.size}"""
+        line(s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":true$szField$dvField}}""")
+        removed += 1
+        if (e.size < 0) sizesKnown = false else removedBytes += e.size
+      }
+      // commitInfo FIRST (log-reader contract), against the final version
+      line(s"""{"commitInfo":{"timestamp":$now""" +
+        ictField(spark, table, version, snap.configuration, now) +
+        s""","operation":"DELETE",""" +
+        s""""operationParameters":${pvJsonOf(Map("predicate" -> predSql(predicate)))}}}""")
+      dvUp.foreach(line)
+      // row-level path: removes + grown-DV re-adds for boundary files
+      merged.foreach(removeLine)
+      dvd.foreach { case (e, d) =>
+        val m = metaByPath(e.path)
+        val pv = Option(m.getMap[String, String](1)).getOrElse(Map.empty[String, String])
+        val statsField =
+          Option(m.getString(4)).fold("")(s => s""","stats":${jsonStr(s)}""")
+        val rtField =
+          if (m.isNullAt(5)) ""
+          else s""","baseRowId":${m.getLong(5)},"defaultRowCommitVersion":${m.getLong(6)}"""
+        line(s"""{"add":{"path":${jsonStr(e.path)},"partitionValues":${pvJsonOf(pv)},""" +
+          s""""size":${m.getLong(2)},"modificationTime":${m.getLong(3)},"dataChange":true,""" +
+          dvJson(d) + s"$statsField$rtField}}")
+        addBytes += m.getLong(2)
+      }
+      // whole-match removes: one partition of metadata rows at a time
+      val it = survivors.where(coalesce(fullCond, lit(false))).toLocalIterator()
+      while (it.hasNext) removeLine(entryOfRow(it.next()))
+    } finally out.close()
+    if (removed == 0L) { f.delete(tmp, false); return snap.version }
+    val dest = commitPath(table, version)
+    val gate = commitGates.computeIfAbsent(table, _ => new Object)
+    val won = gate.synchronized(!f.exists(dest) && f.rename(tmp, dest))
+    if (!won) {
+      f.delete(tmp, false)
+      throw new CommitRaceException(
+        s"concurrent commit: $table advanced past version ${version - 1} " +
+          "while this DELETE was computed — re-read and retry")
+    }
+    if (sizesKnown)
+      Checksum.updateDelta(spark, table, version, dvd.size, addBytes,
+        removed, removedBytes,
+        protoJson = dvUp.map(s =>
+          mapper.writeValueAsString(mapper.readTree(s).get("protocol"))))
     maybeAutoCheckpoint(spark, table, version)
     maybeLogCompact(spark, table, version, snap.configuration)
     version

@@ -105,4 +105,53 @@ class DeleteFullFileSpec extends SparkSpec {
     assert(feed == (0L until 30L).filter(_ % 3 == 1)
       .map(i => (i, "delete")).toSet)
   }
+
+  test("10k-file sweep streams removes: driver holds only boundary entries") {
+    // The wide-DML scale shape: a retention sweep matching HALF of a
+    // 10,000-file table must stream its remove actions from the file
+    // frame into the commit — the driver never collects the matched
+    // set. Same synthetic-log fixture as DataSkippingSpec (no physical
+    // parquet: any data read, like any entry collect, would throw).
+    val t = fresh()
+    val n = 10000
+    val schema = new org.apache.spark.sql.types.StructType().add("x", "long")
+    val esc = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    def stats(lo: Long, hi: Long) =
+      ("{\"numRecords\":10,\"minValues\":{\"x\":" + lo + "},\"maxValues\":{\"x\":" +
+        hi + "},\"nullCount\":{\"x\":0}}").replace("\"", "\\\"")
+    val actions =
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"sweep10k","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""") ++
+      (0 until n).map { i =>
+        val lo = i * 10L
+        f"""{"add":{"path":"part-$i%05d.parquet","partitionValues":{},"size":1000,"modificationTime":1700000000000,"dataChange":true,"stats":"${stats(lo, lo + 9)}%s"}}"""
+      }
+    val logDir = new File(t, "_delta_log"); logDir.mkdirs()
+    Files.write(new File(logDir, f"${0L}%020d.json").toPath,
+      (actions.mkString("\n") + "\n").getBytes("UTF-8"))
+
+    DeltaLog.resetDmlCollectMeter()
+    // file i covers [10i, 10i+9]: x < 50_000 wholly matches files
+    // 0..4999 and straddles none — a pure metadata sweep
+    val v = DeltaLog.deleteWhere(spark, t, col("x") < 50000L)
+    assert(v == 1L)
+    val snap = DeltaLog.snapshot(spark, t)
+    assert(snap.allFiles.count() == (n / 2).toLong)
+    assert(snap.allFiles.agg(min("path")).head.getString(0) == "part-05000.parquet")
+    // the collect-meter: zero boundary files were collected (the 5000
+    // matched entries streamed via toLocalIterator, never as one Seq)
+    assert(DeltaLog.maxDriverEntriesPerDmlCollect == 0L,
+      s"driver collected ${DeltaLog.maxDriverEntriesPerDmlCollect} entries for a pure sweep")
+    // the crc sidecar stayed incremental AND correct
+    val report = graft.sources.Checksum.validate(spark, t).get
+    assert(report.values.forall(identity), report.toString)
+
+    // a straddling predicate collects ONLY the boundary file (the DV
+    // path needs real parquet, so stop at the meter check via a
+    // second pure sweep that leaves a remainder boundary-free)
+    DeltaLog.resetDmlCollectMeter()
+    DeltaLog.deleteWhere(spark, t, col("x") >= 80000L)
+    assert(DeltaLog.maxDriverEntriesPerDmlCollect == 0L)
+    assert(DeltaLog.snapshot(spark, t).allFiles.count() == 3000L)
+  }
 }
