@@ -1,19 +1,24 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads ride as opaque `binary`
-  * columns with typed metadata; decode / feature-extract runs as a
-  * JVM function over the bytes; frame sampling is columnar arithmetic
-  * over byte offsets.
+  * columns with typed metadata; decode / feature-extract runs over the
+  * bytes; frame sampling is columnar arithmetic over byte offsets.
   *
-  * The decode step is a STUB by design (no image/audio codecs in this
-  * environment): [[decodeStub]] derives deterministic fake dimensions
-  * from an md5 of the payload. Everything around it — the binary column,
-  * the struct-typed metadata, the UDF signature over `Array[Byte]`, the
-  * per-row batch shape, and the offset sampling — is the real plumbing a
-  * production decoder (JNI/codec UDF) would drop into.
+  * The header decode is REAL byte parsing — no codec needed: PNG
+  * dimensions come from the IHDR chunk (fixed offsets, parsed with
+  * `substring`/`conv` column expressions that stay inside codegen) and
+  * JPEG dimensions from the SOF0 frame header, which sits after a
+  * VARIABLE-length segment chain (APP0, COM, …) and so needs a walking
+  * parser — that runs in the batched `mapPartitions` slot, the same
+  * place a full pixel decoder (JNI codec handle, model session) would
+  * plug in. Payload fixtures are built columnar from the `documents`
+  * table (spec-compliant PNG/JFIF headers + the text as body), so the
+  * DuckDB oracle can compute the expected dimensions from the same
+  * fields and the decode is hash-gated end to end.
   *
   * Scale notes: payload bytes never shuffle; features are extracted in
   * the scan stage and the (small) feature columns are what any
@@ -22,24 +27,76 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Fake image metadata produced by the stub decoder. */
-  case class FakeImageMeta(width: Int, height: Int, format: String)
+  // fixture dimensions derive from doc_id — the knob the payload
+  // builder writes into the headers and the oracle recomputes directly
+  private def widthOf(docId: Column): Column = (lit(64) + docId % 1856).cast("int")
+  private def heightOf(docId: Column): Column = (lit(64) + (docId * 7) % 1016).cast("int")
 
-  /** The deterministic stand-in decode: dimensions from the payload md5
-    * (shared by the UDF and mapPartitions paths so they agree exactly). */
-  private def fakeDecode(digest: Array[Byte]): FakeImageMeta = {
-    val hex = digest.take(4).map(b => f"$b%02x").mkString
-    val h = java.lang.Long.parseLong(hex, 16)
-    FakeImageMeta((64 + h % 1856).toInt, (64 + (h / 256) % 1016).toInt, "rgb8")
+  /** `n`-byte big-endian binary encoding of a non-negative int column. */
+  private def beBytes(c: Column, n: Int): Column = unhex(lpad(hex(c), 2 * n, "0"))
+
+  private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+  /** PNG header length: 8 signature + 25 IHDR chunk (4 len + 4 tag +
+    * 13 data + 4 crc). */
+  val PngHeaderLen = 33
+
+  /** Spec-layout PNG payload: signature, IHDR (width/height big-endian
+    * at offsets 16/20, 8-bit RGB), then `body` bytes. The chunk CRC is
+    * zeroed — computing CRC32 needs a scalar loop, and no header field
+    * depends on it. */
+  def pngPayload(docId: Column, body: Column): Column = concat(
+    lit(pngSig),
+    lit(Array[Byte](0, 0, 0, 13)), lit("IHDR").cast("binary"),
+    beBytes(widthOf(docId), 4), beBytes(heightOf(docId), 4),
+    lit(Array[Byte](8, 2, 0, 0, 0)),
+    lit(Array[Byte](0, 0, 0, 0)),
+    body.cast("binary"))
+
+  /** JFIF payload whose SOF0 sits after a VARIABLE-length segment chain
+    * — SOI, APP0/JFIF, a COM comment of `doc_id % 23` bytes, then SOF0
+    * carrying height/width — so a correct decoder MUST walk segments by
+    * their recorded lengths (fixed-offset peeking reads garbage). */
+  def jpegPayload(docId: Column, body: Column): Column = {
+    val comment = expr("repeat('a', CAST(doc_id % 23 AS INT))")
+    concat(
+      lit(Array(0xFF, 0xD8).map(_.toByte)),                       // SOI
+      lit(Array(0xFF, 0xE0, 0x00, 0x10).map(_.toByte)),           // APP0, len 16
+      lit("JFIF").cast("binary"),
+      lit(Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0)),             // v1.1, 1:1, no thumb
+      lit(Array(0xFF, 0xFE).map(_.toByte)),                       // COM
+      beBytes(length(comment) + 2, 2),
+      comment.cast("binary"),
+      lit(Array(0xFF, 0xC0, 0x00, 0x11, 0x08).map(_.toByte)),     // SOF0, len 17, 8-bit
+      beBytes(heightOf(docId), 2), beBytes(widthOf(docId), 2),
+      lit(Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)),    // 3 components
+      body.cast("binary"))
   }
 
-  /** STUB decoder — stands in for a real image decode. Deterministic:
-    * dimensions derive from the payload's md5, so the DuckDB oracle can
-    * reproduce them exactly. A real implementation would parse the codec
-    * header here; the signature (bytes in, typed struct out) would not
-    * change. */
-  val decodeStub = udf { bytes: Array[Byte] =>
-    fakeDecode(java.security.MessageDigest.getInstance("MD5").digest(bytes))
+  /** Parsed header: format, width, height, and the offset where the
+    * content body starts (-1 dims when undecodable). */
+  case class HeaderMeta(format: String, width: Int, height: Int, bodyStart: Int)
+
+  /** The real header parser — pure byte arithmetic, shared by the
+    * batched extractor and the specs. PNG reads IHDR at fixed offsets;
+    * JPEG walks the segment chain by each segment's recorded length
+    * until a start-of-frame marker (C0–CF minus C4/C8/CC, covering
+    * baseline AND progressive) and reads its height/width. */
+  def parseHeader(b: Array[Byte]): HeaderMeta = {
+    def u(i: Int) = b(i) & 0xFF
+    def be2(i: Int) = (u(i) << 8) | u(i + 1)
+    def be4(i: Int) = (u(i) << 24) | (u(i + 1) << 16) | (u(i + 2) << 8) | u(i + 3)
+    if (b.length >= PngHeaderLen && pngSig.indices.forall(i => b(i) == pngSig(i)))
+      HeaderMeta("png", be4(16), be4(20), PngHeaderLen)
+    else if (b.length >= 4 && u(0) == 0xFF && u(1) == 0xD8) {
+      var i = 2
+      while (i + 9 < b.length && u(i) == 0xFF) {
+        val m = u(i + 1)
+        if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+          return HeaderMeta("jpeg", be2(i + 7), be2(i + 5), i + 2 + be2(i + 2))
+        i += 2 + be2(i + 2)
+      }
+      HeaderMeta("jpeg", -1, -1, -1)
+    } else HeaderMeta("unknown", -1, -1, 0)
   }
 
   case class Asset(doc_id: Long, payload: Array[Byte])
@@ -47,60 +104,67 @@ object Multimodal {
       width: Int, height: Int, format: String)
 
   /** Batched extraction via mapPartitions — the Scala analogue of a
-    * vectorized (mapInPandas-style) UDF: ONE decoder instance per
-    * partition amortized over its whole batch, iterator-to-iterator so
-    * nothing materializes. This is the shape a real codec (JNI handle,
-    * model session) needs — per-row UDFs would re-init it every call.
-    * Agrees with [[qFeatures]]'s expression path row for row
-    * (MultimodalSpec). */
+    * vectorized (mapInPandas-style) UDF: ONE decoder/digest instance
+    * per partition amortized over its whole batch, iterator-to-iterator
+    * so nothing materializes. This is the slot a full pixel codec (JNI
+    * handle, model session) occupies; today it runs [[parseHeader]] for
+    * real dimensions plus an md5 of the content body. Agrees with
+    * [[qFeatures]]'s expression path row for row (MultimodalSpec). */
   def extractBatched(assets: org.apache.spark.sql.Dataset[Asset]): org.apache.spark.sql.Dataset[Features] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5") // per partition, not per row
       it.map { a =>
+        val meta = parseHeader(a.payload)
         md.reset()
-        val digest = md.digest(a.payload)
-        val meta = fakeDecode(digest)
+        val body =
+          if (meta.bodyStart <= 0) a.payload
+          else java.util.Arrays.copyOfRange(a.payload, meta.bodyStart, a.payload.length)
         Features(a.doc_id, a.payload.length.toLong,
-          digest.map(b => f"$b%02x").mkString, meta.width, meta.height, meta.format)
+          md.digest(body).map(b => f"$b%02x").mkString,
+          meta.width, meta.height, meta.format)
       }
     }
   }
 
-  /** Feature extraction over binary payloads: size, checksum, decoded
-    * dimensions (stub), and frame-offset sampling (one frame per KiB). */
+  /** Documents as PNG assets — shared fixture frame. */
+  def pngAssets(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
+      pngPayload(col("doc_id"), col("text")).as("payload"))
+
+  /** Feature extraction over binary payloads: size, content checksum,
+    * REAL decoded dimensions (IHDR bytes via substring/conv — pure
+    * codegen expressions, no UDF), and frame-offset sampling. */
   val qFeatures: QueryDef = QueryDef.sql(
     "q_multimodal_features",
-    s"""SELECT doc_id,
-       |  octet_length(encode(text)) AS byte_size,
-       |  md5(text) AS checksum,
-       |  CAST(64 + h % 1856 AS INT) AS width,
-       |  CAST(64 + (h // 256) % 1016 AS INT) AS height,
-       |  'rgb8' AS format,
-       |  CAST(64 + h % 1856 AS DOUBLE) / CAST(64 + (h // 256) % 1016 AS INT) AS aspect_ratio,
-       |  octet_length(encode(text)) // 1000 + 1 AS n_frames,
-       |  array_to_string([ (i * 1000)::BIGINT for i in generate_series(0, octet_length(encode(text)) // 1000) ], ',') AS frame_offsets
-       |FROM (SELECT doc_id, text, ${Portable.h32Sql("text")} AS h FROM documents)""".stripMargin) { (spark, dir) =>
-    val assets = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    // The stub decode is pure md5 arithmetic, so the query path computes it
-    // as codegen'd column expressions (md5 evaluated once, shared by
-    // checksum and dimensions) — no ScalaUDF in the projection (asserted by
-    // PlanSpec). [[decodeStub]]/[[extractBatched]] remain the documented
-    // slots where a real codec (which IS opaque bytes-in, struct-out)
-    // plugs in.
-    val decoded = assets
-      .select(
-        col("doc_id"),
-        length(col("payload")).cast("long").as("byte_size"),
-        md5(col("payload")).as("checksum"))
-      .withColumn("h", conv(substring(col("checksum"), 1, 8), 16, 10).cast("long"))
-      .withColumn("width", (lit(64) + col("h") % 1856).cast("int"))
-      .withColumn("height", (lit(64) + expr("h div 256") % 1016).cast("int"))
+    """SELECT doc_id,
+      |  octet_length(encode(text)) + 33 AS byte_size,
+      |  md5(text) AS checksum,
+      |  CAST(64 + doc_id % 1856 AS INT) AS width,
+      |  CAST(64 + (doc_id * 7) % 1016 AS INT) AS height,
+      |  'png' AS format,
+      |  CAST(64 + doc_id % 1856 AS DOUBLE) / CAST(64 + (doc_id * 7) % 1016 AS INT) AS aspect_ratio,
+      |  (octet_length(encode(text)) + 33) // 1000 + 1 AS n_frames,
+      |  array_to_string([ (i * 1000)::BIGINT for i in generate_series(0, (octet_length(encode(text)) + 33) // 1000) ], ',') AS frame_offsets
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    // The dimensions are parsed FROM THE PAYLOAD BYTES (offsets 16/20 of
+    // the IHDR chunk, big-endian), not recomputed from doc_id — the
+    // oracle recomputes from doc_id, so a parser bug hash-mismatches.
+    // All projection, zero UDFs (asserted by PlanSpec).
+    val decoded = pngAssets(spark, dir)
+      .withColumn("byte_size", length(col("payload")).cast("long"))
+      .withColumn("width",
+        conv(hex(substring(col("payload"), 17, 4)), 16, 10).cast("int"))
+      .withColumn("height",
+        conv(hex(substring(col("payload"), 21, 4)), 16, 10).cast("int"))
+      .withColumn("format",
+        when(hex(substring(col("payload"), 1, 8)) === "89504E470D0A1A0A", "png")
+          .otherwise("unknown"))
+      .withColumn("checksum",
+        md5(substring(col("payload"), PngHeaderLen + 1, Int.MaxValue)))
     decoded.select(
       col("doc_id"), col("byte_size"), col("checksum"),
-      col("width"), col("height"),
-      lit("rgb8").as("format"),
+      col("width"), col("height"), col("format"),
       (col("width").cast("double") / col("height")).as("aspect_ratio"),
       (expr("byte_size div 1000") + 1).as("n_frames"),
       // CSV-joined, not ARRAY: the verification gate canonicalizes rows in
@@ -108,6 +172,28 @@ object Multimodal {
       // itself is still columnar arithmetic over byte offsets.
       array_join(transform(sequence(lit(0L), expr("byte_size div 1000")), i => i * 1000), ",")
         .as("frame_offsets"))
+  }
+
+  /** Mixed-container decode through the BATCHED parser: even doc_ids
+    * are PNG, odd are JFIF whose SOF0 hides behind a variable-length
+    * comment segment — the walking decode no fixed-offset expression
+    * can do. The oracle recomputes the dimensions each header carries,
+    * so the segment walk itself is hash-gated. */
+  val qDecode: QueryDef = QueryDef.sql(
+    "q_multimodal_decode",
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |  CAST(64 + doc_id % 1856 AS INT) AS width,
+      |  CAST(64 + (doc_id * 7) % 1016 AS INT) AS height
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val assets = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, pngPayload(col("doc_id"), col("text")))
+          .otherwise(jpegPayload(col("doc_id"), col("text"))).as("payload"))
+      .as[Asset]
+    extractBatched(assets).toDF()
+      .select("doc_id", "format", "width", "height")
   }
 
   /** Frame-level extraction: explode each payload into its sampled
@@ -144,5 +230,5 @@ object Multimodal {
           md5(lower(hex(col("frame_bytes")))).as("frame_md5"))
   }
 
-  val all: Seq[QueryDef] = Seq(qFeatures, qFrames)
+  val all: Seq[QueryDef] = Seq(qFeatures, qDecode, qFrames)
 }
