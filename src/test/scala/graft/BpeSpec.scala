@@ -79,4 +79,24 @@ class BpeSpec extends SparkSpec {
       .where(col("n_tokens") > col("n_chars") + 1).count()
     assert(over == 0L)
   }
+
+  test("q_text_bpe_tokens matches the committed golden fixture (hash gate)") {
+    // The one query DuckDB cannot oracle (the merge fold is not SQL-
+    // expressible): its gate is this golden parquet, generated ONCE
+    // from the Sennrich-spec'd path at sf0.001 and committed. Any
+    // change to tokenizer behavior — merge order, tie-breaks, sentinel
+    // handling, per-doc md5 — mismatches here exactly like a DuckDB
+    // hash gate would.
+    val url = getClass.getResource("/golden/bpe_tokens_sf0001.parquet")
+    assert(url != null, "golden fixture missing from test resources")
+    val golden = spark.read.parquet(url.getPath)
+    val live = SparkEntry.queries("q_text_bpe_tokens")(spark, sfDir)
+      .select(golden.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+      .select(golden.schema.fields.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    assert(golden.count() == 500L)
+    assert(live.count() == golden.count())
+    assert(live.exceptAll(golden).count() == 0L, "live output not in golden")
+    assert(golden.exceptAll(live).count() == 0L, "golden rows missing from live")
+  }
 }
