@@ -13,6 +13,32 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+
+    // LOAD GATE (before the session exists, so the only load measured is
+    // OTHER processes'): a timed pass started at loadavg 3.0 cost round 9
+    // an honest r8 comparison. Wait — bounded — for the 1-min load to
+    // fall under the gate; if it never does, proceed but record the
+    // breach in the artifact so the numbers carry their own caveat.
+    def load1(): Double = scala.util.Try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split(" ").head.toDouble
+    }.getOrElse(0.0)
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_LOAD_GATE", "1.5").toDouble
+    val loadWaitMs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_MS", "180000").toLong
+    val gateT0 = System.currentTimeMillis()
+    while (load1() > loadGate &&
+        System.currentTimeMillis() - gateT0 < loadWaitMs) {
+      System.err.println(
+        f"[bench] load gate: 1-min loadavg ${load1()}%.2f > $loadGate%.1f — waiting")
+      Thread.sleep(5000)
+    }
+    val gateWaited = System.currentTimeMillis() - gateT0
+    val gateOk = load1() <= loadGate
+    if (!gateOk) System.err.println(
+      f"[bench] load gate BREACHED after ${gateWaited}ms: loadavg ${load1()}%.2f " +
+        "— timing anyway; artifact will record gate_ok=false")
+
     val spark = GraftSession.local(cpus)
 
     // Dev-only subset filter. Each query runs `reps` times and reports the
@@ -169,7 +195,8 @@ object Bench {
     val total = r4(results.collect { case (_, v, true, _) => v }.sum)
     val head = s""""metric":"total","value":$total,"unit":"sec""""
     val loadJson = s""""load":{"before":$loadBefore,"after":${loadAvg()},""" +
-      s""""procs":${Runtime.getRuntime.availableProcessors()}}"""
+      s""""procs":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""gate":{"threshold":$loadGate,"ok":$gateOk,"waited_ms":$gateWaited}}"""
     val tail = s""""failed":$failed,"sf":"$sfDir",""" +
       s""""queries_file":"BENCH_FULL.json",$loadJson$goldJson"""
     // The downstream tail capture is bounded (~2000 chars) and sbt
