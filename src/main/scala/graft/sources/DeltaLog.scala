@@ -622,6 +622,64 @@ object DeltaLog {
         s"version $v not present in $table/_delta_log (have ${versions.mkString(",")})")
     }
 
+    val cpMeta = lastCheckpointMeta(f, table).filter(_.version <= target)
+    val replayFrom = cpMeta.map(_.version + 1).getOrElse(0L)
+    // Replay SEGMENTS from replayFrom to target: a log-compaction file
+    // (`<x>.<y>.compacted.json`, the protocol's minor compaction)
+    // whose range starts exactly at the cursor substitutes for its
+    // whole range — bounded replay between checkpoints; otherwise the
+    // per-version commit. Coverage must be gap-free: on a foreign
+    // table whose old commits were metadata-cleaned
+    // (delta.logRetentionDuration), a version below the retained window
+    // would otherwise replay only the surviving suffix — a silently
+    // partial (wrong) file set. Delta errors on non-contiguous replay;
+    // so do we.
+    val compactions = listCompactions(spark, table)
+      .filter { case (x, y) => x >= replayFrom && y <= target }
+    val vset = versions.toSet
+    val segB = Seq.newBuilder[Path]
+    var sv = replayFrom
+    while (sv <= target) {
+      val covering = compactions.filter(_._1 == sv)
+      if (covering.nonEmpty) {
+        val y = covering.map(_._2).max
+        segB += compactedPath(table, sv, y)
+        sv = y + 1
+      } else {
+        require(vset.contains(sv),
+          s"non-contiguous _delta_log for $table: need versions " +
+            s"$replayFrom..$target beyond the checkpoint, missing $sv — " +
+            "older commits were vacuumed/log-cleaned; time travel to this " +
+            "version is gone")
+        segB += commitPath(table, sv)
+        sv += 1
+      }
+    }
+    val segPaths = segB.result()
+
+    // SNAPSHOT CACHE: a snapshot is immutable once its inputs are fixed,
+    // and its inputs are exactly the log directory's contents — so the
+    // key is the target version plus a fingerprint (name:length:mtime)
+    // of every file in `_delta_log`, plus the session identity (the
+    // cached frames are session-bound). Everything above this line is
+    // filesystem LISTING only; the log replay, checkpoint frame
+    // construction, and the lazily-cached fileEntries collect below are
+    // what a hit skips. A new commit, checkpoint, compaction, log
+    // cleanup — or a DROP + re-create minting a fresh version 0 at the
+    // same path — all change the fingerprint, so staleness is
+    // structural, not timed. The key stores a digest, not the listing
+    // itself: at 10^6 retained commits the raw fingerprint would be
+    // tens of MB per entry.
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    f.listStatus(logDir(table)).map(st =>
+        s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+      .sorted
+      .foreach(s => digest.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    val logStat = java.util.Base64.getEncoder.encodeToString(digest.digest())
+    val cacheKey = (System.identityHashCode(spark).toLong, table, target, logStat)
+    val cachedSnap = snapshotCache.get(cacheKey)
+    if (cachedSnap != null) return cachedSnap
+
     var schema: Option[StructType] = None
     var partCols: Seq[String] = Seq.empty
     var mappingMode = "none"
@@ -657,7 +715,6 @@ object DeltaLog {
       metaRaw = Some(raw)
     }
 
-    val cpMeta = lastCheckpointMeta(f, table).filter(_.version <= target)
     // metadata-bearing frame + normalized file-state frame, by layout
     val cpFrames: Option[(DataFrame, Option[DataFrame])] = cpMeta.map { m =>
       checkpointShape(f, table, m) match {
@@ -699,39 +756,6 @@ object DeltaLog {
           .foreach(r => applyDomain(mapper.readTree(r.getString(0))))
     }
 
-    val replayFrom = cpMeta.map(_.version + 1).getOrElse(0L)
-    // Replay SEGMENTS from replayFrom to target: a log-compaction file
-    // (`<x>.<y>.compacted.json`, the protocol's minor compaction)
-    // whose range starts exactly at the cursor substitutes for its
-    // whole range — bounded replay between checkpoints; otherwise the
-    // per-version commit. Coverage must be gap-free: on a foreign
-    // table whose old commits were metadata-cleaned
-    // (delta.logRetentionDuration), a version below the retained window
-    // would otherwise replay only the surviving suffix — a silently
-    // partial (wrong) file set. Delta errors on non-contiguous replay;
-    // so do we.
-    val compactions = listCompactions(spark, table)
-      .filter { case (x, y) => x >= replayFrom && y <= target }
-    val vset = versions.toSet
-    val segB = Seq.newBuilder[Path]
-    var sv = replayFrom
-    while (sv <= target) {
-      val covering = compactions.filter(_._1 == sv)
-      if (covering.nonEmpty) {
-        val y = covering.map(_._2).max
-        segB += compactedPath(table, sv, y)
-        sv = y + 1
-      } else {
-        require(vset.contains(sv),
-          s"non-contiguous _delta_log for $table: need versions " +
-            s"$replayFrom..$target beyond the checkpoint, missing $sv — " +
-            "older commits were vacuumed/log-cleaned; time travel to this " +
-            "version is gone")
-        segB += commitPath(table, sv)
-        sv += 1
-      }
-    }
-    val segPaths = segB.result()
     segPaths.foreach { p =>
       val in = f.open(p)
       try {
@@ -826,9 +850,29 @@ object DeltaLog {
           .select("path", "partitionValues", "size", "modificationTime",
             "stats", "deletionVector", "baseRowId", "defaultRowCommitVersion")
     }
-    Snapshot(target, schema, partCols, txns.toMap, mappingMode,
+    val built = Snapshot(target, schema, partCols, txns.toMap, mappingMode,
       metaRaw, protoRaw, allFiles, domains.toMap, txnTimes.toMap)
+    snapshotCache.put(cacheKey, built)
+    built
   }
+
+  /** Bounded LRU of built snapshots, keyed by (session, table, version,
+    * log-directory fingerprint) — see the cache note in [[snapshot]].
+    * Small: each entry is driver metadata + lazy plans (plus the
+    * fileEntries collect once someone forces it, which is exactly the
+    * reuse that pays). */
+  private val snapshotCache: java.util.Map[(Long, String, Long, String), Snapshot] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Long, String, Long, String), Snapshot](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Long, String, Long, String), Snapshot]): Boolean =
+          size() > 16
+      })
+
+  /** Test hook: drop every cached snapshot (e.g. after mutating log
+    * files in place without changing their names). */
+  private[graft] def invalidateSnapshotCache(): Unit = snapshotCache.clear()
 
   /** Whether `table` has a Delta log with at least one commit or
     * checkpoint — the explicit "does the table exist" probe. This is

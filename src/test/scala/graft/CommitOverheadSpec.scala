@@ -85,4 +85,25 @@ class CommitOverheadSpec extends SparkSpec {
     val report = graft.sources.Checksum.validate(spark, t).get
     assert(report.values.forall(identity), report.toString)
   }
+
+  test("snapshot cache: unchanged log reuses the built snapshot, a commit busts it") {
+    val t = fresh()
+    DeltaLog.write(spark, df(0, 200).repartition(4), t)
+    val a = DeltaLog.snapshot(spark, t)
+    val b = DeltaLog.snapshot(spark, t)
+    // identity, not equality: the cached instance carries the lazy
+    // fileEntries collect, so reuse means the second read pays no replay
+    // and no re-collect
+    assert(a eq b, "second snapshot of an untouched log rebuilt instead of hitting the cache")
+    val n = jobs { DeltaLog.snapshot(spark, t) }
+    assert(n == 0, s"cached snapshot lookup ran $n Spark jobs")
+    DeltaLog.write(spark, df(200, 10).coalesce(1), t, "append")
+    val c = DeltaLog.snapshot(spark, t)
+    assert(!(c eq b), "snapshot after a new commit returned the stale cached instance")
+    assert(c.version == b.version + 1)
+    // and time travel to the old version is ALSO a hit (same log contents)
+    val old = DeltaLog.snapshot(spark, t, Some(b.version))
+    assert(old.version == b.version)
+    assert(DeltaLog.snapshot(spark, t, Some(b.version)) eq old)
+  }
 }
