@@ -61,24 +61,35 @@ object Tables {
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 
-  /** Spread a narrow input across the cluster ONLY when it is big enough
-    * for single-core funneling to matter AND its scan genuinely arrives
-    * narrow. Both facts come from file-source *metadata* (total scanned
-    * bytes vs `files.maxPartitionBytes`) — no RDD materialization, no
-    * Spark job, no probe-induced planning side effects.
+  /** Spread a COMPUTE-BOUND input across the cluster when its scan
+    * genuinely arrives narrow. The narrowness fact comes from
+    * file-source *metadata* (total scanned bytes vs
+    * `files.maxPartitionBytes`) — no RDD materialization, no Spark job,
+    * no probe-induced planning side effects.
+    *
+    * Every caller is a per-row-expensive operator (shingling, n-gram
+    * explosion, posting lists, JSON envelope parse): compute is
+    * k·bytes with k ≫ 1, while the repartition costs O(bytes) of
+    * network once. So the bytes floor is LOW (256 KB) — for anything
+    * beyond trivia, trading one tiny exchange for full-cluster CPU
+    * wins wall-clock (measured: the 64 MB floor of an earlier revision
+    * cost 4× on bigram coverage at sf0.1 to save a 2 MB shuffle). The
+    * 100 TB plan is unaffected either way: a real corpus splits into
+    * ≫ cores scan tasks and passes through untouched.
     *
     * Decision table:
     *   - `spark.graft.spread=never`        → identity (kill switch)
     *   - input has no file scan            → identity (streams, local rels)
-    *   - scan < `spark.graft.spread.minBytes` (default 64 MB)
-    *                                       → identity: a tiny fixture runs
-    *     fine on 1–2 tasks, and a payload exchange would cost more than
-    *     it saves (this keeps fixture queries shuffle-free)
+    *   - scan < `spark.graft.spread.minBytes` (default 256 KB)
+    *                                       → identity: sub-megabyte trivia
+    *     finishes faster than an exchange ramps up
     *   - scan splits into ≥ defaultParallelism tasks already
     *                                       → identity: a real corpus
     *     arrives pre-partitioned, so no Exchange enters the 100 TB plan
-    *   - large but narrow (few huge files) → repartition to parallelism
-    * Asserted in PlanSpec. */
+    *   - bigger but narrow (few big files) → repartition to parallelism
+    * Asserted in PlanSpec. Callers spread the NARROW projection (before
+    * synthesizing any fat derived column) so the exchange carries
+    * source scalars. */
   def spread(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.getOption("spark.graft.spread").contains("never")) df
@@ -92,7 +103,7 @@ object Tables {
         case _ => 0L
       }.sum
       val floor = spark.conf.getOption("spark.graft.spread.minBytes")
-        .map(_.toLong).getOrElse(64L << 20)
+        .map(_.toLong).getOrElse(256L << 10)
       if (scanBytes < math.max(1L, floor)) df
       else {
         val target = spark.sparkContext.defaultParallelism

@@ -93,8 +93,13 @@ object JsonOps {
     // spread (gated): a real Kafka topic has N partitions and the parse
     // runs one task per partition; the single-file parquet fixture would
     // otherwise funnel the (codegen-fallback) JSON parse into 1-2 tasks.
+    // Spread the NARROW source columns, then synthesize the envelope
+    // post-exchange — the shuffle carries 5 scalars per row, not the
+    // fat JSON string it is about to become.
     val withEnvelope = graft.Tables.spread(orders.select(
-      Debezium.wrapEnvelope(innerJson, op, tsMs, "orders").as("raw_json")))
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate")))
+      .select(Debezium.wrapEnvelope(innerJson, op, tsMs, "orders").as("raw_json"))
     Debezium.parseEnvelope(withEnvelope, col("raw_json"), orderAfterSchema)
       .select(
         col("order_id"), col("cust_id"), col("status"), col("total_cents"),
