@@ -2698,11 +2698,18 @@ object DeltaLog {
         partitionBy
       else snapshot(spark, table).partitionColumns
     def run(): Long = commitWrite(spark, df, table, effPartitionBy, txn,
-      removePaths = s =>
-        if (mode != "overwrite") Seq.empty
-        else if (dynamic && partitionColsOf(s, effPartitionBy).nonEmpty)
-          dynamicOverwriteRemoves(spark, s, df, partitionColsOf(s, effPartitionBy))
-        else s.files,
+      removePaths = _ => Seq.empty,
+      // overwrite removes STREAM from the distributed file frame into
+      // the commit (full overwrite: every live file; dynamic: the
+      // semi-join against the frame's partition tuples) — the driver
+      // never holds the replaced set
+      removeFrameOf =
+        if (mode != "overwrite") None
+        else Some(s =>
+          if (dynamic && partitionColsOf(s, effPartitionBy).nonEmpty)
+            dynamicOverwriteRemoveFrame(spark, s, df,
+              partitionColsOf(s, effPartitionBy))
+          else s.allFiles),
       widenSchema = mode == "append", dataChange = true,
       operation = mode.toUpperCase,
       retryOnRace = mode == "append" && baseVersion.isEmpty,
@@ -2736,9 +2743,9 @@ object DeltaLog {
     * driver's working set either way. A partition holding pathological
     * millions of tiny files wants OPTIMIZE before reload, not a
     * different overwrite. */
-  private def dynamicOverwriteRemoves(spark: SparkSession, snap: Snapshot,
-      df: DataFrame, partCols: Seq[String]): Seq[String] = {
-    val schema = snap.schema.getOrElse(return snap.files)
+  private def dynamicOverwriteRemoveFrame(spark: SparkSession, snap: Snapshot,
+      df: DataFrame, partCols: Seq[String]): DataFrame = {
+    val schema = snap.schema.getOrElse(return snap.allFiles)
     val byName = schema.fields.map(f => f.name -> f).toMap
     val phys: String => String = n => snap.columnMapping.getOrElse(n, n)
     // compute generated partition columns the frame omitted
@@ -2753,13 +2760,18 @@ object DeltaLog {
         s"${missing.mkString(", ")}")
     val incoming = withGen.select(partCols.map(c =>
       col(c).cast(byName(c).dataType).as(s"__in_$c")): _*).distinct()
-    val entries = snap.allFiles.select(col("path") +: partCols.map(c =>
-      try_element_at(col("partitionValues"), lit(phys(c)))
-        .try_cast(byName(c).dataType).as(s"__pv_$c")): _*)
+    // full file-state rows survive the semi-join: the caller streams
+    // them straight into remove actions. The distinct partition-tuple
+    // side is small by construction (one row per replaced partition) —
+    // broadcast it so a 10^6-file frame never shuffles
+    val keyed = partCols.foldLeft(snap.allFiles)((d, c) =>
+      d.withColumn(s"__pv_$c",
+        try_element_at(col("partitionValues"), lit(phys(c)))
+          .try_cast(byName(c).dataType)))
     val cond = partCols.map(c => col(s"__pv_$c") <=> col(s"__in_$c"))
       .reduce(_ && _)
-    entries.join(incoming, cond, "left_semi")
-      .select("path").collect().map(_.getString(0)).toSeq
+    keyed.join(broadcast(incoming), cond, "left_semi")
+      .drop(partCols.map(c => s"__pv_$c"): _*)
   }
 
   /** Writer-feature compliance for generated and identity columns,
@@ -2950,7 +2962,14 @@ object DeltaLog {
       extraActionsAt: Long => Seq[String] = _ => Nil,
       // the deletion-vector UPDATE path declares the deletionVectors
       // feature in the same commit that writes its first mask
-      dvUpgrade: Boolean = false): Long = {
+      dvUpgrade: Boolean = false,
+      // STREAMED removes for wide commits (full/dynamic OVERWRITE): a
+      // frame of (path, deletionVector, size) whose rows flow into the
+      // commit file via toLocalIterator — the driver never holds the
+      // remove set (the compactLog pattern). Takes the place of
+      // removePaths for action emission; recomputed from the fresh
+      // snapshot on every retry attempt.
+      removeFrameOf: Option[Snapshot => DataFrame] = None): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     f.mkdirs(logDir(table))
@@ -3146,8 +3165,12 @@ object DeltaLog {
     //   CHECK expression (violated = evaluates to FALSE; null passes)
     val effConfig = firstPrev.map(_.configuration).getOrElse(Map.empty) ++ properties
     if (dataChange) {
+      // the remove-frame probe (one metadata-only limit-1 job) runs
+      // ONLY when the table actually declares appendOnly — the common
+      // case pays nothing
       require(!(effConfig.get("delta.appendOnly").contains("true") &&
-          firstPrev.exists(p => removePaths(p).nonEmpty)),
+          firstPrev.exists(p => removePaths(p).nonEmpty ||
+            removeFrameOf.exists(rf => !rf(p).isEmpty))),
         s"table $table is append-only (delta.appendOnly=true): " +
           s"$operation would remove files — refused")
       effConfig.foreach { case (k, v) =>
@@ -3215,7 +3238,8 @@ object DeltaLog {
     val effPartitionBy: Seq[String] =
       if (partitionBy.nonEmpty) partitionBy
       else firstPrev match {
-        case Some(p) if removePaths(p).isEmpty => p.partitionColumns
+        case Some(p) if removePaths(p).isEmpty && removeFrameOf.isEmpty =>
+          p.partitionColumns
         case _ => Seq.empty
       }
     val physPartitionBy =
@@ -3452,14 +3476,33 @@ object DeltaLog {
       // removed content is what consumers could see) — a change-feed
       // fold over a DV'd file would otherwise double-delete masked rows
       var removedFiles = 0L
-      prevSnap.toSeq.foreach { ps =>
-        ps.entriesFor(removePaths(ps)).foreach { e =>
-          val dvField = e.dv.fold("")(d => "," + dvJson(d))
-          val szField = if (e.size < 0) "" else s""","size":${e.size}"""
-          actions += s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":$dataChange$szField$dvField}}"""
-          removedFiles += 1
-        }
+      var removedBytes = 0L
+      var removeSizesKnown = true
+      def removeJson(e: FileEntry): String = {
+        val dvField = e.dv.fold("")(d => "," + dvJson(d))
+        val szField = if (e.size < 0) "" else s""","size":${e.size}"""
+        removedFiles += 1
+        if (e.size < 0) removeSizesKnown = false else removedBytes += e.size
+        s"""{"remove":{"path":${jsonStr(e.path)},"deletionTimestamp":$now,"dataChange":$dataChange$szField$dvField}}"""
       }
+      prevSnap.toSeq.foreach { ps =>
+        ps.entriesFor(removePaths(ps)).foreach(actions += removeJson(_))
+      }
+      // wide removes stream into a side file (never the driver heap);
+      // its bytes are appended verbatim after the ordered head actions
+      val removeSide: Option[Path] = for (rf <- removeFrameOf; ps <- prevSnap)
+        yield {
+          val side = new Path(logDir(table),
+            f".$version%020d-$nonce.removes.tmp")
+          val so = f.create(side, true)
+          try {
+            val it = rf(ps).select("path", "deletionVector", "size")
+              .toLocalIterator()
+            while (it.hasNext)
+              so.write((removeJson(entryOfRow(it.next())) + "\n").getBytes("UTF-8"))
+          } finally so.close()
+          side
+        }
       // row tracking: fresh contiguous baseRowId ranges for the staged
       // files (allocated from the delta.rowTracking domain's high-water
       // mark, advanced in the SAME commit). Preserving ids across a
@@ -3526,8 +3569,22 @@ object DeltaLog {
       val actionSeq = actions.result()
       val tmp = new Path(logDir(table), f".$version%020d-$nonce.json.tmp")
       val out = f.create(tmp, false)
-      try out.write((orderCommitActions(actionSeq).mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
+      try {
+        out.write((orderCommitActions(actionSeq).mkString("\n") + "\n").getBytes("UTF-8"))
+        // streamed removes ride behind the head actions: commitInfo
+        // stays first, and within a commit the protocol reads actions
+        // order-independently (removed paths never collide with the
+        // fresh-nonce adds)
+        removeSide.foreach { side =>
+          val in = f.open(side)
+          try {
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+          f.delete(side, false); ()
+        }
+      } finally out.close()
       val commitDest = commitPath(table, version)
       // HDFS/object-store rename fails on an existing destination (true
       // atomic commit). POSIX rename would silently REPLACE, so the
@@ -3541,7 +3598,21 @@ object DeltaLog {
       }
       if (won) {
         committed = version
-        Checksum.update(spark, table, version, actionSeq)
+        if (removeFrameOf.isEmpty)
+          Checksum.update(spark, table, version, actionSeq)
+        else if (removeSizesKnown) {
+          // streamed removes never reached actionSeq: update the crc
+          // from the counters accumulated while streaming (the
+          // deleteWhereStreamed policy, incl. skipping on unknown sizes
+          // — the next writer's crc self-heals via the recompute path)
+          val parsed = actionSeq.map(mapper.readTree)
+          Checksum.updateDelta(spark, table, version,
+            liveFiles.size.toLong, outBytes, removedFiles, removedBytes,
+            protoJson = parsed.find(_.has("protocol"))
+              .map(n => mapper.writeValueAsString(n.get("protocol"))),
+            metaJson = parsed.find(_.has("metaData"))
+              .map(n => mapper.writeValueAsString(n.get("metaData"))))
+        }
       } else {
         f.delete(tmp, false)
         // a conflict-checked pinned commit may also retry the loop: the

@@ -85,4 +85,57 @@ class DynamicOverwriteSpec extends SparkSpec
     val got = DeltaLog.read(spark, t).select("v").as[String].collect().toSet
     assert(got == Set("a", "B2"))
   }
+
+  test("10k-file overwrite streams removes from the file frame") {
+    // The wide-overwrite scale shape: replacing a 10,000-file table (or
+    // a fat slice of its partitions) must stream the remove actions
+    // into the commit via toLocalIterator — the driver never holds the
+    // replaced set. Synthetic log, no physical parquet for the old
+    // files: reading any of them would throw, so the assertions below
+    // prove the overwrite is metadata-only on the remove side.
+    val t = fresh()
+    val n = 10000
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("k", "long").add("day", "string")
+    val esc = schema.json.replace("\\", "\\\\").replace("\"", "\\\"")
+    val actions =
+      Seq("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"ow10k","format":{"provider":"parquet","options":{}},"schemaString":"$esc","partitionColumns":["day"],"configuration":{},"createdTime":1700000000000}}""") ++
+      (0 until n).map { i =>
+        f"""{"add":{"path":"day=d${i % 4}%d/part-$i%05d.parquet","partitionValues":{"day":"d${i % 4}%d"},"size":1000,"modificationTime":1700000000000,"dataChange":true}}"""
+      }
+    val logDir = new File(t, "_delta_log"); logDir.mkdirs()
+    Files.write(new File(logDir, f"${0L}%020d.json").toPath,
+      (actions.mkString("\n") + "\n").getBytes("UTF-8"))
+
+    // dynamic overwrite of ONE of the four partitions: 2500 removes
+    // stream, the other 7500 files stay live
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val v1 = DeltaLog.write(spark,
+      Seq((1L, "d1"), (2L, "d1")).toDF("k", "day").coalesce(1),
+      t, mode = "overwrite", partitionBy = Seq("day"))
+    assert(v1 == 1L)
+    val commit1 = scala.io.Source.fromFile(
+      new File(logDir, f"${1L}%020d.json")).getLines().toSeq
+    assert(commit1.count(_.contains("\"remove\"")) == n / 4)
+    assert(commit1.head.contains("commitInfo"), "commitInfo must stay first")
+    val snap1 = DeltaLog.snapshot(spark, t)
+    assert(snap1.allFiles.count() == (n - n / 4).toLong + 1L)
+    assert(snap1.allFiles
+      .where(element_at(col("partitionValues"), "day") === "d1")
+      .count() == 1L)
+
+    // full overwrite: every remaining file's remove streams
+    spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val v2 = DeltaLog.write(spark,
+      Seq((9L, "dx")).toDF("k", "day").coalesce(1), t, mode = "overwrite")
+    assert(v2 == 2L)
+    val commit2 = scala.io.Source.fromFile(
+      new File(logDir, f"${2L}%020d.json")).getLines().toSeq
+    assert(commit2.count(_.contains("\"remove\"")) == n - n / 4 + 1)
+    assert(DeltaLog.read(spark, t).count() == 1L)
+    // the crc stayed incremental AND correct through both wide commits
+    val report = graft.sources.Checksum.validate(spark, t).get
+    assert(report.values.forall(identity), report.toString)
+  }
 }
