@@ -867,9 +867,55 @@ object Maintenance {
     graft.sources.DeltaLog.read(spark, t)
   }
 
+  /** DML with subqueries in the condition, oracle-verified — a surface
+    * delta-spark refuses outright ("Subqueries are not supported in the
+    * DELETE condition"). The engine rewrites the membership conjunct to
+    * the distributed keyed MERGE and folds the scalar comparison to its
+    * single value ([[graft.sources.GraftSql.execDmlSubquery]]); DuckDB
+    * evaluates the same statements natively, so the read-back gates the
+    * rewrite end-to-end: an UPDATE bumping rows whose key is in a
+    * filtered orders set, then a DELETE of rows below the table's own
+    * average amount. */
+  val qDmlSubquery: graft.QueryDef = graft.QueryDef.sql(
+    "q_dml_subquery",
+    """WITH t0 AS (
+      |  SELECT o_orderkey AS k, o_custkey, o_totalprice AS amt
+      |  FROM orders WHERE o_orderkey < 40000
+      |), hot AS (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'),
+      |t1 AS (
+      |  SELECT k, o_custkey,
+      |    CASE WHEN k IN (SELECT o_orderkey FROM hot) AND o_custkey % 3 = 0
+      |         THEN amt + 100000 ELSE amt END AS amt
+      |  FROM t0
+      |)
+      |SELECT k, o_custkey,
+      |  CAST(CAST(amt AS DECIMAL(38,10)) AS DOUBLE) AS amt
+      |FROM t1
+      |WHERE NOT (amt < (SELECT avg(amt) FROM t1))""".stripMargin) {
+    (spark, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-dmlsub-q-").toString
+      val t = base + "/t"; val hot = base + "/hot"
+      graft.sources.DeltaLog.write(spark,
+        graft.Tables.orders(spark, dir).where(col("o_orderkey") < 40000)
+          .select(col("o_orderkey").as("k"), col("o_custkey"),
+            col("o_totalprice").as("amt")).repartition(4), t)
+      graft.sources.DeltaLog.write(spark,
+        graft.Tables.orders(spark, dir).where(col("o_orderstatus") === "F")
+          .select("o_orderkey"), hot)
+      graft.sources.GraftSql.exec(spark,
+        s"UPDATE delta.`$t` SET amt = amt + 100000 WHERE o_custkey % 3 = 0 " +
+          s"AND k IN (SELECT o_orderkey FROM delta.`$hot`)")
+      graft.sources.GraftSql.exec(spark,
+        s"DELETE FROM delta.`$t` WHERE amt < (SELECT avg(amt) FROM delta.`$t`)")
+      graft.sources.DeltaLog.read(spark, t)
+        .withColumn("amt",
+          col("amt").cast("decimal(38,10)").cast("double"))
+  }
+
   val all: Seq[graft.QueryDef] =
     Seq(qZOrderKey, qDeleteDv, qDeleteSweep, qUpdateCow, qUpdateDv, qMergeClauses,
-      qMergeDv, qDynamicOverwrite,
+      qMergeDv, qDynamicOverwrite, qDmlSubquery,
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,

@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   *     (deletion vectors, no rewrite).
   *   - `UPDATE delta.`/p/t` SET a = expr, b = expr WHERE cond` →
   *     [[DeltaLog.updateWhere]] (copy-on-write).
+  *   - DELETE/UPDATE conditions MAY embed subqueries — a surface
+  *     delta-spark refuses outright ("Subqueries are not supported in
+  *     the DELETE/UPDATE condition"). One top-level `[NOT] IN (SELECT …)`
+  *     membership conjunct rewrites to the distributed keyed MERGE
+  *     (never a collected key list); scalar-comparison subqueries
+  *     (`x >= (SELECT avg(…) …)`) each fold to their single value.
+  *     See [[execDmlSubquery]] for the exact envelope.
   *   - `MERGE INTO delta.`/p/t` [AS t] USING src [AS s] ON t.k = s.k [AND …]
   *     WHEN MATCHED [AND c] THEN UPDATE SET …|* / DELETE,
   *     WHEN NOT MATCHED [AND c] THEN INSERT (…) VALUES (…) / INSERT *,
@@ -462,6 +469,109 @@ object GraftSql {
 
   private val Assign = """(?s)\s*`?([\w.]+)`?\s*=\s*(.+)""".r
 
+  /** True when a DML condition embeds a `(SELECT …)` subquery. */
+  private def hasSubquery(s: String): Boolean =
+    """(?is)\(\s*SELECT\b""".r.findFirstIn(s).isDefined
+
+  // a whole conjunct of the shape `col [NOT] IN (SELECT …)` /
+  // `expr <op> (SELECT …)` — topLevelSplit already guarantees balanced
+  // parens within a conjunct, so the greedy body runs to the final `)`
+  private val InSubqueryConjunct =
+    """(?is)\s*`?([\w.]+)`?\s+(NOT\s+)?IN\s*\(\s*(SELECT\b.+)\)\s*""".r
+  private val ScalarCmpConjunct =
+    """(?is)\s*(.+?)\s*(=|<>|!=|<=|>=|<|>)\s*\(\s*(SELECT\b.+)\)\s*""".r
+
+  /** Render a collected scalar as a SQL literal for predicate folding. */
+  private def sqlLiteral(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+    case t: java.time.Instant => s"TIMESTAMP '${java.sql.Timestamp.from(t)}'"
+    case d: java.sql.Date => s"DATE '$d'"
+    case d: java.time.LocalDate => s"DATE '$d'"
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.underlying.toPlainString
+    case other => other.toString
+  }
+
+  /** DELETE/UPDATE whose WHERE embeds subqueries. Envelope:
+    *
+    *   - at most ONE top-level `key [NOT] IN (SELECT …)` membership
+    *     conjunct. IN rewrites to `MERGE … WHEN MATCHED [AND residual]
+    *     THEN DELETE/UPDATE` against the subquery's distinct keys —
+    *     fully distributed, the key set never lands on the driver.
+    *     NOT IN rewrites to `WHEN NOT MATCHED BY SOURCE` with SQL's
+    *     null semantics kept exactly: a NULL in the subquery result
+    *     means NO row qualifies, and NULL target keys never qualify.
+    *   - any number of scalar-comparison subquery conjuncts
+    *     (`x <op> (SELECT agg …)`); each runs through [[exec]] (so
+    *     `delta.`path`` references work), must yield exactly one row
+    *     and column, and folds to a literal in the residual predicate.
+    *
+    * Residual conjuncts referencing the membership KEY column by bare
+    * name would be ambiguous inside the merge join (the source carries
+    * the same-named key) and fail analysis loudly — qualify or avoid.
+    * Returns the committed version. */
+  private def execDmlSubquery(spark: SparkSession, path: String,
+      cond: String, set: Option[Map[String, org.apache.spark.sql.Column]]): Long = {
+    val conjuncts = topLevelSplit(cond, "AND").map(_.trim).filter(_.nonEmpty)
+    val (members, rest0) = conjuncts.partition {
+      case InSubqueryConjunct(_, _, _) => true
+      case _ => false
+    }
+    require(members.size <= 1,
+      s"at most one [NOT] IN (SELECT …) conjunct is supported, got ${members.size}: $cond")
+    val rest = rest0.map {
+      case ScalarCmpConjunct(lhs, op, sub) =>
+        val r = exec(spark, sub)
+        require(r.schema.length == 1,
+          s"scalar subquery must return one column, got ${r.schema.length}: ($sub)")
+        val rows = r.limit(2).collect()
+        require(rows.length == 1,
+          s"scalar subquery must return exactly one row, got ${rows.length}: ($sub)")
+        s"$lhs $op ${sqlLiteral(rows(0).get(0))}"
+      case plain =>
+        require(!hasSubquery(plain),
+          s"unsupported subquery shape in DML condition (supported: " +
+            s"`col [NOT] IN (SELECT …)`, `expr <op> (SELECT …)`): $plain")
+        plain
+    }
+    val residual = rest.reduceOption((a, b) => s"($a) AND ($b)").map(expr)
+    members.headOption match {
+      case None =>
+        // every subquery was scalar: folded to a plain predicate
+        val pred = residual.getOrElse(lit(true))
+        set.fold(DeltaLog.deleteWhere(spark, path, pred))(m =>
+          DeltaLog.updateWhere(spark, path, pred, m))
+      case Some(InSubqueryConjunct(keyRaw, notKw, sub)) =>
+        val key = keyRaw.split('.').last
+        val src0 = exec(spark, sub)
+        require(src0.schema.length == 1,
+          s"IN subquery must return one column, got ${src0.schema.length}: ($sub)")
+        val src = src0.select(col(src0.columns.head).as(key)).distinct()
+        if (notKw != null) {
+          // NOT IN: one NULL in the list makes the predicate UNKNOWN for
+          // every row — nothing qualifies (probed with a limit-1 job)
+          if (!src.where(col(key).isNull).isEmpty)
+            return DeltaLog.snapshot(spark, path).version
+          // the target alias qualifies the key: the joined frame carries
+          // the same-named source key (null for by-source rows)
+          val guard = residual.fold(col(s"t.$key").isNotNull)(
+            col(s"t.$key").isNotNull && _)
+          val clause: MergeClause = set.fold[MergeClause](
+            MergeClause.BySourceDelete(Some(guard)))(m =>
+            MergeClause.BySourceUpdate(Some(guard), m))
+          DeltaLog.merge(spark, path, src, Seq(key), Seq(clause))
+        } else {
+          val clause: MergeClause = set.fold[MergeClause](
+            MergeClause.MatchedDelete(residual))(m =>
+            MergeClause.MatchedUpdate(residual, m))
+          DeltaLog.merge(spark, path, src, Seq(key), Seq(clause))
+        }
+      case Some(other) => sys.error(s"unreachable membership conjunct: $other")
+    }
+  }
+
   /** Shared CTAS body: evaluate the query and land it as one commit.
     * `orReplace = false` refuses an existing target; `true` overwrites
     * it in place, redeclaring the schema, with history preserved. */
@@ -588,6 +698,8 @@ object GraftSql {
         if (none != null) Seq.empty
         else cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq))
+    case Delete(path, cond) if hasSubquery(cond) =>
+      version(spark, execDmlSubquery(spark, path, cond, None))
     case Delete(path, cond) =>
       version(spark, DeltaLog.deleteWhere(spark, path, expr(cond)))
     // DELETE without WHERE: metadata-only truncate — ONE commit removing
@@ -596,6 +708,12 @@ object GraftSql {
     case DeleteAll(path) =>
       val empty = DeltaLog.read(spark, path).limit(0)
       version(spark, DeltaLog.write(spark, empty, path, "overwrite"))
+    case Update(path, set, cond) if hasSubquery(cond) =>
+      val assignments = splitAssignments(set).map {
+        case Assign(c, e) => c -> expr(e)
+        case bad => sys.error(s"cannot parse SET assignment: '$bad'")
+      }
+      version(spark, execDmlSubquery(spark, path, cond, Some(assignments.toMap)))
     case Update(path, set, cond) =>
       val assignments = splitAssignments(set).map {
         case Assign(c, e) => c -> expr(e)
