@@ -479,6 +479,39 @@ object Maintenance {
     graft.sources.IcebergTable.read(spark, t)
   }
 
+  /** Iceberg v2 merge-on-read, oracle-verified: a position-delete
+    * `deleteWhere` (slots written, data files byte-untouched —
+    * IcebergSpec asserts lengths+mtimes) stacked with an equality
+    * DELETE, then a re-append of some equality-deleted keys that must
+    * SURVIVE under the spec's sequence-number scoping. DuckDB
+    * recomputes the surviving set relationally. */
+  val qIcebergMor: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_mor",
+    """WITH base AS (
+      |  SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+      |  WHERE NOT (c_custkey % 7 = 0)          -- position-deleted
+      |    AND NOT (c_nationkey IN (3, 11))     -- equality-deleted
+      |)
+      |SELECT * FROM base
+      |UNION ALL                                 -- re-insert survives
+      |SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+      |WHERE c_nationkey = 3 AND c_custkey % 100 = 0""".stripMargin) {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-iceberg-mor-q-").toString + "/t"
+      val cust = graft.Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+      graft.sources.IcebergTable.writeAppend(spark, cust, t)
+      graft.sources.IcebergTable.deleteWhere(spark, t,
+        col("c_custkey") % 7 === 0)
+      import spark.implicits._
+      graft.sources.IcebergTable.deleteEquals(spark, t,
+        Seq(3, 11).toDF("c_nationkey"))
+      graft.sources.IcebergTable.writeAppend(spark,
+        cust.where(col("c_nationkey") === 3 && col("c_custkey") % 100 === 0), t)
+      graft.sources.IcebergTable.read(spark, t)
+  }
+
   /** SHALLOW CLONE, oracle-verified end to end: clone a protocol
     * `customer` table (zero copy), DELETE a slice on the CLONE only,
     * and read the clone back — must equal DuckDB's anti-filter while
@@ -919,6 +952,6 @@ object Maintenance {
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
-      qConvertToDelta, qIcebergRoundtrip, qLogCompaction, qConcurrentRebase,
-      qLiveRead)
+      qConvertToDelta, qIcebergRoundtrip, qIcebergMor, qLogCompaction,
+      qConcurrentRebase, qLiveRead)
 }

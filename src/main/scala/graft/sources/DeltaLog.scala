@@ -5915,6 +5915,11 @@ object DeltaLog {
     require(!isDeltaTable(spark, table) && listVersions(spark, table).isEmpty,
       s"CONVERT FROM ICEBERG: $table already carries a _delta_log")
     val st = IcebergTable.state(spark, table)
+    // a converted log would list the data files WITHOUT the delete
+    // files' suppression — silently resurrecting deleted rows
+    require(!st.hasDeletes,
+      s"CONVERT FROM ICEBERG: $table carries merge-on-read delete files — " +
+        "materialize (rewrite) them first")
     val f = fs(spark, table)
     val root = f.makeQualified(new Path(table))
     val rootUri = root.toUri

@@ -113,19 +113,36 @@ object IcebergTable {
       snapshotId: Long, dataFiles: Seq[String], recordCount: Long,
       // per-file record counts straight from the manifests (parallel to
       // dataFiles) — feeds converted-table stats without a data scan
-      fileRecordCounts: Seq[Long] = Seq.empty)
-
-  private def resolveSchema(root: ObjectNode): StructType = {
-    // v2: schemas[] + current-schema-id; v1: schema
-    val node =
-      if (root.has("schemas")) {
-        val want = root.get("current-schema-id").asInt()
-        root.get("schemas").elements().asScala
-          .find(_.get("schema-id").asInt() == want)
-          .getOrElse(sys.error("current-schema-id not in schemas[]"))
-      } else root.get("schema")
-    toSpark(node).asInstanceOf[StructType]
+      fileRecordCounts: Seq[Long] = Seq.empty,
+      // v2 merge-on-read state, all resolved to absolute paths:
+      // data-file sequence numbers (parallel to dataFiles), position
+      // delete files as (path, sequenceNumber), and equality delete
+      // files as (path, sequenceNumber, equality field ids)
+      dataSeqs: Seq[Long] = Seq.empty,
+      posDeletes: Seq[(String, Long)] = Seq.empty,
+      eqDeletes: Seq[(String, Long, Seq[Int])] = Seq.empty,
+      // field id -> column name (top level), for equality-delete columns
+      fieldNamesById: Map[Int, String] = Map.empty) {
+    def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
   }
+
+  private def schemaNode(root: ObjectNode): com.fasterxml.jackson.databind.JsonNode =
+    // v2: schemas[] + current-schema-id; v1: schema
+    if (root.has("schemas")) {
+      val want = root.get("current-schema-id").asInt()
+      root.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == want)
+        .getOrElse(sys.error("current-schema-id not in schemas[]"))
+    } else root.get("schema")
+
+  private def resolveSchema(root: ObjectNode): StructType =
+    toSpark(schemaNode(root)).asInstanceOf[StructType]
+
+  /** Top-level field id -> name, for resolving equality-delete ids. */
+  private def schemaFieldIds(root: ObjectNode): Map[Int, String] =
+    schemaNode(root).path("fields").elements().asScala
+      .filter(fl => fl.has("id") && fl.has("name"))
+      .map(fl => fl.get("id").asInt() -> fl.get("name").asText()).toMap
 
   private def avroEntries(f: FileSystem, p: Path): Seq[GenericRecord] = {
     // DataFileReader needs a SeekableInput; route through a local copy
@@ -182,54 +199,128 @@ object IcebergTable {
 
     val files = Seq.newBuilder[String]
     val fileRows = Seq.newBuilder[Long]
+    val dataSeqs = Seq.newBuilder[Long]
+    val posDel = Seq.newBuilder[(String, Long)]
+    val eqDel = Seq.newBuilder[(String, Long, Seq[Int])]
     var rows = 0L
     avroEntries(f, listPath).foreach { m =>
-      // v2 manifest-list rows carry `content`: 0 = data, 1 = deletes.
-      // Positional/equality delete files change row-level results —
-      // ignoring them would silently over-return; refuse instead.
-      require(lng(m, "content").forall(_ == 0L),
-        s"Iceberg v2 DELETE manifests in $table are not supported by this reader")
+      // v2 manifest-list rows carry `content` (0 = data, 1 = deletes)
+      // and a `sequence_number` entries inherit when they carry none
+      val manifestSeq = lng(m, "sequence_number").getOrElse(0L)
       val mPath = new Path(resolve(table,
         str(m, "manifest_path").getOrElse(sys.error("manifest_path missing"))))
       avroEntries(f, mPath).foreach { e =>
         val status = lng(e, "status").getOrElse(0L)
         if (status != 2L) { // 2 = DELETED entry
           val df = e.get("data_file").asInstanceOf[GenericRecord]
-          require(lng(df, "content").forall(_ == 0L),
-            s"delete data-file entries in $table are not supported")
           val fmt = str(df, "file_format").getOrElse("PARQUET")
           require(fmt.equalsIgnoreCase("parquet"),
-            s"non-parquet Iceberg data file ($fmt) in $table")
-          files += resolve(table,
+            s"non-parquet Iceberg file ($fmt) in $table")
+          val p = resolve(table,
             str(df, "file_path").getOrElse(sys.error("file_path missing")))
-          val rc = lng(df, "record_count").getOrElse(0L)
-          fileRows += rc
-          rows += rc
+          val seq = lng(e, "sequence_number").getOrElse(manifestSeq)
+          lng(df, "content").getOrElse(0L) match {
+            case 0L => // data
+              files += p
+              dataSeqs += seq
+              val rc = lng(df, "record_count").getOrElse(0L)
+              fileRows += rc
+              rows += rc
+            case 1L => // position deletes (file_path, pos)
+              posDel += ((p, seq))
+            case 2L => // equality deletes, keyed by equality field ids
+              val ids = Option(df.get("equality_ids")) match {
+                case Some(l: java.util.Collection[_]) =>
+                  l.asScala.toSeq.map(_.toString.toInt)
+                case Some(l: org.apache.avro.generic.GenericData.Array[_]) =>
+                  l.asScala.toSeq.map(_.toString.toInt)
+                case _ => Seq.empty[Int]
+              }
+              require(ids.nonEmpty,
+                s"equality-delete file without equality_ids in $table")
+              eqDel += ((p, seq, ids))
+            case other =>
+              sys.error(s"unknown Iceberg file content=$other in $table")
+          }
         }
       }
     }
     State(fv, resolveSchema(root), wantId, files.result(), rows,
-      fileRows.result())
+      fileRows.result(), dataSeqs.result(), posDel.result(), eqDel.result(),
+      schemaFieldIds(root))
   }
 
   /** Read the table (optionally at a snapshot / timestamp) as a
     * DataFrame: the live file list goes straight to the distributed
-    * parquet scan, projected to the declared schema by NAME. */
+    * parquet scan, projected to the declared schema by NAME.
+    *
+    * v2 merge-on-read deletes apply DISTRIBUTED, never on the driver:
+    *   - position deletes (content=1: rows of `file_path`, `pos`)
+    *     anti-join the scan on (normalized path, `_metadata.row_index`)
+    *     — Spark's per-file row index, so no row-number window and no
+    *     shuffle of the data side beyond the join itself;
+    *   - equality deletes (content=2) anti-join null-safely on their
+    *     equality columns, scoped by the spec's sequence-number rule
+    *     (a delete applies only to rows whose data file has a STRICTLY
+    *     LOWER sequence number — a re-insert after the delete survives).
+    *     Each data row learns its file's sequence number from a
+    *     broadcast (path, seq) frame: O(files) rows, never data. */
   def read(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None,
       asOfMillis: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
     val st = state(spark, table, snapshotId, asOfMillis)
     if (st.dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
-    val raw = spark.read.schema(st.schema).parquet(st.dataFiles: _*)
-    raw.select(st.schema.fieldNames.map(org.apache.spark.sql.functions.col)
-      .toIndexedSeq: _*)
+    val names = st.schema.fieldNames.toIndexedSeq.map(col)
+    if (!st.hasDeletes)
+      return spark.read.schema(st.schema).parquet(st.dataFiles: _*)
+        .select(names: _*)
+    // scheme-insensitive path normalization: manifests may record
+    // file:/, file:///, or bare paths for the same file
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    var df = spark.read.schema(st.schema).parquet(st.dataFiles: _*)
+      .select(col("*"),
+        norm(col("_metadata.file_path")).as("__fp"),
+        col("_metadata.row_index").as("__ri"))
+    if (st.posDeletes.nonEmpty) {
+      val dels = spark.read.parquet(st.posDeletes.map(_._1): _*)
+        .select(norm(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
+      df = df.join(dels,
+        col("__fp") === col("__dfp") && col("__ri") === col("__dpos"),
+        "left_anti")
+    }
+    if (st.eqDeletes.nonEmpty) {
+      import spark.implicits._
+      val seqDf = st.dataFiles.zip(st.dataSeqs).toDF("__sp", "__dseq")
+        .withColumn("__sp", norm(col("__sp")))
+      df = df.join(broadcast(seqDf), col("__fp") === col("__sp")).drop("__sp")
+      // one anti-join per distinct equality-id set (typically one)
+      st.eqDeletes.groupBy(_._3).foreach { case (ids, dfs) =>
+        val cols = ids.map(id => st.fieldNamesById.getOrElse(id,
+          sys.error(s"equality-delete field id $id not in $table schema")))
+        val delRows = dfs.map { case (p, seq, _) =>
+          spark.read.parquet(p)
+            .select(cols.map(n => col(n).as(s"__eq_$n")) :+
+              lit(seq).as("__eseq"): _*)
+        }.reduce(_ unionByName _)
+        val cond = cols.map(n => col(n) <=> col(s"__eq_$n"))
+          .reduce(_ && _) && col("__dseq") < col("__eseq")
+        df = df.join(delRows, cond, "left_anti")
+      }
+    }
+    df.select(names: _*)
   }
 
-  /** Metadata-only COUNT(*) from manifest record counts. */
-  def countRows(spark: SparkSession, table: String): Long =
-    state(spark, table).recordCount
+  /** COUNT(*): metadata-only from manifest record counts when no
+    * merge-on-read deletes exist; one distributed count otherwise (the
+    * manifests alone cannot say how many rows the deletes suppress). */
+  def countRows(spark: SparkSession, table: String): Long = {
+    val st = state(spark, table)
+    if (st.hasDeletes) read(spark, table).count() else st.recordCount
+  }
 
   // --------------------------------------------------------------- write
 
@@ -265,7 +356,26 @@ object IcebergTable {
       |  {"name":"manifest_path","type":"string","field-id":500},
       |  {"name":"manifest_length","type":"long","field-id":501},
       |  {"name":"partition_spec_id","type":"int","field-id":502},
+      |  {"name":"content","type":"int","default":0,"field-id":517},
+      |  {"name":"sequence_number","type":"long","default":0,"field-id":515},
       |  {"name":"added_snapshot_id","type":["null","long"],"default":null,"field-id":503}
+      |]}""".stripMargin.replace("|", ""))
+
+  /** v2 DELETE manifest entries: data_file carries `content` (1 =
+    * position deletes, 2 = equality deletes) and `equality_ids`. */
+  private def deleteManifestAvroSchema: AvroSchema = new AvroSchema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |  {"name":"status","type":"int","field-id":0},
+      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+      |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+      |    {"name":"content","type":"int","field-id":134},
+      |    {"name":"file_path","type":"string","field-id":100},
+      |    {"name":"file_format","type":"string","field-id":101},
+      |    {"name":"record_count","type":"long","field-id":103},
+      |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null,"field-id":135}
+      |  ]}}
       |]}""".stripMargin.replace("|", ""))
 
   private def writeAvro(f: FileSystem, dest: Path, schema: AvroSchema,
@@ -347,24 +457,21 @@ object IcebergTable {
     val manifestPath = new Path(mdir, s"manifest-$version-$nonce.avro")
     val mLen = writeAvro(f, manifestPath, mSchema, entries.toSeq)
 
-    // 3. manifest list = previous snapshot's manifests + the new one
-    val prevManifests: Seq[(String, Long)] = existing.toSeq.flatMap { prev =>
-      val curId = prev.get("current-snapshot-id").asLong()
-      prev.path("snapshots").elements().asScala
-        .find(_.get("snapshot-id").asLong() == curId).toSeq
-        .flatMap { s =>
-          avroEntries(f, new Path(resolve(table, s.get("manifest-list").asText())))
-            .map(r => (str(r, "manifest_path").get,
-              lng(r, "manifest_length").getOrElse(0L)))
-        }
-    }
+    // 3. manifest list = previous snapshot's manifests + the new one;
+    // each row keeps its content kind and sequence number (the new data
+    // manifest's sequence number is the snapshot ordinal — equality
+    // deletes scope against it)
+    val prevManifests = carriedManifests(f, table, existing)
     val mlSchema = manifestListAvroSchema
-    val mlRecords = (prevManifests :+ (manifestPath.toString, mLen)).map {
-      case (p, len) =>
+    val mlRecords = (prevManifests :+
+        ((manifestPath.toString, mLen, 0L, version.toLong))).map {
+      case (p, len, content, seq) =>
         val r = new GenericData.Record(mlSchema)
         r.put("manifest_path", p)
         r.put("manifest_length", len)
         r.put("partition_spec_id", 0)
+        r.put("content", content.toInt)
+        r.put("sequence_number", seq)
         r.put("added_snapshot_id", snapshotId)
         r
     }
@@ -414,6 +521,173 @@ object IcebergTable {
     val hint = f.create(new Path(mdir, "version-hint.text"), true)
     try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
     snapshotId
+  }
+
+  /** Current snapshot's manifest-list rows as (path, length, content,
+    * sequenceNumber) — carried forward into the next snapshot's list.
+    * Rows written before the v2 fields existed read as data (0) at
+    * sequence 0. */
+  private def carriedManifests(f: FileSystem, table: String,
+      existing: Option[ObjectNode]): Seq[(String, Long, Long, Long)] =
+    existing.toSeq.flatMap { prev =>
+      val curId = prev.get("current-snapshot-id").asLong()
+      prev.path("snapshots").elements().asScala
+        .find(_.get("snapshot-id").asLong() == curId).toSeq
+        .flatMap { s =>
+          avroEntries(f, new Path(resolve(table, s.get("manifest-list").asText())))
+            .map(r => (str(r, "manifest_path").get,
+              lng(r, "manifest_length").getOrElse(0L),
+              lng(r, "content").getOrElse(0L),
+              lng(r, "sequence_number").getOrElse(0L)))
+        }
+    }
+
+  /** Commit one v2 merge-on-read DELETE snapshot: stage the given
+    * delete rows as parquet under data/, declare them in a DELETE
+    * manifest (content=1 for position deletes, 2 for equality deletes
+    * with their field ids), and append a snapshot whose sequence number
+    * scopes them — rows from data files at a STRICTLY lower sequence
+    * are suppressed by equality deletes, position deletes pin exact
+    * (file, row) slots. NO data file is read, rewritten, or moved: the
+    * delete cost is O(deleted rows), the Iceberg answer to Delta's
+    * deletion vectors. */
+  private def writeDeleteSnapshot(spark: SparkSession, table: String,
+      deleteRows: DataFrame, content: Int,
+      equalityIds: Seq[Int]): Long = {
+    require(isIcebergTable(spark, table),
+      s"Iceberg MoR delete needs an existing table at $table")
+    val f = fs(spark, table)
+    val root = new Path(table)
+    val mdir = new Path(root, "metadata")
+    val existing = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val version = existing.path("snapshots").size() + 1
+    val snapshotId = System.currentTimeMillis() * 1000 + version
+    val now = System.currentTimeMillis()
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+
+    // 1. stage the delete parquet under data/
+    val scratch = new Path(root, s".ice-del-stage-$nonce")
+    deleteRows.write.parquet(scratch.toString)
+    val staged = f.listStatus(scratch).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val kind = if (content == 1) "pos-del" else "eq-del"
+    val delFiles = staged.zipWithIndex.map { case (p, i) =>
+      val dest = new Path(root, f"data/$kind%s-$version%05d-$i%05d-$nonce.parquet")
+      f.mkdirs(dest.getParent)
+      require(f.rename(p, dest), s"stage move failed: $dest")
+      dest
+    }
+    f.delete(scratch, true)
+    val counts: Map[String, Long] =
+      if (delFiles.isEmpty) Map.empty
+      else spark.read.parquet(delFiles.map(_.toString): _*)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+        .count().collect()
+        .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
+
+    // 2. the DELETE manifest
+    val mSchema = deleteManifestAvroSchema
+    val dfSchema0 = mSchema.getField("data_file").schema()
+    val entries = delFiles.map { p =>
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1) // ADDED
+      e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", version.toLong)
+      val d = new GenericData.Record(dfSchema0)
+      d.put("content", content)
+      d.put("file_path", p.toString)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", counts.getOrElse(p.getName, 0L))
+      d.put("file_size_in_bytes", f.getFileStatus(p).getLen)
+      if (equalityIds.nonEmpty) {
+        val arr = new GenericData.Array[Integer](
+          dfSchema0.getField("equality_ids").schema().getTypes.get(1),
+          equalityIds.map(Integer.valueOf).asJava)
+        d.put("equality_ids", arr)
+      }
+      e.put("data_file", d)
+      e
+    }
+    val manifestPath = new Path(mdir, s"manifest-del-$version-$nonce.avro")
+    val mLen = writeAvro(f, manifestPath, mSchema, entries.toSeq)
+
+    // 3. manifest list: carried rows + the delete manifest at this
+    // snapshot's sequence number
+    val mlSchema = manifestListAvroSchema
+    val mlRecords = (carriedManifests(f, table, Some(existing)) :+
+        ((manifestPath.toString, mLen, content.toLong, version.toLong))).map {
+      case (p, len, c, seq) =>
+        val r = new GenericData.Record(mlSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", 0)
+        r.put("content", c.toInt)
+        r.put("sequence_number", seq)
+        r.put("added_snapshot_id", snapshotId)
+        r
+    }
+    val listPath = new Path(mdir, s"snap-$snapshotId-$nonce.avro")
+    writeAvro(f, listPath, mlSchema, mlRecords)
+
+    // 4. metadata json: same declaration, format-version 2 (delete
+    // files are a v2-only construct), one more snapshot
+    val meta = existing.deepCopy()
+    meta.put("format-version", 2)
+    meta.put("last-updated-ms", now)
+    meta.put("last-sequence-number", version.toLong)
+    meta.put("current-snapshot-id", snapshotId)
+    val sn = meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .addObject()
+    sn.put("snapshot-id", snapshotId)
+    sn.put("sequence-number", version.toLong)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    val sum = sn.putObject("summary"); sum.put("operation", "delete")
+    val le = meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .addObject()
+    le.put("timestamp-ms", now); le.put("snapshot-id", snapshotId)
+
+    val mdPath = new Path(mdir, s"v$version.metadata.json")
+    val out = f.create(mdPath, false)
+    try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    finally out.close()
+    val hint = f.create(new Path(mdir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    snapshotId
+  }
+
+  /** Merge-on-read DELETE: the matching rows' (file, position) slots
+    * land in a position-delete file — O(matched rows) written, every
+    * data file byte-untouched. One distributed scan finds the slots via
+    * `_metadata` (no window, no row numbering); [[read]] applies them
+    * with an anti-join. */
+  def deleteWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.col
+    val st = state(spark, table)
+    require(st.dataFiles.nonEmpty, s"Iceberg table $table has no data files")
+    val slots = spark.read.schema(st.schema).parquet(st.dataFiles: _*)
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"), col("*"))
+      .where(predicate)
+      .select("file_path", "pos")
+    writeDeleteSnapshot(spark, table, slots, content = 1, equalityIds = Seq.empty)
+  }
+
+  /** Merge-on-read equality DELETE: every row whose `values`-column
+    * tuple null-safely equals a delete row is suppressed — but only in
+    * data files at a strictly LOWER sequence number, so a later
+    * re-insert of the same key survives (the spec's CDC upsert shape).
+    * O(delete rows) written, no data file touched or even read. */
+  def deleteEquals(spark: SparkSession, table: String,
+      values: DataFrame): Long = {
+    val st = state(spark, table)
+    val byName = st.fieldNamesById.map(_.swap)
+    val ids = values.columns.toSeq.map(c => byName.getOrElse(c,
+      sys.error(s"equality-delete column '$c' not in $table schema " +
+        s"(have: ${st.fieldNamesById.values.mkString(", ")})")))
+    writeDeleteSnapshot(spark, table, values, content = 2, equalityIds = ids)
   }
 
   /** Mirror a DELTA table's current snapshot as Iceberg metadata in the
@@ -483,6 +757,8 @@ object IcebergTable {
     mlRec.put("manifest_path", manifestPath.toString)
     mlRec.put("manifest_length", mLen)
     mlRec.put("partition_spec_id", 0)
+    mlRec.put("content", 0)
+    mlRec.put("sequence_number", version.toLong)
     mlRec.put("added_snapshot_id", snapshotId)
     val listPath = new Path(mdir, s"snap-$snapshotId-$nonce.avro")
     writeAvro(f, listPath, mlSchema, Seq(mlRec))

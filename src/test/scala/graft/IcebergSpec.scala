@@ -99,36 +99,57 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("deletion vectors"), e.getMessage)
   }
 
-  test("v2 delete manifests refuse loudly") {
+  test("MoR position deletes: deleteWhere writes slots, no data file touched") {
     val t = fresh()
-    IcebergTable.writeAppend(spark, Seq(1L, 2L, 3L).toDF("k"), t)
-    // hand-flip the manifest list to claim a DELETE manifest (content=1):
-    // rewrite the current snapshot's list with an extra content field
-    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
-    import org.apache.avro.file.DataFileWriter
-    val schema = new org.apache.avro.Schema.Parser().parse(
-      """{"type":"record","name":"manifest_file","fields":[
-        {"name":"manifest_path","type":"string"},
-        {"name":"manifest_length","type":"long"},
-        {"name":"partition_spec_id","type":"int"},
-        {"name":"content","type":"int"}]}""")
+    IcebergTable.writeAppend(spark,
+      (0L until 100L).map(i => (i, s"g${i % 4}")).toDF("k", "grp")
+        .repartition(3), t)
     val f = new org.apache.hadoop.fs.Path(t)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val mdir = new org.apache.hadoop.fs.Path(t + "/metadata")
-    val lists = f.listStatus(mdir).map(_.getPath)
-      .filter(_.getName.startsWith("snap-"))
-    val rec = new GenericData.Record(schema)
-    rec.put("manifest_path", "whatever.avro")
-    rec.put("manifest_length", 1L)
-    rec.put("partition_spec_id", 0)
-    rec.put("content", 1)
-    val local = java.io.File.createTempFile("graft-del-", ".avro")
-    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
-    w.create(schema, local)
-    w.append(rec); w.close()
-    f.copyFromLocalFile(false, true,
-      new org.apache.hadoop.fs.Path(local.getAbsolutePath), lists.head)
-    val e = intercept[IllegalArgumentException](IcebergTable.read(spark, t))
-    assert(e.getMessage.contains("DELETE manifests"), e.getMessage)
+    val dataDir = new org.apache.hadoop.fs.Path(t + "/data")
+    def dataState() = f.listStatus(dataDir)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(s => s.getPath.getName -> (s.getLen, s.getModificationTime)).toMap
+    val before = dataState()
+
+    IcebergTable.deleteWhere(spark, t, col("k") % 10 === 0L)
+    // every original data file byte-untouched — merge-on-read, not rewrite
+    assert(dataState() == before)
+    val got = IcebergTable.read(spark, t).select("k").as[Long].collect().toSet
+    assert(got == (0L until 100L).filterNot(_ % 10 == 0).toSet)
+    // composable: a second predicate's deletes stack
+    IcebergTable.deleteWhere(spark, t, col("grp") === "g1")
+    val got2 = IcebergTable.read(spark, t).select("k").as[Long].collect().toSet
+    assert(got2 == (0L until 100L).filterNot(i => i % 10 == 0 || i % 4 == 1).toSet)
+    // countRows falls back to the real count under deletes
+    assert(IcebergTable.countRows(spark, t) == got2.size.toLong)
+  }
+
+  test("MoR equality deletes scope by sequence number: re-insert survives") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1), t)
+    // equality-delete k=2: suppressed in the seq-1 data file
+    IcebergTable.deleteEquals(spark, t, Seq(2L).toDF("k"))
+    assert(IcebergTable.read(spark, t).select("k").as[Long].collect().toSet ==
+      Set(1L, 3L))
+    // re-insert k=2 at a HIGHER sequence: the old delete must not eat it
+    IcebergTable.writeAppend(spark, Seq((2L, "b2")).toDF("k", "v").coalesce(1), t)
+    val got = IcebergTable.read(spark, t).as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (3L, "c"), (2L, "b2")),
+      s"re-inserted row must survive the older equality delete: $got")
+    // and a NEW delete at a yet-higher sequence suppresses the re-insert
+    IcebergTable.deleteEquals(spark, t, Seq(2L).toDF("k"))
+    assert(IcebergTable.read(spark, t).select("k").as[Long].collect().toSet ==
+      Set(1L, 3L))
+  }
+
+  test("CONVERT refuses a table carrying MoR deletes") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, (0L until 10L).toDF("k"), t)
+    IcebergTable.deleteWhere(spark, t, col("k") === 5L)
+    val e = intercept[IllegalArgumentException](
+      graft.sources.DeltaLog.convertIcebergToDelta(spark, t))
+    assert(e.getMessage.contains("merge-on-read"), e.getMessage)
   }
 }
