@@ -606,18 +606,26 @@ object DeltaLog {
   def snapshot(spark: SparkSession, table: String,
       versionAsOf: Option[Long] = None): Snapshot = {
     val f = fs(spark, table)
-    val versions = listVersions(spark, table)
+    // ONE directory listing powers version discovery, compaction
+    // discovery, AND the cache fingerprint below — a million-commit
+    // log pays one round of RPCs here, not three
+    val logStats: Seq[org.apache.hadoop.fs.FileStatus] =
+      if (!f.exists(logDir(table))) Seq.empty
+      else f.listStatus(logDir(table)).toSeq
+    val logNames = logStats.map(_.getPath.getName)
+    val versions = logNames.collect { case commitRe(v) => v.toLong }.sorted
+    val allCompactions = logNames
+      .collect { case compactedRe(x, y) => (x.toLong, y.toLong) }.sortBy(_._1)
+    val lastCp = lastCheckpoint(f, table)
     // a log whose JSON tail was fully replaced by compaction files is
     // still a table: compaction range-ends count as reachable versions
-    val compEnds = listCompactions(spark, table).map(_._2)
-    require(versions.nonEmpty || lastCheckpoint(f, table).nonEmpty ||
-        compEnds.nonEmpty,
+    val compEnds = allCompactions.map(_._2)
+    require(versions.nonEmpty || lastCp.nonEmpty || compEnds.nonEmpty,
       s"not a Delta table (no _delta_log commits): $table")
     val target = versionAsOf.getOrElse(
-      (versions.lastOption.toSeq ++ lastCheckpoint(f, table).toSeq ++
-        compEnds).max)
+      (versions.lastOption.toSeq ++ lastCp.toSeq ++ compEnds).max)
     versionAsOf.foreach { v =>
-      require(versions.contains(v) || lastCheckpoint(f, table).contains(v) ||
+      require(versions.contains(v) || lastCp.contains(v) ||
           compEnds.contains(v),
         s"version $v not present in $table/_delta_log (have ${versions.mkString(",")})")
     }
@@ -634,7 +642,7 @@ object DeltaLog {
     // would otherwise replay only the surviving suffix — a silently
     // partial (wrong) file set. Delta errors on non-contiguous replay;
     // so do we.
-    val compactions = listCompactions(spark, table)
+    val compactions = allCompactions
       .filter { case (x, y) => x >= replayFrom && y <= target }
     val vset = versions.toSet
     val segB = Seq.newBuilder[Path]
@@ -671,7 +679,7 @@ object DeltaLog {
     // itself: at 10^6 retained commits the raw fingerprint would be
     // tens of MB per entry.
     val digest = java.security.MessageDigest.getInstance("MD5")
-    f.listStatus(logDir(table)).map(st =>
+    logStats.map(st =>
         s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted
       .foreach(s => digest.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
