@@ -148,6 +148,10 @@ object GraftSql {
     """(?i)TABLE_CHANGES\s*\(\s*delta\.`([^`]+)`\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val TableRef =
     """(?i)delta\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
+  private val IcebergRef =
+    """(?i)iceberg\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
+  private val IcebergDelete =
+    """(?is)\s*DELETE\s+FROM\s+iceberg\.`([^`]+)`\s+WHERE\s+(.+?)\s*""".r
   // CREATE TABLE: the column list may hold nested parens (DECIMAL(12,2)),
   // so only the head is regex-matched; the balanced column list and the
   // optional PARTITIONED BY / TBLPROPERTIES clauses are scanned manually
@@ -698,6 +702,10 @@ object GraftSql {
         if (none != null) Seq.empty
         else cols.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
           .filter(_.nonEmpty).toSeq))
+    // Iceberg merge-on-read DELETE: position-delete slots land in one
+    // v2 delete snapshot, no data file rewritten
+    case IcebergDelete(path, cond) =>
+      version(spark, IcebergTable.deleteWhere(spark, path, expr(cond)))
     case Delete(path, cond) if hasSubquery(cond) =>
       version(spark, execDmlSubquery(spark, path, cond, None))
     case Delete(path, cond) =>
@@ -887,6 +895,17 @@ object GraftSql {
         DeltaLog.read(spark, path, ver).createOrReplaceTempView(view)
         scala.util.matching.Regex.quoteReplacement(view)
       })
-      spark.sql(rewritten)
+      // iceberg.`path` [VERSION AS OF snapshotId | TIMESTAMP AS OF 'ts']
+      // resolves through the Iceberg reader (merge-on-read deletes
+      // applied), same temp-view mechanism
+      val withIceberg = IcebergRef.replaceAllIn(rewritten, m => {
+        val path = m.group(1)
+        val snapId = Option(m.group(3)).map(_.toLong)
+        val asOf = Option(m.group(4)).map(parseTsMillis)
+        val view = s"graft_iceberg_${Integer.toHexString((path, snapId, asOf).hashCode)}"
+        IcebergTable.read(spark, path, snapId, asOf).createOrReplaceTempView(view)
+        scala.util.matching.Regex.quoteReplacement(view)
+      })
+      spark.sql(withIceberg)
   }
 }

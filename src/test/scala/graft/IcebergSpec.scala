@@ -144,6 +144,25 @@ class IcebergSpec extends SparkSpec {
       Set(1L, 3L))
   }
 
+  test("SQL surface: SELECT over iceberg refs and MoR DELETE statement") {
+    val t = fresh()
+    val s1 = IcebergTable.writeAppend(spark,
+      (0L until 40L).map(i => (i, i % 4)).toDF("k", "b").coalesce(1), t)
+    val sum0 = graft.sources.GraftSql.exec(spark,
+      s"SELECT sum(k) AS s FROM iceberg.`$t`").as[Long].head()
+    assert(sum0 == (0L until 40L).sum)
+    graft.sources.GraftSql.exec(spark,
+      s"DELETE FROM iceberg.`$t` WHERE b = 1")
+    val got = graft.sources.GraftSql.exec(spark,
+      s"SELECT k FROM iceberg.`$t` ORDER BY k").as[Long].collect().toSeq
+    assert(got == (0L until 40L).filterNot(_ % 4 == 1))
+    // snapshot travel through SQL still sees the pre-delete state
+    val all = graft.sources.GraftSql.exec(spark,
+      s"SELECT count(*) AS c FROM iceberg.`$t` VERSION AS OF $s1")
+      .as[Long].head()
+    assert(all == 40L)
+  }
+
   test("CONVERT refuses a table carrying MoR deletes") {
     val t = fresh()
     IcebergTable.writeAppend(spark, (0L until 10L).toDF("k"), t)
