@@ -87,7 +87,7 @@ object DeltaLog {
   /** Hadoop `Configuration` is not `java.io.Serializable`; this wrapper
     * ships one to executors (broadcast) via its own write/readFields —
     * how task-side filesystem access gets its conf on a real cluster. */
-  private class SerializableHadoopConf(
+  private[sources] class SerializableHadoopConf(
       @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
     private def writeObject(out: java.io.ObjectOutputStream): Unit = {
       out.defaultWriteObject(); value.write(out)

@@ -393,8 +393,12 @@ object IcebergTable {
   }
 
   /** Append `df` as one Iceberg v1 snapshot (creates the table on first
-    * call). Unpartitioned; the commit point is the version-hint flip. */
-  def writeAppend(spark: SparkSession, df: DataFrame, table: String): Long = {
+    * call). Unpartitioned; the commit point is the version-hint flip.
+    * `carryPrevious = false` makes the snapshot a REPLACE: the new
+    * manifest is the only one, previous data (and delete) manifests
+    * drop out of the view. */
+  def writeAppend(spark: SparkSession, df: DataFrame, table: String,
+      carryPrevious: Boolean = true): Long = {
     val f = fs(spark, table)
     val root = new Path(table)
     val mdir = new Path(root, "metadata")
@@ -461,7 +465,8 @@ object IcebergTable {
     // each row keeps its content kind and sequence number (the new data
     // manifest's sequence number is the snapshot ordinal — equality
     // deletes scope against it)
-    val prevManifests = carriedManifests(f, table, existing)
+    val prevManifests =
+      if (carryPrevious) carriedManifests(f, table, existing) else Seq.empty
     val mlSchema = manifestListAvroSchema
     val mlRecords = (prevManifests :+
         ((manifestPath.toString, mLen, 0L, version.toLong))).map {
@@ -657,6 +662,17 @@ object IcebergTable {
     snapshotId
   }
 
+  /** Materialize merge-on-read deletes: rewrite the surviving rows as
+    * fresh data files in one REPLACE snapshot — afterwards the view
+    * carries no delete files, so CONVERT TO DELTA (which refuses MoR
+    * tables) can proceed. O(surviving rows) written; history keeps the
+    * MoR snapshots time-travelable. */
+  def materializeDeletes(spark: SparkSession, table: String): Long = {
+    val st = state(spark, table)
+    if (!st.hasDeletes) return st.snapshotId
+    writeAppend(spark, read(spark, table), table, carryPrevious = false)
+  }
+
   /** Merge-on-read DELETE: the matching rows' (file, position) slots
     * land in a position-delete file — O(matched rows) written, every
     * data file byte-untouched. One distributed scan finds the slots via
@@ -695,12 +711,15 @@ object IcebergTable {
     * metadata stacks, any Iceberg reader sees exactly the Delta state.
     * Each call appends one Iceberg snapshot whose single manifest lists
     * the Delta snapshot's live files (sizes from the log, numRecords
-    * from the per-file stats). Refuses what Iceberg metadata cannot
-    * express without rewriting data: deletion vectors (need v2 delete
-    * files) and Delta-partitioned layouts (partition values live in
-    * directories + actions, not in the parquet, so a plain-parquet
-    * Iceberg read would drop those columns). Re-mirror after each Delta
-    * commit to keep the views in sync. */
+    * from the per-file stats). Deletion vectors mirror as one v2
+    * POSITION-DELETE file — each masked row's (absolute path, row
+    * index), expanded on executors straight from the sidecar bitmaps —
+    * so an Iceberg reader sees exactly the masked Delta state without
+    * any data file being rewritten. Refuses Delta-partitioned layouts
+    * (partition values live in directories + actions, not in the
+    * parquet, so a plain-parquet Iceberg read would drop those
+    * columns). Re-mirror after each Delta commit to keep the views in
+    * sync. */
   def mirrorDelta(spark: SparkSession, table: String): Long = {
     val snap = DeltaLog.snapshot(spark, table)
     val schema = snap.schema.getOrElse(
@@ -718,11 +737,16 @@ object IcebergTable {
     // never holds the full (path, size, numRecords) list (10⁶ files ≈
     // hundreds of MB if collected); the DV guard is a distributed count
     import org.apache.spark.sql.functions.{col, get_json_object}
-    val dvFiles = snap.allFiles
-      .where(col("deletionVector.storageType").isNotNull).count()
-    require(dvFiles == 0L,
-      s"mirrorDelta: $table carries deletion vectors — Iceberg needs v2 " +
-        "delete files to express them; REORG ... APPLY (PURGE) first")
+    // deletion vectors mirror as one v2 POSITION-DELETE file: each
+    // masked row's (absolute data path, row index) — expansion happens
+    // ON EXECUTORS (every task decodes its partition's bitmaps straight
+    // from the sidecars), so a billion masked rows never visit the
+    // driver. The count deciding whether a delete manifest is needed is
+    // one metadata-frame job.
+    val dvEntriesFrame = snap.allFiles
+      .where(col("deletionVector.storageType").isNotNull)
+      .select(col("path"), col("deletionVector"))
+    val dvFiles = dvEntriesFrame.count()
     val rowIter = snap.allFiles
       .select(col("path"), col("size"),
         get_json_object(col("stats"), "$.numRecords").cast("long").as("rc"))
@@ -752,19 +776,79 @@ object IcebergTable {
     }
     val manifestPath = new Path(mdir, s"manifest-$version-$nonce.avro")
     val mLen = writeAvro(f, manifestPath, mSchema, entries)
+
+    // DV export: one position-delete parquet + its DELETE manifest
+    val delManifest: Option[(Path, Long)] =
+      if (dvFiles == 0L) None
+      else {
+        import spark.implicits._
+        val bcConf = spark.sparkContext.broadcast(
+          new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        val tblStr = table
+        val rootStr = root.toString
+        val slots = dvEntriesFrame.flatMap { r =>
+          val s = r.getStruct(1)
+          val d = DeletionVectors.Descriptor(
+            s.getString(0), s.getString(1),
+            if (s.isNullAt(2)) None else Some(s.getInt(2)),
+            if (s.isNullAt(3)) 0 else s.getInt(3),
+            if (s.isNullAt(4)) 0L else s.getLong(4))
+          val fsys = new Path(tblStr).getFileSystem(bcConf.value.value)
+          val abs = new Path(rootStr, r.getString(0)).toString
+          DeletionVectors.deletedRows(fsys, tblStr, d).iterator
+            .map(pos => (abs, pos))
+        }.toDF("file_path", "pos")
+        val scratch = new Path(root, s".ice-mirror-del-$nonce")
+        slots.write.parquet(scratch.toString)
+        val staged = f.listStatus(scratch).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val delFiles = staged.zipWithIndex.map { case (p, i) =>
+          val dest = new Path(root, f"data/pos-del-$version%05d-$i%05d-$nonce.parquet")
+          f.mkdirs(dest.getParent)
+          require(f.rename(p, dest), s"stage move failed: $dest")
+          dest
+        }
+        f.delete(scratch, true)
+        val dSchema = deleteManifestAvroSchema
+        val dFileSchema = dSchema.getField("data_file").schema()
+        val dEntries = delFiles.map { p =>
+          val e = new GenericData.Record(dSchema)
+          e.put("status", 1)
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", version.toLong)
+          val d = new GenericData.Record(dFileSchema)
+          d.put("content", 1)
+          d.put("file_path", p.toString)
+          d.put("file_format", "PARQUET")
+          d.put("record_count", 0L)
+          d.put("file_size_in_bytes", f.getFileStatus(p).getLen)
+          e.put("data_file", d)
+          e
+        }
+        val dmPath = new Path(mdir, s"manifest-del-$version-$nonce.avro")
+        Some(dmPath -> writeAvro(f, dmPath, dSchema, dEntries.toSeq))
+      }
+
     val mlSchema = manifestListAvroSchema
-    val mlRec = new GenericData.Record(mlSchema)
-    mlRec.put("manifest_path", manifestPath.toString)
-    mlRec.put("manifest_length", mLen)
-    mlRec.put("partition_spec_id", 0)
-    mlRec.put("content", 0)
-    mlRec.put("sequence_number", version.toLong)
-    mlRec.put("added_snapshot_id", snapshotId)
+    val mlRecs = ((manifestPath, mLen, 0) +: delManifest.toSeq.map {
+      case (p, len) => (p, len, 1)
+    }).map { case (p, len, content) =>
+      val mlRec = new GenericData.Record(mlSchema)
+      mlRec.put("manifest_path", p.toString)
+      mlRec.put("manifest_length", len)
+      mlRec.put("partition_spec_id", 0)
+      mlRec.put("content", content)
+      mlRec.put("sequence_number", version.toLong)
+      mlRec.put("added_snapshot_id", snapshotId)
+      mlRec
+    }
     val listPath = new Path(mdir, s"snap-$snapshotId-$nonce.avro")
-    writeAvro(f, listPath, mlSchema, Seq(mlRec))
+    writeAvro(f, listPath, mlSchema, mlRecs)
 
     val meta = mapper.createObjectNode()
-    meta.put("format-version", 1)
+    meta.put("format-version", if (delManifest.isEmpty) 1 else 2)
+    if (delManifest.nonEmpty)
+      meta.put("last-sequence-number", version.toLong)
     meta.put("table-uuid", existing.map(_.get("table-uuid").asText())
       .getOrElse(java.util.UUID.randomUUID().toString))
     meta.put("location", table)

@@ -92,11 +92,17 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).count() == 80L) // stale until re-mirror
     graft.sources.IcebergTable.mirrorDelta(spark, t)
     assert(IcebergTable.read(spark, t).count() == 81L)
-    // DV-carrying tables refuse (Iceberg can't express the mask)
-    graft.sources.DeltaLog.deleteWhere(spark, t, col("k") === 0L)
-    val e = intercept[IllegalArgumentException](
-      graft.sources.IcebergTable.mirrorDelta(spark, t))
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // DV-carrying tables mirror the mask as a v2 position-delete file:
+    // the Iceberg view equals the masked Delta state, with every data
+    // file byte-untouched
+    graft.sources.DeltaLog.deleteWhere(spark, t, col("k") % 8 === 0L)
+    val deltaRows = graft.sources.DeltaLog.read(spark, t)
+      .as[(Long, Long)].collect().toSet
+    graft.sources.IcebergTable.mirrorDelta(spark, t)
+    val iceRows = IcebergTable.read(spark, t).as[(Long, Long)].collect().toSet
+    assert(iceRows == deltaRows,
+      s"Iceberg view diverged from masked Delta state: ${iceRows.size} vs ${deltaRows.size}")
+    assert(IcebergTable.countRows(spark, t) == deltaRows.size.toLong)
   }
 
   test("MoR position deletes: deleteWhere writes slots, no data file touched") {
@@ -163,12 +169,19 @@ class IcebergSpec extends SparkSpec {
     assert(all == 40L)
   }
 
-  test("CONVERT refuses a table carrying MoR deletes") {
+  test("CONVERT refuses a table carrying MoR deletes; materialize unblocks it") {
     val t = fresh()
     IcebergTable.writeAppend(spark, (0L until 10L).toDF("k"), t)
     IcebergTable.deleteWhere(spark, t, col("k") === 5L)
     val e = intercept[IllegalArgumentException](
       graft.sources.DeltaLog.convertIcebergToDelta(spark, t))
     assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+    // materialize rewrites survivors into a REPLACE snapshot (no delete
+    // files left), after which the convert proceeds
+    IcebergTable.materializeDeletes(spark, t)
+    assert(!IcebergTable.state(spark, t).hasDeletes)
+    graft.sources.DeltaLog.convertIcebergToDelta(spark, t)
+    assert(graft.sources.DeltaLog.read(spark, t)
+      .as[Long].collect().toSet == (0L until 10L).toSet - 5L)
   }
 }
