@@ -152,6 +152,9 @@ object GraftSql {
     """(?i)iceberg\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
   private val IcebergDelete =
     """(?is)\s*DELETE\s+FROM\s+iceberg\.`([^`]+)`\s+WHERE\s+(.+?)\s*""".r
+  private val IcebergExpire =
+    ("""(?is)\s*EXPIRE\s+SNAPSHOTS\s+iceberg\.`([^`]+)`""" +
+      """(?:\s+OLDER\s+THAN\s+'([^']+)')?(?:\s+RETAIN\s+LAST\s+(\d+))?\s*""").r
   // CREATE TABLE: the column list may hold nested parens (DECIMAL(12,2)),
   // so only the head is regex-matched; the balanced column list and the
   // optional PARTITIONED BY / TBLPROPERTIES clauses are scanned manually
@@ -706,6 +709,15 @@ object GraftSql {
     // v2 delete snapshot, no data file rewritten
     case IcebergDelete(path, cond) =>
       version(spark, IcebergTable.deleteWhere(spark, path, expr(cond)))
+    // Iceberg snapshot expiry (the expire_snapshots procedure):
+    // defaults mirror the procedure's — older than NOW, retain last 1
+    case IcebergExpire(path, ts, retain) =>
+      val older = Option(ts).map(parseTsMillis)
+        .getOrElse(System.currentTimeMillis() + 1L)
+      val n = Option(retain).map(_.toInt).getOrElse(1)
+      val removed = IcebergTable.expireSnapshots(spark, path, older, n)
+      import spark.implicits._
+      Seq(removed).toDF("files_deleted")
     case Delete(path, cond) if hasSubquery(cond) =>
       version(spark, execDmlSubquery(spark, path, cond, None))
     case Delete(path, cond) =>

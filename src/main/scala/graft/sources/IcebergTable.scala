@@ -54,6 +54,19 @@ object IcebergTable {
 
   // ------------------------------------------------------------- metadata
 
+  /** Next metadata ordinal: max existing v*.metadata.json + 1 — NOT
+    * snapshot count, which shrinks under [[expireSnapshots]] and would
+    * collide with retained metadata files. Also the sequence-number
+    * source for new snapshots (monotonic across expiry). */
+  private def nextMetadataVersion(f: FileSystem, table: String): Int = {
+    val mdir = new Path(table, "metadata")
+    if (!f.exists(mdir)) return 1
+    val vs = f.listStatus(mdir).map(_.getPath.getName)
+      .collect { case n if n.matches("v\\d+\\.metadata\\.json") =>
+        n.stripPrefix("v").stripSuffix(".metadata.json").toInt }
+    if (vs.isEmpty) 1 else vs.max + 1
+  }
+
   /** Latest metadata JSON: version-hint.text when present, else the
     * highest `v<N>.metadata.json`. */
   private def currentMetadataPath(f: FileSystem, table: String): Path = {
@@ -413,11 +426,7 @@ object IcebergTable {
           DataType.equalsStructurally(a.dataType, b.dataType, true) },
         s"Iceberg append schema mismatch at $table")
     }
-    val version = existing.map(e =>
-      e.get("last-sequence-number") match {
-        case null => e.path("snapshots").size() + 1
-        case _ => e.path("snapshots").size() + 1
-      }).getOrElse(1)
+    val version = nextMetadataVersion(f, table)
     val snapshotId = System.currentTimeMillis() * 1000 + version
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -566,7 +575,7 @@ object IcebergTable {
     val mdir = new Path(root, "metadata")
     val existing = mapper.readTree(readText(f, currentMetadataPath(f, table)))
       .asInstanceOf[ObjectNode]
-    val version = existing.path("snapshots").size() + 1
+    val version = nextMetadataVersion(f, table)
     val snapshotId = System.currentTimeMillis() * 1000 + version
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString.take(8)
@@ -662,6 +671,91 @@ object IcebergTable {
     snapshotId
   }
 
+  /** Expire old snapshots — Iceberg's `expireSnapshots` maintenance
+    * verb, the dual of Delta's VACUUM. Snapshots older than
+    * `olderThanMs` drop from the metadata (always retaining the
+    * current one and the newest `retainLast`); their manifest lists,
+    * manifests, and any data/delete file referenced ONLY by dropped
+    * snapshots are deleted from disk. Reachability is computed from
+    * the manifests themselves (metadata-sized avro, the same walk
+    * [[state]] performs) — never a recursive directory listing, so a
+    * table with 10⁶ data files pays O(manifests), not O(files), and a
+    * foreign file sitting under data/ is never touched. Returns the
+    * number of files deleted. */
+  def expireSnapshots(spark: SparkSession, table: String,
+      olderThanMs: Long, retainLast: Int = 1): Long = {
+    require(retainLast >= 1, "expireSnapshots: retainLast must be >= 1")
+    val f = fs(spark, table)
+    val mdir = new Path(table, "metadata")
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snaps = root.path("snapshots").elements().asScala.toSeq
+    val currentId = root.get("current-snapshot-id").asLong()
+    val byAge = snaps.sortBy(_.get("timestamp-ms").asLong())
+    val keepIds = (byAge.takeRight(retainLast).map(_.get("snapshot-id").asLong()) :+
+      currentId).toSet ++
+      byAge.filter(_.get("timestamp-ms").asLong() >= olderThanMs)
+        .map(_.get("snapshot-id").asLong())
+    val (kept, dropped) = snaps.partition(s => keepIds.contains(s.get("snapshot-id").asLong()))
+    if (dropped.isEmpty) return 0L
+
+    // reachability at (manifest, data-file) granularity from each side
+    def reachable(ss: Seq[com.fasterxml.jackson.databind.JsonNode])
+        : (Set[String], Set[String], Set[String]) = {
+      val lists = Set.newBuilder[String]
+      val manifests = Set.newBuilder[String]
+      val files = Set.newBuilder[String]
+      ss.foreach { s =>
+        val lp = resolve(table, s.get("manifest-list").asText())
+        lists += lp
+        // a dropped snapshot's list may legitimately be gone already
+        // (idempotent re-run); skip unreadable
+        try {
+          avroEntries(f, new Path(lp)).foreach { m =>
+            val mp = resolve(table, str(m, "manifest_path").getOrElse(""))
+            manifests += mp
+            try avroEntries(f, new Path(mp)).foreach { e =>
+              val d = e.get("data_file").asInstanceOf[GenericRecord]
+              files += resolve(table, str(d, "file_path").getOrElse(""))
+            } catch { case scala.util.control.NonFatal(_) => () }
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      (lists.result(), manifests.result(), files.result())
+    }
+    val (keepLists, keepManifests, keepFiles) = reachable(kept)
+    val (dropLists, dropManifests, dropFiles) = reachable(dropped)
+
+    var deleted = 0L
+    def rm(p: String): Unit = {
+      val hp = new Path(p)
+      if (f.exists(hp) && f.delete(hp, false)) deleted += 1
+    }
+    (dropFiles -- keepFiles).foreach(rm)
+    (dropManifests -- keepManifests).foreach(rm)
+    (dropLists -- keepLists).foreach(rm)
+
+    // new metadata without the dropped snapshots / log entries
+    val meta = root.deepCopy()
+    val sArr = mapper.createArrayNode()
+    kept.foreach(sArr.add)
+    meta.set[ObjectNode]("snapshots", sArr)
+    val lArr = mapper.createArrayNode()
+    root.path("snapshot-log").elements().asScala
+      .filter(l => keepIds.contains(l.get("snapshot-id").asLong()))
+      .foreach(lArr.add)
+    meta.set[ObjectNode]("snapshot-log", lArr)
+    meta.put("last-updated-ms", System.currentTimeMillis())
+    val version = nextMetadataVersion(f, table)
+    val mdPath = new Path(mdir, s"v$version.metadata.json")
+    val out = f.create(mdPath, false)
+    try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    finally out.close()
+    val hint = f.create(new Path(mdir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    deleted
+  }
+
   /** Materialize merge-on-read deletes: rewrite the surviving rows as
     * fresh data files in one REPLACE snapshot — afterwards the view
     * carries no delete files, so CONVERT TO DELTA (which refuses MoR
@@ -755,7 +849,7 @@ object IcebergTable {
       if (!isIcebergTable(spark, table)) None
       else Some(mapper.readTree(readText(f, currentMetadataPath(f, table)))
         .asInstanceOf[ObjectNode])
-    val version = existing.map(_.path("snapshots").size() + 1).getOrElse(1)
+    val version = nextMetadataVersion(f, table)
     val snapshotId = System.currentTimeMillis() * 1000 + version
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString.take(8)

@@ -169,6 +169,42 @@ class IcebergSpec extends SparkSpec {
     assert(all == 40L)
   }
 
+  test("expireSnapshots drops old snapshots and reclaims their orphans") {
+    val t = fresh()
+    val f = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    IcebergTable.writeAppend(spark, (0L until 10L).toDF("k").coalesce(1), t)
+    IcebergTable.writeAppend(spark, (10L until 20L).toDF("k").coalesce(1), t)
+    IcebergTable.deleteWhere(spark, t, col("k") < 3L)
+    // materialize = REPLACE snapshot: the three older snapshots' data,
+    // delete files, manifests and lists become expire-candidates
+    IcebergTable.materializeDeletes(spark, t)
+    val dataDir = new org.apache.hadoop.fs.Path(t + "/data")
+    val filesBefore = f.listStatus(dataDir).length
+    val live = IcebergTable.state(spark, t).dataFiles
+      .map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+
+    val deleted = IcebergTable.expireSnapshots(spark, t,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(deleted > 0L, "expiry reclaimed nothing")
+    // exactly the live REPLACE files survive under data/
+    val after = f.listStatus(dataDir).map(_.getPath.getName).toSet
+    assert(after == live, s"data/ after expiry: $after vs live $live")
+    assert(after.size < filesBefore)
+    // the view is intact, metadata holds one snapshot, appends continue
+    assert(IcebergTable.read(spark, t).as[Long].collect().toSet ==
+      (3L until 20L).toSet)
+    assert(IcebergTable.state(spark, t).hasDeletes == false)
+    IcebergTable.writeAppend(spark, Seq(100L).toDF("k").coalesce(1), t)
+    assert(IcebergTable.read(spark, t).count() == 18L)
+    // the SQL verb drives the same machinery (retain both remaining
+    // snapshots -> reclaims nothing)
+    val viaSql = graft.sources.GraftSql.exec(spark,
+      s"EXPIRE SNAPSHOTS iceberg.`$t` RETAIN LAST 2").as[Long].head()
+    assert(viaSql == 0L)
+    assert(IcebergTable.read(spark, t).count() == 18L)
+  }
+
   test("CONVERT refuses a table carrying MoR deletes; materialize unblocks it") {
     val t = fresh()
     IcebergTable.writeAppend(spark, (0L until 10L).toDF("k"), t)
