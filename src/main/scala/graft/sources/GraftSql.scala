@@ -298,7 +298,8 @@ object GraftSql {
   private def topLevelSplit(s: String, keyword: String): Seq[String] = {
     val kw = keyword.toLowerCase
     val out = Seq.newBuilder[String]
-    var depth = 0; var caseDepth = 0; var quote: Char = 0
+    var depth = 0; var caseDepth = 0; var betweenPending = 0
+    var quote: Char = 0
     var segStart = 0; var i = 0
     def isWord(c: Char) = c.isLetterOrDigit || c == '_'
     while (i < s.length) {
@@ -313,6 +314,13 @@ object GraftSql {
           val word = s.substring(i, j).toLowerCase
           if (word == "case") caseDepth += 1
           else if (word == "end" && caseDepth > 0) caseDepth -= 1
+          // `x BETWEEN a AND b`: that AND is part of the expression, not
+          // a conjunction — swallow exactly one following top-level AND
+          else if (word == "between" && depth == 0 && caseDepth == 0)
+            betweenPending += 1
+          else if (word == "and" && depth == 0 && caseDepth == 0 &&
+              betweenPending > 0)
+            betweenPending -= 1
           else if (word == kw && depth == 0 && caseDepth == 0) {
             out += s.substring(segStart, i); segStart = j
           }
@@ -392,9 +400,11 @@ object GraftSql {
         (exec(spark, trimmed.substring(1, end)), trimmed.substring(end + 1))
       } else {
         val DeltaSrc = """(?is)(delta\.`[^`]+`(?:\s+VERSION\s+AS\s+OF\s+\d+)?)(.*)""".r
+        val IceSrc = """(?is)(iceberg\.`[^`]+`(?:\s+VERSION\s+AS\s+OF\s+\d+)?)(.*)""".r
         val ViewSrc = """(?is)([\w.]+)(.*)""".r
         trimmed match {
           case DeltaSrc(ref, after) => (exec(spark, s"SELECT * FROM $ref"), after)
+          case IceSrc(ref, after) => (exec(spark, s"SELECT * FROM $ref"), after)
           case ViewSrc(view, after) => (spark.table(view), after)
           case _ => sys.error(s"cannot parse MERGE source: $trimmed")
         }
@@ -480,13 +490,55 @@ object GraftSql {
   private def hasSubquery(s: String): Boolean =
     """(?is)\(\s*SELECT\b""".r.findFirstIn(s).isDefined
 
-  // a whole conjunct of the shape `col [NOT] IN (SELECT …)` /
-  // `expr <op> (SELECT …)` — topLevelSplit already guarantees balanced
-  // parens within a conjunct, so the greedy body runs to the final `)`
+  // a whole conjunct of the shape `col [NOT] IN (SELECT …)` —
+  // topLevelSplit already guarantees balanced parens within a conjunct,
+  // so the greedy body runs to the final `)`
   private val InSubqueryConjunct =
     """(?is)\s*`?([\w.]+)`?\s+(NOT\s+)?IN\s*\(\s*(SELECT\b.+)\)\s*""".r
-  private val ScalarCmpConjunct =
-    """(?is)\s*(.+?)\s*(=|<>|!=|<=|>=|<|>)\s*\(\s*(SELECT\b.+)\)\s*""".r
+
+  /** Replace every `(SELECT …)` in an SQL fragment with its evaluated
+    * scalar literal. Each subquery runs through [[exec]] (so
+    * `delta.`path``/`iceberg.`path`` references work) and must return
+    * exactly one row and one column. Quote-aware: parens inside string
+    * literals are opaque. */
+  private def foldScalarSubqueries(spark: SparkSession, fragment: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fragment.length) {
+      val c = fragment(i)
+      if (c == '\'') {
+        val j = fragment.indexOf('\'', i + 1)
+        val end = if (j < 0) fragment.length else j + 1
+        out.append(fragment.substring(i, end)); i = end
+      } else if (c == '(' &&
+          fragment.substring(i + 1).dropWhile(_.isWhitespace)
+            .take(7).toLowerCase.startsWith("select")) {
+        var depth = 0; var j = i; var quote = false; var endIdx = -1
+        while (j < fragment.length && endIdx < 0) {
+          val ch = fragment(j)
+          if (quote) { if (ch == '\'') quote = false }
+          else ch match {
+            case '\'' => quote = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) endIdx = j
+            case _ =>
+          }
+          j += 1
+        }
+        require(endIdx > 0, s"unbalanced parens in: $fragment")
+        val sub = fragment.substring(i + 1, endIdx)
+        val r = exec(spark, sub)
+        require(r.schema.length == 1,
+          s"scalar subquery must return one column, got ${r.schema.length}: ($sub)")
+        val rows = r.limit(2).collect()
+        require(rows.length == 1,
+          s"scalar subquery must return exactly one row, got ${rows.length}: ($sub)")
+        out.append(sqlLiteral(rows(0).get(0)))
+        i = endIdx + 1
+      } else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
 
   /** Render a collected scalar as a SQL literal for predicate folding. */
   private def sqlLiteral(v: Any): String = v match {
@@ -510,10 +562,11 @@ object GraftSql {
     *     NOT IN rewrites to `WHEN NOT MATCHED BY SOURCE` with SQL's
     *     null semantics kept exactly: a NULL in the subquery result
     *     means NO row qualifies, and NULL target keys never qualify.
-    *   - any number of scalar-comparison subquery conjuncts
-    *     (`x <op> (SELECT agg …)`); each runs through [[exec]] (so
-    *     `delta.`path`` references work), must yield exactly one row
-    *     and column, and folds to a literal in the residual predicate.
+    *   - scalar `(SELECT …)` subqueries ANYWHERE in the remaining
+    *     conjuncts (`x >= (SELECT avg(…) …)`, `y BETWEEN (SELECT …)
+    *     AND (SELECT …)`); each runs through [[exec]] (so
+    *     `delta.`path``/`iceberg.`path`` references work), must yield
+    *     exactly one row and column, and folds to a literal.
     *
     * Residual conjuncts referencing the membership KEY column by bare
     * name would be ambiguous inside the merge join (the source carries
@@ -528,20 +581,14 @@ object GraftSql {
     }
     require(members.size <= 1,
       s"at most one [NOT] IN (SELECT …) conjunct is supported, got ${members.size}: $cond")
-    val rest = rest0.map {
-      case ScalarCmpConjunct(lhs, op, sub) =>
-        val r = exec(spark, sub)
-        require(r.schema.length == 1,
-          s"scalar subquery must return one column, got ${r.schema.length}: ($sub)")
-        val rows = r.limit(2).collect()
-        require(rows.length == 1,
-          s"scalar subquery must return exactly one row, got ${rows.length}: ($sub)")
-        s"$lhs $op ${sqlLiteral(rows(0).get(0))}"
-      case plain =>
-        require(!hasSubquery(plain),
-          s"unsupported subquery shape in DML condition (supported: " +
-            s"`col [NOT] IN (SELECT …)`, `expr <op> (SELECT …)`): $plain")
-        plain
+    val rest = rest0.map { conj =>
+      // EXISTS cannot fold to a scalar and would otherwise produce a
+      // baffling parse error downstream — refuse with the envelope
+      require(!"""(?i)\bEXISTS\s*\(""".r.findFirstIn(conj).isDefined,
+        s"unsupported subquery shape in DML condition (supported: " +
+          s"`col [NOT] IN (SELECT …)` and scalar `(SELECT …)` anywhere " +
+          s"in an expression; spell EXISTS as IN): $conj")
+      foldScalarSubqueries(spark, conj)
     }
     val residual = rest.reduceOption((a, b) => s"($a) AND ($b)").map(expr)
     members.headOption match {
@@ -728,9 +775,12 @@ object GraftSql {
     case DeleteAll(path) =>
       val empty = DeltaLog.read(spark, path).limit(0)
       version(spark, DeltaLog.write(spark, empty, path, "overwrite"))
-    case Update(path, set, cond) if hasSubquery(cond) =>
+    case Update(path, set, cond) if hasSubquery(set) || hasSubquery(cond) =>
+      // SET expressions fold their scalar subqueries to literals
+      // (`SET x = (SELECT avg(…) …) * 2`); the condition goes through
+      // the full membership/scalar rewrite
       val assignments = splitAssignments(set).map {
-        case Assign(c, e) => c -> expr(e)
+        case Assign(c, e) => c -> expr(foldScalarSubqueries(spark, e))
         case bad => sys.error(s"cannot parse SET assignment: '$bad'")
       }
       version(spark, execDmlSubquery(spark, path, cond, Some(assignments.toMap)))

@@ -91,6 +91,23 @@ class DmlSubquerySpec extends SparkSpec {
     assert(DeltaLog.read(spark, t).count() == 100L)
   }
 
+  test("scalar subqueries fold anywhere: SET expressions and BETWEEN bounds") {
+    val t = fresh(); seed(t)
+    // SET value from an aggregate subquery (with arithmetic around it)
+    GraftSql.exec(spark,
+      s"UPDATE delta.`$t` SET amt = (SELECT max(amt) FROM delta.`$t`) + 5 " +
+        s"WHERE k = 0")
+    assert(DeltaLog.read(spark, t).where(col("k") === 0L)
+      .select("amt").as[Long].head() == 995L)
+    // BETWEEN two scalar subqueries in a DELETE condition
+    GraftSql.exec(spark,
+      s"DELETE FROM delta.`$t` WHERE k BETWEEN " +
+        s"(SELECT min(k) + 10 FROM delta.`$t`) AND " +
+        s"(SELECT min(k) + 19 FROM delta.`$t`)")
+    assert(DeltaLog.read(spark, t).select("k").as[Long].collect().toSet ==
+      (0L until 100L).filterNot(k => k >= 10 && k <= 19).toSet)
+  }
+
   test("unsupported shapes refuse loudly; duplicate keys in the list are fine") {
     val t = fresh(); seed(t)
     val e = intercept[Exception] {

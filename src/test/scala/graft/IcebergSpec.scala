@@ -205,6 +205,21 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).count() == 18L)
   }
 
+  test("MERGE INTO delta USING an iceberg source") {
+    val tgt = fresh(); val src = fresh()
+    graft.sources.DeltaLog.write(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1), tgt)
+    IcebergTable.writeAppend(spark,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "v").coalesce(1), src)
+    graft.sources.GraftSql.exec(spark,
+      s"""MERGE INTO delta.`$tgt` AS t USING iceberg.`$src` AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(graft.sources.DeltaLog.read(spark, tgt)
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
   test("CONVERT refuses a table carrying MoR deletes; materialize unblocks it") {
     val t = fresh()
     IcebergTable.writeAppend(spark, (0L until 10L).toDF("k"), t)
