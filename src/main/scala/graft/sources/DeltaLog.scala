@@ -5927,7 +5927,7 @@ object DeltaLog {
     // files' suppression — silently resurrecting deleted rows
     require(!st.hasDeletes,
       s"CONVERT FROM ICEBERG: $table carries merge-on-read delete files — " +
-        "materialize (rewrite) them first")
+        "materialize them first (REORG TABLE iceberg.`…` APPLY (PURGE))")
     val f = fs(spark, table)
     val root = f.makeQualified(new Path(table))
     val rootUri = root.toUri

@@ -155,6 +155,8 @@ object GraftSql {
   private val IcebergExpire =
     ("""(?is)\s*EXPIRE\s+SNAPSHOTS\s+iceberg\.`([^`]+)`""" +
       """(?:\s+OLDER\s+THAN\s+'([^']+)')?(?:\s+RETAIN\s+LAST\s+(\d+))?\s*""").r
+  private val IcebergReorg =
+    """(?is)\s*REORG\s+TABLE\s+iceberg\.`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   // CREATE TABLE: the column list may hold nested parens (DECIMAL(12,2)),
   // so only the head is regex-matched; the balanced column list and the
   // optional PARTITIONED BY / TBLPROPERTIES clauses are scanned manually
@@ -756,6 +758,10 @@ object GraftSql {
     // v2 delete snapshot, no data file rewritten
     case IcebergDelete(path, cond) =>
       version(spark, IcebergTable.deleteWhere(spark, path, expr(cond)))
+    // REORG iceberg APPLY (PURGE): materialize merge-on-read deletes —
+    // survivors rewritten in one REPLACE snapshot, delete files gone
+    case IcebergReorg(path) =>
+      version(spark, IcebergTable.materializeDeletes(spark, path))
     // Iceberg snapshot expiry (the expire_snapshots procedure):
     // defaults mirror the procedure's — older than NOW, retain last 1
     case IcebergExpire(path, ts, retain) =>

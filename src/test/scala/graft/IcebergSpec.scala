@@ -228,8 +228,10 @@ class IcebergSpec extends SparkSpec {
       graft.sources.DeltaLog.convertIcebergToDelta(spark, t))
     assert(e.getMessage.contains("merge-on-read"), e.getMessage)
     // materialize rewrites survivors into a REPLACE snapshot (no delete
-    // files left), after which the convert proceeds
-    IcebergTable.materializeDeletes(spark, t)
+    // files left), after which the convert proceeds — driven through
+    // the SQL verb the refusal names
+    graft.sources.GraftSql.exec(spark,
+      s"REORG TABLE iceberg.`$t` APPLY (PURGE)")
     assert(!IcebergTable.state(spark, t).hasDeletes)
     graft.sources.DeltaLog.convertIcebergToDelta(spark, t)
     assert(graft.sources.DeltaLog.read(spark, t)
