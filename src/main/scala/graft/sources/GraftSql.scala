@@ -555,6 +555,34 @@ object GraftSql {
     case other => other.toString
   }
 
+  /** Qualify bare references to `key` with `alias` inside a raw SQL
+    * fragment — quote- and word-boundary-aware, leaving `x.key`
+    * (already qualified) and `key(` (a function named key) alone. */
+  private def qualifyKey(fragment: String, key: String, alias: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def isWord(c: Char) = c.isLetterOrDigit || c == '_'
+    while (i < fragment.length) {
+      val c = fragment(i)
+      if (c == '\'' || c == '`') {
+        val j = fragment.indexOf(c, i + 1)
+        val end = if (j < 0) fragment.length else j + 1
+        sb.append(fragment.substring(i, end)); i = end
+      } else if (isWord(c) && (i == 0 ||
+          (!isWord(fragment(i - 1)) && fragment(i - 1) != '.'))) {
+        var j = i; while (j < fragment.length && isWord(fragment(j))) j += 1
+        val word = fragment.substring(i, j)
+        val next = fragment.drop(j).dropWhile(_.isWhitespace).headOption
+        if (word.equalsIgnoreCase(key) &&
+            !next.contains('(') && !next.contains('.'))
+          sb.append(s"$alias.$word")
+        else sb.append(word)
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
+
   /** DELETE/UPDATE whose WHERE embeds subqueries. Envelope:
     *
     *   - at most ONE top-level `key [NOT] IN (SELECT …)` membership
@@ -570,12 +598,21 @@ object GraftSql {
     *     `delta.`path``/`iceberg.`path`` references work), must yield
     *     exactly one row and column, and folds to a literal.
     *
-    * Residual conjuncts referencing the membership KEY column by bare
-    * name would be ambiguous inside the merge join (the source carries
-    * the same-named key) and fail analysis loudly — qualify or avoid.
+    * Residual conjuncts and SET expressions referencing the membership
+    * KEY column by bare name are auto-qualified with the target alias
+    * (the merge join carries a same-named source key).
     * Returns the committed version. */
   private def execDmlSubquery(spark: SparkSession, path: String,
-      cond: String, set: Option[Map[String, org.apache.spark.sql.Column]]): Long = {
+      cond: String, set: Option[Seq[(String, String)]]): Long = {
+    // SET arrives as raw (column, expression) strings: the merge branch
+    // must qualify bare key references in the expressions (the joined
+    // frame carries a same-named source key), which only works before
+    // parsing. Scalar subqueries in the expressions fold here either way.
+    def setColumns(qualify: Option[String]): Option[Map[String, org.apache.spark.sql.Column]] =
+      set.map(_.map { case (c, e) =>
+        val folded = foldScalarSubqueries(spark, e)
+        c -> expr(qualify.fold(folded)(k => qualifyKey(folded, k, "t")))
+      }.toMap)
     val conjuncts = topLevelSplit(cond, "AND").map(_.trim).filter(_.nonEmpty)
     val (members, rest0) = conjuncts.partition {
       case InSubqueryConjunct(_, _, _) => true
@@ -592,15 +629,21 @@ object GraftSql {
           s"in an expression; spell EXISTS as IN): $conj")
       foldScalarSubqueries(spark, conj)
     }
-    val residual = rest.reduceOption((a, b) => s"($a) AND ($b)").map(expr)
     members.headOption match {
       case None =>
         // every subquery was scalar: folded to a plain predicate
-        val pred = residual.getOrElse(lit(true))
-        set.fold(DeltaLog.deleteWhere(spark, path, pred))(m =>
-          DeltaLog.updateWhere(spark, path, pred, m))
+        val pred = rest.reduceOption((a, b) => s"($a) AND ($b)")
+          .map(expr).getOrElse(lit(true))
+        setColumns(qualify = None)
+          .fold(DeltaLog.deleteWhere(spark, path, pred))(m =>
+            DeltaLog.updateWhere(spark, path, pred, m))
       case Some(InSubqueryConjunct(keyRaw, notKw, sub)) =>
         val key = keyRaw.split('.').last
+        // inside the merge join the source carries a same-named key, so
+        // bare references to it in the residual are ambiguous — qualify
+        // them with the target alias
+        val residual = rest.map(qualifyKey(_, key, "t"))
+          .reduceOption((a, b) => s"($a) AND ($b)").map(expr)
         val src0 = exec(spark, sub)
         require(src0.schema.length == 1,
           s"IN subquery must return one column, got ${src0.schema.length}: ($sub)")
@@ -614,12 +657,12 @@ object GraftSql {
           // the same-named source key (null for by-source rows)
           val guard = residual.fold(col(s"t.$key").isNotNull)(
             col(s"t.$key").isNotNull && _)
-          val clause: MergeClause = set.fold[MergeClause](
+          val clause: MergeClause = setColumns(Some(key)).fold[MergeClause](
             MergeClause.BySourceDelete(Some(guard)))(m =>
             MergeClause.BySourceUpdate(Some(guard), m))
           DeltaLog.merge(spark, path, src, Seq(key), Seq(clause))
         } else {
-          val clause: MergeClause = set.fold[MergeClause](
+          val clause: MergeClause = setColumns(Some(key)).fold[MergeClause](
             MergeClause.MatchedDelete(residual))(m =>
             MergeClause.MatchedUpdate(residual, m))
           DeltaLog.merge(spark, path, src, Seq(key), Seq(clause))
@@ -785,11 +828,11 @@ object GraftSql {
       // SET expressions fold their scalar subqueries to literals
       // (`SET x = (SELECT avg(…) …) * 2`); the condition goes through
       // the full membership/scalar rewrite
-      val assignments = splitAssignments(set).map {
-        case Assign(c, e) => c -> expr(foldScalarSubqueries(spark, e))
+      val raw = splitAssignments(set).map {
+        case Assign(c, e) => c -> e
         case bad => sys.error(s"cannot parse SET assignment: '$bad'")
       }
-      version(spark, execDmlSubquery(spark, path, cond, Some(assignments.toMap)))
+      version(spark, execDmlSubquery(spark, path, cond, Some(raw)))
     case Update(path, set, cond) =>
       val assignments = splitAssignments(set).map {
         case Assign(c, e) => c -> expr(e)

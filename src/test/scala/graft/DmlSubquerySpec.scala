@@ -108,6 +108,39 @@ class DmlSubquerySpec extends SparkSpec {
       (0L until 100L).filterNot(k => k >= 10 && k <= 19).toSet)
   }
 
+  test("parser robustness: CASE/strings/nesting around the subquery conjunct") {
+    val t = fresh(); seed(t)
+    val keys = fresh()
+    DeltaLog.write(spark, (0L until 100L by 2L).toDF("q"), keys)
+    // a CASE expression whose own AND/parens must not derail the split,
+    // a string literal containing AND and parens, and a function call
+    // with nested parens — all riding beside the membership conjunct
+    GraftSql.exec(spark,
+      s"""DELETE FROM delta.`$t` WHERE
+         |  CASE WHEN grp = 'g0' AND amt >= 0 THEN 1 ELSE 0 END = 1
+         |  AND grp != 'has AND (paren) inside'
+         |  AND coalesce(amt, least(1, 2)) >= 0
+         |  AND k IN (SELECT q FROM delta.`$keys` WHERE q BETWEEN 0 AND 200)
+         |""".stripMargin)
+    // deleted ⇔ grp g0 (k%5==0) AND even ⇔ k%10==0
+    assert(DeltaLog.read(spark, t).select("k").as[Long].collect().toSet ==
+      (0L until 100L).filterNot(_ % 10 == 0).toSet)
+    // BETWEEN inside the residual coexists with the membership conjunct
+    GraftSql.exec(spark,
+      s"DELETE FROM delta.`$t` WHERE k BETWEEN 1 AND 9 AND k IN " +
+        s"(SELECT q FROM delta.`$keys`)")
+    val got = DeltaLog.read(spark, t).select("k").as[Long].collect().toSet
+    assert(!got.exists(k => k >= 1 && k <= 9 && k % 2 == 0))
+    assert(got.contains(1L) && got.contains(11L))
+    // SET expressions referencing the key column auto-qualify inside
+    // the merge (the source carries a same-named key)
+    GraftSql.exec(spark,
+      s"UPDATE delta.`$t` SET amt = k * 1000000 WHERE k >= 90 AND k IN " +
+        s"(SELECT q FROM delta.`$keys`)")
+    assert(DeltaLog.read(spark, t).where(col("k") === 92L)
+      .select("amt").as[Long].head() == 92000000L)
+  }
+
   test("unsupported shapes refuse loudly; duplicate keys in the list are fine") {
     val t = fresh(); seed(t)
     val e = intercept[Exception] {
