@@ -205,6 +205,18 @@ class IcebergSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).count() == 18L)
   }
 
+  test("time travel to an expired snapshot fails loudly, not partially") {
+    val t = fresh()
+    val s1 = IcebergTable.writeAppend(spark, (0L until 5L).toDF("k"), t)
+    IcebergTable.writeAppend(spark, (5L until 10L).toDF("k"), t)
+    IcebergTable.expireSnapshots(spark, t,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    val e = intercept[RuntimeException](
+      IcebergTable.read(spark, t, snapshotId = Some(s1)))
+    assert(e.getMessage.contains("not in"), e.getMessage)
+    assert(IcebergTable.read(spark, t).count() == 10L)
+  }
+
   test("MERGE INTO delta USING an iceberg source") {
     val tgt = fresh(); val src = fresh()
     graft.sources.DeltaLog.write(spark,
