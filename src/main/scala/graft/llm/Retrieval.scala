@@ -1,6 +1,7 @@
 package graft.llm
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,73 +39,173 @@ object Retrieval {
   private val B = 0.75
   private val TopK = 5
 
-  /** BM25 top-k: rank documents for each benchmark query via the
-    * inverted index. k1=1.2, b=0.75, rational idf (no ln — see parity
-    * note above); ties broken by doc_id so the cut is deterministic. */
-  val qBm25TopK: QueryDef = {
+  /** BM25 CTE chain through `scored(qid, doc_id, n_terms_hit, score)` —
+    * shared by the BM25 ranking and the hybrid-fusion oracle. */
+  private def bm25ScoredSql: String = {
     val valuesSql = querySet.flatMap { case (q, ts) =>
       ts.map(t => s"('$q', '$t')")
     }.mkString(", ")
+    s"""tokd AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
+       |), dl AS (
+       |  SELECT doc_id, count(*) AS dl FROM tokd GROUP BY 1
+       |), corpus AS (
+       |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tokd GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+       |), qs(qid, term) AS (VALUES $valuesSql),
+       |contribs AS (
+       |  SELECT qs.qid, tf.doc_id, tf.term,
+       |    ((n - df + 0.5e0) / (df + 0.5e0)) *
+       |      (tf * (${K1}e0 + 1.0e0) /
+       |        (tf + ${K1}e0 * ((1.0e0 - ${B}e0) + ${B}e0 * (dl / avgdl)))) AS contrib
+       |  FROM qs JOIN tf USING (term) JOIN df USING (term)
+       |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus
+       |), scored AS (
+       |  SELECT qid, doc_id, count(*) AS n_terms_hit,
+       |    list_reduce(
+       |      list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(list_sort(list({t: term, c: contrib})),
+       |          s -> s.c)),
+       |      (a, b) -> a + b) AS score
+       |  FROM contribs GROUP BY 1, 2
+       |)""".stripMargin
+  }
+
+  /** Spark side of [[bm25ScoredSql]]: `(qid, doc_id, n_terms_hit, score)`.
+    * The query set prunes the posting lists FIRST (broadcast semi shape),
+    * so df/dl join only the surviving (doc, term) rows. */
+  private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.spread(Tables.documents(spark, dir))
+    val tokd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = tokd.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = tokd.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qs = querySet.flatMap { case (q, ts) => ts.map(q -> _) }
+      .toDF("qid", "term")
+    val contribs = broadcast(qs).join(tf, "term").join(dfTbl, "term")
+      .join(dl, "doc_id").crossJoin(broadcast(corpus))
+      .select(col("qid"), col("doc_id"), col("term"),
+        (((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(K1 + 1.0) /
+            (col("tf") + lit(K1) * (lit(1.0 - B) +
+              lit(B) * (col("dl") / col("avgdl"))))))
+          .as("contrib"))
+    contribs.groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        aggregate(
+          sort_array(collect_list(struct(col("term").as("t"), col("contrib").as("c")))),
+          lit(0.0),
+          (acc, s) => acc + s.getField("c")).as("score"))
+  }
+
+  /** BM25 top-k: rank documents for each benchmark query via the
+    * inverted index. k1=1.2, b=0.75, rational idf (no ln — see parity
+    * note above); ties broken by doc_id so the cut is deterministic. */
+  val qBm25TopK: QueryDef =
     QueryDef.sql(
       "q_text_bm25_topk",
-      s"""WITH tokd AS (
-         |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents
-         |), dl AS (
-         |  SELECT doc_id, count(*) AS dl FROM tokd GROUP BY 1
-         |), corpus AS (
-         |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
-         |), tf AS (
-         |  SELECT doc_id, term, count(*) AS tf FROM tokd GROUP BY 1, 2
-         |), df AS (
-         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
-         |), qs(qid, term) AS (VALUES $valuesSql),
-         |contribs AS (
-         |  SELECT qs.qid, tf.doc_id, tf.term,
-         |    ((n - df + 0.5e0) / (df + 0.5e0)) *
-         |      (tf * (${K1}e0 + 1.0e0) /
-         |        (tf + ${K1}e0 * ((1.0e0 - ${B}e0) + ${B}e0 * (dl / avgdl)))) AS contrib
-         |  FROM qs JOIN tf USING (term) JOIN df USING (term)
-         |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN corpus
-         |), scored AS (
-         |  SELECT qid, doc_id, count(*) AS n_terms_hit,
-         |    list_reduce(
-         |      list_prepend(CAST(0.0 AS DOUBLE),
-         |        list_transform(list_sort(list({t: term, c: contrib})),
-         |          s -> s.c)),
-         |      (a, b) -> a + b) AS score
-         |  FROM contribs GROUP BY 1, 2
-         |)
+      s"""WITH $bm25ScoredSql
          |SELECT qid, doc_id, n_terms_hit, score,
          |  row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS rnk
          |FROM scored QUALIFY rnk <= $TopK""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      val docs = Tables.spread(Tables.documents(spark, dir))
-      val tokd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val dl = tokd.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val corpus = dl.agg(count(lit(1)).as("n"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-      val tf = tokd.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val qs = querySet.flatMap { case (q, ts) => ts.map(q -> _) }
-        .toDF("qid", "term")
-      // the query set prunes the posting lists FIRST (broadcast semi
-      // shape), so df/dl join only the surviving (doc, term) rows
-      val contribs = broadcast(qs).join(tf, "term").join(dfTbl, "term")
-        .join(dl, "doc_id").crossJoin(broadcast(corpus))
-        .select(col("qid"), col("doc_id"), col("term"),
-          (((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
-            (col("tf") * lit(K1 + 1.0) /
-              (col("tf") + lit(K1) * (lit(1.0 - B) +
-                lit(B) * (col("dl") / col("avgdl"))))))
-            .as("contrib"))
-      val scored = contribs.groupBy(col("qid"), col("doc_id"))
-        .agg(count(lit(1)).as("n_terms_hit"),
-          aggregate(
-            sort_array(collect_list(struct(col("term").as("t"), col("contrib").as("c")))),
-            lit(0.0),
-            (acc, s) => acc + s.getField("c")).as("score"))
-      scored.withColumn("rnk", row_number().over(
+      bm25Scored(spark, dir)
+        .withColumn("rnk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
+        .where(col("rnk") <= TopK)
+    }
+
+  /** Hybrid retrieval with reciprocal-rank fusion (Cormack et al., RRF):
+    * each benchmark query gets a LEXICAL candidate list (BM25 top-20 over
+    * the inverted index) and a SEMANTIC one (cosine top-20 against a seed
+    * embedding — query i's seed is vector i, the standard bi-encoder
+    * stand-in), fused as Σ 1/(60 + rank) over the systems that returned
+    * the document. The production RAG/eval-retrieval shape: neither list
+    * needs scores on a shared scale, so fusion survives engine swaps.
+    *
+    * Scale: both candidate generators are already bounded (posting lists
+    * pruned by the broadcast query set; ANN candidates per probe cell);
+    * fusion joins two ≤k·|queries| frames — trivially broadcastable at
+    * any corpus size. Engine parity: 1/(60+rank) is one exact division,
+    * the fused score sums TWO doubles in fixed (lex, sem) order. */
+  val qHybridRrf: QueryDef = {
+    val fuseK = 60 // Cormack's constant: dampens rank-1 dominance
+    val candK = 20 // per-system candidate depth
+    val seedsSql = querySet.map(_._1).zipWithIndex
+      .map { case (q, i) => s"('$q', $i)" }.mkString(", ")
+    val dotSql =
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64), " +
+        "i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (x,y) -> x+y)"
+    QueryDef.sql(
+      "q_text_hybrid_rrf",
+      s"""WITH $bm25ScoredSql,
+         |lex AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lex_rnk
+         |  FROM scored QUALIFY lex_rnk <= $candK
+         |), nrms AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1,64),
+         |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (x,y) -> x+y)) AS nrm
+         |  FROM embeddings
+         |), seeds(qid, seed_id) AS (VALUES $seedsSql),
+         |sem AS (
+         |  SELECT qid, doc_id, sem_rnk FROM (
+         |    SELECT s.qid, c.vec_id AS doc_id,
+         |      row_number() OVER (PARTITION BY s.qid
+         |        ORDER BY $dotSql / (q.nrm * c.nrm) DESC, c.vec_id) AS sem_rnk
+         |    FROM seeds s
+         |    JOIN nrms q ON q.vec_id = s.seed_id
+         |    JOIN nrms c ON c.vec_id <> s.seed_id)
+         |  WHERE sem_rnk <= $candK
+         |)
+         |SELECT qid, doc_id, lex_rnk, sem_rnk, rrf,
+         |  row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, doc_id) AS rnk
+         |FROM (
+         |  SELECT coalesce(l.qid, s.qid) AS qid,
+         |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+         |    l.lex_rnk AS lex_rnk, s.sem_rnk AS sem_rnk,
+         |    coalesce(1.0e0 / ($fuseK + l.lex_rnk), 0.0e0) +
+         |      coalesce(1.0e0 / ($fuseK + s.sem_rnk), 0.0e0) AS rrf
+         |  FROM lex l FULL JOIN sem s ON l.qid = s.qid AND l.doc_id = s.doc_id)
+         |QUALIFY rnk <= $TopK""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val lex = bm25Scored(spark, dir)
+        .withColumn("lex_rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
+        .where(col("lex_rnk") <= candK)
+        .select(col("qid"), col("doc_id"), col("lex_rnk"))
+      def dot(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val nrms = Tables.embeddings(spark, dir).select(
+        col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      val seeds = querySet.map(_._1).zipWithIndex.toDF("qid", "seed_id")
+      val seedVecs = broadcast(seeds)
+        .join(nrms, col("seed_id") === col("vec_id"))
+        .select(col("qid"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+          col("seed_id"))
+      // seed side broadcasts; the corpus scan stays partition-parallel
+      val sem = nrms.join(broadcast(seedVecs), col("vec_id") =!= col("seed_id"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+        .withColumn("sem_rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("doc_id"))))
+        .where(col("sem_rnk") <= candK)
+        .select(col("qid"), col("doc_id"), col("sem_rnk"))
+      val fused = lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+        .select(col("qid"), col("doc_id"), col("lex_rnk"), col("sem_rnk"),
+          (coalesce(lit(1.0) / (lit(fuseK) + col("lex_rnk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(fuseK) + col("sem_rnk")), lit(0.0))).as("rrf"))
+      fused.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("doc_id"))))
         .where(col("rnk") <= TopK)
     }
   }
@@ -254,5 +355,5 @@ object Retrieval {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qBm25TopK, qLmScore, qDsirWeights)
+  val all: Seq[QueryDef] = Seq(qBm25TopK, qHybridRrf, qLmScore, qDsirWeights)
 }
