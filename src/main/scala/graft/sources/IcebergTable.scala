@@ -25,13 +25,18 @@ import org.apache.spark.sql.types._
   * refuse loudly rather than silently over-returning rows. Time travel
   * by snapshot id or timestamp (snapshot-log).
   *
-  * WRITE (append-only, format-version 1, unpartitioned): each append
-  * stages parquet under `data/`, then writes one manifest + a manifest
-  * list + a new `vN.metadata.json` and flips `version-hint.text` —
-  * the reader-visible commit point. Field-ids are assigned
-  * sequentially and carried in both the table schema JSON and the
-  * manifest avro schema (`field-id` props), which is what real Iceberg
-  * readers key on.
+  * WRITE (append-only, format-version 1): each append stages parquet
+  * under `data/`, then writes one manifest + a manifest list + a new
+  * `vN.metadata.json` and flips `version-hint.text` — the
+  * reader-visible commit point. Field-ids are assigned sequentially
+  * and carried in both the table schema JSON and the manifest avro
+  * schema (`field-id` props), which is what real Iceberg readers key
+  * on. HIDDEN PARTITIONING ([[IcebergPartition]]): a spec of
+  * (source, transform) pairs — identity, bucket[N], truncate[W],
+  * year/month/day/hour — declared on first write and adopted by every
+  * later append; manifests carry per-file partition tuples (field-id
+  * 102) and [[readPruned]] maps source-column predicates through the
+  * transforms to skip data files without opening them.
   *
   * Scale notes: manifests are METADATA (a few KB per data-file entry);
   * the driver reads manifests only — data files go straight to the
@@ -135,7 +140,12 @@ object IcebergTable {
       posDeletes: Seq[(String, Long)] = Seq.empty,
       eqDeletes: Seq[(String, Long, Seq[Int])] = Seq.empty,
       // field id -> column name (top level), for equality-delete columns
-      fieldNamesById: Map[Int, String] = Map.empty) {
+      fieldNamesById: Map[Int, String] = Map.empty,
+      // hidden partitioning: the default spec's fields, and each data
+      // file's partition tuple from its manifest entry (None = the file
+      // predates the spec or carries no tuple — never pruned)
+      specFields: Seq[IcebergPartition.Field] = Seq.empty,
+      partitionTuples: Seq[Option[Seq[Any]]] = Seq.empty) {
     def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
   }
 
@@ -156,6 +166,26 @@ object IcebergTable {
     schemaNode(root).path("fields").elements().asScala
       .filter(fl => fl.has("id") && fl.has("name"))
       .map(fl => fl.get("id").asInt() -> fl.get("name").asText()).toMap
+
+  /** The default partition spec's fields (source columns resolved
+    * through the schema's field ids); empty for unpartitioned tables. */
+  private def specFromMeta(root: ObjectNode): Seq[IcebergPartition.Field] = {
+    val idToName = schemaFieldIds(root)
+    val specsNode = root.path("partition-specs")
+    if (!specsNode.elements().hasNext) Seq.empty
+    else {
+      val want = root.path("default-spec-id").asInt(0)
+      specsNode.elements().asScala
+        .find(_.path("spec-id").asInt(0) == want).toSeq
+        .flatMap(_.path("fields").elements().asScala.toSeq.map { fl =>
+          val sid = fl.get("source-id").asInt()
+          IcebergPartition.Field(
+            idToName.getOrElse(sid,
+              sys.error(s"partition source-id $sid not in schema")),
+            IcebergPartition.parseTransform(fl.get("transform").asText()))
+        })
+    }
+  }
 
   private def avroEntries(f: FileSystem, p: Path): Seq[GenericRecord] = {
     // DataFileReader needs a SeekableInput; route through a local copy
@@ -215,7 +245,9 @@ object IcebergTable {
     val dataSeqs = Seq.newBuilder[Long]
     val posDel = Seq.newBuilder[(String, Long)]
     val eqDel = Seq.newBuilder[(String, Long, Seq[Int])]
+    val partTuples = Seq.newBuilder[Option[Seq[Any]]]
     var rows = 0L
+    val specFields = specFromMeta(root)
     avroEntries(f, listPath).foreach { m =>
       // v2 manifest-list rows carry `content` (0 = data, 1 = deletes)
       // and a `sequence_number` entries inherit when they carry none
@@ -239,6 +271,19 @@ object IcebergTable {
               val rc = lng(df, "record_count").getOrElse(0L)
               fileRows += rc
               rows += rc
+              partTuples += (if (specFields.isEmpty) None
+                else Option(df.get("partition")).collect {
+                  case r: GenericRecord => specFields.map { fld =>
+                    r.get(fld.name) match {
+                      case null => null
+                      case u: org.apache.avro.util.Utf8 => u.toString
+                      case s: String => s
+                      case i: java.lang.Integer => i.intValue()
+                      case l: java.lang.Long => l.longValue()
+                      case other => other
+                    }
+                  }
+                })
             case 1L => // position deletes (file_path, pos)
               posDel += ((p, seq))
             case 2L => // equality deletes, keyed by equality field ids
@@ -260,7 +305,7 @@ object IcebergTable {
     }
     State(fv, resolveSchema(root), wantId, files.result(), rows,
       fileRows.result(), dataSeqs.result(), posDel.result(), eqDel.result(),
-      schemaFieldIds(root))
+      schemaFieldIds(root), specFields, partTuples.result())
   }
 
   /** Read the table (optionally at a snapshot / timestamp) as a
@@ -280,9 +325,63 @@ object IcebergTable {
     *     broadcast (path, seq) frame: O(files) rows, never data. */
   def read(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): DataFrame =
+    readState(spark, table, state(spark, table, snapshotId, asOfMillis))
+
+  /** Read under a predicate with HIDDEN-PARTITION pruning: data files
+    * whose manifest partition tuple provably cannot satisfy the
+    * predicate never reach the scan (a day-range query on a 100 TB
+    * table opens only its days, a key equality only its bucket). The
+    * full predicate still applies as a residual filter, so pruning is
+    * purely an I/O optimization — never a semantics change. */
+  def readPruned(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      snapshotId: Option[Long] = None,
       asOfMillis: Option[Long] = None): DataFrame = {
+    val st = pruneState(spark,
+      state(spark, table, snapshotId, asOfMillis), predicate)
+    readState(spark, table, st).where(predicate)
+  }
+
+  /** Drop data files whose partition tuple rules out every row under
+    * `predicate` (exposed for the pruning spec). Files without a tuple
+    * are always kept. The predicate resolves against the declared
+    * schema through the analyzer (an empty frame), so the atoms see
+    * coerced `EqualTo(attr, Literal)` shapes — the [[DeltaLog]] zone-map
+    * pruner's technique. */
+  private[graft] def pruneState(spark: SparkSession, st: State,
+      predicate: org.apache.spark.sql.Column): State = {
+    if (st.specFields.isEmpty ||
+      st.partitionTuples.size != st.dataFiles.size) return st
+    val analyzed = spark
+      .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        st.schema)
+      .where(predicate).queryExecution.analyzed
+    val ats = analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        IcebergPartition.atoms(f.condition)
+    }.flatten
+    if (ats.isEmpty) return st
+    val srcTypes = st.specFields.map(f => st.schema(f.source).dataType)
+    val keep = st.dataFiles.indices.filter { i =>
+      st.partitionTuples(i) match {
+        case None => true
+        case Some(tup) => st.specFields.indices.forall { j =>
+          ats.forall(a => IcebergPartition.mightMatch(
+            st.specFields(j), srcTypes(j), tup(j), a))
+        }
+      }
+    }
+    st.copy(
+      dataFiles = keep.map(st.dataFiles),
+      fileRecordCounts = keep.map(st.fileRecordCounts),
+      dataSeqs = keep.map(st.dataSeqs),
+      partitionTuples = keep.map(st.partitionTuples),
+      recordCount = keep.map(st.fileRecordCounts).sum)
+  }
+
+  private def readState(spark: SparkSession, table: String, st: State): DataFrame = {
     import org.apache.spark.sql.functions._
-    val st = state(spark, table, snapshotId, asOfMillis)
     if (st.dataFiles.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
@@ -352,17 +451,39 @@ object IcebergTable {
     case other => sys.error(s"Iceberg export: unsupported type ${other.simpleString}")
   }
 
-  private def manifestAvroSchema: AvroSchema = new AvroSchema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |  {"name":"status","type":"int","field-id":0},
-      |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
-      |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
-      |    {"name":"file_path","type":"string","field-id":100},
-      |    {"name":"file_format","type":"string","field-id":101},
-      |    {"name":"record_count","type":"long","field-id":103},
-      |    {"name":"file_size_in_bytes","type":"long","field-id":104}
-      |  ]}}
-      |]}""".stripMargin.replace("|", ""))
+  private def manifestAvroSchema: AvroSchema = manifestAvroSchemaFor(Seq.empty)
+
+  /** Data-manifest schema; when the table is partitioned, data_file
+    * carries the spec's `partition` tuple record (field-id 102, one
+    * nullable field per partition field at ids 1000+i — the spec's
+    * assignment). */
+  private def manifestAvroSchemaFor(parts: Seq[(String, DataType)]): AvroSchema = {
+    val partField =
+      if (parts.isEmpty) ""
+      else {
+        val fs = parts.zipWithIndex.map { case ((n, dt), i) =>
+          val avroT = dt match {
+            case IntegerType => "int"
+            case LongType => "long"
+            case StringType => "string"
+            case other => sys.error(s"partition tuple type unsupported: $other")
+          }
+          s"""{"name":"$n","type":["null","$avroT"],"default":null,"field-id":${1000 + i}}"""
+        }.mkString(",")
+        s""",{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$fs]}}"""
+      }
+    new AvroSchema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |  {"name":"status","type":"int","field-id":0},
+         |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |    {"name":"file_path","type":"string","field-id":100},
+         |    {"name":"file_format","type":"string","field-id":101},
+         |    {"name":"record_count","type":"long","field-id":103},
+         |    {"name":"file_size_in_bytes","type":"long","field-id":104}$partField
+         |  ]}}
+         |]}""".stripMargin.replace("|", ""))
+  }
 
   private def manifestListAvroSchema: AvroSchema = new AvroSchema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -411,7 +532,9 @@ object IcebergTable {
     * manifest is the only one, previous data (and delete) manifests
     * drop out of the view. */
   def writeAppend(spark: SparkSession, df: DataFrame, table: String,
-      carryPrevious: Boolean = true): Long = {
+      carryPrevious: Boolean = true,
+      partition: Seq[(String, String)] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.col
     val f = fs(spark, table)
     val root = new Path(table)
     val mdir = new Path(root, "metadata")
@@ -426,22 +549,84 @@ object IcebergTable {
           DataType.equalsStructurally(a.dataType, b.dataType, true) },
         s"Iceberg append schema mismatch at $table")
     }
+    // hidden partitioning: a requested spec must match the table's (no
+    // spec evolution yet — refuse loudly); with none requested, appends
+    // ADOPT the table's declared spec so every snapshot stays prunable
+    val requested = partition.map { case (s, t) =>
+      IcebergPartition.Field(s, IcebergPartition.parseTransform(t)) }
+    val tableSpec = existing.map(specFromMeta).getOrElse(Seq.empty)
+    require(requested.isEmpty || tableSpec.isEmpty || requested == tableSpec,
+      s"Iceberg partition-spec mismatch at $table: " +
+        s"declared ${tableSpec.map(fd => fd.source -> fd.transform.name)}, " +
+        s"requested ${requested.map(fd => fd.source -> fd.transform.name)}")
+    val spec = if (requested.nonEmpty) requested else tableSpec
+    spec.foreach(fd => require(df.schema.fieldNames.contains(fd.source),
+      s"partition source column ${fd.source} not in the frame"))
+    val specTypes = spec.map(fd =>
+      IcebergPartition.resultType(fd.transform, df.schema(fd.source).dataType))
+
     val version = nextMetadataVersion(f, table)
     val snapshotId = System.currentTimeMillis() * 1000 + version
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString.take(8)
 
-    // 1. stage parquet under data/
+    // 1. stage parquet under data/ — partitioned tables stage through
+    // partitionBy on COPY columns (`__gp*`), so every source column
+    // (identity-partitioned ones included) stays in the data files as
+    // the spec requires; one repartition gives one file per partition
     val scratch = new Path(root, s".ice-stage-$nonce")
-    df.write.parquet(scratch.toString)
-    val staged = f.listStatus(scratch).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-    val dataFiles = staged.zipWithIndex.map { case (p, i) =>
-      val dest = new Path(root, f"data/part-$version%05d-$i%05d-$nonce.parquet")
+    if (spec.isEmpty) df.write.parquet(scratch.toString)
+    else {
+      val pcols = spec.zipWithIndex.map { case (fd, i) =>
+        IcebergPartition.column(fd.transform, col(fd.source),
+          df.schema(fd.source).dataType).as(s"__gp$i") }
+      df.select(col("*") +: pcols: _*)
+        .repartition(spec.indices.map(i => col(s"__gp$i")): _*)
+        .write.partitionBy(spec.indices.map(i => s"__gp$i"): _*)
+        .parquet(scratch.toString)
+    }
+    def walk(p: Path): Seq[Path] =
+      f.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { s =>
+        if (s.isDirectory) walk(s.getPath)
+        else if (s.getPath.getName.endsWith(".parquet")) Seq(s.getPath)
+        else Seq.empty
+      }
+    val staged = walk(scratch)
+    // per-file partition dir segments (still path-escaped), innermost last
+    val stagedSegs: Seq[Seq[String]] = staged.map { p =>
+      // listStatus returns fully-qualified paths; anchor on the scratch
+      // dir's (nonce-unique) NAME rather than comparing path strings
+      var segs = List.empty[String]
+      var cur = p.getParent
+      while (cur != null && cur.getName != scratch.getName) {
+        segs ::= cur.getName; cur = cur.getParent
+      }
+      require(cur != null, s"staged file $p escaped the scratch dir")
+      segs
+    }
+    val dataFiles = staged.zip(stagedSegs).zipWithIndex.map { case ((p, segs), i) =>
+      val dirs = segs.zip(spec).map { case (seg, fd) =>
+        s"${fd.name}=${seg.substring(seg.indexOf('=') + 1)}" }
+      val dest = new Path(root,
+        (Seq("data") ++ dirs :+ f"part-$version%05d-$i%05d-$nonce.parquet")
+          .mkString("/"))
       f.mkdirs(dest.getParent)
       require(f.rename(p, dest), s"stage move failed: $dest")
       dest
     }
+    // typed partition tuple per staged file, for the manifest entries
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val tuples: Seq[Seq[Any]] = stagedSegs.map(_.zipWithIndex.map { case (seg, i) =>
+      val raw = seg.substring(seg.indexOf('=') + 1)
+      val un = ExternalCatalogUtils.unescapePathName(raw)
+      if (un == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null
+      else specTypes(i) match {
+        case IntegerType => un.toInt
+        case LongType => un.toLong
+        case StringType => un
+        case other => sys.error(s"partition tuple type unsupported: $other")
+      }
+    })
     f.delete(scratch, true)
     // per-file record counts from footer-free bookkeeping: one count per
     // staged file via a grouped read (matches DeltaLog's stats pass)
@@ -452,10 +637,11 @@ object IcebergTable {
         .count().collect()
         .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
 
-    // 2. one manifest for the new files
-    val mSchema = manifestAvroSchema
+    // 2. one manifest for the new files (partition tuples included when
+    // the table declares a spec)
+    val mSchema = manifestAvroSchemaFor(spec.map(_.name).zip(specTypes))
     val dfSchema = mSchema.getField("data_file").schema()
-    val entries = dataFiles.map { p =>
+    val entries = dataFiles.zipWithIndex.map { case (p, i) =>
       val e = new GenericData.Record(mSchema)
       e.put("status", 1) // ADDED
       e.put("snapshot_id", snapshotId)
@@ -464,6 +650,20 @@ object IcebergTable {
       d.put("file_format", "PARQUET")
       d.put("record_count", counts.getOrElse(p.getName, 0L))
       d.put("file_size_in_bytes", f.getFileStatus(p).getLen)
+      if (spec.nonEmpty) {
+        val pr = new GenericData.Record(
+          dfSchema.getField("partition").schema())
+        spec.zipWithIndex.foreach { case (fd, j) =>
+          pr.put(fd.name, tuples(i)(j) match {
+            case null => null
+            case v: Int => Integer.valueOf(v)
+            case v: Long => java.lang.Long.valueOf(v)
+            case s: String => s
+            case other => other
+          })
+        }
+        d.put("partition", pr)
+      }
       e.put("data_file", d)
       e
     }
@@ -510,8 +710,19 @@ object IcebergTable {
     }
     val specs = meta.putArray("partition-specs")
     val spec0 = specs.addObject()
-    spec0.put("spec-id", 0); spec0.putArray("fields")
+    spec0.put("spec-id", 0)
+    val specFieldsArr = spec0.putArray("fields")
+    val flatSpec = meta.putArray("partition-spec") // v1 readers' flat form
+    spec.zipWithIndex.foreach { case (fd, i) =>
+      Seq(specFieldsArr.addObject(), flatSpec.addObject()).foreach { o =>
+        o.put("name", fd.name)
+        o.put("transform", fd.transform.name)
+        o.put("source-id", df.schema.fieldIndex(fd.source) + 1)
+        o.put("field-id", 1000 + i)
+      }
+    }
     meta.put("default-spec-id", 0)
+    meta.put("last-partition-id", 999 + spec.length)
     meta.put("current-snapshot-id", snapshotId)
     val snapsArr = meta.putArray("snapshots")
     existing.foreach(_.path("snapshots").elements().asScala
