@@ -512,6 +512,32 @@ object Maintenance {
       graft.sources.IcebergTable.read(spark, t)
   }
 
+  /** Iceberg hidden partitioning, oracle-verified: write `events` as an
+    * Iceberg table partitioned by bucket[4](user_id) + day(ts), read a
+    * key slice back through [[graft.sources.IcebergTable.readPruned]] —
+    * the query REQUIRES that manifest-tuple pruning actually dropped
+    * data files before matching DuckDB's plain filter over the source
+    * rows. The 100 TB shape: a key lookup opens ~1/4 of the files (its
+    * bucket), never the table. */
+  val qIcebergPartitioned: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_partitioned",
+    "SELECT event_id, user_id, event_type, value FROM events WHERE user_id = 7") {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-icepart-q-").toString + "/t"
+      val ev = graft.Tables.events(spark, dir)
+        .select("event_id", "user_id", "event_type", "value", "ts")
+      graft.sources.IcebergTable.writeAppend(spark, ev, t,
+        partition = Seq("user_id" -> "bucket[4]", "ts" -> "day"))
+      val pred = col("user_id") === 7L
+      val st = graft.sources.IcebergTable.state(spark, t)
+      val pruned = graft.sources.IcebergTable.pruneState(spark, st, pred)
+      require(pruned.dataFiles.size < st.dataFiles.size,
+        s"partition pruning did not engage (${st.dataFiles.size} files)")
+      graft.sources.IcebergTable.readPruned(spark, t, pred)
+        .select("event_id", "user_id", "event_type", "value")
+  }
+
   /** SHALLOW CLONE, oracle-verified end to end: clone a protocol
     * `customer` table (zero copy), DELETE a slice on the CLONE only,
     * and read the clone back — must equal DuckDB's anti-filter while
@@ -952,6 +978,7 @@ object Maintenance {
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
-      qConvertToDelta, qIcebergRoundtrip, qIcebergMor, qLogCompaction,
+      qConvertToDelta, qIcebergRoundtrip, qIcebergMor, qIcebergPartitioned,
+      qLogCompaction,
       qConcurrentRebase, qLiveRead)
 }

@@ -150,6 +150,10 @@ object GraftSql {
     """(?i)delta\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
   private val IcebergRef =
     """(?i)iceberg\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
+  // must rewrite BEFORE IcebergRef, which would otherwise swallow the
+  // path and leave the `.snapshots` suffix dangling on the view name
+  private val IcebergMetaRef =
+    """(?i)iceberg\.`([^`]+)`\.(snapshots|history|manifests|files)""".r
   private val IcebergDelete =
     """(?is)\s*DELETE\s+FROM\s+iceberg\.`([^`]+)`\s+WHERE\s+(.+?)\s*""".r
   private val IcebergExpire =
@@ -157,6 +161,8 @@ object GraftSql {
       """(?:\s+OLDER\s+THAN\s+'([^']+)')?(?:\s+RETAIN\s+LAST\s+(\d+))?\s*""").r
   private val IcebergReorg =
     """(?is)\s*REORG\s+TABLE\s+iceberg\.`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
+  private val IcebergOptimize =
+    """(?is)\s*OPTIMIZE\s+iceberg\.`([^`]+)`\s*""".r
   // CREATE TABLE: the column list may hold nested parens (DECIMAL(12,2)),
   // so only the head is regex-matched; the balanced column list and the
   // optional PARTITIONED BY / TBLPROPERTIES clauses are scanned manually
@@ -805,6 +811,13 @@ object GraftSql {
     // survivors rewritten in one REPLACE snapshot, delete files gone
     case IcebergReorg(path) =>
       version(spark, IcebergTable.materializeDeletes(spark, path))
+    // OPTIMIZE iceberg: the rewrite_data_files procedure — bin-pack
+    // small files, apply merge-on-read deletes, carry big clean files
+    case IcebergOptimize(path) =>
+      val (rewritten, carried) = IcebergTable.rewriteDataFiles(spark, path)
+      import spark.implicits._
+      Seq((rewritten.toLong, carried.toLong))
+        .toDF("rewritten_data_files_count", "carried_data_files_count")
     // Iceberg snapshot expiry (the expire_snapshots procedure):
     // defaults mirror the procedure's — older than NOW, retain last 1
     case IcebergExpire(path, ts, retain) =>
@@ -1006,10 +1019,19 @@ object GraftSql {
         DeltaLog.read(spark, path, ver).createOrReplaceTempView(view)
         scala.util.matching.Regex.quoteReplacement(view)
       })
+      // iceberg.`path`.snapshots|history|manifests|files — the spec's
+      // inspection tables, resolved before the bare table ref below
+      val withIceMeta = IcebergMetaRef.replaceAllIn(rewritten, m => {
+        val (path, kind) = (m.group(1), m.group(2).toLowerCase)
+        val view = s"graft_icemeta_${Integer.toHexString((path, kind).hashCode)}"
+        IcebergTable.metadataTable(spark, path, kind)
+          .createOrReplaceTempView(view)
+        scala.util.matching.Regex.quoteReplacement(view)
+      })
       // iceberg.`path` [VERSION AS OF snapshotId | TIMESTAMP AS OF 'ts']
       // resolves through the Iceberg reader (merge-on-read deletes
       // applied), same temp-view mechanism
-      val withIceberg = IcebergRef.replaceAllIn(rewritten, m => {
+      val withIceberg = IcebergRef.replaceAllIn(withIceMeta, m => {
         val path = m.group(1)
         val snapId = Option(m.group(3)).map(_.toLong)
         val asOf = Option(m.group(4)).map(parseTsMillis)

@@ -145,7 +145,9 @@ object IcebergTable {
       // file's partition tuple from its manifest entry (None = the file
       // predates the spec or carries no tuple — never pruned)
       specFields: Seq[IcebergPartition.Field] = Seq.empty,
-      partitionTuples: Seq[Option[Seq[Any]]] = Seq.empty) {
+      partitionTuples: Seq[Option[Seq[Any]]] = Seq.empty,
+      // per-file byte sizes (parallel to dataFiles) — bin-pack selection
+      fileSizes: Seq[Long] = Seq.empty) {
     def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
   }
 
@@ -242,6 +244,7 @@ object IcebergTable {
 
     val files = Seq.newBuilder[String]
     val fileRows = Seq.newBuilder[Long]
+    val fileSizes = Seq.newBuilder[Long]
     val dataSeqs = Seq.newBuilder[Long]
     val posDel = Seq.newBuilder[(String, Long)]
     val eqDel = Seq.newBuilder[(String, Long, Seq[Int])]
@@ -271,6 +274,7 @@ object IcebergTable {
               val rc = lng(df, "record_count").getOrElse(0L)
               fileRows += rc
               rows += rc
+              fileSizes += lng(df, "file_size_in_bytes").getOrElse(0L)
               partTuples += (if (specFields.isEmpty) None
                 else Option(df.get("partition")).collect {
                   case r: GenericRecord => specFields.map { fld =>
@@ -305,7 +309,8 @@ object IcebergTable {
     }
     State(fv, resolveSchema(root), wantId, files.result(), rows,
       fileRows.result(), dataSeqs.result(), posDel.result(), eqDel.result(),
-      schemaFieldIds(root), specFields, partTuples.result())
+      schemaFieldIds(root), specFields, partTuples.result(),
+      fileSizes.result())
   }
 
   /** Read the table (optionally at a snapshot / timestamp) as a
@@ -377,6 +382,7 @@ object IcebergTable {
       fileRecordCounts = keep.map(st.fileRecordCounts),
       dataSeqs = keep.map(st.dataSeqs),
       partitionTuples = keep.map(st.partitionTuples),
+      fileSizes = keep.map(st.fileSizes),
       recordCount = keep.map(st.fileRecordCounts).sum)
   }
 
@@ -432,6 +438,96 @@ object IcebergTable {
   def countRows(spark: SparkSession, table: String): Long = {
     val st = state(spark, table)
     if (st.hasDeletes) read(spark, table).count() else st.recordCount
+  }
+
+  /** Iceberg's inspection ("metadata") tables — `snapshots`, `history`,
+    * `manifests`, `files` — over the current metadata, with the spec's
+    * column names. All are METADATA-sized (snapshots and manifests per
+    * table, one row per data/delete file for `files`), so building them
+    * on the driver is the same cost class as reading the metadata JSON
+    * itself; the frames they return are ordinary DataFrames that join,
+    * filter and aggregate like any other. */
+  def metadataTable(spark: SparkSession, table: String, kind: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snaps = root.path("snapshots").elements().asScala.toSeq
+    def parentOf(s: com.fasterxml.jackson.databind.JsonNode): Option[Long] =
+      Option(s.get("parent-snapshot-id")).map(_.asLong())
+    kind.toLowerCase match {
+      case "snapshots" =>
+        snaps.map { s =>
+          (new java.sql.Timestamp(s.get("timestamp-ms").asLong()),
+            s.get("snapshot-id").asLong(), parentOf(s),
+            s.path("summary").path("operation").asText("append"),
+            s.get("manifest-list").asText())
+        }.toDF("committed_at", "snapshot_id", "parent_id", "operation",
+          "manifest_list")
+      case "history" =>
+        val byId = snaps.map(s => s.get("snapshot-id").asLong() -> s).toMap
+        val ancestors = {
+          var cur = Option(root.get("current-snapshot-id")).map(_.asLong())
+          val acc = Set.newBuilder[Long]
+          while (cur.isDefined) {
+            acc += cur.get
+            cur = byId.get(cur.get).flatMap(parentOf)
+          }
+          acc.result()
+        }
+        root.path("snapshot-log").elements().asScala.toSeq.map { l =>
+          val id = l.get("snapshot-id").asLong()
+          (new java.sql.Timestamp(l.get("timestamp-ms").asLong()), id,
+            byId.get(id).flatMap(parentOf), ancestors.contains(id))
+        }.toDF("made_current_at", "snapshot_id", "parent_id",
+          "is_current_ancestor")
+      case "manifests" =>
+        val currentId = root.get("current-snapshot-id").asLong()
+        val snap = snaps.find(_.get("snapshot-id").asLong() == currentId)
+          .getOrElse(sys.error(s"current snapshot $currentId missing"))
+        avroEntries(f,
+          new Path(resolve(table, snap.get("manifest-list").asText())))
+          .map { m =>
+            (lng(m, "content").getOrElse(0L).toInt,
+              str(m, "manifest_path").getOrElse(""),
+              lng(m, "manifest_length").getOrElse(0L),
+              lng(m, "partition_spec_id").getOrElse(0L).toInt,
+              lng(m, "sequence_number").getOrElse(0L),
+              lng(m, "added_snapshot_id").getOrElse(0L))
+          }.toDF("content", "path", "length", "partition_spec_id",
+            "sequence_number", "added_snapshot_id")
+      case "files" =>
+        val st = state(spark, table)
+        val currentId = root.get("current-snapshot-id").asLong()
+        val snap = snaps.find(_.get("snapshot-id").asLong() == currentId)
+          .getOrElse(sys.error(s"current snapshot $currentId missing"))
+        val rows = Seq.newBuilder[(Int, String, String, Long, Long, Map[String, String])]
+        avroEntries(f,
+          new Path(resolve(table, snap.get("manifest-list").asText()))).foreach { m =>
+          val mPath = new Path(resolve(table, str(m, "manifest_path").get))
+          avroEntries(f, mPath).foreach { e =>
+            if (lng(e, "status").getOrElse(0L) != 2L) {
+              val d = e.get("data_file").asInstanceOf[GenericRecord]
+              val part: Map[String, String] = Option(d.get("partition")) match {
+                case Some(r: GenericRecord) => st.specFields.flatMap { fld =>
+                  Option(r.get(fld.name)).map(v => fld.name -> v.toString)
+                }.toMap
+                case _ => Map.empty
+              }
+              rows += ((lng(d, "content").getOrElse(0L).toInt,
+                resolve(table, str(d, "file_path").getOrElse("")),
+                str(d, "file_format").getOrElse("PARQUET"),
+                lng(d, "record_count").getOrElse(0L),
+                lng(d, "file_size_in_bytes").getOrElse(0L),
+                part))
+            }
+          }
+        }
+        rows.result().toDF("content", "file_path", "file_format",
+          "record_count", "file_size_in_bytes", "partition")
+      case other => sys.error(
+        s"unknown Iceberg metadata table `$other` (snapshots|history|manifests|files)")
+    }
   }
 
   // --------------------------------------------------------------- write
@@ -533,7 +629,11 @@ object IcebergTable {
     * drop out of the view. */
   def writeAppend(spark: SparkSession, df: DataFrame, table: String,
       carryPrevious: Boolean = true,
-      partition: Seq[(String, String)] = Seq.empty): Long = {
+      partition: Seq[(String, String)] = Seq.empty,
+      // REPLACE-commit support (rewriteDataFiles): existing data files
+      // re-declared in the NEW manifest as (path, records, bytes, tuple)
+      // — their bytes never move
+      carryFiles: Seq[(String, Long, Long, Option[Seq[Any]])] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, table)
     val root = new Path(table)
@@ -638,9 +738,22 @@ object IcebergTable {
         .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
 
     // 2. one manifest for the new files (partition tuples included when
-    // the table declares a spec)
+    // the table declares a spec), plus any carried REPLACE entries
     val mSchema = manifestAvroSchemaFor(spec.map(_.name).zip(specTypes))
     val dfSchema = mSchema.getField("data_file").schema()
+    def tupleRecord(tuple: Seq[Any]): GenericData.Record = {
+      val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+      spec.zipWithIndex.foreach { case (fd, j) =>
+        pr.put(fd.name, tuple(j) match {
+          case null => null
+          case v: Int => Integer.valueOf(v)
+          case v: Long => java.lang.Long.valueOf(v)
+          case s: String => s
+          case other => other
+        })
+      }
+      pr
+    }
     val entries = dataFiles.zipWithIndex.map { case (p, i) =>
       val e = new GenericData.Record(mSchema)
       e.put("status", 1) // ADDED
@@ -650,20 +763,19 @@ object IcebergTable {
       d.put("file_format", "PARQUET")
       d.put("record_count", counts.getOrElse(p.getName, 0L))
       d.put("file_size_in_bytes", f.getFileStatus(p).getLen)
-      if (spec.nonEmpty) {
-        val pr = new GenericData.Record(
-          dfSchema.getField("partition").schema())
-        spec.zipWithIndex.foreach { case (fd, j) =>
-          pr.put(fd.name, tuples(i)(j) match {
-            case null => null
-            case v: Int => Integer.valueOf(v)
-            case v: Long => java.lang.Long.valueOf(v)
-            case s: String => s
-            case other => other
-          })
-        }
-        d.put("partition", pr)
-      }
+      if (spec.nonEmpty) d.put("partition", tupleRecord(tuples(i)))
+      e.put("data_file", d)
+      e
+    } ++ carryFiles.map { case (p, records, bytes, tuple) =>
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 0) // EXISTING
+      e.put("snapshot_id", snapshotId)
+      val d = new GenericData.Record(dfSchema)
+      d.put("file_path", p)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", records)
+      d.put("file_size_in_bytes", bytes)
+      if (spec.nonEmpty) tuple.foreach(tp => d.put("partition", tupleRecord(tp)))
       e.put("data_file", d)
       e
     }
@@ -976,6 +1088,63 @@ object IcebergTable {
     val st = state(spark, table)
     if (!st.hasDeletes) return st.snapshotId
     writeAppend(spark, read(spark, table), table, carryPrevious = false)
+  }
+
+  /** Bin-pack compaction — Iceberg's `rewrite_data_files` maintenance
+    * action, the OPTIMIZE of this format. Rewrites (a) data files
+    * smaller than `smallerThan` bytes, (b) every file a position delete
+    * pins, and (c) every file an equality delete could scope (sequence
+    * number below the delete's), applying the deletes in the same pass;
+    * every other file carries into the REPLACE snapshot as a manifest
+    * entry — its bytes never move. Because the selection covers all
+    * delete-affected files, the new snapshot carries NO delete
+    * manifests: metadata-only COUNT(*) and CONVERT TO DELTA work again.
+    * Returns (rewritten, carried) file counts; (0, n) commits nothing.
+    *
+    * Scale: the only driver-materialized sets are the selection indices
+    * (O(files), same class as the manifests already parsed) and the
+    * position deletes' DISTINCT target paths (O(delete-touched files));
+    * row data streams through the ordinary distributed scan/write. */
+  def rewriteDataFiles(spark: SparkSession, table: String,
+      smallerThan: Long = 32L << 20): (Int, Int) = {
+    val st = state(spark, table)
+    def norm(p: String): String =
+      p.replaceAll("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    val posTouched: Set[String] =
+      if (st.posDeletes.isEmpty) Set.empty
+      else spark.read.parquet(st.posDeletes.map(_._1): _*)
+        .select("file_path").distinct()
+        .collect().map(r => norm(r.getString(0))).toSet
+    val maxEqSeq = (0L +: st.eqDeletes.map(_._2)).max
+    val rewrite = st.dataFiles.indices.filter { i =>
+      st.fileSizes(i) < smallerThan ||
+        posTouched.contains(norm(st.dataFiles(i))) ||
+        st.dataSeqs(i) < maxEqSeq
+    }
+    if (rewrite.isEmpty) return (0, st.dataFiles.size)
+    val keep = st.dataFiles.indices.diff(rewrite)
+    // deletes stay in the sub-state so readState applies them while
+    // rewriting; carried files were provably untouched by any delete
+    val sub = st.copy(
+      dataFiles = rewrite.map(st.dataFiles),
+      fileRecordCounts = rewrite.map(st.fileRecordCounts),
+      dataSeqs = rewrite.map(st.dataSeqs),
+      partitionTuples =
+        if (st.partitionTuples.size == st.dataFiles.size)
+          rewrite.map(st.partitionTuples) else st.partitionTuples,
+      fileSizes = rewrite.map(st.fileSizes))
+    // bin-pack: aim for ~4x the small-file floor per output file (the
+    // partitioned path re-partitions by partition tuple downstream)
+    val targetFiles = math.max(1L,
+      rewrite.map(st.fileSizes).sum / math.max(1L, smallerThan * 4)).toInt
+    val rewritten = readState(spark, table, sub).coalesce(targetFiles)
+    writeAppend(spark, rewritten, table, carryPrevious = false,
+      carryFiles = keep.map { i =>
+        (st.dataFiles(i), st.fileRecordCounts(i), st.fileSizes(i),
+          if (st.partitionTuples.size == st.dataFiles.size)
+            st.partitionTuples(i) else None)
+      })
+    (rewrite.size, keep.size)
   }
 
   /** Merge-on-read DELETE: the matching rows' (file, position) slots
