@@ -147,7 +147,12 @@ object IcebergTable {
       specFields: Seq[IcebergPartition.Field] = Seq.empty,
       partitionTuples: Seq[Option[Seq[Any]]] = Seq.empty,
       // per-file byte sizes (parallel to dataFiles) — bin-pack selection
-      fileSizes: Seq[Long] = Seq.empty) {
+      fileSizes: Seq[Long] = Seq.empty,
+      // partition evolution: every spec by id, and each file's spec id
+      // (its tuple parses under ITS spec, not the current default)
+      allSpecs: Map[Int, Seq[IcebergPartition.Field]] = Map.empty,
+      fileSpecIds: Seq[Int] = Seq.empty,
+      defaultSpecId: Int = 0) {
     def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
   }
 
@@ -169,25 +174,27 @@ object IcebergTable {
       .filter(fl => fl.has("id") && fl.has("name"))
       .map(fl => fl.get("id").asInt() -> fl.get("name").asText()).toMap
 
-  /** The default partition spec's fields (source columns resolved
-    * through the schema's field ids); empty for unpartitioned tables. */
-  private def specFromMeta(root: ObjectNode): Seq[IcebergPartition.Field] = {
+  /** Every partition spec by id (source columns resolved through the
+    * schema's field ids) — a table that evolved its partitioning keeps
+    * all of them, one per manifest generation. */
+  private def specsById(root: ObjectNode): Map[Int, Seq[IcebergPartition.Field]] = {
     val idToName = schemaFieldIds(root)
-    val specsNode = root.path("partition-specs")
-    if (!specsNode.elements().hasNext) Seq.empty
-    else {
-      val want = root.path("default-spec-id").asInt(0)
-      specsNode.elements().asScala
-        .find(_.path("spec-id").asInt(0) == want).toSeq
-        .flatMap(_.path("fields").elements().asScala.toSeq.map { fl =>
+    root.path("partition-specs").elements().asScala.map { sn =>
+      sn.path("spec-id").asInt(0) ->
+        sn.path("fields").elements().asScala.toSeq.map { fl =>
           val sid = fl.get("source-id").asInt()
           IcebergPartition.Field(
             idToName.getOrElse(sid,
               sys.error(s"partition source-id $sid not in schema")),
             IcebergPartition.parseTransform(fl.get("transform").asText()))
-        })
-    }
+        }
+    }.toMap
   }
+
+  /** The DEFAULT partition spec's fields; empty for unpartitioned. */
+  private def specFromMeta(root: ObjectNode): Seq[IcebergPartition.Field] =
+    specsById(root)
+      .getOrElse(root.path("default-spec-id").asInt(0), Seq.empty)
 
   private def avroEntries(f: FileSystem, p: Path): Seq[GenericRecord] = {
     // DataFileReader needs a SeekableInput; route through a local copy
@@ -249,12 +256,17 @@ object IcebergTable {
     val posDel = Seq.newBuilder[(String, Long)]
     val eqDel = Seq.newBuilder[(String, Long, Seq[Int])]
     val partTuples = Seq.newBuilder[Option[Seq[Any]]]
+    val specIds = Seq.newBuilder[Int]
     var rows = 0L
-    val specFields = specFromMeta(root)
+    val allSpecs = specsById(root)
+    val defaultSpecId = root.path("default-spec-id").asInt(0)
+    val specFields = allSpecs.getOrElse(defaultSpecId, Seq.empty)
     avroEntries(f, listPath).foreach { m =>
       // v2 manifest-list rows carry `content` (0 = data, 1 = deletes)
       // and a `sequence_number` entries inherit when they carry none
       val manifestSeq = lng(m, "sequence_number").getOrElse(0L)
+      val manifestSpecId = lng(m, "partition_spec_id").getOrElse(0L).toInt
+      val manifestSpec = allSpecs.getOrElse(manifestSpecId, Seq.empty)
       val mPath = new Path(resolve(table,
         str(m, "manifest_path").getOrElse(sys.error("manifest_path missing"))))
       avroEntries(f, mPath).foreach { e =>
@@ -275,9 +287,10 @@ object IcebergTable {
               fileRows += rc
               rows += rc
               fileSizes += lng(df, "file_size_in_bytes").getOrElse(0L)
-              partTuples += (if (specFields.isEmpty) None
+              specIds += manifestSpecId
+              partTuples += (if (manifestSpec.isEmpty) None
                 else Option(df.get("partition")).collect {
-                  case r: GenericRecord => specFields.map { fld =>
+                  case r: GenericRecord => manifestSpec.map { fld =>
                     r.get(fld.name) match {
                       case null => null
                       case u: org.apache.avro.util.Utf8 => u.toString
@@ -310,7 +323,7 @@ object IcebergTable {
     State(fv, resolveSchema(root), wantId, files.result(), rows,
       fileRows.result(), dataSeqs.result(), posDel.result(), eqDel.result(),
       schemaFieldIds(root), specFields, partTuples.result(),
-      fileSizes.result())
+      fileSizes.result(), allSpecs, specIds.result(), defaultSpecId)
   }
 
   /** Read the table (optionally at a snapshot / timestamp) as a
@@ -356,8 +369,9 @@ object IcebergTable {
     * pruner's technique. */
   private[graft] def pruneState(spark: SparkSession, st: State,
       predicate: org.apache.spark.sql.Column): State = {
-    if (st.specFields.isEmpty ||
-      st.partitionTuples.size != st.dataFiles.size) return st
+    if (st.allSpecs.values.forall(_.isEmpty) ||
+      st.partitionTuples.size != st.dataFiles.size ||
+      st.fileSpecIds.size != st.dataFiles.size) return st
     val analyzed = spark
       .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         st.schema)
@@ -367,14 +381,19 @@ object IcebergTable {
         IcebergPartition.atoms(f.condition)
     }.flatten
     if (ats.isEmpty) return st
-    val srcTypes = st.specFields.map(f => st.schema(f.source).dataType)
+    // evolution: each file prunes under the spec IT was written with
+    val srcTypes: Map[Int, Seq[DataType]] = st.allSpecs.map { case (id, fds) =>
+      id -> fds.map(f => st.schema(f.source).dataType)
+    }
     val keep = st.dataFiles.indices.filter { i =>
+      val fields = st.allSpecs.getOrElse(st.fileSpecIds(i), Seq.empty)
       st.partitionTuples(i) match {
-        case None => true
-        case Some(tup) => st.specFields.indices.forall { j =>
-          ats.forall(a => IcebergPartition.mightMatch(
-            st.specFields(j), srcTypes(j), tup(j), a))
-        }
+        case Some(tup) if fields.nonEmpty && tup.size == fields.size =>
+          fields.indices.forall { j =>
+            ats.forall(a => IcebergPartition.mightMatch(
+              fields(j), srcTypes(st.fileSpecIds(i))(j), tup(j), a))
+          }
+        case _ => true
       }
     }
     st.copy(
@@ -383,6 +402,7 @@ object IcebergTable {
       dataSeqs = keep.map(st.dataSeqs),
       partitionTuples = keep.map(st.partitionTuples),
       fileSizes = keep.map(st.fileSizes),
+      fileSpecIds = keep.map(st.fileSpecIds),
       recordCount = keep.map(st.fileRecordCounts).sum)
   }
 
@@ -505,11 +525,13 @@ object IcebergTable {
         avroEntries(f,
           new Path(resolve(table, snap.get("manifest-list").asText()))).foreach { m =>
           val mPath = new Path(resolve(table, str(m, "manifest_path").get))
+          val mSpec = st.allSpecs.getOrElse(
+            lng(m, "partition_spec_id").getOrElse(0L).toInt, st.specFields)
           avroEntries(f, mPath).foreach { e =>
             if (lng(e, "status").getOrElse(0L) != 2L) {
               val d = e.get("data_file").asInstanceOf[GenericRecord]
               val part: Map[String, String] = Option(d.get("partition")) match {
-                case Some(r: GenericRecord) => st.specFields.flatMap { fld =>
+                case Some(r: GenericRecord) => mSpec.flatMap { fld =>
                   Option(r.get(fld.name)).map(v => fld.name -> v.toString)
                 }.toMap
                 case _ => Map.empty
@@ -649,17 +671,32 @@ object IcebergTable {
           DataType.equalsStructurally(a.dataType, b.dataType, true) },
         s"Iceberg append schema mismatch at $table")
     }
-    // hidden partitioning: a requested spec must match the table's (no
-    // spec evolution yet — refuse loudly); with none requested, appends
-    // ADOPT the table's declared spec so every snapshot stays prunable
+    // hidden partitioning: with no spec requested, appends ADOPT the
+    // table's declared default spec so every snapshot stays prunable; a
+    // DIFFERENT requested spec EVOLVES the table — a new spec-id becomes
+    // the default, old manifests keep their own spec id and stay
+    // prunable under the fields they were written with (Iceberg's
+    // partition-evolution semantics: no data rewritten)
     val requested = partition.map { case (s, t) =>
       IcebergPartition.Field(s, IcebergPartition.parseTransform(t)) }
     val tableSpec = existing.map(specFromMeta).getOrElse(Seq.empty)
-    require(requested.isEmpty || tableSpec.isEmpty || requested == tableSpec,
-      s"Iceberg partition-spec mismatch at $table: " +
-        s"declared ${tableSpec.map(fd => fd.source -> fd.transform.name)}, " +
-        s"requested ${requested.map(fd => fd.source -> fd.transform.name)}")
+    val evolving =
+      existing.isDefined && requested.nonEmpty && requested != tableSpec
     val spec = if (requested.nonEmpty) requested else tableSpec
+    val prevDefaultId =
+      existing.map(_.path("default-spec-id").asInt(0)).getOrElse(0)
+    val prevMaxSpecId = existing.map(
+      _.path("partition-specs").elements().asScala
+        .map(_.path("spec-id").asInt(0)).foldLeft(-1)(math.max))
+      .getOrElse(-1)
+    val specId =
+      if (existing.isEmpty) 0
+      else if (evolving) prevMaxSpecId + 1
+      else prevDefaultId
+    val prevLastPartId =
+      existing.map(_.path("last-partition-id").asInt(999)).getOrElse(999)
+    // partition field-ids keep increasing across specs (the spec's rule)
+    val fieldIdBase = if (evolving) prevLastPartId + 1 else 1000
     spec.foreach(fd => require(df.schema.fieldNames.contains(fd.source),
       s"partition source column ${fd.source} not in the frame"))
     val specTypes = spec.map(fd =>
@@ -790,12 +827,12 @@ object IcebergTable {
       if (carryPrevious) carriedManifests(f, table, existing) else Seq.empty
     val mlSchema = manifestListAvroSchema
     val mlRecords = (prevManifests :+
-        ((manifestPath.toString, mLen, 0L, version.toLong))).map {
-      case (p, len, content, seq) =>
+        ((manifestPath.toString, mLen, 0L, version.toLong, specId))).map {
+      case (p, len, content, seq, sid) =>
         val r = new GenericData.Record(mlSchema)
         r.put("manifest_path", p)
         r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
+        r.put("partition_spec_id", sid)
         r.put("content", content.toInt)
         r.put("sequence_number", seq)
         r.put("added_snapshot_id", snapshotId)
@@ -820,21 +857,32 @@ object IcebergTable {
       n.put("id", i + 1); n.put("name", fld.name)
       n.put("required", false); n.put("type", icebergType(fld.dataType))
     }
+    // partition-specs: every previous spec carries (old manifests keep
+    // referencing theirs); a fresh table or an evolution adds one
     val specs = meta.putArray("partition-specs")
-    val spec0 = specs.addObject()
-    spec0.put("spec-id", 0)
-    val specFieldsArr = spec0.putArray("fields")
-    val flatSpec = meta.putArray("partition-spec") // v1 readers' flat form
-    spec.zipWithIndex.foreach { case (fd, i) =>
-      Seq(specFieldsArr.addObject(), flatSpec.addObject()).foreach { o =>
-        o.put("name", fd.name)
-        o.put("transform", fd.transform.name)
-        o.put("source-id", df.schema.fieldIndex(fd.source) + 1)
-        o.put("field-id", 1000 + i)
+    existing.foreach(_.path("partition-specs").elements().asScala
+      .foreach(s => specs.add(s)))
+    if (existing.isEmpty || evolving) {
+      val o = specs.addObject()
+      o.put("spec-id", specId)
+      val fa = o.putArray("fields")
+      spec.zipWithIndex.foreach { case (fd, i) =>
+        val n = fa.addObject()
+        n.put("name", fd.name)
+        n.put("transform", fd.transform.name)
+        n.put("source-id", df.schema.fieldIndex(fd.source) + 1)
+        n.put("field-id", fieldIdBase + i)
       }
     }
-    meta.put("default-spec-id", 0)
-    meta.put("last-partition-id", 999 + spec.length)
+    // v1 readers' flat form mirrors the DEFAULT spec
+    val flatSpec = meta.putArray("partition-spec")
+    specs.elements().asScala
+      .find(_.path("spec-id").asInt(0) == specId)
+      .foreach(_.path("fields").elements().asScala
+        .foreach(fl => flatSpec.add(fl)))
+    meta.put("default-spec-id", specId)
+    meta.put("last-partition-id",
+      math.max(prevLastPartId, fieldIdBase + spec.length - 1))
     meta.put("current-snapshot-id", snapshotId)
     val snapsArr = meta.putArray("snapshots")
     existing.foreach(_.path("snapshots").elements().asScala
@@ -864,8 +912,12 @@ object IcebergTable {
     * sequenceNumber) — carried forward into the next snapshot's list.
     * Rows written before the v2 fields existed read as data (0) at
     * sequence 0. */
+  /** (path, length, content, sequenceNumber, partitionSpecId) rows of
+    * the current snapshot's manifest list — carried into the next
+    * snapshot. Each manifest keeps the SPEC it was written under, so
+    * files stay prunable across partition evolution. */
   private def carriedManifests(f: FileSystem, table: String,
-      existing: Option[ObjectNode]): Seq[(String, Long, Long, Long)] =
+      existing: Option[ObjectNode]): Seq[(String, Long, Long, Long, Int)] =
     existing.toSeq.flatMap { prev =>
       val curId = prev.get("current-snapshot-id").asLong()
       prev.path("snapshots").elements().asScala
@@ -875,7 +927,8 @@ object IcebergTable {
             .map(r => (str(r, "manifest_path").get,
               lng(r, "manifest_length").getOrElse(0L),
               lng(r, "content").getOrElse(0L),
-              lng(r, "sequence_number").getOrElse(0L)))
+              lng(r, "sequence_number").getOrElse(0L),
+              lng(r, "partition_spec_id").getOrElse(0L).toInt))
         }
     }
 
@@ -952,13 +1005,15 @@ object IcebergTable {
     // 3. manifest list: carried rows + the delete manifest at this
     // snapshot's sequence number
     val mlSchema = manifestListAvroSchema
+    val defaultSpecId = existing.path("default-spec-id").asInt(0)
     val mlRecords = (carriedManifests(f, table, Some(existing)) :+
-        ((manifestPath.toString, mLen, content.toLong, version.toLong))).map {
-      case (p, len, c, seq) =>
+        ((manifestPath.toString, mLen, content.toLong, version.toLong,
+          defaultSpecId))).map {
+      case (p, len, c, seq, sid) =>
         val r = new GenericData.Record(mlSchema)
         r.put("manifest_path", p)
         r.put("manifest_length", len)
-        r.put("partition_spec_id", 0)
+        r.put("partition_spec_id", sid)
         r.put("content", c.toInt)
         r.put("sequence_number", seq)
         r.put("added_snapshot_id", snapshotId)
@@ -1119,7 +1174,12 @@ object IcebergTable {
     val rewrite = st.dataFiles.indices.filter { i =>
       st.fileSizes(i) < smallerThan ||
         posTouched.contains(norm(st.dataFiles(i))) ||
-        st.dataSeqs(i) < maxEqSeq
+        st.dataSeqs(i) < maxEqSeq ||
+        // partition evolution: files laid out under an OLD spec rewrite
+        // into the current default layout (rewrite_data_files is the
+        // spec's repartition-after-evolution tool)
+        (st.fileSpecIds.size == st.dataFiles.size &&
+          st.fileSpecIds(i) != st.defaultSpecId)
     }
     if (rewrite.isEmpty) return (0, st.dataFiles.size)
     val keep = st.dataFiles.indices.diff(rewrite)
@@ -1132,6 +1192,9 @@ object IcebergTable {
       partitionTuples =
         if (st.partitionTuples.size == st.dataFiles.size)
           rewrite.map(st.partitionTuples) else st.partitionTuples,
+      fileSpecIds =
+        if (st.fileSpecIds.size == st.dataFiles.size)
+          rewrite.map(st.fileSpecIds) else st.fileSpecIds,
       fileSizes = rewrite.map(st.fileSizes))
     // bin-pack: aim for ~4x the small-file floor per output file (the
     // partitioned path re-partitions by partition tuple downstream)

@@ -84,11 +84,48 @@ class IcebergPartitionSpec extends SparkSpec {
       back.agg(sum("event_id"), sum(col("value").cast("decimal(38,10)"))).head(),
       ev.agg(sum("event_id"), sum(col("value").cast("decimal(38,10)"))).head())
     assert(a == b, s"$a vs $b")
-    // a conflicting spec refuses
-    intercept[IllegalArgumentException] {
-      IcebergTable.writeAppend(spark, h1, t,
-        partition = Seq("user_id" -> "bucket[8]"))
-    }
+  }
+
+  test("partition evolution: new spec-id, per-spec pruning, optimize repartitions") {
+    val t = fresh()
+    val ev = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val (h1, h2) = (ev.where(col("event_id") % 2 === 0),
+      ev.where(col("event_id") % 2 =!= 0))
+    IcebergTable.writeAppend(spark, h1, t,
+      partition = Seq("user_id" -> "bucket[4]"))
+    // a DIFFERENT spec evolves the table instead of refusing
+    IcebergTable.writeAppend(spark, h2, t, partition = Seq("ts" -> "day"))
+    val st = IcebergTable.state(spark, t)
+    assert(st.defaultSpecId == 1)
+    assert(st.allSpecs.keySet == Set(0, 1))
+    assert(st.fileSpecIds.toSet == Set(0, 1),
+      "old files keep spec 0, new files carry spec 1")
+    assert(IcebergTable.read(spark, t).count() == ev.count())
+
+    // pruning engages under EACH file's own spec
+    val keyPred = col("user_id") === 7L
+    val pk = IcebergTable.pruneState(spark, st, keyPred)
+    val oldFiles = st.fileSpecIds.count(_ == 0)
+    val keptOld = pk.fileSpecIds.count(_ == 0)
+    assert(keptOld < oldFiles, "bucket pruning must engage on spec-0 files")
+    assert(pk.fileSpecIds.count(_ == 1) == st.fileSpecIds.count(_ == 1),
+      "spec-1 files have no user_id field and must all survive")
+    import spark.implicits._
+    val got = IcebergTable.readPruned(spark, t, keyPred)
+      .orderBy("event_id").select("event_id").as[Long].collect().toSeq
+    val want = ev.where(keyPred)
+      .orderBy("event_id").select("event_id").as[Long].collect().toSeq
+    assert(got == want)
+
+    // rewrite_data_files re-lays old-spec files under the new default
+    val (rw, _) = IcebergTable.rewriteDataFiles(spark, t, smallerThan = 0L)
+    assert(rw >= oldFiles, s"expected the $oldFiles spec-0 files rewritten, got $rw")
+    val after = IcebergTable.state(spark, t)
+    assert(after.fileSpecIds.forall(_ == after.defaultSpecId))
+    assert(after.partitionTuples.forall(_.isDefined))
+    val got2 = IcebergTable.read(spark, t)
+      .orderBy("event_id").select("event_id").as[Long].collect().toSeq
+    assert(got2 == ev.orderBy("event_id").select("event_id").as[Long].collect().toSeq)
   }
 
   test("manifest tuples prune data files; readPruned stays exact") {
