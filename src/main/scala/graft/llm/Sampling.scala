@@ -363,7 +363,71 @@ object Sampling {
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
   }
 
+  /** Diversity (cluster-balanced) sampling: assign every embedding to
+    * its nearest coarse centroid, then keep a FIXED QUOTA per cluster in
+    * deterministic hash order — the embedding-space answer to "don't let
+    * one dominant mode fill the training mix" (cluster-uniform selection,
+    * the SemDeDup/DSIR-adjacent curation step). Deterministic end to end:
+    * the placeholder quantizer (every 50th vector) and the md5-derived
+    * rank hash replay bit-identically in DuckDB.
+    *
+    * Scale: assignment is a broadcast map-side pass (|corpus| × K dot
+    * products, K tiny); the quota cut is one window keyed by cell —
+    * shuffles carry (vec_id, cell, hash), never vectors. */
+  val qDiversity: QueryDef = {
+    val quota = 10
+    val dim = 64
+    def dotSql(a: String, b: String): String =
+      s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$dim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)"
+    QueryDef.sql(
+      "q_corpus_diversity",
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings
+         |), cents AS (
+         |  SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
+         |  FROM norms WHERE vec_id % 50 = 0
+         |), assign AS (
+         |  SELECT vec_id, cell_id FROM (
+         |    SELECT n.vec_id, c.cell_id,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
+         |          c.cell_id) AS rn
+         |    FROM norms n CROSS JOIN cents c) WHERE rn = 1
+         |)
+         |SELECT cell_id, vec_id, rnk FROM (
+         |  SELECT cell_id, vec_id,
+         |    row_number() OVER (PARTITION BY cell_id
+         |      ORDER BY ${h60Sql("vec_id || ':div'")}, vec_id) AS rnk
+         |  FROM assign)
+         |WHERE rnk <= $quota""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val n = Tables.embeddings(spark, dir).select(
+        col("vec_id"), col("embedding"),
+        sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))
+      val cents = n.where(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
+          col("nrm").as("c_nrm"))
+      val assign = n.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cell_id"),
+          (Similarity.dot(col("embedding"), col("c_emb")) /
+            (col("nrm") * col("c_nrm"))).as("c_cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("cell_id"))
+      assign
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("cell_id").orderBy(
+            h60(concat(col("vec_id").cast("string"), lit(":div"))),
+            col("vec_id"))))
+        .where(col("rnk") <= quota)
+        .select(col("cell_id"), col("vec_id"), col("rnk"))
+    }
+  }
+
   val all: Seq[QueryDef] =
     Seq(qSplit, qPacking, qStratified, qTemperature, qChunking, qCorpusMix,
-      qBudget, qShuffleShard, qDomainCap)
+      qBudget, qShuffleShard, qDomainCap, qDiversity)
 }
