@@ -163,6 +163,10 @@ object GraftSql {
     """(?is)\s*REORG\s+TABLE\s+iceberg\.`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val IcebergOptimize =
     """(?is)\s*OPTIMIZE\s+iceberg\.`([^`]+)`\s*""".r
+  private val IcebergInsert =
+    """(?is)\s*INSERT\s+INTO\s+iceberg\.`([^`]+)`\s+((?:SELECT|VALUES|FROM|WITH)\s.+)""".r
+  private val IcebergCreateHead =
+    """(?is)\s*CREATE\s+TABLE\s+iceberg\.`([^`]+)`\s*\((.*)""".r
   // CREATE TABLE: the column list may hold nested parens (DECIMAL(12,2)),
   // so only the head is regex-matched; the balanced column list and the
   // optional PARTITIONED BY / TBLPROPERTIES clauses are scanned manually
@@ -722,6 +726,45 @@ object GraftSql {
     }
   }
 
+  /** Position-coerce an incoming frame to an ICEBERG table's declared
+    * schema (the [[positional]] twin for iceberg refs). */
+  private def icebergPositional(spark: SparkSession, table: String,
+      df: DataFrame): DataFrame =
+    if (!IcebergTable.isIcebergTable(spark, table)) df
+    else {
+      val s = IcebergTable.state(spark, table).schema
+      if (s.fields.length != df.columns.length) df
+      else df.select(df.columns.zip(s.fields).map { case (c, f) =>
+        df.col(c).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+    }
+
+  /** Iceberg SQL partition transforms — `bucket(4, c)`, `truncate(8, c)`,
+    * `years(c)`/`months(c)`/`days(c)`/`hours(c)` (singular accepted),
+    * bare `c` for identity — to the engine's (source, transform) pairs. */
+  private def parseIcebergTransforms(s: String): Seq[(String, String)] = {
+    val Fn = """(?i)(\w+)\s*\(\s*([^)]*)\s*\)""".r
+    def bare(c: String) = c.trim.stripPrefix("`").stripSuffix("`")
+    s.split(",(?![^(]*\\))").map(_.trim).filter(_.nonEmpty).toSeq.map {
+      case Fn(fn, args) =>
+        val a = args.split(",").map(bare).filter(_.nonEmpty)
+        fn.toLowerCase match {
+          case "bucket" =>
+            require(a.length == 2, s"bucket(n, col) expected: $args")
+            a(1) -> s"bucket[${a(0)}]"
+          case "truncate" =>
+            require(a.length == 2, s"truncate(w, col) expected: $args")
+            a(1) -> s"truncate[${a(0)}]"
+          case "year" | "years" => a(0) -> "year"
+          case "month" | "months" => a(0) -> "month"
+          case "day" | "days" => a(0) -> "day"
+          case "hour" | "hours" => a(0) -> "hour"
+          case other => sys.error(s"unknown Iceberg partition transform: $other")
+        }
+      case c => bare(c) -> "identity"
+    }
+  }
+
   private def version(spark: SparkSession, v: Long): DataFrame = {
     import spark.implicits._
     Seq(v).toDF("version")
@@ -818,6 +861,26 @@ object GraftSql {
       import spark.implicits._
       Seq((rewritten.toLong, carried.toLong))
         .toDF("rewritten_data_files_count", "carried_data_files_count")
+    // CREATE TABLE iceberg with the spec's SQL transform syntax —
+    // `PARTITIONED BY (bucket(4, k), days(ts))` — lands one empty
+    // snapshot declaring schema + partition spec; appends adopt it
+    case IcebergCreateHead(path, rest) =>
+      val (colsDdl, tail) = balancedSplit(rest)
+      val schema = parseColumns(colsDdl)
+      // transforms nest parens (`bucket(4, k)`), so the clause body is
+      // cut at the BALANCING close paren, not the first one
+      val PartHead = """(?is)\s*PARTITIONED\s+BY\s*\((.*)""".r
+      val partition = tail match {
+        case PartHead(rest2) => parseIcebergTransforms(balancedSplit(rest2)._1)
+        case _ => Seq.empty
+      }
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      version(spark,
+        IcebergTable.writeAppend(spark, empty, path, partition = partition))
+    case IcebergInsert(path, select) =>
+      version(spark, IcebergTable.writeAppend(spark,
+        icebergPositional(spark, path, exec(spark, select)), path))
     // Iceberg snapshot expiry (the expire_snapshots procedure):
     // defaults mirror the procedure's — older than NOW, retain last 1
     case IcebergExpire(path, ts, retain) =>

@@ -288,6 +288,30 @@ class IcebergPartitionSpec extends SparkSpec {
     assert(got == wantRows)
   }
 
+  test("SQL: CREATE TABLE iceberg PARTITIONED BY (transforms) + INSERT INTO") {
+    val t = fresh()
+    import graft.sources.GraftSql
+    GraftSql.exec(spark,
+      s"CREATE TABLE iceberg.`$t` (event_id BIGINT, user_id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (bucket(4, user_id), days(ts))")
+    val st0 = IcebergTable.state(spark, t)
+    assert(st0.specFields.map(f => f.source -> f.transform.name) ==
+      Seq("user_id" -> "bucket[4]", "ts" -> "day"))
+    assert(IcebergTable.read(spark, t).count() == 0)
+
+    Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+      .createOrReplaceTempView("graft_icesql_src")
+    GraftSql.exec(spark,
+      s"INSERT INTO iceberg.`$t` SELECT event_id, user_id, ts FROM graft_icesql_src")
+    val n = spark.table("graft_icesql_src").count()
+    assert(IcebergTable.read(spark, t).count() == n)
+    // the insert adopted the declared spec: tuples present, pruning live
+    val st = IcebergTable.state(spark, t)
+    assert(st.partitionTuples.nonEmpty && st.partitionTuples.forall(_.isDefined))
+    val pk = IcebergTable.pruneState(spark, st, col("user_id") === 7L)
+    assert(pk.dataFiles.size < st.dataFiles.size)
+  }
+
   test("pruned reads compose with merge-on-read deletes") {
     val t = fresh()
     val ev = Tables.events(spark, sfDir)
