@@ -380,3 +380,122 @@ case class IcebergBucketHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Iceberg per-file column bounds (`lower_bounds`/`upper_bounds`,
+  * manifest field-ids 125/128): the format's zone maps. Values use the
+  * spec's single-value binary serialization (Appendix D) — little-endian
+  * fixed-width numerics, raw UTF-8 for strings — so bounds written here
+  * read back in any conforming engine and vice versa.
+  *
+  * String bounds are only written when the value fits
+  * [[IcebergBounds.MaxStringBound]] bytes: truncating a LOWER bound is
+  * safe but an upper bound would need the increment-last-codepoint
+  * adjustment; omitting the bound keeps the file unprunable on that
+  * column instead of silently wrong.
+  */
+object IcebergBounds {
+  import java.nio.{ByteBuffer, ByteOrder}
+  import org.apache.spark.sql.types._
+
+  val MaxStringBound = 16
+
+  private def le(n: Int)(fill: ByteBuffer => Unit): Array[Byte] = {
+    val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+    fill(b); b.array()
+  }
+
+  /** External Scala value → spec bytes; None when the type (or this
+    * particular value, e.g. a long string) has no safe encoding. */
+  def encode(v: Any, dt: DataType): Option[Array[Byte]] = (v, dt) match {
+    case (null, _) => None
+    case (x: Int, IntegerType) => Some(le(4)(_.putInt(x)))
+    case (x: Long, LongType) => Some(le(8)(_.putLong(x)))
+    case (x: Float, FloatType) => Some(le(4)(_.putFloat(x)))
+    case (x: Double, DoubleType) => Some(le(8)(_.putDouble(x)))
+    case (x: Boolean, BooleanType) => Some(Array(if (x) 1.toByte else 0.toByte))
+    case (s: String, StringType) =>
+      val b = s.getBytes("UTF-8")
+      if (b.length <= MaxStringBound) Some(b) else None
+    case (d: java.sql.Date, DateType) =>
+      Some(le(4)(_.putInt(d.toLocalDate.toEpochDay.toInt)))
+    case (d: java.time.LocalDate, DateType) =>
+      Some(le(4)(_.putInt(d.toEpochDay.toInt)))
+    case (t: java.sql.Timestamp, TimestampType | TimestampNTZType) =>
+      val i = t.toInstant
+      Some(le(8)(_.putLong(i.getEpochSecond * 1000000L + i.getNano / 1000)))
+    case (i: java.time.Instant, TimestampType) =>
+      Some(le(8)(_.putLong(i.getEpochSecond * 1000000L + i.getNano / 1000)))
+    case (l: java.time.LocalDateTime, TimestampNTZType) =>
+      val i = l.toInstant(java.time.ZoneOffset.UTC)
+      Some(le(8)(_.putLong(i.getEpochSecond * 1000000L + i.getNano / 1000)))
+    case _ => None
+  }
+
+  /** Spec bytes → the SAME external types [[IcebergPartition.atoms]]
+    * produces for literals, so bound/literal comparisons are type-aligned. */
+  def decode(bytes: Array[Byte], dt: DataType): Option[Any] = {
+    val b = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    dt match {
+      case IntegerType if bytes.length == 4 => Some(b.getInt)
+      case LongType if bytes.length == 8 => Some(b.getLong)
+      case FloatType if bytes.length == 4 => Some(b.getFloat)
+      case DoubleType if bytes.length == 8 => Some(b.getDouble)
+      case BooleanType if bytes.length == 1 => Some(bytes(0) != 0)
+      case StringType => Some(new String(bytes, "UTF-8"))
+      case DateType if bytes.length == 4 =>
+        Some(java.time.LocalDate.ofEpochDay(b.getInt.toLong))
+      case TimestampType if bytes.length == 8 =>
+        val us = b.getLong
+        Some(java.time.Instant.ofEpochSecond(
+          java.lang.Math.floorDiv(us, 1000000L),
+          java.lang.Math.floorMod(us, 1000000L) * 1000))
+      case TimestampNTZType if bytes.length == 8 =>
+        val us = b.getLong
+        Some(java.time.LocalDateTime.ofEpochSecond(
+          java.lang.Math.floorDiv(us, 1000000L),
+          (java.lang.Math.floorMod(us, 1000000L) * 1000).toInt,
+          java.time.ZoneOffset.UTC))
+      case _ => None
+    }
+  }
+
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Int, y: Int) => Some(Integer.compare(x, y))
+    case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+    case (x: Int, y: Long) => Some(java.lang.Long.compare(x.toLong, y))
+    case (x: Long, y: Int) => Some(java.lang.Long.compare(x, y.toLong))
+    case (x: Float, y: Float) => Some(java.lang.Float.compare(x, y))
+    case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+    case (x: Float, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Float) => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => Some(x.compareTo(y))
+    case (x: java.time.Instant, y: java.time.Instant) => Some(x.compareTo(y))
+    case (x: java.time.LocalDateTime, y: java.time.LocalDateTime) => Some(x.compareTo(y))
+    case _ => None
+  }
+
+  /** Can a file with [lo, hi] on the atom's column hold a matching row?
+    * `lo`/`hi` may independently be absent (None ⇒ that side unbounded).
+    * Incomparable values keep the file — never prune blind. String LOWER
+    * bounds may be truncated by a foreign writer, which only WIDENS the
+    * interval, so the check stays sound. */
+  def mightMatch(atom: IcebergPartition.Atom,
+      lo: Option[Any], hi: Option[Any]): Boolean = {
+    import IcebergPartition.{Eq, InList, Cmp}
+    def geLo(v: Any) = lo.forall(l => cmp(v, l).forall(_ >= 0))
+    def leHi(v: Any) = hi.forall(h => cmp(v, h).forall(_ <= 0))
+    def gtLo(v: Any) = lo.forall(l => cmp(v, l).forall(_ > 0))
+    def ltHi(v: Any) = hi.forall(h => cmp(v, h).forall(_ < 0))
+    atom match {
+      case Eq(_, null) => false
+      case Eq(_, v) => geLo(v) && leHi(v)
+      case InList(_, vs) => vs.filter(_ != null).exists(v => geLo(v) && leHi(v))
+      case Cmp(_, ">", v) => v == null || ltHi(v) // some row value > v ⇔ hi > v
+      case Cmp(_, ">=", v) => v == null || leHi(v)
+      case Cmp(_, "<", v) => v == null || gtLo(v)
+      case Cmp(_, "<=", v) => v == null || geLo(v)
+      case _ => true
+    }
+  }
+}

@@ -152,7 +152,11 @@ object IcebergTable {
       // (its tuple parses under ITS spec, not the current default)
       allSpecs: Map[Int, Seq[IcebergPartition.Field]] = Map.empty,
       fileSpecIds: Seq[Int] = Seq.empty,
-      defaultSpecId: Int = 0) {
+      defaultSpecId: Int = 0,
+      // per-file column bounds (schema field id → spec bytes) — the
+      // format's zone maps, parallel to dataFiles
+      lowerBounds: Seq[Map[Int, Array[Byte]]] = Seq.empty,
+      upperBounds: Seq[Map[Int, Array[Byte]]] = Seq.empty) {
     def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
   }
 
@@ -257,6 +261,19 @@ object IcebergTable {
     val eqDel = Seq.newBuilder[(String, Long, Seq[Int])]
     val partTuples = Seq.newBuilder[Option[Seq[Any]]]
     val specIds = Seq.newBuilder[Int]
+    val lowerB = Seq.newBuilder[Map[Int, Array[Byte]]]
+    val upperB = Seq.newBuilder[Map[Int, Array[Byte]]]
+    def boundsOf(d: GenericRecord, field: String): Map[Int, Array[Byte]] =
+      Option(d.get(field)) match {
+        case Some(arr: java.util.Collection[_]) =>
+          arr.asScala.collect { case r: GenericRecord =>
+            val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+            val bytes = new Array[Byte](bb.remaining())
+            bb.duplicate().get(bytes)
+            r.get("key").asInstanceOf[Number].intValue() -> bytes
+          }.toMap
+        case _ => Map.empty
+      }
     var rows = 0L
     val allSpecs = specsById(root)
     val defaultSpecId = root.path("default-spec-id").asInt(0)
@@ -288,6 +305,8 @@ object IcebergTable {
               rows += rc
               fileSizes += lng(df, "file_size_in_bytes").getOrElse(0L)
               specIds += manifestSpecId
+              lowerB += boundsOf(df, "lower_bounds")
+              upperB += boundsOf(df, "upper_bounds")
               partTuples += (if (manifestSpec.isEmpty) None
                 else Option(df.get("partition")).collect {
                   case r: GenericRecord => manifestSpec.map { fld =>
@@ -323,7 +342,8 @@ object IcebergTable {
     State(fv, resolveSchema(root), wantId, files.result(), rows,
       fileRows.result(), dataSeqs.result(), posDel.result(), eqDel.result(),
       schemaFieldIds(root), specFields, partTuples.result(),
-      fileSizes.result(), allSpecs, specIds.result(), defaultSpecId)
+      fileSizes.result(), allSpecs, specIds.result(), defaultSpecId,
+      lowerB.result(), upperB.result())
   }
 
   /** Read the table (optionally at a snapshot / timestamp) as a
@@ -369,9 +389,12 @@ object IcebergTable {
     * pruner's technique. */
   private[graft] def pruneState(spark: SparkSession, st: State,
       predicate: org.apache.spark.sql.Column): State = {
-    if (st.allSpecs.values.forall(_.isEmpty) ||
-      st.partitionTuples.size != st.dataFiles.size ||
-      st.fileSpecIds.size != st.dataFiles.size) return st
+    val hasTuples = st.partitionTuples.size == st.dataFiles.size &&
+      st.fileSpecIds.size == st.dataFiles.size &&
+      st.allSpecs.values.exists(_.nonEmpty)
+    val hasBounds = st.lowerBounds.size == st.dataFiles.size &&
+      st.upperBounds.size == st.dataFiles.size
+    if (!hasTuples && !hasBounds) return st
     val analyzed = spark
       .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         st.schema)
@@ -385,24 +408,51 @@ object IcebergTable {
     val srcTypes: Map[Int, Seq[DataType]] = st.allSpecs.map { case (id, fds) =>
       id -> fds.map(f => st.schema(f.source).dataType)
     }
+    val nameToId: Map[String, Int] = st.fieldNamesById.map(_.swap)
     val keep = st.dataFiles.indices.filter { i =>
-      val fields = st.allSpecs.getOrElse(st.fileSpecIds(i), Seq.empty)
-      st.partitionTuples(i) match {
-        case Some(tup) if fields.nonEmpty && tup.size == fields.size =>
-          fields.indices.forall { j =>
-            ats.forall(a => IcebergPartition.mightMatch(
-              fields(j), srcTypes(st.fileSpecIds(i))(j), tup(j), a))
-          }
-        case _ => true
+      val partOk = !hasTuples || {
+        val fields = st.allSpecs.getOrElse(st.fileSpecIds(i), Seq.empty)
+        st.partitionTuples(i) match {
+          case Some(tup) if fields.nonEmpty && tup.size == fields.size =>
+            fields.indices.forall { j =>
+              ats.forall(a => IcebergPartition.mightMatch(
+                fields(j), srcTypes(st.fileSpecIds(i))(j), tup(j), a))
+            }
+          case _ => true
+        }
       }
+      // column bounds skip on ANY column, partitioned or not
+      val boundsOk = !partOk || !hasBounds || ats.forall { a =>
+        nameToId.get(a.source) match {
+          case Some(id) =>
+            val lo = st.lowerBounds(i).get(id)
+            val hi = st.upperBounds(i).get(id)
+            if (lo.isEmpty && hi.isEmpty) true
+            else {
+              val dt = st.schema(a.source).dataType
+              IcebergBounds.mightMatch(a,
+                lo.flatMap(IcebergBounds.decode(_, dt)),
+                hi.flatMap(IcebergBounds.decode(_, dt)))
+            }
+          case None => true
+        }
+      }
+      partOk && boundsOk
     }
     st.copy(
       dataFiles = keep.map(st.dataFiles),
       fileRecordCounts = keep.map(st.fileRecordCounts),
       dataSeqs = keep.map(st.dataSeqs),
-      partitionTuples = keep.map(st.partitionTuples),
-      fileSizes = keep.map(st.fileSizes),
-      fileSpecIds = keep.map(st.fileSpecIds),
+      partitionTuples =
+        if (hasTuples) keep.map(st.partitionTuples) else st.partitionTuples,
+      fileSizes =
+        if (st.fileSizes.size == st.dataFiles.size) keep.map(st.fileSizes)
+        else st.fileSizes,
+      fileSpecIds =
+        if (st.fileSpecIds.size == st.dataFiles.size) keep.map(st.fileSpecIds)
+        else st.fileSpecIds,
+      lowerBounds = if (hasBounds) keep.map(st.lowerBounds) else st.lowerBounds,
+      upperBounds = if (hasBounds) keep.map(st.upperBounds) else st.upperBounds,
       recordCount = keep.map(st.fileRecordCounts).sum)
   }
 
@@ -598,9 +648,31 @@ object IcebergTable {
          |    {"name":"file_path","type":"string","field-id":100},
          |    {"name":"file_format","type":"string","field-id":101},
          |    {"name":"record_count","type":"long","field-id":103},
-         |    {"name":"file_size_in_bytes","type":"long","field-id":104}$partField
+         |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |    {"name":"lower_bounds","field-id":125,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+         |      {"name":"key","type":"int","field-id":126},
+         |      {"name":"value","type":"bytes","field-id":127}]}}],"default":null},
+         |    {"name":"upper_bounds","field-id":128,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+         |      {"name":"key","type":"int","field-id":129},
+         |      {"name":"value","type":"bytes","field-id":130}]}}],"default":null}$partField
          |  ]}}
          |]}""".stripMargin.replace("|", ""))
+  }
+
+  /** Build one bounds map (array-of-(key,value) avro representation)
+    * from (schema field id → spec bytes). */
+  private def boundsArray(schema: AvroSchema, field: String,
+      m: Map[Int, Array[Byte]]): GenericData.Array[GenericRecord] = {
+    val arrSchema = schema.getField(field).schema().getTypes.get(1)
+    val recSchema = arrSchema.getElementType
+    val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
+    m.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(recSchema)
+      r.put("key", k)
+      r.put("value", java.nio.ByteBuffer.wrap(v))
+      arr.add(r)
+    }
+    arr
   }
 
   private def manifestListAvroSchema: AvroSchema = new AvroSchema.Parser().parse(
@@ -649,13 +721,18 @@ object IcebergTable {
     * `carryPrevious = false` makes the snapshot a REPLACE: the new
     * manifest is the only one, previous data (and delete) manifests
     * drop out of the view. */
+  /** One existing data file re-declared in a REPLACE commit's manifest
+    * (rewriteDataFiles): its bytes never move; records/bounds/tuple
+    * copy straight from the previous manifest entry. */
+  case class CarriedFile(path: String, records: Long, bytes: Long,
+      tuple: Option[Seq[Any]],
+      lower: Map[Int, Array[Byte]] = Map.empty,
+      upper: Map[Int, Array[Byte]] = Map.empty)
+
   def writeAppend(spark: SparkSession, df: DataFrame, table: String,
       carryPrevious: Boolean = true,
       partition: Seq[(String, String)] = Seq.empty,
-      // REPLACE-commit support (rewriteDataFiles): existing data files
-      // re-declared in the NEW manifest as (path, records, bytes, tuple)
-      // — their bytes never move
-      carryFiles: Seq[(String, Long, Long, Option[Seq[Any]])] = Seq.empty): Long = {
+      carryFiles: Seq[CarriedFile] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, table)
     val root = new Path(table)
@@ -765,14 +842,45 @@ object IcebergTable {
       }
     })
     f.delete(scratch, true)
-    // per-file record counts from footer-free bookkeeping: one count per
-    // staged file via a grouped read (matches DeltaLog's stats pass)
-    val counts: Map[String, Long] =
+    // per-file record counts AND column bounds in ONE grouped pass over
+    // the staged files (matches DeltaLog's stats pass): record_count
+    // feeds metadata-only COUNT(*), lower/upper_bounds feed data
+    // skipping on non-partition columns
+    val statCols: Seq[StructField] = df.schema.fields.filter(_.dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | BooleanType |
+           StringType | DateType | TimestampType | TimestampNTZType => true
+      case _ => false
+    }).toIndexedSeq
+    val nameToFieldId: Map[String, Int] =
+      df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+    case class FileStats(rows: Long,
+        lo: Map[Int, Array[Byte]], hi: Map[Int, Array[Byte]])
+    val stats: Map[String, FileStats] =
       if (dataFiles.isEmpty) Map.empty
-      else spark.read.parquet(dataFiles.map(_.toString): _*)
-        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
-        .count().collect()
-        .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
+      else {
+        import org.apache.spark.sql.functions.{col => fcol, count => fcount,
+          input_file_name, lit => flit, max => fmax, min => fmin}
+        val aggs = fcount(flit(1)).as("__n") +:
+          statCols.zipWithIndex.flatMap { case (fld, i) =>
+            Seq(fmin(fcol(fld.name)).as(s"__lo_$i"),
+              fmax(fcol(fld.name)).as(s"__hi_$i"))
+          }
+        spark.read.parquet(dataFiles.map(_.toString): _*)
+          .groupBy(input_file_name().as("__f"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+          .map { r =>
+            def boundMap(prefix: String): Map[Int, Array[Byte]] =
+              statCols.zipWithIndex.flatMap { case (fld, i) =>
+                Option(r.get(r.fieldIndex(s"$prefix$i")))
+                  .flatMap(v => IcebergBounds.encode(v, fld.dataType))
+                  .map(nameToFieldId(fld.name) -> _)
+              }.toMap
+            new Path(r.getString(0)).getName ->
+              FileStats(r.getLong(1), boundMap("__lo_"), boundMap("__hi_"))
+          }.toMap
+      }
+    val counts: Map[String, Long] =
+      stats.view.mapValues(_.rows).toMap
 
     // 2. one manifest for the new files (partition tuples included when
     // the table declares a spec), plus any carried REPLACE entries
@@ -800,19 +908,25 @@ object IcebergTable {
       d.put("file_format", "PARQUET")
       d.put("record_count", counts.getOrElse(p.getName, 0L))
       d.put("file_size_in_bytes", f.getFileStatus(p).getLen)
+      stats.get(p.getName).foreach { s =>
+        if (s.lo.nonEmpty) d.put("lower_bounds", boundsArray(dfSchema, "lower_bounds", s.lo))
+        if (s.hi.nonEmpty) d.put("upper_bounds", boundsArray(dfSchema, "upper_bounds", s.hi))
+      }
       if (spec.nonEmpty) d.put("partition", tupleRecord(tuples(i)))
       e.put("data_file", d)
       e
-    } ++ carryFiles.map { case (p, records, bytes, tuple) =>
+    } ++ carryFiles.map { cf =>
       val e = new GenericData.Record(mSchema)
       e.put("status", 0) // EXISTING
       e.put("snapshot_id", snapshotId)
       val d = new GenericData.Record(dfSchema)
-      d.put("file_path", p)
+      d.put("file_path", cf.path)
       d.put("file_format", "PARQUET")
-      d.put("record_count", records)
-      d.put("file_size_in_bytes", bytes)
-      if (spec.nonEmpty) tuple.foreach(tp => d.put("partition", tupleRecord(tp)))
+      d.put("record_count", cf.records)
+      d.put("file_size_in_bytes", cf.bytes)
+      if (cf.lower.nonEmpty) d.put("lower_bounds", boundsArray(dfSchema, "lower_bounds", cf.lower))
+      if (cf.upper.nonEmpty) d.put("upper_bounds", boundsArray(dfSchema, "upper_bounds", cf.upper))
+      if (spec.nonEmpty) cf.tuple.foreach(tp => d.put("partition", tupleRecord(tp)))
       e.put("data_file", d)
       e
     }
@@ -1203,9 +1317,13 @@ object IcebergTable {
     val rewritten = readState(spark, table, sub).coalesce(targetFiles)
     writeAppend(spark, rewritten, table, carryPrevious = false,
       carryFiles = keep.map { i =>
-        (st.dataFiles(i), st.fileRecordCounts(i), st.fileSizes(i),
+        CarriedFile(st.dataFiles(i), st.fileRecordCounts(i), st.fileSizes(i),
           if (st.partitionTuples.size == st.dataFiles.size)
-            st.partitionTuples(i) else None)
+            st.partitionTuples(i) else None,
+          if (st.lowerBounds.size == st.dataFiles.size)
+            st.lowerBounds(i) else Map.empty,
+          if (st.upperBounds.size == st.dataFiles.size)
+            st.upperBounds(i) else Map.empty)
       })
     (rewrite.size, keep.size)
   }

@@ -312,6 +312,62 @@ class IcebergPartitionSpec extends SparkSpec {
     assert(pk.dataFiles.size < st.dataFiles.size)
   }
 
+  test("column bounds skip files on UNPARTITIONED tables (Iceberg zone maps)") {
+    val t = fresh()
+    // four appends with disjoint id ranges → tight per-file min/max
+    (0 until 4).foreach { b =>
+      val part = spark.range(b * 1000, (b + 1) * 1000).select(
+        col("id"),
+        concat(lit(f"s$b%02d-"), col("id")).as("s"),
+        timestamp_seconds(col("id") * 1000L).as("ts"),
+        (col("id") % 97 * 1.5).as("d"))
+      IcebergTable.writeAppend(spark, part.coalesce(1), t)
+    }
+    val st = IcebergTable.state(spark, t)
+    assert(st.dataFiles.size == 4)
+    assert(st.lowerBounds.forall(_.nonEmpty) && st.upperBounds.forall(_.nonEmpty),
+      "every file must carry written bounds")
+
+    // long range: only one file overlaps id < 500
+    val p1 = IcebergTable.pruneState(spark, st, col("id") < 500L)
+    assert(p1.dataFiles.size == 1, s"id<500 kept ${p1.dataFiles.size}")
+    // long equality: one file
+    val p2 = IcebergTable.pruneState(spark, st, col("id") === 2500L)
+    assert(p2.dataFiles.size == 1)
+    // string equality: per-file prefixes make one file eligible
+    val p3 = IcebergTable.pruneState(spark, st, col("s") === "s02-2100")
+    assert(p3.dataFiles.size == 1, s"string bound kept ${p3.dataFiles.size}")
+    // timestamp range: files 2..3
+    val cut = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(2000 * 1000L))
+    val p4 = IcebergTable.pruneState(spark, st, col("ts") >= lit(cut))
+    assert(p4.dataFiles.size == 2, s"ts bound kept ${p4.dataFiles.size}")
+    // IN list across two ranges
+    val p5 = IcebergTable.pruneState(spark, st, col("id").isin(10L, 3010L))
+    assert(p5.dataFiles.size == 2)
+
+    // exactness: pruned read ≡ full filter
+    import spark.implicits._
+    val got = IcebergTable.readPruned(spark, t, col("id") < 500L)
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    assert(got == (0L until 500L))
+    // bounds survive a REAL rewrite commit: a tiny 5th file forces the
+    // REPLACE snapshot, the four big ones carry with bounds intact
+    IcebergTable.writeAppend(spark,
+      spark.range(4000, 4010).select(col("id"),
+        concat(lit("s04-"), col("id")).as("s"),
+        timestamp_seconds(col("id") * 1000L).as("ts"),
+        (col("id") % 97 * 1.5).as("d")).coalesce(1), t)
+    val stBig = IcebergTable.state(spark, t)
+    val (rw, carried) = IcebergTable.rewriteDataFiles(spark, t,
+      smallerThan = stBig.fileSizes.max)
+    assert(rw >= 1 && carried >= 1, s"rw=$rw carried=$carried")
+    val st2 = IcebergTable.state(spark, t)
+    assert(st2.lowerBounds.forall(_.nonEmpty) && st2.upperBounds.forall(_.nonEmpty),
+      "every file (carried AND rewritten) must keep bounds")
+    val p6 = IcebergTable.pruneState(spark, st2, col("id") < 500L)
+    assert(p6.dataFiles.size == 1, s"post-rewrite bounds kept ${p6.dataFiles.size}")
+  }
+
   test("pruned reads compose with merge-on-read deletes") {
     val t = fresh()
     val ev = Tables.events(spark, sfDir)
