@@ -538,6 +538,31 @@ object Maintenance {
         .select("event_id", "user_id", "event_type", "value")
   }
 
+  /** Iceberg column-bound data skipping, oracle-verified: export
+    * `orders` range-partitioned into an UNPARTITIONED Iceberg table
+    * (per-file min/max land in the manifests), read a key band back
+    * through [[graft.sources.IcebergTable.readPruned]] — the query
+    * REQUIRES that bound skipping dropped files before matching
+    * DuckDB's plain filter. The zone-map shape on the open format: a
+    * key-range query on 100 TB opens only overlapping files. */
+  val qIcebergBounds: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_bounds",
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey < 300") {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-icebounds-q-").toString + "/t"
+      val o = graft.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      graft.sources.IcebergTable.writeAppend(spark,
+        o.repartitionByRange(8, col("o_orderkey")), t)
+      val pred = col("o_orderkey") < 300
+      val st = graft.sources.IcebergTable.state(spark, t)
+      val pruned = graft.sources.IcebergTable.pruneState(spark, st, pred)
+      require(pruned.dataFiles.size < st.dataFiles.size,
+        s"bound skipping did not engage (${st.dataFiles.size} files)")
+      graft.sources.IcebergTable.readPruned(spark, t, pred)
+  }
+
   /** SHALLOW CLONE, oracle-verified end to end: clone a protocol
     * `customer` table (zero copy), DELETE a slice on the CLONE only,
     * and read the clone back — must equal DuckDB's anti-filter while
@@ -979,6 +1004,6 @@ object Maintenance {
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
       qConvertToDelta, qIcebergRoundtrip, qIcebergMor, qIcebergPartitioned,
-      qLogCompaction,
+      qIcebergBounds, qLogCompaction,
       qConcurrentRebase, qLiveRead)
 }

@@ -231,6 +231,7 @@ object IcebergPartition {
   final case class Eq(source: String, value: Any) extends Atom
   final case class InList(source: String, values: Seq[Any]) extends Atom
   final case class Cmp(source: String, op: String, value: Any) extends Atom // < <= > >=
+  final case class NullCheck(source: String, isNull: Boolean) extends Atom
 
   /** Split a predicate into its handled atoms; anything unhandled is
     * simply not used for pruning (the residual filter still applies). */
@@ -244,6 +245,10 @@ object IcebergPartition {
     }
     def litVal(e: Expression): Option[Any] = e match {
       case Literal(v, dt) => Option(externalize(v, dt))
+      // analysis-time type coercion wraps literals in casts (e.g. an int
+      // literal against a long column); fold them here
+      case c: Cast if c.child.isInstanceOf[Literal] && c.foldable =>
+        Option(externalize(c.eval(null), c.dataType))
       case _ => None
     }
     def walk(e: Expression): Seq[Atom] = e match {
@@ -264,6 +269,8 @@ object IcebergPartition {
       case GreaterThanOrEqual(a, v) => cmp(attr(a), litVal(v), ">=") ++ cmp(attr(v), litVal(a), "<=")
       case LessThan(a, v) => cmp(attr(a), litVal(v), "<") ++ cmp(attr(v), litVal(a), ">")
       case LessThanOrEqual(a, v) => cmp(attr(a), litVal(v), "<=") ++ cmp(attr(v), litVal(a), ">=")
+      case IsNull(a) => attr(a).toSeq.map(NullCheck(_, isNull = true))
+      case IsNotNull(a) => attr(a).toSeq.map(NullCheck(_, isNull = false))
       case _ => Seq.empty
     }
     def cmp(n: Option[String], v: Option[Any], op: String): Seq[Atom] =
@@ -308,6 +315,10 @@ object IcebergPartition {
       case _ => None
     }
     (atom, field.transform) match {
+      // every transform here null-propagates, so a null partition value
+      // ⟺ the source column is null on EVERY row of the file
+      case (NullCheck(_, true), _) => pv == null
+      case (NullCheck(_, false), _) => pv != null
       case (Eq(_, null), _) => false // `= NULL` matches nothing
       case (Eq(_, v), _) =>
         if (pv == null) false else pv == norm(tv(v))

@@ -156,7 +156,10 @@ object IcebergTable {
       // per-file column bounds (schema field id → spec bytes) — the
       // format's zone maps, parallel to dataFiles
       lowerBounds: Seq[Map[Int, Array[Byte]]] = Seq.empty,
-      upperBounds: Seq[Map[Int, Array[Byte]]] = Seq.empty) {
+      upperBounds: Seq[Map[Int, Array[Byte]]] = Seq.empty,
+      // per-file null counts (schema field id → nulls) — IS [NOT] NULL
+      // pruning and all-null file elimination
+      nullCounts: Seq[Map[Int, Long]] = Seq.empty) {
     def hasDeletes: Boolean = posDeletes.nonEmpty || eqDeletes.nonEmpty
   }
 
@@ -263,6 +266,7 @@ object IcebergTable {
     val specIds = Seq.newBuilder[Int]
     val lowerB = Seq.newBuilder[Map[Int, Array[Byte]]]
     val upperB = Seq.newBuilder[Map[Int, Array[Byte]]]
+    val nullC = Seq.newBuilder[Map[Int, Long]]
     def boundsOf(d: GenericRecord, field: String): Map[Int, Array[Byte]] =
       Option(d.get(field)) match {
         case Some(arr: java.util.Collection[_]) =>
@@ -307,6 +311,14 @@ object IcebergTable {
               specIds += manifestSpecId
               lowerB += boundsOf(df, "lower_bounds")
               upperB += boundsOf(df, "upper_bounds")
+              nullC += (Option(df.get("null_value_counts")) match {
+                case Some(arr: java.util.Collection[_]) =>
+                  arr.asScala.collect { case r: GenericRecord =>
+                    r.get("key").asInstanceOf[Number].intValue() ->
+                      r.get("value").asInstanceOf[Number].longValue()
+                  }.toMap
+                case _ => Map.empty[Int, Long]
+              })
               partTuples += (if (manifestSpec.isEmpty) None
                 else Option(df.get("partition")).collect {
                   case r: GenericRecord => manifestSpec.map { fld =>
@@ -343,7 +355,7 @@ object IcebergTable {
       fileRows.result(), dataSeqs.result(), posDel.result(), eqDel.result(),
       schemaFieldIds(root), specFields, partTuples.result(),
       fileSizes.result(), allSpecs, specIds.result(), defaultSpecId,
-      lowerB.result(), upperB.result())
+      lowerB.result(), upperB.result(), nullC.result())
   }
 
   /** Read the table (optionally at a snapshot / timestamp) as a
@@ -437,7 +449,22 @@ object IcebergTable {
           case None => true
         }
       }
-      partOk && boundsOk
+      // null counts: IS [NOT] NULL, and all-null files under value atoms
+      val hasNulls = st.nullCounts.size == st.dataFiles.size
+      val nullsOk = !partOk || !boundsOk || !hasNulls || ats.forall { a =>
+        nameToId.get(a.source).flatMap(st.nullCounts(i).get) match {
+          case Some(nc) =>
+            val rows = st.fileRecordCounts.lift(i).getOrElse(0L)
+            a match {
+              case IcebergPartition.NullCheck(_, true) => nc > 0
+              case IcebergPartition.NullCheck(_, false) => nc < rows || rows == 0L
+              // a value comparison can only match a non-null row
+              case _ => nc < rows || rows == 0L
+            }
+          case None => true
+        }
+      }
+      partOk && boundsOk && nullsOk
     }
     st.copy(
       dataFiles = keep.map(st.dataFiles),
@@ -453,6 +480,9 @@ object IcebergTable {
         else st.fileSpecIds,
       lowerBounds = if (hasBounds) keep.map(st.lowerBounds) else st.lowerBounds,
       upperBounds = if (hasBounds) keep.map(st.upperBounds) else st.upperBounds,
+      nullCounts =
+        if (st.nullCounts.size == st.dataFiles.size) keep.map(st.nullCounts)
+        else st.nullCounts,
       recordCount = keep.map(st.fileRecordCounts).sum)
   }
 
@@ -649,6 +679,9 @@ object IcebergTable {
          |    {"name":"file_format","type":"string","field-id":101},
          |    {"name":"record_count","type":"long","field-id":103},
          |    {"name":"file_size_in_bytes","type":"long","field-id":104},
+         |    {"name":"null_value_counts","field-id":110,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
+         |      {"name":"key","type":"int","field-id":121},
+         |      {"name":"value","type":"long","field-id":122}]}}],"default":null},
          |    {"name":"lower_bounds","field-id":125,"type":["null",{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
          |      {"name":"key","type":"int","field-id":126},
          |      {"name":"value","type":"bytes","field-id":127}]}}],"default":null},
@@ -659,21 +692,25 @@ object IcebergTable {
          |]}""".stripMargin.replace("|", ""))
   }
 
-  /** Build one bounds map (array-of-(key,value) avro representation)
-    * from (schema field id → spec bytes). */
-  private def boundsArray(schema: AvroSchema, field: String,
-      m: Map[Int, Array[Byte]]): GenericData.Array[GenericRecord] = {
+  /** Build one map field (array-of-(key,value) avro representation)
+    * from (schema field id → value). */
+  private def mapArray[V](schema: AvroSchema, field: String,
+      m: Map[Int, V])(conv: V => Any): GenericData.Array[GenericRecord] = {
     val arrSchema = schema.getField(field).schema().getTypes.get(1)
     val recSchema = arrSchema.getElementType
     val arr = new GenericData.Array[GenericRecord](m.size, arrSchema)
     m.toSeq.sortBy(_._1).foreach { case (k, v) =>
       val r = new GenericData.Record(recSchema)
       r.put("key", k)
-      r.put("value", java.nio.ByteBuffer.wrap(v))
+      r.put("value", conv(v))
       arr.add(r)
     }
     arr
   }
+
+  private def boundsArray(schema: AvroSchema, field: String,
+      m: Map[Int, Array[Byte]]): GenericData.Array[GenericRecord] =
+    mapArray(schema, field, m)(java.nio.ByteBuffer.wrap)
 
   private def manifestListAvroSchema: AvroSchema = new AvroSchema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
@@ -727,7 +764,8 @@ object IcebergTable {
   case class CarriedFile(path: String, records: Long, bytes: Long,
       tuple: Option[Seq[Any]],
       lower: Map[Int, Array[Byte]] = Map.empty,
-      upper: Map[Int, Array[Byte]] = Map.empty)
+      upper: Map[Int, Array[Byte]] = Map.empty,
+      nulls: Map[Int, Long] = Map.empty)
 
   def writeAppend(spark: SparkSession, df: DataFrame, table: String,
       carryPrevious: Boolean = true,
@@ -854,7 +892,8 @@ object IcebergTable {
     val nameToFieldId: Map[String, Int] =
       df.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
     case class FileStats(rows: Long,
-        lo: Map[Int, Array[Byte]], hi: Map[Int, Array[Byte]])
+        lo: Map[Int, Array[Byte]], hi: Map[Int, Array[Byte]],
+        nulls: Map[Int, Long])
     val stats: Map[String, FileStats] =
       if (dataFiles.isEmpty) Map.empty
       else {
@@ -863,20 +902,26 @@ object IcebergTable {
         val aggs = fcount(flit(1)).as("__n") +:
           statCols.zipWithIndex.flatMap { case (fld, i) =>
             Seq(fmin(fcol(fld.name)).as(s"__lo_$i"),
-              fmax(fcol(fld.name)).as(s"__hi_$i"))
+              fmax(fcol(fld.name)).as(s"__hi_$i"),
+              fcount(fcol(fld.name)).as(s"__nn_$i"))
           }
         spark.read.parquet(dataFiles.map(_.toString): _*)
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*).collect()
           .map { r =>
+            val rows = r.getLong(1)
             def boundMap(prefix: String): Map[Int, Array[Byte]] =
               statCols.zipWithIndex.flatMap { case (fld, i) =>
                 Option(r.get(r.fieldIndex(s"$prefix$i")))
                   .flatMap(v => IcebergBounds.encode(v, fld.dataType))
                   .map(nameToFieldId(fld.name) -> _)
               }.toMap
+            val nulls = statCols.zipWithIndex.map { case (fld, i) =>
+              nameToFieldId(fld.name) ->
+                (rows - r.getLong(r.fieldIndex(s"__nn_$i")))
+            }.toMap
             new Path(r.getString(0)).getName ->
-              FileStats(r.getLong(1), boundMap("__lo_"), boundMap("__hi_"))
+              FileStats(rows, boundMap("__lo_"), boundMap("__hi_"), nulls)
           }.toMap
       }
     val counts: Map[String, Long] =
@@ -911,6 +956,8 @@ object IcebergTable {
       stats.get(p.getName).foreach { s =>
         if (s.lo.nonEmpty) d.put("lower_bounds", boundsArray(dfSchema, "lower_bounds", s.lo))
         if (s.hi.nonEmpty) d.put("upper_bounds", boundsArray(dfSchema, "upper_bounds", s.hi))
+        if (s.nulls.nonEmpty) d.put("null_value_counts",
+          mapArray(dfSchema, "null_value_counts", s.nulls)(java.lang.Long.valueOf(_)))
       }
       if (spec.nonEmpty) d.put("partition", tupleRecord(tuples(i)))
       e.put("data_file", d)
@@ -926,6 +973,8 @@ object IcebergTable {
       d.put("file_size_in_bytes", cf.bytes)
       if (cf.lower.nonEmpty) d.put("lower_bounds", boundsArray(dfSchema, "lower_bounds", cf.lower))
       if (cf.upper.nonEmpty) d.put("upper_bounds", boundsArray(dfSchema, "upper_bounds", cf.upper))
+      if (cf.nulls.nonEmpty) d.put("null_value_counts",
+        mapArray(dfSchema, "null_value_counts", cf.nulls)(java.lang.Long.valueOf(_)))
       if (spec.nonEmpty) cf.tuple.foreach(tp => d.put("partition", tupleRecord(tp)))
       e.put("data_file", d)
       e
@@ -1323,7 +1372,9 @@ object IcebergTable {
           if (st.lowerBounds.size == st.dataFiles.size)
             st.lowerBounds(i) else Map.empty,
           if (st.upperBounds.size == st.dataFiles.size)
-            st.upperBounds(i) else Map.empty)
+            st.upperBounds(i) else Map.empty,
+          if (st.nullCounts.size == st.dataFiles.size)
+            st.nullCounts(i) else Map.empty)
       })
     (rewrite.size, keep.size)
   }

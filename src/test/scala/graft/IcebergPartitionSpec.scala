@@ -368,6 +368,33 @@ class IcebergPartitionSpec extends SparkSpec {
     assert(p6.dataFiles.size == 1, s"post-rewrite bounds kept ${p6.dataFiles.size}")
   }
 
+  test("null counts prune IS [NOT] NULL and all-null files") {
+    val t = fresh()
+    // file A: s never null; file B: s always null; file C: mixed
+    val a = spark.range(0, 100).select(col("id"), concat(lit("v"), col("id")).as("s"))
+    val b = spark.range(100, 200).select(col("id"), lit(null).cast("string").as("s"))
+    val c = spark.range(200, 300).select(col("id"),
+      when(col("id") % 2 === 0, concat(lit("v"), col("id"))).as("s"))
+    Seq(a, b, c).foreach(df =>
+      IcebergTable.writeAppend(spark, df.coalesce(1), t))
+    val st = IcebergTable.state(spark, t)
+    assert(st.dataFiles.size == 3)
+    assert(st.nullCounts.forall(_.nonEmpty))
+
+    val pNull = IcebergTable.pruneState(spark, st, col("s").isNull)
+    assert(pNull.dataFiles.size == 2, s"IS NULL kept ${pNull.dataFiles.size}") // B + C
+    val pNotNull = IcebergTable.pruneState(spark, st, col("s").isNotNull)
+    assert(pNotNull.dataFiles.size == 2, s"IS NOT NULL kept ${pNotNull.dataFiles.size}") // A + C
+    // a value atom can never match the all-null file
+    val pEq = IcebergTable.pruneState(spark, st, col("s") === "v50")
+    assert(pEq.dataFiles.size == 1, s"eq kept ${pEq.dataFiles.size}") // A only (bounds cut C)
+    import spark.implicits._
+    val got = IcebergTable.readPruned(spark, t, col("s").isNull)
+      .orderBy("id").select("id").as[Long].collect().toSeq
+    val want = (100L until 200L) ++ (200L until 300L).filter(_ % 2 == 1)
+    assert(got == want)
+  }
+
   test("pruned reads compose with merge-on-read deletes") {
     val t = fresh()
     val ev = Tables.events(spark, sfDir)
