@@ -35,6 +35,13 @@ object Multimodal {
   /** `n`-byte big-endian binary encoding of a non-negative int column. */
   private def beBytes(c: Column, n: Int): Column = unhex(lpad(hex(c), 2 * n, "0"))
 
+  /** `n`-byte little-endian binary encoding (RIFF/WAV fields): the
+    * big-endian hex's byte pairs re-concatenated in reverse order. */
+  private def leBytes(c: Column, n: Int): Column = {
+    val h = lpad(hex(c), 2 * n, "0")
+    unhex(concat((n - 1 to 0 by -1).map(i => substring(h, 2 * i + 1, 2)): _*))
+  }
+
   private val pngSig = Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
   /** PNG header length: 8 signature + 25 IHDR chunk (4 len + 4 tag +
     * 13 data + 4 crc). */
@@ -70,6 +77,80 @@ object Multimodal {
       beBytes(heightOf(docId), 2), beBytes(widthOf(docId), 2),
       lit(Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)),    // 3 components
       body.cast("binary"))
+  }
+
+  // audio fixture knobs, mirrored by the oracle the same way the image
+  // dimensions are: channel count and sample rate derive from doc_id
+  private def channelsOf(docId: Column): Column = (lit(1) + docId % 2).cast("int")
+  private def rateOf(docId: Column): Column = (lit(8000) * (lit(1) + docId % 3)).cast("int")
+
+  /** Spec-layout RIFF/WAVE payload whose `fmt ` chunk hides behind a
+    * VARIABLE-length LIST chunk — and that LIST's size is often ODD, so
+    * a correct reader must apply RIFF's even-padding rule (chunks start
+    * on even offsets; an odd-sized chunk is followed by one pad byte)
+    * or every later field lands one byte off. 16-bit PCM; the `data`
+    * chunk carries `body` verbatim (plus a final pad byte when odd,
+    * excluded from the recorded size — readers must honor the size, not
+    * the remaining bytes). */
+  def wavPayload(docId: Column, body: Column): Column = {
+    val listLen = (lit(5) + docId % 9).cast("int") // 5..13, odd sizes included
+    val listPad = (listLen % 2).cast("int")
+    val ch = channelsOf(docId)
+    val rate = rateOf(docId)
+    val data = body.cast("binary")
+    val dataLen = length(data)
+    val dataPad = (dataLen % 2).cast("int")
+    val pad = lit(Array[Byte](0))
+    val noPad = lit(Array.empty[Byte])
+    val riffSize = lit(4) + (lit(8) + listLen + listPad) + lit(24) +
+      (lit(8) + dataLen + dataPad)
+    concat(
+      lit("RIFF").cast("binary"), leBytes(riffSize, 4), lit("WAVE").cast("binary"),
+      lit("LIST").cast("binary"), leBytes(listLen, 4),
+      lit("INFO").cast("binary"),
+      expr("repeat('x', CAST(1 + doc_id % 9 AS INT))").cast("binary"), // listLen - 4
+      when(listPad === 1, pad).otherwise(noPad),
+      lit("fmt ").cast("binary"), leBytes(lit(16), 4),
+      leBytes(lit(1), 2),                    // PCM
+      leBytes(ch, 2),
+      leBytes(rate, 4),
+      leBytes(rate * ch * 2, 4),             // byte rate
+      leBytes(ch * 2, 2),                    // block align
+      leBytes(lit(16), 2),                   // bits per sample
+      lit("data").cast("binary"), leBytes(dataLen, 4), data,
+      when(dataPad === 1, pad).otherwise(noPad))
+  }
+
+  /** Parsed WAV fmt/data facts (-1s when undecodable). `dataLen` is the
+    * chunk's RECORDED size — the trailing pad byte of an odd chunk is
+    * not content. */
+  case class WavMeta(channels: Int, sampleRate: Int, bitDepth: Int,
+      dataStart: Int, dataLen: Int)
+
+  /** RIFF chunk walker: skips unknown chunks by their recorded size plus
+    * the even-padding byte, captures `fmt ` PCM fields (little-endian),
+    * stops at `data`. Pure byte code, shared by the batched extractor
+    * and the specs. */
+  def parseWavHeader(b: Array[Byte]): WavMeta = {
+    def u(i: Int) = b(i) & 0xFF
+    def le2(i: Int) = u(i) | (u(i + 1) << 8)
+    def le4(i: Int) = u(i) | (u(i + 1) << 8) | (u(i + 2) << 16) | (u(i + 3) << 24)
+    def tag(i: Int) = new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val bad = WavMeta(-1, -1, -1, -1, -1)
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return bad
+    var i = 12
+    var ch = -1; var rate = -1; var bits = -1
+    while (i + 8 <= b.length) {
+      val id = tag(i); val sz = le4(i + 4)
+      if (id == "fmt " && i + 24 <= b.length) {
+        ch = le2(i + 10); rate = le4(i + 12); bits = le2(i + 22)
+      } else if (id == "data") {
+        return if (ch < 0 || i + 8 + sz > b.length) bad
+        else WavMeta(ch, rate, bits, i + 8, sz)
+      }
+      i += 8 + sz + (sz & 1) // RIFF even-padding rule
+    }
+    bad
   }
 
   /** Parsed header: format, width, height, and the offset where the
@@ -125,6 +206,63 @@ object Multimodal {
           meta.width, meta.height, meta.format)
       }
     }
+  }
+
+  case class AudioFeatures(doc_id: Long, format: String, channels: Int,
+      sample_rate: Int, bit_depth: Int, n_samples: Long, duration_ms: Long,
+      data_md5: String)
+
+  /** Batched WAV extraction — same decoder slot as [[extractBatched]]:
+    * one digest per partition, iterator-to-iterator. Sample count and
+    * duration are integer arithmetic over the chunk facts; the body
+    * digest reads exactly `dataLen` bytes (a trailing RIFF pad byte must
+    * not leak into content). */
+  def extractAudioBatched(assets: org.apache.spark.sql.Dataset[Asset])
+      : org.apache.spark.sql.Dataset[AudioFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        val m = parseWavHeader(a.payload)
+        if (m.channels < 0)
+          AudioFeatures(a.doc_id, "unknown", -1, -1, -1, -1L, -1L, "")
+        else {
+          val frame = m.channels * (m.bitDepth / 8)
+          val nSamples = if (frame > 0) m.dataLen.toLong / frame else -1L
+          val durMs = if (m.sampleRate > 0) nSamples * 1000L / m.sampleRate else -1L
+          md.reset()
+          val body = java.util.Arrays.copyOfRange(
+            a.payload, m.dataStart, m.dataStart + m.dataLen)
+          AudioFeatures(a.doc_id, "wav", m.channels, m.sampleRate, m.bitDepth,
+            nSamples, durMs, md.digest(body).map(b => f"$b%02x").mkString)
+        }
+      }
+    }
+  }
+
+  /** Audio decode through the batched parser: every field below comes
+    * from WALKING the RIFF chunk chain (variable-length LIST before
+    * `fmt `, odd sizes forcing the even-padding rule) — the oracle
+    * recomputes channels/rate from the doc_id knobs and the digest from
+    * the text, so a mis-stepped walk or a pad byte leaking into the
+    * data chunk hash-mismatches. */
+  val qAudio: QueryDef = QueryDef.sql(
+    "q_multimodal_audio",
+    """SELECT doc_id, 'wav' AS format,
+      |  CAST(1 + doc_id % 2 AS INT) AS channels,
+      |  CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+      |  CAST(16 AS INT) AS bit_depth,
+      |  octet_length(encode(text)) // (2 * (1 + doc_id % 2)) AS n_samples,
+      |  octet_length(encode(text)) // (2 * (1 + doc_id % 2)) * 1000
+      |    // (8000 * (1 + doc_id % 3)) AS duration_ms,
+      |  md5(text) AS data_md5
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val assets = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        wavPayload(col("doc_id"), col("text")).as("payload"))
+      .as[Asset]
+    extractAudioBatched(assets).toDF()
   }
 
   /** Documents as PNG assets — shared fixture frame. */
@@ -230,5 +368,5 @@ object Multimodal {
           md5(lower(hex(col("frame_bytes")))).as("frame_md5"))
   }
 
-  val all: Seq[QueryDef] = Seq(qFeatures, qDecode, qFrames)
+  val all: Seq[QueryDef] = Seq(qFeatures, qDecode, qFrames, qAudio)
 }

@@ -427,7 +427,34 @@ object Sampling {
     }
   }
 
+  /** JSONL corpus interchange: write the documents as JSON Lines (the
+    * lingua franca between curation stages and training launchers), read
+    * them back under an EXPLICIT schema (inference would be a second
+    * full scan — never pay it at corpus scale), and aggregate per
+    * source. The oracle computes the same aggregates straight from
+    * parquet, so any fidelity loss through the text encode→escape→parse
+    * round trip (newlines, quotes, unicode, null fields) changes an md5
+    * and hash-mismatches. Export and re-read are both full-parallel:
+    * one JSONL part per input partition, no coalesce, no driver data. */
+  val qJsonlRoundtrip: QueryDef = QueryDef.sql(
+    "q_corpus_jsonl",
+    """SELECT source, count(*) AS n_docs,
+      |  min(md5(text)) AS min_md5, max(md5(text)) AS max_md5,
+      |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+      |FROM documents GROUP BY source""".stripMargin) { (spark, dir) =>
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-q-").toString
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text", "lang", "source")
+    docs.write.mode("overwrite").json(out)
+    spark.read.schema(docs.schema).json(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        min(md5(col("text").cast("binary"))).as("min_md5"),
+        max(md5(col("text").cast("binary"))).as("max_md5"),
+        sum(length(col("text").cast("binary"))).cast("long").as("total_bytes"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(qSplit, qPacking, qStratified, qTemperature, qChunking, qCorpusMix,
-      qBudget, qShuffleShard, qDomainCap, qDiversity)
+      qBudget, qShuffleShard, qDomainCap, qDiversity, qJsonlRoundtrip)
 }

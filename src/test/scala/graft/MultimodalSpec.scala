@@ -52,6 +52,51 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseHeader(Array(0xFF, 0xD8, 0x00).map(_.toByte)).width == -1)
   }
 
+  test("WAV parse walks LIST-before-fmt chunks with the even-padding rule") {
+    def le2(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le4(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def chunk(id: String, content: Array[Byte]) =
+      id.getBytes ++ le4(content.length) ++ content ++
+        (if (content.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def fmt(ch: Int, rate: Int, bits: Int) =
+      le2(1) ++ le2(ch) ++ le4(rate) ++ le4(rate * ch * bits / 8) ++
+        le2(ch * bits / 8) ++ le2(bits)
+    // ODD-size LIST (7) before fmt: a walker without the pad rule lands
+    // one byte off and never finds `fmt `
+    val body = "0123456789abc".getBytes // odd length too
+    val inner = chunk("LIST", "INFOxxx".getBytes) ++
+      chunk("fmt ", fmt(2, 16000, 16)) ++ chunk("data", body)
+    val wav = "RIFF".getBytes ++ le4(4 + inner.length) ++ "WAVE".getBytes ++ inner
+    val m = Multimodal.parseWavHeader(wav)
+    assert((m.channels, m.sampleRate, m.bitDepth, m.dataLen) == (2, 16000, 16, 13))
+    assert(new String(wav.slice(m.dataStart, m.dataStart + m.dataLen)) == "0123456789abc")
+    // the recorded size, not the remaining bytes, bounds the data chunk:
+    // the final pad byte is not content
+    assert(wav.length == m.dataStart + m.dataLen + 1)
+
+    // undecodable inputs degrade, never throw
+    assert(Multimodal.parseWavHeader("RIFFxxxxNOPE".getBytes).channels == -1)
+    assert(Multimodal.parseWavHeader(Array[Byte](1, 2, 3)).channels == -1)
+    // data before any fmt: refused (fields would be garbage)
+    val orphan = "RIFF".getBytes ++ le4(16) ++ "WAVE".getBytes ++ chunk("data", body)
+    assert(Multimodal.parseWavHeader(orphan).channels == -1)
+  }
+
+  test("columnar WAV builder round-trips through the batched extractor") {
+    val feats = SparkEntry.queries("q_multimodal_audio")(spark, sfDir)
+      .orderBy("doc_id").limit(64).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "wav", s"doc $id format")
+      assert(r.getInt(2) == (1 + id % 2).toInt, s"doc $id channels")
+      assert(r.getInt(3) == (8000 * (1 + id % 3)).toInt, s"doc $id rate")
+      assert(r.getInt(4) == 16, s"doc $id bits")
+      assert(r.getLong(5) >= 0 && r.getLong(6) >= 0, s"doc $id counts")
+    }
+  }
+
   test("columnar payload builders emit headers the parser round-trips") {
     val rows = Tables.documents(spark, sfDir).limit(50)
       .select(col("doc_id"),
