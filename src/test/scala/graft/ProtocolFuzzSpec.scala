@@ -22,9 +22,11 @@ class ProtocolFuzzSpec extends SparkSpec {
 
   private type R = (Long, String, Double)
 
-  private def run(seed: Int, partitioned: Boolean): Unit = {
+  private def run(seed: Int, partitioned: Boolean,
+      cloneFirst: Boolean = false): Unit = {
     val rnd = new scala.util.Random(seed)
-    val t = Files.createTempDirectory(s"graft-fuzz-$seed-").toString + "/t"
+    val base = Files.createTempDirectory(s"graft-fuzz-$seed-").toString
+    val src = base + "/t"
     val segs = Vector("A", "B", "C", "D")
     var nextKey = 0L
     def batch(n: Int): Seq[R] = (1 to n).map { _ =>
@@ -38,10 +40,18 @@ class ProtocolFuzzSpec extends SparkSpec {
     val versionModels = scala.collection.mutable.LinkedHashMap[Long, Vector[R]]()
 
     val rows0 = batch(8)
-    val v0 = DeltaLog.write(spark, df(rows0), t,
+    DeltaLog.write(spark, df(rows0), src,
       partitionBy = if (partitioned) Seq("seg") else Seq.empty)
     model = rows0.toVector
-    versionModels(v0) = model
+    // cloneFirst: every subsequent op runs against a SHALLOW CLONE; the
+    // source must come out of the whole fuzz byte-identical
+    val t = if (!cloneFirst) src else {
+      val c = base + "/clone"
+      versionModels(DeltaLog.cloneShallow(spark, src, c)) = model
+      c
+    }
+    if (!cloneFirst)
+      versionModels(DeltaLog.latestVersion(spark, t).getOrElse(0L)) = model
 
     def check(ctx: String): Unit = {
       val got = DeltaLog.read(spark, t).select("k", "seg", "amt")
@@ -126,8 +136,21 @@ class ProtocolFuzzSpec extends SparkSpec {
       assert(got == m.sorted,
         s"time travel to v$ver diverged (seed=$seed partitioned=$partitioned)")
     }
+
+    // the fuzzed clone never wrote through to its source
+    if (cloneFirst) {
+      val srcGot = DeltaLog.read(spark, src).select("k", "seg", "amt")
+        .as[R].collect().toVector.sorted
+      assert(srcGot == rows0.toVector.sorted,
+        s"clone fuzz mutated the SOURCE table (seed=$seed)")
+      assert(DeltaLog.latestVersion(spark, src).contains(0L),
+        s"clone fuzz committed to the SOURCE log (seed=$seed)")
+    }
   }
 
   test("seeded mixed-op fuzz vs model: unpartitioned") { run(101, partitioned = false) }
   test("seeded mixed-op fuzz vs model: partitioned by seg") { run(202, partitioned = true) }
+  test("seeded mixed-op fuzz on a SHALLOW CLONE: source stays untouched") {
+    run(303, partitioned = false, cloneFirst = true)
+  }
 }
