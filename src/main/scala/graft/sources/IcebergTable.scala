@@ -231,15 +231,204 @@ object IcebergTable {
     else new Path(table, p).toString
   }
 
-  /** Table state at `snapshotId` (default: current), or `asOfMillis`
-    * resolved through the snapshot-log. */
-  def state(spark: SparkSession, table: String,
-      snapshotId: Option[Long] = None,
-      asOfMillis: Option[Long] = None): State = {
+  /** One manifest entry as a DISTRIBUTED-frame row — the Iceberg
+    * analogue of [[DeltaLog]]'s file frame. `content` 0 = data,
+    * 1 = position deletes, 2 = equality deletes. Partition values ride
+    * stringified (decoded back by each spec field's result type at
+    * pruning time); bounds/null-counts key by schema field id. */
+  private[graft] case class IceEntry(
+      path: String, content: Int, seq: Long, recordCount: Long,
+      fileSize: Long, specId: Int,
+      hasPartition: Boolean, partition: Seq[String],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      nullCounts: Map[Int, Long], equalityIds: Seq[Int])
+
+  /** [[avroEntries]] from a bare Hadoop conf — the executor-side form
+    * (tasks get their FileSystem from a broadcast conf, never from the
+    * driver's session). */
+  private def avroEntriesConf(conf: org.apache.hadoop.conf.Configuration,
+      p: Path): Seq[GenericRecord] =
+    avroEntries(p.getFileSystem(conf), p)
+
+  /** Parse ONE manifest's live entries — pure, executor-safe. */
+  private def parseManifestEntries(
+      conf: org.apache.hadoop.conf.Configuration, table: String,
+      manifestPath: String, manifestSeq: Long, manifestSpecId: Int,
+      specFieldNames: Map[Int, Seq[String]]): Seq[IceEntry] = {
+    val fieldNames = specFieldNames.getOrElse(manifestSpecId, Seq.empty)
+    def boundsOf(d: GenericRecord, field: String): Map[Int, Array[Byte]] =
+      Option(d.get(field)) match {
+        case Some(arr: java.util.Collection[_]) =>
+          arr.asScala.collect { case r: GenericRecord =>
+            val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+            val bytes = new Array[Byte](bb.remaining())
+            bb.duplicate().get(bytes)
+            r.get("key").asInstanceOf[Number].intValue() -> bytes
+          }.toMap
+        case _ => Map.empty
+      }
+    avroEntriesConf(conf, new Path(manifestPath)).flatMap { e =>
+      if (lng(e, "status").getOrElse(0L) == 2L) None // DELETED entry
+      else {
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        val fmt = str(df, "file_format").getOrElse("PARQUET")
+        require(fmt.equalsIgnoreCase("parquet"),
+          s"non-parquet Iceberg file ($fmt) in $table")
+        val p = resolve(table,
+          str(df, "file_path").getOrElse(sys.error("file_path missing")))
+        val seq = lng(e, "sequence_number").getOrElse(manifestSeq)
+        val rc = lng(df, "record_count").getOrElse(0L)
+        val fsz = lng(df, "file_size_in_bytes").getOrElse(0L)
+        lng(df, "content").getOrElse(0L) match {
+          case 0L =>
+            val (hasPart, part) =
+              if (fieldNames.isEmpty) (false, Seq.empty[String])
+              else Option(df.get("partition")) match {
+                case Some(r: GenericRecord) =>
+                  (true, fieldNames.map { n =>
+                    r.get(n) match { case null => null; case v => v.toString }
+                  })
+                case _ => (false, Seq.empty[String])
+              }
+            val nulls = Option(df.get("null_value_counts")) match {
+              case Some(arr: java.util.Collection[_]) =>
+                arr.asScala.collect { case r: GenericRecord =>
+                  r.get("key").asInstanceOf[Number].intValue() ->
+                    r.get("value").asInstanceOf[Number].longValue()
+                }.toMap
+              case _ => Map.empty[Int, Long]
+            }
+            Some(IceEntry(p, 0, seq, rc, fsz, manifestSpecId, hasPart, part,
+              boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"),
+              nulls, Seq.empty))
+          case 1L =>
+            Some(IceEntry(p, 1, seq, rc, fsz, manifestSpecId, hasPartition = false,
+              Seq.empty, Map.empty, Map.empty, Map.empty, Seq.empty))
+          case 2L =>
+            val ids = Option(df.get("equality_ids")) match {
+              case Some(l: java.util.Collection[_]) =>
+                l.asScala.toSeq.map(_.toString.toInt)
+              case _ => Seq.empty[Int]
+            }
+            require(ids.nonEmpty,
+              s"equality-delete file without equality_ids in $table")
+            Some(IceEntry(p, 2, seq, rc, fsz, manifestSpecId, hasPartition = false,
+              Seq.empty, Map.empty, Map.empty, Map.empty, ids))
+          case other =>
+            sys.error(s"unknown Iceberg file content=$other in $table")
+        }
+      }
+    }
+  }
+
+  /** The snapshot's manifest entries as a DISTRIBUTED Dataset: the
+    * driver reads only the manifest LIST (O(manifests) rows — Iceberg's
+    * own default sizing keeps a 10⁶-file table around 10³ manifests);
+    * the per-manifest avro parse fans out to executors. File-level
+    * state never sits on the driver — the same scale rule as
+    * [[DeltaLog.Snapshot.allFiles]]. */
+  private[graft] def entriesOf(spark: SparkSession, table: String,
+      root: ObjectNode, snap: com.fasterxml.jackson.databind.JsonNode)
+      : org.apache.spark.sql.Dataset[IceEntry] = {
+    import spark.implicits._
     val f = fs(spark, table)
-    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
-      .asInstanceOf[ObjectNode]
-    val fv = root.path("format-version").asInt(1)
+    val listPath = new Path(resolve(table, snap.get("manifest-list").asText()))
+    val refs: Seq[(String, Long, Int)] = avroEntries(f, listPath).map { m =>
+      (resolve(table, str(m, "manifest_path")
+        .getOrElse(sys.error("manifest_path missing"))),
+        lng(m, "sequence_number").getOrElse(0L),
+        lng(m, "partition_spec_id").getOrElse(0L).toInt)
+    }
+    if (refs.isEmpty) return spark.emptyDataset[IceEntry]
+    val specFieldNames: Map[Int, Seq[String]] =
+      specsById(root).map { case (id, fds) => id -> fds.map(_.name) }
+    val tableStr = table
+    val bc = spark.sparkContext.broadcast(
+      new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    spark.createDataset(refs)
+      .repartition(math.max(1,
+        math.min(refs.size, spark.sparkContext.defaultParallelism)))
+      .flatMap { case (mp, mseq, mspec) =>
+        parseManifestEntries(bc.value.value, tableStr, mp, mseq, mspec,
+          specFieldNames)
+      }
+  }
+
+  /** Decode a stringified manifest partition value back to the type the
+    * spec field's transform produces. */
+  private def decodePv(s: String, dt: DataType): Any =
+    if (s == null) null
+    else dt match {
+      case IntegerType | DateType => s.toInt
+      case LongType | TimestampType | TimestampNTZType => s.toLong
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case BooleanType => s.toBoolean
+      case ShortType => s.toShort
+      case ByteType => s.toByte
+      case _ => s
+    }
+
+  /** Can this file possibly hold a row satisfying every atom? The ONE
+    * keep-decision shared by the driver-side [[pruneState]] (the spec
+    * API) and the distributed pruning filter in [[readPruned]] — the
+    * two can never disagree. Empty maps / absent tuples mean "no info":
+    * keep, never prune blind. */
+  private[graft] def keepFile(
+      ats: Seq[IcebergPartition.Atom], schema: StructType,
+      nameToId: Map[String, Int],
+      allSpecs: Map[Int, Seq[IcebergPartition.Field]],
+      srcTypes: Map[Int, Seq[DataType]],
+      specId: Int, partition: Option[Seq[Any]],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      nullCounts: Map[Int, Long], recordCount: Long): Boolean = {
+    val partOk = partition match {
+      case Some(tup) =>
+        val fields = allSpecs.getOrElse(specId, Seq.empty)
+        val types = srcTypes.getOrElse(specId, Seq.empty)
+        if (fields.isEmpty || tup.size != fields.size ||
+          types.size != fields.size) true
+        else fields.indices.forall { j =>
+          ats.forall(a =>
+            IcebergPartition.mightMatch(fields(j), types(j), tup(j), a))
+        }
+      case None => true
+    }
+    val boundsOk = !partOk || ats.forall { a =>
+      nameToId.get(a.source) match {
+        case Some(id) =>
+          val lo = lower.get(id)
+          val hi = upper.get(id)
+          if (lo.isEmpty && hi.isEmpty) true
+          else {
+            val dt = schema(a.source).dataType
+            IcebergBounds.mightMatch(a,
+              lo.flatMap(IcebergBounds.decode(_, dt)),
+              hi.flatMap(IcebergBounds.decode(_, dt)))
+          }
+        case None => true
+      }
+    }
+    val nullsOk = !partOk || !boundsOk || ats.forall { a =>
+      nameToId.get(a.source).flatMap(nullCounts.get) match {
+        case Some(nc) => a match {
+          case IcebergPartition.NullCheck(_, true) => nc > 0
+          case IcebergPartition.NullCheck(_, false) =>
+            nc < recordCount || recordCount == 0L
+          case _ => nc < recordCount || recordCount == 0L
+        }
+        case None => true
+      }
+    }
+    partOk && boundsOk && nullsOk
+  }
+
+  /** Resolve the snapshot node for `snapshotId` (default: current) or
+    * `asOfMillis` (through the snapshot-log) — shared by [[state]] and
+    * the distributed [[entriesOf]] path. */
+  private def resolveSnapshotNode(table: String, root: ObjectNode,
+      snapshotId: Option[Long],
+      asOfMillis: Option[Long]): com.fasterxml.jackson.databind.JsonNode = {
     val snaps = root.path("snapshots").elements().asScala.toSeq
     require(snaps.nonEmpty, s"Iceberg table $table has no snapshots")
     val wantId = (snapshotId, asOfMillis) match {
@@ -252,8 +441,28 @@ object IcebergTable {
           .get("snapshot-id").asLong()
       case _ => root.get("current-snapshot-id").asLong()
     }
-    val snap = snaps.find(_.get("snapshot-id").asLong() == wantId)
+    snaps.find(_.get("snapshot-id").asLong() == wantId)
       .getOrElse(sys.error(s"snapshot $wantId not in $table metadata"))
+  }
+
+  /** Table state at `snapshotId` (default: current), or `asOfMillis`
+    * resolved through the snapshot-log.
+    *
+    * DRIVER-SIDE: holds O(live files) Seqs. This is the MAINTENANCE
+    * surface (rewrite/expire/convert scope decisions and the pruning
+    * spec API); the read path — [[read]], [[readPruned]],
+    * [[countRows]], [[deleteWhere]], the `files` inspection table —
+    * goes through the DISTRIBUTED [[entriesOf]] frame instead and never
+    * materializes the file list on the driver. */
+  def state(spark: SparkSession, table: String,
+      snapshotId: Option[Long] = None,
+      asOfMillis: Option[Long] = None): State = {
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val fv = root.path("format-version").asInt(1)
+    val snap = resolveSnapshotNode(table, root, snapshotId, asOfMillis)
+    val wantId = snap.get("snapshot-id").asLong()
     val listPath = new Path(resolve(table, snap.get("manifest-list").asText()))
 
     val files = Seq.newBuilder[String]
@@ -375,8 +584,14 @@ object IcebergTable {
     *     broadcast (path, seq) frame: O(files) rows, never data. */
   def read(spark: SparkSession, table: String,
       snapshotId: Option[Long] = None,
-      asOfMillis: Option[Long] = None): DataFrame =
-    readState(spark, table, state(spark, table, snapshotId, asOfMillis))
+      asOfMillis: Option[Long] = None): DataFrame = {
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snap = resolveSnapshotNode(table, root, snapshotId, asOfMillis)
+    readFromEntries(spark, table, resolveSchema(root), schemaFieldIds(root),
+      entriesOf(spark, table, root, snap))
+  }
 
   /** Read under a predicate with HIDDEN-PARTITION pruning: data files
     * whose manifest partition tuple provably cannot satisfy the
@@ -388,9 +603,49 @@ object IcebergTable {
       predicate: org.apache.spark.sql.Column,
       snapshotId: Option[Long] = None,
       asOfMillis: Option[Long] = None): DataFrame = {
-    val st = pruneState(spark,
-      state(spark, table, snapshotId, asOfMillis), predicate)
-    readState(spark, table, st).where(predicate)
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snap = resolveSnapshotNode(table, root, snapshotId, asOfMillis)
+    val schema = resolveSchema(root)
+    val entries = entriesOf(spark, table, root, snap)
+    readFromEntries(spark, table, schema, schemaFieldIds(root),
+      pruneEntries(spark, root, schema, entries, predicate))
+      .where(predicate)
+  }
+
+  /** Distributed pruning: the [[keepFile]] decision as a filter over
+    * the entries frame — atoms, specs, and field-id maps are tiny and
+    * ship in the closure; only SURVIVORS' paths ever reach the driver
+    * (inside [[readFromEntries]]'s chunked collect). Delete entries
+    * always pass (a delete file scopes by sequence number, not by
+    * partition tuple). */
+  private def pruneEntries(spark: SparkSession, root: ObjectNode,
+      schema: StructType,
+      entries: org.apache.spark.sql.Dataset[IceEntry],
+      predicate: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Dataset[IceEntry] = {
+    val ats = atomsOf(spark, schema, predicate)
+    if (ats.isEmpty) return entries
+    val allSpecs = specsById(root)
+    val srcTypes: Map[Int, Seq[DataType]] = allSpecs.map { case (id, fds) =>
+      id -> fds.map(f => schema(f.source).dataType)
+    }
+    val resTypes: Map[Int, Seq[DataType]] = allSpecs.map { case (id, fds) =>
+      id -> fds.zip(srcTypes(id)).map { case (fl, st2) =>
+        IcebergPartition.resultType(fl.transform, st2)
+      }
+    }
+    val nameToId: Map[String, Int] = schemaFieldIds(root).map(_.swap)
+    entries.filter { e =>
+      e.content != 0 || keepFile(ats, schema, nameToId, allSpecs, srcTypes,
+        e.specId,
+        partition =
+          if (!e.hasPartition) None
+          else Some(e.partition.zip(resTypes.getOrElse(e.specId, Seq.empty))
+            .map { case (s, dt) => decodePv(s, dt) }),
+        e.lower, e.upper, e.nullCounts, e.recordCount)
+    }
   }
 
   /** Drop data files whose partition tuple rules out every row under
@@ -399,6 +654,18 @@ object IcebergTable {
     * schema through the analyzer (an empty frame), so the atoms see
     * coerced `EqualTo(attr, Literal)` shapes — the [[DeltaLog]] zone-map
     * pruner's technique. */
+  private def atomsOf(spark: SparkSession, schema: StructType,
+      predicate: org.apache.spark.sql.Column): Seq[IcebergPartition.Atom] = {
+    val analyzed = spark
+      .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+      .where(predicate).queryExecution.analyzed
+    analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        IcebergPartition.atoms(f.condition)
+    }.flatten
+  }
+
   private[graft] def pruneState(spark: SparkSession, st: State,
       predicate: org.apache.spark.sql.Column): State = {
     val hasTuples = st.partitionTuples.size == st.dataFiles.size &&
@@ -407,64 +674,22 @@ object IcebergTable {
     val hasBounds = st.lowerBounds.size == st.dataFiles.size &&
       st.upperBounds.size == st.dataFiles.size
     if (!hasTuples && !hasBounds) return st
-    val analyzed = spark
-      .createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        st.schema)
-      .where(predicate).queryExecution.analyzed
-    val ats = analyzed.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        IcebergPartition.atoms(f.condition)
-    }.flatten
+    val ats = atomsOf(spark, st.schema, predicate)
     if (ats.isEmpty) return st
     // evolution: each file prunes under the spec IT was written with
     val srcTypes: Map[Int, Seq[DataType]] = st.allSpecs.map { case (id, fds) =>
       id -> fds.map(f => st.schema(f.source).dataType)
     }
     val nameToId: Map[String, Int] = st.fieldNamesById.map(_.swap)
+    val hasNulls = st.nullCounts.size == st.dataFiles.size
     val keep = st.dataFiles.indices.filter { i =>
-      val partOk = !hasTuples || {
-        val fields = st.allSpecs.getOrElse(st.fileSpecIds(i), Seq.empty)
-        st.partitionTuples(i) match {
-          case Some(tup) if fields.nonEmpty && tup.size == fields.size =>
-            fields.indices.forall { j =>
-              ats.forall(a => IcebergPartition.mightMatch(
-                fields(j), srcTypes(st.fileSpecIds(i))(j), tup(j), a))
-            }
-          case _ => true
-        }
-      }
-      // column bounds skip on ANY column, partitioned or not
-      val boundsOk = !partOk || !hasBounds || ats.forall { a =>
-        nameToId.get(a.source) match {
-          case Some(id) =>
-            val lo = st.lowerBounds(i).get(id)
-            val hi = st.upperBounds(i).get(id)
-            if (lo.isEmpty && hi.isEmpty) true
-            else {
-              val dt = st.schema(a.source).dataType
-              IcebergBounds.mightMatch(a,
-                lo.flatMap(IcebergBounds.decode(_, dt)),
-                hi.flatMap(IcebergBounds.decode(_, dt)))
-            }
-          case None => true
-        }
-      }
-      // null counts: IS [NOT] NULL, and all-null files under value atoms
-      val hasNulls = st.nullCounts.size == st.dataFiles.size
-      val nullsOk = !partOk || !boundsOk || !hasNulls || ats.forall { a =>
-        nameToId.get(a.source).flatMap(st.nullCounts(i).get) match {
-          case Some(nc) =>
-            val rows = st.fileRecordCounts.lift(i).getOrElse(0L)
-            a match {
-              case IcebergPartition.NullCheck(_, true) => nc > 0
-              case IcebergPartition.NullCheck(_, false) => nc < rows || rows == 0L
-              // a value comparison can only match a non-null row
-              case _ => nc < rows || rows == 0L
-            }
-          case None => true
-        }
-      }
-      partOk && boundsOk && nullsOk
+      keepFile(ats, st.schema, nameToId, st.allSpecs, srcTypes,
+        specId = if (hasTuples) st.fileSpecIds(i) else st.defaultSpecId,
+        partition = if (hasTuples) st.partitionTuples(i) else None,
+        lower = if (hasBounds) st.lowerBounds(i) else Map.empty,
+        upper = if (hasBounds) st.upperBounds(i) else Map.empty,
+        nullCounts = if (hasNulls) st.nullCounts(i) else Map.empty,
+        recordCount = st.fileRecordCounts.lift(i).getOrElse(0L))
     }
     st.copy(
       dataFiles = keep.map(st.dataFiles),
@@ -484,6 +709,96 @@ object IcebergTable {
         if (st.nullCounts.size == st.dataFiles.size) keep.map(st.nullCounts)
         else st.nullCounts,
       recordCount = keep.map(st.fileRecordCounts).sum)
+  }
+
+  /** Read from the DISTRIBUTED entries frame — the scale path behind
+    * [[read]]/[[readPruned]]. Data-file paths reach the driver only in
+    * bounded chunks (`spark.graft.read.maxEntriesPerChunk`, the
+    * [[DeltaLog.readSnapshotChunked]] rule): one multi-file relation
+    * per chunk, unioned by name, so an unfiltered SELECT * over a
+    * 10⁶-file table never holds every path at once — and the common
+    * one-chunk case produces exactly the single-relation plan. Delete
+    * FILES (position/equality) collect like [[DeltaLog]]'s DV
+    * descriptors: O(delete files), never row-level. The (path, seq)
+    * frame that scopes equality deletes stays a DataFrame end to end. */
+  private def readFromEntries(spark: SparkSession, table: String,
+      schema: StructType, fieldNamesById: Map[Int, String],
+      entries: org.apache.spark.sql.Dataset[IceEntry]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val data = entries.filter(_.content == 0)
+    val dels = entries.filter(_.content != 0)
+      .map(e => (e.content, e.path, e.seq, e.equalityIds)).collect()
+    val posDeletes: Seq[(String, Long)] =
+      dels.collect { case (1, p, s, _) => (p, s) }.toSeq
+    val eqDeletes: Seq[(String, Long, Seq[Int])] =
+      dels.collect { case (2, p, s, ids) => (p, s, ids) }.toSeq
+
+    val chunkSize = spark.conf.getOption("spark.graft.read.maxEntriesPerChunk")
+      .map(_.toInt).getOrElse(200000)
+    require(chunkSize > 0, "spark.graft.read.maxEntriesPerChunk must be > 0")
+    val pframe = data.map(_.path).toDF("path")
+    val head = pframe.limit(chunkSize + 1).collect().map(_.getString(0))
+    val pathChunks: Seq[Seq[String]] =
+      if (head.length <= chunkSize) {
+        if (head.isEmpty) Seq.empty else Seq(head.toSeq)
+      } else {
+        val n = pframe.count()
+        val parts = math.max(1L, (n + chunkSize - 1) / chunkSize).toInt
+        val it = pframe.repartition(parts).toLocalIterator()
+        val chunks = Seq.newBuilder[Seq[String]]
+        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) {
+          buf += it.next().getString(0)
+          if (buf.size >= chunkSize) { chunks += buf.toSeq; buf.clear() }
+        }
+        if (buf.nonEmpty) chunks += buf.toSeq
+        chunks.result()
+      }
+    if (pathChunks.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val names = schema.fieldNames.toIndexedSeq.map(col)
+    if (posDeletes.isEmpty && eqDeletes.isEmpty)
+      return pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*))
+        .reduce(_ unionByName _).select(names: _*)
+    // scheme-insensitive path normalization: manifests may record
+    // file:/, file:///, or bare paths for the same file
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    var df = pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
+        .select(col("*"),
+          norm(col("_metadata.file_path")).as("__fp"),
+          col("_metadata.row_index").as("__ri")))
+      .reduce(_ unionByName _)
+    if (posDeletes.nonEmpty) {
+      val pdels = spark.read.parquet(posDeletes.map(_._1): _*)
+        .select(norm(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
+      df = df.join(pdels,
+        col("__fp") === col("__dfp") && col("__ri") === col("__dpos"),
+        "left_anti")
+    }
+    if (eqDeletes.nonEmpty) {
+      // each data row learns its file's sequence number from the
+      // DISTRIBUTED (path, seq) frame — never a driver Seq
+      val seqDf = data.map(e => (e.path, e.seq)).toDF("__sp", "__dseq")
+        .withColumn("__sp", norm(col("__sp")))
+      df = df.join(broadcast(seqDf), col("__fp") === col("__sp")).drop("__sp")
+      // one anti-join per distinct equality-id set (typically one)
+      eqDeletes.groupBy(_._3).foreach { case (ids, dfs) =>
+        val cols = ids.map(id => fieldNamesById.getOrElse(id,
+          sys.error(s"equality-delete field id $id not in $table schema")))
+        val delRows = dfs.map { case (p, seq, _) =>
+          spark.read.parquet(p)
+            .select(cols.map(n => col(n).as(s"__eq_$n")) :+
+              lit(seq).as("__eseq"): _*)
+        }.reduce(_ unionByName _)
+        val cond = cols.map(n => col(n) <=> col(s"__eq_$n"))
+          .reduce(_ && _) && col("__dseq") < col("__eseq")
+        df = df.join(delRows, cond, "left_anti")
+      }
+    }
+    df.select(names: _*)
   }
 
   private def readState(spark: SparkSession, table: String, st: State): DataFrame = {
@@ -536,8 +851,21 @@ object IcebergTable {
     * merge-on-read deletes exist; one distributed count otherwise (the
     * manifests alone cannot say how many rows the deletes suppress). */
   def countRows(spark: SparkSession, table: String): Long = {
-    val st = state(spark, table)
-    if (st.hasDeletes) read(spark, table).count() else st.recordCount
+    import org.apache.spark.sql.functions._
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snap = resolveSnapshotNode(table, root, None, None)
+    // one distributed aggregation over the entries frame: record count
+    // and delete-file presence in the same pass
+    val agg = entriesOf(spark, table, root, snap).toDF()
+      .agg(
+        sum(when(col("content") === 0, col("recordCount")).otherwise(0L)),
+        sum(when(col("content") =!= 0, 1L).otherwise(0L)))
+      .collect()(0)
+    val rows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    val delFiles = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    if (delFiles > 0) read(spark, table).count() else rows
   }
 
   /** Iceberg's inspection ("metadata") tables — `snapshots`, `history`,
@@ -597,35 +925,19 @@ object IcebergTable {
           }.toDF("content", "path", "length", "partition_spec_id",
             "sequence_number", "added_snapshot_id")
       case "files" =>
-        val st = state(spark, table)
-        val currentId = root.get("current-snapshot-id").asLong()
-        val snap = snaps.find(_.get("snapshot-id").asLong() == currentId)
-          .getOrElse(sys.error(s"current snapshot $currentId missing"))
-        val rows = Seq.newBuilder[(Int, String, String, Long, Long, Map[String, String])]
-        avroEntries(f,
-          new Path(resolve(table, snap.get("manifest-list").asText()))).foreach { m =>
-          val mPath = new Path(resolve(table, str(m, "manifest_path").get))
-          val mSpec = st.allSpecs.getOrElse(
-            lng(m, "partition_spec_id").getOrElse(0L).toInt, st.specFields)
-          avroEntries(f, mPath).foreach { e =>
-            if (lng(e, "status").getOrElse(0L) != 2L) {
-              val d = e.get("data_file").asInstanceOf[GenericRecord]
-              val part: Map[String, String] = Option(d.get("partition")) match {
-                case Some(r: GenericRecord) => mSpec.flatMap { fld =>
-                  Option(r.get(fld.name)).map(v => fld.name -> v.toString)
-                }.toMap
-                case _ => Map.empty
-              }
-              rows += ((lng(d, "content").getOrElse(0L).toInt,
-                resolve(table, str(d, "file_path").getOrElse("")),
-                str(d, "file_format").getOrElse("PARQUET"),
-                lng(d, "record_count").getOrElse(0L),
-                lng(d, "file_size_in_bytes").getOrElse(0L),
-                part))
-            }
-          }
-        }
-        rows.result().toDF("content", "file_path", "file_format",
+        // one row per live file, straight off the DISTRIBUTED entries
+        // frame — the inspection surface scales with the table
+        val snap = resolveSnapshotNode(table, root, None, None)
+        val specFieldNames: Map[Int, Seq[String]] =
+          specsById(root).map { case (id, fds) => id -> fds.map(_.name) }
+        entriesOf(spark, table, root, snap).map { e =>
+          val part: Map[String, String] =
+            if (!e.hasPartition) Map.empty
+            else specFieldNames.getOrElse(e.specId, Seq.empty)
+              .zip(e.partition)
+              .collect { case (n, v) if v != null => n -> v }.toMap
+          (e.content, e.path, "PARQUET", e.recordCount, e.fileSize, part)
+        }.toDF("content", "file_path", "file_format",
           "record_count", "file_size_in_bytes", "partition")
       case other => sys.error(
         s"unknown Iceberg metadata table `$other` (snapshots|history|manifests|files)")
@@ -1387,13 +1699,30 @@ object IcebergTable {
   def deleteWhere(spark: SparkSession, table: String,
       predicate: org.apache.spark.sql.Column): Long = {
     import org.apache.spark.sql.functions.col
-    val st = state(spark, table)
-    require(st.dataFiles.nonEmpty, s"Iceberg table $table has no data files")
-    val slots = spark.read.schema(st.schema).parquet(st.dataFiles: _*)
-      .select(col("_metadata.file_path").as("file_path"),
-        col("_metadata.row_index").as("pos"), col("*"))
-      .where(predicate)
-      .select("file_path", "pos")
+    import spark.implicits._
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snap = resolveSnapshotNode(table, root, None, None)
+    val schema = resolveSchema(root)
+    val entries = entriesOf(spark, table, root, snap)
+    require(entries.filter(_.content == 0).limit(1).count() > 0,
+      s"Iceberg table $table has no data files")
+    // candidate scope: hidden-partition + bound pruning first, so the
+    // probing scan opens only files the predicate could touch
+    val candidates = pruneEntries(spark, root, schema, entries, predicate)
+      .filter(_.content == 0).map(_.path).collect().toSeq
+    val slots =
+      if (candidates.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("file_path", StringType),
+            StructField("pos", LongType))))
+      else spark.read.schema(schema).parquet(candidates: _*)
+        .select(col("_metadata.file_path").as("file_path"),
+          col("_metadata.row_index").as("pos"), col("*"))
+        .where(predicate)
+        .select("file_path", "pos")
     writeDeleteSnapshot(spark, table, slots, content = 1, equalityIds = Seq.empty)
   }
 
@@ -1404,11 +1733,15 @@ object IcebergTable {
     * O(delete rows) written, no data file touched or even read. */
   def deleteEquals(spark: SparkSession, table: String,
       values: DataFrame): Long = {
-    val st = state(spark, table)
-    val byName = st.fieldNamesById.map(_.swap)
+    // metadata-JSON-only: no manifest walk — the ids come from the schema
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val fieldIds = schemaFieldIds(root)
+    val byName = fieldIds.map(_.swap)
     val ids = values.columns.toSeq.map(c => byName.getOrElse(c,
       sys.error(s"equality-delete column '$c' not in $table schema " +
-        s"(have: ${st.fieldNamesById.values.mkString(", ")})")))
+        s"(have: ${fieldIds.values.mkString(", ")})")))
     writeDeleteSnapshot(spark, table, values, content = 2, equalityIds = ids)
   }
 
