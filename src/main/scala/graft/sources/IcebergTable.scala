@@ -38,12 +38,15 @@ import org.apache.spark.sql.types._
   * 102) and [[readPruned]] maps source-column predicates through the
   * transforms to skip data files without opening them.
   *
-  * Scale notes: manifests are METADATA (a few KB per data-file entry);
-  * the driver reads manifests only — data files go straight to the
-  * distributed parquet scan. A 10⁶-file table at Iceberg's default
-  * manifest sizing is ~10³ manifests; per-manifest reading could fan
-  * out via mapPartitions exactly like [[DeltaLog]]'s checkpoint read if
-  * that ever bounds. */
+  * Scale notes: the READ PATH never holds file-level state on the
+  * driver — the same rule as [[DeltaLog.Snapshot.allFiles]]. The driver
+  * reads only the manifest LIST (~10³ manifests for a 10⁶-file table at
+  * Iceberg's default sizing); per-manifest avro parsing fans out to
+  * executors ([[entriesOf]]), hidden-partition/bounds pruning runs as a
+  * distributed filter, and data paths reach the driver only in bounded
+  * chunks for scan planning. [[state]] remains the driver-side
+  * MAINTENANCE surface (rewrite/expire scope decisions, the pruning
+  * spec API). */
 object IcebergTable {
 
   private val mapper = new ObjectMapper()
