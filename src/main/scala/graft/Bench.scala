@@ -217,8 +217,11 @@ object Bench {
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     java.nio.file.Files.write(out, (full + "\n").getBytes("UTF-8"))
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
+    // a SPARK_GRAFT_ONLY dev run must never clobber the tracked
+    // full-surface artifact with a partial query map
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (full + "\n").getBytes("UTF-8"))
     println(s"""{"metric":"shuffle_bytes_by_query","unit":"bytes","shuffle_bytes":$sh}""")
     println(s"""{"metric":"per_query_sec","unit":"sec","queries":$qs}""")
     println(s"""{$head,$tail}""")
