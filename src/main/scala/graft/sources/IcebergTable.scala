@@ -336,22 +336,38 @@ object IcebergTable {
     import spark.implicits._
     val f = fs(spark, table)
     val listPath = new Path(resolve(table, snap.get("manifest-list").asText()))
-    val refs: Seq[(String, Long, Int)] = avroEntries(f, listPath).map { m =>
+    val refs: Seq[(String, Long, Int, Long)] = avroEntries(f, listPath).map { m =>
       (resolve(table, str(m, "manifest_path")
         .getOrElse(sys.error("manifest_path missing"))),
         lng(m, "sequence_number").getOrElse(0L),
-        lng(m, "partition_spec_id").getOrElse(0L).toInt)
+        lng(m, "partition_spec_id").getOrElse(0L).toInt,
+        lng(m, "manifest_length").getOrElse(0L))
     }
     if (refs.isEmpty) return spark.emptyDataset[IceEntry]
     val specFieldNames: Map[Int, Seq[String]] =
       specsById(root).map { case (id, fds) => id -> fds.map(_.name) }
     val tableStr = table
+    // small-metadata fast path: when the manifest list declares a total
+    // manifest byte size within the threshold, parse on the driver into
+    // a LOCAL dataset — bounded BY CONSTRUCTION (the driver reads ≤ a
+    // few MB of avro, the same cost class as the metadata JSON), zero
+    // Spark jobs. Unknown lengths (any 0) disqualify: never guess small.
+    val threshold = spark.conf
+      .getOption("spark.graft.iceberg.driverManifestBytes")
+      .map(_.toLong).getOrElse(4L << 20)
+    val totalBytes = refs.map(_._4).sum
+    if (refs.forall(_._4 > 0L) && totalBytes <= threshold) {
+      val conf = spark.sessionState.newHadoopConf()
+      return spark.createDataset(refs.flatMap { case (mp, mseq, mspec, _) =>
+        parseManifestEntries(conf, tableStr, mp, mseq, mspec, specFieldNames)
+      })
+    }
     val bc = spark.sparkContext.broadcast(
       new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
     spark.createDataset(refs)
       .repartition(math.max(1,
         math.min(refs.size, spark.sparkContext.defaultParallelism)))
-      .flatMap { case (mp, mseq, mspec) =>
+      .flatMap { case (mp, mseq, mspec, _) =>
         parseManifestEntries(bc.value.value, tableStr, mp, mseq, mspec,
           specFieldNames)
       }

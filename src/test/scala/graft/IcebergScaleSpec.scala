@@ -67,5 +67,14 @@ class IcebergScaleSpec extends SparkSpec {
     // the files inspection table streams all 10,001 entries
     assert(IcebergTable.metadataTable(spark, t, "files")
       .where(col("content") === 0).count() == 10001L)
+
+    // force the DISTRIBUTED manifest parse (threshold 0 disables the
+    // small-metadata driver fast path) — same answers, executor-side
+    spark.conf.set("spark.graft.iceberg.driverManifestBytes", "0")
+    try {
+      assert(IcebergTable.countRows(spark, t) == 1L + 10000L * 100L)
+      assert(IcebergTable.readPruned(spark, t, col("k") === realKey)
+        .as[(Long, Double)].collect().toSeq == Seq((realKey, 7.0)))
+    } finally spark.conf.unset("spark.graft.iceberg.driverManifestBytes")
   }
 }
