@@ -958,8 +958,17 @@ object IcebergTable {
           (e.content, e.path, "PARQUET", e.recordCount, e.fileSize, part)
         }.toDF("content", "file_path", "file_format",
           "record_count", "file_size_in_bytes", "partition")
+      case "refs" =>
+        (root.path("refs") match {
+          case o: ObjectNode => o.fields().asScala.toSeq.map { e =>
+            (e.getKey, e.getValue.path("type").asText("branch"),
+              e.getValue.get("snapshot-id").asLong())
+          }
+          case _ => Seq.empty[(String, String, Long)]
+        }).toDF("name", "type", "snapshot_id")
       case other => sys.error(
-        s"unknown Iceberg metadata table `$other` (snapshots|history|manifests|files)")
+        s"unknown Iceberg metadata table `$other` " +
+          "(snapshots|history|manifests|files|refs)")
     }
   }
 
@@ -1092,6 +1101,31 @@ object IcebergTable {
   /** One existing data file re-declared in a REPLACE commit's manifest
     * (rewriteDataFiles): its bytes never move; records/bounds/tuple
     * copy straight from the previous manifest entry. */
+  /** Carry named refs (spec: Table Metadata `refs`) into a new
+    * metadata version and point the `main` branch at the new head.
+    * `prev` supplies the refs when `meta` was built fresh; a deep-copied
+    * `meta` already carries them. */
+  private def stampRefs(meta: ObjectNode, prev: Option[ObjectNode],
+      snapshotId: Long): Unit = {
+    val refsObj =
+      if (meta.has("refs")) meta.get("refs").asInstanceOf[ObjectNode]
+      else {
+        val o = meta.putObject("refs")
+        prev.foreach(_.path("refs") match {
+          case po: ObjectNode => po.fields().asScala.foreach { e =>
+            if (e.getKey != "main")
+              o.set[ObjectNode](e.getKey,
+                e.getValue.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+          }
+          case _ => ()
+        })
+        o
+      }
+    val m = refsObj.putObject("main")
+    m.put("snapshot-id", snapshotId)
+    m.put("type", "branch")
+  }
+
   case class CarriedFile(path: String, records: Long, bytes: Long,
       tuple: Option[Seq[Any]],
       lower: Map[Int, Array[Byte]] = Map.empty,
@@ -1378,6 +1412,7 @@ object IcebergTable {
     meta.put("last-partition-id",
       math.max(prevLastPartId, fieldIdBase + spec.length - 1))
     meta.put("current-snapshot-id", snapshotId)
+    stampRefs(meta, existing, snapshotId)
     val snapsArr = meta.putArray("snapshots")
     existing.foreach(_.path("snapshots").elements().asScala
       .foreach(s => snapsArr.add(s)))
@@ -1523,6 +1558,7 @@ object IcebergTable {
     meta.put("last-updated-ms", now)
     meta.put("last-sequence-number", version.toLong)
     meta.put("current-snapshot-id", snapshotId)
+    stampRefs(meta, None, snapshotId)
     val sn = meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .addObject()
     sn.put("snapshot-id", snapshotId)
@@ -1554,6 +1590,75 @@ object IcebergTable {
     * table with 10⁶ data files pays O(manifests), not O(files), and a
     * foreign file sitting under data/ is never touched. Returns the
     * number of files deleted. */
+  /** Rewrite the current metadata in place (one new version, no new
+    * snapshot) — the commit shape of ref edits. */
+  private def editMetadata(spark: SparkSession, table: String)
+      (edit: ObjectNode => Unit): Unit = {
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    edit(root)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    val mdir = new Path(table, "metadata")
+    val version = nextMetadataVersion(f, table)
+    val mdPath = new Path(mdir, s"v$version.metadata.json")
+    val out = f.create(mdPath, false)
+    try out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+    finally out.close()
+    val hint = f.create(new Path(mdir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+  }
+
+  /** Create or move a named ref (spec: Table Metadata `refs`) — a TAG
+    * pins a snapshot for audit/reproducibility, a BRANCH is a movable
+    * head; both PROTECT their snapshot from [[expireSnapshots]]. `main`
+    * is reserved: commits move it. */
+  def setRef(spark: SparkSession, table: String, name: String,
+      snapshotId: Long, isBranch: Boolean = false): Unit = {
+    require(name.nonEmpty && name != "main",
+      "setRef: `main` is reserved (commits move it); pick another name")
+    editMetadata(spark, table) { root =>
+      val known = root.path("snapshots").elements().asScala
+        .exists(_.get("snapshot-id").asLong() == snapshotId)
+      require(known, s"setRef: snapshot $snapshotId not in $table metadata")
+      val refs =
+        if (root.has("refs")) root.get("refs").asInstanceOf[ObjectNode]
+        else root.putObject("refs")
+      val r = refs.putObject(name)
+      r.put("snapshot-id", snapshotId)
+      r.put("type", if (isBranch) "branch" else "tag")
+    }
+  }
+
+  /** Drop a named ref; its snapshot becomes expirable again. */
+  def dropRef(spark: SparkSession, table: String, name: String): Unit = {
+    require(name != "main", "dropRef: `main` cannot be dropped")
+    editMetadata(spark, table) { root =>
+      root.path("refs") match {
+        case o: ObjectNode if o.has(name) => o.remove(name); ()
+        case _ => sys.error(s"dropRef: no ref `$name` on $table")
+      }
+    }
+  }
+
+  /** Resolve a ref name to its snapshot id (`main` = current head). */
+  def refSnapshotId(spark: SparkSession, table: String, name: String): Long = {
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    root.path("refs").path(name) match {
+      case o: ObjectNode => o.get("snapshot-id").asLong()
+      case _ if name == "main" => root.get("current-snapshot-id").asLong()
+      case _ => sys.error(s"no ref `$name` on $table")
+    }
+  }
+
+  /** Read the table at a named ref — `readRef(t, "rc1")` is the
+    * reproducible-training-run shape: the tag pins the exact corpus
+    * snapshot and survives any number of later commits and expiries. */
+  def readRef(spark: SparkSession, table: String, name: String): DataFrame =
+    read(spark, table, snapshotId = Some(refSnapshotId(spark, table, name)))
+
   def expireSnapshots(spark: SparkSession, table: String,
       olderThanMs: Long, retainLast: Int = 1): Long = {
     require(retainLast >= 1, "expireSnapshots: retainLast must be >= 1")
@@ -1564,8 +1669,11 @@ object IcebergTable {
     val snaps = root.path("snapshots").elements().asScala.toSeq
     val currentId = root.get("current-snapshot-id").asLong()
     val byAge = snaps.sortBy(_.get("timestamp-ms").asLong())
+    // named refs protect their snapshots (the spec's ref-retention rule)
+    val refIds = root.path("refs").elements().asScala
+      .map(_.get("snapshot-id").asLong()).toSet
     val keepIds = (byAge.takeRight(retainLast).map(_.get("snapshot-id").asLong()) :+
-      currentId).toSet ++
+      currentId).toSet ++ refIds ++
       byAge.filter(_.get("timestamp-ms").asLong() >= olderThanMs)
         .map(_.get("snapshot-id").asLong())
     val (kept, dropped) = snaps.partition(s => keepIds.contains(s.get("snapshot-id").asLong()))
@@ -1925,6 +2033,7 @@ object IcebergTable {
     spec0.put("spec-id", 0); spec0.putArray("fields")
     meta.put("default-spec-id", 0)
     meta.put("current-snapshot-id", snapshotId)
+    stampRefs(meta, existing, snapshotId)
     val snapsArr = meta.putArray("snapshots")
     existing.foreach(_.path("snapshots").elements().asScala
       .foreach(s => snapsArr.add(s)))

@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.IcebergTable
+import org.apache.spark.sql.functions._
+
+/** Named snapshot refs (Iceberg spec, Table Metadata `refs`): tags pin
+  * a snapshot for reproducibility (the "this training run used corpus
+  * rc1" shape), branches are movable heads, `main` tracks every commit,
+  * and a ref PROTECTS its snapshot from expiry until dropped. */
+class IcebergRefsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft-refs-").toString + "/t"
+
+  test("tag pins a snapshot across commits; main tracks the head") {
+    val t = fresh()
+    val s1 = IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergTable.setRef(spark, t, "rc1", s1)
+    val s2 = IcebergTable.writeAppend(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    val s3 = IcebergTable.writeAppend(spark, Seq((3L, "c")).toDF("k", "v"), t)
+
+    // the tag survived two commits and still reads the pinned state
+    assert(IcebergTable.readRef(spark, t, "rc1")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    // main is the head
+    assert(IcebergTable.refSnapshotId(spark, t, "main") == s3)
+    assert(IcebergTable.readRef(spark, t, "main").count() == 3)
+    // refs inspection table
+    val refs = IcebergTable.metadataTable(spark, t, "refs")
+      .as[(String, String, Long)].collect()
+      .map { case (n, ty, id) => n -> ((ty, id)) }.toMap
+    assert(refs("rc1") == ("tag", s1) && refs("main") == ("branch", s3))
+    assert(s2 != s3)
+  }
+
+  test("a ref protects its snapshot from expiry; dropRef releases it") {
+    val t = fresh()
+    val s1 = IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergTable.setRef(spark, t, "audit", s1)
+    IcebergTable.writeAppend(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    IcebergTable.writeAppend(spark, Seq((3L, "c")).toDF("k", "v"), t)
+
+    // expire everything but the newest: the tagged snapshot must survive
+    IcebergTable.expireSnapshots(spark, t,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(IcebergTable.readRef(spark, t, "audit")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+
+    // drop the tag, expire again: now the old snapshot goes away
+    IcebergTable.dropRef(spark, t, "audit")
+    IcebergTable.expireSnapshots(spark, t,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    intercept[Exception] { IcebergTable.read(spark, t, snapshotId = Some(s1)) }
+    // the head still reads fine
+    assert(IcebergTable.read(spark, t).count() == 3)
+  }
+
+  test("ref edits refuse bad shapes") {
+    val t = fresh()
+    val s1 = IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    intercept[IllegalArgumentException] {
+      IcebergTable.setRef(spark, t, "main", s1)
+    }
+    intercept[IllegalArgumentException] {
+      IcebergTable.setRef(spark, t, "ghost", 999999L)
+    }
+    intercept[Exception] { IcebergTable.dropRef(spark, t, "missing") }
+    intercept[Exception] { IcebergTable.refSnapshotId(spark, t, "missing") }
+    // a failed edit leaves the table readable
+    assert(IcebergTable.read(spark, t).count() == 1)
+  }
+}
