@@ -148,12 +148,19 @@ object GraftSql {
     """(?i)TABLE_CHANGES\s*\(\s*delta\.`([^`]+)`\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
   private val TableRef =
     """(?i)delta\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
+  // VERSION AS OF takes a snapshot id OR a quoted ref name (Iceberg's
+  // branch/tag addressing)
   private val IcebergRef =
-    """(?i)iceberg\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
+    """(?i)iceberg\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+|'[^']+')|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
   // must rewrite BEFORE IcebergRef, which would otherwise swallow the
   // path and leave the `.snapshots` suffix dangling on the view name
   private val IcebergMetaRef =
-    """(?i)iceberg\.`([^`]+)`\.(snapshots|history|manifests|files)""".r
+    """(?i)iceberg\.`([^`]+)`\.(snapshots|history|manifests|files|refs)""".r
+  private val IcebergSetRef =
+    ("""(?is)\s*ALTER\s+TABLE\s+iceberg\.`([^`]+)`\s+CREATE\s+""" +
+      """(TAG|BRANCH)\s+(\w+)\s+AS\s+OF\s+VERSION\s+(\d+)\s*""").r
+  private val IcebergDropRef =
+    """(?is)\s*ALTER\s+TABLE\s+iceberg\.`([^`]+)`\s+DROP\s+(?:TAG|BRANCH)\s+(\w+)\s*""".r
   private val IcebergDelete =
     """(?is)\s*DELETE\s+FROM\s+iceberg\.`([^`]+)`\s+WHERE\s+(.+?)\s*""".r
   private val IcebergExpire =
@@ -854,6 +861,15 @@ object GraftSql {
     // survivors rewritten in one REPLACE snapshot, delete files gone
     case IcebergReorg(path) =>
       version(spark, IcebergTable.materializeDeletes(spark, path))
+    // named refs: a TAG pins a snapshot (expiry-protected), a BRANCH is
+    // a movable head; SELECT addresses them via VERSION AS OF 'name'
+    case IcebergSetRef(path, kind, name, snap) =>
+      IcebergTable.setRef(spark, path, name, snap.toLong,
+        isBranch = kind.equalsIgnoreCase("BRANCH"))
+      version(spark, IcebergTable.refSnapshotId(spark, path, name))
+    case IcebergDropRef(path, name) =>
+      IcebergTable.dropRef(spark, path, name)
+      version(spark, IcebergTable.refSnapshotId(spark, path, "main"))
     // OPTIMIZE iceberg: the rewrite_data_files procedure — bin-pack
     // small files, apply merge-on-read deletes, carry big clean files
     case IcebergOptimize(path) =>
@@ -1096,7 +1112,13 @@ object GraftSql {
       // applied), same temp-view mechanism
       val withIceberg = IcebergRef.replaceAllIn(withIceMeta, m => {
         val path = m.group(1)
-        val snapId = Option(m.group(3)).map(_.toLong)
+        // numeric = snapshot id; quoted = branch/tag name
+        val snapId = Option(m.group(3)).map { tok =>
+          if (tok.startsWith("'"))
+            IcebergTable.refSnapshotId(spark, path,
+              tok.stripPrefix("'").stripSuffix("'"))
+          else tok.toLong
+        }
         val asOf = Option(m.group(4)).map(parseTsMillis)
         val view = s"graft_iceberg_${Integer.toHexString((path, snapId, asOf).hashCode)}"
         IcebergTable.read(spark, path, snapId, asOf).createOrReplaceTempView(view)

@@ -58,6 +58,27 @@ class IcebergRefsSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).count() == 3)
   }
 
+  test("SQL verbs: CREATE TAG, VERSION AS OF 'name', refs table, DROP TAG") {
+    val t = fresh()
+    val s1 = IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    IcebergTable.writeAppend(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    graft.sources.GraftSql.exec(spark,
+      s"ALTER TABLE iceberg.`$t` CREATE TAG rc1 AS OF VERSION $s1")
+    val pinned = graft.sources.GraftSql.exec(spark,
+      s"SELECT k, v FROM iceberg.`$t` VERSION AS OF 'rc1' ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(pinned == Seq((1L, "a")))
+    val names = graft.sources.GraftSql.exec(spark,
+      s"SELECT name FROM iceberg.`$t`.refs ORDER BY name")
+      .as[String].collect().toSeq
+    assert(names == Seq("main", "rc1"))
+    graft.sources.GraftSql.exec(spark, s"ALTER TABLE iceberg.`$t` DROP TAG rc1")
+    intercept[Exception] {
+      graft.sources.GraftSql.exec(spark,
+        s"SELECT * FROM iceberg.`$t` VERSION AS OF 'rc1'")
+    }
+  }
+
   test("ref edits refuse bad shapes") {
     val t = fresh()
     val s1 = IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t)
