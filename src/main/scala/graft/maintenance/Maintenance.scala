@@ -479,6 +479,41 @@ object Maintenance {
     graft.sources.IcebergTable.read(spark, t)
   }
 
+  /** Iceberg snapshot refs, oracle-verified: a TAG created after the
+    * first batch pins it; two later appends move the head; an
+    * expireSnapshots sweep then drops every unreferenced old snapshot —
+    * and the SQL read `VERSION AS OF 'rc1'` must still return exactly
+    * the first batch. DuckDB recomputes that batch relationally, so the
+    * whole ref chain (create, carry across commits, expiry protection,
+    * name resolution in SELECT) is hash-gated. */
+  val qIcebergRefs: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_refs",
+    """SELECT o_orderstatus, count(*) AS n,
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS DOUBLE) AS total
+      |FROM orders WHERE o_orderkey < 20000 GROUP BY o_orderstatus""".stripMargin) {
+    (spark, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-icerefs-q-").toString
+      val t = s"$base/t"
+      val orders = graft.Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val s1 = graft.sources.IcebergTable.writeAppend(spark,
+        orders.where(col("o_orderkey") < 20000), t)
+      graft.sources.GraftSql.exec(spark,
+        s"ALTER TABLE iceberg.`$t` CREATE TAG rc1 AS OF VERSION $s1")
+      graft.sources.IcebergTable.writeAppend(spark,
+        orders.where(col("o_orderkey") >= 20000 && col("o_orderkey") < 40000), t)
+      graft.sources.IcebergTable.writeAppend(spark,
+        orders.where(col("o_orderkey") >= 40000), t)
+      // expiry drops the middle snapshot; the tagged one must survive
+      graft.sources.IcebergTable.expireSnapshots(spark, t,
+        olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+      graft.sources.GraftSql.exec(spark,
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,10))) AS DECIMAL(38,10)) AS DOUBLE) AS total
+           |FROM iceberg.`$t` VERSION AS OF 'rc1'
+           |GROUP BY o_orderstatus""".stripMargin)
+  }
+
   /** Iceberg v2 merge-on-read, oracle-verified: a position-delete
     * `deleteWhere` (slots written, data files byte-untouched —
     * IcebergSpec asserts lengths+mtimes) stacked with an equality
@@ -1003,7 +1038,7 @@ object Maintenance {
       qReplaceWhere, qCopyInto, qCloneRead, qCdcTableChanges, qMetaCount,
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
-      qConvertToDelta, qIcebergRoundtrip, qIcebergMor, qIcebergPartitioned,
+      qConvertToDelta, qIcebergRoundtrip, qIcebergRefs, qIcebergMor, qIcebergPartitioned,
       qIcebergBounds, qLogCompaction,
       qConcurrentRebase, qLiveRead)
 }
