@@ -367,33 +367,46 @@ object Sampling {
     * its nearest coarse centroid, then keep a FIXED QUOTA per cluster in
     * deterministic hash order — the embedding-space answer to "don't let
     * one dominant mode fill the training mix" (cluster-uniform selection,
-    * the SemDeDup/DSIR-adjacent curation step). Deterministic end to end:
-    * the placeholder quantizer (every 50th vector) and the md5-derived
-    * rank hash replay bit-identically in DuckDB.
+    * the SemDeDup/DSIR-adjacent curation step).
     *
-    * Scale: assignment is a broadcast map-side pass (|corpus| × K dot
-    * products, K tiny); the quota cut is one window keyed by cell —
-    * shuffles carry (vec_id, cell, hash), never vectors. */
-  val qDiversity: QueryDef = {
+    * The quantizer is the TRAINED fixed-K seeded-Lloyd codebook
+    * ([[Similarity.trainCentroids]], the same centroids `q_sim_ivf_trained`
+    * searches with): K is a constant (8), so assignment is one map-side
+    * pass of K dot products per vector — O(N·K) with K fixed, and the
+    * centroid literals ride in the task binary, not a corpus-proportional
+    * broadcast. Deterministic end to end: the trainer is seeded, the k·dim
+    * doubles embed as literals in BOTH engines (`Double.toString` is the
+    * shortest round-trip form, which DuckDB parses back bit-identically),
+    * and the per-cell rank hash is md5-derived. Tiebreaks mirror
+    * [[Similarity.assignCells]]: argmax cosine, ties to the LARGER cell
+    * (hence `c.cell_id DESC` in the oracle).
+    *
+    * Scale: assignment shuffles nothing; the quota cut is one window
+    * keyed by cell — shuffles carry (vec_id, cell, hash), never vectors. */
+  lazy val qDiversity: QueryDef = {
     val quota = 10
     val dim = 64
+    val cents = Similarity.trainedCentsFixture
     def dotSql(a: String, b: String): String =
       s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,$dim), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)"
+    val values = cents.zipWithIndex.map { case (w, ci) =>
+      val cnrm = math.sqrt(w.map(x => x * x).sum)
+      s"($ci, [${w.mkString(", ")}]::DOUBLE[], $cnrm)"
+    }.mkString(",\n         |  ")
     QueryDef.sql(
       "q_corpus_diversity",
       s"""WITH norms AS (
          |  SELECT vec_id, embedding,
          |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
          |  FROM embeddings
-         |), cents AS (
-         |  SELECT vec_id AS cell_id, embedding AS c_emb, nrm AS c_nrm
-         |  FROM norms WHERE vec_id % 50 = 0
+         |), cents(cell_id, c_emb, c_nrm) AS (VALUES
+         |  $values
          |), assign AS (
          |  SELECT vec_id, cell_id FROM (
          |    SELECT n.vec_id, c.cell_id,
          |      row_number() OVER (PARTITION BY n.vec_id
          |        ORDER BY ${dotSql("n.embedding", "c.c_emb")} / (n.nrm * c.c_nrm) DESC,
-         |          c.cell_id) AS rn
+         |          c.cell_id DESC) AS rn
          |    FROM norms n CROSS JOIN cents c) WHERE rn = 1
          |)
          |SELECT cell_id, vec_id, rnk FROM (
@@ -403,21 +416,10 @@ object Sampling {
          |  FROM assign)
          |WHERE rnk <= $quota""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val n = Tables.embeddings(spark, dir).select(
-        col("vec_id"), col("embedding"),
-        sqrt(Similarity.dot(col("embedding"), col("embedding"))).as("nrm"))
-      val cents = n.where(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("cell_id"), col("embedding").as("c_emb"),
-          col("nrm").as("c_nrm"))
-      val assign = n.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cell_id"),
-          (Similarity.dot(col("embedding"), col("c_emb")) /
-            (col("nrm") * col("c_nrm"))).as("c_cos"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("c_cos").desc, col("cell_id"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("cell_id"))
-      assign
+      val emb = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      Similarity.assignCells(emb, cents)
+        .select(col("vec_id"), col("cell").as("cell_id"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy("cell_id").orderBy(
             h60(concat(col("vec_id").cast("string"), lit(":div"))),
@@ -454,7 +456,7 @@ object Sampling {
         sum(length(col("text").cast("binary"))).cast("long").as("total_bytes"))
   }
 
-  val all: Seq[QueryDef] =
+  lazy val all: Seq[QueryDef] =
     Seq(qSplit, qPacking, qStratified, qTemperature, qChunking, qCorpusMix,
       qBudget, qShuffleShard, qDomainCap, qDiversity, qJsonlRoundtrip)
 }

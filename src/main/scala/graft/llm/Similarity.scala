@@ -401,7 +401,7 @@ object Similarity {
   private val trainDir =
     sys.env.getOrElse("SPARK_GRAFT_TRAIN_DIR", "/root/testdata/sf0.01")
 
-  private lazy val trainedCentsFixture: Array[Array[Double]] =
+  private[graft] lazy val trainedCentsFixture: Array[Array[Double]] =
     trainCentroids(
       graft.Tables.embeddings(org.apache.spark.sql.SparkSession.active, trainDir)
         .select(col("vec_id"), col("embedding")),
