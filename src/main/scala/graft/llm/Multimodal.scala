@@ -108,7 +108,7 @@ object Multimodal {
       lit("RIFF").cast("binary"), leBytes(riffSize, 4), lit("WAVE").cast("binary"),
       lit("LIST").cast("binary"), leBytes(listLen, 4),
       lit("INFO").cast("binary"),
-      expr("repeat('x', CAST(1 + doc_id % 9 AS INT))").cast("binary"), // listLen - 4
+      repeat(lit("x"), (lit(1) + docId % 9).cast("int")).cast("binary"), // listLen - 4
       when(listPad === 1, pad).otherwise(noPad),
       lit("fmt ").cast("binary"), leBytes(lit(16), 4),
       leBytes(lit(1), 2),                    // PCM
@@ -142,13 +142,21 @@ object Multimodal {
     var ch = -1; var rate = -1; var bits = -1
     while (i + 8 <= b.length) {
       val id = tag(i); val sz = le4(i + 4)
+      // a recorded size >= 2^31 reads back negative: advancing by
+      // 8 + sz + (sz & 1) would stall (sz = -8) or walk backwards —
+      // undecodable input must degrade, never hang an executor
+      if (sz < 0) return bad
       if (id == "fmt " && i + 24 <= b.length) {
         ch = le2(i + 10); rate = le4(i + 12); bits = le2(i + 22)
       } else if (id == "data") {
-        return if (ch < 0 || i + 8 + sz > b.length) bad
+        return if (ch < 0 || i.toLong + 8 + sz > b.length) bad
         else WavMeta(ch, rate, bits, i + 8, sz)
       }
-      i += 8 + sz + (sz & 1) // RIFF even-padding rule
+      // long arithmetic: i + 8 + sz can overflow Int for a near-2^31
+      // recorded size even when sz itself is non-negative
+      val next = i.toLong + 8 + sz + (sz & 1) // RIFF even-padding rule
+      if (next > b.length) return bad // truncated chunk: nothing parseable beyond
+      i = next.toInt
     }
     bad
   }

@@ -81,6 +81,21 @@ class MultimodalSpec extends SparkSpec {
     // data before any fmt: refused (fields would be garbage)
     val orphan = "RIFF".getBytes ++ le4(16) ++ "WAVE".getBytes ++ chunk("data", body)
     assert(Multimodal.parseWavHeader(orphan).channels == -1)
+
+    // hostile recorded sizes: 0xFFFFFFF8 reads back as le4 = -8, which
+    // would advance the walker by ZERO bytes (infinite loop) without the
+    // negative-size guard; 0x7FFFFFF0 is positive but i+8+sz overflows
+    // Int — both must degrade to -1, never hang or throw
+    def hostile(sz: Int) =
+      "RIFF".getBytes ++ le4(100) ++ "WAVE".getBytes ++
+        "JUNK".getBytes ++ le4(sz) ++ new Array[Byte](16)
+    assert(Multimodal.parseWavHeader(hostile(0xFFFFFFF8)).channels == -1)
+    assert(Multimodal.parseWavHeader(hostile(0x7FFFFFF0)).channels == -1)
+    // a negative recorded size on the data chunk itself: refused too
+    val negData = "RIFF".getBytes ++ le4(60) ++ "WAVE".getBytes ++
+      chunk("fmt ", fmt(1, 8000, 16)) ++
+      ("data".getBytes ++ le4(0xFFFFFFF8) ++ body)
+    assert(Multimodal.parseWavHeader(negData).channels == -1)
   }
 
   test("columnar WAV builder round-trips through the batched extractor") {
