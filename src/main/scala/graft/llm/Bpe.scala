@@ -71,7 +71,18 @@ object Bpe {
     * the merge table alone. The corpus itself is never collected on
     * either path — only the Zipf-compressed (word, freq) table. */
   def train(docs: DataFrame, text: Column, k: Int, minCount: Long = 2L,
-      driverVocabMax: Int = 1 << 20): Seq[Merge] = {
+      driverVocabMax: Int = 1 << 20): Seq[Merge] =
+    trainWithVocab(docs, text, k, minCount, driverVocabMax)._1
+
+  /** [[train]], additionally returning the collected distinct-word
+    * vocabulary when the fast (driver-loop) path ran — callers that
+    * encode right after training reuse it to build the encode table
+    * from a local relation instead of re-shuffling a distinct over the
+    * exploded corpus ([[encodeStats]]'s `vocab` parameter). `None` on
+    * the distributed path, whose vocabulary never fits a driver. */
+  def trainWithVocab(docs: DataFrame, text: Column, k: Int,
+      minCount: Long = 2L,
+      driverVocabMax: Int = 1 << 20): (Seq[Merge], Option[Seq[String]]) = {
     val wordFreq = docs
       .select(explode(Portable.tokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
@@ -81,8 +92,9 @@ object Bpe {
       if (driverVocabMax <= 0) Array.empty[org.apache.spark.sql.Row]
       else wordFreq.take(driverVocabMax + 1)
     if (driverVocabMax > 0 && head.length <= driverVocabMax)
-      return trainLocal(
-        head.map(r => (r.getString(0), r.getLong(1))), k, minCount)
+      return (trainLocal(
+        head.map(r => (r.getString(0), r.getLong(1))), k, minCount),
+        Some(head.map(_.getString(0)).toSeq))
     var vocab = wordFreq
       .select(initialSymbols(col("w")).as("syms"), col("freq"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -110,7 +122,7 @@ object Bpe {
     }
     prev.foreach(_.unpersist())
     vocab.unpersist()
-    merges.result()
+    (merges.result(), None)
   }
 
   /** UTF-8 byte order — what Spark's string ORDER BY compares (UTF8String
@@ -187,18 +199,45 @@ object Bpe {
 
   /** Per-document token accounting under a trained merge table:
     * tokens-per-doc, chars-per-token compression, and the doc's token
-    * array md5 (content-addressable encode identity). One narrow pass,
-    * no shuffle beyond the per-doc explode/agg pair. */
-  def encodeStats(docs: DataFrame, text: Column, merges: Seq[Merge]): DataFrame = {
-    val words = docs.select(col("doc_id"), col("n_chars"),
-      posexplode(Portable.tokens(text)).as(Seq("pos", "w")))
-    // the K-fold merge scan runs once per DISTINCT word — the vocabulary
-    // is orders of magnitude below the occurrence count (Zipf), and the
-    // occurrence side just joins the finished token arrays back in
-    // (AQE broadcasts the vocab when it fits)
-    val vocabEnc = words.select(col("w")).distinct()
-      .select(col("w"), encodeWord(col("w"), merges).as("t"))
-    val toks = words.join(vocabEnc, Seq("w"))
+    * array md5 (content-addressable encode identity).
+    *
+    * The K-fold merge scan runs once per DISTINCT word — the vocabulary
+    * is orders of magnitude below the occurrence count (Zipf; a pure
+    * per-occurrence fold measured 12× slower at sf0.1 because the
+    * array-fold expressions are interpreted, not codegen'd). The two
+    * corpus-sized shuffles the naive plan pays are both engineered out:
+    *   - the occurrence→vocab join BROADCASTS the finished (word,
+    *     tokens) table — the same O(vocab) memory regime the trainer's
+    *     fast path already assumes via `driverVocabMax`, so the probe
+    *     (occurrence) side never exchanges;
+    *   - the per-doc regroup reuses a HashPartitioning(doc_id) planted
+    *     UP FRONT on the narrow (doc_id, n_chars, text) projection —
+    *     posexplode and a broadcast join both preserve partitioning, so
+    *     the only corpus bytes on the wire are the raw compressed text,
+    *     ~3× less than shuffling the exploded token structs (and the
+    *     exchange doubles as the compute-spread the single-file fixture
+    *     needs). */
+  def encodeStats(docs: DataFrame, text: Column, merges: Seq[Merge],
+      vocab: Option[Seq[String]] = None): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.select(col("doc_id"), col("n_chars"), text.as("__text"))
+      .repartition(col("doc_id"))
+    val words = base.select(col("doc_id"), col("n_chars"),
+      posexplode(Portable.tokens(col("__text"))).as(Seq("pos", "w")))
+    // when the trainer already collected the vocabulary (its fast-path
+    // regime), the encode table builds from a parallelized local
+    // relation — sc.parallelize distributes WITHOUT an exchange, so the
+    // distinct-over-occurrences shuffle disappears entirely
+    val vocabEnc = vocab match {
+      case Some(ws) =>
+        import spark.implicits._
+        spark.createDataset(spark.sparkContext.parallelize(
+          ws, math.max(1, spark.sparkContext.defaultParallelism)))
+          .toDF("w").select(col("w"), encodeWord(col("w"), merges).as("t"))
+      case None => words.select(col("w")).distinct()
+        .select(col("w"), encodeWord(col("w"), merges).as("t"))
+    }
+    val toks = words.join(broadcast(vocabEnc), Seq("w"))
       .select(col("doc_id"), col("n_chars"), col("pos"), col("t"))
     // collect_list order is partition-dependent — the word position
     // pins the encode identity
@@ -219,8 +258,8 @@ object Bpe {
   lazy val qBpeTokens: QueryDef = QueryDef.rowsOnly("q_text_bpe_tokens") {
     (spark, dir) =>
       val docs = Tables.documents(spark, dir)
-      val merges = train(docs, col("text"), k = 12)
-      encodeStats(docs, col("text"), merges)
+      val (merges, vocab) = trainWithVocab(docs, col("text"), k = 12)
+      encodeStats(docs, col("text"), merges, vocab)
   }
 
   val all: Seq[QueryDef] = Seq(qBpeTokens)
