@@ -66,6 +66,11 @@ object IcebergTable {
     * snapshot count, which shrinks under [[expireSnapshots]] and would
     * collide with retained metadata files. Also the sequence-number
     * source for new snapshots (monotonic across expiry). */
+  /** Test seam: runs immediately before the create-if-absent commit of
+    * each append attempt — the window a racing writer occupies (the
+    * [[DeltaLog.raceHook]] pattern). */
+  private[graft] var raceHook: () => Unit = () => ()
+
   private def nextMetadataVersion(f: FileSystem, table: String): Int = {
     val mdir = new Path(table, "metadata")
     if (!f.exists(mdir)) return 1
@@ -467,10 +472,12 @@ object IcebergTable {
   /** Table state at `snapshotId` (default: current), or `asOfMillis`
     * resolved through the snapshot-log.
     *
-    * DRIVER-SIDE: holds O(live files) Seqs. This is the MAINTENANCE
-    * surface (rewrite/expire/convert scope decisions and the pruning
-    * spec API); the read path — [[read]], [[readPruned]],
-    * [[countRows]], [[deleteWhere]], the `files` inspection table —
+    * DRIVER-SIDE: holds O(live files) Seqs. Kept ONLY as the small-table
+    * inspection/spec surface ([[pruneState]]'s pruning API, convert
+    * scope checks, test assertions); every scale-bearing verb — the
+    * read path ([[read]], [[readPruned]], [[countRows]], the `files`
+    * inspection table) AND the maintenance/DML path
+    * ([[rewriteDataFiles]], [[expireSnapshots]], [[deleteWhere]]) —
     * goes through the DISTRIBUTED [[entriesOf]] frame instead and never
     * materializes the file list on the driver. */
   def state(spark: SparkSession, table: String,
@@ -730,140 +737,125 @@ object IcebergTable {
       recordCount = keep.map(st.fileRecordCounts).sum)
   }
 
+  /** Drain a single-string-column frame into chunk-bounded path
+    * groups. The common ≤1-chunk case costs exactly one limit-probe
+    * job (no count); bigger frames drain one partition at a time via
+    * `toLocalIterator`, so every TRANSIENT buffer is O(chunk). The
+    * returned groups together still enumerate every path — the caller
+    * assembles a scan plan from them, and a Spark multi-file scan
+    * holds its file list on the driver (in the file index) regardless;
+    * chunking bounds the working buffers, not the plan, which is the
+    * floor Spark itself sets for a 10⁶-file scan. */
+  private def pathChunksOf(pframe: DataFrame, chunkSize: Int): Seq[Seq[String]] = {
+    val head = pframe.limit(chunkSize + 1).collect().map(_.getString(0))
+    if (head.length <= chunkSize) {
+      if (head.isEmpty) Seq.empty else Seq(head.toSeq)
+    } else {
+      val n = pframe.count()
+      val parts = math.max(1L, (n + chunkSize - 1) / chunkSize).toInt
+      val it = pframe.repartition(parts).toLocalIterator()
+      val chunks = Seq.newBuilder[Seq[String]]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        buf += it.next().getString(0)
+        if (buf.size >= chunkSize) { chunks += buf.toSeq; buf.clear() }
+      }
+      if (buf.nonEmpty) chunks += buf.toSeq
+      chunks.result()
+    }
+  }
+
+  private def readChunkSize(spark: SparkSession): Int = {
+    val chunkSize = spark.conf.getOption("spark.graft.read.maxEntriesPerChunk")
+      .map(_.toInt).getOrElse(200000)
+    require(chunkSize > 0, "spark.graft.read.maxEntriesPerChunk must be > 0")
+    chunkSize
+  }
+
   /** Read from the DISTRIBUTED entries frame — the scale path behind
-    * [[read]]/[[readPruned]]. Data-file paths reach the driver only in
+    * [[read]]/[[readPruned]]. Data-file paths reach the driver in
     * bounded chunks (`spark.graft.read.maxEntriesPerChunk`, the
     * [[DeltaLog.readSnapshotChunked]] rule): one multi-file relation
-    * per chunk, unioned by name, so an unfiltered SELECT * over a
-    * 10⁶-file table never holds every path at once — and the common
-    * one-chunk case produces exactly the single-relation plan. Delete
-    * FILES (position/equality) collect like [[DeltaLog]]'s DV
-    * descriptors: O(delete files), never row-level. The (path, seq)
-    * frame that scopes equality deletes stays a DataFrame end to end. */
+    * per chunk, unioned by name — see [[pathChunksOf]] for what the
+    * chunking does and does not bound. Delete FILES (position/
+    * equality) collect like [[DeltaLog]]'s DV descriptors: O(delete
+    * files), never row-level. The (path, seq) frame that scopes both
+    * delete kinds stays a DataFrame end to end. The entries dataset is
+    * persisted across this method's independent actions (delete
+    * collect, chunk probe/drain) so the manifest avro parse runs once,
+    * and unpersisted before returning — the only lazily-recomputed
+    * piece is the delete-scoping seq frame, one extra parse at
+    * execution instead of 3–5 during planning. */
   private def readFromEntries(spark: SparkSession, table: String,
       schema: StructType, fieldNamesById: Map[Int, String],
       entries: org.apache.spark.sql.Dataset[IceEntry]): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
-    val data = entries.filter(_.content == 0)
-    val dels = entries.filter(_.content != 0)
-      .map(e => (e.content, e.path, e.seq, e.equalityIds)).collect()
-    val posDeletes: Seq[(String, Long)] =
-      dels.collect { case (1, p, s, _) => (p, s) }.toSeq
-    val eqDeletes: Seq[(String, Long, Seq[Int])] =
-      dels.collect { case (2, p, s, ids) => (p, s, ids) }.toSeq
+    val cached = entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val data = cached.filter(_.content == 0)
+      val dels = cached.filter(_.content != 0)
+        .map(e => (e.content, e.path, e.seq, e.equalityIds)).collect()
+      val posDeletes: Seq[(String, Long)] =
+        dels.collect { case (1, p, s, _) => (p, s) }.toSeq
+      val eqDeletes: Seq[(String, Long, Seq[Int])] =
+        dels.collect { case (2, p, s, ids) => (p, s, ids) }.toSeq
 
-    val chunkSize = spark.conf.getOption("spark.graft.read.maxEntriesPerChunk")
-      .map(_.toInt).getOrElse(200000)
-    require(chunkSize > 0, "spark.graft.read.maxEntriesPerChunk must be > 0")
-    val pframe = data.map(_.path).toDF("path")
-    val head = pframe.limit(chunkSize + 1).collect().map(_.getString(0))
-    val pathChunks: Seq[Seq[String]] =
-      if (head.length <= chunkSize) {
-        if (head.isEmpty) Seq.empty else Seq(head.toSeq)
-      } else {
-        val n = pframe.count()
-        val parts = math.max(1L, (n + chunkSize - 1) / chunkSize).toInt
-        val it = pframe.repartition(parts).toLocalIterator()
-        val chunks = Seq.newBuilder[Seq[String]]
-        val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (it.hasNext) {
-          buf += it.next().getString(0)
-          if (buf.size >= chunkSize) { chunks += buf.toSeq; buf.clear() }
-        }
-        if (buf.nonEmpty) chunks += buf.toSeq
-        chunks.result()
-      }
-    if (pathChunks.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val names = schema.fieldNames.toIndexedSeq.map(col)
-    if (posDeletes.isEmpty && eqDeletes.isEmpty)
-      return pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*))
-        .reduce(_ unionByName _).select(names: _*)
-    // scheme-insensitive path normalization: manifests may record
-    // file:/, file:///, or bare paths for the same file
-    def norm(c: org.apache.spark.sql.Column) =
-      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
-    var df = pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
-        .select(col("*"),
-          norm(col("_metadata.file_path")).as("__fp"),
-          col("_metadata.row_index").as("__ri")))
-      .reduce(_ unionByName _)
-    if (posDeletes.nonEmpty) {
-      val pdels = spark.read.parquet(posDeletes.map(_._1): _*)
-        .select(norm(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
-      df = df.join(pdels,
-        col("__fp") === col("__dfp") && col("__ri") === col("__dpos"),
-        "left_anti")
-    }
-    if (eqDeletes.nonEmpty) {
+      val pathChunks = pathChunksOf(data.map(_.path).toDF("path"),
+        readChunkSize(spark))
+      if (pathChunks.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val names = schema.fieldNames.toIndexedSeq.map(col)
+      if (posDeletes.isEmpty && eqDeletes.isEmpty)
+        return pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*))
+          .reduce(_ unionByName _).select(names: _*)
+      // scheme-insensitive path normalization: manifests may record
+      // file:/, file:///, or bare paths for the same file
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+      var df = pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
+          .select(col("*"),
+            norm(col("_metadata.file_path")).as("__fp"),
+            col("_metadata.row_index").as("__ri")))
+        .reduce(_ unionByName _)
       // each data row learns its file's sequence number from the
-      // DISTRIBUTED (path, seq) frame — never a driver Seq
+      // DISTRIBUTED (path, seq) frame — never a driver Seq. Both delete
+      // kinds scope by it (the spec's rules: position deletes apply at
+      // data seq <= delete seq, equality deletes at data seq < delete
+      // seq), so imported/mirrored metadata resolves like the format
+      // says, not just this writer's UUID-fresh paths.
       val seqDf = data.map(e => (e.path, e.seq)).toDF("__sp", "__dseq")
         .withColumn("__sp", norm(col("__sp")))
       df = df.join(broadcast(seqDf), col("__fp") === col("__sp")).drop("__sp")
-      // one anti-join per distinct equality-id set (typically one)
-      eqDeletes.groupBy(_._3).foreach { case (ids, dfs) =>
-        val cols = ids.map(id => fieldNamesById.getOrElse(id,
-          sys.error(s"equality-delete field id $id not in $table schema")))
-        val delRows = dfs.map { case (p, seq, _) =>
-          spark.read.parquet(p)
-            .select(cols.map(n => col(n).as(s"__eq_$n")) :+
-              lit(seq).as("__eseq"): _*)
+      if (posDeletes.nonEmpty) {
+        val pdels = posDeletes.groupBy(_._2).map { case (seq, ps) =>
+          spark.read.parquet(ps.map(_._1): _*)
+            .select(norm(col("file_path")).as("__dfp"),
+              col("pos").as("__dpos"), lit(seq).as("__pseq"))
         }.reduce(_ unionByName _)
-        val cond = cols.map(n => col(n) <=> col(s"__eq_$n"))
-          .reduce(_ && _) && col("__dseq") < col("__eseq")
-        df = df.join(delRows, cond, "left_anti")
+        df = df.join(pdels,
+          col("__fp") === col("__dfp") && col("__ri") === col("__dpos") &&
+            col("__dseq") <= col("__pseq"),
+          "left_anti")
       }
-    }
-    df.select(names: _*)
-  }
-
-  private def readState(spark: SparkSession, table: String, st: State): DataFrame = {
-    import org.apache.spark.sql.functions._
-    if (st.dataFiles.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st.schema)
-    val names = st.schema.fieldNames.toIndexedSeq.map(col)
-    if (!st.hasDeletes)
-      return spark.read.schema(st.schema).parquet(st.dataFiles: _*)
-        .select(names: _*)
-    // scheme-insensitive path normalization: manifests may record
-    // file:/, file:///, or bare paths for the same file
-    def norm(c: org.apache.spark.sql.Column) =
-      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
-    var df = spark.read.schema(st.schema).parquet(st.dataFiles: _*)
-      .select(col("*"),
-        norm(col("_metadata.file_path")).as("__fp"),
-        col("_metadata.row_index").as("__ri"))
-    if (st.posDeletes.nonEmpty) {
-      val dels = spark.read.parquet(st.posDeletes.map(_._1): _*)
-        .select(norm(col("file_path")).as("__dfp"), col("pos").as("__dpos"))
-      df = df.join(dels,
-        col("__fp") === col("__dfp") && col("__ri") === col("__dpos"),
-        "left_anti")
-    }
-    if (st.eqDeletes.nonEmpty) {
-      import spark.implicits._
-      val seqDf = st.dataFiles.zip(st.dataSeqs).toDF("__sp", "__dseq")
-        .withColumn("__sp", norm(col("__sp")))
-      df = df.join(broadcast(seqDf), col("__fp") === col("__sp")).drop("__sp")
-      // one anti-join per distinct equality-id set (typically one)
-      st.eqDeletes.groupBy(_._3).foreach { case (ids, dfs) =>
-        val cols = ids.map(id => st.fieldNamesById.getOrElse(id,
-          sys.error(s"equality-delete field id $id not in $table schema")))
-        val delRows = dfs.map { case (p, seq, _) =>
-          spark.read.parquet(p)
-            .select(cols.map(n => col(n).as(s"__eq_$n")) :+
-              lit(seq).as("__eseq"): _*)
-        }.reduce(_ unionByName _)
-        val cond = cols.map(n => col(n) <=> col(s"__eq_$n"))
-          .reduce(_ && _) && col("__dseq") < col("__eseq")
-        df = df.join(delRows, cond, "left_anti")
+      if (eqDeletes.nonEmpty) {
+        // one anti-join per distinct equality-id set (typically one)
+        eqDeletes.groupBy(_._3).foreach { case (ids, dfs) =>
+          val cols = ids.map(id => fieldNamesById.getOrElse(id,
+            sys.error(s"equality-delete field id $id not in $table schema")))
+          val delRows = dfs.map { case (p, seq, _) =>
+            spark.read.parquet(p)
+              .select(cols.map(n => col(n).as(s"__eq_$n")) :+
+                lit(seq).as("__eseq"): _*)
+          }.reduce(_ unionByName _)
+          val cond = cols.map(n => col(n) <=> col(s"__eq_$n"))
+            .reduce(_ && _) && col("__dseq") < col("__eseq")
+          df = df.join(delRows, cond, "left_anti")
+        }
       }
-    }
-    df.select(names: _*)
+      df.select(names: _*)
+    } finally cached.unpersist(false)
   }
 
   /** COUNT(*): metadata-only from manifest record counts when no
@@ -1135,7 +1127,11 @@ object IcebergTable {
   def writeAppend(spark: SparkSession, df: DataFrame, table: String,
       carryPrevious: Boolean = true,
       partition: Seq[(String, String)] = Seq.empty,
-      carryFiles: Seq[CarriedFile] = Seq.empty): Long = {
+      // IterableOnce so a REPLACE commit can STREAM carried entries
+      // (e.g. a toLocalIterator over the keep side of a rewrite)
+      // straight into the manifest writer — the driver never holds the
+      // full carried-file list
+      carryFiles: IterableOnce[CarriedFile] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.col
     val f = fs(spark, table)
     val root = new Path(table)
@@ -1183,8 +1179,6 @@ object IcebergTable {
       IcebergPartition.resultType(fd.transform, df.schema(fd.source).dataType))
 
     val version = nextMetadataVersion(f, table)
-    val snapshotId = System.currentTimeMillis() * 1000 + version
-    val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString.take(8)
 
     // 1. stage parquet under data/ — partitioned tables stage through
@@ -1292,149 +1286,193 @@ object IcebergTable {
     val counts: Map[String, Long] =
       stats.view.mapValues(_.rows).toMap
 
-    // 2. one manifest for the new files (partition tuples included when
-    // the table declares a spec), plus any carried REPLACE entries
-    val mSchema = manifestAvroSchemaFor(spec.map(_.name).zip(specTypes))
-    val dfSchema = mSchema.getField("data_file").schema()
-    def tupleRecord(tuple: Seq[Any]): GenericData.Record = {
-      val pr = new GenericData.Record(dfSchema.getField("partition").schema())
-      spec.zipWithIndex.foreach { case (fd, j) =>
-        pr.put(fd.name, tuple(j) match {
-          case null => null
-          case v: Int => Integer.valueOf(v)
-          case v: Long => java.lang.Long.valueOf(v)
-          case s: String => s
-          case other => other
-        })
+    // --- steps 2-5 are ONE COMMIT ATTEMPT, parameterized by the
+    // (existing, version) pair. A BLIND append (carry the previous
+    // snapshot, no requested spec, no carried REPLACE entries) that
+    // loses the create-if-absent race on vN.metadata.json REBASES:
+    // re-read the metadata, re-verify the table still has the shape the
+    // data was staged for, re-number, re-commit — bounded retries, the
+    // Hadoop-catalog analogue of DeltaLog's optimistic rebase. Blind
+    // appends commute, so rebasing is sound; every other commit kind
+    // (REPLACE, spec evolution) derives from the snapshot it read and
+    // still fails loudly on a race.
+    val carryIter = carryFiles.iterator // one-shot: drained by the first attempt
+    val retriable =
+      carryPrevious && requested.isEmpty && carryFiles.knownSize == 0
+    def attempt(existingNow: Option[ObjectNode], versionNow: Int): Long = {
+      val snapshotId = System.currentTimeMillis() * 1000 + versionNow
+      val now = System.currentTimeMillis()
+      // 2. one manifest for the new files (partition tuples included when
+      // the table declares a spec), plus any carried REPLACE entries
+      val mSchema = manifestAvroSchemaFor(spec.map(_.name).zip(specTypes))
+      val dfSchema = mSchema.getField("data_file").schema()
+      def tupleRecord(tuple: Seq[Any]): GenericData.Record = {
+        val pr = new GenericData.Record(dfSchema.getField("partition").schema())
+        spec.zipWithIndex.foreach { case (fd, j) =>
+          pr.put(fd.name, tuple(j) match {
+            case null => null
+            case v: Int => Integer.valueOf(v)
+            case v: Long => java.lang.Long.valueOf(v)
+            case s: String => s
+            case other => other
+          })
+        }
+        pr
       }
-      pr
-    }
-    val entries = dataFiles.zipWithIndex.map { case (p, i) =>
-      val e = new GenericData.Record(mSchema)
-      e.put("status", 1) // ADDED
-      e.put("snapshot_id", snapshotId)
-      val d = new GenericData.Record(dfSchema)
-      d.put("file_path", p.toString)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", counts.getOrElse(p.getName, 0L))
-      d.put("file_size_in_bytes", f.getFileStatus(p).getLen)
-      stats.get(p.getName).foreach { s =>
-        if (s.lo.nonEmpty) d.put("lower_bounds", boundsArray(dfSchema, "lower_bounds", s.lo))
-        if (s.hi.nonEmpty) d.put("upper_bounds", boundsArray(dfSchema, "upper_bounds", s.hi))
-        if (s.nulls.nonEmpty) d.put("null_value_counts",
-          mapArray(dfSchema, "null_value_counts", s.nulls)(java.lang.Long.valueOf(_)))
+      // the carried side streams: IterableOnce drains straight into the
+      // avro writer, one record in memory at a time
+      val entries = dataFiles.zipWithIndex.map { case (p, i) =>
+        val e = new GenericData.Record(mSchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapshotId)
+        val d = new GenericData.Record(dfSchema)
+        d.put("file_path", p.toString)
+        d.put("file_format", "PARQUET")
+        d.put("record_count", counts.getOrElse(p.getName, 0L))
+        d.put("file_size_in_bytes", f.getFileStatus(p).getLen)
+        stats.get(p.getName).foreach { s =>
+          if (s.lo.nonEmpty) d.put("lower_bounds", boundsArray(dfSchema, "lower_bounds", s.lo))
+          if (s.hi.nonEmpty) d.put("upper_bounds", boundsArray(dfSchema, "upper_bounds", s.hi))
+          if (s.nulls.nonEmpty) d.put("null_value_counts",
+            mapArray(dfSchema, "null_value_counts", s.nulls)(java.lang.Long.valueOf(_)))
+        }
+        if (spec.nonEmpty) d.put("partition", tupleRecord(tuples(i)))
+        e.put("data_file", d)
+        e
+      }.iterator ++ carryIter.map { cf =>
+        val e = new GenericData.Record(mSchema)
+        e.put("status", 0) // EXISTING
+        e.put("snapshot_id", snapshotId)
+        val d = new GenericData.Record(dfSchema)
+        d.put("file_path", cf.path)
+        d.put("file_format", "PARQUET")
+        d.put("record_count", cf.records)
+        d.put("file_size_in_bytes", cf.bytes)
+        if (cf.lower.nonEmpty) d.put("lower_bounds", boundsArray(dfSchema, "lower_bounds", cf.lower))
+        if (cf.upper.nonEmpty) d.put("upper_bounds", boundsArray(dfSchema, "upper_bounds", cf.upper))
+        if (cf.nulls.nonEmpty) d.put("null_value_counts",
+          mapArray(dfSchema, "null_value_counts", cf.nulls)(java.lang.Long.valueOf(_)))
+        if (spec.nonEmpty) cf.tuple.foreach(tp => d.put("partition", tupleRecord(tp)))
+        e.put("data_file", d)
+        e
       }
-      if (spec.nonEmpty) d.put("partition", tupleRecord(tuples(i)))
-      e.put("data_file", d)
-      e
-    } ++ carryFiles.map { cf =>
-      val e = new GenericData.Record(mSchema)
-      e.put("status", 0) // EXISTING
-      e.put("snapshot_id", snapshotId)
-      val d = new GenericData.Record(dfSchema)
-      d.put("file_path", cf.path)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", cf.records)
-      d.put("file_size_in_bytes", cf.bytes)
-      if (cf.lower.nonEmpty) d.put("lower_bounds", boundsArray(dfSchema, "lower_bounds", cf.lower))
-      if (cf.upper.nonEmpty) d.put("upper_bounds", boundsArray(dfSchema, "upper_bounds", cf.upper))
-      if (cf.nulls.nonEmpty) d.put("null_value_counts",
-        mapArray(dfSchema, "null_value_counts", cf.nulls)(java.lang.Long.valueOf(_)))
-      if (spec.nonEmpty) cf.tuple.foreach(tp => d.put("partition", tupleRecord(tp)))
-      e.put("data_file", d)
-      e
-    }
-    val manifestPath = new Path(mdir, s"manifest-$version-$nonce.avro")
-    val mLen = writeAvro(f, manifestPath, mSchema, entries.toSeq)
+      val manifestPath = new Path(mdir, s"manifest-$versionNow-$nonce.avro")
+      val mLen = writeAvro(f, manifestPath, mSchema, entries)
 
-    // 3. manifest list = previous snapshot's manifests + the new one;
-    // each row keeps its content kind and sequence number (the new data
-    // manifest's sequence number is the snapshot ordinal — equality
-    // deletes scope against it)
-    val prevManifests =
-      if (carryPrevious) carriedManifests(f, table, existing) else Seq.empty
-    val mlSchema = manifestListAvroSchema
-    val mlRecords = (prevManifests :+
-        ((manifestPath.toString, mLen, 0L, version.toLong, specId))).map {
-      case (p, len, content, seq, sid) =>
-        val r = new GenericData.Record(mlSchema)
-        r.put("manifest_path", p)
-        r.put("manifest_length", len)
-        r.put("partition_spec_id", sid)
-        r.put("content", content.toInt)
-        r.put("sequence_number", seq)
-        r.put("added_snapshot_id", snapshotId)
-        r
-    }
-    val listPath = new Path(mdir, s"snap-$snapshotId-$nonce.avro")
-    writeAvro(f, listPath, mlSchema, mlRecords)
+      // 3. manifest list = previous snapshot's manifests + the new one;
+      // each row keeps its content kind and sequence number (the new data
+      // manifest's sequence number is the snapshot ordinal — equality
+      // deletes scope against it)
+      val prevManifests =
+        if (carryPrevious) carriedManifests(f, table, existingNow) else Seq.empty
+      val mlSchema = manifestListAvroSchema
+      val mlRecords = (prevManifests :+
+          ((manifestPath.toString, mLen, 0L, versionNow.toLong, specId))).map {
+        case (p, len, content, seq, sid) =>
+          val r = new GenericData.Record(mlSchema)
+          r.put("manifest_path", p)
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", sid)
+          r.put("content", content.toInt)
+          r.put("sequence_number", seq)
+          r.put("added_snapshot_id", snapshotId)
+          r
+      }
+      val listPath = new Path(mdir, s"snap-$snapshotId-$nonce.avro")
+      writeAvro(f, listPath, mlSchema, mlRecords)
 
-    // 4. new metadata json (schema field-ids assigned once, stable)
-    val meta = mapper.createObjectNode()
-    meta.put("format-version", 1)
-    meta.put("table-uuid", existing.map(_.get("table-uuid").asText())
-      .getOrElse(java.util.UUID.randomUUID().toString))
-    meta.put("location", table)
-    meta.put("last-updated-ms", now)
-    meta.put("last-column-id", df.schema.fields.length)
-    val schemaNode = meta.putObject("schema")
-    schemaNode.put("type", "struct")
-    val fieldsArr = schemaNode.putArray("fields")
-    df.schema.fields.zipWithIndex.foreach { case (fld, i) =>
-      val n = fieldsArr.addObject()
-      n.put("id", i + 1); n.put("name", fld.name)
-      n.put("required", false); n.put("type", icebergType(fld.dataType))
+      // 4. new metadata json (schema field-ids assigned once, stable)
+      val meta = mapper.createObjectNode()
+      meta.put("format-version", 1)
+      meta.put("table-uuid", existingNow.map(_.get("table-uuid").asText())
+        .getOrElse(java.util.UUID.randomUUID().toString))
+      meta.put("location", table)
+      meta.put("last-updated-ms", now)
+      meta.put("last-column-id", df.schema.fields.length)
+      val schemaNode = meta.putObject("schema")
+      schemaNode.put("type", "struct")
+      val fieldsArr = schemaNode.putArray("fields")
+      df.schema.fields.zipWithIndex.foreach { case (fld, i) =>
+        val n = fieldsArr.addObject()
+        n.put("id", i + 1); n.put("name", fld.name)
+        n.put("required", false); n.put("type", icebergType(fld.dataType))
+      }
+      // partition-specs: every previous spec carries (old manifests keep
+      // referencing theirs); a fresh table or an evolution adds one
+      val specs = meta.putArray("partition-specs")
+      existingNow.foreach(_.path("partition-specs").elements().asScala
+        .foreach(s => specs.add(s)))
+      if (existingNow.isEmpty || evolving) {
+        val o = specs.addObject()
+        o.put("spec-id", specId)
+        val fa = o.putArray("fields")
+        spec.zipWithIndex.foreach { case (fd, i) =>
+          val n = fa.addObject()
+          n.put("name", fd.name)
+          n.put("transform", fd.transform.name)
+          n.put("source-id", df.schema.fieldIndex(fd.source) + 1)
+          n.put("field-id", fieldIdBase + i)
+        }
+      }
+      // v1 readers' flat form mirrors the DEFAULT spec
+      val flatSpec = meta.putArray("partition-spec")
+      specs.elements().asScala
+        .find(_.path("spec-id").asInt(0) == specId)
+        .foreach(_.path("fields").elements().asScala
+          .foreach(fl => flatSpec.add(fl)))
+      meta.put("default-spec-id", specId)
+      meta.put("last-partition-id",
+        math.max(prevLastPartId, fieldIdBase + spec.length - 1))
+      meta.put("current-snapshot-id", snapshotId)
+      stampRefs(meta, existingNow, snapshotId)
+      val snapsArr = meta.putArray("snapshots")
+      existingNow.foreach(_.path("snapshots").elements().asScala
+        .foreach(s => snapsArr.add(s)))
+      val sn = snapsArr.addObject()
+      sn.put("snapshot-id", snapshotId)
+      sn.put("timestamp-ms", now)
+      sn.put("manifest-list", listPath.toString)
+      val sum = sn.putObject("summary"); sum.put("operation", "append")
+      val logArr = meta.putArray("snapshot-log")
+      existingNow.foreach(_.path("snapshot-log").elements().asScala
+        .foreach(l => logArr.add(l)))
+      val le = logArr.addObject()
+      le.put("timestamp-ms", now); le.put("snapshot-id", snapshotId)
+
+      val mdPath = new Path(mdir, s"v$versionNow.metadata.json")
+      raceHook()
+      val out = f.create(mdPath, false)
+      try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
+      finally out.close()
+      // 5. the commit point
+      val hint = f.create(new Path(mdir, "version-hint.text"), true)
+      try hint.write(versionNow.toString.getBytes("UTF-8")) finally hint.close()
+      snapshotId
     }
-    // partition-specs: every previous spec carries (old manifests keep
-    // referencing theirs); a fresh table or an evolution adds one
-    val specs = meta.putArray("partition-specs")
-    existing.foreach(_.path("partition-specs").elements().asScala
-      .foreach(s => specs.add(s)))
-    if (existing.isEmpty || evolving) {
-      val o = specs.addObject()
-      o.put("spec-id", specId)
-      val fa = o.putArray("fields")
-      spec.zipWithIndex.foreach { case (fd, i) =>
-        val n = fa.addObject()
-        n.put("name", fd.name)
-        n.put("transform", fd.transform.name)
-        n.put("source-id", df.schema.fieldIndex(fd.source) + 1)
-        n.put("field-id", fieldIdBase + i)
+    var existingNow = existing
+    var versionNow = version
+    var attemptsLeft = 4
+    while (true) {
+      try return attempt(existingNow, versionNow)
+      catch {
+        case race: java.io.IOException if retriable && attemptsLeft > 1 &&
+            f.exists(new Path(mdir, s"v$versionNow.metadata.json")) =>
+          attemptsLeft -= 1
+          val e2 = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+            .asInstanceOf[ObjectNode]
+          val s2 = resolveSchema(e2)
+          val schemaOk = s2.fieldNames.toSeq == df.schema.fieldNames.toSeq &&
+            s2.fields.zip(df.schema.fields).forall { case (x, y) =>
+              DataType.equalsStructurally(x.dataType, y.dataType, true) }
+          // rebase only onto the SAME table shape the data was staged
+          // for — a racing schema or spec change invalidates the layout
+          if (!schemaOk || specFromMeta(e2) != spec ||
+            e2.path("default-spec-id").asInt(0) != specId) throw race
+          existingNow = Some(e2)
+          versionNow = nextMetadataVersion(f, table)
       }
     }
-    // v1 readers' flat form mirrors the DEFAULT spec
-    val flatSpec = meta.putArray("partition-spec")
-    specs.elements().asScala
-      .find(_.path("spec-id").asInt(0) == specId)
-      .foreach(_.path("fields").elements().asScala
-        .foreach(fl => flatSpec.add(fl)))
-    meta.put("default-spec-id", specId)
-    meta.put("last-partition-id",
-      math.max(prevLastPartId, fieldIdBase + spec.length - 1))
-    meta.put("current-snapshot-id", snapshotId)
-    stampRefs(meta, existing, snapshotId)
-    val snapsArr = meta.putArray("snapshots")
-    existing.foreach(_.path("snapshots").elements().asScala
-      .foreach(s => snapsArr.add(s)))
-    val sn = snapsArr.addObject()
-    sn.put("snapshot-id", snapshotId)
-    sn.put("timestamp-ms", now)
-    sn.put("manifest-list", listPath.toString)
-    val sum = sn.putObject("summary"); sum.put("operation", "append")
-    val logArr = meta.putArray("snapshot-log")
-    existing.foreach(_.path("snapshot-log").elements().asScala
-      .foreach(l => logArr.add(l)))
-    val le = logArr.addObject()
-    le.put("timestamp-ms", now); le.put("snapshot-id", snapshotId)
-
-    val mdPath = new Path(mdir, s"v$version.metadata.json")
-    val out = f.create(mdPath, false)
-    try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
-    finally out.close()
-    // 5. the commit point
-    val hint = f.create(new Path(mdir, "version-hint.text"), true)
-    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
-    snapshotId
+    sys.error("unreachable")
   }
 
   /** Current snapshot's manifest-list rows as (path, length, content,
@@ -1679,39 +1717,70 @@ object IcebergTable {
     val (kept, dropped) = snaps.partition(s => keepIds.contains(s.get("snapshot-id").asLong()))
     if (dropped.isEmpty) return 0L
 
-    // reachability at (manifest, data-file) granularity from each side
-    def reachable(ss: Seq[com.fasterxml.jackson.databind.JsonNode])
-        : (Set[String], Set[String], Set[String]) = {
+    // reachability: LIST- and MANIFEST-level sets stay driver-side
+    // (metadata-sized — O(snapshots × manifests) paths); DATA-FILE
+    // reachability is computed DISTRIBUTED: the per-manifest avro parse
+    // fans out to executors, the (dropped \ kept) difference is an
+    // anti-join, and the orphaned files are unlinked per-partition on
+    // executors — the driver never materializes a file-path set
+    // (10⁶-file tables expire with bounded driver state).
+    def manifestRefs(ss: Seq[com.fasterxml.jackson.databind.JsonNode])
+        : (Set[String], Set[String]) = {
       val lists = Set.newBuilder[String]
       val manifests = Set.newBuilder[String]
-      val files = Set.newBuilder[String]
       ss.foreach { s =>
         val lp = resolve(table, s.get("manifest-list").asText())
         lists += lp
         // a dropped snapshot's list may legitimately be gone already
         // (idempotent re-run); skip unreadable
-        try {
-          avroEntries(f, new Path(lp)).foreach { m =>
-            val mp = resolve(table, str(m, "manifest_path").getOrElse(""))
-            manifests += mp
-            try avroEntries(f, new Path(mp)).foreach { e =>
-              val d = e.get("data_file").asInstanceOf[GenericRecord]
-              files += resolve(table, str(d, "file_path").getOrElse(""))
-            } catch { case scala.util.control.NonFatal(_) => () }
-          }
+        try avroEntries(f, new Path(lp)).foreach { m =>
+          manifests += resolve(table, str(m, "manifest_path").getOrElse(""))
         } catch { case scala.util.control.NonFatal(_) => () }
       }
-      (lists.result(), manifests.result(), files.result())
+      (lists.result(), manifests.result())
     }
-    val (keepLists, keepManifests, keepFiles) = reachable(kept)
-    val (dropLists, dropManifests, dropFiles) = reachable(dropped)
+    val (keepLists, keepManifests) = manifestRefs(kept)
+    val (dropLists, dropManifests) = manifestRefs(dropped)
 
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(
+      new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val tableStr = table
+    def filesFrame(manifests: Set[String])
+        : org.apache.spark.sql.Dataset[String] =
+      if (manifests.isEmpty) spark.emptyDataset[String]
+      else spark.createDataset(manifests.toSeq.sorted)
+        .repartition(math.max(1, math.min(manifests.size,
+          spark.sparkContext.defaultParallelism)))
+        .flatMap { mp =>
+          // every referenced path counts (any status): a file is only
+          // an orphan if NO kept manifest mentions it in any state
+          try avroEntriesConf(bc.value.value, new Path(mp)).flatMap { e =>
+            Option(e.get("data_file")).collect { case d: GenericRecord =>
+              resolve(tableStr, str(d, "file_path").getOrElse(""))
+            }
+          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        }
     var deleted = 0L
+    if (dropManifests.nonEmpty) {
+      val victims = filesFrame(dropManifests).toDF("p")
+        .join(filesFrame(keepManifests).toDF("p"), Seq("p"), "left_anti")
+        .distinct().as[String]
+      deleted += victims.rdd.mapPartitions { it =>
+        val conf = bc.value.value
+        var n = 0L
+        it.foreach { p =>
+          val hp = new Path(p)
+          val fsx = hp.getFileSystem(conf)
+          if (fsx.exists(hp) && fsx.delete(hp, false)) n += 1
+        }
+        Iterator.single(n)
+      }.fold(0L)(_ + _)
+    }
     def rm(p: String): Unit = {
       val hp = new Path(p)
       if (f.exists(hp) && f.delete(hp, false)) deleted += 1
     }
-    (dropFiles -- keepFiles).foreach(rm)
     (dropManifests -- keepManifests).foreach(rm)
     (dropLists -- keepLists).foreach(rm)
 
@@ -1750,72 +1819,113 @@ object IcebergTable {
   /** Bin-pack compaction — Iceberg's `rewrite_data_files` maintenance
     * action, the OPTIMIZE of this format. Rewrites (a) data files
     * smaller than `smallerThan` bytes, (b) every file a position delete
-    * pins, and (c) every file an equality delete could scope (sequence
-    * number below the delete's), applying the deletes in the same pass;
-    * every other file carries into the REPLACE snapshot as a manifest
-    * entry — its bytes never move. Because the selection covers all
-    * delete-affected files, the new snapshot carries NO delete
-    * manifests: metadata-only COUNT(*) and CONVERT TO DELTA work again.
-    * Returns (rewritten, carried) file counts; (0, n) commits nothing.
+    * pins, (c) every file an equality delete could scope (sequence
+    * number below the delete's), and (d) files laid out under an OLD
+    * partition spec, applying the deletes in the same pass; every other
+    * file carries into the REPLACE snapshot as a manifest entry — its
+    * bytes never move. Because the selection covers all delete-affected
+    * files, the new snapshot carries NO delete manifests: metadata-only
+    * COUNT(*) and CONVERT TO DELTA work again. Returns (rewritten,
+    * carried) file counts; (0, n) commits nothing.
     *
-    * Scale: the only driver-materialized sets are the selection indices
-    * (O(files), same class as the manifests already parsed) and the
-    * position deletes' DISTINCT target paths (O(delete-touched files));
-    * row data streams through the ordinary distributed scan/write. */
+    * Scale: everything file-level stays distributed — selection is a
+    * predicate over the entries frame (the position deletes' target
+    * paths JOIN against it, never a driver Set), the rewrite subset
+    * reads through [[readFromEntries]]'s chunked scan with deletes
+    * applied, and the carried EXISTING entries stream into the manifest
+    * writer one partition at a time via `toLocalIterator` (the
+    * [[DeltaLog]] DELETE pattern). Driver state: O(delete files) paths
+    * and O(1) aggregates. */
   def rewriteDataFiles(spark: SparkSession, table: String,
       smallerThan: Long = 32L << 20): (Int, Int) = {
-    val st = state(spark, table)
-    def norm(p: String): String =
-      p.replaceAll("^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
-    val posTouched: Set[String] =
-      if (st.posDeletes.isEmpty) Set.empty
-      else spark.read.parquet(st.posDeletes.map(_._1): _*)
-        .select("file_path").distinct()
-        .collect().map(r => norm(r.getString(0))).toSet
-    val maxEqSeq = (0L +: st.eqDeletes.map(_._2)).max
-    val rewrite = st.dataFiles.indices.filter { i =>
-      st.fileSizes(i) < smallerThan ||
-        posTouched.contains(norm(st.dataFiles(i))) ||
-        st.dataSeqs(i) < maxEqSeq ||
-        // partition evolution: files laid out under an OLD spec rewrite
-        // into the current default layout (rewrite_data_files is the
-        // spec's repartition-after-evolution tool)
-        (st.fileSpecIds.size == st.dataFiles.size &&
-          st.fileSpecIds(i) != st.defaultSpecId)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snap = resolveSnapshotNode(table, root, None, None)
+    val schema = resolveSchema(root)
+    val defaultSpecId = root.path("default-spec-id").asInt(0)
+    val entries = entriesOf(spark, table, root, snap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val entryCols = Seq("path", "content", "seq", "recordCount", "fileSize",
+      "specId", "hasPartition", "partition", "lower", "upper", "nullCounts",
+      "equalityIds").map(col)
+    val flagged = {
+      def norm(c: org.apache.spark.sql.Column) =
+        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+      // delete-file PATHS are O(delete files) — the DV-descriptor class
+      val dels = entries.filter(_.content != 0)
+        .map(e => (e.content, e.path, e.seq)).collect()
+      val posDelPaths = dels.collect { case (1, p, _) => p }.toSeq
+      val maxEqSeq = (0L +: dels.collect { case (2, _, s) => s }.toSeq).max
+      val posTouched =
+        if (posDelPaths.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(StructField("__tp", StringType))))
+        else spark.read.parquet(posDelPaths: _*)
+          .select(norm(col("file_path")).as("__tp")).distinct()
+      entries.filter(_.content == 0).toDF()
+        .withColumn("__np", norm(col("path")))
+        .join(posTouched, col("__np") === col("__tp"), "left")
+        .withColumn("__rw",
+          col("fileSize") < lit(smallerThan) || col("__tp").isNotNull ||
+            col("seq") < lit(maxEqSeq) ||
+            // partition evolution: files laid out under an OLD spec
+            // rewrite into the current default layout
+            col("specId") =!= lit(defaultSpecId))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    if (rewrite.isEmpty) return (0, st.dataFiles.size)
-    val keep = st.dataFiles.indices.diff(rewrite)
-    // deletes stay in the sub-state so readState applies them while
-    // rewriting; carried files were provably untouched by any delete
-    val sub = st.copy(
-      dataFiles = rewrite.map(st.dataFiles),
-      fileRecordCounts = rewrite.map(st.fileRecordCounts),
-      dataSeqs = rewrite.map(st.dataSeqs),
-      partitionTuples =
-        if (st.partitionTuples.size == st.dataFiles.size)
-          rewrite.map(st.partitionTuples) else st.partitionTuples,
-      fileSpecIds =
-        if (st.fileSpecIds.size == st.dataFiles.size)
-          rewrite.map(st.fileSpecIds) else st.fileSpecIds,
-      fileSizes = rewrite.map(st.fileSizes))
-    // bin-pack: aim for ~4x the small-file floor per output file (the
-    // partitioned path re-partitions by partition tuple downstream)
-    val targetFiles = math.max(1L,
-      rewrite.map(st.fileSizes).sum / math.max(1L, smallerThan * 4)).toInt
-    val rewritten = readState(spark, table, sub).coalesce(targetFiles)
-    writeAppend(spark, rewritten, table, carryPrevious = false,
-      carryFiles = keep.map { i =>
-        CarriedFile(st.dataFiles(i), st.fileRecordCounts(i), st.fileSizes(i),
-          if (st.partitionTuples.size == st.dataFiles.size)
-            st.partitionTuples(i) else None,
-          if (st.lowerBounds.size == st.dataFiles.size)
-            st.lowerBounds(i) else Map.empty,
-          if (st.upperBounds.size == st.dataFiles.size)
-            st.upperBounds(i) else Map.empty,
-          if (st.nullCounts.size == st.dataFiles.size)
-            st.nullCounts(i) else Map.empty)
-      })
-    (rewrite.size, keep.size)
+    try {
+      // counts + rewrite byte total in ONE aggregation pass
+      val agg = flagged.groupBy(col("__rw"))
+        .agg(count(lit(1)).as("n"), sum(col("fileSize")).as("b"))
+        .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val (nRewrite, rwBytes) = agg.getOrElse(true, (0L, 0L))
+      val nKeep = agg.get(false).map(_._1).getOrElse(0L)
+      if (nRewrite == 0L) return (0, nKeep.toInt)
+      // the rewrite subset reads through the chunked distributed path
+      // WITH the delete files, so merge-on-read deletes materialize in
+      // the same pass; carried files were provably untouched by any
+      // delete, so dropping the delete manifests is sound
+      val rwEntries = flagged.where(col("__rw")).select(entryCols: _*)
+        .as[IceEntry].union(entries.filter(_.content != 0))
+      val rewritten = readFromEntries(spark, table, schema,
+        schemaFieldIds(root), rwEntries)
+      // bin-pack: aim for ~4x the small-file floor per output file (the
+      // partitioned path re-partitions by partition tuple downstream)
+      val targetFiles = math.max(1L,
+        rwBytes / math.max(1L, smallerThan * 4)).toInt
+      // typed partition tuples decode per-file under the spec the file
+      // was WRITTEN with (evolution-safe), streaming one row at a time
+      val allSpecs = specsById(root)
+      val srcTypes: Map[Int, Seq[DataType]] = allSpecs.map { case (id, fds) =>
+        id -> fds.map(fd => schema(fd.source).dataType)
+      }
+      val resTypes: Map[Int, Seq[DataType]] = allSpecs.map { case (id, fds) =>
+        id -> fds.zip(srcTypes(id)).map { case (fl, st2) =>
+          IcebergPartition.resultType(fl.transform, st2)
+        }
+      }
+      val keepIt = flagged.where(!col("__rw")).select(entryCols: _*)
+        .as[IceEntry].toLocalIterator().asScala.map { e =>
+          CarriedFile(e.path, e.recordCount, e.fileSize,
+            if (!e.hasPartition) None
+            else Some(e.partition
+              .zip(resTypes.getOrElse(e.specId, Seq.empty))
+              .map { case (s2, dt) => decodePv(s2, dt) }),
+            e.lower, e.upper, e.nullCounts)
+        }
+      writeAppend(spark, rewritten.coalesce(targetFiles), table,
+        carryPrevious = false, carryFiles = keepIt)
+      (nRewrite.toInt, nKeep.toInt)
+    } finally {
+      flagged.unpersist(false)
+      entries.unpersist(false)
+      ()
+    }
   }
 
   /** Merge-on-read DELETE: the matching rows' (file, position) slots
@@ -1836,20 +1946,25 @@ object IcebergTable {
     require(entries.filter(_.content == 0).limit(1).count() > 0,
       s"Iceberg table $table has no data files")
     // candidate scope: hidden-partition + bound pruning first, so the
-    // probing scan opens only files the predicate could touch
-    val candidates = pruneEntries(spark, root, schema, entries, predicate)
-      .filter(_.content == 0).map(_.path).collect().toSeq
+    // probing scan opens only files the predicate could touch; the
+    // surviving paths reach the driver in bounded chunks (the
+    // [[pathChunksOf]] rule), never as one collect
+    val candChunks = pathChunksOf(
+      pruneEntries(spark, root, schema, entries, predicate)
+        .filter(_.content == 0).map(_.path).toDF("path"),
+      readChunkSize(spark))
     val slots =
-      if (candidates.isEmpty)
+      if (candChunks.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(Seq(StructField("file_path", StringType),
             StructField("pos", LongType))))
-      else spark.read.schema(schema).parquet(candidates: _*)
-        .select(col("_metadata.file_path").as("file_path"),
-          col("_metadata.row_index").as("pos"), col("*"))
-        .where(predicate)
-        .select("file_path", "pos")
+      else candChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
+          .select(col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("pos"), col("*"))
+          .where(predicate)
+          .select("file_path", "pos"))
+        .reduce(_ unionByName _)
     writeDeleteSnapshot(spark, table, slots, content = 1, equalityIds = Seq.empty)
   }
 

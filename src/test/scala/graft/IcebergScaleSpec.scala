@@ -75,6 +75,32 @@ class IcebergScaleSpec extends SparkSpec {
       assert(IcebergTable.countRows(spark, t) == 1L + 10000L * 100L)
       assert(IcebergTable.readPruned(spark, t, col("k") === realKey)
         .as[(Long, Double)].collect().toSeq == Seq((realKey, 7.0)))
+
+      // (d) MAINTENANCE at scale, still under the forced-distributed
+      // parse: rewriteDataFiles selects via the entries frame and
+      // STREAMS the 10k carried entries into the new manifest — any
+      // code path that opened (or even stat'ed) a carried ghost would
+      // throw, and a driver-side file array would defeat the point.
+      // 64 KB floor: only the (tiny) real file rewrites; every 1 MB
+      // ghost carries.
+      val (rewritten, carried) =
+        IcebergTable.rewriteDataFiles(spark, t, smallerThan = 64L << 10)
+      assert((rewritten, carried) == (1, 10000), (rewritten, carried))
+      assert(IcebergTable.countRows(spark, t) == 1L + 10000L * 100L)
+      assert(IcebergTable.readPruned(spark, t, col("k") === realKey)
+        .as[(Long, Double)].collect().toSeq == Seq((realKey, 7.0)))
+
+      // (e) DISTRIBUTED expiry: dropping every pre-rewrite snapshot
+      // walks 10k-entry manifests on executors; the only true orphan
+      // is the pre-rewrite real data file (ghosts stay reachable from
+      // the kept REPLACE snapshot; exists() on them is false, which
+      // must not throw). The kept view is untouched.
+      val removed = IcebergTable.expireSnapshots(spark, t,
+        olderThanMs = System.currentTimeMillis() + 60000L, retainLast = 1)
+      assert(removed >= 1L, s"expiry removed nothing ($removed)")
+      assert(IcebergTable.countRows(spark, t) == 1L + 10000L * 100L)
+      assert(IcebergTable.readPruned(spark, t, col("k") === realKey)
+        .as[(Long, Double)].collect().toSeq == Seq((realKey, 7.0)))
     } finally spark.conf.unset("spark.graft.iceberg.driverManifestBytes")
   }
 }

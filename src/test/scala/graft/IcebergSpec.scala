@@ -249,4 +249,52 @@ class IcebergSpec extends SparkSpec {
     assert(graft.sources.DeltaLog.read(spark, t)
       .as[Long].collect().toSet == (0L until 10L).toSet - 5L)
   }
+
+  test("racing blind appends both land via bounded rebase") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "base")).toDF("id", "v"), t)
+    // the racer fires from INSIDE the victim's commit window (after the
+    // victim staged data and numbered its metadata, before it creates
+    // vN.metadata.json) — exactly the interleaving a real race occupies.
+    // The racer's own append re-enters the hook; guarded out.
+    var fired = false
+    var inRacer = false
+    IcebergTable.raceHook = () =>
+      if (!fired && !inRacer) {
+        fired = true; inRacer = true
+        try IcebergTable.writeAppend(spark,
+          Seq((2L, "racer")).toDF("id", "v"), t)
+        finally inRacer = false
+      }
+    try IcebergTable.writeAppend(spark,
+      Seq((3L, "victim")).toDF("id", "v"), t)
+    finally IcebergTable.raceHook = () => ()
+    assert(fired)
+    // both commits landed: the victim rebased onto the racer's snapshot
+    // instead of failing, and no rows were lost or duplicated
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "racer"), (3L, "victim")))
+    // three snapshots in history: base, racer, rebased victim
+    assert(IcebergTable.metadataTable(spark, t, "snapshots").count() == 3L)
+
+    // a REPLACE commit (carried entries) must NOT rebase — its carried
+    // selection derives from the snapshot it read, so a racer
+    // invalidates it and the conflict surfaces loudly
+    fired = false
+    IcebergTable.raceHook = () =>
+      if (!fired && !inRacer) {
+        fired = true; inRacer = true
+        try IcebergTable.writeAppend(spark,
+          Seq((4L, "racer2")).toDF("id", "v"), t)
+        finally inRacer = false
+      }
+    try intercept[java.io.IOException] {
+      IcebergTable.writeAppend(spark,
+        Seq((5L, "replace")).toDF("id", "v"), t,
+        carryPrevious = false,
+        carryFiles = Seq(IcebergTable.CarriedFile(
+          "data/nope.parquet", 1L, 1L, None)))
+    } finally IcebergTable.raceHook = () => ()
+    assert(fired)
+  }
 }
