@@ -156,6 +156,16 @@ object DeltaLog {
       .select("path", "deletionVector", "size").collect().toSeq
       .map(entryOfRow).sortBy(_.path)
 
+    /** Memo for [[readSnapshotChunked]]'s one-chunk fast path: the
+      * (probedChunkSize, entries) of a successful head probe. A DML
+      * flow touches the file frame of the SAME (LRU-cached) snapshot
+      * 4–6 times — probe, rewrite, CDF stage, read-back — and each
+      * touch was one limit-collect Spark job; the memo makes all but
+      * the first free. Bounded by the chunk rule (only a ≤ chunkSize
+      * result is ever stored); multi-chunk tables keep streaming. */
+    @transient private[sources] lazy val chunkMemo =
+      new java.util.concurrent.atomic.AtomicReference[(Int, Seq[FileEntry])]()
+
     /** Live file paths (relative to the table root), sorted. */
     def files: Seq[String] = fileEntries.map(_.path)
 
@@ -1033,11 +1043,20 @@ object DeltaLog {
     require(chunkSize > 0, s"spark.graft.read.maxEntriesPerChunk must be > 0")
     val frame = snap.allFiles.select("path", "deletionVector")
     // fast path: one job, one relation — identical to the pre-chunking
-    // plan whenever the table fits one chunk
+    // plan whenever the table fits one chunk; the snapshot memoizes the
+    // probe so repeated reads of the same cached snapshot cost no job
+    val memo = snap.chunkMemo.get()
+    if (memo != null && memo._2.length <= chunkSize) {
+      meterReadCollect(memo._2.length)
+      return readEntries(spark, table, memo._2,
+        snap.schema, snap.columnMappingMode, withProvenance)
+    }
     val head = frame.limit(chunkSize + 1).collect()
     if (head.length <= chunkSize) {
       meterReadCollect(head.length)
-      return readEntries(spark, table, head.toSeq.map(entryOfRow),
+      val entries = head.toSeq.map(entryOfRow)
+      snap.chunkMemo.compareAndSet(null, (chunkSize, entries))
+      return readEntries(spark, table, entries,
         snap.schema, snap.columnMappingMode, withProvenance)
     }
     // big-table path: partition the file frame so each partition is one
@@ -3755,16 +3774,27 @@ object DeltaLog {
           else Some(TxnReadInfo(touched.map(_.path).toSet,
             touched.map(_.path).toSet, txn.map(_._1).toSet)))
     }
+    // the key-provenance probe is SEMANTIC, not just an optimization:
+    // it keeps files without source keys live (no remove/re-add churn,
+    // stable row ids, exact CDF file diffs), so it runs even when the
+    // table is tiny and a blind rewrite would be cheaper
     basenameIndex(snap.files) match {
       case _ if !probeByKeys => commit(snap.fileEntries)
       case None => commit(snap.fileEntries)
       case Some(_) =>
-        val touchedNames = readEntries(spark, table, snap.fileEntries, snap.schema,
-          snap.columnMappingMode, withProvenance = true)
-          .withColumn("__fname", provFileName)
-          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
-          .select("__fname").distinct().collect().map(_.getString(0)).toSet
-        commit(snap.fileEntries.filter(e => touchedNames.contains(basename(e.path))))
+        // the source plan evaluates twice (probe, then rewrite): persist
+        // for the duration so the second pass reads the cache instead of
+        // recomputing the (possibly expensive) source query
+        val cachedSrc = source.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val touchedNames = readEntries(spark, table, snap.fileEntries, snap.schema,
+            snap.columnMappingMode, withProvenance = true)
+            .withColumn("__fname", provFileName)
+            .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            .select("__fname").distinct().collect().map(_.getString(0)).toSet
+          commit(snap.fileEntries.filter(e => touchedNames.contains(basename(e.path))))
+        } finally { cachedSrc.unpersist(false); () }
     }
   }
 
