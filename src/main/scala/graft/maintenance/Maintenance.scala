@@ -547,6 +547,54 @@ object Maintenance {
       graft.sources.IcebergTable.read(spark, t)
   }
 
+  /** Iceberg metadata maintenance, oracle-verified: a table accreted
+    * from per-shard appends plus a merge-on-read equality delete and a
+    * re-insert goes through REWRITE MANIFESTS (consolidation to one
+    * data manifest is REQUIRED to have engaged) and VACUUM (a planted
+    * orphan file is REQUIRED to be swept while every referenced file
+    * survives); the final read must still match DuckDB — in particular
+    * the re-insert must still outlive the equality delete, proving the
+    * consolidated entries carried their own sequence numbers. */
+  val qIcebergManifests: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_manifests",
+    """WITH base AS (
+      |  SELECT s_suppkey, s_name, s_nationkey FROM supplier
+      |  WHERE s_nationkey <> 5
+      |)
+      |SELECT * FROM base
+      |UNION ALL
+      |SELECT s_suppkey, s_name, s_nationkey FROM supplier
+      |WHERE s_nationkey = 5 AND s_suppkey % 10 = 0""".stripMargin) {
+    (spark, dir) =>
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-icemanif-q-").toString + "/t"
+      val supp = graft.Tables.supplier(spark, dir)
+        .select("s_suppkey", "s_name", "s_nationkey")
+      (0 to 2).foreach(m => graft.sources.IcebergTable.writeAppend(spark,
+        supp.where(col("s_suppkey") % 3 === m), t))
+      import spark.implicits._
+      graft.sources.IcebergTable.deleteEquals(spark, t,
+        Seq(5).toDF("s_nationkey"))
+      graft.sources.IcebergTable.writeAppend(spark,
+        supp.where(col("s_nationkey") === 5 && col("s_suppkey") % 10 === 0), t)
+      val row = graft.sources.GraftSql.exec(spark,
+        s"REWRITE MANIFESTS iceberg.`$t`").collect()(0)
+      require(row.getInt(0) >= 4 && row.getInt(1) == 1,
+        s"manifest consolidation did not engage: $row")
+      // plant an orphan next to the live files, then sweep it
+      val f = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf())
+      val orphan = new org.apache.hadoop.fs.Path(t, "data/orphan-q.parquet")
+      val o = f.create(orphan, true)
+      try o.write("junk".getBytes) finally o.close()
+      f.setTimes(orphan, System.currentTimeMillis() - 100000L, -1)
+      val swept = graft.sources.GraftSql.exec(spark,
+        s"VACUUM iceberg.`$t` OLDER THAN '2031-01-01 00:00:00'")
+        .as[Long].collect()(0)
+      require(swept == 1L, s"orphan sweep removed $swept files, wanted 1")
+      graft.sources.IcebergTable.read(spark, t)
+  }
+
   /** Iceberg hidden partitioning, oracle-verified: write `events` as an
     * Iceberg table partitioned by bucket[4](user_id) + day(ts), read a
     * key slice back through [[graft.sources.IcebergTable.readPruned]] —
@@ -1039,6 +1087,6 @@ object Maintenance {
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
       qConvertToDelta, qIcebergRoundtrip, qIcebergRefs, qIcebergMor, qIcebergPartitioned,
-      qIcebergBounds, qLogCompaction,
+      qIcebergBounds, qIcebergManifests, qLogCompaction,
       qConcurrentRebase, qLiveRead)
 }

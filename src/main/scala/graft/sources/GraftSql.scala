@@ -170,6 +170,13 @@ object GraftSql {
     """(?is)\s*REORG\s+TABLE\s+iceberg\.`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
   private val IcebergOptimize =
     """(?is)\s*OPTIMIZE\s+iceberg\.`([^`]+)`\s*""".r
+  // the remove_orphan_files procedure, spelled like the Delta VACUUM
+  // verb for cross-format consistency
+  private val IcebergVacuum =
+    ("""(?is)\s*VACUUM\s+iceberg\.`([^`]+)`""" +
+      """(?:\s+OLDER\s+THAN\s+'([^']+)')?\s*""").r
+  private val IcebergRewriteManifests =
+    """(?is)\s*REWRITE\s+MANIFESTS\s+iceberg\.`([^`]+)`\s*""".r
   private val IcebergInsert =
     """(?is)\s*INSERT\s+INTO\s+iceberg\.`([^`]+)`\s+((?:SELECT|VALUES|FROM|WITH)\s.+)""".r
   private val IcebergCreateHead =
@@ -906,6 +913,18 @@ object GraftSql {
       val removed = IcebergTable.expireSnapshots(spark, path, older, n)
       import spark.implicits._
       Seq(removed).toDF("files_deleted")
+    case IcebergVacuum(path, ts) =>
+      // default grace: now (sweep everything unreferenced) — callers
+      // running next to live writers pass an explicit OLDER THAN
+      val older = Option(ts).map(parseTsMillis)
+        .getOrElse(System.currentTimeMillis() + 1L)
+      val removed = IcebergTable.removeOrphanFiles(spark, path, older)
+      import spark.implicits._
+      Seq(removed).toDF("files_deleted")
+    case IcebergRewriteManifests(path) =>
+      val (before, after) = IcebergTable.rewriteManifests(spark, path)
+      import spark.implicits._
+      Seq((before, after)).toDF("manifests_before", "manifests_after")
     case Delete(path, cond) if hasSubquery(cond) =>
       version(spark, execDmlSubquery(spark, path, cond, None))
     case Delete(path, cond) =>

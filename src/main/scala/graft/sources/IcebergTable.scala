@@ -1006,6 +1006,7 @@ object IcebergTable {
       s"""{"type":"record","name":"manifest_entry","fields":[
          |  {"name":"status","type":"int","field-id":0},
          |  {"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |  {"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
          |  {"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
          |    {"name":"file_path","type":"string","field-id":100},
          |    {"name":"file_format","type":"string","field-id":101},
@@ -1697,6 +1698,239 @@ object IcebergTable {
   def readRef(spark: SparkSession, table: String, name: String): DataFrame =
     read(spark, table, snapshotId = Some(refSnapshotId(spark, table, name)))
 
+  /** Every file path any of `manifests` mentions (ANY entry status —
+    * reachability must see deleted-status entries too), parsed on
+    * EXECUTORS. Unreadable manifests skip (idempotent re-runs). */
+  private def manifestFilesFrame(spark: SparkSession, table: String,
+      manifests: Set[String]): org.apache.spark.sql.Dataset[String] = {
+    import spark.implicits._
+    if (manifests.isEmpty) return spark.emptyDataset[String]
+    val bc = spark.sparkContext.broadcast(
+      new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val tableStr = table
+    spark.createDataset(manifests.toSeq.sorted)
+      .repartition(math.max(1, math.min(manifests.size,
+        spark.sparkContext.defaultParallelism)))
+      .flatMap { mp =>
+        try avroEntriesConf(bc.value.value, new Path(mp)).flatMap { e =>
+          Option(e.get("data_file")).collect { case d: GenericRecord =>
+            resolve(tableStr, str(d, "file_path").getOrElse(""))
+          }
+        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }
+  }
+
+  /** Unlink every path in `victims` per-partition on executors;
+    * returns how many existed and were deleted. */
+  private def deleteDistributed(spark: SparkSession,
+      victims: org.apache.spark.sql.Dataset[String]): Long = {
+    val bc = spark.sparkContext.broadcast(
+      new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    victims.rdd.mapPartitions { it =>
+      val conf = bc.value.value
+      var n = 0L
+      it.foreach { p =>
+        val hp = new Path(p)
+        val fsx = hp.getFileSystem(conf)
+        if (fsx.exists(hp) && fsx.delete(hp, false)) n += 1
+      }
+      Iterator.single(n)
+    }.fold(0L)(_ + _)
+  }
+
+  /** Iceberg's `remove_orphan_files` maintenance action: delete files
+    * under `<table>/data/` that NO snapshot's manifests reference —
+    * crash-orphaned staging output, files stranded by an aborted
+    * commit — restricted to files modified before `olderThanMs` (the
+    * grace window that keeps in-flight writes safe, the procedure's
+    * `older_than` argument). Scale shape: the recursive listing runs
+    * per-partition-directory ON EXECUTORS (streamed through the
+    * RemoteIterator, never a driver array), reachability is the
+    * distributed manifest parse, the orphan set is an anti-join, and
+    * unlinks happen per-partition; the driver holds manifest paths
+    * (O(manifests)) and the partition-directory list only. Returns the
+    * number of files deleted. */
+  def removeOrphanFiles(spark: SparkSession, table: String,
+      olderThanMs: Long): Long = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    // a file referenced by ANY snapshot — current or historical — is
+    // not an orphan; expireSnapshots owns dropping history
+    val manifests = {
+      val b = Set.newBuilder[String]
+      root.path("snapshots").elements().asScala.foreach { s =>
+        try avroEntries(f,
+          new Path(resolve(table, s.get("manifest-list").asText()))).foreach { m =>
+          b += resolve(table, str(m, "manifest_path").getOrElse(""))
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      b.result()
+    }
+    val dataDir = new Path(f.makeQualified(new Path(table)), "data")
+    if (!f.exists(dataDir)) return 0L
+    val bc = spark.sparkContext.broadcast(
+      new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    // fan out one task per partition directory (recursive), plus one
+    // for files sitting directly under data/ (unpartitioned layout or
+    // pre-evolution files)
+    val top = f.listStatus(dataDir)
+    val units: Seq[(String, Boolean)] =
+      top.collect { case s if s.isDirectory => (s.getPath.toString, true) }.toSeq :+
+        ((dataDir.toString, false))
+    val cutoff = olderThanMs
+    val onDisk = spark.createDataset(units)
+      .repartition(math.max(1, math.min(units.size,
+        spark.sparkContext.defaultParallelism)))
+      .flatMap { case (d, recursive) =>
+        val p = new Path(d)
+        val fsx = p.getFileSystem(bc.value.value)
+        val it = fsx.listFiles(p, recursive)
+        val base = new Iterator[org.apache.hadoop.fs.LocatedFileStatus] {
+          def hasNext: Boolean = it.hasNext
+          def next(): org.apache.hadoop.fs.LocatedFileStatus = it.next()
+        }
+        // the non-recursive unit must not re-emit subdirectory files
+        val scoped = if (recursive) base
+          else base.filter(_.getPath.getParent.toString == d)
+        scoped.filter(s => s.isFile && s.getModificationTime < cutoff)
+          .map(s => s.getPath.toString)
+      }.toDF("p")
+    def norm(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    val victims = onDisk
+      .withColumn("__pn", norm(col("p")))
+      .join(manifestFilesFrame(spark, table, manifests).toDF("r")
+        .select(norm(col("r")).as("__pn")).distinct(),
+        Seq("__pn"), "left_anti")
+      .select(col("p")).as[String].distinct()
+    deleteDistributed(spark, victims)
+  }
+
+  /** Iceberg's `rewrite_manifests` maintenance action: consolidate the
+    * current snapshot's DATA manifests into ONE manifest per partition
+    * spec, touching no data file — metadata health for tables that
+    * accreted one small manifest per append (10⁴ appends would mean
+    * 10⁴ manifest opens per planning pass forever). Entries STREAM
+    * from the distributed entries frame into the avro writer via
+    * `toLocalIterator` (one row on the driver at a time), and each
+    * consolidated entry records its own data sequence number in the v2
+    * per-entry field — both read paths already prefer it over the
+    * manifest-list inherit, so merge-on-read delete scoping survives
+    * consolidation exactly. Delete manifests carry unchanged. Returns
+    * (data manifests before, after); no commit when already
+    * consolidated. */
+  def rewriteManifests(spark: SparkSession, table: String): (Int, Int) = {
+    import spark.implicits._
+    val f = fs(spark, table)
+    val root0 = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snap = resolveSnapshotNode(table, root0, None, None)
+    val mdir = new Path(table, "metadata")
+    val carried = carriedManifests(f, table, Some(root0))
+    val (dataM, delM) = carried.partition(_._3 == 0L)
+    if (dataM.size <= 1) return (dataM.size, dataM.size)
+    val version = nextMetadataVersion(f, table)
+    val snapshotId = System.currentTimeMillis() * 1000 + version
+    val now = System.currentTimeMillis()
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val schema = resolveSchema(root0)
+    val allSpecs = specsById(root0)
+    val entries = entriesOf(spark, table, root0, snap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val specIds = entries.filter(_.content == 0).map(_.specId)
+        .distinct().collect().sorted
+      val newManifests = specIds.map { sid =>
+        val fields = allSpecs.getOrElse(sid, Seq.empty)
+        val types = fields.map(fd =>
+          IcebergPartition.resultType(fd.transform, schema(fd.source).dataType))
+        val mSchema = manifestAvroSchemaFor(fields.map(_.name).zip(types))
+        val dfSchema = mSchema.getField("data_file").schema()
+        val it = entries.filter(e => e.content == 0 && e.specId == sid)
+          .toLocalIterator().asScala.map { e =>
+            val rec = new GenericData.Record(mSchema)
+            rec.put("status", 0) // EXISTING
+            rec.put("snapshot_id", snapshotId)
+            rec.put("sequence_number", e.seq)
+            val d = new GenericData.Record(dfSchema)
+            d.put("file_path", e.path)
+            d.put("file_format", "PARQUET")
+            d.put("record_count", e.recordCount)
+            d.put("file_size_in_bytes", e.fileSize)
+            if (e.lower.nonEmpty)
+              d.put("lower_bounds", boundsArray(dfSchema, "lower_bounds", e.lower))
+            if (e.upper.nonEmpty)
+              d.put("upper_bounds", boundsArray(dfSchema, "upper_bounds", e.upper))
+            if (e.nullCounts.nonEmpty)
+              d.put("null_value_counts", mapArray(dfSchema, "null_value_counts",
+                e.nullCounts)(java.lang.Long.valueOf(_)))
+            if (fields.nonEmpty && e.hasPartition) {
+              val pr = new GenericData.Record(
+                dfSchema.getField("partition").schema())
+              fields.zipWithIndex.foreach { case (fd, j) =>
+                val raw = e.partition.lift(j).orNull
+                pr.put(fd.name,
+                  if (raw == null) null
+                  else types(j) match {
+                    case IntegerType => Integer.valueOf(raw.toInt)
+                    case LongType => java.lang.Long.valueOf(raw.toLong)
+                    case StringType => raw
+                    case other =>
+                      sys.error(s"partition tuple type unsupported: $other")
+                  })
+              }
+              d.put("partition", pr)
+            }
+            rec.put("data_file", d)
+            rec
+          }
+        val mp = new Path(mdir, s"manifest-rw-$version-$sid-$nonce.avro")
+        val len = writeAvro(f, mp, mSchema, it)
+        (mp.toString, len, 0L, version.toLong, sid)
+      }.toSeq
+      val mlSchema = manifestListAvroSchema
+      val mlRecords = (newManifests ++ delM).map {
+        case (p, len, c, seq, sid) =>
+          val r = new GenericData.Record(mlSchema)
+          r.put("manifest_path", p)
+          r.put("manifest_length", len)
+          r.put("partition_spec_id", sid)
+          r.put("content", c.toInt)
+          r.put("sequence_number", seq)
+          r.put("added_snapshot_id", snapshotId)
+          r
+      }
+      val listPath = new Path(mdir, s"snap-$snapshotId-$nonce.avro")
+      writeAvro(f, listPath, mlSchema, mlRecords)
+
+      val meta = root0.deepCopy()
+      meta.put("last-updated-ms", now)
+      meta.put("current-snapshot-id", snapshotId)
+      stampRefs(meta, None, snapshotId)
+      val sn = meta
+        .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+        .addObject()
+      sn.put("snapshot-id", snapshotId)
+      sn.put("timestamp-ms", now)
+      sn.put("manifest-list", listPath.toString)
+      val sum = sn.putObject("summary"); sum.put("operation", "replace")
+      val le = meta
+        .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+        .addObject()
+      le.put("timestamp-ms", now); le.put("snapshot-id", snapshotId)
+      val mdPath = new Path(mdir, s"v$version.metadata.json")
+      val out = f.create(mdPath, false)
+      try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
+      finally out.close()
+      val hint = f.create(new Path(mdir, "version-hint.text"), true)
+      try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+      (dataM.size, newManifests.size)
+    } finally { entries.unpersist(false); () }
+  }
+
   def expireSnapshots(spark: SparkSession, table: String,
       olderThanMs: Long, retainLast: Int = 1): Long = {
     require(retainLast >= 1, "expireSnapshots: retainLast must be >= 1")
@@ -1743,39 +1977,13 @@ object IcebergTable {
     val (dropLists, dropManifests) = manifestRefs(dropped)
 
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(
-      new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
-    val tableStr = table
-    def filesFrame(manifests: Set[String])
-        : org.apache.spark.sql.Dataset[String] =
-      if (manifests.isEmpty) spark.emptyDataset[String]
-      else spark.createDataset(manifests.toSeq.sorted)
-        .repartition(math.max(1, math.min(manifests.size,
-          spark.sparkContext.defaultParallelism)))
-        .flatMap { mp =>
-          // every referenced path counts (any status): a file is only
-          // an orphan if NO kept manifest mentions it in any state
-          try avroEntriesConf(bc.value.value, new Path(mp)).flatMap { e =>
-            Option(e.get("data_file")).collect { case d: GenericRecord =>
-              resolve(tableStr, str(d, "file_path").getOrElse(""))
-            }
-          } catch { case scala.util.control.NonFatal(_) => Seq.empty }
-        }
     var deleted = 0L
     if (dropManifests.nonEmpty) {
-      val victims = filesFrame(dropManifests).toDF("p")
-        .join(filesFrame(keepManifests).toDF("p"), Seq("p"), "left_anti")
+      val victims = manifestFilesFrame(spark, table, dropManifests).toDF("p")
+        .join(manifestFilesFrame(spark, table, keepManifests).toDF("p"),
+          Seq("p"), "left_anti")
         .distinct().as[String]
-      deleted += victims.rdd.mapPartitions { it =>
-        val conf = bc.value.value
-        var n = 0L
-        it.foreach { p =>
-          val hp = new Path(p)
-          val fsx = hp.getFileSystem(conf)
-          if (fsx.exists(hp) && fsx.delete(hp, false)) n += 1
-        }
-        Iterator.single(n)
-      }.fold(0L)(_ + _)
+      deleted += deleteDistributed(spark, victims)
     }
     def rm(p: String): Unit = {
       val hp = new Path(p)
@@ -1811,8 +2019,15 @@ object IcebergTable {
     * tables) can proceed. O(surviving rows) written; history keeps the
     * MoR snapshots time-travelable. */
   def materializeDeletes(spark: SparkSession, table: String): Long = {
-    val st = state(spark, table)
-    if (!st.hasDeletes) return st.snapshotId
+    // delete-presence probe over the DISTRIBUTED entries frame (the
+    // spec-API state() would collect every file path on the driver)
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snap = resolveSnapshotNode(table, root, None, None)
+    val hasDeletes = entriesOf(spark, table, root, snap)
+      .filter(_.content != 0).limit(1).count() > 0
+    if (!hasDeletes) return snap.get("snapshot-id").asLong()
     writeAppend(spark, read(spark, table), table, carryPrevious = false)
   }
 

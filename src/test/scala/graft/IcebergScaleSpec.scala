@@ -68,6 +68,15 @@ class IcebergScaleSpec extends SparkSpec {
     assert(IcebergTable.metadataTable(spark, t, "files")
       .where(col("content") === 0).count() == 10001L)
 
+    // manifest consolidation at scale: the 6 per-append manifests
+    // stream their 10,001 entries into ONE (a row at a time on the
+    // driver via toLocalIterator); no ghost is opened or stat'ed
+    val (mBefore, mAfter) = IcebergTable.rewriteManifests(spark, t)
+    assert((mBefore, mAfter) == (6, 1), (mBefore, mAfter))
+    assert(IcebergTable.countRows(spark, t) == 1L + 10000L * 100L)
+    assert(IcebergTable.readPruned(spark, t, col("k") === realKey)
+      .as[(Long, Double)].collect().toSeq == Seq((realKey, 7.0)))
+
     // force the DISTRIBUTED manifest parse (threshold 0 disables the
     // small-metadata driver fast path) — same answers, executor-side
     spark.conf.set("spark.graft.iceberg.driverManifestBytes", "0")
