@@ -2450,15 +2450,12 @@ object DeltaLog {
     case other => node.put(k, other.toString)
   }
 
-  private def collectFileStats(spark: SparkSession, table: String,
-      rels: Seq[String], dataSchema: StructType,
-      partitionBy: Seq[String],
-      cfg: Map[String, String] = Map.empty): Map[String, String] = {
-    // stats scope follows Delta's own knobs: an explicit
-    // delta.dataSkippingStatsColumns list wins (uncapped); otherwise the
-    // first delta.dataSkippingNumIndexedCols eligible columns (-1 = all,
-    // default 32). numRecords is always collected — row tracking, the
-    // metadata COUNT(*) fast path, and the empty-file filter need it.
+  /** The columns a commit collects stats for — Delta's own knobs: an
+    * explicit delta.dataSkippingStatsColumns list wins (uncapped);
+    * otherwise the first delta.dataSkippingNumIndexedCols eligible
+    * columns (-1 = all, default 32). */
+  private def statFields(dataSchema: StructType, partitionBy: Seq[String],
+      cfg: Map[String, String]): Seq[StructField] = {
     val requested = cfg.get("delta.dataSkippingStatsColumns")
       .map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
         .filter(_.nonEmpty).toSet)
@@ -2467,10 +2464,172 @@ object DeltaLog {
     val base = dataSchema.fields.toSeq
       .filterNot(f => partitionBy.contains(f.name))
       .filter(f => isStatType(f.dataType))
-    val fields = requested match {
+    requested match {
       case Some(cols) => base.filter(f => cols.contains(f.name))
       case None => if (maxCols < 0) base else base.take(maxCols)
     }
+  }
+
+  private final class FooterStatsUnsupported(msg: String)
+    extends RuntimeException(msg)
+
+  /** Per-file protocol stats straight from the parquet FOOTERS the
+    * write just produced — zero Spark jobs, replacing the read-back
+    * aggregation on the happy path (one scheduled scan+shuffle per
+    * commit adds up fast across a DML flow). Returns None — and the
+    * caller falls back to [[collectFileStats]] — whenever exact parity
+    * with the scan path cannot be guaranteed: decimal columns (several
+    * physical encodings), INT96 timestamps (no ordered footer stats —
+    * Spark's default output encoding, so any frame carrying a timestamp
+    * column takes the scan path; flipping outputTimestampType to micros
+    * would mark the parquet UTC-adjusted and change what downstream
+    * naive readers see, a worse trade than one stats job),
+    * dropped/oversized binary stats, unknown null counts, dotted
+    * column names. Parity rules encoded here: string order is unsigned
+    * UTF-8 bytes (Spark's UTF8String order), float/double merge via
+    * java.lang compare (NaN largest, Spark's ordering), dates render
+    * as epoch-day ISO, micros timestamps as Instant ISO — byte-for-byte
+    * the JSON [[putStat]] produces from the aggregation row. Zero-row
+    * files are OMITTED from the map, the signal the empty-file filter
+    * keys on, exactly like the scan path. */
+  private def footerFileStats(spark: SparkSession, table: String,
+      rels: Seq[String], dataSchema: StructType,
+      partitionBy: Seq[String],
+      cfg: Map[String, String]): Option[Map[String, String]] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    if (spark.conf.getOption("spark.graft.stats.fromFooters").contains("false"))
+      return None
+    val fields = statFields(dataSchema, partitionBy, cfg)
+    if (fields.exists(f => f.dataType.isInstanceOf[DecimalType]) ||
+      fields.exists(_.name.contains("."))) return None
+    val conf = spark.sessionState.newHadoopConf()
+    def unsupported(msg: String): Nothing =
+      throw new FooterStatsUnsupported(msg)
+    // raw-value comparator in the same total order Spark's min/max use
+    def lt(dt: DataType, a: Any, b: Any): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | DateType =>
+        Integer.compare(a.asInstanceOf[Number].intValue(),
+          b.asInstanceOf[Number].intValue()) < 0
+      case LongType | TimestampType =>
+        java.lang.Long.compare(a.asInstanceOf[Number].longValue(),
+          b.asInstanceOf[Number].longValue()) < 0
+      case FloatType => java.lang.Float.compare(
+        a.asInstanceOf[Number].floatValue(), b.asInstanceOf[Number].floatValue()) < 0
+      case DoubleType => java.lang.Double.compare(
+        a.asInstanceOf[Number].doubleValue(), b.asInstanceOf[Number].doubleValue()) < 0
+      case BooleanType =>
+        java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]) < 0
+      case StringType =>
+        val x = a.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+        val y = b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+        var i = 0
+        val n = math.min(x.length, y.length)
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        x.length < y.length
+      case other => unsupported(s"no footer order for $other")
+    }
+    // raw footer value -> the exact value shape putStat sees from the
+    // aggregation row (or the identical JSON string)
+    def render(fld: StructField,
+        pt: org.apache.parquet.schema.PrimitiveType, v: Any): Any = fld.dataType match {
+      case ByteType | ShortType | IntegerType => v.asInstanceOf[Number].intValue()
+      case LongType => v.asInstanceOf[Number].longValue()
+      case FloatType => v.asInstanceOf[java.lang.Float]
+      case DoubleType => v.asInstanceOf[java.lang.Double]
+      case BooleanType => v.asInstanceOf[java.lang.Boolean]
+      case StringType =>
+        v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(
+          v.asInstanceOf[Number].intValue().toLong).toString
+      case TimestampType =>
+        val micros = pt.getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+            v.asInstanceOf[Number].longValue()
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            v.asInstanceOf[Number].longValue() * 1000L
+          case other => unsupported(s"timestamp annotation $other")
+        }
+        java.time.Instant.ofEpochSecond(Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L).toString
+      case other => unsupported(s"no footer render for $other")
+    }
+    def statsOfFile(rel: String): Option[(String, String)] = {
+      val path = new Path(table, rel)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val md = try rd.getFooter finally rd.close()
+      import scala.jdk.CollectionConverters._
+      val blocks = md.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      if (rows == 0L) return None // omitted, like an empty group in the scan
+      val rootN = mapper.createObjectNode()
+      rootN.put("numRecords", rows)
+      val mins = rootN.putObject("minValues")
+      val maxs = rootN.putObject("maxValues")
+      val ncs = rootN.putObject("nullCount")
+      fields.foreach { fld =>
+        val chunks = blocks.flatMap(_.getColumns.asScala
+          .filter(c => c.getPath.size() == 1 && c.getPath.toDotString == fld.name))
+        if (chunks.isEmpty) unsupported(s"column ${fld.name} not in footer")
+        if (fld.dataType == TimestampType &&
+          chunks.head.getPrimitiveType.getPrimitiveTypeName != PrimitiveTypeName.INT64)
+          unsupported("non-INT64 timestamp (INT96 has no ordered stats)")
+        var nulls = 0L
+        var mn: Any = null
+        var mx: Any = null
+        chunks.foreach { c =>
+          val st = c.getStatistics
+          if (st == null || !st.isNumNullsSet) unsupported(s"${fld.name}: null count unknown")
+          nulls += st.getNumNulls
+          if (st.hasNonNullValue) {
+            val (lo, hi) = (st.genericGetMin, st.genericGetMax)
+            if (lo == null || hi == null) unsupported(s"${fld.name}: stats dropped")
+            if (mn == null || lt(fld.dataType, lo, mn)) mn = lo
+            if (mx == null || lt(fld.dataType, mx, hi)) mx = hi
+          } else if (c.getValueCount > st.getNumNulls)
+            unsupported(s"${fld.name}: min/max dropped for non-null chunk")
+        }
+        if (mn != null) {
+          putStat(mins, fld.name, render(fld, chunks.head.getPrimitiveType, mn))
+          putStat(maxs, fld.name, render(fld, chunks.head.getPrimitiveType, mx))
+        }
+        ncs.put(fld.name, nulls)
+      }
+      Some(rel -> mapper.writeValueAsString(rootN))
+    }
+    try {
+      val out = Some(rels.flatMap(statsOfFile).toMap)
+      footerStatsHits.incrementAndGet()
+      out
+    } catch {
+      case _: FooterStatsUnsupported =>
+        footerStatsFallbacks.incrementAndGet()
+        None
+    }
+  }
+
+  /** Test gauges: commits whose stats came from footers vs commits that
+    * fell back to the read-back aggregation. */
+  private val footerStatsHits = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val footerStatsFallbacks = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[graft] def footerStatsCounters: (Long, Long) =
+    (footerStatsHits.get(), footerStatsFallbacks.get())
+
+  private def collectFileStats(spark: SparkSession, table: String,
+      rels: Seq[String], dataSchema: StructType,
+      partitionBy: Seq[String],
+      cfg: Map[String, String] = Map.empty): Map[String, String] = {
+    // numRecords is always collected — row tracking, the metadata
+    // COUNT(*) fast path, and the empty-file filter need it.
+    val fields = statFields(dataSchema, partitionBy, cfg)
     val byName = basenameIndex(rels).getOrElse(return Map.empty)
     val abs = rels.map(p => new Path(table, p).toString)
     val df = spark.read.option("basePath", table).parquet(abs: _*)
@@ -3325,13 +3484,17 @@ object DeltaLog {
     val movedFiles = moved.result()
 
     // per-file protocol stats (numRecords/minValues/maxValues/nullCount):
-    // one read-back aggregation over the just-staged files — the scan
-    // cost every stats-collecting Delta writer pays at write time; the
-    // stats feed zone-map data skipping ([[pruneFiles]])
+    // read straight from the just-written parquet FOOTERS when exact
+    // parity holds ([[footerFileStats]] — zero Spark jobs), else one
+    // read-back aggregation over the staged files — the scan cost every
+    // stats-collecting Delta writer pays at write time; the stats feed
+    // zone-map data skipping ([[pruneFiles]])
     val statsByFile: Map[String, String] =
       if (movedFiles.isEmpty) Map.empty
-      else collectFileStats(spark, table, movedFiles.map(_._1), stagedDf.schema,
-        physPartitionBy, effConfig)
+      else footerFileStats(spark, table, movedFiles.map(_._1), stagedDf.schema,
+          physPartitionBy, effConfig)
+        .getOrElse(collectFileStats(spark, table, movedFiles.map(_._1),
+          stagedDf.schema, physPartitionBy, effConfig))
 
     // Zero-row staged files (an empty overwrite = truncate, a fully
     // filtered write) never enter the commit — real Delta writers do not

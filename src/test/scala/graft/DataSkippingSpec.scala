@@ -195,4 +195,56 @@ class DataSkippingSpec extends SparkSpec {
       DeltaLog.read(spark, t).where(predA).collect().toSet)
     assert(DeltaLog.changesBetween(spark, t, before.version, after.version).count() == 0)
   }
+
+  test("footer stats equal the scan-path stats byte-for-byte, and engage") {
+    import java.sql.{Date, Timestamp}
+    val t1 = Files.createTempDirectory("graft-fstats-").toString + "/a"
+    val t2 = Files.createTempDirectory("graft-fstats-").toString + "/b"
+    import spark.implicits._
+    // every footer-eligible stat class, nulls, unicode, an all-null
+    // column (timestamps are INT96 under Spark's default output
+    // encoding — no ordered footer stats — and are exercised in the
+    // fallback case below)
+    val df = Seq(
+      (1, 5L, 1.5f, 2.5, "a\u00e9\u20ac", Date.valueOf("1969-07-20"),
+        true, Option.empty[String]),
+      (-7, -5L, -1.5f, -2.5, "zz", Date.valueOf("2031-01-02"),
+        false, Option.empty[String]),
+      (3, 0L, 0.0f, 0.0, "m", null, true, Option.empty[String])
+    ).toDF("i", "l", "f", "d", "s", "dt", "b", "allnull")
+    def statsOf(path: String): Seq[String] = {
+      val snap = DeltaLog.snapshot(spark, path)
+      snap.allFiles.select("stats").collect().map(_.getString(0)).toSeq.sorted
+    }
+    val before = DeltaLog.footerStatsCounters
+    DeltaLog.write(spark, df.repartition(2, col("i")), t1)
+    val after = DeltaLog.footerStatsCounters
+    assert(after._1 > before._1,
+      s"footer stats did not engage: $before -> $after")
+    spark.conf.set("spark.graft.stats.fromFooters", "false")
+    try DeltaLog.write(spark, df.repartition(2, col("i")), t2)
+    finally spark.conf.unset("spark.graft.stats.fromFooters")
+    assert(statsOf(t1) == statsOf(t2),
+      s"footer vs scan stats differ:\n${statsOf(t1)}\nvs\n${statsOf(t2)}")
+    // pruning still exact on the footer-statted table
+    assert(DeltaLog.readPruned(spark, t1, col("l") > 0L)
+      .select("l").as[Long].collect().toSeq == Seq(5L))
+
+    // fallback cases — the footer path must REFUSE (never emit wrong
+    // or partial bounds) and the scan path still owns the stats:
+    // (a) a NaN-bearing double (parquet drops the chunk min/max),
+    // (b) an INT96 timestamp (no ordered footer stats)
+    val t3 = Files.createTempDirectory("graft-fstats-").toString + "/c"
+    val preNaN = DeltaLog.footerStatsCounters
+    DeltaLog.write(spark, Seq(Double.NaN, 1.0, 2.0).toDF("x"), t3)
+    assert(DeltaLog.footerStatsCounters._2 > preNaN._2, "NaN must fall back")
+    assert(DeltaLog.read(spark, t3).where(col("x") > 1.5).count() == 2L) // NaN > 1.5
+    val t4 = Files.createTempDirectory("graft-fstats-").toString + "/d"
+    val preTs = DeltaLog.footerStatsCounters
+    DeltaLog.write(spark, Seq(
+      Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))).toDF("ts"), t4)
+    assert(DeltaLog.footerStatsCounters._2 > preTs._2, "INT96 ts must fall back")
+    assert(DeltaLog.snapshot(spark, t4).allFiles
+      .select("stats").collect()(0).getString(0).contains("numRecords"))
+  }
 }
