@@ -228,16 +228,20 @@ object Bpe {
     // regime), the encode table builds from a parallelized local
     // relation — sc.parallelize distributes WITHOUT an exchange, so the
     // distinct-over-occurrences shuffle disappears entirely
+    // the broadcast hint is only sound in the driver-vocab regime —
+    // the None (distributed) path exists precisely because the
+    // vocabulary exceeds what a driver (and so a broadcast) can hold,
+    // so there AQE keeps the choice
     val vocabEnc = vocab match {
       case Some(ws) =>
         import spark.implicits._
-        spark.createDataset(spark.sparkContext.parallelize(
+        broadcast(spark.createDataset(spark.sparkContext.parallelize(
           ws, math.max(1, spark.sparkContext.defaultParallelism)))
-          .toDF("w").select(col("w"), encodeWord(col("w"), merges).as("t"))
+          .toDF("w").select(col("w"), encodeWord(col("w"), merges).as("t")))
       case None => words.select(col("w")).distinct()
         .select(col("w"), encodeWord(col("w"), merges).as("t"))
     }
-    val toks = words.join(broadcast(vocabEnc), Seq("w"))
+    val toks = words.join(vocabEnc, Seq("w"))
       .select(col("doc_id"), col("n_chars"), col("pos"), col("t"))
     // collect_list order is partition-dependent — the word position
     // pins the encode identity

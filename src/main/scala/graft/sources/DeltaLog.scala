@@ -164,7 +164,7 @@ object DeltaLog {
       * the first free. Bounded by the chunk rule (only a ≤ chunkSize
       * result is ever stored); multi-chunk tables keep streaming. */
     @transient private[sources] lazy val chunkMemo =
-      new java.util.concurrent.atomic.AtomicReference[(Int, Seq[FileEntry])]()
+      new java.util.concurrent.atomic.AtomicReference[Seq[FileEntry]]()
 
     /** Live file paths (relative to the table root), sorted. */
     def files: Seq[String] = fileEntries.map(_.path)
@@ -1046,16 +1046,16 @@ object DeltaLog {
     // plan whenever the table fits one chunk; the snapshot memoizes the
     // probe so repeated reads of the same cached snapshot cost no job
     val memo = snap.chunkMemo.get()
-    if (memo != null && memo._2.length <= chunkSize) {
-      meterReadCollect(memo._2.length)
-      return readEntries(spark, table, memo._2,
+    if (memo != null && memo.length <= chunkSize) {
+      meterReadCollect(memo.length)
+      return readEntries(spark, table, memo,
         snap.schema, snap.columnMappingMode, withProvenance)
     }
     val head = frame.limit(chunkSize + 1).collect()
     if (head.length <= chunkSize) {
       meterReadCollect(head.length)
       val entries = head.toSeq.map(entryOfRow)
-      snap.chunkMemo.compareAndSet(null, (chunkSize, entries))
+      snap.chunkMemo.compareAndSet(null, entries)
       return readEntries(spark, table, entries,
         snap.schema, snap.columnMappingMode, withProvenance)
     }
@@ -2606,11 +2606,27 @@ object DeltaLog {
       Some(rel -> mapper.writeValueAsString(rootN))
     }
     try {
-      val out = Some(rels.flatMap(statsOfFile).toMap)
+      // footer opens are independent metadata round trips — run them on
+      // a bounded pool so a many-file commit on a remote store pays
+      // max(latency), not sum(latency); small commits stay inline
+      val stats: Seq[(String, String)] =
+        if (rels.size <= 8) rels.flatMap(statsOfFile)
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          Await.result(
+            Future.traverse(rels.toSeq)(r => Future(statsOfFile(r))),
+            Duration.Inf).flatten
+        }
       footerStatsHits.incrementAndGet()
-      out
+      Some(stats.toMap)
     } catch {
       case _: FooterStatsUnsupported =>
+        footerStatsFallbacks.incrementAndGet()
+        None
+      case e: java.util.concurrent.ExecutionException
+          if e.getCause.isInstanceOf[FooterStatsUnsupported] =>
         footerStatsFallbacks.incrementAndGet()
         None
     }

@@ -914,10 +914,11 @@ object GraftSql {
       import spark.implicits._
       Seq(removed).toDF("files_deleted")
     case IcebergVacuum(path, ts) =>
-      // default grace: now (sweep everything unreferenced) — callers
-      // running next to live writers pass an explicit OLDER THAN
+      // default grace: 3 days (Iceberg's remove_orphan_files default) —
+      // a bare VACUUM next to a live writer must never sweep files the
+      // writer staged into data/ but has not yet committed
       val older = Option(ts).map(parseTsMillis)
-        .getOrElse(System.currentTimeMillis() + 1L)
+        .getOrElse(System.currentTimeMillis() - 3L * 24 * 3600 * 1000)
       val removed = IcebergTable.removeOrphanFiles(spark, path, older)
       import spark.implicits._
       Seq(removed).toDF("files_deleted")

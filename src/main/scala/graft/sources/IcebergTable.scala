@@ -62,15 +62,24 @@ object IcebergTable {
 
   // ------------------------------------------------------------- metadata
 
-  /** Next metadata ordinal: max existing v*.metadata.json + 1 — NOT
-    * snapshot count, which shrinks under [[expireSnapshots]] and would
-    * collide with retained metadata files. Also the sequence-number
-    * source for new snapshots (monotonic across expiry). */
+  /** Scheme-insensitive path normalization: manifests may record
+    * file:/, file:///, or bare paths for the same file. The ONE rule
+    * shared by delete scoping, rewrite selection, and orphan
+    * reachability — if these disagreed about path identity, a file
+    * could be double-counted or missed. */
+  private def normPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+
   /** Test seam: runs immediately before the create-if-absent commit of
     * each append attempt — the window a racing writer occupies (the
     * [[DeltaLog.raceHook]] pattern). */
   private[graft] var raceHook: () => Unit = () => ()
 
+  /** Next metadata ordinal: max existing v*.metadata.json + 1 — NOT
+    * snapshot count, which shrinks under [[expireSnapshots]] and would
+    * collide with retained metadata files. Also the sequence-number
+    * source for new snapshots (monotonic across expiry). */
   private def nextMetadataVersion(f: FileSystem, table: String): Int = {
     val mdir = new Path(table, "metadata")
     if (!f.exists(mdir)) return 1
@@ -810,13 +819,9 @@ object IcebergTable {
       if (posDeletes.isEmpty && eqDeletes.isEmpty)
         return pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*))
           .reduce(_ unionByName _).select(names: _*)
-      // scheme-insensitive path normalization: manifests may record
-      // file:/, file:///, or bare paths for the same file
-      def norm(c: org.apache.spark.sql.Column) =
-        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
       var df = pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
           .select(col("*"),
-            norm(col("_metadata.file_path")).as("__fp"),
+            normPathCol(col("_metadata.file_path")).as("__fp"),
             col("_metadata.row_index").as("__ri")))
         .reduce(_ unionByName _)
       // each data row learns its file's sequence number from the
@@ -826,12 +831,12 @@ object IcebergTable {
       // seq), so imported/mirrored metadata resolves like the format
       // says, not just this writer's UUID-fresh paths.
       val seqDf = data.map(e => (e.path, e.seq)).toDF("__sp", "__dseq")
-        .withColumn("__sp", norm(col("__sp")))
+        .withColumn("__sp", normPathCol(col("__sp")))
       df = df.join(broadcast(seqDf), col("__fp") === col("__sp")).drop("__sp")
       if (posDeletes.nonEmpty) {
         val pdels = posDeletes.groupBy(_._2).map { case (seq, ps) =>
           spark.read.parquet(ps.map(_._1): _*)
-            .select(norm(col("file_path")).as("__dfp"),
+            .select(normPathCol(col("file_path")).as("__dfp"),
               col("pos").as("__dpos"), lit(seq).as("__pseq"))
         }.reduce(_ unionByName _)
         df = df.join(pdels,
@@ -1459,7 +1464,14 @@ object IcebergTable {
         case race: java.io.IOException if retriable && attemptsLeft > 1 &&
             f.exists(new Path(mdir, s"v$versionNow.metadata.json")) =>
           attemptsLeft -= 1
-          val e2 = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+          // resolve the racer's state from the LISTING max, the same
+          // source versionNow uses — the version-hint is written AFTER
+          // the metadata file, so a cross-process racer's hint may
+          // still point at the old version; rebasing onto the hint
+          // would silently drop the racer's committed snapshot
+          val curV = nextMetadataVersion(f, table) - 1
+          val e2 = mapper.readTree(readText(f,
+            new Path(mdir, s"v$curV.metadata.json")))
             .asInstanceOf[ObjectNode]
           val s2 = resolveSchema(e2)
           val schemaOk = s2.fieldNames.toSeq == df.schema.fieldNames.toSeq &&
@@ -1798,12 +1810,10 @@ object IcebergTable {
         scoped.filter(s => s.isFile && s.getModificationTime < cutoff)
           .map(s => s.getPath.toString)
       }.toDF("p")
-    def norm(c: org.apache.spark.sql.Column) =
-      regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
     val victims = onDisk
-      .withColumn("__pn", norm(col("p")))
+      .withColumn("__pn", normPathCol(col("p")))
       .join(manifestFilesFrame(spark, table, manifests).toDF("r")
-        .select(norm(col("r")).as("__pn")).distinct(),
+        .select(normPathCol(col("r")).as("__pn")).distinct(),
         Seq("__pn"), "left_anti")
       .select(col("p")).as[String].distinct()
     deleteDistributed(spark, victims)
@@ -1978,8 +1988,12 @@ object IcebergTable {
 
     import spark.implicits._
     var deleted = 0L
-    if (dropManifests.nonEmpty) {
-      val victims = manifestFilesFrame(spark, table, dropManifests).toDF("p")
+    // a file in a manifest BOTH sides share can never be a victim, so
+    // the candidate side parses only the dropped-exclusive manifests —
+    // append-carried manifests (the common case) never re-parse
+    val dropOnly = dropManifests -- keepManifests
+    if (dropOnly.nonEmpty) {
+      val victims = manifestFilesFrame(spark, table, dropOnly).toDF("p")
         .join(manifestFilesFrame(spark, table, keepManifests).toDF("p"),
           Seq("p"), "left_anti")
         .distinct().as[String]
@@ -2067,8 +2081,6 @@ object IcebergTable {
       "specId", "hasPartition", "partition", "lower", "upper", "nullCounts",
       "equalityIds").map(col)
     val flagged = {
-      def norm(c: org.apache.spark.sql.Column) =
-        regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
       // delete-file PATHS are O(delete files) — the DV-descriptor class
       val dels = entries.filter(_.content != 0)
         .map(e => (e.content, e.path, e.seq)).collect()
@@ -2080,9 +2092,9 @@ object IcebergTable {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             StructType(Seq(StructField("__tp", StringType))))
         else spark.read.parquet(posDelPaths: _*)
-          .select(norm(col("file_path")).as("__tp")).distinct()
+          .select(normPathCol(col("file_path")).as("__tp")).distinct()
       entries.filter(_.content == 0).toDF()
-        .withColumn("__np", norm(col("path")))
+        .withColumn("__np", normPathCol(col("path")))
         .join(posTouched, col("__np") === col("__tp"), "left")
         .withColumn("__rw",
           col("fileSize") < lit(smallerThan) || col("__tp").isNotNull ||

@@ -277,6 +277,34 @@ class IcebergSpec extends SparkSpec {
     // three snapshots in history: base, racer, rebased victim
     assert(IcebergTable.metadataTable(spark, t, "snapshots").count() == 3L)
 
+    // cross-process window: the racer's vN.metadata.json is visible
+    // but its version-hint flip has NOT landed yet (the hint write is a
+    // separate, later step). The rebase must resolve the racer's state
+    // from the LISTING, not the stale hint — otherwise the rebased
+    // commit silently drops the racer's snapshot.
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    fired = false
+    IcebergTable.raceHook = () =>
+      if (!fired && !inRacer) {
+        fired = true; inRacer = true
+        try {
+          IcebergTable.writeAppend(spark,
+            Seq((10L, "lagger")).toDF("id", "v"), t)
+          // rewind the hint to the pre-racer version
+          val hint = new org.apache.hadoop.fs.Path(t, "metadata/version-hint.text")
+          val o = f.create(hint, true)
+          try o.write("3".getBytes) finally o.close()
+        } finally inRacer = false
+      }
+    try IcebergTable.writeAppend(spark,
+      Seq((11L, "victim2")).toDF("id", "v"), t)
+    finally IcebergTable.raceHook = () => ()
+    assert(fired)
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "racer"), (3L, "victim"),
+        (10L, "lagger"), (11L, "victim2")))
+
     // a REPLACE commit (carried entries) must NOT rebase — its carried
     // selection derives from the snapshot it read, so a racer
     // invalidates it and the conflict surfaces loudly
