@@ -210,6 +210,90 @@ object Retrieval {
     }
   }
 
+  /** Contrastive hard-negative mining: for each query seed, the
+    * embedding-space nearest neighbors that the LEXICAL retriever does
+    * NOT surface — semantically close, term-unrelated documents, the
+    * negatives a dual-encoder trains against (random negatives are too
+    * easy; BM25-visible ones are often positives). The op is the
+    * anti-join of the two candidate generators the engine already has:
+    * ANN cosine top-k minus BM25 top-k, re-ranked by cosine.
+    *
+    * Scale shape: both candidate lists are per-query top-k (bounded),
+    * the query/seed side broadcasts while the corpus scan stays
+    * partition-parallel, and the anti-join + final rank key on
+    * (qid, doc) — candidates, never the corpus, shuffle. */
+  val qHardNegatives: QueryDef = {
+    val candK = 20 // per-system candidate depth
+    val negK = 5   // hard negatives kept per query
+    val seedsSql = querySet.map(_._1).zipWithIndex
+      .map { case (q, i) => s"('$q', $i)" }.mkString(", ")
+    val dotSql =
+      "list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1,64), " +
+        "i -> q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)), (x,y) -> x+y)"
+    QueryDef.sql(
+      "q_text_hard_negatives",
+      s"""WITH $bm25ScoredSql,
+         |lex AS (
+         |  SELECT qid, doc_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS lex_rnk
+         |  FROM scored QUALIFY lex_rnk <= $candK
+         |), nrms AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+         |      list_transform(generate_series(1,64),
+         |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE)), (x,y) -> x+y)) AS nrm
+         |  FROM embeddings
+         |), seeds(qid, seed_id) AS (VALUES $seedsSql),
+         |sem AS (
+         |  SELECT qid, doc_id, cosine FROM (
+         |    SELECT s.qid, c.vec_id AS doc_id,
+         |      $dotSql / (q.nrm * c.nrm) AS cosine,
+         |      row_number() OVER (PARTITION BY s.qid
+         |        ORDER BY $dotSql / (q.nrm * c.nrm) DESC, c.vec_id) AS sem_rnk
+         |    FROM seeds s
+         |    JOIN nrms q ON q.vec_id = s.seed_id
+         |    JOIN nrms c ON c.vec_id <> s.seed_id)
+         |  WHERE sem_rnk <= $candK
+         |)
+         |SELECT qid, doc_id, cosine,
+         |  row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id) AS neg_rnk
+         |FROM (
+         |  SELECT m.qid, m.doc_id, m.cosine FROM sem m
+         |  LEFT JOIN lex l ON l.qid = m.qid AND l.doc_id = m.doc_id
+         |  WHERE l.doc_id IS NULL)
+         |QUALIFY neg_rnk <= $negK""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val lex = bm25Scored(spark, dir)
+        .withColumn("lex_rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
+        .where(col("lex_rnk") <= candK)
+        .select(col("qid"), col("doc_id"))
+      def dot(a: Column, b: Column): Column = aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      val nrms = Tables.embeddings(spark, dir).select(
+        col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      val seeds = querySet.map(_._1).zipWithIndex.toDF("qid", "seed_id")
+      val seedVecs = broadcast(seeds)
+        .join(nrms, col("seed_id") === col("vec_id"))
+        .select(col("qid"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"),
+          col("seed_id"))
+      val sem = nrms.join(broadcast(seedVecs), col("vec_id") =!= col("seed_id"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          (dot(col("q_emb"), col("embedding")) / (col("q_nrm") * col("nrm"))).as("cosine"))
+        .withColumn("sem_rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("doc_id"))))
+        .where(col("sem_rnk") <= candK)
+        .select(col("qid"), col("doc_id"), col("cosine"))
+      sem.join(lex, Seq("qid", "doc_id"), "left_anti")
+        .withColumn("neg_rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("doc_id"))))
+        .where(col("neg_rnk") <= negK)
+        .select(col("qid"), col("doc_id"), col("cosine"), col("neg_rnk"))
+    }
+  }
+
   /** Bigram-LM fluency: the mean corpus transition probability
     * p(wᵢ | wᵢ₋₁) = C(wᵢ₋₁ wᵢ) / C(wᵢ₋₁ ·) over a document's bigrams —
     * high for prose made of common continuations, low for shuffled or
@@ -355,5 +439,6 @@ object Retrieval {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(qBm25TopK, qHybridRrf, qLmScore, qDsirWeights)
+  val all: Seq[QueryDef] =
+    Seq(qBm25TopK, qHybridRrf, qHardNegatives, qLmScore, qDsirWeights)
 }
