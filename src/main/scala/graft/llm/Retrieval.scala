@@ -215,8 +215,14 @@ object Retrieval {
     * NOT surface — semantically close, term-unrelated documents, the
     * negatives a dual-encoder trains against (random negatives are too
     * easy; BM25-visible ones are often positives). The op is the
-    * anti-join of the two candidate generators the engine already has:
-    * ANN cosine top-k minus BM25 top-k, re-ranked by cosine.
+    * anti-join of two candidate generators: EXACT brute-force cosine
+    * top-k (the seed side broadcasts, the corpus scans once,
+    * partition-parallel — exactness is what keeps this oracle-checkable
+    * bit-for-bit against the SQL) minus BM25 top-k, re-ranked by
+    * cosine. At 100 TB swap the semantic generator for
+    * [[Similarity.ivfSearch]] (same (qid, doc_id, cosine) candidate
+    * shape, approximate recall instead of a full scan); the anti-join
+    * and rerank below are generator-agnostic.
     *
     * Scale shape: both candidate lists are per-query top-k (bounded),
     * the query/seed side broadcasts while the corpus scan stays

@@ -595,6 +595,80 @@ object Maintenance {
       graft.sources.IcebergTable.read(spark, t)
   }
 
+  /** Iceberg merge-on-read UPDATE, oracle-verified: position deletes +
+    * post-image appends in ONE snapshot
+    * ([[graft.sources.IcebergTable.updateWhere]]), stacked twice so the
+    * second UPDATE must find its matches inside the FIRST update's
+    * post-image files (slots in upd-* files work like any other), all
+    * through a prior position-delete mask (an already-deleted row must
+    * not resurrect as an update post-image). DuckDB recomputes both
+    * CASE layers relationally. */
+  val qIcebergUpdate: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_update",
+    """WITH base AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_acctbal > 5000 THEN 'PREMIUM' ELSE c_mktsegment END AS c_mktsegment,
+      |    CAST(CASE WHEN c_acctbal > 5000 THEN c_nationkey + 100 ELSE c_nationkey END AS INTEGER) AS c_nationkey,
+      |    c_acctbal
+      |  FROM customer WHERE c_custkey % 10 <> 0
+      |)
+      |SELECT c_custkey,
+      |  CASE WHEN c_nationkey >= 100 THEN c_mktsegment || '_X' ELSE c_mktsegment END AS c_mktsegment,
+      |  c_nationkey, c_acctbal
+      |FROM base""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-iceupd-q-").toString + "/t"
+    val cust = graft.Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+    graft.sources.IcebergTable.writeAppend(spark, cust, t)
+    graft.sources.IcebergTable.deleteWhere(spark, t, col("c_custkey") % 10 === 0)
+    graft.sources.IcebergTable.updateWhere(spark, t, col("c_acctbal") > 5000,
+      Map("c_mktsegment" -> lit("PREMIUM"),
+        "c_nationkey" -> (col("c_nationkey") + lit(100)).cast("int")))
+    graft.sources.IcebergTable.updateWhere(spark, t, col("c_nationkey") >= 100,
+      Map("c_mktsegment" -> concat(col("c_mktsegment"), lit("_X"))))
+    graft.sources.IcebergTable.read(spark, t)
+  }
+
+  /** Iceberg merge-on-read MERGE upsert with the recency guard,
+    * oracle-verified ([[graft.sources.IcebergTable.mergeUpsert]] — the
+    * win rule single-sourced via [[graft.operators.Scd2.sourceWins]]):
+    * newer source versions replace their target rows (loser slots
+    * become position deletes), STALE source versions must lose (no
+    * delete, no append), and unmatched keys insert — one atomic
+    * snapshot. DuckDB recomputes the winning set relationally. */
+  val qIcebergMerge: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_merge",
+    """SELECT o_orderkey, o_orderdate, o_orderstatus, o_totalprice
+      |FROM orders WHERE o_orderkey % 4 <> 0 AND o_orderkey % 8 <> 1
+      |UNION ALL
+      |SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY, 'U', o_totalprice
+      |FROM orders WHERE o_orderkey % 8 = 1
+      |UNION ALL
+      |SELECT o_orderkey, o_orderdate, 'I', o_totalprice
+      |FROM orders WHERE o_orderkey % 4 = 0""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-icemrg-q-").toString + "/t"
+    val ord = graft.Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderstatus", "o_totalprice")
+    graft.sources.IcebergTable.writeAppend(spark,
+      ord.where(col("o_orderkey") % 4 =!= 0), t)
+    val src = ord.where(col("o_orderkey") % 8 === 1)
+      .select(col("o_orderkey"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("o_orderdate"),
+        lit("U").as("o_orderstatus"), col("o_totalprice"))
+      .unionByName(ord.where(col("o_orderkey") % 8 === 2)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") - expr("INTERVAL 30 DAYS")).as("o_orderdate"),
+          lit("S").as("o_orderstatus"), col("o_totalprice")))
+      .unionByName(ord.where(col("o_orderkey") % 4 === 0)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          lit("I").as("o_orderstatus"), col("o_totalprice")))
+    graft.sources.IcebergTable.mergeUpsert(spark, t, src,
+      Seq("o_orderkey"), "o_orderdate")
+    graft.sources.IcebergTable.read(spark, t)
+  }
+
   /** Iceberg hidden partitioning, oracle-verified: write `events` as an
     * Iceberg table partitioned by bucket[4](user_id) + day(ts), read a
     * key slice back through [[graft.sources.IcebergTable.readPruned]] —
@@ -1087,6 +1161,6 @@ object Maintenance {
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
       qConvertToDelta, qIcebergRoundtrip, qIcebergRefs, qIcebergMor, qIcebergPartitioned,
-      qIcebergBounds, qIcebergManifests, qLogCompaction,
+      qIcebergBounds, qIcebergManifests, qIcebergUpdate, qIcebergMerge, qLogCompaction,
       qConcurrentRebase, qLiveRead)
 }

@@ -131,13 +131,21 @@ object Scd2 {
       keys.map(col) ++ source.columns.filterNot(keys.contains)
         .map(c => col(c).as(s"__src_$c")): _*)
     val merged = target.join(srcRenamed, keys, "full_outer")
-    val takeSource = col(s"__src_$recencyCol").isNotNull &&
-      (col(recencyCol).isNull || col(s"__src_$recencyCol") > col(recencyCol))
     merged.select(
       keys.map(col) ++ target.columns.filterNot(keys.contains).map { c =>
-        when(takeSource, col(s"__src_$c")).otherwise(col(c)).as(c)
+        when(sourceWins(recencyCol), col(s"__src_$c")).otherwise(col(c)).as(c)
       }: _*)
   }
+
+  /** THE merge recency guard, single-sourced across every merge surface
+    * ([[mergedFrame]] → Delta copy-on-write MERGE; the Iceberg
+    * merge-on-read MERGE): over a target ⋈ renamed-source join, the
+    * source version wins when the target has no row for the key or the
+    * source is STRICTLY newer — matched-but-not-newer sources leave the
+    * target row untouched. */
+  private[graft] def sourceWins(recencyCol: String): org.apache.spark.sql.Column =
+    col(s"__src_$recencyCol").isNotNull &&
+      (col(recencyCol).isNull || col(s"__src_$recencyCol") > col(recencyCol))
 
   // ---------------------------------------------------------------- queries
 

@@ -3963,9 +3963,14 @@ object DeltaLog {
       case Some(_) =>
         // the source plan evaluates twice (probe, then rewrite): persist
         // for the duration so the second pass reads the cache instead of
-        // recomputing the (possibly expensive) source query
-        val cachedSrc = source.persist(
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // recomputing the (possibly expensive) source query. If the
+        // CALLER already cached this plan, leave their entry alone —
+        // persist/unpersist here would share the InMemoryRelation and
+        // the unpersist would silently evict the caller's cache.
+        val ownPersist =
+          source.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+        if (ownPersist)
+          source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val touchedNames = readEntries(spark, table, snap.fileEntries, snap.schema,
             snap.columnMappingMode, withProvenance = true)
@@ -3973,7 +3978,7 @@ object DeltaLog {
             .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
             .select("__fname").distinct().collect().map(_.getString(0)).toSet
           commit(snap.fileEntries.filter(e => touchedNames.contains(basename(e.path))))
-        } finally { cachedSrc.unpersist(false); () }
+        } finally { if (ownPersist) source.unpersist(false); () }
     }
   }
 

@@ -163,6 +163,13 @@ object GraftSql {
     """(?is)\s*ALTER\s+TABLE\s+iceberg\.`([^`]+)`\s+DROP\s+(?:TAG|BRANCH)\s+(\w+)\s*""".r
   private val IcebergDelete =
     """(?is)\s*DELETE\s+FROM\s+iceberg\.`([^`]+)`\s+WHERE\s+(.+?)\s*""".r
+  private val IcebergUpdate =
+    """(?is)\s*UPDATE\s+iceberg\.`([^`]+)`\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*""".r
+  // keyed MERGE with a recency guard — the reference's S8 sink shape as
+  // a procedure-style verb (the clause-builder MERGE stays Delta-only)
+  private val IcebergMerge =
+    ("""(?is)\s*MERGE\s+INTO\s+iceberg\.`([^`]+)`\s+USING\s+(.+?)""" +
+      """\s+ON\s+KEYS\s*\(([^)]+)\)\s+RECENCY\s+(\w+)\s*""").r
   private val IcebergExpire =
     ("""(?is)\s*EXPIRE\s+SNAPSHOTS\s+iceberg\.`([^`]+)`""" +
       """(?:\s+OLDER\s+THAN\s+'([^']+)')?(?:\s+RETAIN\s+LAST\s+(\d+))?\s*""").r
@@ -788,6 +795,18 @@ object GraftSql {
     * shapes fall through to Spark SQL with `delta.`path`` references
     * rewritten to temp views — so plain SELECTs just work. */
   def exec(spark: SparkSession, statement: String): DataFrame = statement match {
+    // Iceberg keyed MERGE with the recency guard (Scd2.sourceWins) —
+    // `MERGE INTO iceberg.`p` USING (<select>) ON KEYS (k) RECENCY ts` —
+    // must dispatch BEFORE the generic Delta MergeHead catch-all
+    case IcebergMerge(path, src, keys, recency) =>
+      val srcSql0 = src.trim
+      val srcSql =
+        if (srcSql0.startsWith("(") && srcSql0.endsWith(")"))
+          srcSql0.substring(1, srcSql0.length - 1)
+        else srcSql0
+      version(spark, IcebergTable.mergeUpsert(spark, path, exec(spark, srcSql),
+        keys.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty).toSeq, recency))
     case MergeHead() => execMerge(spark, statement)
     // DDL before DML: CloneStmt also begins with CREATE TABLE but names
     // no column list, so the head patterns cannot collide
@@ -864,6 +883,15 @@ object GraftSql {
     // v2 delete snapshot, no data file rewritten
     case IcebergDelete(path, cond) =>
       version(spark, IcebergTable.deleteWhere(spark, path, expr(cond)))
+    // Iceberg merge-on-read UPDATE: position deletes + post-image
+    // appends in ONE snapshot, no data file rewritten
+    case IcebergUpdate(path, set, cond) =>
+      val assignments = splitAssignments(set).map {
+        case Assign(c, e) => c -> expr(e)
+        case bad => sys.error(s"cannot parse SET assignment: '$bad'")
+      }
+      version(spark,
+        IcebergTable.updateWhere(spark, path, expr(cond), assignments.toMap))
     // REORG iceberg APPLY (PURGE): materialize merge-on-read deletes —
     // survivors rewritten in one REPLACE snapshot, delete files gone
     case IcebergReorg(path) =>

@@ -76,6 +76,12 @@ object IcebergTable {
     * [[DeltaLog.raceHook]] pattern). */
   private[graft] var raceHook: () => Unit = () => ()
 
+  /** Test seam: runs immediately AFTER an append attempt's metadata
+    * file landed but BEFORE the version-hint write — the window where a
+    * post-commit IOException must NOT trigger a rebase onto the
+    * attempt's own commit (which would duplicate the appended rows). */
+  private[graft] var postCommitHook: () => Unit = () => ()
+
   /** Next metadata ordinal: max existing v*.metadata.json + 1 — NOT
     * snapshot count, which shrinks under [[expireSnapshots]] and would
     * collide with retained metadata files. Also the sequence-number
@@ -258,7 +264,10 @@ object IcebergTable {
       fileSize: Long, specId: Int,
       hasPartition: Boolean, partition: Seq[String],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
-      nullCounts: Map[Int, Long], equalityIds: Seq[Int])
+      nullCounts: Map[Int, Long], equalityIds: Seq[Int],
+      // the snapshot that first ADDED the file (spec: preserved when a
+      // manifest rewrite carries the entry as EXISTING); 0 = unknown
+      addedSnapshotId: Long = 0L)
 
   /** [[avroEntries]] from a bare Hadoop conf — the executor-side form
     * (tasks get their FileSystem from a broadcast conf, never from the
@@ -294,6 +303,7 @@ object IcebergTable {
         val p = resolve(table,
           str(df, "file_path").getOrElse(sys.error("file_path missing")))
         val seq = lng(e, "sequence_number").getOrElse(manifestSeq)
+        val addedBy = lng(e, "snapshot_id").getOrElse(0L)
         val rc = lng(df, "record_count").getOrElse(0L)
         val fsz = lng(df, "file_size_in_bytes").getOrElse(0L)
         lng(df, "content").getOrElse(0L) match {
@@ -317,10 +327,10 @@ object IcebergTable {
             }
             Some(IceEntry(p, 0, seq, rc, fsz, manifestSpecId, hasPart, part,
               boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"),
-              nulls, Seq.empty))
+              nulls, Seq.empty, addedBy))
           case 1L =>
             Some(IceEntry(p, 1, seq, rc, fsz, manifestSpecId, hasPartition = false,
-              Seq.empty, Map.empty, Map.empty, Map.empty, Seq.empty))
+              Seq.empty, Map.empty, Map.empty, Map.empty, Seq.empty, addedBy))
           case 2L =>
             val ids = Option(df.get("equality_ids")) match {
               case Some(l: java.util.Collection[_]) =>
@@ -330,7 +340,7 @@ object IcebergTable {
             require(ids.nonEmpty,
               s"equality-delete file without equality_ids in $table")
             Some(IceEntry(p, 2, seq, rc, fsz, manifestSpecId, hasPartition = false,
-              Seq.empty, Map.empty, Map.empty, Map.empty, ids))
+              Seq.empty, Map.empty, Map.empty, Map.empty, ids, addedBy))
           case other =>
             sys.error(s"unknown Iceberg file content=$other in $table")
         }
@@ -797,9 +807,18 @@ object IcebergTable {
     * execution instead of 3–5 during planning. */
   private def readFromEntries(spark: SparkSession, table: String,
       schema: StructType, fieldNamesById: Map[Int, String],
-      entries: org.apache.spark.sql.Dataset[IceEntry]): DataFrame = {
+      entries: org.apache.spark.sql.Dataset[IceEntry],
+      withSlots: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    // withSlots: keep each row's (raw file path, row index) as
+    // `__slot_path`/`__slot_pos` — the provenance UPDATE/MERGE turn
+    // into position deletes. Rows still read THROUGH the merge-on-read
+    // mask, so already-deleted row versions never surface as slots.
+    val slotCols =
+      if (!withSlots) Seq.empty
+      else Seq(col("_metadata.file_path").as("__slot_path"),
+        col("_metadata.row_index").as("__slot_pos"))
     val cached = entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val data = cached.filter(_.content == 0)
@@ -812,17 +831,23 @@ object IcebergTable {
 
       val pathChunks = pathChunksOf(data.map(_.path).toDF("path"),
         readChunkSize(spark))
+      val outSchema =
+        if (!withSlots) schema
+        else StructType(schema.fields ++ Seq(
+          StructField("__slot_path", StringType),
+          StructField("__slot_pos", LongType)))
       if (pathChunks.isEmpty)
         return spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      val names = schema.fieldNames.toIndexedSeq.map(col)
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      val names = outSchema.fieldNames.toIndexedSeq.map(col)
       if (posDeletes.isEmpty && eqDeletes.isEmpty)
-        return pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*))
+        return pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
+            .select(col("*") +: slotCols: _*))
           .reduce(_ unionByName _).select(names: _*)
       var df = pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
-          .select(col("*"),
+          .select(col("*") +: (slotCols ++ Seq(
             normPathCol(col("_metadata.file_path")).as("__fp"),
-            col("_metadata.row_index").as("__ri")))
+            col("_metadata.row_index").as("__ri"))): _*))
         .reduce(_ unionByName _)
       // each data row learns its file's sequence number from the
       // DISTRIBUTED (path, seq) frame — never a driver Seq. Both delete
@@ -955,6 +980,15 @@ object IcebergTable {
           (e.content, e.path, "PARQUET", e.recordCount, e.fileSize, part)
         }.toDF("content", "file_path", "file_format",
           "record_count", "file_size_in_bytes", "partition")
+      case "entries" =>
+        // Iceberg's `entries` metadata table (live entries): per-entry
+        // provenance — which snapshot ADDED the file and the data
+        // sequence number deletes scope against. Distributed like
+        // `files`.
+        val snap = resolveSnapshotNode(table, root, None, None)
+        entriesOf(spark, table, root, snap).map { e =>
+          (e.content, e.path, e.seq, e.addedSnapshotId)
+        }.toDF("content", "file_path", "sequence_number", "snapshot_id")
       case "refs" =>
         (root.path("refs") match {
           case o: ObjectNode => o.fields().asScala.toSeq.map { e =>
@@ -965,7 +999,7 @@ object IcebergTable {
         }).toDF("name", "type", "snapshot_id")
       case other => sys.error(
         s"unknown Iceberg metadata table `$other` " +
-          "(snapshots|history|manifests|files|refs)")
+          "(snapshots|history|manifests|files|entries|refs)")
     }
   }
 
@@ -1451,6 +1485,7 @@ object IcebergTable {
       try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
       finally out.close()
       // 5. the commit point
+      postCommitHook()
       val hint = f.create(new Path(mdir, "version-hint.text"), true)
       try hint.write(versionNow.toString.getBytes("UTF-8")) finally hint.close()
       snapshotId
@@ -1461,8 +1496,44 @@ object IcebergTable {
     while (true) {
       try return attempt(existingNow, versionNow)
       catch {
-        case race: java.io.IOException if retriable && attemptsLeft > 1 &&
-            f.exists(new Path(mdir, s"v$versionNow.metadata.json")) =>
+        case race: java.io.IOException =>
+          // vN existing does NOT prove a racer: if the IOException
+          // struck after this attempt's own f.create(vN, false)
+          // succeeded (e.g. the version-hint write failed), the
+          // existing vN is OUR commit, and rebasing onto it would
+          // re-append the same staged data files as a duplicate
+          // snapshot. The per-call nonce is embedded in the committed
+          // manifest-list filename — check ownership before anything.
+          val vNPath = new Path(mdir, s"v$versionNow.metadata.json")
+          val vNowMeta =
+            if (f.exists(vNPath))
+              Some(mapper.readTree(readText(f, vNPath)).asInstanceOf[ObjectNode])
+            else None
+          val ownCommit = vNowMeta.exists(_.path("snapshots").elements().asScala
+            .exists(_.path("manifest-list").asText("").contains(s"-$nonce.avro")))
+          if (ownCommit) {
+            // the commit landed; only post-commit bookkeeping failed.
+            // Repair the hint best-effort (readers prefer it, and a
+            // torn hint write may have clobbered the old content) to
+            // the LISTING max, then report the committed snapshot.
+            try {
+              val hv = nextMetadataVersion(f, table) - 1
+              val hint = f.create(new Path(mdir, "version-hint.text"), true)
+              try hint.write(hv.toString.getBytes("UTF-8")) finally hint.close()
+            } catch { case scala.util.control.NonFatal(_) => () }
+            return vNowMeta.get.get("current-snapshot-id").asLong()
+          }
+          // a LOST attempt's already-written manifest-/snap-*.avro are
+          // referenced by nothing; sweep them — whether we retry or
+          // rethrow — so failed/racing writers don't accrete
+          // unreferenced metadata files forever (removeOrphanFiles
+          // scans data/ only, never metadata/). Staged DATA files stay:
+          // a retry's manifest re-references them.
+          try {
+            Option(f.globStatus(new Path(mdir, s"*-$nonce.avro")))
+              .foreach(_.foreach(s => f.delete(s.getPath, false)))
+          } catch { case scala.util.control.NonFatal(_) => () }
+          if (!(retriable && attemptsLeft > 1 && vNowMeta.isDefined)) throw race
           attemptsLeft -= 1
           // resolve the racer's state from the LISTING max, the same
           // source versionNow uses — the version-hint is written AFTER
@@ -1523,7 +1594,9 @@ object IcebergTable {
     * deletion vectors. */
   private def writeDeleteSnapshot(spark: SparkSession, table: String,
       deleteRows: DataFrame, content: Int,
-      equalityIds: Seq[Int]): Long = {
+      equalityIds: Seq[Int],
+      postImage: Option[DataFrame] = None,
+      operation: String = "delete"): Long = {
     require(isIcebergTable(spark, table),
       s"Iceberg MoR delete needs an existing table at $table")
     val f = fs(spark, table)
@@ -1556,6 +1629,37 @@ object IcebergTable {
         .count().collect()
         .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
 
+    // 1b. UPDATE/MERGE shape: the post-image rows land as NEW data
+    // files in the SAME snapshot, at the same sequence number as the
+    // position deletes that suppress their predecessors — atomic
+    // merge-on-read DML, no old data file read beyond the caller's
+    // probe, none rewritten. The new files carry record counts (exact
+    // COUNT stays metadata-only) but no column bounds/tuples: pruning
+    // always KEEPS boundless files, so correctness is unaffected and
+    // the next OPTIMIZE/rewriteDataFiles restores skipping for them.
+    val dataFiles: Seq[Path] = postImage match {
+      case None => Seq.empty
+      case Some(df0) =>
+        val dscratch = new Path(root, s".ice-upd-stage-$nonce")
+        df0.write.parquet(dscratch.toString)
+        val dstaged = f.listStatus(dscratch).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+        val moved = dstaged.zipWithIndex.map { case (p, i) =>
+          val dest = new Path(root, f"data/upd-$version%05d-$i%05d-$nonce.parquet")
+          f.mkdirs(dest.getParent)
+          require(f.rename(p, dest), s"stage move failed: $dest")
+          dest
+        }
+        f.delete(dscratch, true)
+        moved.toSeq
+    }
+    val dataCounts: Map[String, Long] =
+      if (dataFiles.isEmpty) Map.empty
+      else spark.read.parquet(dataFiles.map(_.toString): _*)
+        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
+        .count().collect()
+        .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
+
     // 2. the DELETE manifest
     val mSchema = deleteManifestAvroSchema
     val dfSchema0 = mSchema.getField("data_file").schema()
@@ -1582,13 +1686,39 @@ object IcebergTable {
     val manifestPath = new Path(mdir, s"manifest-del-$version-$nonce.avro")
     val mLen = writeAvro(f, manifestPath, mSchema, entries.toSeq)
 
-    // 3. manifest list: carried rows + the delete manifest at this
-    // snapshot's sequence number
+    // 2b. the post-image DATA manifest (UPDATE/MERGE only)
+    val dataManifest: Option[(Path, Long)] =
+      if (dataFiles.isEmpty) None
+      else {
+        val dmSchema = manifestAvroSchema
+        val dmFileSchema = dmSchema.getField("data_file").schema()
+        val dmEntries = dataFiles.map { p =>
+          val e = new GenericData.Record(dmSchema)
+          e.put("status", 1) // ADDED
+          e.put("snapshot_id", snapshotId)
+          e.put("sequence_number", version.toLong)
+          val d = new GenericData.Record(dmFileSchema)
+          d.put("file_path", p.toString)
+          d.put("file_format", "PARQUET")
+          d.put("record_count", dataCounts.getOrElse(p.getName, 0L))
+          d.put("file_size_in_bytes", f.getFileStatus(p).getLen)
+          e.put("data_file", d)
+          e
+        }
+        val dmPath = new Path(mdir, s"manifest-upd-$version-$nonce.avro")
+        Some(dmPath -> writeAvro(f, dmPath, dmSchema, dmEntries))
+      }
+
+    // 3. manifest list: carried rows + the delete manifest (+ the
+    // post-image data manifest) at this snapshot's sequence number
     val mlSchema = manifestListAvroSchema
     val defaultSpecId = existing.path("default-spec-id").asInt(0)
-    val mlRecords = (carriedManifests(f, table, Some(existing)) :+
-        ((manifestPath.toString, mLen, content.toLong, version.toLong,
-          defaultSpecId))).map {
+    val mlRecords = (carriedManifests(f, table, Some(existing)) ++
+        Seq((manifestPath.toString, mLen, content.toLong, version.toLong,
+          defaultSpecId)) ++
+        dataManifest.toSeq.map { case (p, len) =>
+          (p.toString, len, 0L, version.toLong, defaultSpecId)
+        }).map {
       case (p, len, c, seq, sid) =>
         val r = new GenericData.Record(mlSchema)
         r.put("manifest_path", p)
@@ -1616,7 +1746,7 @@ object IcebergTable {
     sn.put("sequence-number", version.toLong)
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
-    val sum = sn.putObject("summary"); sum.put("operation", "delete")
+    val sum = sn.putObject("summary"); sum.put("operation", operation)
     val le = meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
       .addObject()
     le.put("timestamp-ms", now); le.put("snapshot-id", snapshotId)
@@ -1712,14 +1842,22 @@ object IcebergTable {
 
   /** Every file path any of `manifests` mentions (ANY entry status —
     * reachability must see deleted-status entries too), parsed on
-    * EXECUTORS. Unreadable manifests skip (idempotent re-runs). */
+    * EXECUTORS. `strict` governs unreadable manifests: the
+    * REACHABLE/KEEP side of a sweep must ABORT on a manifest it cannot
+    * parse (a silently skipped live manifest would drop its files from
+    * the reachable set and the sweep would delete live data — upstream
+    * Iceberg's remove_orphan_files fails the same way); only the
+    * DROPPED side of [[expireSnapshots]] may skip (its lists/manifests
+    * can legitimately be gone on an idempotent re-run). */
   private def manifestFilesFrame(spark: SparkSession, table: String,
-      manifests: Set[String]): org.apache.spark.sql.Dataset[String] = {
+      manifests: Set[String], strict: Boolean)
+      : org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
     if (manifests.isEmpty) return spark.emptyDataset[String]
     val bc = spark.sparkContext.broadcast(
       new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
     val tableStr = table
+    val strictL = strict
     spark.createDataset(manifests.toSeq.sorted)
       .repartition(math.max(1, math.min(manifests.size,
         spark.sparkContext.defaultParallelism)))
@@ -1728,7 +1866,12 @@ object IcebergTable {
           Option(e.get("data_file")).collect { case d: GenericRecord =>
             resolve(tableStr, str(d, "file_path").getOrElse(""))
           }
-        } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+        } catch {
+          case scala.util.control.NonFatal(ex) if strictL =>
+            throw new java.io.IOException(
+              s"referenced manifest unreadable, aborting sweep: $mp", ex)
+          case scala.util.control.NonFatal(_) => Seq.empty
+        }
       }
   }
 
@@ -1770,14 +1913,20 @@ object IcebergTable {
     val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
       .asInstanceOf[ObjectNode]
     // a file referenced by ANY snapshot — current or historical — is
-    // not an orphan; expireSnapshots owns dropping history
+    // not an orphan; expireSnapshots owns dropping history. Every
+    // snapshot here is still in the metadata, so an unreadable
+    // manifest-list means corrupt/transiently-broken REFERENCED
+    // metadata — abort rather than treat its files as unreachable.
     val manifests = {
       val b = Set.newBuilder[String]
       root.path("snapshots").elements().asScala.foreach { s =>
-        try avroEntries(f,
-          new Path(resolve(table, s.get("manifest-list").asText()))).foreach { m =>
+        val lp = new Path(resolve(table, s.get("manifest-list").asText()))
+        try avroEntries(f, lp).foreach { m =>
           b += resolve(table, str(m, "manifest_path").getOrElse(""))
-        } catch { case scala.util.control.NonFatal(_) => () }
+        } catch {
+          case scala.util.control.NonFatal(ex) => throw new java.io.IOException(
+            s"referenced manifest-list unreadable, aborting orphan sweep: $lp", ex)
+        }
       }
       b.result()
     }
@@ -1812,7 +1961,7 @@ object IcebergTable {
       }.toDF("p")
     val victims = onDisk
       .withColumn("__pn", normPathCol(col("p")))
-      .join(manifestFilesFrame(spark, table, manifests).toDF("r")
+      .join(manifestFilesFrame(spark, table, manifests, strict = true).toDF("r")
         .select(normPathCol(col("r")).as("__pn")).distinct(),
         Seq("__pn"), "left_anti")
       .select(col("p")).as[String].distinct()
@@ -1863,7 +2012,10 @@ object IcebergTable {
           .toLocalIterator().asScala.map { e =>
             val rec = new GenericData.Record(mSchema)
             rec.put("status", 0) // EXISTING
-            rec.put("snapshot_id", snapshotId)
+            // spec: an EXISTING entry keeps the snapshot that originally
+            // ADDED the file, not the rewriting snapshot
+            rec.put("snapshot_id",
+              if (e.addedSnapshotId != 0L) e.addedSnapshotId else snapshotId)
             rec.put("sequence_number", e.seq)
             val d = new GenericData.Record(dfSchema)
             d.put("file_path", e.path)
@@ -1919,11 +2071,19 @@ object IcebergTable {
       val meta = root0.deepCopy()
       meta.put("last-updated-ms", now)
       meta.put("current-snapshot-id", snapshotId)
+      // v2 tables must advance last-sequence-number on EVERY commit
+      // (external readers validate it against per-snapshot sequence
+      // numbers); the consolidated snapshot's ordinal is `version`
+      if (root0.path("format-version").asInt(1) >= 2)
+        meta.put("last-sequence-number",
+          math.max(root0.path("last-sequence-number").asLong(0L), version.toLong))
       stampRefs(meta, None, snapshotId)
       val sn = meta
         .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
         .addObject()
       sn.put("snapshot-id", snapshotId)
+      if (root0.path("format-version").asInt(1) >= 2)
+        sn.put("sequence-number", version.toLong)
       sn.put("timestamp-ms", now)
       sn.put("manifest-list", listPath.toString)
       val sum = sn.putObject("summary"); sum.put("operation", "replace")
@@ -1968,23 +2128,30 @@ object IcebergTable {
     // anti-join, and the orphaned files are unlinked per-partition on
     // executors — the driver never materializes a file-path set
     // (10⁶-file tables expire with bounded driver state).
-    def manifestRefs(ss: Seq[com.fasterxml.jackson.databind.JsonNode])
-        : (Set[String], Set[String]) = {
+    def manifestRefs(ss: Seq[com.fasterxml.jackson.databind.JsonNode],
+        strict: Boolean): (Set[String], Set[String]) = {
       val lists = Set.newBuilder[String]
       val manifests = Set.newBuilder[String]
       ss.foreach { s =>
         val lp = resolve(table, s.get("manifest-list").asText())
         lists += lp
-        // a dropped snapshot's list may legitimately be gone already
-        // (idempotent re-run); skip unreadable
+        // a DROPPED snapshot's list may legitimately be gone already
+        // (idempotent re-run) — skip unreadable. A KEPT snapshot's list
+        // is live metadata: an unreadable one would silently shrink the
+        // keep set and let its files be deleted as victims — abort.
         try avroEntries(f, new Path(lp)).foreach { m =>
           manifests += resolve(table, str(m, "manifest_path").getOrElse(""))
-        } catch { case scala.util.control.NonFatal(_) => () }
+        } catch {
+          case scala.util.control.NonFatal(ex) if strict =>
+            throw new java.io.IOException(
+              s"kept snapshot's manifest-list unreadable, aborting expire: $lp", ex)
+          case scala.util.control.NonFatal(_) => ()
+        }
       }
       (lists.result(), manifests.result())
     }
-    val (keepLists, keepManifests) = manifestRefs(kept)
-    val (dropLists, dropManifests) = manifestRefs(dropped)
+    val (keepLists, keepManifests) = manifestRefs(kept, strict = true)
+    val (dropLists, dropManifests) = manifestRefs(dropped, strict = false)
 
     import spark.implicits._
     var deleted = 0L
@@ -1993,9 +2160,10 @@ object IcebergTable {
     // append-carried manifests (the common case) never re-parse
     val dropOnly = dropManifests -- keepManifests
     if (dropOnly.nonEmpty) {
-      val victims = manifestFilesFrame(spark, table, dropOnly).toDF("p")
-        .join(manifestFilesFrame(spark, table, keepManifests).toDF("p"),
-          Seq("p"), "left_anti")
+      val victims = manifestFilesFrame(spark, table, dropOnly, strict = false)
+        .toDF("p")
+        .join(manifestFilesFrame(spark, table, keepManifests, strict = true)
+          .toDF("p"), Seq("p"), "left_anti")
         .distinct().as[String]
       deleted += deleteDistributed(spark, victims)
     }
@@ -2079,7 +2247,7 @@ object IcebergTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val entryCols = Seq("path", "content", "seq", "recordCount", "fileSize",
       "specId", "hasPartition", "partition", "lower", "upper", "nullCounts",
-      "equalityIds").map(col)
+      "equalityIds", "addedSnapshotId").map(col)
     val flagged = {
       // delete-file PATHS are O(delete files) — the DV-descriptor class
       val dels = entries.filter(_.content != 0)
@@ -2212,6 +2380,110 @@ object IcebergTable {
       sys.error(s"equality-delete column '$c' not in $table schema " +
         s"(have: ${fieldIds.values.mkString(", ")})")))
     writeDeleteSnapshot(spark, table, values, content = 2, equalityIds = ids)
+  }
+
+  /** Merge-on-read UPDATE: matched rows' slots become POSITION DELETES
+    * and their post-images (SET applied) land as new data files — both
+    * in ONE snapshot, so readers see either the whole update or none of
+    * it. No existing data file is rewritten or moved; cost is
+    * O(matched rows), the Iceberg analogue of
+    * [[DeltaLog.updateWhereDv]].
+    *
+    * Scale shape: candidate files shrink through hidden-partition +
+    * bound pruning before any parquet opens; the probing scan reads
+    * THROUGH the current merge-on-read mask (an already-deleted row
+    * version can never match again); matched rows stream through one
+    * distributed write each for the delete slots and the post-image.
+    * Returns the new snapshot id (current one when nothing matched: no
+    * empty commits). */
+  def updateWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(set.nonEmpty, "UPDATE needs at least one SET column")
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snap = resolveSnapshotNode(table, root, None, None)
+    val schema = resolveSchema(root)
+    val missing = set.keySet -- schema.fieldNames
+    require(missing.isEmpty,
+      s"UPDATE SET references columns not in the table: ${missing.mkString(",")}")
+    val entries = entriesOf(spark, table, root, snap)
+    val matched = readFromEntries(spark, table, schema, schemaFieldIds(root),
+      pruneEntries(spark, root, schema, entries, predicate),
+      withSlots = true)
+      .where(predicate)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (matched.limit(1).count() == 0L)
+        return root.get("current-snapshot-id").asLong()
+      val slots = matched
+        .select(col("__slot_path").as("file_path"), col("__slot_pos").as("pos"))
+      val post = matched.select(schema.fieldNames.toIndexedSeq.map { n =>
+        set.get(n).map(_.as(n)).getOrElse(col(n))
+      }: _*)
+      writeDeleteSnapshot(spark, table, slots, content = 1,
+        equalityIds = Seq.empty, postImage = Some(post),
+        operation = "overwrite")
+    } finally { matched.unpersist(false); () }
+  }
+
+  /** Merge-on-read MERGE upsert with a recency guard — the S8 sink
+    * shape on the Iceberg protocol, the dual of [[DeltaLog.mergeUpsert]]
+    * (which rewrites touched files copy-on-write): losing target row
+    * versions become position deletes and every winning source row
+    * appends, in ONE snapshot. The win rule is single-sourced with
+    * every other merge surface via [[graft.operators.Scd2.sourceWins]]:
+    * a source row wins when the target has no row for its key or the
+    * source is strictly newer on `recencyCol`; matched-but-older source
+    * rows leave the target untouched (no delete, no append).
+    *
+    * Scale shape: the target probe scans ONLY the key + recency columns
+    * plus row slots (column-pruned), the join keys on `keys` (narrow
+    * target rows shuffle, or broadcast when the source is small), and
+    * the committed bytes are O(changed rows). Returns the new snapshot
+    * id (current one on a no-op merge). */
+  def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
+      keys: Seq[String], recencyCol: String): Long = {
+    import org.apache.spark.sql.functions.col
+    if (!isIcebergTable(spark, table)) return writeAppend(spark, source, table)
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snap = resolveSnapshotNode(table, root, None, None)
+    val schema = resolveSchema(root)
+    require(source.columns.toSet == schema.fieldNames.toSet,
+      s"MERGE source schema must match the table: " +
+        s"source=${source.columns.mkString(",")} table=${schema.fieldNames.mkString(",")}")
+    // probe: only keys + recency + slots of the target cross the join —
+    // post-images come from the SOURCE side, so the wide columns of a
+    // 100 TB target never shuffle
+    val probeCols = (keys :+ recencyCol).distinct
+    val target = readFromEntries(spark, table, schema, schemaFieldIds(root),
+      entriesOf(spark, table, root, snap), withSlots = true)
+      .select((probeCols ++ Seq("__slot_path", "__slot_pos")).map(col): _*)
+    val srcRenamed = source.select(
+      keys.map(col) ++ source.columns.filterNot(keys.contains)
+        .map(c => col(c).as(s"__src_$c")): _*)
+    // preserve the SOURCE side: target-only rows are untouched survivors
+    // and never need to appear here
+    val joined = srcRenamed.join(target, keys, "left_outer")
+      .where(graft.operators.Scd2.sourceWins(recencyCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (joined.limit(1).count() == 0L)
+        return root.get("current-snapshot-id").asLong()
+      val losers = joined.where(col("__slot_pos").isNotNull)
+        .select(col("__slot_path").as("file_path"),
+          col("__slot_pos").as("pos")).distinct()
+      val winners = joined.select(schema.fieldNames.toIndexedSeq.map { n =>
+        if (keys.contains(n)) col(n) else col(s"__src_$n").as(n)
+      }: _*)
+      writeDeleteSnapshot(spark, table, losers, content = 1,
+        equalityIds = Seq.empty, postImage = Some(winners),
+        operation = "overwrite")
+    } finally { joined.unpersist(false); () }
   }
 
   /** Mirror a DELTA table's current snapshot as Iceberg metadata in the

@@ -109,4 +109,68 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(!f.exists(recent))
     assert(IcebergTable.read(spark, t).count() == 2L)
   }
+
+  test("orphan sweep ABORTS when a referenced manifest is unreadable") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sessionState.newHadoopConf())
+    // plant an aged orphan candidate
+    val orphan = new org.apache.hadoop.fs.Path(t, "data/orphan.parquet")
+    val o = f.create(orphan, true); try o.write("junk".getBytes) finally o.close()
+    f.setTimes(orphan, System.currentTimeMillis() - 100000, -1)
+    // corrupt the REFERENCED data manifest in place: a transiently
+    // unreadable reachable manifest must fail the sweep, not silently
+    // shrink the reachable set (which would delete live data as orphans)
+    val mp = IcebergTable.metadataTable(spark, t, "manifests")
+      .select("path").as[String].collect()(0)
+    val c = f.create(new org.apache.hadoop.fs.Path(mp), true)
+    try c.write("definitely not avro".getBytes) finally c.close()
+    intercept[Exception] {
+      IcebergTable.removeOrphanFiles(spark, t,
+        olderThanMs = System.currentTimeMillis() + 100000)
+    }
+    assert(f.exists(orphan),
+      "aborted sweep must not have deleted anything")
+  }
+
+  test("rewriteManifests preserves entry provenance and v2 sequence metadata") {
+    val t = fresh()
+    (1 to 3).foreach { i =>
+      IcebergTable.writeAppend(spark, Seq((i.toLong, s"v$i")).toDF("k", "v"), t)
+    }
+    // flip the table to format v2 (delete files are a v2 construct)
+    IcebergTable.deleteEquals(spark, t, Seq(Tuple1(3L)).toDF("k"))
+    val addedBy = IcebergTable.metadataTable(spark, t, "entries")
+      .filter($"content" === 0)
+      .select("file_path", "snapshot_id").as[(String, Long)].collect().toMap
+    assert(addedBy.values.toSet.size == 3, addedBy) // 3 distinct appends
+    val snapsBefore = IcebergTable.metadataTable(spark, t, "snapshots")
+      .select("snapshot_id").as[Long].collect().toSet
+    def lsn(): Long = {
+      val mdir = new java.io.File(t, "metadata")
+      val latest = mdir.listFiles().map(_.getName)
+        .filter(_.matches("v\\d+\\.metadata\\.json"))
+        .maxBy(_.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+      val txt = new String(Files.readAllBytes(
+        new java.io.File(mdir, latest).toPath), "UTF-8")
+      "\"last-sequence-number\"\\s*:\\s*(\\d+)".r
+        .findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(-1L)
+    }
+    val lsnBefore = lsn()
+    assert(lsnBefore > 0, "v2 table must carry last-sequence-number")
+    assert(IcebergTable.rewriteManifests(spark, t)._2 == 1)
+    // spec: carried EXISTING entries keep the snapshot that originally
+    // ADDED each file — never the rewriting snapshot's id
+    val after = IcebergTable.metadataTable(spark, t, "entries")
+      .filter($"content" === 0)
+      .select("file_path", "snapshot_id").as[(String, Long)].collect().toMap
+    assert(after == addedBy, s"entry snapshot_id must be preserved: $after")
+    assert(after.values.toSet.subsetOf(snapsBefore))
+    // spec: every v2 commit advances last-sequence-number
+    assert(lsn() > lsnBefore, s"last-sequence-number must advance: ${lsn()}")
+    // and the view is unchanged
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "v1"), (2L, "v2")))
+  }
 }

@@ -324,5 +324,43 @@ class IcebergSpec extends SparkSpec {
           "data/nope.parquet", 1L, 1L, None)))
     } finally IcebergTable.raceHook = () => ()
     assert(fired)
+
+    // a LOST rebase attempt must not leak its staged avros under
+    // metadata/: every snap-*.avro on disk IS some snapshot's
+    // manifest-list (the retry sweep unlinks the lost attempt's
+    // manifest + list through the same per-nonce glob, so the snap
+    // check covers both)
+    val mdir = new java.io.File(t, "metadata")
+    val lists = IcebergTable.metadataTable(spark, t, "snapshots")
+      .select("manifest_list").as[String].collect()
+      .map(p => new java.io.File(p).getName).toSet
+    val snapsOnDisk = mdir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("snap-") && n.endsWith(".avro")).toSet
+    assert(snapsOnDisk.subsetOf(lists),
+      s"leaked unreferenced manifest-list avros: ${snapsOnDisk -- lists}")
+  }
+
+  test("post-commit failure does not rebase onto own commit (no duplication)") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("id", "v"), t)
+    // the hint write fails AFTER v2.metadata.json landed: the retry
+    // path sees vN exists, but it is THIS attempt's own commit — it
+    // must recognize ownership (per-call nonce) and report success
+    // instead of rebasing and re-appending the same staged files
+    var fired = false
+    IcebergTable.postCommitHook = () =>
+      if (!fired) { fired = true
+        throw new java.io.IOException("simulated hint-write failure") }
+    try IcebergTable.writeAppend(spark, Seq((2L, "b")).toDF("id", "v"), t)
+    finally IcebergTable.postCommitHook = () => ()
+    assert(fired)
+    // exactly one new snapshot, no duplicated rows, readable hint
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(IcebergTable.read(spark, t).count() == 2L)
+    assert(IcebergTable.metadataTable(spark, t, "snapshots").count() == 2L)
+    // and the table still accepts subsequent appends (hint repaired)
+    IcebergTable.writeAppend(spark, Seq((3L, "c")).toDF("id", "v"), t)
+    assert(IcebergTable.read(spark, t).count() == 3L)
   }
 }
