@@ -669,6 +669,44 @@ object Maintenance {
     graft.sources.IcebergTable.read(spark, t)
   }
 
+  /** Iceberg write-audit-publish, oracle-verified: staging waves land
+    * on an `audit` BRANCH ([[graft.sources.IcebergTable.writeAppend]]
+    * `toBranch`) while the published head keeps serving ONLY the base
+    * wave (asserted in-builder — the WAP isolation property); after the
+    * audit gate, `fastForward` publishes the branch atomically. DuckDB
+    * recomputes the published union. */
+  val qIcebergWap: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_wap",
+    """SELECT p_partkey, p_name, p_retailprice FROM part
+      |WHERE p_partkey % 3 = 0
+      |UNION ALL
+      |SELECT p_partkey, p_name, p_retailprice FROM part
+      |WHERE p_partkey % 3 = 1""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-icewap-q-").toString + "/t"
+    val part = graft.Tables.part(spark, dir)
+      .select("p_partkey", "p_name", "p_retailprice")
+    val base = part.where(col("p_partkey") % 3 === 0)
+    graft.sources.IcebergTable.writeAppend(spark, base, t)
+    // two staged waves stack on the audit branch
+    graft.sources.IcebergTable.writeAppend(spark,
+      part.where(col("p_partkey") % 6 === 1), t, toBranch = Some("audit"))
+    graft.sources.GraftSql.exec(spark,
+      s"""INSERT INTO iceberg.`$t` BRANCH audit
+         |SELECT p_partkey, p_name, p_retailprice FROM parquet.`$dir/part.parquet`
+         |WHERE p_partkey % 6 = 4""".stripMargin)
+    // WAP isolation: the published head still serves ONLY the base wave
+    val publishedRows = graft.sources.IcebergTable.read(spark, t).count()
+    val baseRows = base.count()
+    require(publishedRows == baseRows,
+      s"WAP isolation broken: published head serves $publishedRows rows, " +
+        s"base wave is $baseRows")
+    // audit passes → publish
+    graft.sources.GraftSql.exec(spark,
+      s"ALTER TABLE iceberg.`$t` FAST FORWARD TO audit")
+    graft.sources.IcebergTable.read(spark, t)
+  }
+
   /** Iceberg hidden partitioning, oracle-verified: write `events` as an
     * Iceberg table partitioned by bucket[4](user_id) + day(ts), read a
     * key slice back through [[graft.sources.IcebergTable.readPruned]] —
@@ -1161,6 +1199,7 @@ object Maintenance {
       qCdfWriteFeed, qDdlLifecycle, qGeneratedCols, qIdentitySurrogate,
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
       qConvertToDelta, qIcebergRoundtrip, qIcebergRefs, qIcebergMor, qIcebergPartitioned,
-      qIcebergBounds, qIcebergManifests, qIcebergUpdate, qIcebergMerge, qLogCompaction,
+      qIcebergBounds, qIcebergManifests, qIcebergUpdate, qIcebergMerge,
+      qIcebergWap, qLogCompaction,
       qConcurrentRebase, qLiveRead)
 }

@@ -113,6 +113,12 @@ object Checksum {
         case Some(p) =>
           (p.numFiles + numAdds - numRemoves,
             p.tableSizeBytes + addBytes - removeBytes, None)
+        // version 0: there IS no prior state — the commit's own deltas
+        // are the whole table, so the checksum derives with zero Spark
+        // jobs (the snapshot-agg fallback below cost 3 jobs on every
+        // table-creating write)
+        case _ if version == 0L =>
+          (numAdds - numRemoves, addBytes - removeBytes, None)
         case _ =>
           val snap = DeltaLog.snapshot(spark, table, Some(version))
           val r = snap.allFiles.agg(

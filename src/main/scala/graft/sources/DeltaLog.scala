@@ -148,13 +148,29 @@ object DeltaLog {
         }
       }
 
-    /** Path + deletion vector of every live file, collected ONCE and
-      * cached — the driver needs paths to build any multi-file scan (the
-      * same footprint Spark's InMemoryFileIndex pays); stats and
-      * partition values stay distributed. */
-    lazy val fileEntries: Seq[FileEntry] = allFiles
-      .select("path", "deletionVector", "size").collect().toSeq
-      .map(entryOfRow).sortBy(_.path)
+    /** Path + deletion vector + size of every live file, collected ONCE
+      * and cached — the driver needs paths to build any multi-file scan
+      * (the same footprint Spark's InMemoryFileIndex pays); stats and
+      * partition values stay distributed. Reuses [[chunkMemo]] when a
+      * chunked read already collected the same columns, so a DML
+      * statement that both reads and probes the snapshot pays ONE
+      * collect job, not two. */
+    lazy val fileEntries: Seq[FileEntry] = {
+      val r = Option(chunkMemo.get()).map(_.sortBy(_.path)).getOrElse(
+        allFiles.select("path", "deletionVector", "size").collect().toSeq
+          .map(entryOfRow).sortBy(_.path))
+      fileEntriesReady = true
+      r
+    }
+
+    /** True once [[fileEntries]] materialized — the signal that
+      * metadata lookups ([[entriesFor]], the chunked-read probe) can be
+      * answered from driver state with ZERO Spark jobs. */
+    @transient @volatile private[sources] var fileEntriesReady = false
+
+    /** path → entry over [[fileEntries]] (built on first use). */
+    @transient private[sources] lazy val entryIndex: Map[String, FileEntry] =
+      fileEntries.map(e => e.path -> e).toMap
 
     /** Memo for [[readSnapshotChunked]]'s one-chunk fast path: the
       * (probedChunkSize, entries) of a successful head probe. A DML
@@ -203,9 +219,12 @@ object DeltaLog {
     private[sources] def entriesFor(paths: Seq[String]): Seq[FileEntry] = {
       if (paths.isEmpty) return Seq.empty
       // a huge path set (full overwrite) would make a poor broadcast —
-      // and needs ~every entry anyway, so the cached full collect wins
-      if (paths.size > 100000) {
-        val byPath = fileEntries.map(e => e.path -> e).toMap
+      // and needs ~every entry anyway, so the cached full collect wins.
+      // Likewise when the full entry list ALREADY sits on the driver
+      // (a probe or chunked read materialized it): answering from the
+      // index costs zero Spark jobs instead of a semi-join.
+      if (paths.size > 100000 || fileEntriesReady) {
+        val byPath = entryIndex
         return paths.map(p => byPath.getOrElse(p, FileEntry(p)))
       }
       val spark = allFiles.sparkSession
@@ -774,10 +793,19 @@ object DeltaLog {
           .foreach(r => applyDomain(mapper.readTree(r.getString(0))))
     }
 
+    // adds-only detection for the replay fast path below: a log tail
+    // with no remove action (substring test — a stats payload that
+    // merely MENTIONS "remove" is a harmless false positive that keeps
+    // the safe path) cannot have two actions for one path, so the
+    // last-action-per-path window is a no-op and its shuffle can be
+    // skipped. Typical winners: fresh tables and append-only streaming
+    // sinks, whose every snapshot probe then costs ONE job.
+    var sawRemove = false
     segPaths.foreach { p =>
       val in = f.open(p)
       try {
         scala.io.Source.fromInputStream(in, "UTF-8").getLines().foreach { line =>
+          if (!sawRemove && line.contains("\"remove\"")) sawRemove = true
           // substring prefilter: add/remove lines (the O(files) bulk) are
           // never JSON-parsed on the driver; false positives (e.g. a
           // stats payload mentioning "txn") parse and fall through
@@ -851,6 +879,16 @@ object DeltaLog {
           .add("size", LongType).add("modificationTime", LongType)
           .add("stats", StringType).add("deletionVector", dvSchema)
           .add("baseRowId", LongType).add("defaultRowCommitVersion", LongType))
+      // adds-only fast path: no checkpoint to overlap with and no
+      // remove action anywhere in the tail ⇒ every path appears exactly
+      // once (this engine's writers never re-add a live path without a
+      // remove), so the window below would keep every row — skip its
+      // shuffle and the frame plans as a pure scan (one-job probes)
+      case dfs if !sawRemove && cpFrames.isEmpty =>
+        dfs.reduce(_.unionByName(_))
+          .where(col("__kind") === "add")
+          .select("path", "partitionValues", "size", "modificationTime",
+            "stats", "deletionVector", "baseRowId", "defaultRowCommitVersion")
       case dfs =>
         // tie-break within one version: the add wins — a DV update
         // (remove+add of the SAME path in one commit) nets to the add
@@ -1041,11 +1079,16 @@ object DeltaLog {
     val chunkSize = spark.conf.getOption("spark.graft.read.maxEntriesPerChunk")
       .map(_.toInt).getOrElse(200000)
     require(chunkSize > 0, s"spark.graft.read.maxEntriesPerChunk must be > 0")
-    val frame = snap.allFiles.select("path", "deletionVector")
+    // sizes ride along so the memo can double as [[Snapshot.fileEntries]]
+    // (checksum decrements need them) — one collect serves both
+    val frame = snap.allFiles.select("path", "deletionVector", "size")
     // fast path: one job, one relation — identical to the pre-chunking
     // plan whenever the table fits one chunk; the snapshot memoizes the
-    // probe so repeated reads of the same cached snapshot cost no job
-    val memo = snap.chunkMemo.get()
+    // probe so repeated reads of the same cached snapshot cost no job.
+    // A probe that already materialized fileEntries counts too.
+    val memo = Option(snap.chunkMemo.get())
+      .orElse(if (snap.fileEntriesReady) Some(snap.fileEntries) else None)
+      .orNull
     if (memo != null && memo.length <= chunkSize) {
       meterReadCollect(memo.length)
       return readEntries(spark, table, memo,
@@ -2161,8 +2204,18 @@ object DeltaLog {
     * collected — wide-DML callers stream it ([[deleteWhere]]) instead
     * of holding O(matched files) entries on the driver. */
   private def pruneFrame(spark: SparkSession, snap: Snapshot,
-      predicate: Column, table: Option[String] = None): DataFrame = {
-    def all = snap.allFiles.select("path", "deletionVector", "size")
+      predicate: Column, table: Option[String] = None,
+      wide: Boolean = false): DataFrame = {
+    // wide: carry the full add-action metadata so a DML caller that
+    // needs (partitionValues, stats, row-tracking fields) for its
+    // re-add actions can take them from ITS OWN collect instead of a
+    // second join against the file frame
+    val outCols =
+      (if (!wide) Seq("path", "deletionVector", "size")
+       else Seq("path", "deletionVector", "size", "partitionValues",
+         "modificationTime", "stats", "baseRowId",
+         "defaultRowCommitVersion")).map(col)
+    def all = snap.allFiles.select(outCols: _*)
     val schema = snap.schema.getOrElse(return all)
     val (bounds, zskip) = zoneSkip(spark, snap, predicate)
       .getOrElse(return all)
@@ -2207,7 +2260,7 @@ object DeltaLog {
           (joined, terms.reduce(_ || _))
       }
     val skip = zskip || coalesce(bloomSkip, lit(false))
-    withBlooms.where(!skip).select("path", "deletionVector", "size")
+    withBlooms.where(!skip).select(outCols: _*)
   }
 
   /** Surviving file paths under `predicate` — see [[pruneEntries]].
@@ -3972,10 +4025,12 @@ object DeltaLog {
         if (ownPersist)
           source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // no .distinct() on the source keys: a LEFT SEMI join never
+          // multiplies rows, so deduping first only adds a shuffle
           val touchedNames = readEntries(spark, table, snap.fileEntries, snap.schema,
             snap.columnMappingMode, withProvenance = true)
             .withColumn("__fname", provFileName)
-            .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+            .join(source.select(keys.map(col): _*), keys, "left_semi")
             .select("__fname").distinct().collect().map(_.getString(0)).toSet
           commit(snap.fileEntries.filter(e => touchedNames.contains(basename(e.path))))
         } finally { if (ownPersist) source.unpersist(false); () }
@@ -4063,10 +4118,12 @@ object DeltaLog {
       case _ if !probeByKeys => snap.fileEntries
       case None => snap.fileEntries
       case Some(_) =>
+        // no .distinct() on the source keys: a LEFT SEMI join never
+        // multiplies rows, so deduping first only adds a shuffle
         val touchedNames = readEntries(spark, table, snap.fileEntries, snap.schema,
           snap.columnMappingMode, withProvenance = true)
           .withColumn("__fname", provFileName)
-          .join(source.select(keys.map(col): _*).distinct(), keys, "left_semi")
+          .join(source.select(keys.map(col): _*), keys, "left_semi")
           .select("__fname").distinct().collect().map(_.getString(0)).toSet
         snap.fileEntries.filter(e => touchedNames.contains(basename(e.path)))
     }
@@ -5194,13 +5251,14 @@ object DeltaLog {
     * data. A `None` descriptor means every physical row is now masked —
     * the file is dead and must be removed without a re-add. */
   private def growDeletionVectors(spark: SparkSession, table: String,
-      snap: Snapshot, candidates: Seq[FileEntry], predicate: Column)
+      snap: Snapshot, candidates: Seq[FileEntry], predicate: Column,
+      metaOpt: Option[Map[String, Row]] = None)
       : (Map[String, Row], Array[(String, Long, Option[(String, Int, Int)])]) =
     growDeletionVectorsFrom(spark, table, snap, candidates,
       readEntries(spark, table, candidates, snap.schema, snap.columnMappingMode,
         withProvenance = true)
         .where(predicate)
-        .select(col(FpCol).as("fp"), col(RiCol).as("ri")))
+        .select(col(FpCol).as("fp"), col(RiCol).as("ri")), metaOpt)
 
   /** Re-add actions for masked survivors of a DV DML commit: the SAME
     * path under its grown descriptor, metadata verbatim from the
@@ -5230,17 +5288,20 @@ object DeltaLog {
     * form MERGE needs, where the masked set is a join outcome, not a
     * predicate. Same executor-side bitmap contract. */
   private def growDeletionVectorsFrom(spark: SparkSession, table: String,
-      snap: Snapshot, candidates: Seq[FileEntry], maskRows: DataFrame)
+      snap: Snapshot, candidates: Seq[FileEntry], maskRows: DataFrame,
+      metaOpt: Option[Map[String, Row]] = None)
       : (Map[String, Row], Array[(String, Long, Option[(String, Int, Int)])]) = {
     import spark.implicits._
     // original add metadata for the CANDIDATE paths (O(candidate files)
     // on the driver — stats stay valid after a DV: min/max bound the
-    // surviving rows, numRecords stays physical)
-    val metaByPath: Map[String, Row] = snap.allFiles
+    // surviving rows, numRecords stays physical). A caller whose own
+    // candidate collect already carried the metadata (the wide
+    // pruneFrame) passes it in and this join never runs.
+    val metaByPath: Map[String, Row] = metaOpt.getOrElse(snap.allFiles
       .join(broadcast(candidates.map(_.path).toDF("path")), Seq("path"))
       .select("path", "partitionValues", "size", "modificationTime", "stats",
         "baseRowId", "defaultRowCommitVersion")
-      .collect().map(r => r.getString(0) -> r).toMap
+      .collect().map(r => r.getString(0) -> r).toMap)
     def numRecordsOf(path: String): Option[Long] =
       Option(metaByPath(path).getString(4)).flatMap { s =>
         val n = mapper.readTree(s)
@@ -5452,17 +5513,28 @@ object DeltaLog {
     * checksum updates from counters accumulated while streaming. */
   private def deleteWhereStreamed(spark: SparkSession, table: String,
       snap: Snapshot, predicate: Column, fullCond: Column): Long = {
-    val survivors = pruneFrame(spark, snap, predicate, Some(table))
+    // WIDE frame: the boundary collect below carries the full add
+    // metadata, so the DV-growth path never re-joins the file frame
+    val survivors = pruneFrame(spark, snap, predicate, Some(table), wide = true)
     // boundary files only — the whole-match set never materializes
-    val partial: Seq[FileEntry] = survivors
+    val partialRows = survivors
       .where(!coalesce(fullCond, lit(false)))
-      .collect().toSeq.map(entryOfRow)
+      .collect().toSeq
+    val partial: Seq[FileEntry] = partialRows.map(entryOfRow)
     meterDmlCollect(partial.size)
+    // re-shape each wide row to the (path, partitionValues, size,
+    // modificationTime, stats, baseRowId, defaultRowCommitVersion)
+    // layout growDeletionVectors' consumers index positionally
+    val partialMeta: Map[String, Row] = partialRows.map { r =>
+      r.getString(0) -> Row(r.getString(0), r.get(3), r.get(2), r.get(4),
+        r.get(5), r.get(6), r.get(7))
+    }.toMap
     val (metaByPath, results) =
       if (partial.isEmpty)
         (Map.empty[String, Row],
           Array.empty[(String, Long, Option[(String, Int, Int)])])
-      else growDeletionVectors(spark, table, snap, partial, predicate)
+      else growDeletionVectors(spark, table, snap, partial, predicate,
+        Some(partialMeta))
     val entryByPath = partial.map(e => e.path -> e).toMap
     val merged: Seq[FileEntry] =
       results.toSeq.map { case (rel, _, _) => entryByPath(rel) }

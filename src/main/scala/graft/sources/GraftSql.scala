@@ -186,6 +186,11 @@ object GraftSql {
     """(?is)\s*REWRITE\s+MANIFESTS\s+iceberg\.`([^`]+)`\s*""".r
   private val IcebergInsert =
     """(?is)\s*INSERT\s+INTO\s+iceberg\.`([^`]+)`\s+((?:SELECT|VALUES|FROM|WITH)\s.+)""".r
+  // write-audit-publish: stage rows on a branch, then publish it
+  private val IcebergInsertBranch =
+    """(?is)\s*INSERT\s+INTO\s+iceberg\.`([^`]+)`\s+BRANCH\s+(\w+)\s+((?:SELECT|VALUES|FROM|WITH)\s.+)""".r
+  private val IcebergFastForward =
+    """(?is)\s*ALTER\s+TABLE\s+iceberg\.`([^`]+)`\s+FAST\s+FORWARD\s+TO\s+(\w+)\s*""".r
   private val IcebergCreateHead =
     """(?is)\s*CREATE\s+TABLE\s+iceberg\.`([^`]+)`\s*\((.*)""".r
   // CREATE TABLE: the column list may hold nested parens (DECIMAL(12,2)),
@@ -929,6 +934,12 @@ object GraftSql {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       version(spark,
         IcebergTable.writeAppend(spark, empty, path, partition = partition))
+    case IcebergInsertBranch(path, branch, select) =>
+      version(spark, IcebergTable.writeAppend(spark,
+        icebergPositional(spark, path, exec(spark, select)), path,
+        toBranch = Some(branch)))
+    case IcebergFastForward(path, branch) =>
+      version(spark, IcebergTable.fastForward(spark, path, branch))
     case IcebergInsert(path, select) =>
       version(spark, IcebergTable.writeAppend(spark,
         icebergPositional(spark, path, exec(spark, select)), path))

@@ -308,8 +308,14 @@ object IcebergTable {
         val fsz = lng(df, "file_size_in_bytes").getOrElse(0L)
         lng(df, "content").getOrElse(0L) match {
           case 0L =>
+            // a manifest written without partition tuples (the MoR
+            // UPDATE/MERGE post-image manifest) parses as tuple-less
+            // even under a partitioned spec — pruning always KEEPS
+            // tuple-less files, so reads stay exact
             val (hasPart, part) =
-              if (fieldNames.isEmpty) (false, Seq.empty[String])
+              if (fieldNames.isEmpty ||
+                  df.getSchema.getField("partition") == null)
+                (false, Seq.empty[String])
               else Option(df.get("partition")) match {
                 case Some(r: GenericRecord) =>
                   (true, fieldNames.map { n =>
@@ -573,7 +579,8 @@ object IcebergTable {
                   }.toMap
                 case _ => Map.empty[Int, Long]
               })
-              partTuples += (if (manifestSpec.isEmpty) None
+              partTuples += (if (manifestSpec.isEmpty ||
+                  df.getSchema.getField("partition") == null) None
                 else Option(df.get("partition")).collect {
                   case r: GenericRecord => manifestSpec.map { fld =>
                     r.get(fld.name) match {
@@ -1171,8 +1178,16 @@ object IcebergTable {
       // (e.g. a toLocalIterator over the keep side of a rewrite)
       // straight into the manifest writer — the driver never holds the
       // full carried-file list
-      carryFiles: IterableOnce[CarriedFile] = Seq.empty): Long = {
+      carryFiles: IterableOnce[CarriedFile] = Seq.empty,
+      // write-audit-publish: land the snapshot on a NAMED BRANCH
+      // (created at the current head if absent) — `main` and readers
+      // stay on the published history until [[fastForward]] publishes
+      // the branch. The carried manifests come from the BRANCH head,
+      // so branch commits stack.
+      toBranch: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
+    toBranch.foreach(b => require(b.nonEmpty && b != "main",
+      "toBranch: `main` is the published head; write normally instead"))
     val f = fs(spark, table)
     val root = new Path(table)
     val mdir = new Path(root, "metadata")
@@ -1180,6 +1195,9 @@ object IcebergTable {
       if (!isIcebergTable(spark, table)) None
       else Some(mapper.readTree(readText(f, currentMetadataPath(f, table)))
         .asInstanceOf[ObjectNode])
+    require(toBranch.isEmpty || existing.isDefined,
+      s"toBranch needs an existing Iceberg table at $table (a branch forks " +
+        "from the published head)")
     existing.foreach { prev =>
       val prevSchema = resolveSchema(prev)
       require(prevSchema.fieldNames.toSeq == df.schema.fieldNames.toSeq &&
@@ -1402,9 +1420,24 @@ object IcebergTable {
       // 3. manifest list = previous snapshot's manifests + the new one;
       // each row keeps its content kind and sequence number (the new data
       // manifest's sequence number is the snapshot ordinal — equality
-      // deletes scope against it)
+      // deletes scope against it). A branch write carries from the
+      // BRANCH head (created at the published head when absent).
+      val branchHead: Option[Long] = toBranch.flatMap { b =>
+        existingNow.flatMap(_.path("refs").path(b) match {
+          case o: ObjectNode =>
+            require(o.path("type").asText("branch") == "branch",
+              s"ref `$b` on $table is a tag — cannot write to it")
+            Some(o.get("snapshot-id").asLong())
+          case _ => None // absent: branch forks from the published head
+        })
+      }
+      val carryHeadId: Option[Long] = branchHead.orElse(
+        if (toBranch.isEmpty) None
+        else existingNow.map(_.get("current-snapshot-id").asLong()))
       val prevManifests =
-        if (carryPrevious) carriedManifests(f, table, existingNow) else Seq.empty
+        if (carryPrevious)
+          carriedManifests(f, table, existingNow, carryHeadId)
+        else Seq.empty
       val mlSchema = manifestListAvroSchema
       val mlRecords = (prevManifests :+
           ((manifestPath.toString, mLen, 0L, versionNow.toLong, specId))).map {
@@ -1463,21 +1496,51 @@ object IcebergTable {
       meta.put("default-spec-id", specId)
       meta.put("last-partition-id",
         math.max(prevLastPartId, fieldIdBase + spec.length - 1))
-      meta.put("current-snapshot-id", snapshotId)
-      stampRefs(meta, existingNow, snapshotId)
+      toBranch match {
+        case None =>
+          meta.put("current-snapshot-id", snapshotId)
+          stampRefs(meta, existingNow, snapshotId)
+        case Some(b) =>
+          // write-audit-publish: the published head does not move — the
+          // snapshot lands, the BRANCH ref advances, every other ref
+          // (main included) carries verbatim
+          existingNow.foreach(prev =>
+            meta.put("current-snapshot-id",
+              prev.get("current-snapshot-id").asLong()))
+          val refsObj = meta.putObject("refs")
+          existingNow.foreach(_.path("refs") match {
+            case po: ObjectNode => po.fields().asScala.foreach { e =>
+              refsObj.set[ObjectNode](e.getKey,
+                e.getValue.deepCopy[com.fasterxml.jackson.databind.JsonNode]())
+            }
+            case _ => ()
+          }) // a pre-refs table: main materializes on the next publish
+          val br = refsObj.putObject(b)
+          br.put("snapshot-id", snapshotId)
+          br.put("type", "branch")
+      }
       val snapsArr = meta.putArray("snapshots")
       existingNow.foreach(_.path("snapshots").elements().asScala
         .foreach(s => snapsArr.add(s)))
       val sn = snapsArr.addObject()
       sn.put("snapshot-id", snapshotId)
+      // parent = the head this snapshot stacked on (fastForward's
+      // ancestry walk and the `history` table's lineage both read it)
+      carryHeadId.orElse(
+          existingNow.map(_.get("current-snapshot-id").asLong()))
+        .foreach(pid => sn.put("parent-snapshot-id", pid))
       sn.put("timestamp-ms", now)
       sn.put("manifest-list", listPath.toString)
       val sum = sn.putObject("summary"); sum.put("operation", "append")
       val logArr = meta.putArray("snapshot-log")
       existingNow.foreach(_.path("snapshot-log").elements().asScala
         .foreach(l => logArr.add(l)))
-      val le = logArr.addObject()
-      le.put("timestamp-ms", now); le.put("snapshot-id", snapshotId)
+      // the snapshot-log records the PUBLISHED (main) history — a
+      // branch write does not move it
+      if (toBranch.isEmpty) {
+        val le = logArr.addObject()
+        le.put("timestamp-ms", now); le.put("snapshot-id", snapshotId)
+      }
 
       val mdPath = new Path(mdir, s"v$versionNow.metadata.json")
       raceHook()
@@ -1521,7 +1584,12 @@ object IcebergTable {
               val hint = f.create(new Path(mdir, "version-hint.text"), true)
               try hint.write(hv.toString.getBytes("UTF-8")) finally hint.close()
             } catch { case scala.util.control.NonFatal(_) => () }
-            return vNowMeta.get.get("current-snapshot-id").asLong()
+            // a branch write's landed snapshot is the BRANCH head, not
+            // the published current-snapshot-id
+            return toBranch
+              .map(b => vNowMeta.get.path("refs").path(b)
+                .get("snapshot-id").asLong())
+              .getOrElse(vNowMeta.get.get("current-snapshot-id").asLong())
           }
           // a LOST attempt's already-written manifest-/snap-*.avro are
           // referenced by nothing; sweep them — whether we retry or
@@ -1568,9 +1636,12 @@ object IcebergTable {
     * snapshot. Each manifest keeps the SPEC it was written under, so
     * files stay prunable across partition evolution. */
   private def carriedManifests(f: FileSystem, table: String,
-      existing: Option[ObjectNode]): Seq[(String, Long, Long, Long, Int)] =
+      existing: Option[ObjectNode],
+      // carry from a specific snapshot (a branch head) instead of the
+      // published current-snapshot-id
+      headId: Option[Long] = None): Seq[(String, Long, Long, Long, Int)] =
     existing.toSeq.flatMap { prev =>
-      val curId = prev.get("current-snapshot-id").asLong()
+      val curId = headId.getOrElse(prev.get("current-snapshot-id").asLong())
       prev.path("snapshots").elements().asScala
         .find(_.get("snapshot-id").asLong() == curId).toSeq
         .flatMap { s =>
@@ -1809,6 +1880,60 @@ object IcebergTable {
       r.put("snapshot-id", snapshotId)
       r.put("type", if (isBranch) "branch" else "tag")
     }
+  }
+
+  /** PUBLISH a branch — Iceberg's `fast_forward` procedure, the last
+    * step of write-audit-publish: move the published head (`main` +
+    * current-snapshot-id) to the branch head, strictly fast-forward
+    * (the published head must be an ANCESTOR of the branch head via the
+    * parent-snapshot-id chain — a diverged main fails loudly instead of
+    * silently dropping published commits). Returns the new head. */
+  def fastForward(spark: SparkSession, table: String, branch: String): Long = {
+    require(branch.nonEmpty && branch != "main",
+      "fastForward: name the audit branch to publish")
+    var head = 0L
+    editMetadata(spark, table) { root =>
+      val br = root.path("refs").path(branch) match {
+        case o: ObjectNode =>
+          require(o.path("type").asText("branch") == "branch",
+            s"fastForward: ref `$branch` on $table is a tag")
+          o.get("snapshot-id").asLong()
+        case _ => sys.error(s"fastForward: no branch `$branch` on $table")
+      }
+      val mainHead = root.get("current-snapshot-id").asLong()
+      if (mainHead != br) {
+        // ancestry walk: metadata-sized, follows parent-snapshot-id
+        val parentOf: Map[Long, Long] =
+          root.path("snapshots").elements().asScala.flatMap { s =>
+            Option(s.get("parent-snapshot-id"))
+              .map(p => s.get("snapshot-id").asLong() -> p.asLong())
+          }.toMap
+        var cur = br
+        var isAncestor = false
+        while (!isAncestor && parentOf.contains(cur)) {
+          cur = parentOf(cur)
+          isAncestor = cur == mainHead
+        }
+        require(isAncestor,
+          s"fastForward: published head $mainHead is not an ancestor of " +
+            s"branch `$branch` ($br) — main diverged; rebase the branch")
+      }
+      root.put("current-snapshot-id", br)
+      root.path("refs") match {
+        case o: ObjectNode =>
+          val m = o.putObject("main")
+          m.put("snapshot-id", br); m.put("type", "branch"); ()
+        case _ => ()
+      }
+      // publishing makes the branch snapshots part of main's history
+      val le = root
+        .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+        .addObject()
+      le.put("timestamp-ms", System.currentTimeMillis())
+      le.put("snapshot-id", br)
+      head = br
+    }
+    head
   }
 
   /** Drop a named ref; its snapshot becomes expirable again. */
@@ -2114,8 +2239,32 @@ object IcebergTable {
     // named refs protect their snapshots (the spec's ref-retention rule)
     val refIds = root.path("refs").elements().asScala
       .map(_.get("snapshot-id").asLong()).toSet
+    // a NAMED branch additionally protects its ANCESTORS: expiring an
+    // intermediate staged snapshot would break the parent chain
+    // fastForward's publishability check walks. `main` is excluded —
+    // its history expires normally (protecting main's ancestors would
+    // disable expiry outright); named audit branches are short-lived
+    // and bounded.
+    val parentOf: Map[Long, Long] = snaps.flatMap { s =>
+      Option(s.get("parent-snapshot-id"))
+        .map(p => s.get("snapshot-id").asLong() -> p.asLong())
+    }.toMap
+    val branchAncestors: Set[Long] = {
+      val b = Set.newBuilder[Long]
+      root.path("refs").fields().asScala.foreach { e =>
+        if (e.getKey != "main" &&
+            e.getValue.path("type").asText("branch") == "branch") {
+          var cur = e.getValue.get("snapshot-id").asLong()
+          var guard = snaps.size + 1
+          while (parentOf.contains(cur) && guard > 0) {
+            cur = parentOf(cur); b += cur; guard -= 1
+          }
+        }
+      }
+      b.result()
+    }
     val keepIds = (byAge.takeRight(retainLast).map(_.get("snapshot-id").asLong()) :+
-      currentId).toSet ++ refIds ++
+      currentId).toSet ++ refIds ++ branchAncestors ++
       byAge.filter(_.get("timestamp-ms").asLong() >= olderThanMs)
         .map(_.get("snapshot-id").asLong())
     val (kept, dropped) = snaps.partition(s => keepIds.contains(s.get("snapshot-id").asLong()))

@@ -86,6 +86,36 @@ class CommitOverheadSpec extends SparkSpec {
     assert(report.values.forall(identity), report.toString)
   }
 
+  test("q_dml_subquery statement chain: job budget per statement") {
+    // the r11 verdict's ask: the chain ran ~45-56 jobs of pure commit
+    // machinery; after the r12 cuts (v0-checksum from commit deltas,
+    // adds-only replay fast path, fileEntries/chunkMemo sharing,
+    // entriesFor from driver state, wide-pruneFrame meta reuse) the
+    // budget is gated here so creep shows up as a test failure, not a
+    // bench regression. Budgets are measured-value + 2 headroom.
+    val base = Files.createTempDirectory("graft-dmlchain-").toString
+    val t = base + "/t"; val hot = base + "/hot"
+    val src = spark.range(0, 4000).select(col("id").as("k"),
+      (col("id") % 7).as("o_custkey"), (col("id") % 100 + 0.5).as("amt"))
+    val nWriteT = jobs { DeltaLog.write(spark, src.repartition(4), t) }
+    assert(nWriteT <= 5, s"fresh-table write ran $nWriteT jobs (v0 checksum " +
+      "must derive from commit deltas, adds-only replay must skip the window)")
+    val nWriteHot = jobs { DeltaLog.write(spark,
+      spark.range(0, 2000).select((col("id") * 2).as("o_orderkey")), hot) }
+    assert(nWriteHot <= 4, s"fresh-table write ran $nWriteHot jobs")
+    val nUpdate = jobs { graft.sources.GraftSql.exec(spark,
+      s"UPDATE delta.`$t` SET amt = amt + 100000 WHERE o_custkey % 3 = 0 " +
+        s"AND k IN (SELECT o_orderkey FROM delta.`$hot`)") }
+    assert(nUpdate <= 16,
+      s"UPDATE-with-IN-subquery ran $nUpdate jobs (was 18 in r11)")
+    val nDelete = jobs { graft.sources.GraftSql.exec(spark,
+      s"DELETE FROM delta.`$t` WHERE amt < (SELECT avg(amt) FROM delta.`$t`)") }
+    assert(nDelete <= 12,
+      s"DELETE-with-scalar-subquery ran $nDelete jobs (was 13 in r11)")
+    val total = nWriteT + nWriteHot + nUpdate + nDelete
+    assert(total <= 36, s"q_dml_subquery chain ran $total jobs (r11: ~45)")
+  }
+
   test("snapshot cache: unchanged log reuses the built snapshot, a commit busts it") {
     val t = fresh()
     DeltaLog.write(spark, df(0, 200).repartition(4), t)

@@ -88,6 +88,27 @@ class IcebergDmlSpec extends SparkSpec {
       Set((2L, 3), (3L, 7)))
   }
 
+  test("updateWhere on a hidden-partitioned table: pruned reads stay exact") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark,
+      (1L to 20L).map(i => (i, i % 4, s"v$i")).toDF("k", "grp", "v"), t,
+      partition = Seq(("grp", "identity")))
+    IcebergTable.updateWhere(spark, t, col("grp") === 2L,
+      Map("v" -> lit("upd")))
+    // post-image files carry no partition tuple — partition pruning must
+    // KEEP them (a boundless file never skips), so a pruned read of any
+    // slice stays exact
+    val pruned = IcebergTable.readPruned(spark, t, col("grp") === 2L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(pruned == (1L to 20L).filter(_ % 4 == 2)
+      .map(i => (i, 2L, "upd")).toSet, pruned)
+    val other = IcebergTable.readPruned(spark, t, col("grp") === 1L)
+      .as[(Long, Long, String)].collect().toSet
+    assert(other == (1L to 20L).filter(_ % 4 == 1)
+      .map(i => (i, 1L, s"v$i")).toSet, other)
+    assert(IcebergTable.read(spark, t).count() == 20L)
+  }
+
   test("updateWhere: no match means no commit") {
     val t = fresh()
     IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t)

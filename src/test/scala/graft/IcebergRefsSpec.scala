@@ -79,6 +79,72 @@ class IcebergRefsSpec extends SparkSpec {
     }
   }
 
+  test("write-audit-publish: branch writes stack in isolation, publish is atomic") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "base")).toDF("k", "v"), t)
+    // two staged commits stack on the audit branch
+    val b1 = IcebergTable.writeAppend(spark,
+      Seq((2L, "staged1")).toDF("k", "v"), t, toBranch = Some("audit"))
+    val b2 = IcebergTable.writeAppend(spark,
+      Seq((3L, "staged2")).toDF("k", "v"), t, toBranch = Some("audit"))
+    // isolation: the published head serves ONLY the base wave; the
+    // branch serves base + both staged waves (they stacked, not forked)
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "base")))
+    assert(IcebergTable.readRef(spark, t, "audit")
+      .as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "staged1"), (3L, "staged2")))
+    assert(IcebergTable.refSnapshotId(spark, t, "audit") == b2 && b1 != b2)
+    // expiry protects the staged snapshots (the branch ref pins them)
+    IcebergTable.expireSnapshots(spark, t,
+      olderThanMs = System.currentTimeMillis() + 1000, retainLast = 1)
+    assert(IcebergTable.readRef(spark, t, "audit").count() == 3)
+    // publish: main fast-forwards to the branch head
+    val head = IcebergTable.fastForward(spark, t, "audit")
+    assert(head == b2)
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "staged1"), (3L, "staged2")))
+    assert(IcebergTable.refSnapshotId(spark, t, "main") == b2)
+    // idempotent: publishing an already-published branch is a no-op
+    assert(IcebergTable.fastForward(spark, t, "audit") == b2)
+  }
+
+  test("fastForward refuses a diverged published head; tags refuse writes") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "base")).toDF("k", "v"), t)
+    IcebergTable.writeAppend(spark,
+      Seq((2L, "staged")).toDF("k", "v"), t, toBranch = Some("audit"))
+    // main moves past the fork point: the branch no longer fast-forwards
+    IcebergTable.writeAppend(spark, Seq((9L, "raced")).toDF("k", "v"), t)
+    val e = intercept[IllegalArgumentException] {
+      IcebergTable.fastForward(spark, t, "audit")
+    }
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+    // the failed publish left both histories intact
+    assert(IcebergTable.read(spark, t).count() == 2)
+    assert(IcebergTable.readRef(spark, t, "audit").count() == 2)
+    // a TAG is immutable: writing to it refuses
+    val s1 = IcebergTable.refSnapshotId(spark, t, "main")
+    IcebergTable.setRef(spark, t, "pin", s1)
+    intercept[IllegalArgumentException] {
+      IcebergTable.writeAppend(spark,
+        Seq((4L, "x")).toDF("k", "v"), t, toBranch = Some("pin"))
+    }
+    intercept[Exception] { IcebergTable.fastForward(spark, t, "pin") }
+  }
+
+  test("WAP SQL verbs: INSERT INTO ... BRANCH, FAST FORWARD TO") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "base")).toDF("k", "v"), t)
+    graft.sources.GraftSql.exec(spark,
+      s"INSERT INTO iceberg.`$t` BRANCH audit SELECT 2 AS k, 'staged' AS v")
+    assert(IcebergTable.read(spark, t).count() == 1)
+    graft.sources.GraftSql.exec(spark,
+      s"ALTER TABLE iceberg.`$t` FAST FORWARD TO audit")
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "staged")))
+  }
+
   test("ref edits refuse bad shapes") {
     val t = fresh()
     val s1 = IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t)
