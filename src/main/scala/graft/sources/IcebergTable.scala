@@ -1663,11 +1663,28 @@ object IcebergTable {
     * (file, row) slots. NO data file is read, rewritten, or moved: the
     * delete cost is O(deleted rows), the Iceberg answer to Delta's
     * deletion vectors. */
+  /** Row count straight from a just-staged parquet file's footer —
+    * exact, zero Spark jobs (the Delta footer-stats rule applied to the
+    * MoR staging surface; the old read-back-and-groupBy cost 2 jobs per
+    * staged side on every DML statement). */
+  private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
+      p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try rd.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+    finally rd.close()
+  }
+
   private def writeDeleteSnapshot(spark: SparkSession, table: String,
       deleteRows: DataFrame, content: Int,
       equalityIds: Seq[Int],
       postImage: Option[DataFrame] = None,
-      operation: String = "delete"): Long = {
+      operation: String = "delete",
+      // UPDATE/MERGE pass true: when BOTH staged sides are empty the
+      // statement matched nothing — clean up and commit nothing (the
+      // emptiness check rides the footer counts, so the caller needs no
+      // separate probe action over its matched frame)
+      skipIfEmpty: Boolean = false): Long = {
     require(isIcebergTable(spark, table),
       s"Iceberg MoR delete needs an existing table at $table")
     val f = fs(spark, table)
@@ -1679,6 +1696,7 @@ object IcebergTable {
     val snapshotId = System.currentTimeMillis() * 1000 + version
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val hconf = spark.sessionState.newHadoopConf()
 
     // 1. stage the delete parquet under data/
     val scratch = new Path(root, s".ice-del-stage-$nonce")
@@ -1694,11 +1712,7 @@ object IcebergTable {
     }
     f.delete(scratch, true)
     val counts: Map[String, Long] =
-      if (delFiles.isEmpty) Map.empty
-      else spark.read.parquet(delFiles.map(_.toString): _*)
-        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
-        .count().collect()
-        .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
+      delFiles.map(p => p.getName -> footerRowCount(hconf, p)).toMap
 
     // 1b. UPDATE/MERGE shape: the post-image rows land as NEW data
     // files in the SAME snapshot, at the same sequence number as the
@@ -1725,11 +1739,12 @@ object IcebergTable {
         moved.toSeq
     }
     val dataCounts: Map[String, Long] =
-      if (dataFiles.isEmpty) Map.empty
-      else spark.read.parquet(dataFiles.map(_.toString): _*)
-        .groupBy(org.apache.spark.sql.functions.input_file_name().as("__f"))
-        .count().collect()
-        .map(r => new Path(r.getString(0)).getName -> r.getLong(1)).toMap
+      dataFiles.map(p => p.getName -> footerRowCount(hconf, p)).toMap
+
+    if (skipIfEmpty && counts.values.sum == 0L && dataCounts.values.sum == 0L) {
+      (delFiles ++ dataFiles).foreach(p => f.delete(p, false))
+      return existing.get("current-snapshot-id").asLong()
+    }
 
     // 2. the DELETE manifest
     val mSchema = deleteManifestAvroSchema
@@ -2565,16 +2580,17 @@ object IcebergTable {
       .where(predicate)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (matched.limit(1).count() == 0L)
-        return root.get("current-snapshot-id").asLong()
       val slots = matched
         .select(col("__slot_path").as("file_path"), col("__slot_pos").as("pos"))
       val post = matched.select(schema.fieldNames.toIndexedSeq.map { n =>
         set.get(n).map(_.as(n)).getOrElse(col(n))
       }: _*)
+      // no separate no-match probe: the slots staging materializes the
+      // persisted frame, and skipIfEmpty turns an empty match into a
+      // cleanup instead of a commit (footer counts, zero extra jobs)
       writeDeleteSnapshot(spark, table, slots, content = 1,
         equalityIds = Seq.empty, postImage = Some(post),
-        operation = "overwrite")
+        operation = "overwrite", skipIfEmpty = true)
     } finally { matched.unpersist(false); () }
   }
 
@@ -2621,17 +2637,17 @@ object IcebergTable {
       .where(graft.operators.Scd2.sourceWins(recencyCol))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (joined.limit(1).count() == 0L)
-        return root.get("current-snapshot-id").asLong()
       val losers = joined.where(col("__slot_pos").isNotNull)
         .select(col("__slot_path").as("file_path"),
           col("__slot_pos").as("pos")).distinct()
       val winners = joined.select(schema.fieldNames.toIndexedSeq.map { n =>
         if (keys.contains(n)) col(n) else col(s"__src_$n").as(n)
       }: _*)
+      // all-stale merge → both staged sides empty → skipIfEmpty cleans
+      // up and commits nothing (no separate probe action needed)
       writeDeleteSnapshot(spark, table, losers, content = 1,
         equalityIds = Seq.empty, postImage = Some(winners),
-        operation = "overwrite")
+        operation = "overwrite", skipIfEmpty = true)
     } finally { joined.unpersist(false); () }
   }
 
