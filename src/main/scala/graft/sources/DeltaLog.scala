@@ -4067,7 +4067,10 @@ object DeltaLog {
       keys: Seq[String], clauses: Seq[MergeClause],
       extraOn: Option[Column] = None,
       aliases: (String, String) = ("t", "s"),
-      schemaEvolution: Boolean = false): Long = {
+      schemaEvolution: Boolean = false,
+      // caller guarantees a key-distinct source — skips the
+      // nondeterminism-guard aggregation (see Merge.applyClauses)
+      uniqueSourceKeys: Boolean = false): Long = {
     require(isDeltaTable(spark, table),
       s"MERGE needs an existing Delta-protocol table at $table; write() it first")
     val probe = !clauses.exists(c => c.isInstanceOf[MergeClause.BySourceUpdate] ||
@@ -4086,11 +4089,11 @@ object DeltaLog {
           .forall(_.toBoolean)
       if (useDv)
         mergeDv(spark, table, snap, source, keys, clauses, extraOn, aliases,
-          probe, schemaEvolution)
+          probe, schemaEvolution, uniqueSourceKeys)
       else
         mergeCore(spark, table, snap, source, keys,
           (target, src) => Merge.applyClauses(target, src, keys, extraOn, clauses,
-            aliases._1, aliases._2, schemaEvolution),
+            aliases._1, aliases._2, schemaEvolution, uniqueSourceKeys),
           txn = None, operation = "MERGE", probeByKeys = probe)
     }
   }
@@ -4113,7 +4116,8 @@ object DeltaLog {
   private def mergeDv(spark: SparkSession, table: String, snap: Snapshot,
       source: DataFrame, keys: Seq[String], clauses: Seq[MergeClause],
       extraOn: Option[Column], aliases: (String, String),
-      probeByKeys: Boolean, schemaEvolution: Boolean = false): Long = {
+      probeByKeys: Boolean, schemaEvolution: Boolean = false,
+      uniqueSourceKeys: Boolean = false): Long = {
     val candidates: Seq[FileEntry] = basenameIndex(snap.files) match {
       case _ if !probeByKeys => snap.fileEntries
       case None => snap.fileEntries
@@ -4130,7 +4134,8 @@ object DeltaLog {
     val target = readEntries(spark, table, candidates, snap.schema,
       snap.columnMappingMode, withProvenance = true)
     val plan = Merge.applyClausesDv(target, source, keys, extraOn, clauses,
-      (FpCol, RiCol), aliases._1, aliases._2, schemaEvolution)
+      (FpCol, RiCol), aliases._1, aliases._2, schemaEvolution,
+      uniqueSourceKeys)
     try {
       val (metaByPath, results) = growDeletionVectorsFrom(spark, table, snap,
         candidates, plan.mask)

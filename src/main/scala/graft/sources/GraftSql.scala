@@ -696,12 +696,16 @@ object GraftSql {
           val clause: MergeClause = setColumns(Some(key)).fold[MergeClause](
             MergeClause.BySourceDelete(Some(guard)))(m =>
             MergeClause.BySourceUpdate(Some(guard), m))
-          DeltaLog.merge(spark, path, src, Seq(key), Seq(clause))
+          // src is .distinct() on exactly the merge key — the guard
+          // aggregation is provably a no-op and skips
+          DeltaLog.merge(spark, path, src, Seq(key), Seq(clause),
+            uniqueSourceKeys = true)
         } else {
           val clause: MergeClause = setColumns(Some(key)).fold[MergeClause](
             MergeClause.MatchedDelete(residual))(m =>
             MergeClause.MatchedUpdate(residual, m))
-          DeltaLog.merge(spark, path, src, Seq(key), Seq(clause))
+          DeltaLog.merge(spark, path, src, Seq(key), Seq(clause),
+            uniqueSourceKeys = true)
         }
       case Some(other) => sys.error(s"unreachable membership conjunct: $other")
     }

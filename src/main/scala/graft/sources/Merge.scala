@@ -64,7 +64,13 @@ object Merge {
   private[graft] def applyClauses(target: DataFrame, source: DataFrame,
       keys: Seq[String], extraOn: Option[Column], clauses: Seq[MergeClause],
       tAlias: String = "t", sAlias: String = "s",
-      schemaEvolution: Boolean = false): DataFrame = {
+      schemaEvolution: Boolean = false,
+      // caller GUARANTEES the source is key-distinct (e.g. it built the
+      // source with .distinct() on exactly the merge keys): each target
+      // row then matches ≤ 1 source row, so the eager nondeterminism-
+      // guard aggregation (one extra pass over the join) is provably a
+      // no-op and skips
+      uniqueSourceKeys: Boolean = false): DataFrame = {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     require(keys.nonEmpty, "MERGE needs at least one equi-key")
     require(tAlias != sAlias, s"target and source aliases collide: '$tAlias'")
@@ -150,15 +156,20 @@ object Merge {
     // Two driver-collected longs, nothing more.
     val modifying = matched.map { case (c, _) => condOf(c) }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val Array(maxMatches, maxModifying) = {
-      val r = joined.where(isMatched)
-        .groupBy(col(s"$tAlias.$tid"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(modifying, 1L).otherwise(0L)).as("m"))
-        .agg(coalesce(max(col("n")), lit(0L)),
-          coalesce(max(col("m")), lit(0L))).head()
-      Array(r.getLong(0), r.getLong(1))
-    }
+    // a key-distinct source makes every per-target-row count ≤ 1 by
+    // construction (an extraOn condition only removes matches): both
+    // the error and the dedup window are provably unreachable
+    val Array(maxMatches, maxModifying) =
+      if (uniqueSourceKeys) Array(1L, 1L)
+      else {
+        val r = joined.where(isMatched)
+          .groupBy(col(s"$tAlias.$tid"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(modifying, 1L).otherwise(0L)).as("m"))
+          .agg(coalesce(max(col("n")), lit(0L)),
+            coalesce(max(col("m")), lit(0L))).head()
+        Array(r.getLong(0), r.getLong(1))
+      }
     if (maxModifying > 1) sys.error(
       "MERGE failed: a target row was matched by multiple source rows " +
         "that would update or delete it — the merge is nondeterministic. " +
@@ -257,7 +268,11 @@ object Merge {
   private[graft] def applyClausesDv(target: DataFrame, source: DataFrame,
       keys: Seq[String], extraOn: Option[Column], clauses: Seq[MergeClause],
       provCols: (String, String), tAlias: String = "t", sAlias: String = "s",
-      schemaEvolution: Boolean = false): DvPlan = {
+      schemaEvolution: Boolean = false,
+      // key-distinct source: the guard aggregation is provably a no-op
+      // (see applyClauses) — the persisted base materializes lazily in
+      // the first real pass instead
+      uniqueSourceKeys: Boolean = false): DvPlan = {
     require(clauses.nonEmpty, "MERGE needs at least one WHEN clause")
     require(keys.nonEmpty, "MERGE needs at least one equi-key")
     require(tAlias != sAlias, s"target and source aliases collide: '$tAlias'")
@@ -343,10 +358,12 @@ object Merge {
     // is ever needed on this path
     val modifying = matched.map { case (c, _) => condOf(c) }
       .reduceOption(_ || _).getOrElse(lit(false))
-    val maxModifying = base.where(isMatched)
-      .groupBy(col(s"$tAlias.$tid"))
-      .agg(sum(when(modifying, 1L).otherwise(0L)).as("m"))
-      .agg(coalesce(max(col("m")), lit(0L))).head().getLong(0)
+    val maxModifying =
+      if (uniqueSourceKeys) 1L
+      else base.where(isMatched)
+        .groupBy(col(s"$tAlias.$tid"))
+        .agg(sum(when(modifying, 1L).otherwise(0L)).as("m"))
+        .agg(coalesce(max(col("m")), lit(0L))).head().getLong(0)
     if (maxModifying > 1) {
       base.unpersist()
       sys.error(
