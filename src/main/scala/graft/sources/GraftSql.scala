@@ -191,6 +191,8 @@ object GraftSql {
     """(?is)\s*INSERT\s+INTO\s+iceberg\.`([^`]+)`\s+BRANCH\s+(\w+)\s+((?:SELECT|VALUES|FROM|WITH)\s.+)""".r
   private val IcebergFastForward =
     """(?is)\s*ALTER\s+TABLE\s+iceberg\.`([^`]+)`\s+FAST\s+FORWARD\s+TO\s+(\w+)\s*""".r
+  private val IcebergCherrypick =
+    """(?is)\s*ALTER\s+TABLE\s+iceberg\.`([^`]+)`\s+CHERRYPICK\s+SNAPSHOT\s+(\d+)\s*""".r
   private val IcebergCreateHead =
     """(?is)\s*CREATE\s+TABLE\s+iceberg\.`([^`]+)`\s*\((.*)""".r
   // CREATE TABLE: the column list may hold nested parens (DECIMAL(12,2)),
@@ -944,6 +946,8 @@ object GraftSql {
         toBranch = Some(branch)))
     case IcebergFastForward(path, branch) =>
       version(spark, IcebergTable.fastForward(spark, path, branch))
+    case IcebergCherrypick(path, snap) =>
+      version(spark, IcebergTable.cherrypick(spark, path, snap.toLong))
     case IcebergInsert(path, select) =>
       version(spark, IcebergTable.writeAppend(spark,
         icebergPositional(spark, path, exec(spark, select)), path))

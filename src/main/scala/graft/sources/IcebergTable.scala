@@ -1951,6 +1951,97 @@ object IcebergTable {
     head
   }
 
+  /** Iceberg's `cherrypick_snapshot` procedure: publish ONE staged
+    * APPEND snapshot onto the current head without the rest of its
+    * branch — the selective counterpart of [[fastForward]]. The picked
+    * snapshot's own additions (its manifest-list rows minus its
+    * parent's) replay on top of the head's carried manifests as a new
+    * snapshot; entry-level sequence numbers carry verbatim, which is
+    * sound because an append introduces no delete scoping of its own.
+    * Non-append snapshots (replace/delete/overwrite) refuse — their
+    * changes are relative to the state they were computed from.
+    * Idempotent: picking a snapshot already in the head's ancestry is a
+    * no-op. Returns the new (or current) head snapshot id. */
+  def cherrypick(spark: SparkSession, table: String, snapshotId: Long): Long = {
+    val f = fs(spark, table)
+    val mdir = new Path(table, "metadata")
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val snaps = root.path("snapshots").elements().asScala.toSeq
+    val byId = snaps.map(s => s.get("snapshot-id").asLong() -> s).toMap
+    val picked = byId.getOrElse(snapshotId,
+      sys.error(s"cherrypick: snapshot $snapshotId not in $table metadata"))
+    val mainHead = root.get("current-snapshot-id").asLong()
+    // already published? (ancestry walk over parent pointers)
+    var cur = Option(mainHead)
+    while (cur.isDefined) {
+      if (cur.get == snapshotId) return mainHead
+      cur = byId.get(cur.get)
+        .flatMap(s => Option(s.get("parent-snapshot-id")).map(_.asLong()))
+    }
+    require(picked.path("summary").path("operation").asText("") == "append",
+      s"cherrypick: snapshot $snapshotId is not an append — only appends " +
+        "replay safely onto a different head")
+    def listRows(s: com.fasterxml.jackson.databind.JsonNode)
+        : Seq[(String, Long, Long, Long, Int)] =
+      avroEntries(f, new Path(resolve(table, s.get("manifest-list").asText())))
+        .map(r => (str(r, "manifest_path").get,
+          lng(r, "manifest_length").getOrElse(0L),
+          lng(r, "content").getOrElse(0L),
+          lng(r, "sequence_number").getOrElse(0L),
+          lng(r, "partition_spec_id").getOrElse(0L).toInt))
+    val parentPaths: Set[String] =
+      Option(picked.get("parent-snapshot-id")).map(_.asLong())
+        .flatMap(byId.get).map(listRows(_).map(_._1).toSet)
+        .getOrElse(Set.empty)
+    val added = listRows(picked).filterNot(r => parentPaths.contains(r._1))
+    require(added.forall(_._3 == 0L),
+      s"cherrypick: snapshot $snapshotId added delete manifests — refuse")
+    val version = nextMetadataVersion(f, table)
+    val newId = System.currentTimeMillis() * 1000 + version
+    val now = System.currentTimeMillis()
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val mlSchema = manifestListAvroSchema
+    val mlRecords = (carriedManifests(f, table, Some(root)) ++ added).map {
+      case (p, len, c, seq, sid) =>
+        val r = new GenericData.Record(mlSchema)
+        r.put("manifest_path", p)
+        r.put("manifest_length", len)
+        r.put("partition_spec_id", sid)
+        r.put("content", c.toInt)
+        r.put("sequence_number", seq)
+        r.put("added_snapshot_id", newId)
+        r
+    }
+    val listPath = new Path(mdir, s"snap-$newId-$nonce.avro")
+    writeAvro(f, listPath, mlSchema, mlRecords)
+    val meta = root.deepCopy()
+    meta.put("last-updated-ms", now)
+    meta.put("current-snapshot-id", newId)
+    stampRefs(meta, None, newId)
+    val sn = meta
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
+      .addObject()
+    sn.put("snapshot-id", newId)
+    sn.put("parent-snapshot-id", mainHead)
+    sn.put("timestamp-ms", now)
+    sn.put("manifest-list", listPath.toString)
+    val sum = sn.putObject("summary")
+    sum.put("operation", "append")
+    sum.put("source-snapshot-id", snapshotId.toString)
+    val le = meta
+      .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshot-log")
+      .addObject()
+    le.put("timestamp-ms", now); le.put("snapshot-id", newId)
+    val mdPath = new Path(mdir, s"v$version.metadata.json")
+    val out = f.create(mdPath, false)
+    try out.write(mapper.writeValueAsString(meta).getBytes("UTF-8"))
+    finally out.close()
+    val hint = f.create(new Path(mdir, "version-hint.text"), true)
+    try hint.write(version.toString.getBytes("UTF-8")) finally hint.close()
+    newId
+  }
+
   /** Drop a named ref; its snapshot becomes expirable again. */
   def dropRef(spark: SparkSession, table: String, name: String): Unit = {
     require(name != "main", "dropRef: `main` cannot be dropped")

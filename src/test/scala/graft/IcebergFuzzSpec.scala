@@ -119,4 +119,89 @@ class IcebergFuzzSpec extends SparkSpec {
   test("seeded mixed-op Iceberg fuzz vs model: hidden-partitioned") {
     run(404, partitioned = true)
   }
+
+  /** Write-audit-publish fuzz: random interleave of main appends,
+    * branch appends, fast-forward publishes, single-snapshot
+    * cherry-picks, and snapshot expiry — after every op, the PUBLISHED
+    * view must equal the main model and the BRANCH view its own model.
+    * The isolation property under test: staged rows never leak into
+    * main until a publish verb, and publishes carry exactly what the
+    * model says they carry. */
+  private def runWap(seed: Int): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val t = Files.createTempDirectory(s"graft-wapfuzz-$seed-").toString + "/t"
+    var nextKey = 0L
+    def batch(n: Int): Seq[(Long, String)] = (1 to n).map { _ =>
+      nextKey += 1; (nextKey, s"v$nextKey")
+    }
+    var mainModel: Vector[(Long, String)] = Vector.empty
+    var branchModel: Vector[(Long, String)] = Vector.empty
+    var branchExists = false
+    // any main movement since the branch forked (a main append or a
+    // cherry-pick mints a snapshot outside the branch's ancestry) makes
+    // a fast-forward publish illegal until the branch is rebuilt — the
+    // real WAP cycle drops the branch after each publish
+    var forkDiverged = false
+    // staged snapshots since the fork, oldest first, each with the rows
+    // it added (cherry-pick takes one; fast-forward takes all)
+    var staged: Vector[(Long, Seq[(Long, String)])] = Vector.empty
+    val first = batch(4)
+    IcebergTable.writeAppend(spark, first.toDF("k", "v"), t)
+    mainModel = first.toVector
+    def check(ctx: String): Unit = {
+      val main = IcebergTable.read(spark, t)
+        .as[(Long, String)].collect().toVector.sorted
+      assert(main == mainModel.sorted, s"$ctx (seed $seed): main diverged")
+      if (branchExists) {
+        val br = IcebergTable.readRef(spark, t, "audit")
+          .as[(Long, String)].collect().toVector.sorted
+        assert(br == branchModel.sorted, s"$ctx (seed $seed): branch diverged")
+      }
+    }
+    (1 to 16).foreach { step =>
+      rnd.nextInt(5) match {
+        case 0 => // main append — an existing branch does NOT see it
+          val rows = batch(1 + rnd.nextInt(3))
+          IcebergTable.writeAppend(spark, rows.toDF("k", "v"), t)
+          mainModel ++= rows
+          if (branchExists) forkDiverged = true
+        case 1 | 2 => // branch append — main does NOT see it
+          val rows = batch(1 + rnd.nextInt(3))
+          val sid = IcebergTable.writeAppend(spark, rows.toDF("k", "v"), t,
+            toBranch = Some("audit"))
+          if (!branchExists) { // forked fresh from the current head
+            branchExists = true; branchModel = mainModel; forkDiverged = false
+          }
+          branchModel ++= rows
+          staged :+= (sid, rows)
+        case 3 => // publish the whole branch, then drop it (WAP cycle)
+          if (branchExists && staged.nonEmpty && !forkDiverged) {
+            IcebergTable.fastForward(spark, t, "audit")
+            IcebergTable.dropRef(spark, t, "audit")
+            mainModel = branchModel
+            branchExists = false; staged = Vector.empty
+          } else if (branchExists && forkDiverged && staged.nonEmpty) {
+            // the refusal itself is part of the contract
+            intercept[IllegalArgumentException] {
+              IcebergTable.fastForward(spark, t, "audit")
+            }
+          }
+        case 4 => // cherry-pick the OLDEST staged snapshot (appends
+          // commute, so this is legal even on a diverged main) — the
+          // branch itself is untouched, but main now has a snapshot
+          // outside the branch ancestry
+          staged.headOption.foreach { case (sid, rows) =>
+            IcebergTable.cherrypick(spark, t, sid)
+            mainModel ++= rows
+            staged = staged.tail
+            forkDiverged = true
+          }
+      }
+      check(s"step $step")
+    }
+  }
+
+  test("seeded write-audit-publish fuzz vs model") {
+    runWap(707); runWap(808)
+  }
 }

@@ -145,6 +145,38 @@ class IcebergRefsSpec extends SparkSpec {
       Set((1L, "base"), (2L, "staged")))
   }
 
+  test("cherrypick publishes ONE staged append; refuses non-appends") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "base")).toDF("k", "v"), t)
+    // stage TWO commits on the audit branch; pick only the first
+    val b1 = IcebergTable.writeAppend(spark,
+      Seq((2L, "wanted")).toDF("k", "v"), t, toBranch = Some("audit"))
+    IcebergTable.writeAppend(spark,
+      Seq((3L, "unwanted")).toDF("k", "v"), t, toBranch = Some("audit"))
+    val newHead = IcebergTable.cherrypick(spark, t, b1)
+    assert(newHead != b1, "cherrypick must mint a NEW snapshot on main")
+    // main has base + the picked wave, NOT the second staged wave
+    assert(IcebergTable.read(spark, t).as[(Long, String)].collect().toSet ==
+      Set((1L, "base"), (2L, "wanted")))
+    // the branch is untouched
+    assert(IcebergTable.readRef(spark, t, "audit").count() == 3)
+    // idempotent: a snapshot already in main's ancestry is a no-op
+    assert(IcebergTable.cherrypick(spark, t, newHead) == newHead)
+    // SQL verb
+    val t2 = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t2)
+    val s2 = IcebergTable.writeAppend(spark,
+      Seq((2L, "b")).toDF("k", "v"), t2, toBranch = Some("wip"))
+    graft.sources.GraftSql.exec(spark,
+      s"ALTER TABLE iceberg.`$t2` CHERRYPICK SNAPSHOT $s2")
+    assert(IcebergTable.read(spark, t2).count() == 2)
+    // an unknown snapshot id refuses loudly (the non-append gate is a
+    // defensive require on the same path — every snapshot this engine
+    // stages on a branch is an append, so it is unreachable from the
+    // public surface today)
+    intercept[Exception] { IcebergTable.cherrypick(spark, t2, 424242L) }
+  }
+
   test("ref edits refuse bad shapes") {
     val t = fresh()
     val s1 = IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t)
