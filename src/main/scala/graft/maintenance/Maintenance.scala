@@ -669,6 +669,53 @@ object Maintenance {
     graft.sources.IcebergTable.read(spark, t)
   }
 
+  /** Iceberg row-level changelog, oracle-verified
+    * ([[graft.sources.IcebergTable.changes]] — the `create_changelog_view`
+    * procedure, Delta CDF's dual): two appends, a position DELETE, a
+    * merge-on-read UPDATE, and an equality DELETE replay as typed
+    * change rows with per-commit ordinals; DuckDB recomputes every wave
+    * relationally, including the eq-delete's view of the POST-update
+    * state (the spec's strictly-lower-sequence scoping). */
+  val qIcebergChangelog: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_changelog",
+    """WITH w1 AS (
+      |  SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |), w2 AS (
+      |  SELECT c_custkey, c_mktsegment, c_nationkey, c_acctbal
+      |  FROM customer WHERE c_custkey % 3 = 1
+      |), all0 AS (SELECT * FROM w1 UNION ALL SELECT * FROM w2),
+      |live1 AS (SELECT * FROM all0 WHERE c_custkey % 10 <> 0),
+      |upd AS (SELECT * FROM live1 WHERE c_acctbal > 8000),
+      |live2 AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_acctbal > 8000 THEN 'HOT' ELSE c_mktsegment END AS c_mktsegment,
+      |    c_nationkey, c_acctbal
+      |  FROM live1)
+      |SELECT *, 'insert' AS _change_type, 1 AS _change_ordinal FROM w1
+      |UNION ALL SELECT *, 'insert', 2 FROM w2
+      |UNION ALL SELECT *, 'delete', 3 FROM all0 WHERE c_custkey % 10 = 0
+      |UNION ALL SELECT *, 'update_preimage', 4 FROM upd
+      |UNION ALL SELECT c_custkey, 'HOT', c_nationkey, c_acctbal,
+      |  'update_postimage', 4 FROM upd
+      |UNION ALL SELECT *, 'delete', 5 FROM live2 WHERE c_nationkey = 5""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val t = java.nio.file.Files
+        .createTempDirectory("graft-icecdc-q-").toString + "/t"
+      val cust = graft.Tables.customer(spark, dir)
+        .select("c_custkey", "c_mktsegment", "c_nationkey", "c_acctbal")
+      graft.sources.IcebergTable.writeAppend(spark,
+        cust.where(col("c_custkey") % 3 === 0), t)
+      graft.sources.IcebergTable.writeAppend(spark,
+        cust.where(col("c_custkey") % 3 === 1), t)
+      graft.sources.IcebergTable.deleteWhere(spark, t, col("c_custkey") % 10 === 0)
+      graft.sources.IcebergTable.updateWhere(spark, t, col("c_acctbal") > 8000,
+        Map("c_mktsegment" -> lit("HOT")))
+      graft.sources.IcebergTable.deleteEquals(spark, t, Seq(5).toDF("c_nationkey"))
+      graft.sources.IcebergTable.changes(spark, t)
+  }
+
   /** Iceberg write-audit-publish, oracle-verified: staging waves land
     * on an `audit` BRANCH ([[graft.sources.IcebergTable.writeAppend]]
     * `toBranch`) while the published head keeps serving ONLY the base
@@ -1200,6 +1247,6 @@ object Maintenance {
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
       qConvertToDelta, qIcebergRoundtrip, qIcebergRefs, qIcebergMor, qIcebergPartitioned,
       qIcebergBounds, qIcebergManifests, qIcebergUpdate, qIcebergMerge,
-      qIcebergWap, qLogCompaction,
+      qIcebergWap, qIcebergChangelog, qLogCompaction,
       qConcurrentRebase, qLiveRead)
 }

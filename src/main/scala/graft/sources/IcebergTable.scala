@@ -1531,7 +1531,13 @@ object IcebergTable {
         .foreach(pid => sn.put("parent-snapshot-id", pid))
       sn.put("timestamp-ms", now)
       sn.put("manifest-list", listPath.toString)
-      val sum = sn.putObject("summary"); sum.put("operation", "append")
+      // a commit that DROPS the previous snapshot's manifests on an
+      // existing table is the format's REPLACE shape (rewrite_data_files,
+      // materializeDeletes) — stamp it so changelog/cherrypick can tell
+      // logical changes from pure rewrites
+      val sum = sn.putObject("summary")
+      sum.put("operation",
+        if (!carryPrevious && existingNow.isDefined) "replace" else "append")
       val logArr = meta.putArray("snapshot-log")
       existingNow.foreach(_.path("snapshot-log").elements().asScala
         .foreach(l => logArr.add(l)))
@@ -1829,6 +1835,7 @@ object IcebergTable {
     val sn = meta.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
       .addObject()
     sn.put("snapshot-id", snapshotId)
+    sn.put("parent-snapshot-id", existing.get("current-snapshot-id").asLong())
     sn.put("sequence-number", version.toLong)
     sn.put("timestamp-ms", now)
     sn.put("manifest-list", listPath.toString)
@@ -2070,6 +2077,144 @@ object IcebergTable {
     * snapshot and survives any number of later commits and expiries. */
   def readRef(spark: SparkSession, table: String, name: String): DataFrame =
     read(spark, table, snapshotId = Some(refSnapshotId(spark, table, name)))
+
+  /** Row-level CHANGELOG between two snapshots — Iceberg's
+    * `create_changelog_view` procedure, the dual of Delta CDF. Walks
+    * the parent chain from `toSnapshot` (default: current head) back to
+    * `fromSnapshotExclusive` (default: the beginning) and emits, per
+    * commit in order:
+    *   - append:    the added files' rows as `insert`
+    *   - delete:    position-deleted rows (slots joined back to their
+    *     files' contents) and equality-deleted rows (the parent state
+    *     matching the tuples — exactly the spec's strictly-lower-seq
+    *     scope) as `delete`
+    *   - overwrite (UPDATE/MERGE): position-deleted rows as
+    *     `update_preimage`, added post-image files' rows as
+    *     `update_postimage` (a keyed MERGE's inserted rows surface as
+    *     postimages too — file-level metadata cannot split them)
+    *   - replace (compaction/manifest rewrite/materialize): skipped —
+    *     no logical change.
+    * Output: the table columns + `_change_type` + `_change_ordinal`
+    * (1-based commit index within the requested range).
+    *
+    * Scale shape: per-commit file DIFFS are dataset anti-joins over the
+    * entries frames (never a driver path set); row contents come from
+    * chunked multi-file scans of ONLY the added/touched files, so the
+    * cost is O(changed bytes in range), not O(table). */
+  def changes(spark: SparkSession, table: String,
+      fromSnapshotExclusive: Option[Long] = None,
+      toSnapshot: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val schema = resolveSchema(root)
+    val fieldsById = schemaFieldIds(root)
+    val byId = root.path("snapshots").elements().asScala.toSeq
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    val head = toSnapshot.getOrElse(root.get("current-snapshot-id").asLong())
+    // oldest-first chain (head .. from], via parent pointers
+    val chain = {
+      val b = List.newBuilder[Long]
+      var cur = Option(head)
+      while (cur.isDefined && !fromSnapshotExclusive.contains(cur.get)) {
+        b += cur.get
+        cur = byId.get(cur.get)
+          .flatMap(s => Option(s.get("parent-snapshot-id")).map(_.asLong()))
+      }
+      require(fromSnapshotExclusive.isEmpty || cur.isDefined,
+        s"changes: $fromSnapshotExclusive is not an ancestor of $head on $table")
+      b.result().reverse
+    }
+    val outCols = schema.fieldNames.toIndexedSeq.map(col) ++
+      Seq(col("_change_type"), col("_change_ordinal"))
+    def emptyOut: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(schema.fields ++ Seq(
+        StructField("_change_type", StringType),
+        StructField("_change_ordinal", IntegerType))))
+    def readPaths(paths: Seq[Seq[String]], withSlots: Boolean): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else Some(paths.map { ps =>
+        val base = spark.read.schema(schema).parquet(ps: _*)
+        if (!withSlots) base
+        else base.select(col("*"),
+          normPathCol(col("_metadata.file_path")).as("__cfp"),
+          col("_metadata.row_index").as("__cri"))
+      }.reduce(_ unionByName _))
+    val frames = chain.zipWithIndex.flatMap { case (sid, i) =>
+      val ord = i + 1
+      val sNode = byId.getOrElse(sid, sys.error(s"changes: snapshot $sid expired"))
+      val op = sNode.path("summary").path("operation").asText("append")
+      if (op == "replace") Seq.empty
+      else {
+        val cur = entriesOf(spark, table, root, sNode)
+        val prev = Option(sNode.get("parent-snapshot-id")).map(_.asLong())
+          .flatMap(byId.get).map(entriesOf(spark, table, root, _))
+        def addedOf(content: Int): DataFrame = {
+          val c = cur.filter(_.content == content).map(_.path).toDF("p")
+          prev.fold(c)(pe => c.join(
+            pe.filter(_.content == content).map(_.path).toDF("p"),
+            Seq("p"), "left_anti"))
+        }
+        val addedDataChunks =
+          pathChunksOf(addedOf(0), readChunkSize(spark))
+        // delete FILES are O(files-per-commit): bounded collect, like
+        // the read path's descriptor collect
+        val prevDelPaths: Set[String] = prev.fold(Set.empty[String])(
+          _.filter(_.content != 0).map(_.path).collect().toSet)
+        val addedDeletes = cur.filter(_.content != 0).collect()
+          .filterNot(e => prevDelPaths.contains(e.path))
+        def posDeletedRows: Option[DataFrame] = {
+          val posFiles = addedDeletes.filter(_.content == 1).map(_.path)
+          if (posFiles.isEmpty) return None
+          val slots = spark.read.parquet(posFiles.toIndexedSeq: _*)
+            .select(normPathCol(col("file_path")).as("__cfp"),
+              col("pos").as("__cri"))
+          // scan the ORIGINAL recorded paths (scheme preserved); the
+          // slot join runs on normalized forms of both sides
+          val rawChunks = pathChunksOf(
+            spark.read.parquet(posFiles.toIndexedSeq: _*)
+              .select(col("file_path").as("p")).distinct(),
+            readChunkSize(spark))
+          readPaths(rawChunks, withSlots = true).map(
+            _.join(slots, Seq("__cfp", "__cri"), "left_semi")
+              .drop("__cfp", "__cri"))
+        }
+        def eqDeletedRows: Option[DataFrame] = {
+          val eqs = addedDeletes.filter(_.content == 2)
+          if (eqs.isEmpty || prev.isEmpty) return None
+          val parentState = readFromEntries(spark, table, schema,
+            fieldsById, prev.get)
+          Some(eqs.groupBy(_.equalityIds.toSeq).map { case (ids, fs2) =>
+            val cols2 = ids.map(id => fieldsById.getOrElse(id,
+              sys.error(s"changes: equality field id $id not in schema")))
+            val tuples = spark.read.parquet(fs2.map(_.path).toIndexedSeq: _*)
+              .select(cols2.map(n => col(n).as(s"__eq_$n")): _*).distinct()
+            val cond = cols2.map(n => col(n) <=> col(s"__eq_$n")).reduce(_ && _)
+            parentState.join(tuples, cond, "left_semi")
+          }.reduce(_ unionByName _))
+        }
+        op match {
+          case "append" =>
+            readPaths(addedDataChunks, withSlots = false)
+              .map(_.withColumn("_change_type", lit("insert"))).toSeq
+          case "delete" =>
+            (posDeletedRows.toSeq ++ eqDeletedRows.toSeq)
+              .map(_.withColumn("_change_type", lit("delete")))
+          case "overwrite" =>
+            posDeletedRows
+              .map(_.withColumn("_change_type", lit("update_preimage"))).toSeq ++
+              readPaths(addedDataChunks, withSlots = false)
+                .map(_.withColumn("_change_type", lit("update_postimage"))).toSeq
+          case other =>
+            sys.error(s"changes: unhandled snapshot operation `$other` on $table")
+        }
+      }.map(_.withColumn("_change_ordinal", lit(ord)).select(outCols: _*))
+    }
+    if (frames.isEmpty) emptyOut else frames.reduce(_ unionByName _)
+  }
 
   /** Every file path any of `manifests` mentions (ANY entry status —
     * reachability must see deleted-status entries too), parsed on
@@ -2313,6 +2458,7 @@ object IcebergTable {
         .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("snapshots")
         .addObject()
       sn.put("snapshot-id", snapshotId)
+      sn.put("parent-snapshot-id", root0.get("current-snapshot-id").asLong())
       if (root0.path("format-version").asInt(1) >= 2)
         sn.put("sequence-number", version.toLong)
       sn.put("timestamp-ms", now)
