@@ -146,6 +146,9 @@ object GraftSql {
     """(?is)\s*INSERT\s+INTO\s+delta\.`([^`]+)`\s+((?:SELECT|VALUES|FROM|WITH)\s.+)""".r
   private val TableChanges =
     """(?i)TABLE_CHANGES\s*\(\s*delta\.`([^`]+)`\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+  // Iceberg changelog: TABLE_CHANGES(iceberg.`p`[, fromSnapshotId])
+  private val IcebergTableChanges =
+    """(?i)TABLE_CHANGES\s*\(\s*iceberg\.`([^`]+)`\s*(?:,\s*(\d+)\s*)?\)""".r
   private val TableRef =
     """(?i)delta\.`([^`]+)`(\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""".r
   // VERSION AS OF takes a snapshot id OR a quoted ref name (Iceberg's
@@ -1150,10 +1153,18 @@ object GraftSql {
       // SELECT (or anything else): rewrite table_changes(delta.`p`, a, b)
       // and delta.`path` [VERSION AS OF n | TIMESTAMP AS OF 'ts']
       // references into temp views and let Spark SQL take it from there
-      val withChanges = TableChanges.replaceAllIn(other, m => {
+      val withChanges0 = TableChanges.replaceAllIn(other, m => {
         val (path, a, b) = (m.group(1), m.group(2).toLong, m.group(3).toLong)
         val view = s"graft_changes_${Integer.toHexString((path, a, b).hashCode)}"
         DeltaLog.changesRange(spark, path, a, b).createOrReplaceTempView(view)
+        scala.util.matching.Regex.quoteReplacement(view)
+      })
+      val withChanges = IcebergTableChanges.replaceAllIn(withChanges0, m => {
+        val path = m.group(1)
+        val from = Option(m.group(2)).map(_.toLong)
+        val view = s"graft_ice_changes_${Integer.toHexString((path, from).hashCode)}"
+        IcebergTable.changes(spark, path, fromSnapshotExclusive = from)
+          .createOrReplaceTempView(view)
         scala.util.matching.Regex.quoteReplacement(view)
       })
       val rewritten = TableRef.replaceAllIn(withChanges, m => {

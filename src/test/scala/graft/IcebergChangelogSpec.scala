@@ -76,6 +76,21 @@ class IcebergChangelogSpec extends SparkSpec {
     }
   }
 
+  test("SQL: TABLE_CHANGES(iceberg.`p`[, from]) reads the changelog") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t)
+    val s1 = IcebergTable.refSnapshotId(spark, t, "main")
+    IcebergTable.writeAppend(spark, Seq((2L, "b")).toDF("k", "v"), t)
+    val full = graft.sources.GraftSql.exec(spark,
+      s"SELECT k, _change_type, _change_ordinal FROM TABLE_CHANGES(iceberg.`$t`)")
+      .as[(Long, String, Int)].collect().toSet
+    assert(full == Set((1L, "insert", 1), (2L, "insert", 2)), full)
+    val since = graft.sources.GraftSql.exec(spark,
+      s"SELECT k, _change_type FROM TABLE_CHANGES(iceberg.`$t`, $s1)")
+      .as[(Long, String)].collect().toSet
+    assert(since == Set((2L, "insert")), since)
+  }
+
   test("changelog: merge surfaces losers/winners as update pairs") {
     val t = fresh()
     IcebergTable.writeAppend(spark,
