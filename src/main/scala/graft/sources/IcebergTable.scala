@@ -2143,15 +2143,26 @@ object IcebergTable {
           normPathCol(col("_metadata.file_path")).as("__cfp"),
           col("_metadata.row_index").as("__cri"))
       }.reduce(_ unionByName _))
+    // each snapshot's manifest parse runs ONCE: iteration i's `cur` is
+    // iteration i+1's `prev` (the chain is the parent walk)
+    val entriesMemo = scala.collection.mutable.Map
+      .empty[Long, org.apache.spark.sql.Dataset[IceEntry]]
+    def entriesAt(id: Long): org.apache.spark.sql.Dataset[IceEntry] =
+      entriesMemo.getOrElseUpdate(id,
+        entriesOf(spark, table, root,
+          byId.getOrElse(id, sys.error(s"changes: snapshot $id expired"))))
     val frames = chain.zipWithIndex.flatMap { case (sid, i) =>
       val ord = i + 1
       val sNode = byId.getOrElse(sid, sys.error(s"changes: snapshot $sid expired"))
       val op = sNode.path("summary").path("operation").asText("append")
       if (op == "replace") Seq.empty
       else {
-        val cur = entriesOf(spark, table, root, sNode)
+        val cur = entriesAt(sid)
+        // an EXPIRED parent (possible only at the range's oldest edge)
+        // degrades to "everything in this snapshot is new" — same
+        // semantics as an unbounded range over retained history
         val prev = Option(sNode.get("parent-snapshot-id")).map(_.asLong())
-          .flatMap(byId.get).map(entriesOf(spark, table, root, _))
+          .filter(byId.contains).map(entriesAt)
         def addedOf(content: Int): DataFrame = {
           val c = cur.filter(_.content == content).map(_.path).toDF("p")
           prev.fold(c)(pe => c.join(
