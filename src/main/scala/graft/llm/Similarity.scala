@@ -12,11 +12,15 @@ import org.apache.spark.sql.functions._
   *     query set against the full corpus scan, rank per query. At 100 TB
   *     the corpus side stays partition-parallel and nothing shuffles but
   *     the (tiny) per-query top-k rows.
-  *   - IVF (inverted-file) ANN: a deterministic coarse quantizer (every
-  *     50th vector is a centroid) assigns each vector to its nearest
-  *     cell; a query searches only its probe cell. This is the standard
-  *     scale path: assignment is a broadcast map-side pass, search
-  *     touches 1/cells of the data.
+  *   - IVF (inverted-file) ANN: a coarse quantizer assigns each vector
+  *     to its nearest cell; a query searches only its probe cell(s) —
+  *     assignment is a broadcast map-side pass, search touches 1/cells
+  *     of the data. The SCALE path trains the quantizer with Lloyd
+  *     iterations ([[trainCentroids]], `q_sim_ivf_trained`) for
+  *     balanced cells; the deterministic every-50th-vector quantizer
+  *     below is the ORACLE-PARITY baseline (DuckDB can reproduce its
+  *     centroid choice relationally), kept for the oracle rows, not as
+  *     the recommended production quantizer.
   *
   * All dot products are explicit left-folds over index order so Spark and
   * the DuckDB oracle produce bit-identical IEEE doubles (same operations,

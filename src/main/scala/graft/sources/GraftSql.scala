@@ -814,9 +814,29 @@ object GraftSql {
     // must dispatch BEFORE the generic Delta MergeHead catch-all
     case IcebergMerge(path, src, keys, recency) =>
       val srcSql0 = src.trim
+      // strip ONE outer paren pair only when the opening paren actually
+      // encloses the whole text — `(SELECT ...) UNION ALL (SELECT ...)`
+      // is balanced but not enclosed, and stripping would corrupt it
+      def enclosed(s: String): Boolean = {
+        if (!(s.startsWith("(") && s.endsWith(")"))) return false
+        var depth = 0
+        var inStr = false
+        var i = 0
+        while (i < s.length - 1) {
+          val c = s.charAt(i)
+          if (inStr) { if (c == '\'') inStr = false }
+          else c match {
+            case '\'' => inStr = true
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) return false
+            case _ =>
+          }
+          i += 1
+        }
+        depth == 1
+      }
       val srcSql =
-        if (srcSql0.startsWith("(") && srcSql0.endsWith(")"))
-          srcSql0.substring(1, srcSql0.length - 1)
+        if (enclosed(srcSql0)) srcSql0.substring(1, srcSql0.length - 1)
         else srcSql0
       version(spark, IcebergTable.mergeUpsert(spark, path, exec(spark, srcSql),
         keys.split(",").map(_.trim.stripPrefix("`").stripSuffix("`"))

@@ -364,43 +364,64 @@ object IcebergTable {
       root: ObjectNode, snap: com.fasterxml.jackson.databind.JsonNode)
       : org.apache.spark.sql.Dataset[IceEntry] = {
     import spark.implicits._
+    entriesLocalOpt(spark, table, root, snap) match {
+      case Some(local) => spark.createDataset(local)
+      case None =>
+        val refs = manifestRefsOf(spark, table, snap)
+        if (refs.isEmpty) return spark.emptyDataset[IceEntry]
+        val specFieldNames: Map[Int, Seq[String]] =
+          specsById(root).map { case (id, fds) => id -> fds.map(_.name) }
+        val tableStr = table
+        val bc = spark.sparkContext.broadcast(
+          new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+        spark.createDataset(refs)
+          .repartition(math.max(1,
+            math.min(refs.size, spark.sparkContext.defaultParallelism)))
+          .flatMap { case (mp, mseq, mspec, _) =>
+            parseManifestEntries(bc.value.value, tableStr, mp, mseq, mspec,
+              specFieldNames)
+          }
+    }
+  }
+
+  /** One snapshot's manifest-list rows: (path, seq, specId, length). */
+  private def manifestRefsOf(spark: SparkSession, table: String,
+      snap: com.fasterxml.jackson.databind.JsonNode)
+      : Seq[(String, Long, Int, Long)] = {
     val f = fs(spark, table)
     val listPath = new Path(resolve(table, snap.get("manifest-list").asText()))
-    val refs: Seq[(String, Long, Int, Long)] = avroEntries(f, listPath).map { m =>
+    avroEntries(f, listPath).map { m =>
       (resolve(table, str(m, "manifest_path")
         .getOrElse(sys.error("manifest_path missing"))),
         lng(m, "sequence_number").getOrElse(0L),
         lng(m, "partition_spec_id").getOrElse(0L).toInt,
         lng(m, "manifest_length").getOrElse(0L))
     }
-    if (refs.isEmpty) return spark.emptyDataset[IceEntry]
-    val specFieldNames: Map[Int, Seq[String]] =
-      specsById(root).map { case (id, fds) => id -> fds.map(_.name) }
-    val tableStr = table
-    // small-metadata fast path: when the manifest list declares a total
-    // manifest byte size within the threshold, parse on the driver into
-    // a LOCAL dataset — bounded BY CONSTRUCTION (the driver reads ≤ a
-    // few MB of avro, the same cost class as the metadata JSON), zero
-    // Spark jobs. Unknown lengths (any 0) disqualify: never guess small.
+  }
+
+  /** Small-metadata fast path: when the manifest list declares a total
+    * manifest byte size within `spark.graft.iceberg.driverManifestBytes`
+    * (default 4 MB), parse the entries ON THE DRIVER — bounded BY
+    * CONSTRUCTION (the driver reads ≤ a few MB of avro, the same cost
+    * class as the metadata JSON), zero Spark jobs. Unknown lengths (any
+    * 0) disqualify: never guess small. Returns None above the
+    * threshold; callers then go through the distributed frame. */
+  private[graft] def entriesLocalOpt(spark: SparkSession, table: String,
+      root: ObjectNode, snap: com.fasterxml.jackson.databind.JsonNode)
+      : Option[Seq[IceEntry]] = {
+    val refs = manifestRefsOf(spark, table, snap)
+    if (refs.isEmpty) return Some(Seq.empty)
     val threshold = spark.conf
       .getOption("spark.graft.iceberg.driverManifestBytes")
       .map(_.toLong).getOrElse(4L << 20)
     val totalBytes = refs.map(_._4).sum
-    if (refs.forall(_._4 > 0L) && totalBytes <= threshold) {
-      val conf = spark.sessionState.newHadoopConf()
-      return spark.createDataset(refs.flatMap { case (mp, mseq, mspec, _) =>
-        parseManifestEntries(conf, tableStr, mp, mseq, mspec, specFieldNames)
-      })
-    }
-    val bc = spark.sparkContext.broadcast(
-      new DeltaLog.SerializableHadoopConf(spark.sessionState.newHadoopConf()))
-    spark.createDataset(refs)
-      .repartition(math.max(1,
-        math.min(refs.size, spark.sparkContext.defaultParallelism)))
-      .flatMap { case (mp, mseq, mspec, _) =>
-        parseManifestEntries(bc.value.value, tableStr, mp, mseq, mspec,
-          specFieldNames)
-      }
+    if (!refs.forall(_._4 > 0L) || totalBytes > threshold) return None
+    val specFieldNames: Map[Int, Seq[String]] =
+      specsById(root).map { case (id, fds) => id -> fds.map(_.name) }
+    val conf = spark.sessionState.newHadoopConf()
+    Some(refs.flatMap { case (mp, mseq, mspec, _) =>
+      parseManifestEntries(conf, table, mp, mseq, mspec, specFieldNames)
+    })
   }
 
   /** Decode a stringified manifest partition value back to the type the
@@ -641,8 +662,7 @@ object IcebergTable {
     val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
       .asInstanceOf[ObjectNode]
     val snap = resolveSnapshotNode(table, root, snapshotId, asOfMillis)
-    readFromEntries(spark, table, resolveSchema(root), schemaFieldIds(root),
-      entriesOf(spark, table, root, snap))
+    readState(spark, table, root, snap, resolveSchema(root))
   }
 
   /** Read under a predicate with HIDDEN-PARTITION pruning: data files
@@ -659,10 +679,8 @@ object IcebergTable {
     val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
       .asInstanceOf[ObjectNode]
     val snap = resolveSnapshotNode(table, root, snapshotId, asOfMillis)
-    val schema = resolveSchema(root)
-    val entries = entriesOf(spark, table, root, snap)
-    readFromEntries(spark, table, schema, schemaFieldIds(root),
-      pruneEntries(spark, root, schema, entries, predicate))
+    readState(spark, table, root, snap, resolveSchema(root),
+      predicate = Some(predicate))
       .where(predicate)
   }
 
@@ -676,9 +694,20 @@ object IcebergTable {
       schema: StructType,
       entries: org.apache.spark.sql.Dataset[IceEntry],
       predicate: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Dataset[IceEntry] = {
+      : org.apache.spark.sql.Dataset[IceEntry] =
+    entryKeeper(spark, root, schema, predicate)
+      .fold(entries)(keep => entries.filter(keep))
+
+  /** The same [[keepFile]] decision as a serializable per-entry
+    * function (None = predicate yields no prunable atoms — keep
+    * everything). Shared by the distributed [[pruneEntries]] filter and
+    * driver-local entry pruning. Delete entries always pass (a delete
+    * file scopes by sequence number, not by partition tuple). */
+  private def entryKeeper(spark: SparkSession, root: ObjectNode,
+      schema: StructType, predicate: org.apache.spark.sql.Column)
+      : Option[IceEntry => Boolean] = {
     val ats = atomsOf(spark, schema, predicate)
-    if (ats.isEmpty) return entries
+    if (ats.isEmpty) return None
     val allSpecs = specsById(root)
     val srcTypes: Map[Int, Seq[DataType]] = allSpecs.map { case (id, fds) =>
       id -> fds.map(f => schema(f.source).dataType)
@@ -689,7 +718,7 @@ object IcebergTable {
       }
     }
     val nameToId: Map[String, Int] = schemaFieldIds(root).map(_.swap)
-    entries.filter { e =>
+    Some { e =>
       e.content != 0 || keepFile(ats, schema, nameToId, allSpecs, srcTypes,
         e.specId,
         partition =
@@ -816,8 +845,59 @@ object IcebergTable {
       schema: StructType, fieldNamesById: Map[Int, String],
       entries: org.apache.spark.sql.Dataset[IceEntry],
       withSlots: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions._
     import spark.implicits._
+    val cached = entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val data = cached.filter(_.content == 0)
+      val dels = cached.filter(_.content != 0)
+        .map(e => (e.content, e.path, e.seq, e.equalityIds)).collect()
+      readFromParts(spark, schema,
+        pathChunksOf(data.map(_.path).toDF("path"), readChunkSize(spark)),
+        dels.collect { case (1, p, s, _) => (p, s) }.toSeq,
+        dels.collect { case (2, p, s, ids) => (p, s, ids) }.toSeq,
+        // the (path, seq) pairs stay a DISTRIBUTED frame — never a
+        // driver Seq (the one lazily-recomputed piece: one extra
+        // manifest parse at execution instead of 3–5 during planning)
+        data.map(e => (e.path, e.seq)).toDF("__sp", "__dseq"),
+        fieldNamesById, table, withSlots)
+    } finally cached.unpersist(false)
+  }
+
+  /** [[readFromEntries]] over DRIVER-LOCAL entries (the
+    * [[entriesLocalOpt]] fast path): identical output plan, but the
+    * delete descriptors, path chunks, and seq pairs come straight from
+    * the local seq — ZERO planning-time Spark jobs (small-metadata
+    * tables pay only the scan they actually run). */
+  private def readFromLocalEntries(spark: SparkSession, table: String,
+      schema: StructType, fieldNamesById: Map[Int, String],
+      entries: Seq[IceEntry], withSlots: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val data = entries.filter(_.content == 0)
+    readFromParts(spark, schema,
+      if (data.isEmpty) Seq.empty
+      else data.map(_.path).grouped(readChunkSize(spark)).toSeq,
+      entries.collect { case e if e.content == 1 => (e.path, e.seq) },
+      entries.collect { case e if e.content == 2 =>
+        (e.path, e.seq, e.equalityIds) },
+      spark.createDataset(data.map(e => (e.path, e.seq)))
+        .toDF("__sp", "__dseq"),
+      fieldNamesById, table, withSlots)
+  }
+
+  /** The merge-on-read read plan over pre-resolved parts — shared by
+    * the distributed and driver-local entry paths. The (path, seq)
+    * frame scopes both delete kinds (the spec's rules: position deletes
+    * apply at data seq <= delete seq, equality deletes at data seq <
+    * delete seq), so imported/mirrored metadata resolves like the
+    * format says, not just this writer's UUID-fresh paths. */
+  private def readFromParts(spark: SparkSession, schema: StructType,
+      pathChunks: Seq[Seq[String]],
+      posDeletes: Seq[(String, Long)],
+      eqDeletes: Seq[(String, Long, Seq[Int])],
+      seqFrame: => DataFrame,
+      fieldNamesById: Map[Int, String], table: String,
+      withSlots: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions._
     // withSlots: keep each row's (raw file path, row index) as
     // `__slot_path`/`__slot_pos` — the provenance UPDATE/MERGE turn
     // into position deletes. Rows still read THROUGH the merge-on-read
@@ -826,74 +906,88 @@ object IcebergTable {
       if (!withSlots) Seq.empty
       else Seq(col("_metadata.file_path").as("__slot_path"),
         col("_metadata.row_index").as("__slot_pos"))
-    val cached = entries.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val data = cached.filter(_.content == 0)
-      val dels = cached.filter(_.content != 0)
-        .map(e => (e.content, e.path, e.seq, e.equalityIds)).collect()
-      val posDeletes: Seq[(String, Long)] =
-        dels.collect { case (1, p, s, _) => (p, s) }.toSeq
-      val eqDeletes: Seq[(String, Long, Seq[Int])] =
-        dels.collect { case (2, p, s, ids) => (p, s, ids) }.toSeq
-
-      val pathChunks = pathChunksOf(data.map(_.path).toDF("path"),
-        readChunkSize(spark))
-      val outSchema =
-        if (!withSlots) schema
-        else StructType(schema.fields ++ Seq(
-          StructField("__slot_path", StringType),
-          StructField("__slot_pos", LongType)))
-      if (pathChunks.isEmpty)
-        return spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-      val names = outSchema.fieldNames.toIndexedSeq.map(col)
-      if (posDeletes.isEmpty && eqDeletes.isEmpty)
-        return pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
-            .select(col("*") +: slotCols: _*))
-          .reduce(_ unionByName _).select(names: _*)
-      var df = pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
-          .select(col("*") +: (slotCols ++ Seq(
-            normPathCol(col("_metadata.file_path")).as("__fp"),
-            col("_metadata.row_index").as("__ri"))): _*))
-        .reduce(_ unionByName _)
-      // each data row learns its file's sequence number from the
-      // DISTRIBUTED (path, seq) frame — never a driver Seq. Both delete
-      // kinds scope by it (the spec's rules: position deletes apply at
-      // data seq <= delete seq, equality deletes at data seq < delete
-      // seq), so imported/mirrored metadata resolves like the format
-      // says, not just this writer's UUID-fresh paths.
-      val seqDf = data.map(e => (e.path, e.seq)).toDF("__sp", "__dseq")
-        .withColumn("__sp", normPathCol(col("__sp")))
-      df = df.join(broadcast(seqDf), col("__fp") === col("__sp")).drop("__sp")
-      if (posDeletes.nonEmpty) {
-        val pdels = posDeletes.groupBy(_._2).map { case (seq, ps) =>
-          spark.read.parquet(ps.map(_._1): _*)
-            .select(normPathCol(col("file_path")).as("__dfp"),
-              col("pos").as("__dpos"), lit(seq).as("__pseq"))
+    val outSchema =
+      if (!withSlots) schema
+      else StructType(schema.fields ++ Seq(
+        StructField("__slot_path", StringType),
+        StructField("__slot_pos", LongType)))
+    if (pathChunks.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val names = outSchema.fieldNames.toIndexedSeq.map(col)
+    if (posDeletes.isEmpty && eqDeletes.isEmpty)
+      return pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
+          .select(col("*") +: slotCols: _*))
+        .reduce(_ unionByName _).select(names: _*)
+    var df = pathChunks.map(ps => spark.read.schema(schema).parquet(ps: _*)
+        .select(col("*") +: (slotCols ++ Seq(
+          normPathCol(col("_metadata.file_path")).as("__fp"),
+          col("_metadata.row_index").as("__ri"))): _*))
+      .reduce(_ unionByName _)
+    val seqDf = seqFrame.withColumn("__sp", normPathCol(col("__sp")))
+    df = df.join(broadcast(seqDf), col("__fp") === col("__sp")).drop("__sp")
+    if (posDeletes.nonEmpty) {
+      val pdels = posDeletes.groupBy(_._2).map { case (seq, ps) =>
+        spark.read.schema(posDeleteSchema).parquet(ps.map(_._1): _*)
+          .select(normPathCol(col("file_path")).as("__dfp"),
+            col("pos").as("__dpos"), lit(seq).as("__pseq"))
+      }.reduce(_ unionByName _)
+      df = df.join(pdels,
+        col("__fp") === col("__dfp") && col("__ri") === col("__dpos") &&
+          col("__dseq") <= col("__pseq"),
+        "left_anti")
+    }
+    if (eqDeletes.nonEmpty) {
+      // one anti-join per distinct equality-id set (typically one)
+      eqDeletes.groupBy(_._3).foreach { case (ids, dfs) =>
+        val cols = ids.map(id => fieldNamesById.getOrElse(id,
+          sys.error(s"equality-delete field id $id not in $table schema")))
+        val eqReadSchema = StructType(cols.map(n => schema(n)))
+        val delRows = dfs.map { case (p, seq, _) =>
+          spark.read.schema(eqReadSchema).parquet(p)
+            .select(cols.map(n => col(n).as(s"__eq_$n")) :+
+              lit(seq).as("__eseq"): _*)
         }.reduce(_ unionByName _)
-        df = df.join(pdels,
-          col("__fp") === col("__dfp") && col("__ri") === col("__dpos") &&
-            col("__dseq") <= col("__pseq"),
-          "left_anti")
+        val cond = cols.map(n => col(n) <=> col(s"__eq_$n"))
+          .reduce(_ && _) && col("__dseq") < col("__eseq")
+        df = df.join(delRows, cond, "left_anti")
       }
-      if (eqDeletes.nonEmpty) {
-        // one anti-join per distinct equality-id set (typically one)
-        eqDeletes.groupBy(_._3).foreach { case (ids, dfs) =>
-          val cols = ids.map(id => fieldNamesById.getOrElse(id,
-            sys.error(s"equality-delete field id $id not in $table schema")))
-          val delRows = dfs.map { case (p, seq, _) =>
-            spark.read.parquet(p)
-              .select(cols.map(n => col(n).as(s"__eq_$n")) :+
-                lit(seq).as("__eseq"): _*)
-          }.reduce(_ unionByName _)
-          val cond = cols.map(n => col(n) <=> col(s"__eq_$n"))
-            .reduce(_ && _) && col("__dseq") < col("__eseq")
-          df = df.join(delRows, cond, "left_anti")
-        }
-      }
-      df.select(names: _*)
-    } finally cached.unpersist(false)
+    }
+    df.select(names: _*)
   }
+
+  /** The columns this engine (and the spec) put in a position-delete
+    * parquet file — fixed, so reads never pay schema inference. */
+  private val posDeleteSchema: StructType = StructType(Seq(
+    StructField("file_path", StringType),
+    StructField("pos", LongType)))
+
+  /** One snapshot's state as a DataFrame, routed through whichever
+    * entries form the metadata size allows: the [[entriesLocalOpt]]
+    * driver parse (zero planning jobs — the common case, and what keeps
+    * per-DML job counts low) or the distributed entries frame above the
+    * threshold. `predicate`, when given, prunes candidate FILES by
+    * hidden partition + bounds before any parquet opens — it is an I/O
+    * optimization only, never applied as a row filter (callers that
+    * need the row filter still `.where` it). */
+  private def readState(spark: SparkSession, table: String,
+      root: ObjectNode, snap: com.fasterxml.jackson.databind.JsonNode,
+      schema: StructType,
+      predicate: Option[org.apache.spark.sql.Column] = None,
+      withSlots: Boolean = false): DataFrame =
+    entriesLocalOpt(spark, table, root, snap) match {
+      case Some(local) =>
+        val pruned = predicate.flatMap(p => entryKeeper(spark, root, schema, p))
+          .fold(local)(keep => local.filter(keep))
+        readFromLocalEntries(spark, table, schema, schemaFieldIds(root),
+          pruned, withSlots)
+      case None =>
+        val entries = entriesOf(spark, table, root, snap)
+        readFromEntries(spark, table, schema, schemaFieldIds(root),
+          predicate.fold(entries)(p =>
+            pruneEntries(spark, root, schema, entries, p)),
+          withSlots)
+    }
 
   /** COUNT(*): metadata-only from manifest record counts when no
     * merge-on-read deletes exist; one distributed count otherwise (the
@@ -904,15 +998,22 @@ object IcebergTable {
     val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
       .asInstanceOf[ObjectNode]
     val snap = resolveSnapshotNode(table, root, None, None)
-    // one distributed aggregation over the entries frame: record count
-    // and delete-file presence in the same pass
-    val agg = entriesOf(spark, table, root, snap).toDF()
-      .agg(
-        sum(when(col("content") === 0, col("recordCount")).otherwise(0L)),
-        sum(when(col("content") =!= 0, 1L).otherwise(0L)))
-      .collect()(0)
-    val rows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-    val delFiles = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    // record count and delete-file presence in one pass: a driver fold
+    // under the small-metadata threshold, one distributed aggregation
+    // over the entries frame above it
+    val (rows, delFiles) = entriesLocalOpt(spark, table, root, snap) match {
+      case Some(local) =>
+        (local.collect { case e if e.content == 0 => e.recordCount }.sum,
+          local.count(_.content != 0).toLong)
+      case None =>
+        val agg = entriesOf(spark, table, root, snap).toDF()
+          .agg(
+            sum(when(col("content") === 0, col("recordCount")).otherwise(0L)),
+            sum(when(col("content") =!= 0, 1L).otherwise(0L)))
+          .collect()(0)
+        (if (agg.isNullAt(0)) 0L else agg.getLong(0),
+          if (agg.isNullAt(1)) 0L else agg.getLong(1))
+    }
     if (delFiles > 0) read(spark, table).count() else rows
   }
 
@@ -1311,9 +1412,119 @@ object IcebergTable {
     case class FileStats(rows: Long,
         lo: Map[Int, Array[Byte]], hi: Map[Int, Array[Byte]],
         nulls: Map[Int, Long])
-    val stats: Map[String, FileStats] =
-      if (dataFiles.isEmpty) Map.empty
-      else {
+    // footer fast path (the Delta footerFileStats rule on this format):
+    // rows + bounds + null counts straight from the parquet footers the
+    // write just produced — zero Spark jobs instead of a full read-back
+    // of every committed byte. Iceberg bounds only need SOUNDNESS (they
+    // feed keepFile's conservative pruning), so a column whose footer
+    // stats are absent simply contributes no bound — the same "no info,
+    // keep" degrade as an over-16-byte string on the scan path. Falls
+    // back to the scan pass on timestamp columns (Spark's default INT96
+    // encoding has no ordered footer stats), dropped stats, or unknown
+    // null counts.
+    def footerStats(): Option[Map[String, FileStats]] = {
+      if (spark.conf.getOption("spark.graft.iceberg.statsFromFooters")
+          .contains("false")) return None
+      if (statCols.exists(_.dataType match {
+        case TimestampType | TimestampNTZType => true
+        case _ => false })) return None
+      val hconf = spark.sessionState.newHadoopConf()
+      def one(p: Path): (String, FileStats) = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val md = try rd.getFooter finally rd.close()
+        val blocks = md.getBlocks.asScala.toSeq
+        val rows = blocks.map(_.getRowCount).sum
+        val lo = Map.newBuilder[Int, Array[Byte]]
+        val hi = Map.newBuilder[Int, Array[Byte]]
+        val nulls = Map.newBuilder[Int, Long]
+        statCols.foreach { fld =>
+          val chunks = blocks.flatMap(_.getColumns.asScala.filter(c =>
+            c.getPath.size() == 1 && c.getPath.toDotString == fld.name))
+          if (chunks.isEmpty) sys.error(s"${fld.name} not in footer")
+          var nn = 0L
+          var mn: Any = null
+          var mx: Any = null
+          def sparkVal(v: Any): Any = fld.dataType match {
+            case IntegerType => v.asInstanceOf[Number].intValue()
+            case LongType => v.asInstanceOf[Number].longValue()
+            case FloatType => v.asInstanceOf[java.lang.Float]
+            case DoubleType => v.asInstanceOf[java.lang.Double]
+            case BooleanType => v.asInstanceOf[java.lang.Boolean]
+            case StringType =>
+              v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            case DateType => java.time.LocalDate.ofEpochDay(
+              v.asInstanceOf[Number].intValue().toLong)
+            case other => sys.error(s"no footer mapping for $other")
+          }
+          def less(a: Any, b: Any): Boolean = fld.dataType match {
+            case IntegerType | DateType =>
+              Integer.compare(a.asInstanceOf[Number].intValue(),
+                b.asInstanceOf[Number].intValue()) < 0
+            case LongType => java.lang.Long.compare(
+              a.asInstanceOf[Number].longValue(),
+              b.asInstanceOf[Number].longValue()) < 0
+            case FloatType => java.lang.Float.compare(
+              a.asInstanceOf[Number].floatValue(),
+              b.asInstanceOf[Number].floatValue()) < 0
+            case DoubleType => java.lang.Double.compare(
+              a.asInstanceOf[Number].doubleValue(),
+              b.asInstanceOf[Number].doubleValue()) < 0
+            case BooleanType => java.lang.Boolean.compare(
+              a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]) < 0
+            case StringType =>
+              val x = a.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+              val y = b.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+              var i = 0
+              val n = math.min(x.length, y.length)
+              var r = x.length - y.length
+              var done = false
+              while (i < n && !done) {
+                val c = (x(i) & 0xff) - (y(i) & 0xff)
+                if (c != 0) { r = c; done = true }
+                i += 1
+              }
+              r < 0
+            case other => sys.error(s"no footer order for $other")
+          }
+          chunks.foreach { c =>
+            val st = c.getStatistics
+            if (st == null || !st.isNumNullsSet)
+              sys.error(s"${fld.name}: null count unknown")
+            nn += st.getNumNulls
+            if (st.hasNonNullValue) {
+              val (a, b) = (st.genericGetMin, st.genericGetMax)
+              if (a == null || b == null) sys.error(s"${fld.name}: stats dropped")
+              if (mn == null || less(a, mn)) mn = a
+              if (mx == null || less(mx, b)) mx = b
+            } else if (c.getValueCount > st.getNumNulls)
+              sys.error(s"${fld.name}: min/max dropped for non-null chunk")
+          }
+          val fid = nameToFieldId(fld.name)
+          if (mn != null) {
+            IcebergBounds.encode(sparkVal(mn), fld.dataType)
+              .foreach(b => lo += fid -> b)
+            IcebergBounds.encode(sparkVal(mx), fld.dataType)
+              .foreach(b => hi += fid -> b)
+          }
+          nulls += fid -> nn
+        }
+        p.getName -> FileStats(rows, lo.result(), hi.result(), nulls.result())
+      }
+      try {
+        // independent metadata round trips: bounded pool for many-file
+        // commits (max(latency) on a remote store), inline when small
+        if (dataFiles.size <= 8) Some(dataFiles.map(one).toMap)
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.global
+          Some(Await.result(
+            Future.traverse(dataFiles)(p => Future(one(p))), Duration.Inf).toMap)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    def scanStats(): Map[String, FileStats] = {
         import org.apache.spark.sql.functions.{col => fcol, count => fcount,
           input_file_name, lit => flit, max => fmax, min => fmin}
         val aggs = fcount(flit(1)).as("__n") +:
@@ -1341,6 +1552,9 @@ object IcebergTable {
               FileStats(rows, boundMap("__lo_"), boundMap("__hi_"), nulls)
           }.toMap
       }
+    val stats: Map[String, FileStats] =
+      if (dataFiles.isEmpty) Map.empty
+      else footerStats().getOrElse(scanStats())
     val counts: Map[String, Long] =
       stats.view.mapValues(_.rows).toMap
 
@@ -1997,11 +2211,25 @@ object IcebergTable {
           lng(r, "content").getOrElse(0L),
           lng(r, "sequence_number").getOrElse(0L),
           lng(r, "partition_spec_id").getOrElse(0L).toInt))
+    // the picked snapshot's OWN additions = its manifest-list rows minus
+    // its parent's. The parent must still be in metadata: with it
+    // expired there is no baseline to diff against, and treating every
+    // carried manifest as "added" would re-append manifests the head
+    // already carries — duplicate rows on every subsequent read. Fail
+    // loudly, like the non-append refusal.
     val parentPaths: Set[String] =
-      Option(picked.get("parent-snapshot-id")).map(_.asLong())
-        .flatMap(byId.get).map(listRows(_).map(_._1).toSet)
-        .getOrElse(Set.empty)
-    val added = listRows(picked).filterNot(r => parentPaths.contains(r._1))
+      Option(picked.get("parent-snapshot-id")).map(_.asLong()) match {
+        case Some(pid) => byId.get(pid).map(listRows(_).map(_._1).toSet)
+          .getOrElse(sys.error(
+            s"cherrypick: parent snapshot $pid of $snapshotId has been " +
+              "expired — cannot isolate the snapshot's own additions"))
+        case None => Set.empty
+      }
+    // belt-and-braces: never re-add a manifest the head already carries
+    val headManifests = carriedManifests(f, table, Some(root))
+    val headCarried: Set[String] = headManifests.map(_._1).toSet
+    val added = listRows(picked).filterNot(r =>
+      parentPaths.contains(r._1) || headCarried.contains(r._1))
     require(added.forall(_._3 == 0L),
       s"cherrypick: snapshot $snapshotId added delete manifests — refuse")
     val version = nextMetadataVersion(f, table)
@@ -2009,7 +2237,7 @@ object IcebergTable {
     val now = System.currentTimeMillis()
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val mlSchema = manifestListAvroSchema
-    val mlRecords = (carriedManifests(f, table, Some(root)) ++ added).map {
+    val mlRecords = (headManifests ++ added).map {
       case (p, len, c, seq, sid) =>
         val r = new GenericData.Record(mlSchema)
         r.put("manifest_path", p)
@@ -2097,10 +2325,23 @@ object IcebergTable {
     * Output: the table columns + `_change_type` + `_change_ordinal`
     * (1-based commit index within the requested range).
     *
-    * Scale shape: per-commit file DIFFS are dataset anti-joins over the
-    * entries frames (never a driver path set); row contents come from
-    * chunked multi-file scans of ONLY the added/touched files, so the
-    * cost is O(changed bytes in range), not O(table). */
+    * Scale shape — the whole range is ONE batched pass, not a job wave
+    * per snapshot: every commit's file DIFF (cur minus parent) comes
+    * from a single anti-join over ordinal-tagged unions of the entries
+    * frames, collected once (O(files changed in range) on the driver —
+    * the same set any multi-file scan plan buffers, see
+    * [[pathChunksOf]]); all added data files across all ordinals read
+    * in one chunked scan that learns its (ordinal, change type) from a
+    * broadcast path lookup, and likewise all new position-delete files.
+    * The resulting PLAN WIDTH is O(1) in chain length — a 1,000-commit
+    * append range is one scan + one broadcast join, not a 1,000-way
+    * union. The one per-commit cost left is equality deletes: each
+    * eq-delete commit reconstructs its deleted rows from the PARENT
+    * state, which is O(parent scan) in the worst case — when the
+    * distinct delete tuples fit `spark.graft.iceberg.
+    * eqDeleteInlineTuples` (default 1000, the common CDC shape) the
+    * tuples inline as a pushed-down or-of-equalities predicate and the
+    * parent scan prunes to matching files/row-groups instead. */
   def changes(spark: SparkSession, table: String,
       fromSnapshotExclusive: Option[Long] = None,
       toSnapshot: Option[Long] = None): DataFrame = {
@@ -2134,96 +2375,192 @@ object IcebergTable {
       StructType(schema.fields ++ Seq(
         StructField("_change_type", StringType),
         StructField("_change_ordinal", IntegerType))))
-    def readPaths(paths: Seq[Seq[String]], withSlots: Boolean): Option[DataFrame] =
-      if (paths.isEmpty) None
-      else Some(paths.map { ps =>
-        val base = spark.read.schema(schema).parquet(ps: _*)
-        if (!withSlots) base
-        else base.select(col("*"),
-          normPathCol(col("_metadata.file_path")).as("__cfp"),
-          col("_metadata.row_index").as("__cri"))
-      }.reduce(_ unionByName _))
-    // each snapshot's manifest parse runs ONCE: iteration i's `cur` is
-    // iteration i+1's `prev` (the chain is the parent walk)
+    // ordinals count every non-replace commit; `replace` (compaction /
+    // manifest rewrite / materialize) is no logical change and emits
+    // nothing, but still occupies its chain position
+    case class OrdMeta(ord: Int, sid: Long, op: String, parent: Option[Long])
+    val metas = chain.zipWithIndex.map { case (sid, i) =>
+      val sNode = byId.getOrElse(sid, sys.error(s"changes: snapshot $sid expired"))
+      OrdMeta(i + 1, sid,
+        sNode.path("summary").path("operation").asText("append"),
+        Option(sNode.get("parent-snapshot-id")).map(_.asLong()))
+    }.filterNot(_.op == "replace")
+    metas.foreach(m => m.op match {
+      case "append" | "delete" | "overwrite" => ()
+      case other =>
+        sys.error(s"changes: unhandled snapshot operation `$other` on $table")
+    })
+    if (metas.isEmpty) return emptyOut
+    val opOf: Map[Int, String] = metas.map(m => m.ord -> m.op).toMap
+    // each snapshot's entries build ONCE (iteration i's `cur` is
+    // iteration i+1's `prev` — the chain is the parent walk), memoized
+    // in whichever form the metadata size allows: DRIVER-LOCAL seqs
+    // under the [[entriesLocalOpt]] threshold (the common case — zero
+    // Spark jobs for the whole diff), distributed frames above it
+    val localMemo = scala.collection.mutable.Map.empty[Long, Option[Seq[IceEntry]]]
+    def nodeOf(id: Long): com.fasterxml.jackson.databind.JsonNode =
+      byId.getOrElse(id, sys.error(s"changes: snapshot $id expired"))
+    def localAt(id: Long): Option[Seq[IceEntry]] =
+      localMemo.getOrElseUpdate(id, entriesLocalOpt(spark, table, root, nodeOf(id)))
     val entriesMemo = scala.collection.mutable.Map
       .empty[Long, org.apache.spark.sql.Dataset[IceEntry]]
     def entriesAt(id: Long): org.apache.spark.sql.Dataset[IceEntry] =
-      entriesMemo.getOrElseUpdate(id,
-        entriesOf(spark, table, root,
-          byId.getOrElse(id, sys.error(s"changes: snapshot $id expired"))))
-    val frames = chain.zipWithIndex.flatMap { case (sid, i) =>
-      val ord = i + 1
-      val sNode = byId.getOrElse(sid, sys.error(s"changes: snapshot $sid expired"))
-      val op = sNode.path("summary").path("operation").asText("append")
-      if (op == "replace") Seq.empty
+      entriesMemo.getOrElseUpdate(id, localAt(id) match {
+        case Some(l) => spark.createDataset(l)
+        case None => entriesOf(spark, table, root, nodeOf(id))
+      })
+    // ---- the ONE batched diff: (ordinal, content, path, eq-ids) of
+    // every file each commit ADDED — driver set-difference when every
+    // snapshot's metadata is driver-small, else a single anti-join +
+    // collect over ordinal-tagged unions (never a job wave per commit).
+    // An EXPIRED parent (possible only at the range's oldest edge)
+    // degrades to "everything in this snapshot is new" — same semantics
+    // as an unbounded range over retained history.
+    val neededIds = (metas.map(_.sid) ++
+      metas.flatMap(_.parent.filter(byId.contains))).distinct
+    val allLocal = neededIds.forall(id => localAt(id).isDefined)
+    val added: Seq[(Int, Int, String, Seq[Int])] =
+      if (allLocal)
+        metas.flatMap { m =>
+          val prevPaths = m.parent.filter(byId.contains)
+            .map(p => localAt(p).get.map(_.path).toSet)
+            .getOrElse(Set.empty[String])
+          localAt(m.sid).get.filterNot(e => prevPaths.contains(e.path))
+            .map(e => (m.ord, e.content, e.path, e.equalityIds))
+        }
       else {
-        val cur = entriesAt(sid)
-        // an EXPIRED parent (possible only at the range's oldest edge)
-        // degrades to "everything in this snapshot is new" — same
-        // semantics as an unbounded range over retained history
-        val prev = Option(sNode.get("parent-snapshot-id")).map(_.asLong())
-          .filter(byId.contains).map(entriesAt)
-        def addedOf(content: Int): DataFrame = {
-          val c = cur.filter(_.content == content).map(_.path).toDF("p")
-          prev.fold(c)(pe => c.join(
-            pe.filter(_.content == content).map(_.path).toDF("p"),
-            Seq("p"), "left_anti"))
+        val curAll = metas.map { m =>
+          entriesAt(m.sid).map(e => (m.ord, e.content, e.path, e.equalityIds))
+        }.reduce(_ union _).toDF("__ord", "__content", "__path", "__eq")
+        val prevFrames = metas.flatMap { m =>
+          m.parent.filter(byId.contains).map(p =>
+            entriesAt(p).map(e => (m.ord, e.path)))
         }
-        val addedDataChunks =
-          pathChunksOf(addedOf(0), readChunkSize(spark))
-        // delete FILES are O(files-per-commit): bounded collect, like
-        // the read path's descriptor collect
-        val prevDelPaths: Set[String] = prev.fold(Set.empty[String])(
-          _.filter(_.content != 0).map(_.path).collect().toSet)
-        val addedDeletes = cur.filter(_.content != 0).collect()
-          .filterNot(e => prevDelPaths.contains(e.path))
-        def posDeletedRows: Option[DataFrame] = {
-          val posFiles = addedDeletes.filter(_.content == 1).map(_.path)
-          if (posFiles.isEmpty) return None
-          val slots = spark.read.parquet(posFiles.toIndexedSeq: _*)
-            .select(normPathCol(col("file_path")).as("__cfp"),
-              col("pos").as("__cri"))
-          // scan the ORIGINAL recorded paths (scheme preserved); the
-          // slot join runs on normalized forms of both sides
-          val rawChunks = pathChunksOf(
-            spark.read.parquet(posFiles.toIndexedSeq: _*)
-              .select(col("file_path").as("p")).distinct(),
-            readChunkSize(spark))
-          readPaths(rawChunks, withSlots = true).map(
-            _.join(slots, Seq("__cfp", "__cri"), "left_semi")
-              .drop("__cfp", "__cri"))
-        }
-        def eqDeletedRows: Option[DataFrame] = {
-          val eqs = addedDeletes.filter(_.content == 2)
-          if (eqs.isEmpty || prev.isEmpty) return None
-          val parentState = readFromEntries(spark, table, schema,
-            fieldsById, prev.get)
-          Some(eqs.groupBy(_.equalityIds.toSeq).map { case (ids, fs2) =>
-            val cols2 = ids.map(id => fieldsById.getOrElse(id,
-              sys.error(s"changes: equality field id $id not in schema")))
-            val tuples = spark.read.parquet(fs2.map(_.path).toIndexedSeq: _*)
-              .select(cols2.map(n => col(n).as(s"__eq_$n")): _*).distinct()
-            val cond = cols2.map(n => col(n) <=> col(s"__eq_$n")).reduce(_ && _)
-            parentState.join(tuples, cond, "left_semi")
-          }.reduce(_ unionByName _))
-        }
-        op match {
-          case "append" =>
-            readPaths(addedDataChunks, withSlots = false)
-              .map(_.withColumn("_change_type", lit("insert"))).toSeq
-          case "delete" =>
-            (posDeletedRows.toSeq ++ eqDeletedRows.toSeq)
-              .map(_.withColumn("_change_type", lit("delete")))
-          case "overwrite" =>
-            posDeletedRows
-              .map(_.withColumn("_change_type", lit("update_preimage"))).toSeq ++
-              readPaths(addedDataChunks, withSlots = false)
-                .map(_.withColumn("_change_type", lit("update_postimage"))).toSeq
-          case other =>
-            sys.error(s"changes: unhandled snapshot operation `$other` on $table")
-        }
-      }.map(_.withColumn("_change_ordinal", lit(ord)).select(outCols: _*))
-    }
+        val addedDf =
+          if (prevFrames.isEmpty) curAll
+          else curAll.join(prevFrames.reduce(_ union _).toDF("__ord", "__path"),
+            Seq("__ord", "__path"), "left_anti")
+        addedDf.select("__ord", "__content", "__path", "__eq")
+          .as[(Int, Int, String, Seq[Int])].collect().toIndexedSeq
+      }
+    def chunked(paths: Seq[String]): Seq[Seq[String]] =
+      paths.distinct.grouped(readChunkSize(spark)).toSeq
+    // ---- added DATA files (inserts + update postimages): one chunked
+    // scan over every ordinal's additions; each row learns its
+    // (ordinal, change type) from a broadcast lookup on the file path.
+    // A delete-op commit's data additions (not a shape this writer
+    // emits) carry no change semantics and are skipped, as before.
+    val dataAdds = added.filter { case (ord, content, _, _) =>
+      content == 0 && opOf(ord) != "delete" }
+    val dataFrame: Option[DataFrame] =
+      if (dataAdds.isEmpty) None
+      else {
+        val lookup = broadcast(dataAdds.map { case (ord, _, p, _) =>
+          (p, ord,
+            if (opOf(ord) == "append") "insert" else "update_postimage") }
+          .toDF("__p", "__ord", "__ct")
+          .withColumn("__p", normPathCol(col("__p"))))
+        Some(chunked(dataAdds.map(_._3)).map(ps =>
+            spark.read.schema(schema).parquet(ps: _*)
+              .withColumn("__p", normPathCol(col("_metadata.file_path"))))
+          .reduce(_ unionByName _)
+          .join(lookup, Seq("__p")))
+      }
+    // ---- added POSITION-DELETE files: one scan builds the deleted
+    // (file, pos, ordinal, change type) slots for every commit at once;
+    // their referenced data files read in one chunked scan (ORIGINAL
+    // recorded paths — scheme preserved; the slot join runs on
+    // normalized forms of both sides).
+    val posAdds = added.filter { case (ord, content, _, _) =>
+      content == 1 && opOf(ord) != "append" }
+    val posFrame: Option[DataFrame] =
+      if (posAdds.isEmpty) None
+      else {
+        val lookup = broadcast(posAdds.map { case (ord, _, p, _) =>
+          (p, ord, if (opOf(ord) == "delete") "delete" else "update_preimage") }
+          .toDF("__dp", "__ord", "__ct")
+          .withColumn("__dp", normPathCol(col("__dp"))))
+        val delRows = spark.read.schema(posDeleteSchema)
+          .parquet(posAdds.map(_._3).distinct: _*)
+          .select(normPathCol(col("_metadata.file_path")).as("__dp"),
+            col("file_path"), col("pos"))
+        // two delete files in ONE commit may repeat a slot: dedupe
+        // within the ordinal (the old per-snapshot semi-join's dedupe)
+        val slots = delRows.join(lookup, Seq("__dp"))
+          .select(normPathCol(col("file_path")).as("__cfp"),
+            col("pos").as("__cri"), col("__ord"), col("__ct")).distinct()
+        // referenced data paths: bounded collect, O(files-per-range) —
+        // the read path's descriptor-collect cost class
+        val refPaths = delRows.select(col("file_path")).distinct()
+          .as[String].collect().toIndexedSeq
+        Some(chunked(refPaths).map(ps =>
+            spark.read.schema(schema).parquet(ps: _*)
+              .select(col("*"),
+                normPathCol(col("_metadata.file_path")).as("__cfp"),
+                col("_metadata.row_index").as("__cri")))
+          .reduce(_ unionByName _)
+          .join(slots, Seq("__cfp", "__cri")))
+      }
+    // ---- added EQUALITY-DELETE files: the one remaining per-commit
+    // frame (eq-delete commits are the rare external-CDC shape). The
+    // deleted rows are the PARENT state matching the tuples — exactly
+    // the spec's strictly-lower-seq scope — so the parent must still be
+    // in metadata: fail loudly instead of silently dropping the commit.
+    val eqAdds = added.filter { case (ord, content, _, _) =>
+      content == 2 && opOf(ord) != "append" }
+    val eqFrames: Seq[DataFrame] = eqAdds
+      .groupBy(t => (t._1, t._4)).toSeq.sortBy(_._1._1)
+      .map { case ((ord, ids), fs2) =>
+        val m = metas.find(_.ord == ord).get
+        val parent = m.parent.filter(byId.contains).getOrElse(sys.error(
+          s"changes: snapshot ${m.sid} carries equality deletes but its " +
+            "parent has been expired — the deleted rows cannot be " +
+            "reconstructed; narrow the range or re-run before expiry"))
+        val cols2 = ids.map(id => fieldsById.getOrElse(id,
+          sys.error(s"changes: equality field id $id not in schema")))
+        val tuplesRaw = spark.read
+          .schema(StructType(cols2.map(n => schema(n))))
+          .parquet(fs2.map(_._3).distinct: _*)
+        val inlineMax = spark.conf
+          .getOption("spark.graft.iceberg.eqDeleteInlineTuples")
+          .map(_.toInt).getOrElse(1000)
+        // probe the RAW rows (no distinct shuffle): when they all fit,
+        // the driver-side distinct is complete by construction
+        val rawRows = tuplesRaw.limit(inlineMax + 1).collect()
+        def parentRead(pred: Option[org.apache.spark.sql.Column]): DataFrame =
+          localAt(parent) match {
+            case Some(local) =>
+              val pruned = pred.flatMap(p => entryKeeper(spark, root, schema, p))
+                .fold(local)(keep => local.filter(keep))
+              readFromLocalEntries(spark, table, schema, fieldsById, pruned)
+            case None =>
+              val e = entriesAt(parent)
+              readFromEntries(spark, table, schema, fieldsById,
+                pred.fold(e)(p => pruneEntries(spark, root, schema, e, p)))
+          }
+        val out =
+          if (rawRows.length <= inlineMax) {
+            // small tuple sets (the common CDC upsert shape) inline as
+            // an or-of-null-safe-equalities predicate: it prunes the
+            // parent ENTRIES by hidden partition + bounds AND pushes
+            // into the parquet scan as row-group filters — the parent
+            // rescan stops being O(table)
+            val pred = rawRows.toIndexedSeq.distinct.map { r =>
+              cols2.zipWithIndex.map { case (n, j) =>
+                col(n) <=> lit(r.get(j)) }.reduce(_ && _)
+            }.reduceOption(_ || _).getOrElse(lit(false))
+            parentRead(Some(pred)).where(pred)
+          } else parentRead(None)
+            .join(tuplesRaw
+              .select(cols2.map(n => col(n).as(s"__eq_$n")): _*).distinct(),
+              cols2.map(n => col(n) <=> col(s"__eq_$n")).reduce(_ && _),
+              "left_semi")
+        out.withColumn("__ct", lit("delete")).withColumn("__ord", lit(ord))
+      }
+    val frames = (dataFrame.toSeq ++ posFrame.toSeq ++ eqFrames).map(
+      _.withColumn("_change_type", col("__ct"))
+        .withColumn("_change_ordinal", col("__ord").cast("int"))
+        .select(outCols: _*))
     if (frames.isEmpty) emptyOut else frames.reduce(_ unionByName _)
   }
 
@@ -2619,8 +2956,11 @@ object IcebergTable {
     val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
       .asInstanceOf[ObjectNode]
     val snap = resolveSnapshotNode(table, root, None, None)
-    val hasDeletes = entriesOf(spark, table, root, snap)
-      .filter(_.content != 0).limit(1).count() > 0
+    val hasDeletes = entriesLocalOpt(spark, table, root, snap) match {
+      case Some(local) => local.exists(_.content != 0)
+      case None => entriesOf(spark, table, root, snap)
+        .filter(_.content != 0).limit(1).count() > 0
+    }
     if (!hasDeletes) return snap.get("snapshot-id").asLong()
     writeAppend(spark, read(spark, table), table, carryPrevious = false)
   }
@@ -2749,17 +3089,28 @@ object IcebergTable {
       .asInstanceOf[ObjectNode]
     val snap = resolveSnapshotNode(table, root, None, None)
     val schema = resolveSchema(root)
-    val entries = entriesOf(spark, table, root, snap)
-    require(entries.filter(_.content == 0).limit(1).count() > 0,
-      s"Iceberg table $table has no data files")
     // candidate scope: hidden-partition + bound pruning first, so the
     // probing scan opens only files the predicate could touch; the
     // surviving paths reach the driver in bounded chunks (the
-    // [[pathChunksOf]] rule), never as one collect
-    val candChunks = pathChunksOf(
-      pruneEntries(spark, root, schema, entries, predicate)
-        .filter(_.content == 0).map(_.path).toDF("path"),
-      readChunkSize(spark))
+    // [[pathChunksOf]] rule) — or straight off the driver-local entries
+    // under the small-metadata threshold (zero planning jobs)
+    val candChunks = entriesLocalOpt(spark, table, root, snap) match {
+      case Some(local) =>
+        require(local.exists(_.content == 0),
+          s"Iceberg table $table has no data files")
+        val keep = entryKeeper(spark, root, schema, predicate)
+        val cands = local.filter(e => e.content == 0 && keep.forall(_(e)))
+        if (cands.isEmpty) Seq.empty
+        else cands.map(_.path).grouped(readChunkSize(spark)).toSeq
+      case None =>
+        val entries = entriesOf(spark, table, root, snap)
+        require(entries.filter(_.content == 0).limit(1).count() > 0,
+          s"Iceberg table $table has no data files")
+        pathChunksOf(
+          pruneEntries(spark, root, schema, entries, predicate)
+            .filter(_.content == 0).map(_.path).toDF("path"),
+          readChunkSize(spark))
+    }
     val slots =
       if (candChunks.isEmpty)
         spark.createDataFrame(
@@ -2821,10 +3172,8 @@ object IcebergTable {
     val missing = set.keySet -- schema.fieldNames
     require(missing.isEmpty,
       s"UPDATE SET references columns not in the table: ${missing.mkString(",")}")
-    val entries = entriesOf(spark, table, root, snap)
-    val matched = readFromEntries(spark, table, schema, schemaFieldIds(root),
-      pruneEntries(spark, root, schema, entries, predicate),
-      withSlots = true)
+    val matched = readState(spark, table, root, snap, schema,
+      predicate = Some(predicate), withSlots = true)
       .where(predicate)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -2858,8 +3207,11 @@ object IcebergTable {
     * the committed bytes are O(changed rows). Returns the new snapshot
     * id (current one on a no-op merge). */
   def mergeUpsert(spark: SparkSession, table: String, source: DataFrame,
-      keys: Seq[String], recencyCol: String): Long = {
-    import org.apache.spark.sql.functions.col
+      keys: Seq[String], recencyCol: String,
+      // caller guarantees a key-distinct source — skips the dedupe +
+      // nondeterminism guard below (same contract as DeltaLog.merge)
+      uniqueSourceKeys: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, max}
     if (!isIcebergTable(spark, table)) return writeAppend(spark, source, table)
     val f = fs(spark, table)
     val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
@@ -2869,15 +3221,41 @@ object IcebergTable {
     require(source.columns.toSet == schema.fieldNames.toSet,
       s"MERGE source schema must match the table: " +
         s"source=${source.columns.mkString(",")} table=${schema.fieldNames.mkString(",")}")
+    // two source rows for one key that both win would append two
+    // post-images against a single position-deleted target slot —
+    // silently breaking the keyed-upsert invariant the Delta MERGE path
+    // errors on. Dedupe newest-wins per key (older versions are
+    // legitimately shadowed, the CDC batch shape); a TIE at the max
+    // recency with different payloads has no well-defined winner —
+    // raise the protocol's nondeterministic-merge error (one eager
+    // two-long aggregation over the SOURCE only, the Merge.applyClauses
+    // guard shape).
+    val src0 =
+      if (uniqueSourceKeys) source
+      else {
+        val wmax = max(col(recencyCol)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*))
+        val newest = source.withColumn("__maxrec", wmax)
+          .where(col(recencyCol) <=> col("__maxrec")).drop("__maxrec")
+          .distinct()
+        val maxDup = newest.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("__n"))
+          .agg(coalesce(max(col("__n")), lit(0L))).head().getLong(0)
+        if (maxDup > 1) sys.error(
+          "MERGE failed: multiple source rows share a key at the same " +
+            s"max $recencyCol with different payloads — the merge is " +
+            "nondeterministic. Deduplicate the source on the merge keys first.")
+        newest
+      }
     // probe: only keys + recency + slots of the target cross the join —
     // post-images come from the SOURCE side, so the wide columns of a
     // 100 TB target never shuffle
     val probeCols = (keys :+ recencyCol).distinct
-    val target = readFromEntries(spark, table, schema, schemaFieldIds(root),
-      entriesOf(spark, table, root, snap), withSlots = true)
+    val target = readState(spark, table, root, snap, schema, withSlots = true)
       .select((probeCols ++ Seq("__slot_path", "__slot_pos")).map(col): _*)
-    val srcRenamed = source.select(
-      keys.map(col) ++ source.columns.filterNot(keys.contains)
+    val srcRenamed = src0.select(
+      keys.map(col) ++ src0.columns.filterNot(keys.contains)
         .map(c => col(c).as(s"__src_$c")): _*)
     // preserve the SOURCE side: target-only rows are untouched survivors
     // and never need to appear here

@@ -91,6 +91,38 @@ class IcebergChangelogSpec extends SparkSpec {
     assert(since == Set((2L, "insert")), since)
   }
 
+  test("changelog: plan width stays O(1) over a 50-commit chain") {
+    val t = fresh()
+    (1 to 50).foreach(i => IcebergTable.writeAppend(spark,
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), t))
+    val df = IcebergTable.changes(spark, t)
+    // the batched diff reads EVERY ordinal's additions in one chunked
+    // scan + a broadcast (path -> ordinal) lookup — a 50-commit range
+    // must not build a 50-way union of per-snapshot scans
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation => l
+    }
+    assert(scans.size <= 2,
+      s"changelog over 50 appends must stay ONE batched scan, got ${scans.size}")
+    assert(rows(df) ==
+      (1 to 50).map(i => (i.toLong, s"v$i", "insert", i)).toSet)
+  }
+
+  test("changelog: eq-delete commit with an expired parent fails loudly") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val s1 = IcebergTable.refSnapshotId(spark, t, "main")
+    IcebergTable.deleteEquals(spark, t, Seq("a").toDF("v"))
+    IcebergTable.expireSnapshots(spark, t,
+      olderThanMs = System.currentTimeMillis() + 1000000L, retainLast = 1)
+    // the eq-deleted rows can only be reconstructed from the PARENT
+    // state; silently dropping the commit would misread as "no changes"
+    val e = intercept[Exception] {
+      IcebergTable.changes(spark, t, fromSnapshotExclusive = Some(s1)).count()
+    }
+    assert(e.getMessage.contains("equality deletes"), e.getMessage)
+  }
+
   test("changelog: merge surfaces losers/winners as update pairs") {
     val t = fresh()
     IcebergTable.writeAppend(spark,

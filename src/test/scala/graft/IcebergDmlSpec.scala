@@ -153,6 +153,35 @@ class IcebergDmlSpec extends SparkSpec {
     }
   }
 
+  test("mergeUpsert: duplicate source keys dedupe newest-wins; ties refuse") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark,
+      Seq((1L, 100L, "t1"), (2L, 50L, "t2")).toDF("k", "ver", "v"), t)
+    // two source rows for k=1 both beat the target: only the NEWEST
+    // lands (one post-image against the one position-deleted slot) —
+    // the keyed-upsert invariant must hold
+    IcebergTable.mergeUpsert(spark, t,
+      Seq((1L, 200L, "older"), (1L, 300L, "newest"), (3L, 10L, "ins"))
+        .toDF("k", "ver", "v"),
+      Seq("k"), "ver")
+    assert(IcebergTable.read(spark, t).as[(Long, Long, String)].collect().toSet
+      == Set((1L, 300L, "newest"), (2L, 50L, "t2"), (3L, 10L, "ins")))
+    // a TIE at max recency with DIFFERENT payloads has no well-defined
+    // winner — the protocol's nondeterministic-merge error
+    val e = intercept[Exception] {
+      IcebergTable.mergeUpsert(spark, t,
+        Seq((2L, 99L, "x"), (2L, 99L, "y")).toDF("k", "ver", "v"),
+        Seq("k"), "ver")
+    }
+    assert(e.getMessage.contains("nondeterministic"), e.getMessage)
+    // EXACT duplicate rows collapse and merge cleanly
+    IcebergTable.mergeUpsert(spark, t,
+      Seq((2L, 98L, "z"), (2L, 98L, "z")).toDF("k", "ver", "v"),
+      Seq("k"), "ver")
+    assert(IcebergTable.read(spark, t).where(col("k") === 2L)
+      .as[(Long, Long, String)].collect().toSet == Set((2L, 98L, "z")))
+  }
+
   test("mergeUpsert: all-stale source is a no-op commit-wise") {
     val t = fresh()
     IcebergTable.writeAppend(spark,
@@ -181,6 +210,17 @@ class IcebergDmlSpec extends SparkSpec {
     assert(IcebergTable.read(spark, t).as[(Long, Long, String)]
       .collect().toSet ==
       Set((1L, 100L, "A"), (2L, 200L, "B2"), (3L, 50L, "c")))
+    // a source that is BALANCED but not ENCLOSED by its outer parens —
+    // `(SELECT ..) UNION ALL (SELECT ..)` — must pass through unstripped
+    // (a naive first/last-paren strip corrupts it into unparseable SQL)
+    graft.sources.GraftSql.exec(spark,
+      s"""MERGE INTO iceberg.`$t`
+         |USING (SELECT 4 AS k, 10 AS ver, 'd' AS v)
+         |       UNION ALL (SELECT 5 AS k, 10 AS ver, 'e' AS v)
+         |ON KEYS (k) RECENCY ver""".stripMargin)
+    assert(IcebergTable.read(spark, t).where(col("k") >= 4L)
+      .as[(Long, Long, String)].collect().toSet ==
+      Set((4L, 10L, "d"), (5L, 10L, "e")))
   }
 
   test("mergeUpsert: repeated merges stack (slots in upd-* files delete)") {

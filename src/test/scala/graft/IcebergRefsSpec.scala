@@ -177,6 +177,24 @@ class IcebergRefsSpec extends SparkSpec {
     intercept[Exception] { IcebergTable.cherrypick(spark, t2, 424242L) }
   }
 
+  test("cherrypick: refuses a picked snapshot whose parent is expired") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t) // s1
+    val b1 = IcebergTable.writeAppend(spark,
+      Seq((2L, "staged")).toDF("k", "v"), t, toBranch = Some("audit"))
+    IcebergTable.writeAppend(spark, Seq((3L, "c")).toDF("k", "v"), t) // s2 head
+    // release the branch ref so s1 (b1's parent) loses its ancestor
+    // protection, then expire it; b1 survives via retainLast
+    IcebergTable.dropRef(spark, t, "audit")
+    IcebergTable.expireSnapshots(spark, t,
+      olderThanMs = System.currentTimeMillis() + 1000000L, retainLast = 2)
+    // with the parent gone there is no baseline to diff b1's own
+    // additions against — picking would re-append carried manifests and
+    // duplicate rows on every later read; refuse loudly instead
+    val e = intercept[Exception] { IcebergTable.cherrypick(spark, t, b1) }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+  }
+
   test("ref edits refuse bad shapes") {
     val t = fresh()
     val s1 = IcebergTable.writeAppend(spark, Seq((1L, "a")).toDF("k", "v"), t)
