@@ -2306,6 +2306,43 @@ object IcebergTable {
   def readRef(spark: SparkSession, table: String, name: String): DataFrame =
     read(spark, table, snapshotId = Some(refSnapshotId(spark, table, name)))
 
+  /** Current head snapshot id + declared schema — the two driver
+    * metadata facts a streaming tail needs per trigger (one metadata
+    * JSON read, no manifest opens). */
+  private[graft] def headAndSchema(spark: SparkSession, table: String)
+      : (Long, StructType) = {
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    (root.get("current-snapshot-id").asLong(), resolveSchema(root))
+  }
+
+  /** (snapshotId, operation) per commit in `(fromExclusive, to]`,
+    * oldest first — the changelog's parent walk as metadata only (no
+    * manifest opens). Errors when `fromExclusive` is not an ancestor
+    * of `to` or when an id inside the range has been expired. */
+  private[graft] def chainOps(spark: SparkSession, table: String,
+      fromExclusive: Option[Long], to: Long): Seq[(Long, String)] = {
+    val f = fs(spark, table)
+    val root = mapper.readTree(readText(f, currentMetadataPath(f, table)))
+      .asInstanceOf[ObjectNode]
+    val byId = root.path("snapshots").elements().asScala.toSeq
+      .map(s => s.get("snapshot-id").asLong() -> s).toMap
+    val b = List.newBuilder[Long]
+    var cur = Option(to)
+    while (cur.isDefined && !fromExclusive.contains(cur.get)) {
+      b += cur.get
+      cur = byId.get(cur.get)
+        .flatMap(s => Option(s.get("parent-snapshot-id")).map(_.asLong()))
+    }
+    require(fromExclusive.isEmpty || cur.isDefined,
+      s"chainOps: $fromExclusive is not an ancestor of $to on $table")
+    b.result().reverse.map { sid =>
+      val node = byId.getOrElse(sid, sys.error(s"chainOps: snapshot $sid expired"))
+      sid -> node.path("summary").path("operation").asText("append")
+    }
+  }
+
   /** Row-level CHANGELOG between two snapshots — Iceberg's
     * `create_changelog_view` procedure, the dual of Delta CDF. Walks
     * the parent chain from `toSnapshot` (default: current head) back to

@@ -333,6 +333,39 @@ object Streams {
     runToMemory(agg, "q_stream_delta_tail_sink", "complete")
   }
 
+  /** S2 on the SECOND format: stream FROM an Iceberg table by tailing
+    * its snapshot chain ([[graft.streaming.IcebergStreamProvider]] —
+    * offsets are snapshot ids, each micro-batch is the row-level
+    * changelog of its commits). Anchored past the FIRST wave
+    * (`startingSnapshot`), capped to one commit per trigger, with a
+    * merge-on-read DELETE commit in the middle that `skipChangeCommits`
+    * must skip WHOLE (append-only semantics: already-streamed rows are
+    * never retracted). The oracle recomputes exactly waves 2 and 3. */
+  val qIcebergTail: QueryDef = QueryDef.sql(
+    "q_stream_iceberg_tail",
+    """SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_id % 3 = 1
+      |UNION ALL
+      |SELECT event_id, user_id, event_type, value FROM events
+      |WHERE event_id % 3 = 2""".stripMargin) { (spark, dir) =>
+    val tbl = Files.createTempDirectory("graft-ice-tail-").toString + "/events"
+    val ev = graft.Tables.events(spark, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    def wave(i: Int) = ev.where(col("event_id") % 3 === i)
+    graft.sources.IcebergTable.writeAppend(spark, wave(0), tbl)
+    val anchor = graft.sources.IcebergTable.refSnapshotId(spark, tbl, "main")
+    graft.sources.IcebergTable.writeAppend(spark, wave(1), tbl)
+    graft.sources.IcebergTable.deleteWhere(spark, tbl,
+      col("user_id") % 10 === 0)
+    graft.sources.IcebergTable.writeAppend(spark, wave(2), tbl)
+    val tail = spark.readStream.format("graft-iceberg")
+      .option("startingSnapshot", anchor.toString)
+      .option("skipChangeCommits", "true")
+      .option("maxSnapshotsPerTrigger", "1")
+      .load(tbl)
+    runToMemory(tail, "q_stream_iceberg_tail_sink", "append")
+  }
+
   /** Streaming CDF, oracle-verified: a customer table takes a DV
     * DELETE (v1) then an append (v2); the `readChangeFeed` stream
     * anchored at version 1 must emit exactly the masked rows as
@@ -433,5 +466,6 @@ object Streams {
   }
 
   val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark, qStreamJoin,
-    qStreamEnrich, qDeltaTail, qStreamCdf, qDeltaSink, qStreamMergeSink)
+    qStreamEnrich, qDeltaTail, qIcebergTail, qStreamCdf, qDeltaSink,
+    qStreamMergeSink)
 }
