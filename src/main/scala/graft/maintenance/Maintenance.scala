@@ -722,6 +722,37 @@ object Maintenance {
     * wave (asserted in-builder — the WAP isolation property); after the
     * audit gate, `fastForward` publishes the branch atomically. DuckDB
     * recomputes the published union. */
+  /** Iceberg column-level schema evolution, oracle-verified
+    * ([[graft.sources.IcebergTable.alterAddColumns]] — the reference's
+    * one evolution op on the second format): append under the original
+    * schema, `ALTER TABLE … ADD COLUMNS` (metadata-only, fresh field
+    * ids, `last-column-id` bump), append under the evolved schema, then
+    * one read spans BOTH generations — pre-evolution files null-fill
+    * the new columns, post-evolution files carry real values. DuckDB
+    * recomputes the union relationally. */
+  val qIcebergAddColumns: graft.QueryDef = graft.QueryDef.sql(
+    "q_iceberg_add_columns",
+    """SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS score,
+      |  CAST(NULL AS VARCHAR) AS tier
+      |FROM customer WHERE c_custkey % 2 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_acctbal * 2, c_mktsegment
+      |FROM customer WHERE c_custkey % 2 = 1""".stripMargin) { (spark, dir) =>
+    val t = java.nio.file.Files
+      .createTempDirectory("graft-iceevo-q-").toString + "/t"
+    val cust = graft.Tables.customer(spark, dir)
+    graft.sources.IcebergTable.writeAppend(spark,
+      cust.where(col("c_custkey") % 2 === 0).select("c_custkey", "c_name"), t)
+    graft.sources.GraftSql.exec(spark,
+      s"ALTER TABLE iceberg.`$t` ADD COLUMNS (score DOUBLE, tier STRING)")
+    graft.sources.IcebergTable.writeAppend(spark,
+      cust.where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_name"),
+          (col("c_acctbal") * 2).as("score"),
+          col("c_mktsegment").as("tier")), t)
+    graft.sources.IcebergTable.read(spark, t)
+  }
+
   val qIcebergWap: graft.QueryDef = graft.QueryDef.sql(
     "q_iceberg_wap",
     """SELECT p_partkey, p_name, p_retailprice FROM part
@@ -1247,6 +1278,6 @@ object Maintenance {
       qWidenAppend, qClusterOptimize, qRowTrackingIds, qBloomSkipping,
       qConvertToDelta, qIcebergRoundtrip, qIcebergRefs, qIcebergMor, qIcebergPartitioned,
       qIcebergBounds, qIcebergManifests, qIcebergUpdate, qIcebergMerge,
-      qIcebergWap, qIcebergChangelog, qLogCompaction,
+      qIcebergWap, qIcebergChangelog, qIcebergAddColumns, qLogCompaction,
       qConcurrentRebase, qLiveRead)
 }

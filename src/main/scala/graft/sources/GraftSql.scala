@@ -212,6 +212,8 @@ object GraftSql {
   private val TblProps = """(?is)\s*TBLPROPERTIES\s*\((.+)\)\s*""".r
   private val AlterAdd =
     """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+ADD\s+COLUMNS\s*\((.+)\)\s*""".r
+  private val IceAlterAdd =
+    """(?is)\s*ALTER\s+TABLE\s+iceberg\.`([^`]+)`\s+ADD\s+COLUMNS\s*\((.+)\)\s*""".r
   private val AlterSet =
     """(?is)\s*ALTER\s+TABLE\s+delta\.`([^`]+)`\s+SET\s+TBLPROPERTIES\s*\((.+)\)\s*""".r
   private val AlterUnset =
@@ -886,6 +888,11 @@ object GraftSql {
     case AlterAdd(path, colsDdl) =>
       version(spark, DeltaLog.alterAddColumns(spark, path,
         org.apache.spark.sql.types.StructType.fromDDL(colsDdl)))
+    // Iceberg column-level schema evolution — metadata-only, fresh
+    // field ids, old files null-fill on read
+    case IceAlterAdd(path, colsDdl) =>
+      version(spark, IcebergTable.alterAddColumns(spark, path,
+        org.apache.spark.sql.types.StructType.fromDDL(colsDdl)).toLong)
     case AlterSet(path, kv) =>
       version(spark, DeltaLog.alterSetProperties(spark, path, parseProps(kv)))
     case AlterUnset(path, kv) =>

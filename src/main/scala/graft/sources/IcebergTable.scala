@@ -2277,6 +2277,63 @@ object IcebergTable {
     newId
   }
 
+  /** ALTER TABLE … ADD COLUMNS on the Iceberg protocol — column-level
+    * schema evolution (the reference's one evolution op, `ALTER TABLE
+    * dim_eater ADD COLUMNS`, /root/reference/databricks_DW/
+    * 02_create_tables.sql:187-189, on the second format): the new
+    * fields APPEND at the end of the schema with FRESH field ids
+    * continuing from `last-column-id` (ids are never reused — the
+    * spec's rule), `last-column-id` bumps, and the declared schema is
+    * replaced METADATA-ONLY — no data file is touched or rewritten.
+    * Files written before the evolution null-fill the new columns on
+    * read (the scan projects the declared schema over each file by
+    * name; bounds and equality-delete resolution key by field id, and
+    * pre-evolution files simply carry no info for the new ids — "no
+    * info, keep/null", never a wrong answer).
+    *
+    * This writer assigns field ids POSITIONALLY (1..n, stable because
+    * evolution only ever appends at the end); a table whose existing
+    * ids are not positional (an external import) refuses loudly rather
+    * than silently remapping ids on the next append's metadata rebuild.
+    * Appends after the evolution must carry every column (the writer's
+    * schema check); Returns the evolved column count. */
+  def alterAddColumns(spark: SparkSession, table: String,
+      newCols: StructType): Int = {
+    require(newCols.fields.nonEmpty, "ADD COLUMNS: no columns given")
+    var width = 0
+    editMetadata(spark, table) { root =>
+      val sn = schemaNode(root) match {
+        case o: ObjectNode => o
+        case other => sys.error(s"ADD COLUMNS: unexpected schema node $other")
+      }
+      val fieldsArr = sn.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+      val existing = fieldsArr.elements().asScala.toSeq
+      val existingNames = existing.map(_.get("name").asText())
+      val clash = newCols.fieldNames.toSet & existingNames.toSet
+      require(clash.isEmpty,
+        s"ADD COLUMNS: already present in $table: ${clash.mkString(",")}")
+      val positional = existing.zipWithIndex.forall { case (fl, i) =>
+        fl.path("id").asInt(-1) == i + 1 }
+      require(positional,
+        s"ADD COLUMNS: $table has non-positional field ids (external " +
+          "metadata) — this writer's append path would remap them; " +
+          "evolve the table with its own writer")
+      val lastId = math.max(root.path("last-column-id").asInt(0), existing.size)
+      newCols.fields.zipWithIndex.foreach { case (fld, i) =>
+        val n = fieldsArr.addObject()
+        n.put("id", lastId + i + 1)
+        n.put("name", fld.name)
+        n.put("required", false)
+        n.put("type", icebergType(fld.dataType))
+        ()
+      }
+      root.put("last-column-id", lastId + newCols.fields.length)
+      width = existing.size + newCols.fields.length
+      ()
+    }
+    width
+  }
+
   /** Drop a named ref; its snapshot becomes expirable again. */
   def dropRef(spark: SparkSession, table: String, name: String): Unit = {
     require(name != "main", "dropRef: `main` cannot be dropped")
