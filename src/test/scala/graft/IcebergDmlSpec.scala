@@ -182,6 +182,30 @@ class IcebergDmlSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet == Set((2L, 98L, "z")))
   }
 
+  test("equality-delete round-trip: read mask, changelog row, REORG purge") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark,
+      Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c"), (4L, 2, "d"))
+        .toDF("k", "grp", "v"), t)
+    IcebergTable.deleteEquals(spark, t, Seq(1).toDF("grp"))
+    // read: the eq-delete masks grp=1 (strictly-lower-seq scope)
+    assert(IcebergTable.read(spark, t).as[(Long, Int, String)]
+      .collect().toSet == Set((3L, 2, "c"), (4L, 2, "d")))
+    // changelog: the delete commit surfaces EXACTLY the masked rows
+    assert(IcebergTable.changes(spark, t)
+      .where(col("_change_type") === "delete")
+      .as[(Long, Int, String, String, Int)].collect().toSet ==
+      Set((1L, 1, "a", "delete", 2), (2L, 1, "b", "delete", 2)))
+    // REORG materializes the deletes: no delete manifests remain, the
+    // visible rows are unchanged, and metadata-only COUNT(*) works again
+    graft.sources.GraftSql.exec(spark, s"REORG TABLE iceberg.`$t` APPLY (PURGE)")
+    assert(IcebergTable.metadataTable(spark, t, "files")
+      .where(col("content") =!= 0).count() == 0L)
+    assert(IcebergTable.read(spark, t).as[(Long, Int, String)]
+      .collect().toSet == Set((3L, 2, "c"), (4L, 2, "d")))
+    assert(IcebergTable.countRows(spark, t) == 2L)
+  }
+
   test("mergeUpsert: all-stale source is a no-op commit-wise") {
     val t = fresh()
     IcebergTable.writeAppend(spark,
