@@ -177,6 +177,129 @@ object IcebergStreamSource {
     IcebergTable.headAndSchema(ctx.sparkSession, table)._2
 }
 
+/** Change-data-feed mode of the graft-iceberg stream source — the
+  * `readChangeFeed` contract on the second format:
+  *
+  * {{{
+  *   spark.readStream.format("graft-iceberg")
+  *     .option("readChangeFeed", "true")
+  *     .option("startingSnapshot", <id>)   // default: only NEW commits
+  *     .load("/path/to/table")
+  * }}}
+  *
+  * Each micro-batch emits the row-level changelog of the commits in
+  * `(lastCommitted, latest]` — inserts, exact deleted rows (position
+  * AND equality deletes), update pre/post pairs — stamped
+  * `_change_type` + `_commit_snapshot_id` (the ordinal→snapshot map is
+  * driver metadata, O(commits in batch)). Offsets are snapshot ids;
+  * checkpoint recovery replays exactly the uncommitted suffix. Scale:
+  * per batch O(changed bytes of its commits) via the one-pass batched
+  * changelog diff. */
+final class IcebergCdfStreamSource(ctx: SQLContext, table: String,
+    startingSnapshot: Option[String],
+    maxSnapshotsPerTrigger: Option[Int]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private val spark = ctx.sparkSession
+  require(IcebergTable.isIcebergTable(spark, table),
+    s"graft-iceberg CDF stream source: not an Iceberg table: $table")
+  maxSnapshotsPerTrigger.foreach(n =>
+    require(n > 0, s"maxSnapshotsPerTrigger must be positive, got $n"))
+
+  private val baseSchema: StructType =
+    IcebergTable.headAndSchema(spark, table)._2
+  override val schema: StructType =
+    IcebergCdfStreamSource.schemaOf(ctx, table)
+
+  /** The anchor (exclusive): the requested snapshot, else the current
+    * head — an unanchored CDF stream reads only FUTURE commits, the
+    * Delta CDF default. */
+  private val initialFrom: Long = startingSnapshot.map(_.trim.toLong)
+    .getOrElse(IcebergTable.headAndSchema(spark, table)._1)
+
+  private var highWater: Long = initialFrom
+  private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(IcebergTable.headAndSchema(spark, table)._1)
+
+  override def getDefaultReadLimit:
+      org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.map(o => LongOffset(parseV(o))).orNull
+
+  private def parseV(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => other.json().trim.toLong
+  }
+
+  override def getOffset: Option[OffsetV1] = {
+    val head = IcebergTable.headAndSchema(spark, table)._1
+    val latest = availableNowCap.fold(head)(math.min(head, _))
+    val next =
+      if (highWater >= latest) highWater
+      else maxSnapshotsPerTrigger match {
+        case None => latest
+        case Some(cap) =>
+          val ids = IcebergTable.chainOps(spark, table, Some(highWater), latest)
+            .map(_._1)
+          if (ids.size <= cap) latest else ids(cap - 1)
+      }
+    if (next > highWater) highWater = next
+    Some(LongOffset(highWater))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    import org.apache.spark.sql.functions.{element_at, lit, map}
+    val e = parseV(end)
+    if (e > highWater) highWater = e // restart recovery
+    val s = start.map(parseV).getOrElse(initialFrom)
+    val df =
+      if (s >= e)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val nowSchema = IcebergTable.headAndSchema(spark, table)._2
+        if (nowSchema.fieldNames.toSeq != baseSchema.fieldNames.toSeq ||
+          !nowSchema.fields.zip(baseSchema.fields).forall { case (a, b) =>
+            org.apache.spark.sql.types.DataType
+              .equalsStructurally(a.dataType, b.dataType, true) })
+          throw new IllegalStateException(
+            s"graft-iceberg CDF stream on $table: schema changed (stream " +
+              s"started with ${baseSchema.simpleString}, table now " +
+              s"${nowSchema.simpleString}) — restart the stream to pick " +
+              "up the new schema")
+        // ordinal -> snapshot id: driver metadata, O(commits in batch)
+        val ids = IcebergTable.chainOps(spark, table, Some(s), e).map(_._1)
+        val idOf = map(ids.zipWithIndex.flatMap { case (id, i) =>
+          Seq(lit(i + 1), lit(id)) }: _*)
+        IcebergTable.changes(spark, table,
+          fromSnapshotExclusive = Some(s), toSnapshot = Some(e))
+          .withColumn("_commit_snapshot_id",
+            element_at(idOf, col("_change_ordinal")))
+          .drop("_change_ordinal")
+      }
+    org.apache.spark.sql.GraftSqlShim.asStreamingRdd(
+      df.select(schema.fieldNames.toIndexedSeq.map(col): _*))
+  }
+
+  override def stop(): Unit = ()
+  override def toString: String = s"IcebergCdfStreamSource[$table]"
+}
+
+object IcebergCdfStreamSource {
+  private[streaming] def schemaOf(ctx: SQLContext, table: String): StructType =
+    StructType(IcebergStreamSource.schemaOf(ctx, table).fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_snapshot_id",
+        org.apache.spark.sql.types.LongType)))
+}
+
 /** `spark.readStream.format("graft-iceberg").load(path)`. */
 final class IcebergStreamProvider extends StreamSourceProvider
     with DataSourceRegister {
@@ -187,16 +310,26 @@ final class IcebergStreamProvider extends StreamSourceProvider
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-iceberg stream source needs a table path: .load(\"/path/to/table\")"))
 
+  private def isCdf(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.equalsIgnoreCase("true"))
+
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
     ("graft-iceberg", schema.getOrElse(
-      IcebergStreamSource.schemaOf(ctx, tableOf(parameters))))
+      if (isCdf(parameters))
+        IcebergCdfStreamSource.schemaOf(ctx, tableOf(parameters))
+      else IcebergStreamSource.schemaOf(ctx, tableOf(parameters))))
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new IcebergStreamSource(ctx, tableOf(parameters),
-      parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
-      parameters.get("startingSnapshot"),
-      parameters.get("maxSnapshotsPerTrigger").map(_.toInt))
+    if (isCdf(parameters))
+      new IcebergCdfStreamSource(ctx, tableOf(parameters),
+        parameters.get("startingSnapshot"),
+        parameters.get("maxSnapshotsPerTrigger").map(_.toInt))
+    else
+      new IcebergStreamSource(ctx, tableOf(parameters),
+        parameters.get("skipChangeCommits").exists(_.equalsIgnoreCase("true")),
+        parameters.get("startingSnapshot"),
+        parameters.get("maxSnapshotsPerTrigger").map(_.toInt))
 }

@@ -419,6 +419,40 @@ object Streams {
     runToMemory(changes, "q_stream_cdf_sink", "append")
   }
 
+  /** Streaming CDF on the SECOND format
+    * ([[graft.streaming.IcebergCdfStreamSource]]): a position-delete
+    * commit and an append, streamed as typed change rows from the
+    * Iceberg row-level changelog — the same per-commit contract as
+    * `q_stream_cdf`, anchored at the first snapshot. (The
+    * `_commit_snapshot_id` stamp is runtime-minted, so the oracle row
+    * projects the deterministic columns; the id stamp is asserted in
+    * IcebergStreamSpec.) */
+  val qStreamIcebergCdf: QueryDef = QueryDef.sql(
+    "q_stream_iceberg_cdf",
+    """SELECT c_custkey, c_nationkey, 'delete' AS _change_type
+      |FROM customer WHERE c_custkey % 11 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_nationkey + 7, 'insert'
+      |FROM customer WHERE c_custkey % 13 = 0""".stripMargin) { (spark, dir) =>
+    val tbl = Files.createTempDirectory("graft-ice-cdf-").toString + "/t"
+    val cust = graft.Tables.customer(spark, dir)
+      .select("c_custkey", "c_nationkey")
+    graft.sources.IcebergTable.writeAppend(spark, cust, tbl)
+    val anchor = graft.sources.IcebergTable.refSnapshotId(spark, tbl, "main")
+    graft.sources.IcebergTable.deleteWhere(spark, tbl,
+      col("c_custkey") % 11 === 0)
+    graft.sources.IcebergTable.writeAppend(spark,
+      cust.where(col("c_custkey") % 13 === 0)
+        .select(col("c_custkey"), (col("c_nationkey") + 7).as("c_nationkey")),
+      tbl)
+    val changes = spark.readStream.format("graft-iceberg")
+      .option("readChangeFeed", "true")
+      .option("startingSnapshot", anchor.toString)
+      .load(tbl)
+      .select("c_custkey", "c_nationkey", "_change_type")
+    runToMemory(changes, "q_stream_iceberg_cdf_sink", "append")
+  }
+
   /** The graft-delta streaming SINK under the oracle: a log-to-log
     * pipeline — protocol source → narrow transform → protocol sink,
     * each micro-batch one atomic commit with a SetTransaction — whose
@@ -489,6 +523,6 @@ object Streams {
   }
 
   val all: Seq[QueryDef] = Seq(qWindowedAgg, qDedupWatermark, qStreamJoin,
-    qStreamEnrich, qDeltaTail, qIcebergTail, qStreamCdf, qDeltaSink,
-    qStreamMergeSink)
+    qStreamEnrich, qDeltaTail, qIcebergTail, qStreamCdf, qStreamIcebergCdf,
+    qDeltaSink, qStreamMergeSink)
 }

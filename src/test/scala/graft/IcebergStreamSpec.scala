@@ -103,6 +103,40 @@ class IcebergStreamSpec extends SparkSpec {
       Set((1L, "a"), (3L, "c")))
   }
 
+  test("readChangeFeed: typed change rows stamped with their snapshot id") {
+    val t = fresh()
+    IcebergTable.writeAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), t)
+    val sink = Files.createTempDirectory("graft-icecdfs-").toString
+    val ckpt = Files.createTempDirectory("graft-icecdfc-").toString
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format("graft-iceberg")
+        .option("readChangeFeed", "true")
+        .load(t).writeStream
+        .outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // unanchored CDF streams only FUTURE commits (the Delta CDF default)
+    drainCdf()
+    val files0 = Option(new java.io.File(sink).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    assert(!files0 || spark.read.parquet(sink).count() == 0L)
+    IcebergTable.deleteWhere(spark, t, col("k") === 1L)
+    IcebergTable.writeAppend(spark, Seq((3L, "c")).toDF("k", "v"), t)
+    val head = IcebergTable.refSnapshotId(spark, t, "main")
+    val Seq(delId, addId) =
+      IcebergTable.chainOps(spark, t, None, head).map(_._1).takeRight(2)
+    drainCdf()
+    val got = spark.read.parquet(sink)
+      .select("k", "v", "_change_type", "_commit_snapshot_id")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(got == Set(
+      (1L, "a", "delete", delId),
+      (3L, "c", "insert", addId)), got)
+  }
+
   test("maxSnapshotsPerTrigger chunks a catch-up into per-commit batches") {
     val t = fresh()
     (1 to 4).foreach(i => IcebergTable.writeAppend(spark,
