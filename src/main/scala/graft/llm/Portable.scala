@@ -35,12 +35,17 @@ object Portable {
   def h60Sql(e: String): String = s"('0x' || substr(md5($e),1,15))::BIGINT"
   def h32Sql(e: String): String = s"('0x' || substr(md5($e),1,8))::BIGINT"
 
-  /** Whitespace tokenization with empty tokens removed — `split` keeps
-    * leading/trailing empties (Java limit=-1) while DuckDB's
-    * regexp_split_to_array does too; filtering on both sides makes the
-    * edge behavior irrelevant. */
-  def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => t =!= lit(""))
+  /** Whitespace tokenization with empty tokens removed. Computed as
+    * `regexp_extract_all(c, "\S+")` — the maximal non-whitespace runs,
+    * exactly the complement of splitting on `\s+` and dropping the
+    * leading/trailing empties (Java `\s`/`\S` are complements, so the
+    * two forms partition the string identically; PortableSpec asserts
+    * equality with the split+filter composition). Chosen over
+    * `filter(split(c, "\s+"), _ =!= "")` because higher-order
+    * `ArrayFilter` is CodegenFallback — an interpreted lambda per
+    * token — while `RegExpExtractAll` stays inside whole-stage codegen
+    * (guide §4.1: prefer built-ins in the hot path). */
+  def tokens(c: Column): Column = regexp_extract_all(c, lit("\\S+"), lit(0))
 
   /** DuckDB: same tokenization. */
   def tokensSql(e: String): String =

@@ -75,20 +75,41 @@ object Retrieval {
   }
 
   /** Spark side of [[bm25ScoredSql]]: `(qid, doc_id, n_terms_hit, score)`.
-    * The query set prunes the posting lists FIRST (broadcast semi shape),
-    * so df/dl join only the surviving (doc, term) rows. */
+    *
+    * The oracle SQL materializes the FULL inverted index (every
+    * (doc, term) pair, aggregated twice) and only then prunes it with
+    * the query set. That is O(corpus tokens) of shuffle for a 9-term
+    * query set known at plan time, so the Spark side prunes BEFORE the
+    * exchange instead (guide §2.3 "project before the exchange" /
+    * §2.4 "remove shuffles outright"):
+    *   - `dl` (per-doc token count) is `size(tokens(text))` — computed
+    *     map-side, no explode, no shuffle of token rows at all;
+    *   - posting rows are filtered to the query terms by a codegen'd
+    *     `isin` in the SAME stage as the explode, so the (doc, term)
+    *     exchange carries O(hits), not O(corpus tokens);
+    *   - `df`/`tf` aggregate the pruned frame; their values for the
+    *     query terms are identical to the full-index aggregates.
+    * Every surviving row (tf, df, dl, n, avgdl) is bit-identical to the
+    * oracle's, so scores and ranks are unchanged. */
   private def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    val qTerms = querySet.flatMap(_._2).distinct
     val docs = Tables.spread(Tables.documents(spark, dir))
-    val tokd = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val dl = tokd.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // doc length map-side (no explode); posting rows filtered to the
+    // query terms in the SAME codegen stage as the explode, so the
+    // exchange carries O(hits)
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+      .where(col("dl") >= 1)
     val corpus = dl.agg(count(lit(1)).as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = tokd.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("term"))
+      .where(col("term").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfTbl = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qs = querySet.flatMap { case (q, ts) => ts.map(q -> _) }
       .toDF("qid", "term")
-    val contribs = broadcast(qs).join(tf, "term").join(dfTbl, "term")
+    val contribs = broadcast(qs).join(tf, "term").join(broadcast(dfTbl), "term")
       .join(dl, "doc_id").crossJoin(broadcast(corpus))
       .select(col("qid"), col("doc_id"), col("term"),
         (((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
@@ -181,9 +202,7 @@ object Retrieval {
           Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
         .where(col("lex_rnk") <= candK)
         .select(col("qid"), col("doc_id"), col("lex_rnk"))
-      def dot(a: Column, b: Column): Column = aggregate(
-        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
       val nrms = Tables.embeddings(spark, dir).select(
         col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
@@ -274,9 +293,7 @@ object Retrieval {
           Window.partitionBy(col("qid")).orderBy(col("score").desc, col("doc_id"))))
         .where(col("lex_rnk") <= candK)
         .select(col("qid"), col("doc_id"))
-      def dot(a: Column, b: Column): Column = aggregate(
-        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
       val nrms = Tables.embeddings(spark, dir).select(
         col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))

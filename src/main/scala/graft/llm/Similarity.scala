@@ -31,12 +31,15 @@ object Similarity {
 
   private val dim = 64
 
-  /** Left-fold dot product of two float-array columns in double. */
-  private[graft] def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+  /** Left-fold dot product of two numeric-array columns in double —
+    * the native [[graft.functions.VecDot]] expression (one codegen'd
+    * fused loop per row; PortableSpec asserts bit-equality with the
+    * interpreted `aggregate(zip_with(...))` composition it replaced). */
+  private[graft] def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlShim
+    GraftSqlShim.column(graft.functions.VecDot(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+  }
 
   /** DuckDB: identical fold, identical order. */
   private def dotSql(a: String, b: String): String =
@@ -172,9 +175,7 @@ object Similarity {
          |QUALIFY rnk <= 10""".stripMargin) { (spark, dir) =>
       val planeCols = planes.map(ws => array(ws.map(lit): _*))
       val bucket = planes.indices.map { p =>
-        val d = aggregate(
-          zip_with(col("embedding"), planeCols(p), (x, w) => x.cast("double") * w.cast("double")),
-          lit(0.0), (acc, v) => acc + v)
+        val d = dot(col("embedding"), planeCols(p))
         when(d >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
       // bucket assignment (8 hyperplane dot products per vector) is
@@ -278,8 +279,7 @@ object Similarity {
     }.toSeq
     transform(typedLit(data), c =>
       struct(
-        (aggregate(zip_with(emb, c.getField("_1"), (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v) / (nrm * c.getField("_2"))).as("cos"),
+        (dot(emb, c.getField("_1")) / (nrm * c.getField("_2"))).as("cos"),
         c.getField("_3").as("cell")))
   }
 
@@ -302,10 +302,7 @@ object Similarity {
       cents: Array[Array[Double]]): DataFrame = {
     val scored = cents.zipWithIndex.map { case (cw, ci) =>
       val cnrm = math.sqrt(cw.map(x => x * x).sum)
-      val d = aggregate(
-        zip_with(col("embedding"), array(cw.map(lit): _*),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
+      val d = dot(col("embedding"), array(cw.map(lit): _*))
       struct((d / (col("nrm") * lit(cnrm))).as("cos"), lit(ci).as("cell"))
     }
     emb
@@ -340,9 +337,7 @@ object Similarity {
       val scored = cents.zipWithIndex.map { case (c, k2) =>
         val half = c.map(x => x * x).sum / 2.0
         struct(
-          (aggregate(zip_with(col("embedding"), array(c.map(lit): _*),
-            (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
-            - lit(half)).as("s"),
+          (dot(col("embedding"), array(c.map(lit): _*)) - lit(half)).as("s"),
           lit(k2).as("cell"))
       }
       emb.withColumn("cell", greatest(scored.toSeq: _*).getField("cell"))
@@ -384,10 +379,7 @@ object Similarity {
       if (cents.length <= literalAssignMaxK) {
         val scored = cents.zipWithIndex.map { case (cw, ci) =>
           val cnrm = math.sqrt(cw.map(x => x * x).sum)
-          val d = aggregate(
-            zip_with(col("embedding"), array(cw.map(lit): _*),
-              (x, w) => x.cast("double") * w),
-            lit(0.0), (acc, v) => acc + v)
+          val d = dot(col("embedding"), array(cw.map(lit): _*))
           struct((d / (col("nrm") * lit(cnrm))).as("cos"), lit(ci).as("cell"))
         }
         greatest(scored.toSeq: _*).getField("cos")
@@ -492,9 +484,7 @@ object Similarity {
       val scored = books(mi).zipWithIndex.map { case (c, k) =>
         val half = c.map(x => x * x).sum / 2.0
         struct(
-          (aggregate(zip_with(sub, array(c.map(lit): _*),
-            (x, w) => x.cast("double") * w), lit(0.0), (acc, v) => acc + v)
-            - lit(half)).as("s"),
+          (dot(sub, array(c.map(lit): _*)) - lit(half)).as("s"),
           lit(k).as("k"))
       }
       greatest(scored.toSeq: _*).getField("k")

@@ -73,6 +73,63 @@ class PortableSpec extends SparkSpec {
     assert(edge == 0)
   }
 
+  test("tokens (regexp_extract_all \\S+) equals split-on-\\s+ with empties dropped") {
+    // the DuckDB oracles tokenize as
+    // list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '');
+    // the engine's regexp_extract_all form must produce the identical
+    // array (values AND order) on the corpus and on whitespace edges
+    val composedToks = filter(split(col("text"), "\\s+"), t => t =!= lit(""))
+    val corpusDiff = Tables.documents(spark, sfDir)
+      .select(Portable.tokens(col("text")).as("n"), composedToks.as("c"))
+      .where(not(col("n") <=> col("c")))
+    assert(corpusDiff.count() == 0)
+    val edges = Seq("", " ", "  a  ", "a b", "\ta\nb\r c\f", "a", " \t\n",
+      "héllo  wörld", "x" * 500 + " " + "y" * 500)
+    val edgeDiff = edges.toDF("text")
+      .select(Portable.tokens(col("text")).as("n"), composedToks.as("c"))
+      .where(not(col("n") <=> col("c")))
+    assert(edgeDiff.count() == 0)
+  }
+
+  test("native vec_dot equals the aggregate(zip_with(...)) fold, bit for bit") {
+    import org.apache.spark.sql.GraftSqlShim
+    def native(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      GraftSqlShim.column(graft.functions.VecDot(
+        GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+    def composed(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // full corpus, float arrays, self- and cross-products
+    val e = Tables.embeddings(spark, sfDir)
+    val seed = broadcast(e.where(col("vec_id") < 3)
+      .select(col("vec_id").as("sid"), col("embedding").as("s_emb")))
+    val diff = e.crossJoin(seed).select(
+      native(col("embedding"), col("s_emb")).as("n"),
+      composed(col("embedding"), col("s_emb")).as("c"),
+      native(col("embedding"), col("embedding")).as("n2"),
+      composed(col("embedding"), col("embedding")).as("c2"))
+      .where(not(col("n") <=> col("c")) || not(col("n2") <=> col("c2")))
+    assert(diff.count() == 0)
+    // edges: empty arrays -> 0.0; length mismatch -> null; null element
+    // -> null; null array -> null; double arrays too
+    val edges = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1.0D, 2.0D), array(3.0D, 4.0D)),
+        |  (array(1.0D, 2.0D), array(3.0D)),
+        |  (array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)),
+        |  (CAST(NULL AS ARRAY<DOUBLE>), array(3.0D, 4.0D)),
+        |  (array(), array())
+        |AS t(a, b)""".stripMargin)
+    val edgeDiff = edges.select(native(col("a"), col("b")).as("n"),
+        composed(col("a"), col("b")).as("c"))
+      .where(not(col("n") <=> col("c")))
+    assert(edgeDiff.count() == 0)
+    // and the native path stays inside whole-stage codegen
+    val plan = e.select(native(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ArrayAggregate") && !plan.contains("ZipWith"), plan)
+  }
+
   test("the hash path stays inside whole-stage codegen (no fallback eval)") {
     val df = Tables.documents(spark, sfDir).select(Portable.h60(col("text")).as("h"))
     val plan = df.queryExecution.executedPlan.toString
