@@ -46,13 +46,22 @@ object GraftSession {
   }
 
   /** Local session for the driver mains and tests: shuffle partitions =
-    * cores (no wave concern in one JVM), UTC, UI off. */
+    * cores (no wave concern in one JVM), UTC, UI off.
+    *
+    * `fs.file.impl` binds `file://` to [[graft.sources.FastLocalFileSystem]]:
+    * without the native Hadoop library every local file create forks a
+    * `chmod` process and the default checksummed LocalFileSystem doubles
+    * each create with a `.crc` sibling — pure adapter overhead on the
+    * commit machinery's many small metadata files. Scheme-scoped: HDFS/
+    * S3/ABFS bindings on a real cluster are untouched. */
   def local(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.FastLocalFileSystem].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

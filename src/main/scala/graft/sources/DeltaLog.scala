@@ -2617,7 +2617,9 @@ object DeltaLog {
     def statsOfFile(rel: String): Option[(String, String)] = {
       val path = new Path(table, rel)
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
-      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      // conf passed through — no per-call Configuration XML re-parse
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in,
+        org.apache.parquet.HadoopReadOptions.builder(conf, path).build())
       val md = try rd.getFooter finally rd.close()
       import scala.jdk.CollectionConverters._
       val blocks = md.getBlocks.asScala.toSeq

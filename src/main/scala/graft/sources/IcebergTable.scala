@@ -1431,7 +1431,10 @@ object IcebergTable {
       val hconf = spark.sessionState.newHadoopConf()
       def one(p: Path): (String, FileStats) = {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
-        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        // pass the conf through: the no-arg open() builds a FRESH Hadoop
+        // Configuration per call, re-parsing the XML defaults every file
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in,
+          org.apache.parquet.HadoopReadOptions.builder(hconf, p).build())
         val md = try rd.getFooter finally rd.close()
         val blocks = md.getBlocks.asScala.toSeq
         val rows = blocks.map(_.getRowCount).sum
@@ -1890,7 +1893,9 @@ object IcebergTable {
   private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
       p: Path): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    // conf passed through — no per-call Configuration XML re-parse
+    val rd = org.apache.parquet.hadoop.ParquetFileReader.open(in,
+      org.apache.parquet.HadoopReadOptions.builder(conf, p).build())
     try rd.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
     finally rd.close()
   }

@@ -11,6 +11,10 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", 8)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same file:// binding as GraftSession.local — specs must exercise
+      // the filesystem the bench and verify surfaces run on
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.sources.FastLocalFileSystem].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
