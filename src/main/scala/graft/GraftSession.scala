@@ -62,6 +62,14 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.hadoop.fs.file.impl",
         classOf[graft.sources.FastLocalFileSystem].getName)
+      // parquet writes here land in engine-private staging dirs whose
+      // visibility/atomicity comes from the Delta/Iceberg commit
+      // protocol, not from Hadoop's job commit — so skip the _SUCCESS
+      // marker (one create per write) and use committer v2 (files move
+      // at task commit, in parallel, instead of one serial driver
+      // rename pass at job commit)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -37,8 +37,13 @@ object Graph {
       .localCheckpoint(true)
     def labelSum(df: DataFrame): BigDecimal =
       BigDecimal(df.agg(sum(col("component").cast("decimal(38,0)"))).head().getDecimal(0))
+    // LAZY checkpoints: the convergence-sum action right below each
+    // round materializes the checkpoint as part of its own job, so the
+    // loop pays ONE job per round instead of two (eager-materialize +
+    // sum); subsequent consumers (the next round's two joins) read the
+    // materialized partitions either way
     var labels = vertices.select(col("id"), col("id").as("component"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
@@ -52,7 +57,7 @@ object Graph {
         .select(col("id"),
           least(col("component"), coalesce(col("n_component"), col("component")))
             .as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val sumNow = labelSum(labels)
       converged = sumNow == prevSum
       prevSum = sumNow

@@ -1221,16 +1221,16 @@ object IcebergTable {
 
   private def writeAvro(f: FileSystem, dest: Path, schema: AvroSchema,
       records: IterableOnce[GenericRecord]): Long = {
-    val local = java.io.File.createTempFile("graft-iceberg-w-", ".avro")
-    try {
-      val w = new DataFileWriter[GenericRecord](
-        new GenericDatumWriter[GenericRecord](schema))
-      w.create(schema, local)
-      try records.iterator.foreach(w.append) finally w.close()
-      f.mkdirs(dest.getParent)
-      f.copyFromLocalFile(false, true, new Path(local.getAbsolutePath), dest)
-      local.length()
-    } finally { local.delete(); () }
+    // straight through the destination fs stream — the old temp-file +
+    // copyFromLocalFile path wrote every manifest twice (and created +
+    // deleted a scratch file per manifest)
+    f.mkdirs(dest.getParent)
+    val out = f.create(dest, true)
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out) // w.close() closes `out`
+    try records.iterator.foreach(w.append) finally w.close()
+    f.getFileStatus(dest).getLen
   }
 
   /** Append `df` as one Iceberg v1 snapshot (creates the table on first
